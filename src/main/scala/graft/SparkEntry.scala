@@ -1,13 +1,156 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.CoreQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has a named entry in
+  * [[queries]]; SQL-expressible ones carry a DuckDB oracle in
+  * [[oracleSql]] (column names aliased identically on both sides — the
+  * driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (J1, the reference's gold join shape) on sf0.001;
+    * driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CoreQueries.j1CustomersOrdersJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_select_star"          -> (CoreQueries.p1SelectStar _),
+    "p2_projection_alias"     -> (CoreQueries.p2ProjectionAlias _),
+    "p4_nonempty_guard"       -> (CoreQueries.p4NonEmptyGuard _),
+    "p_filter_pushdown"       -> (CoreQueries.pFilterPushdown _),
+    "p5_sql_transformer"      -> (CoreQueries.p5SqlTransformer _),
+    "j1_customers_orders_join" -> (CoreQueries.j1CustomersOrdersJoin _),
+    "j_left_join_agg"         -> (CoreQueries.jLeftJoinAgg _),
+    "j_semi_join"             -> (CoreQueries.jSemiJoin _),
+    "j_anti_join"             -> (CoreQueries.jAntiJoin _),
+    "a1_distinct_sort_limit"  -> (CoreQueries.a1DistinctSortLimit _),
+    "a2_count"                -> (CoreQueries.a2Count _),
+    "a3_minmax"               -> (CoreQueries.a3Max _),
+    "q1_agg"                  -> (CoreQueries.q1Agg _),
+    "o_topk_revenue"          -> (CoreQueries.oTopkRevenue _),
+    "q5_multijoin"            -> (CoreQueries.q5MultiJoin _),
+    "w_window_rank"           -> (CoreQueries.wWindowRank _),
+    "set_intersect"           -> (CoreQueries.setIntersect _),
+    "set_except"              -> (CoreQueries.setExcept _),
+    "set_union"               -> (CoreQueries.setUnion _),
+    "f2_datetime"             -> (CoreQueries.f2Datetime _),
+    "f6_json"                 -> (CoreQueries.f6Json _),
+    "s2_incremental_read"     -> (CoreQueries.s2IncrementalRead _),
+    "s3_upsert_merge"         -> (CoreQueries.s3UpsertMerge _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p1_select_star" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "p2_projection_alias" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice AS order_value,
+        | o_orderpriority AS priority FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p4_nonempty_guard" ->
+      "SELECT count(*) > 0 AS non_empty FROM orders",
+    "p_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        | FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p5_sql_transformer" ->
+      """SELECT o_orderpriority AS priority, count(*) AS n
+        | FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
+    "j1_customers_orders_join" ->
+      """SELECT c_custkey AS customer_id, c_name AS customer_name,
+        | c_mktsegment AS segment, o_orderkey AS order_id,
+        | o_orderpriority AS order_priority, o_totalprice AS order_value
+        | FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        | ORDER BY order_id""".stripMargin,
+    "j_left_join_agg" ->
+      """SELECT c_custkey AS customer_id, count(o_orderkey) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        | FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        | GROUP BY c_custkey ORDER BY customer_id""".stripMargin,
+    "j_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        | ORDER BY c_custkey""".stripMargin,
+    "j_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        | ORDER BY c_custkey""".stripMargin,
+    "a1_distinct_sort_limit" ->
+      """SELECT DISTINCT o_orderdate AS commit_time FROM orders
+        | ORDER BY commit_time ASC LIMIT 50""".stripMargin,
+    "a2_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "a3_minmax" ->
+      """SELECT max(o_orderdate) AS last_commit,
+        | min(o_orderdate) AS first_commit FROM orders""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "o_topk_revenue" ->
+      """SELECT l_orderkey AS order_id,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY l_orderkey ORDER BY revenue DESC, order_id ASC LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name AS nation, r_name AS region,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY n_name, r_name ORDER BY nation, region""".stripMargin,
+    "w_window_rank" ->
+      """SELECT customer_id, order_id, rn FROM (
+        |  SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY customer_id, rn""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_custkey AS key FROM customer
+        | INTERSECT SELECT o_custkey AS key FROM orders ORDER BY key""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey AS key FROM customer
+        | EXCEPT SELECT o_custkey AS key FROM orders ORDER BY key""".stripMargin,
+    "set_union" ->
+      """SELECT DISTINCT key FROM (
+        |  SELECT c_nationkey AS key FROM customer
+        |  UNION ALL SELECT s_nationkey AS key FROM supplier)
+        | ORDER BY key""".stripMargin,
+    "f2_datetime" ->
+      """SELECT o_orderkey,
+        | CAST(extract(year FROM o_orderdate) AS INT) AS y,
+        | CAST(extract(month FROM o_orderdate) AS INT) AS m,
+        | CAST(extract(day FROM o_orderdate) AS INT) AS d,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | CAST(o_orderdate AS DATE) AS order_day,
+        | CASE WHEN o_orderpriority = '1-URGENT' THEN 'URGENT'
+        |      ELSE 'NORMAL' END AS urgency
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f6_json" ->
+      """SELECT event_type,
+        | sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        | count(*) AS n
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s2_incremental_read" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        | WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+        | ORDER BY event_id""".stripMargin,
+    "s3_upsert_merge" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |   row_number() OVER (PARTITION BY l_orderkey
+        |     ORDER BY l_linenumber DESC, l_partkey DESC, l_quantity DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+  )
 }

@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.tables.{CommitLog, KeyedTable}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Physical table lifecycle for a [[graft.tables.KeyedTable]]: COW upsert
+  * writes, snapshot reads, incremental reads, clustering, cleaning.
+  *
+  * Storage layout (SURVEY.md §1): plain parquet under `{path}/data`
+  * (hive-style partition dirs when partitioned), every row stamped with
+  * `_commit_ts` — so snapshot reads are a vanilla parquet scan and
+  * incremental reads are a pushed-down string-range predicate, with zero
+  * custom datasource code. The Hudi features the reference turns on map
+  * to:
+  *
+  *   - gzip parquet + file sizing (create_hudi_tables.py:131,171-174)
+  *     → `parquet.compression` + `maxRecordsPerFile` write options
+  *   - BLOOM record index (create_hudi_tables.py:116,166-168)
+  *     → parquet bloom filters on the record key columns
+  *   - clustering sort (create_hudi_tables.py:157-163)
+  *     → `repartitionByRange().sortWithinPartitions()` before write
+  *   - cleaner (create_hudi_tables.py:141-148) → [[clean]]
+  *
+  * Concurrency: single-writer per table (the reference only enables OCC
+  * for metadata indexing; SURVEY.md §2k). Writes stage to
+  * `{path}/.staging/{ts}` and swap via FS rename, so concurrent *readers*
+  * of `data/` never observe a half-written snapshot on rename-atomic
+  * filesystems (HDFS/local; on S3 use a manifest-commit layer).
+  */
+object TableOps {
+
+  /** Write options applied to every parquet write. Bloom filters on the
+    * record key make the next upsert's key-matching join cheap to probe
+    * (Hudi BLOOM index analog).
+    */
+  private def writer(df: DataFrame, t: KeyedTable, sortBy: Seq[String],
+      maxRecordsPerFile: Long) = {
+    val clustered =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else df
+    var w = clustered.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", "gzip")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    t.recordKey.foreach { k =>
+      w = w.option(s"parquet.bloom.filter.enabled#$k", "true")
+    }
+    if (t.partitionBy.nonEmpty) w = w.partitionBy(t.partitionBy: _*)
+    w
+  }
+
+  def exists(spark: SparkSession, t: KeyedTable): Boolean = {
+    val p = new Path(t.dataPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Upsert `incoming` into table `t` — the engine's
+    * `df.write.format("hudi").mode("append")` analog
+    * (create_hudi_tables.py:218-221). Returns the commit timestamp.
+    *
+    * Partitioned tables get a *partition-scoped* COW rewrite: only
+    * partitions that contain incoming keys (including the old partition
+    * of a key that moved — GLOBAL_BLOOM semantics,
+    * create_hudi_tables.py:116) are merged and swapped; untouched
+    * partitions are not read, not rewritten, and not moved. At 100 TB
+    * with daily increments touching a few partitions, the rewrite cost
+    * is proportional to the increment's partition footprint, not the
+    * table.
+    */
+  def upsert(
+      spark: SparkSession,
+      t: KeyedTable,
+      incoming: DataFrame,
+      sortBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 4000000L): String = {
+    // Emptiness guard — reference used count()>0 (a full scan,
+    // create_hudi_tables.py:213); isEmpty touches one partition.
+    if (incoming.isEmpty) return ""
+    val ts = CommitLog.newCommitTs()
+    val log = CommitLog(t, spark)
+    val deduped = Upsert.dedupBatch(incoming, t.recordKey,
+      Seq(t.precombineKey))
+    val stamped = deduped.withColumn(KeyedTable.CommitCol, lit(ts))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    val staging = new Path(s"${t.path}/.staging/$ts")
+
+    if (!exists(spark, t)) {
+      writer(stamped, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
+      swapAll(fs, staging, new Path(t.dataPath), t.partitionBy.nonEmpty)
+    } else if (t.partitionBy.isEmpty) {
+      val existing = spark.read.parquet(t.dataPath)
+      val merged = Upsert.merge(existing, stamped, t.recordKey,
+        Seq(t.precombineKey, KeyedTable.CommitCol))
+      writer(merged, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
+      swapAll(fs, staging, new Path(t.dataPath), hivePartitioned = false)
+    } else {
+      val existing = spark.read.parquet(t.dataPath)
+      val keyCols = t.recordKey
+      // Affected partitions = incoming's partitions ∪ partitions where an
+      // incoming key already lives (key-moved-partition ⇒ old row must
+      // go — GLOBAL index semantics). Distinct partition values are tiny;
+      // collecting them to the driver is a metadata-sized action.
+      val incomingParts =
+        stamped.select(t.partitionBy.map(col): _*).distinct()
+      val movedParts = existing
+        .join(stamped.select(keyCols.map(col): _*).distinct(), keyCols,
+          "left_semi")
+        .select(t.partitionBy.map(col): _*).distinct()
+      val affected = incomingParts.union(movedParts).distinct().collect()
+        .map(r => t.partitionBy.map(c => r.getAs[Any](c)))
+      val partFilter = affected
+        .map(vals => t.partitionBy.zip(vals)
+          .map { case (c, v) => col(c) === lit(v) }
+          .reduce(_ && _))
+        .reduceOption(_ || _)
+        .getOrElse(lit(false))
+      // Partition pruning keeps this scan to the affected directories.
+      val affectedExisting = existing.filter(partFilter)
+      val merged = Upsert.merge(affectedExisting, stamped, keyCols,
+        Seq(t.precombineKey, KeyedTable.CommitCol))
+      writer(merged, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
+      swapPartitions(fs, staging, new Path(t.dataPath))
+    }
+    fs.delete(new Path(s"${t.path}/.staging"), true)
+    log.logCommit(ts, Map("table" -> t.name))
+    ts
+  }
+
+  /** Replace the whole data dir with the staged snapshot. */
+  private def swapAll(fs: FileSystem, staging: Path, data: Path,
+      hivePartitioned: Boolean): Unit = {
+    if (fs.exists(data)) fs.delete(data, true)
+    fs.mkdirs(data.getParent)
+    if (!fs.rename(staging, data))
+      throw new java.io.IOException(s"commit rename failed: $staging → $data")
+  }
+
+  /** Replace only the partition dirs present in staging (plus parquet's
+    * _SUCCESS marker); untouched partition dirs stay in place.
+    */
+  private def swapPartitions(fs: FileSystem, staging: Path,
+      data: Path): Unit = {
+    fs.mkdirs(data)
+    fs.listStatus(staging).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_")) { // skip _SUCCESS
+        val target = new Path(data, name)
+        if (fs.exists(target)) fs.delete(target, true)
+        if (!fs.rename(st.getPath, target))
+          throw new java.io.IOException(
+            s"partition commit rename failed: ${st.getPath} → $target")
+      }
+    }
+  }
+
+  /** Snapshot read — latest table state (S1; the reference's
+    * `spark.read.format("hudi").load(path)`,
+    * incremental_etl_orders.py:385-386). A plain parquet scan: COW keeps
+    * `data/` always-latest, so no dedup view is needed at read time.
+    */
+  def snapshot(spark: SparkSession, t: KeyedTable): DataFrame =
+    spark.read.parquet(t.dataPath)
+
+  /** Incremental read — records whose latest version was committed in
+    * (`beginExclusive`, `endInclusive`] (S2; the reference's
+    * `hoodie.datasource.query.type=incremental` +
+    * `read.begin.instanttime`, incremental_etl_orders.py:217-227).
+    *
+    * A pushed-down string-range predicate on `_commit_ts`: `.explain`
+    * shows it in PushedFilters, so parquet row-group stats (and the
+    * commit-clustered file layout) skip untouched files — the Spark
+    * analog of Hudi's timeline file-slice pruning.
+    */
+  def incremental(
+      spark: SparkSession,
+      t: KeyedTable,
+      beginExclusive: String,
+      endInclusive: Option[String] = None): DataFrame = {
+    val base = snapshot(spark, t)
+      .filter(col(KeyedTable.CommitCol) > lit(beginExclusive))
+    endInclusive.fold(base)(e =>
+      base.filter(col(KeyedTable.CommitCol) <= lit(e)))
+  }
+
+  /** Cleaner (reference: hoodie.cleaner KEEP_LATEST + retained commits,
+    * create_hudi_tables.py:141-148): drop commit manifests beyond the
+    * retention window and any leftover staging dirs. Data files need no
+    * cleaning — COW swap already removed replaced files.
+    */
+  def clean(spark: SparkSession, t: KeyedTable, retainCommits: Int): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    val staging = new Path(s"${t.path}/.staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    CommitLog(t, spark).retain(retainCommits)
+  }
+}

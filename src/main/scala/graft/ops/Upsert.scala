@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Key-based merge semantics — the engine's core custom operator
+  * (SURVEY.md §2 S3/J2). Replicates the Hudi COPY_ON_WRITE upsert the
+  * reference configures (create_hudi_tables.py:120-210, executed at
+  * :218-221): new record keys are inserted, existing keys updated, and
+  * version conflicts resolved by the *precombine* field — the row with
+  * the greatest precombine value wins; on a tie the newer batch wins.
+  *
+  * Implementation is a hash aggregation with `max_by` over a packed
+  * struct, NOT a window sort:
+  *
+  *   - `groupBy(key).agg(max_by(struct(*), ord))` gets map-side partial
+  *     aggregation (each shuffle mapper pre-combines its local rows per
+  *     key), so shuffle volume is O(distinct keys per mapper), not O(rows)
+  *     — at 100 TB with a skewed update stream this is the difference
+  *     between shuffling the table and shuffling the key set.
+  *   - The window-function formulation (`row_number` over
+  *     partitionBy(key).orderBy(precombine desc)) shuffles every row and
+  *     then sorts each partition; it is kept in [[mergeWindowed]] only as
+  *     a cross-check for tests.
+  */
+object Upsert {
+
+  /** Latest-version-per-key merge of `incoming` into `existing`.
+    *
+    * @param keys       record key columns (hoodie.recordkey.field analog)
+    * @param precombine version-resolution columns, compared
+    *                   lexicographically in order; greatest wins
+    *                   (hoodie.precombine.field analog). On a full tie
+    *                   the `incoming` row wins (Hudi: incoming replaces
+    *                   stored row when precombine values equal).
+    */
+  def merge(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      precombine: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert requires at least one key column")
+    val cols = existing.columns.toSeq
+    val u = existing.withColumn("_src", lit(0))
+      .unionByName(incoming.withColumn("_src", lit(1)))
+    val ord = struct((precombine.map(col) :+ col("_src")): _*)
+    val payload = struct(cols.map(col): _*)
+    u.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ord).as("_row"))
+      .select(cols.map(c => col(s"_row.`$c`").as(c)): _*)
+  }
+
+  /** Window-sort formulation of [[merge]] — semantically identical,
+    * shuffles full rows then sorts; used only to cross-check `merge` in
+    * property tests (SURVEY.md §5).
+    */
+  def mergeWindowed(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      precombine: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = existing.columns.toSeq
+    val u = existing.withColumn("_src", lit(0))
+      .unionByName(incoming.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((precombine.map(c => col(c).desc) :+ col("_src").desc): _*)
+    u.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(cols.map(col): _*)
+  }
+
+  /** Within-batch precombine dedup: one row per key, greatest precombine
+    * wins (Hudi `hoodie.combine.before.upsert` behavior; reference
+    * enables it implicitly via the precombine field,
+    * create_hudi_tables.py:126). Ties are broken arbitrarily but
+    * deterministically only if (keys ++ precombine) is unique — callers
+    * that need strict determinism must pass a tiebreaking precombine.
+    */
+  def dedupBatch(
+      batch: DataFrame,
+      keys: Seq[String],
+      precombine: Seq[String]): DataFrame = {
+    val cols = batch.columns.toSeq
+    val ord = struct(precombine.map(col): _*)
+    val payload = struct(cols.map(col): _*)
+    batch.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ord).as("_row"))
+      .select(cols.map(c => col(s"_row.`$c`").as(c)): _*)
+  }
+
+  /** Rows of `existing` whose key does NOT appear in `incoming` — the
+    * untouched side of an upsert (SURVEY.md §2c: upsert internally needs
+    * anti-join semantics). Broadcast-friendly: when `incoming`'s key set
+    * is small Catalyst/AQE turns this into a broadcast hash anti-join.
+    */
+  def untouched(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String]): DataFrame =
+    existing.join(incoming.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+}

@@ -1,0 +1,81 @@
+package graft.tables
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import java.nio.charset.StandardCharsets
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Commit timeline for a [[KeyedTable]] — the engine's analog of the Hudi
+  * timeline (reference: the `.hoodie/` instant files Hudi maintains under
+  * every table path; queried indirectly via `_hoodie_commit_time` at
+  * incremental_etl_orders.py:209-215).
+  *
+  * One tiny JSON manifest per commit at `path/.commits/{ts}.commit`.
+  * Listing the timeline is an O(#commits) driver-side FS listing of
+  * kilobyte files — never a data scan (the reference instead ran a
+  * DISTINCT over the whole table + collect, an anti-pattern at scale;
+  * SURVEY.md §4).
+  */
+final class CommitLog(table: KeyedTable, conf: Configuration) {
+  private val dir = new Path(table.commitsPath)
+  private def fs: FileSystem = dir.getFileSystem(conf)
+
+  /** Commits in ascending (chronological == lexicographic) order. */
+  def listCommits(): Seq[String] = {
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit"))
+      .toSeq
+      .sorted
+  }
+
+  def latestCommit(): Option[String] = listCommits().lastOption
+  def earliestCommit(): Option[String] = listCommits().headOption
+
+  /** Record a completed commit. `meta` is free-form (rows written, …). */
+  def logCommit(ts: String, meta: Map[String, String] = Map.empty): Unit = {
+    val payload = (meta + ("commit_ts" -> ts))
+      .map { case (k, v) => s""""${k}": "${v}"""" }
+      .mkString("{", ", ", "}")
+    val out = fs.create(new Path(dir, s"$ts.commit"), true)
+    try out.write(payload.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Drop the oldest commit manifests, keeping `keep` (cleaner support —
+    * reference: hoodie.cleaner KEEP_LATEST_FILE_VERSIONS,
+    * create_hudi_tables.py:141-148).
+    */
+  def retain(keep: Int): Seq[String] = {
+    val all = listCommits()
+    val drop = all.dropRight(keep)
+    drop.foreach(ts => fs.delete(new Path(dir, s"$ts.commit"), false))
+    drop
+  }
+}
+
+object CommitLog {
+  private val fmt =
+    DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS").withZone(ZoneOffset.UTC)
+  private val last = new AtomicLong(0L)
+
+  /** New monotonic commit timestamp (Hudi instant format). Monotonicity
+    * is guaranteed within this JVM even under clock ties — the engine is
+    * single-writer per table (SURVEY.md §2k: OCC is out of scope, as the
+    * reference only enables it for metadata indexing).
+    */
+  def newCommitTs(): String = {
+    val now = System.currentTimeMillis()
+    val ts = last.updateAndGet(prev => math.max(prev + 1, now))
+    fmt.format(Instant.ofEpochMilli(ts))
+  }
+
+  def apply(table: KeyedTable, spark: SparkSession): CommitLog =
+    new CommitLog(table, spark.sparkContext.hadoopConfiguration)
+}
