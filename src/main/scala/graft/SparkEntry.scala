@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, ExtQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -42,6 +42,23 @@ object SparkEntry {
     "f6_json"                 -> (CoreQueries.f6Json _),
     "s2_incremental_read"     -> (CoreQueries.s2IncrementalRead _),
     "s3_upsert_merge"         -> (CoreQueries.s3UpsertMerge _),
+    "dedup_exact"             -> (ExtQueries.dedupExact _),
+    "dedup_ngram_jaccard"     -> (ExtQueries.dedupNgramJaccard _),
+    "dedup_minhash_lsh"       -> (ExtQueries.dedupMinhashLsh _),
+    "dedup_simhash"           -> (ExtQueries.dedupSimhash _),
+    "sim_cosine_topk"         -> (ExtQueries.simCosineTopk _),
+    "sim_lsh_topk"            -> (ExtQueries.simLshTopk _),
+    "sim_cosine_neardup"      -> (ExtQueries.simCosineNeardup _),
+    "text_stats"              -> (ExtQueries.textStats _),
+    "text_quality"            -> (ExtQueries.textQuality _),
+    "text_token_counts"       -> (ExtQueries.textTokenCounts _),
+    "text_fingerprint"        -> (ExtQueries.textFingerprint _),
+    "text_langid"             -> (ExtQueries.textLangid _),
+    "multimodal_stats"        -> (ExtQueries.multimodalStats _),
+    "multimodal_features"     -> (ExtQueries.multimodalFeatures _),
+    "events_tumbling"         -> (ExtQueries.eventsTumbling _),
+    "events_sliding"          -> (ExtQueries.eventsSliding _),
+    "events_sessions"         -> (ExtQueries.eventsSessions _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -152,5 +169,104 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY l_orderkey
         |     ORDER BY l_linenumber DESC, l_partkey DESC, l_quantity DESC) AS rn
         |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS representative_id, count(*) AS n_dups
+        | FROM documents GROUP BY lower(trim(text))
+        | ORDER BY representative_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        | inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        | SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+        | FROM inter
+        | JOIN sz sa ON sa.doc_id = id_a
+        | JOIN sz sb ON sb.doc_id = id_b
+        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+        | ORDER BY id_a, id_b""".stripMargin,
+    "sim_cosine_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id ASC) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "text_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents)
+        | SELECT doc_id, length(text) AS n_chars, len(w) AS n_tokens,
+        |  len(list_distinct(w)) AS n_uniq_tokens,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or','of',
+        |    'to','in','is','it','for','on','with','as','at','by'))) AS DOUBLE)
+        |    / len(w) AS stopword_ratio,
+        |  CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_token_len,
+        |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |    AS n_punct
+        | FROM tok ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents)
+        | SELECT doc_id, round(
+        |  least(1.0, CAST(len(w) AS DOUBLE) / 64.0) * 0.4
+        |  + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+        |  + least(1.0, (CAST(len(list_filter(w, t -> t IN ('the','a','an',
+        |      'and','or','of','to','in','is','it','for','on','with','as',
+        |      'at','by'))) AS DOUBLE) / len(w)) * 4.0) * 0.2, 6) AS quality
+        | FROM tok ORDER BY doc_id""".stripMargin,
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))
+        |    AS bpeish_tokens,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS INT)
+        |    AS est_tokens_4cpt
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_stats" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
+        |  CAST((doc_id % 4 * 256 + 256) * (doc_id % 3 * 256 + 256) AS BIGINT)
+        |    AS n_pixels
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "events_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b,
+        |   event_type FROM events),
+        | x AS (SELECT b AS ws, event_type FROM e
+        |  UNION ALL SELECT b - INTERVAL '30 minutes', event_type FROM e)
+        | SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
+        |  count(*) AS n
+        | FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        | SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        | FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus partition-wise batched
+  * feature extraction.
+  *
+  * The Spark-side machinery here is real and tested — schema, batch
+  * shape, partitioning, deterministic fake features. The actual media
+  * decode is STUBBED (`decodeStub`): this container has no image/audio
+  * codecs, so decode produces a deterministic fake derived from the
+  * bytes; swap `decodeStub` for a real codec call (e.g. javacv /
+  * TwelveMonkeys inside `mapPartitions`, or a Python `mapInPandas`
+  * stage in a PySpark deployment) without touching any other part of
+  * the plan.
+  */
+object Multimodal {
+
+  /** A multimodal record: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      doc_id: Long,
+      media_type: String, // image | audio | video
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      sample_rate: Int)
+
+  /** Extracted features per record (fixed-width embedding). */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      payload_bytes: Int,
+      features: Array[Float])
+
+  /** Build a multimodal table from the documents corpus: the UTF-8
+    * bytes of `text` stand in for a media payload; metadata is derived
+    * deterministically from doc_id. (In production this column comes
+    * off the lake as real image/audio bytes; everything downstream is
+    * agnostic to that.)
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (pmod(col("doc_id"), lit(4)) * 256 + 256).cast(IntegerType).as("width"),
+      (pmod(col("doc_id"), lit(3)) * 256 + 256).cast(IntegerType).as("height"),
+      lit(16000).as("sample_rate"))
+
+  private val FeatureDim = 8
+
+  /** STUB of the real media decode: deterministic fake features from
+    * the payload bytes (seeded by content hash). A real deployment
+    * replaces ONLY this function with a codec call — signature and
+    * batch shape stay identical.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    // ??? — real image/audio decode goes here; deterministic fake:
+    var h = 1125899906842597L
+    payload.foreach(b => h = h * 31 + b)
+    Array.tabulate(FeatureDim) { i =>
+      val x = h ^ (0x9E3779B97F4A7C15L * (i + 1))
+      ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat
+    }
+  }
+
+  /** Partition-wise batched feature extraction — the Scala analog of a
+    * `mapInPandas` stage: rows stream through each partition in batches
+    * of `batchSize` (the shape a vectorized decoder / GPU featurizer
+    * wants), never materializing a partition in memory. Partitioning,
+    * schema and batch shape are real; only [[decodeStub]] is fake.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // batch boundary = where a vectorized decoder would be invoked
+          batch.map { case (id, mt, payload) =>
+            MediaFeatures(id, mt, payload.length, decodeStub(payload))
+          }
+        }
+      }
+  }
+
+  /** Declarative metadata/feature summary (no mapPartitions — stays in
+    * whole-stage codegen): payload size, a content crc, pixel count.
+    */
+  def mediaStats(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"), col("media_type"),
+      length(col("payload")).as("payload_bytes"),
+      crc32(col("payload")).as("payload_crc"),
+      (col("width").cast(LongType) * col("height")).as("n_pixels"))
+}

@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over an embedding column (`Array[Float]`) — the
+  * driver's `embeddings(vec_id, embedding, label)` table.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small)
+  *     query set against the full corpus; one scan, no shuffle of the
+  *     corpus, per-partition partial top-k via the aggregate path of
+  *     TakeOrderedAndProject. This is the correctness baseline.
+  *   - [[lshTopK]]: random-hyperplane (sign-LSH) bucketing — corpus and
+  *     queries hashed to `2^planes` buckets (multi-probe over hamming-1
+  *     neighbors for recall); candidates are only same/adjacent-bucket
+  *     pairs, so the pair count scales with bucket occupancy, not
+  *     corpus². This is the 100 TB path: the bucket id is a shuffle key
+  *     and each bucket is a tiny local top-k.
+  *
+  * Dot products use `zip_with` + `aggregate` (sequential fold — exact,
+  * deterministic order, whole-stage-codegen'd; no UDF).
+  */
+object Similarity {
+
+  /** Exact cosine similarity between two float-array columns, computed
+    * in double precision with a left-to-right fold.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k nearest neighbors (cosine) for each query vector.
+    * `queries` and `corpus` both carry (`idCol`, `vecCol`); a query is
+    * never matched to itself. Output: (query_id, neighbor_id, cos)
+    * with rank ≤ k per query.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic random hyperplanes: `planes` × `dim` doubles. */
+  private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id of a vector: bit p = sign(v · plane_p). */
+  def bucketOf(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val d = aggregate(
+        zip_with(vec, lit(plane.toArray), (v, w) => v.cast(DoubleType) * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Approximate top-k via sign-LSH bucketing with hamming-1 multi-probe
+    * (each query probes its own bucket plus every bucket one bit away —
+    * planes+1 probes). Same output shape as [[bruteForceTopK]]; recall
+    * < 1 by construction.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hp = hyperplanes(planes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      bucketOf(col(vecCol), hp).as("bucket"))
+    // Query side explodes to its multi-probe bucket list.
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      bucketOf(col(vecCol), hp).as("b0"))
+      .select(col("query_id"), col("qv"), explode(array(
+        col("b0") +: (0 until planes).map(p =>
+          col("b0").bitwiseXOR(shiftleft(lit(1), p))): _*)).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "cos").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥
+    * threshold, found through multi-table LSH buckets (no corpus², same
+    * contract as [[Dedup.minhashLsh]] but in embedding space).
+    *
+    * Recall comes from `tables` independent hash tables (standard
+    * multi-table LSH) plus hamming-1 multi-probe on the left side; with
+    * the defaults, a cos≈0.35 pair is found with ≈0.84 probability
+    * (asserted empirically in SimilaritySpec). `planes` trades bucket
+    * occupancy (candidate-pair cost, ∝ n²/2^planes per table) against
+    * recall — raise it as the corpus grows.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 6, tables: Int = 6, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val allPlanes = hyperplanes(planes * tables, dim, seed)
+    val bucketCols = (0 until tables).map { tI =>
+      bucketOf(col("v"), allPlanes.slice(tI * planes, (tI + 1) * planes))
+        .bitwiseOR(lit(tI << planes)) // disjoint key space per table
+    }
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"), array(bucketCols: _*).as("buckets"))
+    // Left side multi-probes each table's bucket plus its hamming-1
+    // neighbors; right side sits in its exact buckets only.
+    val probes = c.select(col("id"), col("v"),
+      explode(flatten(transform(col("buckets"), b =>
+        array(b +: (0 until planes).map(p =>
+          b.bitwiseXOR(shiftleft(lit(1), p))): _*)))).as("bucket"))
+    val exact = c.select(explode(col("buckets")).as("bucket"),
+      col("id").as("id_b"), col("v").as("vb"))
+    probes.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va")
+      .join(exact, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      // score before distinct: the dedup shuffle then carries 3 scalars
+      // per candidate pair instead of two 64-float vectors, and the
+      // threshold filter shrinks it first (cosine is deterministic, so
+      // duplicates collapse exactly).
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text analysis for training-data pipelines over the `documents`
+  * table: quality stats, language ID, token counting, fingerprinting.
+  * Everything is built-in-function Spark (codegen'd, no UDFs), so the
+  * whole module rides whole-stage codegen and pushes column pruning to
+  * the scan.
+  */
+object TextStats {
+
+  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "for", "on", "with", "as", "at", "by")
+
+  /** Per-document quality stats: char/token counts, distinct-token
+    * ratio, stopword ratio, mean token length, punctuation count, and a
+    * deterministic composite quality score (all exact integer/double
+    * arithmetic — SQL-oracle-able).
+    */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t).cast(DoubleType)
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_uniq_tokens"),
+      (size(array_distinct(t)).cast(DoubleType) / nTok).as("uniq_ratio"),
+      (size(filter(t, tk => tk.isin(stopwords: _*))).cast(DoubleType) / nTok)
+        .as("stopword_ratio"),
+      ((length(col(textCol)) - (size(t) - 1)).cast(DoubleType) / nTok)
+        .as("mean_token_len"),
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[.,!?;:]", "")))
+        .as("n_punct"))
+  }
+
+  /** Composite quality score in [0,1]: rewards lexical diversity and a
+    * sane stopword rate, penalizes very short docs. Deterministic
+    * double arithmetic over [[stats]] columns.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    stats(docs, idCol, textCol).select(col("doc_id"),
+      round(
+        least(lit(1.0), col("n_tokens").cast(DoubleType) / lit(64.0)) * lit(0.4)
+          + col("uniq_ratio") * lit(0.4)
+          + least(lit(1.0), col("stopword_ratio") * lit(4.0)) * lit(0.2),
+        6).as("quality"))
+
+  /** Language ID by character/stopword heuristics — an n-gram-profile
+    * classifier over tiny built-in profiles (public langid approach,
+    * scoring per-language marker hits; no model artifacts). Returns
+    * (doc_id, predicted_lang, score).
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq(" the ", " and ", " of ", " is ", " to "),
+      "de" -> Seq(" der ", " und ", " die ", " ist ", " das "),
+      "fr" -> Seq(" le ", " la ", " et ", " est ", " les "),
+      "es" -> Seq(" el ", " los ", " es ", " y ", " las "),
+      "zh" -> Seq("的", "是", "了", "在", "不"))
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    def score(ms: Seq[String]): Column =
+      ms.map(m => when(padded.contains(m),
+        (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
+          / length(lit(m))).otherwise(lit(0)))
+        .reduce(_ + _).cast(DoubleType)
+    val scored = markers.foldLeft(docs.select(col(idCol).as("doc_id"), col(textCol))) {
+      case (d, (lang, ms)) => d.withColumn(s"sc_$lang", score(ms))
+    }
+    val best = markers.map { case (lang, _) =>
+      struct(col(s"sc_$lang").as("score"), lit(lang).as("lang"))
+    }
+    scored.select(col("doc_id"),
+      greatest(best: _*).getField("lang").as("predicted_lang"),
+      greatest(best: _*).getField("score").as("score"))
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * lexer (`\w+` runs and single non-space symbols — the
+    * pre-tokenization split most BPE vocabularies use), plus a
+    * chars-per-token estimate of ~4 chars/token.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(toks(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+        .as("bpeish_tokens"),
+      ceil(length(col(textCol)).cast(DoubleType) / 4.0).cast(IntegerType)
+        .as("est_tokens_4cpt"))
+
+  /** Rolling polynomial fingerprint of the normalized token stream
+    * (Karp-Rabin style: acc = (acc*31 + tokenHash) mod (2^31−1), folded
+    * left-to-right — deterministic, order-sensitive, ANSI-safe since
+    * acc*31 < 2^36). Equal fingerprints ⇒ near-certainly identical
+    * normalized content; cheaper than carrying full text through a
+    * shuffle.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      aggregate(toks(col(textCol)), lit(0L),
+        (acc, tk) => pmod(acc * 31L + pmod(xxhash64(tk), lit(2147483647L)),
+          lit(2147483647L))).as("fingerprint"))
+}
