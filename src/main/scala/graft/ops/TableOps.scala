@@ -124,7 +124,12 @@ object TableOps {
       val merged = Upsert.merge(affectedExisting, stamped, keyCols,
         Seq(t.precombineKey, KeyedTable.CommitCol))
       writer(merged, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
-      swapPartitions(fs, staging, new Path(t.dataPath))
+      val affectedDirs = affected.map(vals =>
+        t.partitionBy.zip(vals).map { case (c, v) =>
+          hivePartDir(c, v)
+        }.mkString("/"))
+      swapPartitions(fs, staging, new Path(t.dataPath), affectedDirs,
+        t.partitionBy.length)
     }
     fs.delete(new Path(s"${t.path}/.staging"), true)
     log.logCommit(ts, Map("table" -> t.name))
@@ -140,21 +145,50 @@ object TableOps {
       throw new java.io.IOException(s"commit rename failed: $staging → $data")
   }
 
-  /** Replace only the partition dirs present in staging (plus parquet's
-    * _SUCCESS marker); untouched partition dirs stay in place.
+  /** Hive-style partition dir segment (`col=value`), escaping per the
+    * Spark writer's convention so swapped dirs line up with what the
+    * staged write produced.
     */
-  private def swapPartitions(fs: FileSystem, staging: Path,
-      data: Path): Unit = {
+  private def hivePartDir(colName: String, value: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (value == null)
+      s"$colName=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+    else
+      ExternalCatalogUtils.getPartitionPathString(colName, String.valueOf(value))
+  }
+
+  /** Replace exactly the affected partition dirs: every affected
+    * partition is first deleted from `data` (a key that moved away can
+    * leave its old partition EMPTY — staging then has no dir for it, but
+    * the stale one must still go), then each staged leaf partition dir
+    * (depth = number of partition columns) is renamed into place.
+    * Untouched partition dirs are never listed, read, or moved.
+    */
+  private def swapPartitions(fs: FileSystem, staging: Path, data: Path,
+      affectedDirs: Seq[String], depth: Int): Unit = {
     fs.mkdirs(data)
-    fs.listStatus(staging).foreach { st =>
-      val name = st.getPath.getName
-      if (!name.startsWith("_")) { // skip _SUCCESS
-        val target = new Path(data, name)
-        if (fs.exists(target)) fs.delete(target, true)
-        if (!fs.rename(st.getPath, target))
-          throw new java.io.IOException(
-            s"partition commit rename failed: ${st.getPath} → $target")
-      }
+    affectedDirs.foreach { rel =>
+      val target = new Path(data, rel)
+      if (fs.exists(target)) fs.delete(target, true)
+    }
+    def walk(p: Path, level: Int): Seq[Path] =
+      if (level == 0) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+        .flatMap(st => walk(st.getPath, level - 1))
+    // listStatus returns scheme-qualified paths; qualify the prefix the
+    // same way or the relativization silently fails.
+    val stagingQ = fs.makeQualified(staging)
+    walk(stagingQ, depth).foreach { leaf =>
+      val rel = leaf.toString.stripPrefix(stagingQ.toString).stripPrefix("/")
+      require(rel.nonEmpty && !rel.contains(":"),
+        s"failed to relativize staged partition dir $leaf against $stagingQ")
+      val target = new Path(data, rel)
+      fs.mkdirs(target.getParent)
+      if (fs.exists(target)) fs.delete(target, true)
+      if (!fs.rename(leaf, target))
+        throw new java.io.IOException(
+          s"partition commit rename failed: $leaf → $target")
     }
   }
 

@@ -1,0 +1,143 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.queries.CoreQueries
+import org.apache.spark.sql.functions._
+
+/** Extension-layer behavior tests: approximate families measured against
+  * their exact counterparts (recall), determinism, stub plumbing.
+  */
+class ExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exact dedup: hash-keyed variant groups identically to text groupBy") {
+    val byHash = Dedup.exact(docs, "doc_id", "text")
+      .select("representative_id", "n_dups")
+      .as[(Long, Long)].collect().toSet
+    val byText = docs.groupBy(lower(trim($"text")))
+      .agg(min($"doc_id").as("r"), count(lit(1)).as("n"))
+      .select("r", "n").as[(Long, Long)].collect().toSet
+    assert(byHash === byText)
+  }
+
+  test("minhash LSH recall ≥ 0.8 vs exact jaccard at 0.5") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 64, 16, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain near-dups")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+  }
+
+  test("simhash: identical docs collide; pair list is deterministic") {
+    // duplicated normalized text ⇒ identical simhash (hamming 0)
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val withNorm = docs.select($"doc_id".as("id"), lower(trim($"text")).as("norm"))
+      .join(sh, "id")
+    val perText = withNorm.groupBy("norm")
+      .agg(countDistinct("simhash").as("nsh"))
+    assert(perText.filter($"nsh" =!= 1).count() === 0)
+    val p1 = Dedup.simhashPairs(docs, "doc_id", "text").collect().toSet
+    val p2 = Dedup.simhashPairs(docs, "doc_id", "text").collect().toSet
+    assert(p1 === p2)
+    assert(sh.select("id").distinct().count() === docs.count())
+  }
+
+  test("LSH top-k recall ≥ 0.4 vs brute force (approximate by design)") {
+    val q = emb.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("cosine near-dup LSH recall ≥ 0.7 vs exact pairs at 0.35") {
+    val ids = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+    val ids2 = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+    val exact = ids.join(ids2, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        Similarity.cosine($"va", $"vb").as("cos"))
+      .filter($"cos" >= 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert((lsh -- exact).isEmpty, "LSH must not invent pairs (it verifies exactly)")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+  }
+
+  test("fingerprint: equal for duplicate normalized text, stable across runs") {
+    val fp1 = TextStats.fingerprint(docs, "doc_id", "text")
+    val joined = docs.select($"doc_id", lower(trim($"text")).as("norm"))
+      .join(fp1, "doc_id")
+    val groups = joined.groupBy("norm")
+      .agg(countDistinct("fingerprint").as("nfp"))
+    assert(groups.filter($"nfp" =!= 1).count() === 0,
+      "same normalized text must fingerprint identically")
+    assert(fp1.collect().toSet ===
+      TextStats.fingerprint(docs, "doc_id", "text").collect().toSet)
+  }
+
+  test("language ID predicts a declared language label per doc") {
+    val out = TextStats.languageId(docs, "doc_id", "text")
+    assert(out.count() === docs.count())
+    val langs = out.select("predicted_lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh")))
+  }
+
+  test("multimodal: batched feature extraction preserves rows, is deterministic") {
+    val media = Multimodal.fromDocuments(docs)
+    val f1 = Multimodal.extractFeatures(spark, media, batchSize = 7)
+    assert(f1.count() === docs.count())
+    val r1 = f1.collect().map(m => (m.doc_id, m.features.toSeq)).toMap
+    val r2 = Multimodal.extractFeatures(spark, media, batchSize = 64)
+      .collect().map(m => (m.doc_id, m.features.toSeq)).toMap
+    assert(r1 === r2, "batch size must not affect features")
+    assert(r1.values.head.length === 8)
+  }
+
+  test("streaming: windowed counts over file stream match batch windows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = CoreQueries.events(spark, sfDir)
+    val srcDir = tmpDir("graft-stream-src")
+    events.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = graft.streaming.StreamingEtl
+      .windowedCounts(spark, srcDir, schema, "1 hour", "10 hours")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("wc")
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = graft.ext.EventWindows.tumbling(events)
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    // append mode only emits windows the watermark has passed; all
+    // closed windows must agree with batch, and most windows close
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    assert(streamed.size >= batch.size / 2)
+  }
+
+  test("streaming: foreachBatch upsert into a keyed table") {
+    import graft.tables.KeyedTable
+    import graft.ops.TableOps
+    val base = tmpDir("graft-stream-upsert")
+    val srcDir = s"$base/src"
+    val target = KeyedTable("ev", s"$base/ev", Seq("event_id"), "ts")
+    val events = CoreQueries.events(spark, sfDir).limit(200)
+    events.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = graft.streaming.StreamingEtl.parquetToTable(
+      spark, srcDir, schema, target, s"$base/ckpt")
+    q.awaitTermination(60000)
+    assert(TableOps.snapshot(spark, target).count() === 200)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.ops.TableOps
+import graft.tables.{CommitLog, KeyedTable}
+import org.apache.spark.sql.functions._
+
+/** Physical table lifecycle tests: COW upsert roundtrip, partition-
+  * scoped rewrite, global-key partition moves, incremental reads
+  * (bootstrap / resume / empty), commit log, cleaner.
+  */
+class TableOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def table(partitioned: Boolean) = {
+    val base = tmpDir("graft-tableops")
+    KeyedTable("t", s"$base/t", Seq("id"), "ver",
+      if (partitioned) Seq("part") else Nil)
+  }
+
+  private def rows(rs: (String, Int, String, String)*) =
+    rs.toDF("id", "ver", "payload", "part")
+
+  test("insert then snapshot roundtrip (unpartitioned)") {
+    val t = table(partitioned = false)
+    val ts = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2")))
+    assert(ts.nonEmpty)
+    val snap = TableOps.snapshot(spark, t)
+    assert(snap.count() === 2)
+    assert(snap.columns.contains(KeyedTable.CommitCol))
+    assert(snap.select(KeyedTable.CommitCol).distinct().as[String].collect()
+      === Array(ts))
+  }
+
+  test("upsert updates existing keys, keeps untouched, logs commits") {
+    val t = table(partitioned = false)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
+    val ts2 = TableOps.upsert(spark, t, rows(("b", 2, "y2", "p1"), ("c", 1, "z", "p1")))
+    val snap = TableOps.snapshot(spark, t)
+      .select("id", "ver", "payload").as[(String, Int, String)].collect().toSet
+    assert(snap === Set(("a", 1, "x"), ("b", 2, "y2"), ("c", 1, "z")))
+    assert(CommitLog(t, spark).listCommits() === Seq(ts1, ts2))
+    // untouched row keeps its original commit stamp
+    val aCommit = TableOps.snapshot(spark, t).filter($"id" === "a")
+      .select(KeyedTable.CommitCol).as[String].head()
+    assert(aCommit === ts1)
+  }
+
+  test("empty incoming batch is a no-op (no commit)") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val ts = TableOps.upsert(spark, t, rows().limit(0))
+    assert(ts === "")
+    assert(CommitLog(t, spark).listCommits().size === 1)
+  }
+
+  test("partitioned: only affected partitions rewritten; key move deletes old row") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t,
+      rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2"), ("c", 1, "z", "p3")))
+    val fs = new org.apache.hadoop.fs.Path(t.dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtime(part: String): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"${t.dataPath}/part=$part"))
+        .map(_.getModificationTime).max
+    val p3Before = mtime("p3")
+    Thread.sleep(1100)
+    // 'a' moves p1 → p2 (GLOBAL key semantics), p3 untouched
+    TableOps.upsert(spark, t, rows(("a", 2, "x2", "p2")))
+    val snap = TableOps.snapshot(spark, t)
+      .select("id", "ver", "part").as[(String, Int, String)].collect().toSet
+    assert(snap === Set(("a", 2, "p2"), ("b", 1, "p2"), ("c", 1, "p3")))
+    assert(mtime("p3") === p3Before, "untouched partition must not be rewritten")
+  }
+
+  test("incremental read: bootstrap, resume, empty range") {
+    val t = table(partitioned = false)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val ts2 = TableOps.upsert(spark, t, rows(("b", 1, "y", "p1")))
+    // bootstrap: begin="" reads everything
+    assert(TableOps.incremental(spark, t, "").count() === 2)
+    // resume: only the second commit's rows
+    val inc = TableOps.incremental(spark, t, ts1)
+    assert(inc.select("id").as[String].collect() === Array("b"))
+    // bounded range ending before ts2
+    assert(TableOps.incremental(spark, t, ts1, Some(ts1)).count() === 0)
+    assert(TableOps.incremental(spark, t, ts2).count() === 0)
+  }
+
+  test("updated row moves into the new commit window (Hudi incremental semantics)") {
+    val t = table(partitioned = false)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
+    TableOps.upsert(spark, t, rows(("a", 2, "x2", "p1")))
+    val inc = TableOps.incremental(spark, t, ts1)
+      .select("id", "ver").as[(String, Int)].collect().toSet
+    assert(inc === Set(("a", 2)), "latest version of changed key only")
+  }
+
+  test("cleaner retains last N commit manifests") {
+    val t = table(partitioned = false)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val ts2 = TableOps.upsert(spark, t, rows(("a", 2, "x", "p1")))
+    val ts3 = TableOps.upsert(spark, t, rows(("a", 3, "x", "p1")))
+    val dropped = TableOps.clean(spark, t, retainCommits = 2)
+    assert(dropped === Seq(ts1))
+    assert(CommitLog(t, spark).listCommits() === Seq(ts2, ts3))
+  }
+
+  test("commit timestamps are strictly monotonic") {
+    val ts = (1 to 50).map(_ => CommitLog.newCommitTs())
+    assert(ts === ts.sorted)
+    assert(ts.distinct.size === ts.size)
+  }
+}
