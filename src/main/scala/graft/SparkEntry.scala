@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, ExtQueries}
+import graft.queries.{CoreQueries, ExtQueries, OpsQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -59,7 +59,29 @@ object SparkEntry {
     "events_tumbling"         -> (ExtQueries.eventsTumbling _),
     "events_sliding"          -> (ExtQueries.eventsSliding _),
     "events_sessions"         -> (ExtQueries.eventsSessions _),
+    "s1_snapshot_roundtrip"   -> (OpsQueries.s1SnapshotRoundtrip _),
+    "o5_clustered_write"      -> (OpsQueries.o5ClusteredWrite _),
+    "i1_pipeline_roundtrip"   -> (OpsQueries.i1PipelineRoundtrip _),
+    "f3_generators"           -> (OpsQueries.f3Generators _),
   )
+
+  /** Headline bench set (graft.Bench): the analytically-representative
+    * queries — scans, the shuffle-heavy joins/aggregates, window
+    * functions, and every extension family — excluding the scratch-dir
+    * lifecycle roundtrips (they measure tmpfs writes, not operator
+    * throughput; their correctness is covered by Verify + ScalaTest).
+    */
+  def benchQueries: Seq[String] = Seq(
+    "q1_agg", "j1_customers_orders_join", "q5_multijoin", "o_topk_revenue",
+    "j_left_join_agg", "j_semi_join", "j_anti_join", "w_window_rank",
+    "a1_distinct_sort_limit", "set_intersect", "p_filter_pushdown",
+    "p2_projection_alias", "f2_datetime", "f6_json", "s2_incremental_read",
+    "s3_upsert_merge", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "sim_cosine_topk", "sim_lsh_topk",
+    "sim_cosine_neardup", "text_stats", "text_quality", "text_token_counts",
+    "text_fingerprint", "text_langid", "multimodal_stats",
+    "multimodal_features", "events_tumbling", "events_sliding",
+    "events_sessions")
 
   def oracleSql: Map[String, String] = Map(
     "p1_select_star" ->
@@ -268,5 +290,14 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
         | FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "s1_snapshot_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "o5_clustered_write" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
+        | FROM lineitem WHERE l_quantity >= 49
+        | ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
+    "f3_generators" ->
+      """SELECT count(*) AS n_rows, count(*) AS n_uuid, count(*) AS n_mid
+        | FROM documents""".stripMargin,
   )
 }

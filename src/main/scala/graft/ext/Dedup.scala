@@ -33,8 +33,12 @@ object Dedup {
   private def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
-  /** Word n-gram shingles (distinct), e.g. n=3. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (distinct), declarative formulation — kept
+    * as the semantic reference for [[graft.functions.TextShingles]]
+    * (the codegen-friendly single-eval expression used in the hot
+    * paths; equivalence asserted in ExtSpec).
+    */
+  def shinglesDeclarative(text: Column, n: Int): Column = {
     val t = tokens(text)
     array_distinct(
       when(size(t) >= n,
@@ -66,21 +70,27 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** k-minhash signature columns from a shingle-array column. The base
+  /** Per-doc minhash signatures: `(id, mh_0..mh_{k-1})`.
+    *
+    * Shape: explode shingles once, then k `min` aggregates over
+    * codegen'd scalar hash expressions — a single hash aggregation with
+    * map-side partial combine (shuffle carries one k-wide row per doc
+    * per mapper). The alternative — k `array_min(transform(...))`
+    * columns — walks k interpreted HOF trees per doc (HOFs are
+    * CodegenFallback) and is an order of magnitude slower. The base
     * hash is folded to 31 bits so `a*h + b` stays < 2^62 (ANSI-safe).
     */
-  private def signatureCols(shingleCol: Column, k: Int, seed: Long): Seq[Column] =
-    coeffs(k, seed).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(shingleCol, s =>
-        pmod(lit(a) * pmod(xxhash64(s), lit(MersennePrime)) + lit(b),
-          lit(MersennePrime)))).as(s"mh_$i")
-    }
-
-  /** Per-doc minhash signatures: `(id, mh_0..mh_{k-1})`. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, n: Int = 3, seed: Long = 42L): DataFrame =
-    docs.select(col(idCol).as("id") +:
-      signatureCols(shingles(col(textCol), n), k, seed): _*)
+      k: Int = 64, n: Int = 3, seed: Long = 42L): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.shingles(docs.sparkSession,
+        col(textCol), n)).as("g"))
+      .withColumn("h", pmod(xxhash64(col("g")), lit(MersennePrime)))
+    val aggs = coeffs(k, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(MersennePrime))).as(s"mh_$i")
+    }
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Near-duplicate candidate pairs via LSH banding (bands × rowsPerBand
     * = k), each verified with the signature-agreement estimate.
@@ -181,7 +191,8 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5,
       maxDf: Option[Int] = None): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("g"))
+      explode(graft.functions.TextFunctions.shingles(docs.sparkSession,
+        col(textCol), n)).as("g"))
     val withDf = maxDf match {
       case Some(cap) =>
         // df per shingle is a tiny aggregate; broadcast it back.

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -10,22 +11,25 @@ import org.apache.spark.sql.{Column, DataFrame}
   * Two paths:
   *   - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small)
   *     query set against the full corpus; one scan, no shuffle of the
-  *     corpus, per-partition partial top-k via the aggregate path of
-  *     TakeOrderedAndProject. This is the correctness baseline.
-  *   - [[lshTopK]]: random-hyperplane (sign-LSH) bucketing — corpus and
-  *     queries hashed to `2^planes` buckets (multi-probe over hamming-1
-  *     neighbors for recall); candidates are only same/adjacent-bucket
-  *     pairs, so the pair count scales with bucket occupancy, not
-  *     corpus². This is the 100 TB path: the bucket id is a shuffle key
-  *     and each bucket is a tiny local top-k.
+  *     corpus. This is the correctness baseline.
+  *   - [[lshTopK]]: multi-table random-hyperplane (sign-LSH) bucketing —
+  *     candidates are only same-bucket pairs, so the pair count scales
+  *     with bucket occupancy, not corpus². This is the 100 TB path: the
+  *     bucket id is a shuffle key and each bucket is a tiny local top-k.
   *
-  * Dot products use `zip_with` + `aggregate` (sequential fold — exact,
-  * deterministic order, whole-stage-codegen'd; no UDF).
+  * Dot products use the codegen'd [[graft.functions.DotProductF]]
+  * kernel (Spark's `zip_with`/`aggregate` HOFs are CodegenFallback —
+  * interpreted with per-element boxing; on a million-candidate join
+  * that is the difference between seconds and tens of minutes). Norms
+  * are precomputed per row BEFORE any join, so each candidate pair
+  * costs exactly one dot product.
   */
 object Similarity {
 
-  /** Exact cosine similarity between two float-array columns, computed
-    * in double precision with a left-to-right fold.
+  /** Exact cosine similarity between two float-array columns — HOF
+    * reference implementation (interpreted; kept as the cross-check
+    * oracle for the codegen kernel in ExtSpec). Use
+    * [[graft.functions.VectorFunctions.cosineF]] in hot paths.
     */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
@@ -42,10 +46,14 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", VectorFunctions.normF(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", VectorFunctions.normF(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        VectorFunctions.dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -59,13 +67,13 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id of a vector: bit p = sign(v · plane_p). */
+  /** Sign-LSH bucket id of a vector: bit p = sign(v · plane_p) — one
+    * codegen'd mixed dot per plane.
+    */
   def bucketOf(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val d = aggregate(
-        zip_with(vec, lit(plane.toArray), (v, w) => v.cast(DoubleType) * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+      when(VectorFunctions.dotFD(vec, lit(plane.toArray)) >= 0,
+        shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce(_.bitwiseOR(_))
 
   /** Approximate top-k via multi-table sign-LSH (`tables` independent
@@ -81,6 +89,7 @@ object Similarity {
       planes: Int = 6, tables: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(corpus.sparkSession)
     val allPlanes = hyperplanes(planes * tables, dim, seed)
     def buckets(v: Column): Column = array((0 until tables).map { tI =>
       bucketOf(v, allPlanes.slice(tI * planes, (tI + 1) * planes))
@@ -88,14 +97,17 @@ object Similarity {
     }: _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       explode(buckets(col(vecCol))).as("bucket"))
+      .withColumn("cn", VectorFunctions.normF(col("cv")))
     // Query side multi-probes each table's bucket + hamming-1 neighbors.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(flatten(transform(buckets(col(vecCol)), b =>
         array(b +: (0 until planes).map(p =>
           b.bitwiseXOR(shiftleft(lit(1), p))): _*)))).as("bucket"))
+      .withColumn("qn", VectorFunctions.normF(col("qv")))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        VectorFunctions.dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .select("query_id", "neighbor_id", "cos").distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -111,13 +123,14 @@ object Similarity {
     * Recall comes from `tables` independent hash tables (standard
     * multi-table LSH) plus hamming-1 multi-probe on the left side; with
     * the defaults, a cos≈0.35 pair is found with ≈0.84 probability
-    * (asserted empirically in SimilaritySpec). `planes` trades bucket
+    * (asserted empirically in ExtSpec). `planes` trades bucket
     * occupancy (candidate-pair cost, ∝ n²/2^planes per table) against
     * recall — raise it as the corpus grows.
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 6, tables: Int = 6, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
     val allPlanes = hyperplanes(planes * tables, dim, seed)
     val bucketCols = (0 until tables).map { tI =>
       bucketOf(col("v"), allPlanes.slice(tI * planes, (tI + 1) * planes))
@@ -125,22 +138,27 @@ object Similarity {
     }
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"), array(bucketCols: _*).as("buckets"))
+      .withColumn("nrm", VectorFunctions.normF(col("v")))
     // Left side multi-probes each table's bucket plus its hamming-1
     // neighbors; right side sits in its exact buckets only.
-    val probes = c.select(col("id"), col("v"),
+    val probes = c.select(col("id"), col("v"), col("nrm"),
       explode(flatten(transform(col("buckets"), b =>
         array(b +: (0 until planes).map(p =>
           b.bitwiseXOR(shiftleft(lit(1), p))): _*)))).as("bucket"))
     val exact = c.select(explode(col("buckets")).as("bucket"),
-      col("id").as("id_b"), col("v").as("vb"))
-    probes.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va")
+      col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    probes
+      .select(col("bucket"), col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"))
       .join(exact, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       // score before distinct: the dedup shuffle then carries 3 scalars
       // per candidate pair instead of two 64-float vectors, and the
       // threshold filter shrinks it first (cosine is deterministic, so
       // duplicates collapse exactly).
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        (VectorFunctions.dotF(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.ops.TableOps
+import graft.pipeline.{IncrementalEtl, SeedTables}
+import graft.tables.{CheckpointStore, KeyedTable}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Operator queries that exercise the PHYSICAL table lifecycle as
+  * materialized state (SURVEY.md §7: "upsert/incremental verified as
+  * materialized states — write, re-read, compare"): each writes through
+  * the COW engine into a scratch dir, reads back, and returns a frame an
+  * oracle can check against the original parquet input.
+  */
+object OpsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def scratch(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** S1 — snapshot read as a true roundtrip: nation → COW upsert into a
+    * fresh keyed table → snapshot → identical rows (oracle: the input).
+    */
+  def s1SnapshotRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val table = KeyedTable("nation_rt", s"${scratch("graft-s1")}/nation_rt",
+      Seq("n_nationkey"), "n_nationkey")
+    TableOps.upsert(s, table, t(s, dir, "nation"))
+    TableOps.snapshot(s, table)
+      .drop(KeyedTable.CommitCol)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
+  /** S3 (physical) + O5 clustering — upsert a lineitem slice with a
+    * clustering sort into a partitioned COW table, snapshot back: same
+    * rows as the input slice (oracle), now laid out range-clustered by
+    * ship date with bloom filters on the keys.
+    */
+  def o5ClusteredWrite(s: SparkSession, dir: String): DataFrame = {
+    val slice = t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 49)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        "l_returnflag", "l_shipdate")
+    val table = KeyedTable("li_rt", s"${scratch("graft-o5")}/li_rt",
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+      "l_shipdate", Seq("l_returnflag"))
+    TableOps.upsert(s, table, slice, sortBy = Seq("l_shipdate"))
+    TableOps.snapshot(s, table)
+      .drop(KeyedTable.CommitCol)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+  }
+
+  /** I1–I5 — the full checkpointed incremental pipeline as a query:
+    * seed silver, run the ETL twice (second run = empty increment), add
+    * a second orders commit, run again; return the gold snapshot plus
+    * the checkpoint state. Deterministic row count (50 = 40 + 10);
+    * rows-only check (inputs are generated, not oracle-visible).
+    */
+  def i1PipelineRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-i1")
+    SeedTables.seed(s, base, nCustomers = 20, nOrders = 40)
+    IncrementalEtl.run(s, base)
+    IncrementalEtl.run(s, base) // empty increment — must not change gold
+    val custIds = TableOps.snapshot(s, SeedTables.customersTable(base))
+      .select("customer_id").collect().map(_.getString(0)).toSeq
+    TableOps.upsert(s, SeedTables.ordersTable(base),
+      SeedTables.orders(s, 10, seed = 7L, custIds, epochDay = 19800))
+    IncrementalEtl.run(s, base)
+    val store = CheckpointStore(s"$base/checkpoints", s)
+    val cp = store.get("orders").map(_.lastProcessedCommit).getOrElse("")
+    TableOps.snapshot(s, IncrementalEtl.goldTable(base))
+      .select("order_id", "customer_id", "order_value")
+      .withColumn("checkpoint_nonempty", lit(cp.nonEmpty))
+      .orderBy("order_id")
+  }
+
+  /** F3 — generator functions (uuid(), monotonically_increasing_id():
+    * the reference's declared-but-unused import surface plus its
+    * uuid4 keys, create_hudi_tables.py:6,53): verified through
+    * distinctness aggregates, which ARE deterministic and
+    * oracle-checkable.
+    */
+  def f3Generators(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(expr("uuid()").as("u"), monotonically_increasing_id().as("mid"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("u")).as("n_uuid"),
+        countDistinct(col("mid")).as("n_mid"))
+}

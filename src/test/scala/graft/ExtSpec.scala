@@ -57,12 +57,34 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("TextShingles expression == declarative shingles formulation") {
+    val a = docs.select($"doc_id",
+      array_sort(graft.functions.TextFunctions.shingles(spark, $"text", 3))
+        .as("g"))
+    val b = docs.select($"doc_id",
+      array_sort(Dedup.shinglesDeclarative($"text", 3)).as("g"))
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("codegen dot kernel == HOF fold, bit-exact") {
+    graft.functions.VectorFunctions.register(spark)
+    val pairs = emb.limit(50).select($"vec_id".as("id_a"), $"embedding".as("va"))
+      .crossJoin(emb.limit(50).select($"vec_id".as("id_b"), $"embedding".as("vb")))
+    val diff = pairs.select(
+      Similarity.cosine($"va", $"vb").as("hof"),
+      graft.functions.VectorFunctions.cosineF($"va", $"vb").as("gen"))
+      .filter($"hof" =!= $"gen")
+    assert(diff.count() === 0)
+  }
+
   test("cosine near-dup LSH recall ≥ 0.7 vs exact pairs at 0.35") {
+    graft.functions.VectorFunctions.register(spark)
     val ids = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
     val ids2 = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
     val exact = ids.join(ids2, $"id_a" < $"id_b")
       .select($"id_a", $"id_b",
-        Similarity.cosine($"va", $"vb").as("cos"))
+        graft.functions.VectorFunctions.cosineF($"va", $"vb").as("cos"))
       .filter($"cos" >= 0.35)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.35)
