@@ -63,6 +63,9 @@ object SparkEntry {
     "o5_clustered_write"      -> (OpsQueries.o5ClusteredWrite _),
     "i1_pipeline_roundtrip"   -> (OpsQueries.i1PipelineRoundtrip _),
     "f3_generators"           -> (OpsQueries.f3Generators _),
+    "s4_inmemory_source"      -> (OpsQueries.s4InMemorySource _),
+    "s5_generator"            -> (OpsQueries.s5Generator _),
+    "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
   )
 
   /** Headline bench set (graft.Bench): the analytically-representative
@@ -299,5 +302,9 @@ object SparkEntry {
     "f3_generators" ->
       """SELECT count(*) AS n_rows, count(*) AS n_uuid, count(*) AS n_mid
         | FROM documents""".stripMargin,
+    "s4_inmemory_source" ->
+      """SELECT id, state, CAST(amount AS DOUBLE) AS amount
+        | FROM (VALUES (1, 'CA', 100.50), (2, 'NY', 250.25),
+        | (3, 'TX', 75.00)) AS t(id, state, amount) ORDER BY id""".stripMargin,
   )
 }

@@ -221,6 +221,31 @@ object TableOps {
       base.filter(col(KeyedTable.CommitCol) <= lit(e)))
   }
 
+  /** Small-file compaction (reference: hoodie.parquet.small.file.limit
+    * + clustering file sizing, create_hudi_tables.py:157-174): rewrite
+    * the current snapshot into right-sized, optionally re-clustered
+    * files via the same staging+swap commit. At scale, run per
+    * partition on partitions whose file-count/size ratio degrades —
+    * here table-wide for simplicity.
+    */
+  def compact(spark: SparkSession, t: KeyedTable,
+      sortBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 4000000L,
+      numFiles: Option[Int] = None): String = {
+    val ts = CommitLog.newCommitTs()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    val staging = new Path(s"${t.path}/.staging/$ts")
+    val snap = snapshot(spark, t)
+    val sized = numFiles.fold(snap)(n => snap.repartition(n))
+    writer(sized, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
+    swapAll(fs, staging, new Path(t.dataPath), t.partitionBy.nonEmpty)
+    fs.delete(new Path(s"${t.path}/.staging"), true)
+    CommitLog(t, spark).logCommit(ts,
+      Map("table" -> t.name, "action" -> "compact"))
+    ts
+  }
+
   /** Cleaner (reference: hoodie.cleaner KEEP_LATEST + retained commits,
     * create_hudi_tables.py:141-148): drop commit manifests beyond the
     * retention window and any leftover staging dirs. Data files need no

@@ -78,6 +78,43 @@ object OpsQueries {
       .orderBy("order_id")
   }
 
+  /** S4 — in-memory source: DataFrame from driver-local rows with an
+    * explicit schema (the reference's `spark.createDataFrame(data,
+    * schema)`, create_hudi_tables.py:232-235 — but typed, not inferred).
+    * Oracle: the same rows as SQL VALUES.
+    */
+  def s4InMemorySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq((1, "CA", 100.50), (2, "NY", 250.25), (3, "TX", 75.00))
+      .toDF("id", "state", "amount")
+      .orderBy("id")
+  }
+
+  /** S5 — the deterministic synthetic generator (Faker replacement,
+    * create_hudi_tables.py:49-84): seeded, replayable; distinctness and
+    * domain checks are the deterministic output (rows-only + asserted
+    * in PipelineSpec).
+    */
+  def s5Generator(s: SparkSession, dir: String): DataFrame = {
+    val c = SeedTables.customers(s, 50, seed = 42L,
+      epochMillis = 1704067200000L)
+    c.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("customer_id")).as("n_ids"),
+      countDistinct(col("state")).as("n_states"))
+  }
+
+  /** Approximate aggregates — the sketch family a 100 TB engine needs
+    * (HLL approx-distinct, t-digest quantiles). Deterministic within
+    * Spark (rows-only: DuckDB's sketches differ by construction);
+    * bounds vs exact values asserted in SkewSpec.
+    */
+  def aApproxAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("approx_median_price"))
+
   /** F3 — generator functions (uuid(), monotonically_increasing_id():
     * the reference's declared-but-unused import surface plus its
     * uuid4 keys, create_hudi_tables.py:6,53): verified through

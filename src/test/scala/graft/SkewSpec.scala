@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.{Skew, TableOps}
+import graft.tables.KeyedTable
+import org.apache.spark.sql.functions._
+
+/** Scale-utility tests: salted join/agg equivalence, approximate
+  * aggregate bounds, compaction, and the parquet physical options (S8:
+  * gzip codec + bloom filters actually present in the written footers).
+  */
+class SkewSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+  private lazy val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+
+  test("salted join == plain join, row-identical") {
+    val plain = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_custkey").as[(Long, Long)].collect().sorted
+    val salted = Skew.saltedJoin(
+      orders.withColumnRenamed("o_custkey", "k"),
+      customer.withColumnRenamed("c_custkey", "k"), "k", buckets = 8)
+      .select("o_orderkey", "k").as[(Long, Long)].collect().sorted
+    assert(salted === plain)
+  }
+
+  test("salted agg == plain agg") {
+    val plain = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toSet
+    val salted = Skew.saltedAgg(orders, "o_custkey", buckets = 8,
+      partial = Seq(count(lit(1)).as("pn")),
+      merge = Seq(sum(col("pn")).as("n")))
+      .as[(Long, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("approximate aggregates land within sane bounds of exact") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val exactOrders = li.select("l_orderkey").distinct().count().toDouble
+    val approx = li.agg(
+      approx_count_distinct(col("l_orderkey")).as("a")).as[Long].head().toDouble
+    assert(math.abs(approx - exactOrders) / exactOrders < 0.1,
+      s"approx=$approx exact=$exactOrders")
+    val exactMedian = li.stat.approxQuantile("l_extendedprice",
+      Array(0.5), 0.0).head
+    val apxMedian = li.agg(percentile_approx(col("l_extendedprice"),
+      lit(0.5), lit(10000))).as[Double].head()
+    assert(math.abs(apxMedian - exactMedian) / exactMedian < 0.05)
+  }
+
+  test("compaction resizes files, preserves rows, logs a commit") {
+    val base = tmpDir("graft-compact")
+    val t = KeyedTable("c", s"$base/c", Seq("o_orderkey"), "o_orderdate")
+    TableOps.upsert(spark, t, orders, maxRecordsPerFile = 100L)
+    val fs = new org.apache.hadoop.fs.Path(t.dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles: Int = fs.listStatus(new org.apache.hadoop.fs.Path(t.dataPath))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val before = TableOps.snapshot(spark, t).count()
+    assert(nFiles > 1)
+    TableOps.compact(spark, t, numFiles = Some(1))
+    assert(nFiles === 1)
+    assert(TableOps.snapshot(spark, t).count() === before)
+    assert(graft.tables.CommitLog(t, spark).listCommits().size === 2)
+  }
+
+  test("S8 physical options: written parquet uses gzip and key bloom filters") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val base = tmpDir("graft-s8")
+    val t = KeyedTable("p", s"$base/p", Seq("o_orderkey"), "o_orderdate")
+    TableOps.upsert(spark, t, orders)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(t.dataPath).getFileSystem(conf)
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(t.dataPath))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val colMeta = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "o_orderkey").get
+      assert(colMeta.getCodec.name().equalsIgnoreCase("gzip"))
+      assert(reader.readBloomFilter(colMeta) != null,
+        "bloom filter must be written for the record key")
+    } finally reader.close()
+  }
+}
