@@ -63,6 +63,7 @@ object SparkEntry {
     "o5_clustered_write"      -> (OpsQueries.o5ClusteredWrite _),
     "i1_pipeline_roundtrip"   -> (OpsQueries.i1PipelineRoundtrip _),
     "f3_generators"           -> (OpsQueries.f3Generators _),
+    "j_asof_join"             -> (OpsQueries.jAsofJoin _),
     "s4_inmemory_source"      -> (OpsQueries.s4InMemorySource _),
     "s5_generator"            -> (OpsQueries.s5Generator _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
@@ -84,7 +85,7 @@ object SparkEntry {
     "sim_cosine_neardup", "text_stats", "text_quality", "text_token_counts",
     "text_fingerprint", "text_langid", "multimodal_stats",
     "multimodal_features", "events_tumbling", "events_sliding",
-    "events_sessions")
+    "events_sessions", "j_asof_join", "a_approx_agg")
 
   def oracleSql: Map[String, String] = Map(
     "p1_select_star" ->
@@ -302,6 +303,12 @@ object SparkEntry {
     "f3_generators" ->
       """SELECT count(*) AS n_rows, count(*) AS n_uuid, count(*) AS n_mid
         | FROM documents""".stripMargin,
+    "j_asof_join" ->
+      """SELECT p.event_id, p.user_id, v.event_id AS view_event_id
+        | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        | ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        | ORDER BY p.event_id""".stripMargin,
     "s4_inmemory_source" ->
       """SELECT id, state, CAST(amount AS DOUBLE) AS amount
         | FROM (VALUES (1, 'CA', 100.50), (2, 'NY', 250.25),

@@ -78,6 +78,25 @@ object OpsQueries {
       .orderBy("order_id")
   }
 
+  /** As-of join (beyond-reference operator): each purchase event is
+    * enriched with the user's most recent prior-or-equal view event.
+    * Oracle: DuckDB's native ASOF JOIN.
+    */
+  def jAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = CoreQueries.events(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"),
+        col("event_id").as("view_event_id"))
+    graft.ops.AsOfJoin.asOf(purchases, views, Seq("user_id"),
+      leftTime = "ts", rightTime = "vts",
+      payload = Seq("view_event_id"))
+      .select(col("event_id"), col("user_id"), col("view_event_id"))
+      .orderBy("event_id")
+  }
+
   /** S4 — in-memory source: DataFrame from driver-local rows with an
     * explicit schema (the reference's `spark.createDataFrame(data,
     * schema)`, create_hudi_tables.py:232-235 — but typed, not inferred).

@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops.AsOfJoin
+
+/** As-of join semantics on hand-built rows: inclusive match, latest
+  * prior wins, no-match → null, keys don't leak across groups.
+  */
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("greatest right time ≤ left time per key; left-outer; inclusive") {
+    val left = Seq(
+      ("u1", 10L, "p1"), ("u1", 20L, "p2"), ("u1", 5L, "p0"),
+      ("u2", 15L, "p3")
+    ).toDF("user", "lt", "pid")
+    val right = Seq(
+      ("u1", 10L, "v10"), ("u1", 12L, "v12"), ("u1", 1L, "v1"),
+      ("u3", 14L, "v14")
+    ).toDF("user", "rt", "vid")
+    val out = AsOfJoin.asOf(left, right, Seq("user"), "lt", "rt", Seq("vid"))
+      .select("pid", "vid").as[(String, Option[String])].collect().toMap
+    assert(out === Map(
+      "p0" -> Some("v1"),   // 1 ≤ 5, latest prior
+      "p1" -> Some("v10"),  // rt == lt is a match (inclusive)
+      "p2" -> Some("v12"),  // greatest of {1,10,12}
+      "p3" -> None))        // u2 has no right rows; u3's must not leak
+  }
+
+  test("payload struct integrity: all payload columns from the same right row") {
+    val left = Seq(("k", 100L, 1)).toDF("key", "lt", "id")
+    val right = Seq(
+      ("k", 10L, "a", 1.0), ("k", 50L, "b", 2.0)
+    ).toDF("key", "rt", "name", "score")
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "lt", "rt",
+      Seq("name", "score")).select("name", "score")
+      .as[(String, Double)].collect()
+    assert(out === Array(("b", 2.0)))
+  }
+}
