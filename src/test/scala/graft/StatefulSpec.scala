@@ -1,0 +1,50 @@
+package graft
+
+import graft.queries.CoreQueries
+import graft.pipeline.{IncrementalEtl, Pipeline}
+import graft.streaming.StatefulSessions
+import graft.streaming.StatefulSessions.UserEvent
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** mapGroupsWithState custom state + the Pipeline runner. */
+class StatefulSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("mapGroupsWithState running totals converge to batch aggregates") {
+    val events = CoreQueries.events(spark, sfDir)
+      .select($"user_id", $"ts", $"value").as[UserEvent]
+    val srcDir = tmpDir("graft-stateful")
+    events.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .as[UserEvent]
+    val q = StatefulSessions.runningTotals(spark, stream)
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // update mode: keep the LAST snapshot per user
+    val streamed = spark.table("totals")
+      .groupBy($"user_id")
+      .agg(max(struct($"n", $"sum")).as("s"))
+      .select($"user_id", $"s.n".as("n"))
+      .as[(Long, Long)].collect().toMap
+    val batch = events.groupByKey(_.user_id).count().collect().toMap
+    assert(streamed === batch)
+  }
+
+  test("pipeline runner executes the reference flow in order, fail-fast") {
+    val base = tmpDir("graft-dag")
+    val done = Pipeline.run(spark, Pipeline.referenceFlow(base))
+    assert(done === Seq("create_tables", "incremental_etl"))
+    assert(graft.ops.TableOps.snapshot(spark,
+      IncrementalEtl.goldTable(base)).count() === 100)
+    val boom = intercept[RuntimeException] {
+      Pipeline.run(spark, Seq(
+        graft.pipeline.Job("ok", _ => ()),
+        graft.pipeline.Job("bad", _ => throw new RuntimeException("x")),
+        graft.pipeline.Job("never", _ => fail("must not run"))))
+    }
+    assert(boom.getMessage === "x")
+  }
+}
