@@ -56,6 +56,8 @@ object SparkEntry {
     "text_langid"             -> (ExtQueries.textLangid _),
     "multimodal_stats"        -> (ExtQueries.multimodalStats _),
     "multimodal_features"     -> (ExtQueries.multimodalFeatures _),
+    "multimodal_frames"       -> (ExtQueries.multimodalFrames _),
+    "multimodal_resize"       -> (ExtQueries.multimodalResize _),
     "events_tumbling"         -> (ExtQueries.eventsTumbling _),
     "events_sliding"          -> (ExtQueries.eventsSliding _),
     "events_sessions"         -> (ExtQueries.eventsSessions _),
@@ -268,6 +270,17 @@ object SparkEntry {
         |  CAST((doc_id % 4 * 256 + 256) * (doc_id % 3 * 256 + 256) AS BIGINT)
         |    AS n_pixels
         | FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |   CAST(doc_id % 4 * 256 + 256 AS INT) AS width,
+        |   CAST(doc_id % 3 * 256 + 256 AS INT) AS height
+        |  FROM documents)
+        | SELECT doc_id, width, height,
+        |  CAST(floor(width * least(1.0, 512.0 / greatest(width, height)))
+        |    AS INT) AS out_width,
+        |  CAST(floor(height * least(1.0, 512.0 / greatest(width, height)))
+        |    AS INT) AS out_height
+        | FROM m ORDER BY doc_id""".stripMargin,
     "events_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n,

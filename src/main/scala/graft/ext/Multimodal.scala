@@ -97,4 +97,37 @@ object Multimodal {
       length(col("payload")).as("payload_bytes"),
       crc32(col("payload")).as("payload_crc"),
       (col("width").cast(LongType) * col("height")).as("n_pixels"))
+
+  /** Frame sampling: treat the payload as `frameBytes`-sized frames and
+    * keep every `stride`-th one — the Spark-side plumbing of video
+    * frame-sampling (explode to one row per sampled frame; a real
+    * pipeline swaps the byte-slice for a decoded frame). Row explosion,
+    * offsets, and ordering are the real, tested machinery; `substring`
+    * on binary is codegen'd.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val nFrames = ceil(length(col("payload")).cast(DoubleType) / frameBytes)
+      .cast(IntegerType)
+    media
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"), col("media_type"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
+          .as("frame_bytes"))
+  }
+
+  /** "Resize" metadata transform: recompute target dimensions
+    * preserving aspect ratio (the metadata half of an image resize; the
+    * pixel half lives behind [[extractFeatures]]'s stubbed decode).
+    * Pure integer arithmetic — runs in whole-stage codegen and is
+    * SQL-oracle-able.
+    */
+  def resizeMeta(media: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide.toDouble) / greatest(col("width"), col("height")))
+    media.select(col("doc_id"), col("width"), col("height"),
+      floor(col("width") * scale).cast(IntegerType).as("out_width"),
+      floor(col("height") * scale).cast(IntegerType).as("out_height"))
+  }
 }

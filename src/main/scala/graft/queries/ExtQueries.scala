@@ -132,6 +132,23 @@ object ExtQueries {
         element_at(col("features"), 1).as("f0"))
       .orderBy("doc_id")
 
+  /** Frame sampling plumbing (every 2nd 64-byte frame; rows-only —
+    * frame_bytes content asserted in ExtSpec).
+    */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.fromDocuments(t(s, dir, "documents")),
+      frameBytes = 64, stride = 2)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame_bytes")).as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Aspect-preserving resize metadata (oracled — pure arithmetic). */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeMeta(
+      Multimodal.fromDocuments(t(s, dir, "documents")), maxSide = 512)
+      .orderBy("doc_id")
+
   // ———————————————————————————————————————— event-time windows
 
   def eventsTumbling(s: SparkSession, dir: String): DataFrame =

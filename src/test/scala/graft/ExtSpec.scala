@@ -125,6 +125,39 @@ class ExtSpec extends SparkSuite {
     assert(r1.values.head.length === 8)
   }
 
+  test("frame sampling slices payload at the right offsets with stride") {
+    val media = Multimodal.fromDocuments(docs.limit(5))
+    val payloads = media.select("doc_id", "payload")
+      .as[(Long, Array[Byte])].collect().toMap
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+      .select("doc_id", "frame_idx", "frame_bytes")
+      .as[(Long, Int, Array[Byte])].collect()
+    assert(frames.nonEmpty)
+    frames.foreach { case (id, idx, bytes) =>
+      assert(idx % 2 === 0, "stride must skip odd frames")
+      val expected = payloads(id).slice(idx * 64, idx * 64 + 64)
+      assert(bytes.toSeq === expected.toSeq, s"doc $id frame $idx")
+    }
+    // every sampled frame index present: 0, 2, ... < ceil(len/64)
+    val byDoc = frames.groupBy(_._1)
+    byDoc.foreach { case (id, fs) =>
+      val n = math.ceil(payloads(id).length / 64.0).toInt
+      assert(fs.map(_._2).sorted.toSeq === (0 until n by 2).toSeq)
+    }
+  }
+
+  test("resize metadata preserves aspect ratio and never upscales") {
+    val out = Multimodal.resizeMeta(Multimodal.fromDocuments(docs), 512)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    out.foreach { case (_, w, h, ow, oh) =>
+      assert(ow <= 512 && oh <= 512)
+      assert(ow <= w && oh <= h)
+      if (w > 512 || h > 512)
+        assert(math.max(ow, oh) === 512 ||
+          math.abs(math.max(ow, oh) - 512) <= 1)
+    }
+  }
+
   test("streaming: windowed counts over file stream match batch windows") {
     import org.apache.spark.sql.streaming.Trigger
     val events = CoreQueries.events(spark, sfDir)
