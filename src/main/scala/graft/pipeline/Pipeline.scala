@@ -39,4 +39,34 @@ object Pipeline {
   def referenceFlow(base: String): Seq[Job] = Seq(
     Job("create_tables", s => { SeedTables.seed(s, base); () }),
     Job("incremental_etl", s => { IncrementalEtl.run(s, base); () }))
+
+  /** The bronze write smoke job (reference entry point:
+    * Lab2/jobs/python/hudi_spark_minio.py:38-104 — two static customer
+    * rows upserted into `bronze/database={db}/table_name={t}`), with the
+    * reference's inferred-string schema corrected to typed columns.
+    */
+  def bronzeSmoke(spark: SparkSession, base: String,
+      db: String = "demo"): graft.tables.KeyedTable = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("emp_id", IntegerType, nullable = false),
+      StructField("employee_name", StringType),
+      StructField("department", StringType),
+      StructField("state", StringType),
+      StructField("salary", LongType),
+      StructField("age", IntegerType),
+      StructField("bonus", LongType),
+      StructField("ts", LongType)))
+    val rows = Seq(
+      Row(1, "employee_1", "Sales", "RJ", 100000L, 30, 50000L, 91234L),
+      Row(2, "employee_2", "Engineering", "RJ", 120000L, 28, 60000L, 91235L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val t = graft.tables.KeyedTable("employees",
+      s"$base/bronze/database=$db/table_name=employees",
+      Seq("emp_id"), "ts")
+    graft.ops.TableOps.upsert(spark, t, df)
+    t
+  }
 }

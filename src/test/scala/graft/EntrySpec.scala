@@ -1,0 +1,28 @@
+package graft
+
+/** Driver-contract smoke: entry() on sf0.001 returns rows; every
+  * oracleSql key has a matching query; bench set is a subset of the
+  * query map.
+  */
+class EntrySpec extends SparkSuite {
+
+  test("entry flagship returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("contract consistency: oracles and bench names resolve") {
+    val qs = SparkEntry.queries.keySet
+    val orphanOracles = SparkEntry.oracleSql.keySet -- qs
+    assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
+    val orphanBench = SparkEntry.benchQueries.toSet -- qs
+    assert(orphanBench.isEmpty, s"bench names without queries: $orphanBench")
+  }
+
+  test("every query runs and returns a readable schema at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.schema.fields.nonEmpty, name)
+    }
+  }
+}

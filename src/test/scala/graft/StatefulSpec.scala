@@ -33,6 +33,18 @@ class StatefulSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("bronze smoke job: static typed rows land in the medallion bronze path") {
+    val base = tmpDir("graft-bronze")
+    val t = Pipeline.bronzeSmoke(spark, base)
+    assert(t.path.contains("bronze/database=demo/table_name=employees"))
+    val snap = graft.ops.TableOps.snapshot(spark, t)
+    assert(snap.count() === 2)
+    assert(snap.schema("salary").dataType.typeName === "long")
+    // re-running the smoke upserts idempotently (same keys, same ts)
+    Pipeline.bronzeSmoke(spark, base)
+    assert(graft.ops.TableOps.snapshot(spark, t).count() === 2)
+  }
+
   test("pipeline runner executes the reference flow in order, fail-fast") {
     val base = tmpDir("graft-dag")
     val done = Pipeline.run(spark, Pipeline.referenceFlow(base))
