@@ -34,16 +34,22 @@ object Bench {
       try execute(n, warmDir)
       catch { case _: Throwable => () }
     }
+    // A query that fails must NOT report its time-to-crash as a valid
+    // number (a regression would read as a speedup): failed queries get
+    // sentinel -1 and an entry in "errors".
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try execute(name, sfDir)
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { execute(name, sfDir); true }
+        catch { case e: Throwable => errors += name; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -111,7 +111,11 @@ object Multimodal {
       .cast(IntegerType)
     media
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride))))
+        // empty payload ⇒ zero frames (explode of an empty array drops
+        // the row), not a phantom frame 0
+        explode(when(nFrames > 0,
+          sequence(lit(0), nFrames - 1, lit(stride)))
+          .otherwise(array().cast(ArrayType(IntegerType)))))
       .select(col("doc_id"), col("media_type"), col("frame_idx"),
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
           .as("frame_bytes"))

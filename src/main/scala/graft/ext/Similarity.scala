@@ -95,15 +95,19 @@ object Similarity {
       bucketOf(v, allPlanes.slice(tI * planes, (tI + 1) * planes))
         .bitwiseOR(lit(tI << planes))
     }: _*)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      explode(buckets(col(vecCol))).as("bucket"))
+    // Norms computed BEFORE the bucket explode — once per vector, not
+    // once per (table × probe) replica.
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", VectorFunctions.normF(col("cv")))
+      .select(col("neighbor_id"), col("cv"), col("cn"),
+        explode(buckets(col("cv"))).as("bucket"))
     // Query side multi-probes each table's bucket + hamming-1 neighbors.
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(flatten(transform(buckets(col(vecCol)), b =>
-        array(b +: (0 until planes).map(p =>
-          b.bitwiseXOR(shiftleft(lit(1), p))): _*)))).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", VectorFunctions.normF(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(flatten(transform(buckets(col("qv")), b =>
+          array(b +: (0 until planes).map(p =>
+            b.bitwiseXOR(shiftleft(lit(1), p))): _*)))).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",

@@ -27,8 +27,17 @@ case class TextShingles(child: Expression, n: Int)
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.trim.toLowerCase.split("\\s+")
+    // Normalization must match the declarative/oracle form exactly:
+    // Spark `trim` strips SPACES only (not tabs/newlines — Java's
+    // String.trim would), `lower` is locale-invariant (default-locale
+    // toLowerCase breaks under e.g. a Turkish JVM), and Spark `split`
+    // keeps trailing empty tokens (Java's 0-limit split drops them).
+    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+    var from = 0
+    var to = text.length
+    while (from < to && text.charAt(from) == ' ') from += 1
+    while (to > from && text.charAt(to - 1) == ' ') to -= 1
+    val toks = text.substring(from, to).split("\\s+", -1)
     val out = new java.util.LinkedHashSet[String]()
     if (toks.length < n) out.add(toks.mkString(" "))
     else {

@@ -46,7 +46,10 @@ object AsOfJoin {
         payload.map(p => lit(null).as(p)) :+
         col(leftTime).as("_t")): _*)
       .withColumn("_side", lit(1))
-    val rTagged = right.select(
+    // A null right timestamp can match nothing (SQL comparison
+    // semantics; DuckDB ASOF agrees) — drop those rows, or they'd sort
+    // nulls-first and be carried into every left row as a bogus match.
+    val rTagged = right.filter(col(rightTime).isNotNull).select(
       (keys.map(col) ++ leftNonKey.map(c => lit(null).as(c)) ++
         payload.map(col) :+
         col(rightTime).as("_t")): _*)

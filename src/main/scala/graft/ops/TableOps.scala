@@ -91,13 +91,13 @@ object TableOps {
 
     if (!exists(spark, t)) {
       writer(stamped, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
-      swapAll(fs, staging, new Path(t.dataPath), t.partitionBy.nonEmpty)
+      swapAll(fs, staging, new Path(t.dataPath))
     } else if (t.partitionBy.isEmpty) {
       val existing = spark.read.parquet(t.dataPath)
       val merged = Upsert.merge(existing, stamped, t.recordKey,
         Seq(t.precombineKey, KeyedTable.CommitCol))
       writer(merged, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
-      swapAll(fs, staging, new Path(t.dataPath), hivePartitioned = false)
+      swapAll(fs, staging, new Path(t.dataPath))
     } else {
       val existing = spark.read.parquet(t.dataPath)
       val keyCols = t.recordKey
@@ -124,10 +124,24 @@ object TableOps {
       val merged = Upsert.merge(affectedExisting, stamped, keyCols,
         Seq(t.precombineKey, KeyedTable.CommitCol))
       writer(merged, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
-      val affectedDirs = affected.map(vals =>
-        t.partitionBy.zip(vals).map { case (c, v) =>
-          hivePartDir(c, v)
-        }.mkString("/"))
+      // Affected ON-DISK dirs come from the files actually backing the
+      // affected rows (input_file_name), NOT from re-formatting the
+      // collected partition values: read-back partition-type inference
+      // can change the value's string form (month='01' read as int 1,
+      // timestamps gaining '.0'), and a reconstructed 'month=1' would
+      // silently miss the real 'month=01' dir — leaving a moved key's
+      // stale row alive. File paths are authoritative.
+      val dataQ = fs.makeQualified(new Path(t.dataPath))
+      val affectedDirs = affectedExisting
+        .select(input_file_name().as("f")).distinct().collect()
+        .map(r => new Path(new java.net.URI(r.getString(0))).getParent)
+        .map { p =>
+          val rel = fs.makeQualified(p).toString
+            .stripPrefix(dataQ.toString).stripPrefix("/")
+          require(rel.nonEmpty && !rel.contains(":"),
+            s"failed to relativize affected partition dir $p against $dataQ")
+          rel
+        }.distinct.toSeq
       swapPartitions(fs, staging, new Path(t.dataPath), affectedDirs,
         t.partitionBy.length)
     }
@@ -137,24 +151,11 @@ object TableOps {
   }
 
   /** Replace the whole data dir with the staged snapshot. */
-  private def swapAll(fs: FileSystem, staging: Path, data: Path,
-      hivePartitioned: Boolean): Unit = {
+  private def swapAll(fs: FileSystem, staging: Path, data: Path): Unit = {
     if (fs.exists(data)) fs.delete(data, true)
     fs.mkdirs(data.getParent)
     if (!fs.rename(staging, data))
       throw new java.io.IOException(s"commit rename failed: $staging → $data")
-  }
-
-  /** Hive-style partition dir segment (`col=value`), escaping per the
-    * Spark writer's convention so swapped dirs line up with what the
-    * staged write produced.
-    */
-  private def hivePartDir(colName: String, value: Any): String = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    if (value == null)
-      s"$colName=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
-    else
-      ExternalCatalogUtils.getPartitionPathString(colName, String.valueOf(value))
   }
 
   /** Replace exactly the affected partition dirs: every affected
@@ -239,7 +240,7 @@ object TableOps {
     val snap = snapshot(spark, t)
     val sized = numFiles.fold(snap)(n => snap.repartition(n))
     writer(sized, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
-    swapAll(fs, staging, new Path(t.dataPath), t.partitionBy.nonEmpty)
+    swapAll(fs, staging, new Path(t.dataPath))
     fs.delete(new Path(s"${t.path}/.staging"), true)
     CommitLog(t, spark).logCommit(ts,
       Map("table" -> t.name, "action" -> "compact"))

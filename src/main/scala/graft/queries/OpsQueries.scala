@@ -17,8 +17,26 @@ object OpsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private def scratch(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Scratch dirs are deleted on JVM exit — repeated Verify/Bench/test
+    * runs must not accumulate table copies under /tmp.
+    */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  sys.addShutdownHook {
+    scratchDirs.forEach { p =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  private def scratch(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
 
   /** S1 — snapshot read as a true roundtrip: nation → COW upsert into a
     * fresh keyed table → snapshot → identical rows (oracle: the input).

@@ -26,6 +26,22 @@ class AsOfJoinSpec extends SparkSuite {
       "p3" -> None))        // u2 has no right rows; u3's must not leak
   }
 
+  test("null right timestamps never match (SQL comparison semantics)") {
+    val left = Seq(("k", 5L, "p")).toDF("key", "lt", "pid")
+    val right = Seq(
+      ("k", Option.empty[Long], "ghost"), ("k", Some(3L), "real")
+    ).toDF("key", "rt", "vid")
+    val out = AsOfJoin.asOf(left, right, Seq("key"), "lt", "rt", Seq("vid"))
+      .select("vid").as[String].collect()
+    assert(out === Array("real"))
+    // and with ONLY a null-ts right row: no match at all
+    val onlyNull = Seq(("k", Option.empty[Long], "ghost"))
+      .toDF("key", "rt", "vid")
+    val out2 = AsOfJoin.asOf(left, onlyNull, Seq("key"), "lt", "rt", Seq("vid"))
+      .select("vid").as[Option[String]].collect()
+    assert(out2 === Array(None))
+  }
+
   test("payload struct integrity: all payload columns from the same right row") {
     val left = Seq(("k", 100L, 1)).toDF("key", "lt", "id")
     val right = Seq(

@@ -19,10 +19,14 @@ class EntrySpec extends SparkSuite {
     assert(orphanBench.isEmpty, s"bench names without queries: $orphanBench")
   }
 
-  test("every query runs and returns a readable schema at sf0.001") {
+  test("every query EXECUTES end-to-end at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       assert(df.schema.fields.nonEmpty, name)
+      // noop write forces full execution (schema-only checks would let
+      // runtime failures through for every lazy query)
+      try df.write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => fail(s"query $name failed: ${e.getMessage}") }
     }
   }
 }

@@ -58,10 +58,17 @@ class ExtSpec extends SparkSuite {
   }
 
   test("TextShingles expression == declarative shingles formulation") {
-    val a = docs.select($"doc_id",
+    // corpus + adversarial whitespace/case rows (tabs/newlines around
+    // text are NOT trimmed by Spark's trim; trailing whitespace keeps an
+    // empty token under split limit -1)
+    val tricky = Seq((9001L, "\tThe  Fast\nkey "), (9002L, " a b c"),
+      (9003L, "UPPER lower MiXeD case x"), (9004L, "one two"))
+      .toDF("doc_id", "text")
+    val all = docs.select($"doc_id", $"text").unionByName(tricky)
+    val a = all.select($"doc_id",
       array_sort(graft.functions.TextFunctions.shingles(spark, $"text", 3))
         .as("g"))
-    val b = docs.select($"doc_id",
+    val b = all.select($"doc_id",
       array_sort(Dedup.shinglesDeclarative($"text", 3)).as("g"))
     assert(a.exceptAll(b).count() === 0)
     assert(b.exceptAll(a).count() === 0)
@@ -144,6 +151,10 @@ class ExtSpec extends SparkSuite {
       val n = math.ceil(payloads(id).length / 64.0).toInt
       assert(fs.map(_._2).sorted.toSeq === (0 until n by 2).toSeq)
     }
+    // empty payload ⇒ zero frames, not a phantom frame 0
+    val empty = Seq((1L, "image", Array.emptyByteArray))
+      .toDF("doc_id", "media_type", "payload")
+    assert(Multimodal.sampleFrames(empty, 64, 2).count() === 0)
   }
 
   test("resize metadata preserves aspect ratio and never upscales") {

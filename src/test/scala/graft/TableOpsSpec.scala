@@ -72,6 +72,21 @@ class TableOpsSpec extends SparkSuite {
     assert(mtime("p3") === p3Before, "untouched partition must not be rewritten")
   }
 
+  test("numeric-string partition values survive read-back type inference") {
+    // month='01' is written as dir month=01 but read back (inferred) as
+    // int 1 — the moved-key delete must target the real on-disk dir.
+    val base = tmpDir("graft-numpart")
+    val t = KeyedTable("np", s"$base/np", Seq("id"), "ver", Seq("month"))
+    def rows2(rs: (String, Int, String)*) = rs.toDF("id", "ver", "month")
+    TableOps.upsert(spark, t, rows2(("a", 1, "01"), ("b", 1, "02")))
+    // 'a' moves month 01 → 02; the emptied month=01 dir must go
+    TableOps.upsert(spark, t, rows2(("a", 2, "02")))
+    val snap = TableOps.snapshot(spark, t)
+      .select("id", "ver").as[(String, Int)].collect().toSet
+    assert(snap === Set(("a", 2), ("b", 1)),
+      "stale row in the old numeric-string partition must be deleted")
+  }
+
   test("incremental read: bootstrap, resume, empty range") {
     val t = table(partitioned = false)
     val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
