@@ -48,6 +48,7 @@ object SparkEntry {
     "dedup_simhash"           -> (ExtQueries.dedupSimhash _),
     "sim_cosine_topk"         -> (ExtQueries.simCosineTopk _),
     "sim_lsh_topk"            -> (ExtQueries.simLshTopk _),
+    "sim_ivf_topk"            -> (ExtQueries.simIvfTopk _),
     "sim_cosine_neardup"      -> (ExtQueries.simCosineNeardup _),
     "text_stats"              -> (ExtQueries.textStats _),
     "text_quality"            -> (ExtQueries.textQuality _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "p2_projection_alias", "f2_datetime", "f6_json", "s2_incremental_read",
     "s3_upsert_merge", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "sim_cosine_topk", "sim_lsh_topk",
+    "sim_ivf_topk",
     "sim_cosine_neardup", "text_stats", "text_quality", "text_token_counts",
     "text_fingerprint", "text_langid", "multimodal_stats",
     "multimodal_features", "events_tumbling", "events_sliding",

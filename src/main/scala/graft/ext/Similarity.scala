@@ -120,6 +120,59 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other scale path from
+    * the brief. Coarse quantizer: `nlist` centroids picked
+    * deterministically from the corpus (seeded hash order — for random
+    * synthetic embeddings a k-means refinement changes recall little;
+    * swap `centroids` for trained ones when the corpus has real
+    * cluster structure). Corpus rows are assigned to their nearest
+    * centroid (one pass, `nlist` codegen'd dots per row); queries probe
+    * the `nprobe` nearest lists. Candidate cost ≈ corpus × nprobe /
+    * nlist per query — the shuffle key is the list id, exactly like an
+    * IVF index shard.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(corpus.sparkSession)
+    // Deterministic centroid sample: nlist corpus vectors with the
+    // smallest seeded hash of their id (a driver-side collect of nlist
+    // small arrays — metadata-sized).
+    val centroids: Seq[Seq[Double]] = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("r", pmod(xxhash64(col("id") + lit(seed)), lit(1000003L)))
+      .orderBy("r", "id").limit(nlist)
+      .select("v").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    def nearestLists(v: Column, n: Int): Column = {
+      // rank centroids by dot(v, c)/|c| (v's own norm is rank-invariant)
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val norm = math.sqrt(c.map(x => x * x).sum)
+        struct((VectorFunctions.dotFD(v, lit(c.toArray)) / norm).as("s"),
+          lit(i).as("i"))
+      }
+      slice(reverse(array_sort(array(scored: _*))), 1, n)
+        .getField("i")
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", VectorFunctions.normF(col("cv")))
+      .withColumn("list", element_at(nearestLists(col("cv"), 1), 1))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", VectorFunctions.normF(col("qv")))
+      .withColumn("list", explode(nearestLists(col("qv"), nprobe)))
+    val scored = c.join(q, Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        VectorFunctions.dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id", "cos").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥
     * threshold, found through multi-table LSH buckets (no corpus², same
     * contract as [[Dedup.minhashLsh]] but in embedding space).

@@ -76,12 +76,22 @@ object TableOps {
       t: KeyedTable,
       incoming: DataFrame,
       sortBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 4000000L): String = {
+      maxRecordsPerFile: Long = 4000000L,
+      idempotencyKey: Option[String] = None): String = {
+    val log = CommitLog(t, spark)
+    // Exactly-once upgrade of the at-least-once contract (SURVEY.md
+    // §2i I3): a caller-supplied idempotency key (e.g. the streaming
+    // micro-batch id) is recorded in the commit manifest; a replayed
+    // batch whose key already committed is skipped entirely — the
+    // foreachBatch + txn-manifest pattern.
+    idempotencyKey.foreach { key =>
+      if (log.commitMetas().exists(_.get("idempotency_key").contains(key)))
+        return ""
+    }
     // Emptiness guard — reference used count()>0 (a full scan,
     // create_hudi_tables.py:213); isEmpty touches one partition.
     if (incoming.isEmpty) return ""
     val ts = CommitLog.newCommitTs()
-    val log = CommitLog(t, spark)
     val deduped = Upsert.dedupBatch(incoming, t.recordKey,
       Seq(t.precombineKey))
     val stamped = deduped.withColumn(KeyedTable.CommitCol, lit(ts))
@@ -146,7 +156,8 @@ object TableOps {
         t.partitionBy.length)
     }
     fs.delete(new Path(s"${t.path}/.staging"), true)
-    log.logCommit(ts, Map("table" -> t.name))
+    log.logCommit(ts, Map("table" -> t.name) ++
+      idempotencyKey.map("idempotency_key" -> _))
     ts
   }
 

@@ -77,6 +77,17 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-5 (rows-only; recall vs brute
+    * force asserted in ExtSpec).
+    */
+  def simIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table LSH buckets
     * (rows-only; recall vs exact pairs asserted in SimilaritySpec).
     */

@@ -35,8 +35,12 @@ object StreamingEtl {
       .parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        TableOps.upsert(spark, target, batch): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId as idempotency key ⇒ exactly-once sink: a micro-batch
+        // replayed after a crash-before-checkpoint is skipped by the
+        // commit manifest (txn-manifest pattern).
+        TableOps.upsert(spark, target, batch,
+          idempotencyKey = Some(s"${target.name}-batch-$batchId")): Unit
       }
       .trigger(Trigger.AvailableNow())
       .start()

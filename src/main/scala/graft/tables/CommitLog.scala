@@ -48,6 +48,28 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     finally out.close()
   }
 
+  /** Parsed metadata of every commit manifest (ascending commit order).
+    * Driver-side read of kilobyte files — used for idempotency-key
+    * lookups, never on a data path.
+    */
+  def commitMetas(): Seq[Map[String, String]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    listCommits().map { ts =>
+      val in = fs.open(new Path(dir, s"$ts.commit"))
+      val raw =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
+      JsonMethods.parse(raw) match {
+        case JObject(fields) =>
+          fields.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      }
+    }
+  }
+
   /** Drop the oldest commit manifests, keeping `keep` (cleaner support —
     * reference: hoodie.cleaner KEEP_LATEST_FILE_VERSIONS,
     * create_hudi_tables.py:141-148).

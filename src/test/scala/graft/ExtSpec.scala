@@ -47,6 +47,19 @@ class ExtSpec extends SparkSuite {
     assert(sh.select("id").distinct().count() === docs.count())
   }
 
+  test("IVF top-k recall ≥ 0.3 vs brute force (approximate by design)") {
+    val q = emb.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"recall=$recall")
+    // every query still gets k results (lists are never empty at nprobe=4)
+    assert(ivf.size === bf.size)
+  }
+
   test("LSH top-k recall ≥ 0.4 vs brute force (approximate by design)") {
     val q = emb.filter($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)

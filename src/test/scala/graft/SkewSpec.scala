@@ -65,6 +65,41 @@ class SkewSpec extends SparkSuite {
     assert(graft.tables.CommitLog(t, spark).listCommits().size === 2)
   }
 
+  test("idempotency key makes upsert exactly-once under replay") {
+    val base = tmpDir("graft-idem")
+    val t = KeyedTable("i", s"$base/i", Seq("o_orderkey"), "o_orderdate")
+    val batch = orders.limit(100)
+    val ts1 = TableOps.upsert(spark, t, batch,
+      idempotencyKey = Some("batch-7"))
+    assert(ts1.nonEmpty)
+    // replay of the same batch id: skipped, no new commit
+    val ts2 = TableOps.upsert(spark, t, batch,
+      idempotencyKey = Some("batch-7"))
+    assert(ts2 === "")
+    assert(graft.tables.CommitLog(t, spark).listCommits() === Seq(ts1))
+    // a new batch id commits normally
+    val ts3 = TableOps.upsert(spark, t, batch,
+      idempotencyKey = Some("batch-8"))
+    assert(ts3.nonEmpty)
+  }
+
+  test("O5 clustering: file ranges are disjoint after a clustered write") {
+    val base = tmpDir("graft-cluster")
+    val t = KeyedTable("cl", s"$base/cl", Seq("o_orderkey"), "o_orderdate")
+    TableOps.upsert(spark, t, orders, sortBy = Seq("o_totalprice"),
+      maxRecordsPerFile = 300L)
+    val perFile = TableOps.snapshot(spark, t)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .select("lo", "hi").as[(Double, Double)].collect().sortBy(_._1)
+    assert(perFile.length > 1, "clustered write should produce several files")
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, "range-clustered files must not overlap")
+      case _ =>
+    }
+  }
+
   test("S8 physical options: written parquet uses gzip and key bloom filters") {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
