@@ -101,13 +101,13 @@ object TableOps {
 
     if (!exists(spark, t)) {
       writer(stamped, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
-      swapAll(fs, staging, new Path(t.dataPath))
+      swapAll(fs, t, ts, staging, new Path(t.dataPath))
     } else if (t.partitionBy.isEmpty) {
       val existing = spark.read.parquet(t.dataPath)
       val merged = Upsert.merge(existing, stamped, t.recordKey,
         Seq(t.precombineKey, KeyedTable.CommitCol))
       writer(merged, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
-      swapAll(fs, staging, new Path(t.dataPath))
+      swapAll(fs, t, ts, staging, new Path(t.dataPath))
     } else {
       val existing = spark.read.parquet(t.dataPath)
       val keyCols = t.recordKey
@@ -152,8 +152,8 @@ object TableOps {
             s"failed to relativize affected partition dir $p against $dataQ")
           rel
         }.distinct.toSeq
-      swapPartitions(fs, staging, new Path(t.dataPath), affectedDirs,
-        t.partitionBy.length)
+      swapPartitions(fs, t, ts, staging, new Path(t.dataPath),
+        affectedDirs, t.partitionBy.length)
     }
     fs.delete(new Path(s"${t.path}/.staging"), true)
     log.logCommit(ts, Map("table" -> t.name) ++
@@ -161,9 +161,28 @@ object TableOps {
     ts
   }
 
-  /** Replace the whole data dir with the staged snapshot. */
-  private def swapAll(fs: FileSystem, staging: Path, data: Path): Unit = {
-    if (fs.exists(data)) fs.delete(data, true)
+  /** Archive a replaced dir under `.versions/{ts}/{rel}` (rename — no
+    * data movement). Replaced file slices are RETAINED, exactly like
+    * Hudi COW keeps old file versions until the cleaner drops them:
+    * this is what makes [[snapshotAsOf]] time travel and a meaningful
+    * [[clean]] possible. `rel` = "data" for a whole-snapshot archive,
+    * or a partition-relative dir.
+    */
+  private def archive(fs: FileSystem, t: KeyedTable, ts: String,
+      target: Path, rel: String): Unit =
+    if (fs.exists(target)) {
+      val dest = new Path(s"${t.path}/.versions/$ts/$rel")
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(target, dest))
+        throw new java.io.IOException(s"archive rename failed: $target → $dest")
+    }
+
+  /** Replace the whole data dir with the staged snapshot, archiving the
+    * previous snapshot.
+    */
+  private def swapAll(fs: FileSystem, t: KeyedTable, ts: String,
+      staging: Path, data: Path): Unit = {
+    archive(fs, t, ts, data, "data")
     fs.mkdirs(data.getParent)
     if (!fs.rename(staging, data))
       throw new java.io.IOException(s"commit rename failed: $staging → $data")
@@ -176,12 +195,12 @@ object TableOps {
     * (depth = number of partition columns) is renamed into place.
     * Untouched partition dirs are never listed, read, or moved.
     */
-  private def swapPartitions(fs: FileSystem, staging: Path, data: Path,
+  private def swapPartitions(fs: FileSystem, t: KeyedTable, ts: String,
+      staging: Path, data: Path,
       affectedDirs: Seq[String], depth: Int): Unit = {
     fs.mkdirs(data)
     affectedDirs.foreach { rel =>
-      val target = new Path(data, rel)
-      if (fs.exists(target)) fs.delete(target, true)
+      archive(fs, t, ts, new Path(data, rel), rel)
     }
     def walk(p: Path, level: Int): Seq[Path] =
       if (level == 0) Seq(p)
@@ -197,7 +216,7 @@ object TableOps {
         s"failed to relativize staged partition dir $leaf against $stagingQ")
       val target = new Path(data, rel)
       fs.mkdirs(target.getParent)
-      if (fs.exists(target)) fs.delete(target, true)
+      archive(fs, t, ts, target, rel) // fallback: never clobber unarchived
       if (!fs.rename(leaf, target))
         throw new java.io.IOException(
           s"partition commit rename failed: $leaf → $target")
@@ -211,6 +230,88 @@ object TableOps {
     */
   def snapshot(spark: SparkSession, t: KeyedTable): DataFrame =
     spark.read.parquet(t.dataPath)
+
+  /** Time-travel read — the table as of commit `asOf` (inclusive):
+    * `spark.read.format("hudi").option("as.of.instant", ts)` analog.
+    *
+    * Reconstruction is driver-side metadata work: for each partition
+    * dir, the authoritative source is the SMALLEST archive version
+    * > asOf (the state just before that replacement), else the current
+    * dir; whole-snapshot archives (unpartitioned swaps, compaction)
+    * reset all of state when encountered. Rows are then filtered to
+    * `_commit_ts <= asOf`, which also erases partitions/rows born after
+    * asOf. Requires the relevant versions to still be retained (see
+    * [[clean]]).
+    */
+  def snapshotAsOf(spark: SparkSession, t: KeyedTable, asOf: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    val versionsRoot = new Path(s"${t.path}/.versions")
+    val versions =
+      if (!fs.exists(versionsRoot)) Seq.empty[String]
+      else fs.listStatus(versionsRoot).map(_.getPath.getName).sorted.toSeq
+    val applicable = versions.filter(_ > asOf)
+    // rel -> absolute source dir; rel "" means "a whole snapshot root"
+    var state: Map[String, Path] = Map("" -> new Path(t.dataPath))
+    // newest-to-oldest: the smallest applicable version wins per rel
+    applicable.reverse.foreach { v =>
+      val vRoot = new Path(versionsRoot, v)
+      val whole = new Path(vRoot, "data")
+      if (fs.exists(whole)) state = Map("" -> whole)
+      else fs.listStatus(vRoot).foreach { st =>
+        def leaves(p: Path, lvl: Int): Seq[Path] =
+          if (lvl == 0) Seq(p)
+          else fs.listStatus(p).toSeq.filter(_.isDirectory)
+            .flatMap(c => leaves(c.getPath, lvl - 1))
+        leaves(st.getPath, t.partitionBy.length - 1).foreach { leaf =>
+          val rel = fs.makeQualified(leaf).toString
+            .stripPrefix(fs.makeQualified(vRoot).toString).stripPrefix("/")
+          state += (rel -> leaf)
+        }
+      }
+    }
+    // group sources by their read base (partition-column parsing needs a
+    // consistent basePath per read)
+    val (roots, parts) = state.partition(_._1.isEmpty)
+    val reads = Seq.newBuilder[DataFrame]
+    roots.values.foreach { root =>
+      // exclude partition dirs overridden by an archive
+      if (t.partitionBy.isEmpty || parts.isEmpty)
+        reads += spark.read.parquet(root.toString)
+      else {
+        val overridden = parts.keySet
+        val keep = fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+          .flatMap { st =>
+            def leaves(p: Path, lvl: Int): Seq[Path] =
+              if (lvl == 0) Seq(p)
+              else fs.listStatus(p).toSeq.filter(_.isDirectory)
+                .flatMap(c => leaves(c.getPath, lvl - 1))
+            leaves(st.getPath, t.partitionBy.length - 1)
+          }
+          .filterNot { leaf =>
+            val rel = fs.makeQualified(leaf).toString
+              .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
+            overridden.contains(rel)
+          }
+        if (keep.nonEmpty)
+          reads += spark.read.option("basePath", root.toString)
+            .parquet(keep.map(_.toString): _*)
+      }
+    }
+    // archived partition dirs, grouped by version root for basePath
+    parts.groupBy(_._2.getParent match {
+      case p if t.partitionBy.length <= 1 => p
+      case p => // multi-level rels: base is versionRoot (strip rel depth)
+        (1 until t.partitionBy.length).foldLeft(p)((q, _) => q.getParent)
+    }).foreach { case (base, m) =>
+      reads += spark.read.option("basePath", base.toString)
+        .parquet(m.values.map(_.toString).toSeq: _*)
+    }
+    reads.result()
+      .reduce(_.unionByName(_, allowMissingColumns = false))
+      .filter(col(KeyedTable.CommitCol) <= lit(asOf))
+  }
 
   /** Incremental read — records whose latest version was committed in
     * (`beginExclusive`, `endInclusive`] (S2; the reference's
@@ -251,23 +352,34 @@ object TableOps {
     val snap = snapshot(spark, t)
     val sized = numFiles.fold(snap)(n => snap.repartition(n))
     writer(sized, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
-    swapAll(fs, staging, new Path(t.dataPath))
+    swapAll(fs, t, ts, staging, new Path(t.dataPath))
     fs.delete(new Path(s"${t.path}/.staging"), true)
     CommitLog(t, spark).logCommit(ts,
       Map("table" -> t.name, "action" -> "compact"))
     ts
   }
 
-  /** Cleaner (reference: hoodie.cleaner KEEP_LATEST + retained commits,
-    * create_hudi_tables.py:141-148): drop commit manifests beyond the
-    * retention window and any leftover staging dirs. Data files need no
-    * cleaning — COW swap already removed replaced files.
+  /** Cleaner (reference: hoodie.cleaner KEEP_LATEST_FILE_VERSIONS +
+    * retained commits, create_hudi_tables.py:141-148): drop archived
+    * file versions and commit manifests beyond the retention window,
+    * plus any leftover staging dirs. Time travel ([[snapshotAsOf]])
+    * stays valid for any instant ≥ the oldest retained commit.
     */
   def clean(spark: SparkSession, t: KeyedTable, retainCommits: Int): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
     val staging = new Path(s"${t.path}/.staging")
     if (fs.exists(staging)) fs.delete(staging, true)
-    CommitLog(t, spark).retain(retainCommits)
+    val log = CommitLog(t, spark)
+    val commits = log.listCommits()
+    val cutoff = if (commits.size > retainCommits)
+      commits(commits.size - retainCommits) else ""
+    val versionsRoot = new Path(s"${t.path}/.versions")
+    if (cutoff.nonEmpty && fs.exists(versionsRoot)) {
+      fs.listStatus(versionsRoot)
+        .filter(_.getPath.getName <= cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    log.retain(retainCommits)
   }
 }

@@ -110,6 +110,48 @@ class TableOpsSpec extends SparkSuite {
     assert(inc === Set(("a", 2)), "latest version of changed key only")
   }
 
+  test("time travel: snapshotAsOf reconstructs each commit's state (unpartitioned)") {
+    val t = table(partitioned = false)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
+    val ts2 = TableOps.upsert(spark, t, rows(("a", 2, "x2", "p1"), ("c", 1, "z", "p1")))
+    val ts3 = TableOps.upsert(spark, t, rows(("b", 9, "y9", "p1")))
+    def at(ts: String) = TableOps.snapshotAsOf(spark, t, ts)
+      .select("id", "ver").as[(String, Int)].collect().toSet
+    assert(at(ts1) === Set(("a", 1), ("b", 1)))
+    assert(at(ts2) === Set(("a", 2), ("b", 1), ("c", 1)))
+    assert(at(ts3) === Set(("a", 2), ("b", 9), ("c", 1)))
+    // as-of the latest commit == current snapshot
+    assert(at(ts3) === TableOps.snapshot(spark, t)
+      .select("id", "ver").as[(String, Int)].collect().toSet)
+  }
+
+  test("time travel: partitioned, across a key move and a new partition") {
+    val t = table(partitioned = true)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2")))
+    val ts2 = TableOps.upsert(spark, t, rows(("a", 2, "x2", "p2"), ("c", 1, "z", "p3")))
+    def at(ts: String) = TableOps.snapshotAsOf(spark, t, ts)
+      .select("id", "ver", "part").as[(String, Int, String)].collect().toSet
+    assert(at(ts1) === Set(("a", 1, "p1"), ("b", 1, "p2")),
+      "moved key must appear in its ORIGINAL partition as of ts1")
+    assert(at(ts2) === Set(("a", 2, "p2"), ("b", 1, "p2"), ("c", 1, "p3")))
+  }
+
+  test("cleaner drops archived versions beyond retention; time travel inside window survives") {
+    val t = table(partitioned = false)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val ts2 = TableOps.upsert(spark, t, rows(("a", 2, "x", "p1")))
+    val ts3 = TableOps.upsert(spark, t, rows(("a", 3, "x", "p1")))
+    TableOps.clean(spark, t, retainCommits = 2)
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vroot = new org.apache.hadoop.fs.Path(s"${t.path}/.versions")
+    val kept = fs.listStatus(vroot).map(_.getPath.getName).toSet
+    assert(kept === Set(ts3), s"only the newest archive survives, got $kept")
+    // time travel to the oldest RETAINED commit still works
+    assert(TableOps.snapshotAsOf(spark, t, ts2)
+      .select("ver").as[Int].collect().toSeq === Seq(2))
+  }
+
   test("cleaner retains last N commit manifests") {
     val t = table(partitioned = false)
     val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
