@@ -32,6 +32,8 @@ object SparkEntry {
     "a2_count"                -> (CoreQueries.a2Count _),
     "a3_minmax"               -> (CoreQueries.a3Max _),
     "q1_agg"                  -> (CoreQueries.q1Agg _),
+    "a_rollup"                -> (CoreQueries.aRollup _),
+    "a_pivot"                 -> (CoreQueries.aPivot _),
     "o_topk_revenue"          -> (CoreQueries.oTopkRevenue _),
     "q5_multijoin"            -> (CoreQueries.q5MultiJoin _),
     "w_window_rank"           -> (CoreQueries.wWindowRank _),
@@ -141,6 +143,19 @@ object SparkEntry {
         | count(*) AS count_order
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS n,
+        | CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+        | CAST(grouping(l_linestatus) AS TINYINT) AS g_ls
+        | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        | ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+    "a_pivot" ->
+      """SELECT l_returnflag,
+        | sum(l_quantity) FILTER (l_linestatus = 'F') AS qty_f,
+        | sum(l_quantity) FILTER (l_linestatus = 'O') AS qty_o
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "o_topk_revenue" ->
       """SELECT l_orderkey AS order_id,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -190,9 +190,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxDf: Option[Int] = None): DataFrame = {
+    // Join on the 64-bit shingle hash, not the shingle string: the
+    // self-join shuffle then carries 8-byte keys instead of ~n-word
+    // strings. A 2^-64 hash collision could overcount one intersection
+    // cell — immaterial against exact-set semantics at any real scale.
     val sh = docs.select(col(idCol).as("id"),
-      explode(graft.functions.TextFunctions.shingles(docs.sparkSession,
-        col(textCol), n)).as("g"))
+      explode(graft.functions.TextFunctions.shingles(
+        docs.sparkSession, col(textCol), n)).as("gs"))
+      .select(col("id"), xxhash64(col("gs")).as("g"))
     val withDf = maxDf match {
       case Some(cap) =>
         // df per shingle is a tiny aggregate; broadcast it back.

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes the engine's custom
+  * expressions first-class SQL functions for any session created with
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * Library-level code paths register the same functions per-session via
+  * [[VectorFunctions.register]]/[[TextFunctions.registerShingles]] —
+  * this class is the deployment-time form (cluster-wide SQL users,
+  * thriftserver, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two float arrays"),
+      (exprs: Seq[Expression]) => DotProductF(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_dot_fd"),
+      info("graft_dot_fd",
+        "graft_dot_fd(a, b) - dot product of a float and a double array"),
+      (exprs: Seq[Expression]) => DotProductFD(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_shingles_3"),
+      info("graft_shingles_3",
+        "graft_shingles_3(text) - distinct word 3-grams of normalized text"),
+      (exprs: Seq[Expression]) => TextShingles(exprs.head, 3)))
+  }
+}

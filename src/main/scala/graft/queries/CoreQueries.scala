@@ -158,6 +158,33 @@ object CoreQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** ROLLUP — hierarchical subtotals (grouping-sets family; the
+    * engine's groupBy substrate generalized, SURVEY.md §2d note).
+    * Note the `grouping()` columns: rollup null markers must be
+    * distinguishable from real nulls, and they also give the oracle a
+    * deterministic sort (Spark and DuckDB disagree on default null
+    * ordering).
+    */
+  def aRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+        col("l_linestatus"))
+
+  /** PIVOT — wide aggregation (one column per l_linestatus value). */
+  def aPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
   /** Top-k after sort (O2's limit + ordering, on a revenue ranking).
     * Physically TakeOrderedAndProject — no global sort materialized.
     */

@@ -87,6 +87,22 @@ class ExtSpec extends SparkSuite {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("custom expressions are SQL-visible (registry + extensions object)") {
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.TextFunctions.registerShingles(spark, 3)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))," +
+        " array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .as[Double].head()
+    assert(dot === 11.0)
+    val sh = spark.sql(
+      "SELECT graft_shingles_3('a b c d') AS g").as[Seq[String]].head()
+    assert(sh === Seq("a b c", "b c d"))
+    // extensions object wires the same functions without throwing
+    new graft.functions.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("codegen dot kernel == HOF fold, bit-exact") {
     graft.functions.VectorFunctions.register(spark)
     val pairs = emb.limit(50).select($"vec_id".as("id_a"), $"embedding".as("va"))
