@@ -19,6 +19,15 @@ class EntrySpec extends SparkSuite {
     assert(orphanBench.isEmpty, s"bench names without queries: $orphanBench")
   }
 
+  test("cluster tuning profile applies (runtime confs set, static ones skipped)") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    graft.conf.Tuning(spark, graft.conf.Tuning.clusterProfile(
+      shufflePartitions = 7))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "7")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+    spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("every query EXECUTES end-to-end at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
