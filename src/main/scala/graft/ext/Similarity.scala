@@ -131,36 +131,77 @@ object Similarity {
     * nlist per query — the shuffle key is the list id, exactly like an
     * IVF index shard.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    VectorFunctions.register(corpus.sparkSession)
-    // Deterministic centroid sample: nlist corpus vectors with the
-    // smallest seeded hash of their id (a driver-side collect of nlist
-    // small arrays — metadata-sized).
-    val centroids: Seq[Seq[Double]] = corpus
+  /** Deterministic centroid sample: nlist corpus vectors with the
+    * smallest seeded hash of their id (a driver-side collect of nlist
+    * small arrays — metadata-sized).
+    */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("r", pmod(xxhash64(col("id") + lit(seed)), lit(1000003L)))
       .orderBy("r", "id").limit(nlist)
       .select("v").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-    def nearestLists(v: Column, n: Int): Column = {
-      // rank centroids by dot(v, c)/|c| (v's own norm is rank-invariant)
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        val norm = math.sqrt(c.map(x => x * x).sum)
-        struct((VectorFunctions.dotFD(v, lit(c.toArray)) / norm).as("s"),
-          lit(i).as("i"))
-      }
-      slice(reverse(array_sort(array(scored: _*))), 1, n)
-        .getField("i")
+
+  /** Rank the `n` nearest centroid list ids for a vector column (by
+    * dot(v, c)/|c| — v's own norm is rank-invariant).
+    */
+  private def nearestLists(v: Column, n: Int,
+      centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      struct((VectorFunctions.dotFD(v, lit(c.toArray)) / norm).as("s"),
+        lit(i).as("i"))
     }
+    slice(reverse(array_sort(array(scored: _*))), 1, n).getField("i")
+  }
+
+  /** Lloyd-iteration centroid training: assign each corpus vector to
+    * its nearest centroid, recompute each list's element-wise mean with
+    * the [[graft.functions.VectorMean]] typed Aggregator (distributed,
+    * map-side combined — one groupBy per iteration), repeat. Per-iter
+    * driver traffic is nlist small arrays. Lists that attract no
+    * vectors keep their previous centroid.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    VectorFunctions.register(corpus.sparkSession)
+    val vmean = udaf(graft.functions.VectorMean,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    var cents = sampleCentroids(corpus, idCol, vecCol, nlist, seed)
+    val vecs = corpus.select(col(vecCol).as("v"))
+    for (_ <- 0 until iters) {
+      val means = vecs
+        .withColumn("list", element_at(nearestLists(col("v"), 1, cents), 1))
+        .groupBy("list").agg(vmean(col("v")).as("m"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        means.getOrElse(i, old)
+      }
+    }
+    cents
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(corpus.sparkSession)
+    val centroids =
+      if (trainIters > 0)
+        trainCentroids(corpus, idCol, vecCol, nlist, trainIters, seed)
+      else sampleCentroids(corpus, idCol, vecCol, nlist, seed)
+    def nearest(v: Column, n: Int): Column = nearestLists(v, n, centroids)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", VectorFunctions.normF(col("cv")))
-      .withColumn("list", element_at(nearestLists(col("cv"), 1), 1))
+      .withColumn("list", element_at(nearest(col("cv"), 1), 1))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", VectorFunctions.normF(col("qv")))
-      .withColumn("list", explode(nearestLists(col("qv"), nprobe)))
+      .withColumn("list", explode(nearest(col("qv"), nprobe)))
     val scored = c.join(q, Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",

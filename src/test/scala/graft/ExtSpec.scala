@@ -60,6 +60,25 @@ class ExtSpec extends SparkSuite {
     assert(ivf.size === bf.size)
   }
 
+  test("trained IVF centroids: VectorMean aggregator + Lloyd iterations work") {
+    // aggregator correctness on a known input
+    import org.apache.spark.sql.functions.udaf
+    val vmean = udaf(graft.functions.VectorMean,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val mean = Seq(Array(1f, 3f), Array(3f, 5f)).toDF("v")
+      .agg(vmean($"v")).as[Array[Float]].head()
+    assert(mean.toSeq === Seq(2f, 4f))
+    // training converges to usable centroids; recall holds
+    val q = emb.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4, trainIters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.3, s"trained recall=$recall")
+  }
+
   test("LSH top-k recall ≥ 0.4 vs brute force (approximate by design)") {
     val q = emb.filter($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
