@@ -70,6 +70,10 @@ object SparkEntry {
     "f3_generators"           -> (OpsQueries.f3Generators _),
     "j_asof_join"             -> (OpsQueries.jAsofJoin _),
     "s4_inmemory_source"      -> (OpsQueries.s4InMemorySource _),
+    "s_csv_roundtrip"         -> (OpsQueries.sCsvRoundtrip _),
+    "s_json_roundtrip"        -> (OpsQueries.sJsonRoundtrip _),
+    "s_orc_roundtrip"         -> (OpsQueries.sOrcRoundtrip _),
+    "s_delete_keys"           -> (OpsQueries.sDeleteKeys _),
     "s5_generator"            -> (OpsQueries.s5Generator _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
   )
@@ -339,6 +343,16 @@ object SparkEntry {
         | ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
         | ORDER BY p.event_id""".stripMargin,
+    "s_csv_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "s_json_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "s_orc_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
+    "s_delete_keys" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        | WHERE o_orderpriority <> '1-URGENT'
+        | ORDER BY o_orderkey""".stripMargin,
     "s4_inmemory_source" ->
       """SELECT id, state, CAST(amount AS DOUBLE) AS amount
         | FROM (VALUES (1, 'CA', 100.50), (2, 'NY', 250.25),

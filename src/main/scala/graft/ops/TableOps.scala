@@ -231,6 +231,62 @@ object TableOps {
   def snapshot(spark: SparkSession, t: KeyedTable): DataFrame =
     spark.read.parquet(t.dataPath)
 
+  /** Keyed hard delete — the Hudi `hoodie.datasource.write.operation=
+    * delete` analog (and the GDPR/right-to-be-forgotten primitive a
+    * training-data lake needs). `keys` carries the record-key columns;
+    * matching rows are removed via a left-anti join and only the
+    * partitions that actually contain matching keys are rewritten
+    * (same partition-scoped COW as upsert). Returns the commit ts, or
+    * "" when nothing matched.
+    *
+    * Note: rows vanish without tombstones — an incremental reader sees
+    * the disappearance only via the commit log, not as delete records
+    * (Hudi emits delete markers; callers needing CDC-style deletes
+    * should soft-delete with a flag column instead).
+    */
+  def delete(spark: SparkSession, t: KeyedTable, keys: DataFrame): String = {
+    if (!exists(spark, t)) return ""
+    val keyCols = t.recordKey
+    val delKeys = keys.select(keyCols.map(col): _*).distinct()
+    val existing = spark.read.parquet(t.dataPath)
+    val matched = existing.join(delKeys, keyCols, "left_semi")
+    if (matched.isEmpty) return ""
+    val ts = CommitLog.newCommitTs()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    val staging = new Path(s"${t.path}/.staging/$ts")
+    if (t.partitionBy.isEmpty) {
+      val remaining = existing.join(delKeys, keyCols, "left_anti")
+      writer(remaining, t, Nil, 4000000L).parquet(staging.toString)
+      swapAll(fs, t, ts, staging, new Path(t.dataPath))
+    } else {
+      val dataQ = fs.makeQualified(new Path(t.dataPath))
+      val affectedDirs = matched
+        .select(input_file_name().as("f")).distinct().collect()
+        .map(r => new Path(new java.net.URI(r.getString(0))).getParent)
+        .map { p =>
+          val rel = fs.makeQualified(p).toString
+            .stripPrefix(dataQ.toString).stripPrefix("/")
+          require(rel.nonEmpty && !rel.contains(":"),
+            s"failed to relativize affected partition dir $p against $dataQ")
+          rel
+        }.distinct.toSeq
+      // re-read ONLY the affected dirs (partition pruning by file path),
+      // drop matching keys, stage, swap
+      val affectedExisting = spark.read
+        .option("basePath", t.dataPath)
+        .parquet(affectedDirs.map(d => s"${t.dataPath}/$d"): _*)
+      val remaining = affectedExisting.join(delKeys, keyCols, "left_anti")
+      writer(remaining, t, Nil, 4000000L).parquet(staging.toString)
+      swapPartitions(fs, t, ts, staging, new Path(t.dataPath),
+        affectedDirs, t.partitionBy.length)
+    }
+    fs.delete(new Path(s"${t.path}/.staging"), true)
+    CommitLog(t, spark).logCommit(ts,
+      Map("table" -> t.name, "action" -> "delete"))
+    ts
+  }
+
   /** Time-travel read — the table as of commit `asOf` (inclusive):
     * `spark.read.format("hudi").option("as.of.instant", ts)` analog.
     *

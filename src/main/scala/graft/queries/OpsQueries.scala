@@ -96,6 +96,51 @@ object OpsQueries {
       .orderBy("order_id")
   }
 
+  /** Source-format roundtrips: parquet → CSV/JSON/ORC → back, each
+    * oracled against the original table (schemas explicit on read —
+    * no inference pass).
+    */
+  def sCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val nation = t(s, dir, "nation")
+    val out = s"${scratch("graft-csv")}/nation"
+    graft.sources.Formats.writeCsv(nation, out)
+    graft.sources.Formats.readCsv(s, out, nation.schema)
+      .orderBy("n_nationkey")
+  }
+
+  def sJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region")
+    val out = s"${scratch("graft-json")}/region"
+    graft.sources.Formats.writeJson(region, out)
+    graft.sources.Formats.readJson(s, out, region.schema)
+      .orderBy("r_regionkey")
+  }
+
+  def sOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val supplier = t(s, dir, "supplier")
+    val out = s"${scratch("graft-orc")}/supplier"
+    graft.sources.Formats.writeOrc(supplier, out)
+    graft.sources.Formats.readOrc(s, out)
+      .orderBy("s_suppkey")
+  }
+
+  /** Keyed hard delete as a materialized state: load orders into a COW
+    * table, delete every LOW-priority order by key, return the
+    * survivors (oracle: the complement).
+    */
+  def sDeleteKeys(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val table = KeyedTable("orders_del",
+      s"${scratch("graft-del")}/orders_del", Seq("o_orderkey"), "o_orderdate")
+    TableOps.upsert(s, table, orders)
+    TableOps.delete(s, table,
+      orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey"))
+    TableOps.snapshot(s, table)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
   /** As-of join (beyond-reference operator): each purchase event is
     * enriched with the user's most recent prior-or-equal view event.
     * Oracle: DuckDB's native ASOF JOIN.

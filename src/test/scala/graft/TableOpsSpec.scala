@@ -110,6 +110,37 @@ class TableOpsSpec extends SparkSuite {
     assert(inc === Set(("a", 2)), "latest version of changed key only")
   }
 
+  test("delete: keyed hard delete, partition-scoped, no-op on no match") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t,
+      rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2"), ("c", 1, "z", "p2"),
+        ("d", 1, "w", "p3")))
+    val fs = new org.apache.hadoop.fs.Path(t.dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtime(part: String): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"${t.dataPath}/part=$part"))
+        .map(_.getModificationTime).max
+    val p3Before = mtime("p3")
+    Thread.sleep(1100)
+    // delete 'a' (sole row of p1 → dir must go) and 'b' (p2 keeps 'c')
+    val ts = TableOps.delete(spark, t, Seq("a", "b").toDF("id"))
+    assert(ts.nonEmpty)
+    val snap = TableOps.snapshot(spark, t)
+      .select("id").as[String].collect().toSet
+    assert(snap === Set("c", "d"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${t.dataPath}/part=p1")),
+      "fully-deleted partition dir must be removed")
+    assert(mtime("p3") === p3Before, "untouched partition must not be rewritten")
+    // no matching keys: no commit
+    val commits = graft.tables.CommitLog(t, spark).listCommits().size
+    assert(TableOps.delete(spark, t, Seq("zzz").toDF("id")) === "")
+    assert(graft.tables.CommitLog(t, spark).listCommits().size === commits)
+    // deletion is itself a commit: time travel still sees 'a' before it
+    val preDelete = graft.tables.CommitLog(t, spark).listCommits().head
+    assert(TableOps.snapshotAsOf(spark, t, preDelete)
+      .select("id").as[String].collect().toSet === Set("a", "b", "c", "d"))
+  }
+
   test("time travel: snapshotAsOf reconstructs each commit's state (unpartitioned)") {
     val t = table(partitioned = false)
     val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
