@@ -287,6 +287,36 @@ object TableOps {
     ts
   }
 
+  /** Soft delete: upsert the matching rows back with `_deleted = true`.
+    * Unlike [[delete]], the tombstone IS a row version — incremental
+    * readers observe it as a normal change record (CDC-style), and a
+    * later upsert of the same key resurrects it (an incoming batch
+    * without the flag leaves `_deleted` null ⇒ active). Requires
+    * nothing of the table schema: the flag column appears via the
+    * upsert's additive schema evolution.
+    */
+  val DeletedCol = "_deleted"
+
+  def softDelete(spark: SparkSession, t: KeyedTable, keys: DataFrame): String = {
+    if (!exists(spark, t)) return ""
+    val matched = snapshot(spark, t)
+      .join(keys.select(t.recordKey.map(col): _*).distinct(),
+        t.recordKey, "left_semi")
+      .drop(KeyedTable.CommitCol)
+      .withColumn(DeletedCol, lit(true))
+    upsert(spark, t, matched)
+  }
+
+  /** Snapshot with soft-deleted rows filtered out (the read every
+    * consumer except CDC wants).
+    */
+  def snapshotActive(spark: SparkSession, t: KeyedTable): DataFrame = {
+    val snap = snapshot(spark, t)
+    if (snap.columns.contains(DeletedCol))
+      snap.filter(!coalesce(col(DeletedCol), lit(false)))
+    else snap
+  }
+
   /** Time-travel read — the table as of commit `asOf` (inclusive):
     * `spark.read.format("hudi").option("as.of.instant", ts)` analog.
     *

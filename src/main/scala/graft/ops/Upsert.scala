@@ -40,9 +40,14 @@ object Upsert {
       keys: Seq[String],
       precombine: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsert requires at least one key column")
-    val cols = existing.columns.toSeq
+    // Additive schema evolution (Hudi-style): a batch may carry columns
+    // the table lacks (and vice versa); the merged schema is the union,
+    // with absent values null.
+    val cols = existing.columns.toSeq ++
+      incoming.columns.filterNot(existing.columns.contains)
     val u = existing.withColumn("_src", lit(0))
-      .unionByName(incoming.withColumn("_src", lit(1)))
+      .unionByName(incoming.withColumn("_src", lit(1)),
+        allowMissingColumns = true)
     val ord = struct((precombine.map(col) :+ col("_src")): _*)
     val payload = struct(cols.map(col): _*)
     u.groupBy(keys.map(col): _*)

@@ -141,6 +141,38 @@ class TableOpsSpec extends SparkSuite {
       .select("id").as[String].collect().toSet === Set("a", "b", "c", "d"))
   }
 
+  test("schema evolution: upsert with a new column widens the table") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val widened = Seq(("b", 1, "y", "p1", "extra"))
+      .toDF("id", "ver", "payload", "part", "note")
+    TableOps.upsert(spark, t, widened)
+    val snap = TableOps.snapshot(spark, t)
+    assert(snap.columns.contains("note"))
+    val byId = snap.select("id", "note").as[(String, Option[String])]
+      .collect().toMap
+    assert(byId === Map("a" -> None, "b" -> Some("extra")))
+  }
+
+  test("soft delete: CDC-visible tombstone, active view hides, upsert resurrects") {
+    val t = table(partitioned = false)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
+    val ts2 = TableOps.softDelete(spark, t, Seq("a").toDF("id"))
+    assert(ts2.nonEmpty)
+    // full snapshot keeps the tombstoned version; active view hides it
+    assert(TableOps.snapshot(spark, t).count() === 2)
+    assert(TableOps.snapshotActive(spark, t)
+      .select("id").as[String].collect().toSeq === Seq("b"))
+    // incremental readers see the tombstone as a change record
+    val inc = TableOps.incremental(spark, t, ts1)
+      .select("id", TableOps.DeletedCol).as[(String, Boolean)].collect()
+    assert(inc === Array(("a", true)))
+    // a later plain upsert of the key resurrects it
+    TableOps.upsert(spark, t, rows(("a", 2, "x2", "p1")))
+    assert(TableOps.snapshotActive(spark, t)
+      .select("id").as[String].collect().toSet === Set("a", "b"))
+  }
+
   test("time travel: snapshotAsOf reconstructs each commit's state (unpartitioned)") {
     val t = table(partitioned = false)
     val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
