@@ -33,6 +33,7 @@ object SparkEntry {
     "a3_minmax"               -> (CoreQueries.a3Max _),
     "q1_agg"                  -> (CoreQueries.q1Agg _),
     "a_rollup"                -> (CoreQueries.aRollup _),
+    "a_collect_agg"           -> (CoreQueries.aCollectAgg _),
     "a_pivot"                 -> (CoreQueries.aPivot _),
     "o_topk_revenue"          -> (CoreQueries.oTopkRevenue _),
     "q5_multijoin"            -> (CoreQueries.q5MultiJoin _),
@@ -147,6 +148,12 @@ object SparkEntry {
         | count(*) AS count_order
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a_collect_agg" ->
+      """SELECT event_type,
+        | string_agg(DISTINCT CAST(user_id % 7 AS VARCHAR), ','
+        |   ORDER BY CAST(user_id % 7 AS VARCHAR)) AS users,
+        | count(DISTINCT user_id % 7) AS n_users
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | count(*) AS n,

@@ -185,6 +185,19 @@ object CoreQueries {
       .withColumnRenamed("O", "qty_o")
       .orderBy("l_returnflag")
 
+  /** Array/collection aggregation surface: collect_set → sorted →
+    * joined string (the deterministic, oracle-portable form of a list
+    * aggregate).
+    */
+  def aCollectAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"), pmod(col("user_id"), lit(7)).as("u"))
+      .groupBy("event_type")
+      .agg(array_join(array_sort(collect_set(col("u").cast(StringType))), ",")
+        .as("users"),
+        countDistinct(col("u")).as("n_users"))
+      .orderBy("event_type")
+
   /** Top-k after sort (O2's limit + ordering, on a revenue ranking).
     * Physically TakeOrderedAndProject — no global sort materialized.
     */
