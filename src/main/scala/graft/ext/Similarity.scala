@@ -139,7 +139,8 @@ object Similarity {
       nlist: Int, seed: Long = 42L): Seq[Seq[Double]] =
     corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("r", pmod(xxhash64(col("id") + lit(seed)), lit(1000003L)))
+      .withColumn("r", pmod(xxhash64(concat(col("id").cast("string"),
+        lit(s"#$seed"))), lit(1000003L)))
       .orderBy("r", "id").limit(nlist)
       .select("v").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
@@ -206,7 +207,10 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         VectorFunctions.dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .select("query_id", "neighbor_id", "cos").distinct()
+      // no distinct: each corpus row lives in exactly ONE list, so the
+      // join cannot duplicate (query, neighbor) pairs (unlike lshTopK's
+      // multi-table probing) - a dedup shuffle here would be dead work
+      .select("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -85,8 +85,7 @@ object TableOps {
     // batch whose key already committed is skipped entirely — the
     // foreachBatch + txn-manifest pattern.
     idempotencyKey.foreach { key =>
-      if (log.commitMetas().exists(_.get("idempotency_key").contains(key)))
-        return ""
+      if (log.hasIdempotencyKey(key)) return ""
     }
     // Emptiness guard — reference used count()>0 (a full scan,
     // create_hudi_tables.py:213); isEmpty touches one partition.
@@ -103,13 +102,13 @@ object TableOps {
       writer(stamped, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
       swapAll(fs, t, ts, staging, new Path(t.dataPath))
     } else if (t.partitionBy.isEmpty) {
-      val existing = spark.read.parquet(t.dataPath)
+      val existing = snapshot(spark, t)
       val merged = Upsert.merge(existing, stamped, t.recordKey,
         Seq(t.precombineKey, KeyedTable.CommitCol))
       writer(merged, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
       swapAll(fs, t, ts, staging, new Path(t.dataPath))
     } else {
-      val existing = spark.read.parquet(t.dataPath)
+      val existing = snapshot(spark, t)
       val keyCols = t.recordKey
       // Affected partitions = incoming's partitions ∪ partitions where an
       // incoming key already lives (key-moved-partition ⇒ old row must
@@ -156,9 +155,43 @@ object TableOps {
         affectedDirs, t.partitionBy.length)
     }
     fs.delete(new Path(s"${t.path}/.staging"), true)
-    log.logCommit(ts, Map("table" -> t.name) ++
+    // The authoritative table schema rides in the commit manifest
+    // (Delta/Hudi-style): partitioned reads then never depend on which
+    // file's footer gets sampled, evolved columns are visible from
+    // every partition, and an all-rows-deleted table stays readable.
+    val schemaJson = {
+      // Partition columns stay IN the manifest schema: reads then carry
+      // their declared types (no dir-name inference) and an emptied
+      // table keeps its full shape.
+      val evolved = stamped.schema.fields
+      val base = latestSchema(spark, t)
+        .map(_.fields)
+        .getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
+      org.apache.spark.sql.types.StructType(
+        base ++ evolved.filterNot(f => base.exists(_.name == f.name))).json
+    }
+    log.logCommit(ts, Map("table" -> t.name, "schema" -> schemaJson) ++
       idempotencyKey.map("idempotency_key" -> _))
+    idempotencyKey.foreach(log.recordIdempotencyKey)
     ts
+  }
+
+  /** Schema recorded by the latest commit (None for pre-schema tables —
+    * falls back to footer inference).
+    */
+  def latestSchema(spark: SparkSession, t: KeyedTable)
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaAt(spark, t, None)
+
+  private def schemaAt(spark: SparkSession, t: KeyedTable,
+      asOf: Option[String]): Option[org.apache.spark.sql.types.StructType] = {
+    val log = CommitLog(t, spark)
+    val commits = log.listCommits()
+    val pick = asOf.fold(commits.lastOption)(s => commits.filter(_ <= s).lastOption)
+    pick.flatMap(log.commitMeta).flatMap(_.get("schema")).map { j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
   }
 
   /** Archive a replaced dir under `.versions/{ts}/{rel}` (rename — no
@@ -229,7 +262,15 @@ object TableOps {
     * `data/` always-latest, so no dedup view is needed at read time.
     */
   def snapshot(spark: SparkSession, t: KeyedTable): DataFrame =
-    spark.read.parquet(t.dataPath)
+    latestSchema(spark, t) match {
+      case Some(sch) =>
+        // Manifest schema: uniform across partitions regardless of
+        // per-file footers (evolved columns null where absent), and an
+        // empty data dir still reads as an empty frame instead of
+        // failing schema inference.
+        spark.read.schema(sch).parquet(t.dataPath)
+      case None => spark.read.parquet(t.dataPath)
+    }
 
   /** Keyed hard delete — the Hudi `hoodie.datasource.write.operation=
     * delete` analog (and the GDPR/right-to-be-forgotten primitive a
@@ -248,7 +289,8 @@ object TableOps {
     if (!exists(spark, t)) return ""
     val keyCols = t.recordKey
     val delKeys = keys.select(keyCols.map(col): _*).distinct()
-    val existing = spark.read.parquet(t.dataPath)
+    val preSchema = latestSchema(spark, t)
+    val existing = snapshot(spark, t)
     val matched = existing.join(delKeys, keyCols, "left_semi")
     if (matched.isEmpty) return ""
     val ts = CommitLog.newCommitTs()
@@ -283,7 +325,8 @@ object TableOps {
     }
     fs.delete(new Path(s"${t.path}/.staging"), true)
     CommitLog(t, spark).logCommit(ts,
-      Map("table" -> t.name, "action" -> "delete"))
+      Map("table" -> t.name, "action" -> "delete") ++
+        preSchema.map("schema" -> _.json))
     ts
   }
 
@@ -394,9 +437,21 @@ object TableOps {
       reads += spark.read.option("basePath", base.toString)
         .parquet(m.values.map(_.toString).toSeq: _*)
     }
-    reads.result()
-      .reduce(_.unionByName(_, allowMissingColumns = false))
+    // allowMissingColumns: archives predating a schema evolution lack
+    // the evolved columns (null there); project to the as-of schema
+    // when one is recorded.
+    val unioned = reads.result()
+      .reduce(_.unionByName(_, allowMissingColumns = true))
       .filter(col(KeyedTable.CommitCol) <= lit(asOf))
+    schemaAt(spark, t, Some(asOf)) match {
+      case Some(sch) =>
+        val want = sch.fields.map(_.name) ++
+          t.partitionBy.filterNot(sch.fieldNames.contains)
+        unioned.select(want.collect {
+          case c if unioned.columns.contains(c) => col(c)
+        }.toSeq: _*)
+      case None => unioned
+    }
   }
 
   /** Incremental read — records whose latest version was committed in
@@ -441,7 +496,8 @@ object TableOps {
     swapAll(fs, t, ts, staging, new Path(t.dataPath))
     fs.delete(new Path(s"${t.path}/.staging"), true)
     CommitLog(t, spark).logCommit(ts,
-      Map("table" -> t.name, "action" -> "compact"))
+      Map("table" -> t.name, "action" -> "compact") ++
+        latestSchema(spark, t).map("schema" -> _.json))
     ts
   }
 
@@ -456,10 +512,11 @@ object TableOps {
     val fs = new Path(t.path).getFileSystem(conf)
     val staging = new Path(s"${t.path}/.staging")
     if (fs.exists(staging)) fs.delete(staging, true)
+    require(retainCommits >= 1, "retainCommits must be >= 1")
     val log = CommitLog(t, spark)
     val commits = log.listCommits()
     val cutoff = if (commits.size > retainCommits)
-      commits(commits.size - retainCommits) else ""
+      commits.takeRight(retainCommits).head else ""
     val versionsRoot = new Path(s"${t.path}/.versions")
     if (cutoff.nonEmpty && fs.exists(versionsRoot)) {
       fs.listStatus(versionsRoot)

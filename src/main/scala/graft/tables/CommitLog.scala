@@ -38,14 +38,64 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
   def latestCommit(): Option[String] = listCommits().lastOption
   def earliestCommit(): Option[String] = listCommits().headOption
 
-  /** Record a completed commit. `meta` is free-form (rows written, …). */
+  /** Record a completed commit. `meta` is free-form (rows written, …);
+    * values are JSON-escaped (the table schema rides in here).
+    */
   def logCommit(ts: String, meta: Map[String, String] = Map.empty): Unit = {
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val payload = (meta + ("commit_ts" -> ts))
-      .map { case (k, v) => s""""${k}": "${v}"""" }
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{", ", ", "}")
     val out = fs.create(new Path(dir, s"$ts.commit"), true)
     try out.write(payload.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Meta of one commit (None if the manifest is gone). */
+  def commitMeta(ts: String): Option[Map[String, String]] = {
+    val p = new Path(dir, s"$ts.commit")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val raw =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(raw) match {
+      case JObject(fields) =>
+        Some(fields.collect { case (k, JString(v)) => k -> v }.toMap)
+      case _ => Some(Map.empty)
+    }
+  }
+
+  /** O(1) idempotency-key registry: one empty marker file per key under
+    * `.commits/keys/`. Survives [[retain]] (the cleaner never touches
+    * it), so exactly-once holds beyond the manifest retention window —
+    * and an upsert's key probe is a single `exists()` instead of an
+    * O(#commits) manifest scan per micro-batch.
+    */
+  private def keyPath(key: String): Path = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    new Path(dir, s"keys/$h.key")
+  }
+
+  def hasIdempotencyKey(key: String): Boolean = fs.exists(keyPath(key))
+
+  def recordIdempotencyKey(key: String): Unit = {
+    val p = keyPath(key)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
   }
 
   /** Parsed metadata of every commit manifest (ascending commit order).

@@ -20,12 +20,19 @@ class EntrySpec extends SparkSuite {
   }
 
   test("cluster tuning profile applies (runtime confs set, static ones skipped)") {
-    val before = spark.conf.get("spark.sql.shuffle.partitions")
-    graft.conf.Tuning(spark, graft.conf.Tuning.clusterProfile(
-      shufflePartitions = 7))
-    assert(spark.conf.get("spark.sql.shuffle.partitions") === "7")
-    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
-    spark.conf.set("spark.sql.shuffle.partitions", before)
+    val profile = graft.conf.Tuning.clusterProfile(shufflePartitions = 7)
+    // the session is shared across suites: snapshot every touched conf
+    // and restore, or later plan-shape assertions go order-dependent
+    val before = profile.keys.map(k =>
+      k -> spark.conf.getOption(k)).toMap
+    try {
+      graft.conf.Tuning(spark, profile)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "7")
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+    } finally before.foreach {
+      case (k, Some(v)) => try spark.conf.set(k, v) catch { case _: Throwable => () }
+      case (k, None)    => try spark.conf.unset(k) catch { case _: Throwable => () }
+    }
   }
 
   test("every query EXECUTES end-to-end at sf0.001") {

@@ -173,6 +173,66 @@ class TableOpsSpec extends SparkSuite {
       .select("id").as[String].collect().toSet === Set("a", "b"))
   }
 
+  test("partitioned soft delete: tombstones hidden regardless of footer sampling") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2")))
+    // only p1 is rewritten with the _deleted column; p2's files lack it
+    TableOps.softDelete(spark, t, Seq("a").toDF("id"))
+    val snap = TableOps.snapshot(spark, t)
+    assert(snap.columns.contains(TableOps.DeletedCol),
+      "manifest schema must expose evolved columns from every partition")
+    assert(TableOps.snapshotActive(spark, t)
+      .select("id").as[String].collect().toSeq === Seq("b"))
+  }
+
+  test("time travel works after partitioned schema evolution") {
+    val t = table(partitioned = true)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2")))
+    val ts2 = TableOps.upsert(spark, t, Seq(("a", 2, "x2", "p1", "n1"))
+      .toDF("id", "ver", "payload", "part", "note"))
+    TableOps.upsert(spark, t, Seq(("a", 3, "x3", "p1", "n2"))
+      .toDF("id", "ver", "payload", "part", "note"))
+    // as of ts2: current p2 (no note) unions archived p1 (has note)
+    val at2 = TableOps.snapshotAsOf(spark, t, ts2)
+      .select("id", "ver").as[(String, Int)].collect().toSet
+    assert(at2 === Set(("a", 2), ("b", 1)))
+    val at1 = TableOps.snapshotAsOf(spark, t, ts1)
+      .select("id", "ver").as[(String, Int)].collect().toSet
+    assert(at1 === Set(("a", 1), ("b", 1)))
+  }
+
+  test("deleting every row leaves a readable empty table") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2")))
+    val ts = TableOps.delete(spark, t, Seq("a", "b").toDF("id"))
+    assert(ts.nonEmpty)
+    assert(TableOps.snapshot(spark, t).count() === 0)
+    // and the table accepts a fresh upsert afterwards
+    TableOps.upsert(spark, t, rows(("c", 1, "z", "p1")))
+    assert(TableOps.snapshot(spark, t).select("id").as[String].collect()
+      === Array("c"))
+  }
+
+  test("clean input validation") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    intercept[IllegalArgumentException] {
+      TableOps.clean(spark, t, retainCommits = 0)
+    }
+  }
+
+  test("idempotency keys survive the cleaner") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")),
+      idempotencyKey = Some("b1"))
+    TableOps.upsert(spark, t, rows(("a", 2, "x", "p1")))
+    TableOps.upsert(spark, t, rows(("a", 3, "x", "p1")))
+    TableOps.clean(spark, t, retainCommits = 1)
+    // manifest for b1's commit is gone, but the key registry remembers
+    assert(TableOps.upsert(spark, t, rows(("a", 9, "x", "p1")),
+      idempotencyKey = Some("b1")) === "")
+  }
+
   test("time travel: snapshotAsOf reconstructs each commit's state (unpartitioned)") {
     val t = table(partitioned = false)
     val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
