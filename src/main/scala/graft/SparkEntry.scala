@@ -52,6 +52,7 @@ object SparkEntry {
     "sim_cosine_topk"         -> (ExtQueries.simCosineTopk _),
     "sim_lsh_topk"            -> (ExtQueries.simLshTopk _),
     "sim_ivf_topk"            -> (ExtQueries.simIvfTopk _),
+    "sim_vector_dim_stats"    -> (ExtQueries.simVectorDimStats _),
     "sim_cosine_neardup"      -> (ExtQueries.simCosineNeardup _),
     "text_stats"              -> (ExtQueries.textStats _),
     "text_quality"            -> (ExtQueries.textQuality _),
@@ -248,6 +249,13 @@ object SparkEntry {
         | JOIN sz sb ON sb.doc_id = id_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
         | ORDER BY id_a, id_b""".stripMargin,
+    "sim_vector_dim_stats" ->
+      """SELECT label, i - 1 AS dim,
+        | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v,
+        | round(max(CAST(embedding[i] AS DOUBLE)), 6) AS max_v,
+        | count(*) AS n
+        | FROM embeddings, range(1, 9) AS t(i)
+        | GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "sim_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

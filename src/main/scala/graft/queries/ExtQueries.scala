@@ -97,6 +97,21 @@ object ExtQueries {
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
 
+  /** Per-dimension embedding statistics by label (posexplode over the
+    * vector column + grouped aggregates — the feature-statistics pass an
+    * embedding pipeline runs before normalization). Rounded to 6
+    * decimals for cross-engine float parity.
+    */
+  def simVectorDimStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .filter(col("dim") < 8)
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v").cast("double")), 6).as("mean_v"),
+        round(max(col("v").cast("double")), 6).as("max_v"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "dim")
+
   // ———————————————————————————————————————— text analysis
 
   def textStats(s: SparkSession, dir: String): DataFrame =
