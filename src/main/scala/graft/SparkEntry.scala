@@ -213,7 +213,7 @@ object SparkEntry {
         | FROM orders ORDER BY o_orderkey""".stripMargin,
     "f6_json" ->
       """SELECT event_type,
-        | sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         | count(*) AS n
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s2_incremental_read" ->
