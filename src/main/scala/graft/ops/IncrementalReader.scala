@@ -48,8 +48,18 @@ final class IncrementalReader(store: CheckpointStore) {
         Increment(df, Some(cp))
       case _ =>
         // Nothing new: empty frame with the table's schema, checkpoint
-        // untouched (I5, incremental_etl_orders.py:252-264).
-        val schema = TableOps.snapshot(spark, t).schema
+        // untouched (I5, incremental_etl_orders.py:252-264). A table
+        // that is registered but has never been written has no data dir
+        // yet (Loaders INC mode before the source's first commit) — its
+        // schema comes from the manifest if any, else a keys-only
+        // placeholder, instead of a PATH_NOT_FOUND crash (ADVICE r1).
+        val schema =
+          if (TableOps.exists(spark, t)) TableOps.snapshot(spark, t).schema
+          else TableOps.latestSchema(spark, t).getOrElse(
+            org.apache.spark.sql.types.StructType(
+              (t.recordKey :+ t.precombineKey).distinct.map(c =>
+                org.apache.spark.sql.types.StructField(c,
+                  org.apache.spark.sql.types.StringType))))
         Increment(
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
           None)

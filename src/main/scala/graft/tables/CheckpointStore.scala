@@ -38,9 +38,16 @@ final class CheckpointStore(root: String, conf: Configuration) {
         "table_name"            -> JString(cp.tableName),
         "path"                  -> JString(cp.path),
         "inserted_time"         -> JString(cp.insertedTime)))
-    val out = fs.create(keyPath(cp.tableName), true)
+    // Write-then-rename so a crash mid-write never leaves a truncated
+    // checkpoint at the final path (same discipline as CommitLog).
+    val dest = keyPath(cp.tableName)
+    val tmp = new Path(dest.getParent, s".${dest.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"checkpoint rename failed: $tmp → $dest")
   }
 
   /** item_exists analog (incremental_etl_orders.py:93-99). */
@@ -55,13 +62,19 @@ final class CheckpointStore(root: String, conf: Configuration) {
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         StandardCharsets.UTF_8)
       finally in.close()
-    val j = JsonMethods.parse(raw)
-    def s(field: String): String = j \ field match {
-      case JString(v) => v
-      case _          => ""
+    try {
+      val j = JsonMethods.parse(raw)
+      def s(field: String): String = j \ field match {
+        case JString(v) => v
+        case _          => ""
+      }
+      Some(Checkpoint(s("last_processed_commit"), s("table_name"), s("path"),
+        s("inserted_time")))
+    } catch {
+      case _: Exception =>
+        System.err.println(s"graft: skipping unparseable checkpoint $p")
+        None
     }
-    Some(Checkpoint(s("last_processed_commit"), s("table_name"), s("path"),
-      s("inserted_time")))
   }
 
   /** delete_object analog (incremental_etl_orders.py:130-133). */

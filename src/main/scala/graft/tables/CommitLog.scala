@@ -54,12 +54,24 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     val payload = (meta + ("commit_ts" -> ts))
       .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{", ", ", "}")
-    val out = fs.create(new Path(dir, s"$ts.commit"), true)
+    // Write-then-rename: a crash mid-write must never leave a truncated
+    // manifest at the final path (readers treat *.commit files as
+    // authoritative; see also the unparseable-manifest tolerance in
+    // commitMeta).
+    val tmp = new Path(dir, s".$ts.commit.tmp")
+    val out = fs.create(tmp, true)
     try out.write(payload.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    val dest = new Path(dir, s"$ts.commit")
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"manifest rename failed: $tmp → $dest")
   }
 
-  /** Meta of one commit (None if the manifest is gone). */
+  /** Meta of one commit (None if the manifest is gone or unparseable —
+    * a truncated file from a legacy pre-rename writer must not brick
+    * every subsequent read).
+    */
   def commitMeta(ts: String): Option[Map[String, String]] = {
     val p = new Path(dir, s"$ts.commit")
     if (!fs.exists(p)) return None
@@ -68,12 +80,20 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         StandardCharsets.UTF_8)
       finally in.close()
+    parseMeta(raw, p)
+  }
+
+  private def parseMeta(raw: String, p: Path): Option[Map[String, String]] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    JsonMethods.parse(raw) match {
+    try JsonMethods.parse(raw) match {
       case JObject(fields) =>
         Some(fields.collect { case (k, JString(v)) => k -> v }.toMap)
       case _ => Some(Map.empty)
+    } catch {
+      case _: Exception =>
+        System.err.println(s"graft: skipping unparseable commit manifest $p")
+        None
     }
   }
 
@@ -102,23 +122,8 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     * Driver-side read of kilobyte files — used for idempotency-key
     * lookups, never on a data path.
     */
-  def commitMetas(): Seq[Map[String, String]] = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    listCommits().map { ts =>
-      val in = fs.open(new Path(dir, s"$ts.commit"))
-      val raw =
-        try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in),
-          StandardCharsets.UTF_8)
-        finally in.close()
-      JsonMethods.parse(raw) match {
-        case JObject(fields) =>
-          fields.collect { case (k, JString(v)) => k -> v }.toMap
-        case _ => Map.empty[String, String]
-      }
-    }
-  }
+  def commitMetas(): Seq[Map[String, String]] =
+    listCommits().flatMap(commitMeta)
 
   /** Drop the oldest commit manifests, keeping `keep` (cleaner support —
     * reference: hoodie.cleaner KEEP_LATEST_FILE_VERSIONS,

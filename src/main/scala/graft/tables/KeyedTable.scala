@@ -17,14 +17,27 @@ package graft.tables
   * Scale note: hive-style partition dirs keep partition pruning
   * directory-level at 100 TB; the record key is the unit of upsert
   * matching and must be unique in the latest snapshot (enforced by
-  * [[graft.ops.Upsert]]).
+  * [[graft.ops.Upsert]]) — per partition by default, globally when
+  * `globalIndex` is set.
+  *
+  * `globalIndex` ↔ hoodie.index.type GLOBAL_BLOOM vs BLOOM
+  * (create_hudi_tables.py:116): with the default `false`, upsert key
+  * matching is PARTITION-SCOPED — an incoming key is merged only
+  * against its own partition, and a key written under a new partition
+  * value coexists with its old row (Hudi's default BLOOM behavior;
+  * upsert cost is proportional to the increment's partition footprint).
+  * With `true`, a key is unique table-wide and an upsert moves it
+  * between partitions, with old-home discovery served by the persisted
+  * bucketed [[KeyIndex]] under `.commits/index/` — never by scanning
+  * the table.
   */
 final case class KeyedTable(
     name: String,
     path: String,
     recordKey: Seq[String],
     precombineKey: String,
-    partitionBy: Seq[String] = Nil) {
+    partitionBy: Seq[String] = Nil,
+    globalIndex: Boolean = false) {
   require(recordKey.nonEmpty, "recordKey must be nonempty")
   def dataPath: String = s"$path/data"
   def commitsPath: String = s"$path/.commits"

@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
 class TableOpsSpec extends SparkSuite {
   import spark.implicits._
 
-  private def table(partitioned: Boolean) = {
+  private def table(partitioned: Boolean, global: Boolean = false) = {
     val base = tmpDir("graft-tableops")
     KeyedTable("t", s"$base/t", Seq("id"), "ver",
-      if (partitioned) Seq("part") else Nil)
+      if (partitioned) Seq("part") else Nil, globalIndex = global)
   }
 
   private def rows(rs: (String, Int, String, String)*) =
@@ -53,8 +53,8 @@ class TableOpsSpec extends SparkSuite {
     assert(CommitLog(t, spark).listCommits().size === 1)
   }
 
-  test("partitioned: only affected partitions rewritten; key move deletes old row") {
-    val t = table(partitioned = true)
+  test("partitioned GLOBAL: only affected partitions rewritten; key move deletes old row") {
+    val t = table(partitioned = true, global = true)
     TableOps.upsert(spark, t,
       rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2"), ("c", 1, "z", "p3")))
     val fs = new org.apache.hadoop.fs.Path(t.dataPath)
@@ -76,7 +76,8 @@ class TableOpsSpec extends SparkSuite {
     // month='01' is written as dir month=01 but read back (inferred) as
     // int 1 — the moved-key delete must target the real on-disk dir.
     val base = tmpDir("graft-numpart")
-    val t = KeyedTable("np", s"$base/np", Seq("id"), "ver", Seq("month"))
+    val t = KeyedTable("np", s"$base/np", Seq("id"), "ver", Seq("month"),
+      globalIndex = true)
     def rows2(rs: (String, Int, String)*) = rs.toDF("id", "ver", "month")
     TableOps.upsert(spark, t, rows2(("a", 1, "01"), ("b", 1, "02")))
     // 'a' moves month 01 → 02; the emptied month=01 dir must go
@@ -249,7 +250,7 @@ class TableOpsSpec extends SparkSuite {
   }
 
   test("time travel: partitioned, across a key move and a new partition") {
-    val t = table(partitioned = true)
+    val t = table(partitioned = true, global = true)
     val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2")))
     val ts2 = TableOps.upsert(spark, t, rows(("a", 2, "x2", "p2"), ("c", 1, "z", "p3")))
     def at(ts: String) = TableOps.snapshotAsOf(spark, t, ts)
@@ -283,6 +284,54 @@ class TableOpsSpec extends SparkSuite {
     val dropped = TableOps.clean(spark, t, retainCommits = 2)
     assert(dropped === Seq(ts1))
     assert(CommitLog(t, spark).listCommits() === Seq(ts2, ts3))
+  }
+
+  test("delete across schema evolution keeps evolved columns and partition identity") {
+    // ADVICE r1: the partitioned-delete re-read must use the manifest
+    // schema — footer sampling could drop evolved columns and partition
+    // inference could rewrite month='01' as month=1.
+    val base = tmpDir("graft-delevo")
+    val t = KeyedTable("de", s"$base/de", Seq("id"), "ver", Seq("month"))
+    def r(rs: (String, Int, String)*) = rs.toDF("id", "ver", "month")
+    TableOps.upsert(spark, t, r(("a", 1, "01"), ("b", 1, "02"), ("c", 1, "02")))
+    // evolve: note column lands only in month=01's files
+    TableOps.upsert(spark, t, Seq(("d", 1, "01", "n1"))
+      .toDF("id", "ver", "month", "note"))
+    // delete across both partitions (02's files lack the evolved column)
+    TableOps.delete(spark, t, Seq("a", "b").toDF("id"))
+    val snap = TableOps.snapshot(spark, t)
+    assert(snap.columns.contains("note"), "evolved column must survive delete")
+    val byId = snap.select("id", "note", "month")
+      .as[(String, Option[String], String)].collect().toSet
+    assert(byId === Set(("c", None, "02"), ("d", Some("n1"), "01")),
+      "numeric-string partition identity must survive the rewrite")
+  }
+
+  test("a truncated commit manifest does not brick reads") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a later, garbage manifest (simulated partial write by a legacy writer)
+    val bad = new org.apache.hadoop.fs.Path(
+      s"${t.commitsPath}/${CommitLog.newCommitTs()}.commit")
+    val out = fs.create(bad, true)
+    out.write("""{"table": "t", "schema": "{\"truncat""".getBytes)
+    out.close()
+    // snapshot falls back past the unparseable manifest; upsert still works
+    assert(TableOps.snapshot(spark, t).count() === 1)
+    TableOps.upsert(spark, t, rows(("b", 1, "y", "p1")))
+    assert(TableOps.snapshot(spark, t).count() === 2)
+  }
+
+  test("incremental read of a registered-but-never-written table is an empty increment") {
+    val base = tmpDir("graft-nowrite")
+    val t = KeyedTable("nw", s"$base/nw", Seq("id"), "ver")
+    val store = graft.tables.CheckpointStore(s"$base/ckpt", spark)
+    val inc = new graft.ops.IncrementalReader(store).read(spark, t)
+    assert(inc.df.isEmpty)
+    assert(inc.advanceTo.isEmpty)
+    assert(inc.df.columns.contains("id"))
   }
 
   test("commit timestamps are strictly monotonic") {
