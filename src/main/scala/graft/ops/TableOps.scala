@@ -9,12 +9,33 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 /** Physical table lifecycle for a [[graft.tables.KeyedTable]]: COW upsert
   * writes, snapshot reads, incremental reads, clustering, cleaning.
   *
-  * Storage layout (SURVEY.md §1): plain parquet under `{path}/data`
-  * (hive-style partition dirs when partitioned), every row stamped with
-  * `_commit_ts` — so snapshot reads are a vanilla parquet scan and
-  * incremental reads are a pushed-down string-range predicate, with zero
-  * custom datasource code. The Hudi features the reference turns on map
-  * to:
+  * Storage layout (SURVEY.md §1): immutable per-commit parquet dirs under
+  * `{path}/data/{commitTs}` (hive-style partition dirs inside when
+  * partitioned), every row stamped with `_commit_ts`. Each commit
+  * manifest (`.commits/{ts}.commit`) carries the FULL partition→version
+  * map (`parts`): which commit dir currently owns each partition.
+  * Readers resolve the newest manifest and read exactly the referenced
+  * dirs — a manifest-pointer commit protocol (Delta/Iceberg-style):
+  *
+  *   - Writers only ADD files (a new `data/{ts}` dir) and then publish
+  *     one small manifest. No data file or dir is ever renamed or
+  *     mutated, so the protocol is safe on object stores where dir
+  *     rename is non-atomic copy+delete (the reference deploys on
+  *     exactly such storage: s3a://MinIO,
+  *     incremental_etl_orders.py:56-63).
+  *   - The manifest itself appears atomically everywhere: single-file
+  *     temp+rename on POSIX/HDFS (rename-atomic), single-object PUT
+  *     a.k.a. copy-then-delete on S3 (the destination never exists in
+  *     partial form). A reader that races a crashed writer sees either
+  *     the old manifest or the new one — never a half-commit; an
+  *     unfinished `data/{ts}` dir is invisible because nothing
+  *     references it, and a truncated manifest is skipped (see
+  *     [[graft.tables.CommitLog.commitMeta]]).
+  *   - No `_latest` pointer file: commit listing (strongly consistent
+  *     on S3 since 2020 and on every FS) already yields the newest
+  *     manifest, and a pointer could only lag it.
+  *
+  * The Hudi features the reference turns on map to:
   *
   *   - gzip parquet + file sizing (create_hudi_tables.py:131,171-174)
   *     → `parquet.compression` + `maxRecordsPerFile` write options
@@ -22,13 +43,11 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
   *     → parquet bloom filters on the record key columns
   *   - clustering sort (create_hudi_tables.py:157-163)
   *     → `repartitionByRange().sortWithinPartitions()` before write
-  *   - cleaner (create_hudi_tables.py:141-148) → [[clean]]
+  *   - cleaner (create_hudi_tables.py:141-148) → [[clean]] (drops
+  *     data dirs no retained manifest references)
   *
   * Concurrency: single-writer per table (the reference only enables OCC
-  * for metadata indexing; SURVEY.md §2k). Writes stage to
-  * `{path}/.staging/{ts}` and swap via FS rename, so concurrent *readers*
-  * of `data/` never observe a half-written snapshot on rename-atomic
-  * filesystems (HDFS/local; on S3 use a manifest-commit layer).
+  * for metadata indexing; SURVEY.md §2k); readers are always safe.
   */
 object TableOps {
 
@@ -54,10 +73,12 @@ object TableOps {
     w
   }
 
-  def exists(spark: SparkSession, t: KeyedTable): Boolean = {
-    val p = new Path(t.dataPath)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  /** A table exists once it has a published commit (an orphan data dir
+    * from a crashed first write references nothing and counts as
+    * nonexistent).
+    */
+  def exists(spark: SparkSession, t: KeyedTable): Boolean =
+    currentParts(spark, t, None).isDefined
 
   /** Partition-pruning predicate selecting exactly the given partition
     * tuples. O(1) expression depth regardless of tuple count: a single
@@ -82,21 +103,136 @@ object TableOps {
       ColumnBridge.column(In(probe, lits))
     }
 
+  // ————————————————————————————— manifest parts map (rel → commit dir)
+
+  /** Key under which the partition→version map rides in the manifest;
+    * rel "" denotes the whole (unpartitioned) table.
+    */
+  private val PartsKey = "parts"
+
+  private def partsJson(parts: Map[String, String]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(parts))
+  }
+
+  private def partsOf(meta: Map[String, String])
+      : Option[Map[String, String]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    meta.get(PartsKey).flatMap { raw =>
+      try JsonMethods.parse(raw) match {
+        case JObject(fields) =>
+          Some(fields.collect { case (k, JString(v)) => k -> v }.toMap)
+        case _ => None
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** The partition→version map as of `asOf` (latest when None): newest
+    * manifest at or before `asOf` that parses and carries a map.
+    */
+  private def currentParts(spark: SparkSession, t: KeyedTable,
+      asOf: Option[String]): Option[Map[String, String]] = {
+    val log = CommitLog(t, spark)
+    val commits = log.listCommits()
+    val candidates = asOf.fold(commits)(s => commits.filter(_ <= s))
+    candidates.reverseIterator
+      .flatMap(ts => log.commitMeta(ts).flatMap(partsOf))
+      .nextOption()
+  }
+
+  /** Read the table state a parts map describes. Reads are grouped per
+    * owning commit dir so partition-column parsing gets a consistent
+    * basePath; with a manifest schema the partition columns keep their
+    * declared types (no dir-name inference).
+    */
+  private def readParts(spark: SparkSession, t: KeyedTable,
+      parts: Map[String, String], sch: Option[StructType]): DataFrame =
+    if (parts.isEmpty) {
+      val s = sch.getOrElse(throw new IllegalStateException(
+        s"table ${t.name}: empty parts map and no manifest schema"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    } else if (t.partitionBy.isEmpty) {
+      val ver = parts("")
+      sch.foldLeft(spark.read)((r, s) => r.schema(s))
+        .parquet(s"${t.dataPath}/$ver")
+    } else {
+      parts.groupBy(_._2).map { case (ver, m) =>
+        sch.foldLeft(spark.read)((r, s) => r.schema(s))
+          .option("basePath", s"${t.dataPath}/$ver")
+          .parquet(m.keys.toSeq.sorted.map(rel => s"${t.dataPath}/$ver/$rel"): _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+
+  /** Current absolute dir per partition rel (rel "" when unpartitioned)
+    * — ops/test introspection, metadata-sized.
+    */
+  def partitionDirs(spark: SparkSession, t: KeyedTable): Map[String, String] =
+    currentParts(spark, t, None).getOrElse(Map.empty)
+      .map { case (rel, ver) =>
+        rel -> (if (rel.isEmpty) s"${t.dataPath}/$ver"
+                else s"${t.dataPath}/$ver/$rel")
+      }
+
+  /** Partition rels present under a freshly-written commit dir (Seq("")
+    * for unpartitioned). listStatus returns scheme-qualified paths;
+    * qualify the prefix the same way or relativization silently fails.
+    */
+  private def relsOf(fs: FileSystem, dir: Path, depth: Int): Seq[String] =
+    if (depth == 0) Seq("")
+    else {
+      def walk(p: Path, level: Int): Seq[Path] =
+        if (level == 0) Seq(p)
+        else if (!fs.exists(p)) Nil
+        else fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+          .flatMap(st => walk(st.getPath, level - 1))
+      val dirQ = fs.makeQualified(dir)
+      walk(dirQ, depth).map { leaf =>
+        val rel = leaf.toString.stripPrefix(dirQ.toString).stripPrefix("/")
+        require(rel.nonEmpty && !rel.contains(":"),
+          s"failed to relativize staged partition dir $leaf against $dirQ")
+        rel
+      }
+    }
+
+  /** ver → rel of the data files backing `rows`, via `input_file_name`
+    * — authoritative (re-formatting collected partition VALUES can
+    * change their string identity: month='01' read back as int 1 would
+    * reconstruct a nonexistent `month=1` dir). Metadata-sized collect
+    * (one row per affected partition dir).
+    */
+  private def backingRels(spark: SparkSession, t: KeyedTable,
+      fs: FileSystem, rows: DataFrame): Map[String, String] = {
+    val dataQ = fs.makeQualified(new Path(t.dataPath))
+    rows.select(input_file_name().as("f")).distinct().collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).getParent)
+      .map { p =>
+        val verRel = fs.makeQualified(p).toString
+          .stripPrefix(dataQ.toString).stripPrefix("/")
+        require(verRel.nonEmpty && !verRel.contains(":"),
+          s"failed to relativize affected partition dir $p against $dataQ")
+        val (ver, rel) = verRel.span(_ != '/')
+        rel.stripPrefix("/") -> ver
+      }.toMap
+  }
+
   /** Upsert `incoming` into table `t` — the engine's
     * `df.write.format("hudi").mode("append")` analog
     * (create_hudi_tables.py:218-221). Returns the commit timestamp.
     *
     * Partitioned tables get a *partition-scoped* COW rewrite: only
-    * affected partitions are merged and swapped; untouched partitions
-    * are not read, not rewritten, and not moved. By default (Hudi BLOOM
-    * semantics) the affected set is exactly the increment's own
-    * partitions and keys match within their partition. With
-    * `t.globalIndex` (GLOBAL_BLOOM semantics, create_hudi_tables.py:116)
-    * a key is matched table-wide and its old partition joins the
-    * affected set — discovered via the persisted [[KeyIndex]], not a
-    * table scan. Either way, at 100 TB with daily increments the
-    * rewrite cost is proportional to the increment's partition
-    * footprint, not the table.
+    * affected partitions are merged and rewritten (into the new commit
+    * dir); untouched partitions stay owned by their current dirs and
+    * are not read. By default (Hudi BLOOM semantics) the affected set
+    * is exactly the increment's own partitions and keys match within
+    * their partition. With `t.globalIndex` (GLOBAL_BLOOM semantics,
+    * create_hudi_tables.py:116) a key is matched table-wide and its old
+    * partition joins the affected set — discovered via the persisted
+    * [[KeyIndex]], not a table scan. Either way, at 100 TB with daily
+    * increments the rewrite cost is proportional to the increment's
+    * partition footprint, not the table.
     */
   def upsert(
       spark: SparkSession,
@@ -123,105 +259,100 @@ object TableOps {
     val stamped = deduped.withColumn(KeyedTable.CommitCol, lit(ts))
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
-    val staging = new Path(s"${t.path}/.staging/$ts")
-
-    if (!exists(spark, t)) {
-      writer(stamped, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
-      swapAll(fs, t, ts, staging, new Path(t.dataPath))
-      if (t.globalIndex && t.partitionBy.nonEmpty)
-        KeyIndex.rebuild(spark, t, snapshot(spark, t))
-    } else if (t.partitionBy.isEmpty) {
-      val existing = snapshot(spark, t)
-      val merged = Upsert.merge(existing, stamped, t.recordKey,
-        Seq(t.precombineKey, KeyedTable.CommitCol))
-      writer(merged, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
-      swapAll(fs, t, ts, staging, new Path(t.dataPath))
-    } else {
-      val existing = snapshot(spark, t)
-      val keyCols = t.recordKey
-      // Affected partitions: the increment's own partitions — plus, for
-      // GLOBAL tables, the partitions where an incoming key already
-      // lives (key-moved-partition ⇒ old row must go). Old homes come
-      // from the persisted bucketed KeyIndex, NEVER from a snapshot
-      // scan: at 100 TB with daily increments a full-table semi-join
-      // per upsert is the dominant cost (VERDICT r1 #2). Distinct
-      // partition values are tiny; collecting them is metadata-sized.
-      val incomingParts =
-        stamped.select(t.partitionBy.map(col): _*).distinct()
-      val affectedDf =
-        if (!t.globalIndex) incomingParts.distinct()
-        else {
-          if (!KeyIndex.exists(spark, t))
-            KeyIndex.rebuild(spark, t, existing) // one-time bootstrap scan
-          incomingParts
-            .union(KeyIndex.lookupPartitions(spark, t, stamped))
-            .distinct()
-        }
-      val affected = affectedDf.collect()
-      val partFilter =
-        partitionPredicate(t.partitionBy, affectedDf.schema, affected)
-      // Partition pruning keeps this scan to the affected directories.
-      val affectedExisting = existing.filter(partFilter)
-      // Partition-scoped matching merges a key only against its own
-      // partition (the partition columns join the merge key — Hudi
-      // BLOOM default); GLOBAL matching merges table-wide.
-      val mergeKeys =
-        if (t.globalIndex) keyCols
-        else (t.partitionBy ++ keyCols).distinct
-      val merged = Upsert.merge(affectedExisting, stamped, mergeKeys,
-        Seq(t.precombineKey, KeyedTable.CommitCol))
-      writer(merged, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
-      // Affected ON-DISK dirs come from the files actually backing the
-      // affected rows (input_file_name), NOT from re-formatting the
-      // collected partition values: read-back partition-type inference
-      // can change the value's string form (month='01' read as int 1,
-      // timestamps gaining '.0'), and a reconstructed 'month=1' would
-      // silently miss the real 'month=01' dir — leaving a moved key's
-      // stale row alive. File paths are authoritative.
-      val dataQ = fs.makeQualified(new Path(t.dataPath))
-      val affectedDirs = affectedExisting
-        .select(input_file_name().as("f")).distinct().collect()
-        .map(r => new Path(new java.net.URI(r.getString(0))).getParent)
-        .map { p =>
-          val rel = fs.makeQualified(p).toString
-            .stripPrefix(dataQ.toString).stripPrefix("/")
-          require(rel.nonEmpty && !rel.contains(":"),
-            s"failed to relativize affected partition dir $p against $dataQ")
-          rel
-        }.distinct.toSeq
-      swapPartitions(fs, t, ts, staging, new Path(t.dataPath),
-        affectedDirs, t.partitionBy.length)
-      // GLOBAL tables: record the new home partition of every key this
-      // commit wrote. Reading back just-committed rows (partition-pruned
-      // + _commit_ts pushdown) is exact — a key whose EXISTING row won
-      // the precombine keeps its old home and needs no index change.
-      if (t.globalIndex)
-        KeyIndex.update(spark, t,
-          snapshot(spark, t).filter(partFilter)
-            .filter(col(KeyedTable.CommitCol) === lit(ts)))
-    }
-    fs.delete(new Path(s"${t.path}/.staging"), true)
+    val dest = new Path(s"${t.dataPath}/$ts")
+    val oldParts = currentParts(spark, t, None)
     // The authoritative table schema rides in the commit manifest
-    // (Delta/Hudi-style): partitioned reads then never depend on which
-    // file's footer gets sampled, evolved columns are visible from
-    // every partition, and an all-rows-deleted table stays readable.
-    val schemaJson = {
-      // Partition columns stay IN the manifest schema: reads then carry
-      // their declared types (no dir-name inference) and an emptied
-      // table keeps its full shape.
+    // (Delta/Hudi-style): reads never depend on which file's footer
+    // gets sampled, evolved columns are visible from every partition,
+    // and an all-rows-deleted table stays readable. Partition columns
+    // stay IN the schema: reads then carry their declared types (no
+    // dir-name inference).
+    val mergedSchema = {
       val evolved = stamped.schema.fields
       val base = latestSchema(spark, t)
         .map(_.fields)
         .getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
-      org.apache.spark.sql.types.StructType(
-        base ++ evolved.filterNot(f => base.exists(_.name == f.name))).json
+      StructType(
+        base ++ evolved.filterNot(f => base.exists(_.name == f.name)))
+    }
+
+    val newParts: Map[String, String] = oldParts match {
+      case None =>
+        writer(stamped, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
+        relsOf(fs, dest, t.partitionBy.length).map(_ -> ts).toMap
+      case Some(_) if t.partitionBy.isEmpty =>
+        val existing = snapshot(spark, t)
+        val merged = Upsert.merge(existing, stamped, t.recordKey,
+          Seq(t.precombineKey, KeyedTable.CommitCol))
+        writer(merged, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
+        Map("" -> ts)
+      case Some(old) =>
+        val existing = snapshot(spark, t)
+        val keyCols = t.recordKey
+        // Affected partitions: the increment's own partitions — plus,
+        // for GLOBAL tables, the partitions where an incoming key
+        // already lives (key-moved-partition ⇒ old row must go). Old
+        // homes come from the persisted bucketed KeyIndex, NEVER from
+        // a snapshot scan: at 100 TB with daily increments a
+        // full-table semi-join per upsert is the dominant cost
+        // (VERDICT r1 #2). Distinct partition values are tiny;
+        // collecting them is metadata-sized.
+        val incomingParts =
+          stamped.select(t.partitionBy.map(col): _*).distinct()
+        val affectedDf =
+          if (!t.globalIndex) incomingParts.distinct()
+          else {
+            if (!KeyIndex.exists(spark, t))
+              KeyIndex.rebuild(spark, t, existing) // one-time bootstrap scan
+            incomingParts
+              .union(KeyIndex.lookupPartitions(spark, t, stamped))
+              .distinct()
+          }
+        val affected = affectedDf.collect()
+        val partFilter =
+          partitionPredicate(t.partitionBy, affectedDf.schema, affected)
+        // Partition pruning keeps this scan to the affected dirs.
+        val affectedExisting = existing.filter(partFilter)
+        // Partition-scoped matching merges a key only against its own
+        // partition (the partition columns join the merge key — Hudi
+        // BLOOM default); GLOBAL matching merges table-wide.
+        val mergeKeys =
+          if (t.globalIndex) keyCols
+          else (t.partitionBy ++ keyCols).distinct
+        val merged = Upsert.merge(affectedExisting, stamped, mergeKeys,
+          Seq(t.precombineKey, KeyedTable.CommitCol))
+        writer(merged, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
+        // Ownership update: affected rels move to the new commit dir
+        // (or drop entirely when a moved-away key emptied them); the
+        // rels actually present under the new dir are authoritative.
+        val affectedRels = backingRels(spark, t, fs, affectedExisting).keySet
+        val written = relsOf(fs, dest, t.partitionBy.length)
+        old -- affectedRels ++ written.map(_ -> ts)
+    }
+
+    // GLOBAL tables: record the new home partition of every key this
+    // commit wrote. Reading back the just-written commit dir (under
+    // the merged schema — declared partition types) is exact: a key
+    // whose EXISTING row won the precombine keeps its old home, rides
+    // in the new dir with its OLD _commit_ts, and is filtered out.
+    if (t.globalIndex && t.partitionBy.nonEmpty) {
+      val written = spark.read.schema(mergedSchema)
+        .option("basePath", dest.toString).parquet(dest.toString)
+      if (!KeyIndex.exists(spark, t))
+        KeyIndex.rebuild(spark, t, written)
+      else
+        KeyIndex.update(spark, t,
+          written.filter(col(KeyedTable.CommitCol) === lit(ts)))
     }
     // Key registry BEFORE the manifest (ADVICE r1): a crash in between
-    // leaves the key recorded for an already-swapped commit, so a
+    // leaves the key recorded for an already-published commit, so a
     // replayed batch is still skipped; the reverse order would let the
     // replay re-commit under a new ts and emit duplicate change records.
     idempotencyKey.foreach(log.recordIdempotencyKey)
-    log.logCommit(ts, Map("table" -> t.name, "schema" -> schemaJson) ++
+    log.logCommit(ts, Map(
+      "table" -> t.name,
+      "schema" -> mergedSchema.json,
+      PartsKey -> partsJson(newParts)) ++
       idempotencyKey.map("idempotency_key" -> _))
     ts
   }
@@ -229,12 +360,11 @@ object TableOps {
   /** Schema recorded by the latest commit (None for pre-schema tables —
     * falls back to footer inference).
     */
-  def latestSchema(spark: SparkSession, t: KeyedTable)
-      : Option[org.apache.spark.sql.types.StructType] =
+  def latestSchema(spark: SparkSession, t: KeyedTable): Option[StructType] =
     schemaAt(spark, t, None)
 
   private def schemaAt(spark: SparkSession, t: KeyedTable,
-      asOf: Option[String]): Option[org.apache.spark.sql.types.StructType] = {
+      asOf: Option[String]): Option[StructType] = {
     val log = CommitLog(t, spark)
     val commits = log.listCommits()
     val candidates = asOf.fold(commits)(s => commits.filter(_ <= s))
@@ -244,88 +374,24 @@ object TableOps {
     candidates.reverseIterator
       .flatMap(ts => log.commitMeta(ts).flatMap(_.get("schema")))
       .nextOption()
-      .map { j =>
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-      }
-  }
-
-  /** Archive a replaced dir under `.versions/{ts}/{rel}` (rename — no
-    * data movement). Replaced file slices are RETAINED, exactly like
-    * Hudi COW keeps old file versions until the cleaner drops them:
-    * this is what makes [[snapshotAsOf]] time travel and a meaningful
-    * [[clean]] possible. `rel` = "data" for a whole-snapshot archive,
-    * or a partition-relative dir.
-    */
-  private def archive(fs: FileSystem, t: KeyedTable, ts: String,
-      target: Path, rel: String): Unit =
-    if (fs.exists(target)) {
-      val dest = new Path(s"${t.path}/.versions/$ts/$rel")
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(target, dest))
-        throw new java.io.IOException(s"archive rename failed: $target → $dest")
-    }
-
-  /** Replace the whole data dir with the staged snapshot, archiving the
-    * previous snapshot.
-    */
-  private def swapAll(fs: FileSystem, t: KeyedTable, ts: String,
-      staging: Path, data: Path): Unit = {
-    archive(fs, t, ts, data, "data")
-    fs.mkdirs(data.getParent)
-    if (!fs.rename(staging, data))
-      throw new java.io.IOException(s"commit rename failed: $staging → $data")
-  }
-
-  /** Replace exactly the affected partition dirs: every affected
-    * partition is first deleted from `data` (a key that moved away can
-    * leave its old partition EMPTY — staging then has no dir for it, but
-    * the stale one must still go), then each staged leaf partition dir
-    * (depth = number of partition columns) is renamed into place.
-    * Untouched partition dirs are never listed, read, or moved.
-    */
-  private def swapPartitions(fs: FileSystem, t: KeyedTable, ts: String,
-      staging: Path, data: Path,
-      affectedDirs: Seq[String], depth: Int): Unit = {
-    fs.mkdirs(data)
-    affectedDirs.foreach { rel =>
-      archive(fs, t, ts, new Path(data, rel), rel)
-    }
-    def walk(p: Path, level: Int): Seq[Path] =
-      if (level == 0) Seq(p)
-      else fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
-        .flatMap(st => walk(st.getPath, level - 1))
-    // listStatus returns scheme-qualified paths; qualify the prefix the
-    // same way or the relativization silently fails.
-    val stagingQ = fs.makeQualified(staging)
-    walk(stagingQ, depth).foreach { leaf =>
-      val rel = leaf.toString.stripPrefix(stagingQ.toString).stripPrefix("/")
-      require(rel.nonEmpty && !rel.contains(":"),
-        s"failed to relativize staged partition dir $leaf against $stagingQ")
-      val target = new Path(data, rel)
-      fs.mkdirs(target.getParent)
-      archive(fs, t, ts, target, rel) // fallback: never clobber unarchived
-      if (!fs.rename(leaf, target))
-        throw new java.io.IOException(
-          s"partition commit rename failed: $leaf → $target")
-    }
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
   }
 
   /** Snapshot read — latest table state (S1; the reference's
     * `spark.read.format("hudi").load(path)`,
-    * incremental_etl_orders.py:385-386). A plain parquet scan: COW keeps
-    * `data/` always-latest, so no dedup view is needed at read time.
+    * incremental_etl_orders.py:385-386). Resolves the newest manifest's
+    * partition→version map and scans exactly the referenced dirs; COW
+    * keeps them always-latest, so no dedup view is needed at read time.
     */
   def snapshot(spark: SparkSession, t: KeyedTable): DataFrame =
-    latestSchema(spark, t) match {
-      case Some(sch) =>
-        // Manifest schema: uniform across partitions regardless of
-        // per-file footers (evolved columns null where absent), and an
-        // empty data dir still reads as an empty frame instead of
-        // failing schema inference.
-        spark.read.schema(sch).parquet(t.dataPath)
-      case None => spark.read.parquet(t.dataPath)
+    currentParts(spark, t, None) match {
+      case Some(parts) => readParts(spark, t, parts, latestSchema(spark, t))
+      case None =>
+        // No published commit: surface the standard path error (callers
+        // guard with exists()); tolerate a bare parquet dir for
+        // interop with externally-written data.
+        spark.read.parquet(t.dataPath)
     }
 
   /** Keyed hard delete — the Hudi `hoodie.datasource.write.operation=
@@ -360,43 +426,38 @@ object TableOps {
     val ts = CommitLog.newCommitTs()
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
-    val staging = new Path(s"${t.path}/.staging/$ts")
-    if (t.partitionBy.isEmpty) {
-      val remaining = existing.join(delKeys, keyCols, "left_anti")
-      writer(remaining, t, Nil, 4000000L).parquet(staging.toString)
-      swapAll(fs, t, ts, staging, new Path(t.dataPath))
-    } else {
-      val dataQ = fs.makeQualified(new Path(t.dataPath))
-      val affectedDirs = matched
-        .select(input_file_name().as("f")).distinct().collect()
-        .map(r => new Path(new java.net.URI(r.getString(0))).getParent)
-        .map { p =>
-          val rel = fs.makeQualified(p).toString
-            .stripPrefix(dataQ.toString).stripPrefix("/")
-          require(rel.nonEmpty && !rel.contains(":"),
-            s"failed to relativize affected partition dir $p against $dataQ")
-          rel
-        }.distinct.toSeq
-      // Re-read ONLY the affected dirs (partition pruning by file path)
-      // under the MANIFEST schema, exactly like snapshot(): footer
-      // sampling could drop evolved columns from the rewrite, and
-      // partition-type inference could re-identify a numeric-string
-      // partition value (month=01 read back as int 1) — both silent
-      // data corruption (ADVICE r1).
-      val rd = preSchema.foldLeft(
-        spark.read.option("basePath", t.dataPath))((r, sch) => r.schema(sch))
-      val affectedExisting =
-        rd.parquet(affectedDirs.map(d => s"${t.dataPath}/$d"): _*)
-      val remaining = affectedExisting.join(delKeys, keyCols, "left_anti")
-      writer(remaining, t, Nil, 4000000L).parquet(staging.toString)
-      swapPartitions(fs, t, ts, staging, new Path(t.dataPath),
-        affectedDirs, t.partitionBy.length)
-    }
+    val dest = new Path(s"${t.dataPath}/$ts")
+    val oldParts = currentParts(spark, t, None).getOrElse(Map.empty)
+
+    val newParts: Map[String, String] =
+      if (t.partitionBy.isEmpty) {
+        val remaining = existing.join(delKeys, keyCols, "left_anti")
+        writer(remaining, t, Nil, 4000000L).parquet(dest.toString)
+        Map("" -> ts)
+      } else {
+        val affected = backingRels(spark, t, fs, matched)
+        // Re-read ONLY the affected dirs (partition pruning by file
+        // path) under the MANIFEST schema, exactly like snapshot():
+        // footer sampling could drop evolved columns from the rewrite,
+        // and partition-type inference could re-identify a
+        // numeric-string partition value (month=01 read back as int 1)
+        // — both silent data corruption (ADVICE r1).
+        val affectedExisting = affected.groupBy(_._2).map { case (ver, m) =>
+          preSchema.foldLeft(
+            spark.read.option("basePath", s"${t.dataPath}/$ver"))(
+            (r, sch) => r.schema(sch))
+            .parquet(m.keys.toSeq.sorted.map(rel => s"${t.dataPath}/$ver/$rel"): _*)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        val remaining = affectedExisting.join(delKeys, keyCols, "left_anti")
+        writer(remaining, t, Nil, 4000000L).parquet(dest.toString)
+        val written = relsOf(fs, dest, t.partitionBy.length)
+        oldParts -- affected.keySet ++ written.map(_ -> ts)
+      }
     if (t.globalIndex && t.partitionBy.nonEmpty && KeyIndex.exists(spark, t))
       KeyIndex.remove(spark, t, delKeys)
-    fs.delete(new Path(s"${t.path}/.staging"), true)
     CommitLog(t, spark).logCommit(ts,
-      Map("table" -> t.name, "action" -> "delete") ++
+      Map("table" -> t.name, "action" -> "delete",
+        PartsKey -> partsJson(newParts)) ++
         preSchema.map("schema" -> _.json))
     ts
   }
@@ -433,97 +494,17 @@ object TableOps {
 
   /** Time-travel read — the table as of commit `asOf` (inclusive):
     * `spark.read.format("hudi").option("as.of.instant", ts)` analog.
-    *
-    * Reconstruction is driver-side metadata work: for each partition
-    * dir, the authoritative source is the SMALLEST archive version
-    * > asOf (the state just before that replacement), else the current
-    * dir; whole-snapshot archives (unpartitioned swaps, compaction)
-    * reset all of state when encountered. Rows are then filtered to
-    * `_commit_ts <= asOf`, which also erases partitions/rows born after
-    * asOf. Requires the relevant versions to still be retained (see
-    * [[clean]]).
+    * With immutable commit dirs this is exact and trivial: resolve the
+    * newest manifest ≤ asOf and read the dirs ITS map references.
+    * Requires those commits to still be retained (see [[clean]]).
     */
-  def snapshotAsOf(spark: SparkSession, t: KeyedTable, asOf: String): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(t.path).getFileSystem(conf)
-    val versionsRoot = new Path(s"${t.path}/.versions")
-    val versions =
-      if (!fs.exists(versionsRoot)) Seq.empty[String]
-      else fs.listStatus(versionsRoot).map(_.getPath.getName).sorted.toSeq
-    val applicable = versions.filter(_ > asOf)
-    // rel -> absolute source dir; rel "" means "a whole snapshot root"
-    var state: Map[String, Path] = Map("" -> new Path(t.dataPath))
-    // newest-to-oldest: the smallest applicable version wins per rel
-    applicable.reverse.foreach { v =>
-      val vRoot = new Path(versionsRoot, v)
-      val whole = new Path(vRoot, "data")
-      if (fs.exists(whole)) state = Map("" -> whole)
-      else fs.listStatus(vRoot).foreach { st =>
-        def leaves(p: Path, lvl: Int): Seq[Path] =
-          if (lvl == 0) Seq(p)
-          else fs.listStatus(p).toSeq.filter(_.isDirectory)
-            .flatMap(c => leaves(c.getPath, lvl - 1))
-        leaves(st.getPath, t.partitionBy.length - 1).foreach { leaf =>
-          val rel = fs.makeQualified(leaf).toString
-            .stripPrefix(fs.makeQualified(vRoot).toString).stripPrefix("/")
-          state += (rel -> leaf)
-        }
-      }
+  def snapshotAsOf(spark: SparkSession, t: KeyedTable, asOf: String): DataFrame =
+    currentParts(spark, t, Some(asOf)) match {
+      case Some(parts) => readParts(spark, t, parts, schemaAt(spark, t, Some(asOf)))
+      case None => throw new IllegalArgumentException(
+        s"table ${t.name}: no commit at or before $asOf " +
+          "(cleaned beyond retention, or before first commit)")
     }
-    // group sources by their read base (partition-column parsing needs a
-    // consistent basePath per read)
-    val (roots, parts) = state.partition(_._1.isEmpty)
-    val reads = Seq.newBuilder[DataFrame]
-    roots.values.foreach { root =>
-      // exclude partition dirs overridden by an archive
-      if (t.partitionBy.isEmpty || parts.isEmpty)
-        reads += spark.read.parquet(root.toString)
-      else {
-        val overridden = parts.keySet
-        val keep = fs.listStatus(root).toSeq
-          .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
-          .flatMap { st =>
-            def leaves(p: Path, lvl: Int): Seq[Path] =
-              if (lvl == 0) Seq(p)
-              else fs.listStatus(p).toSeq.filter(_.isDirectory)
-                .flatMap(c => leaves(c.getPath, lvl - 1))
-            leaves(st.getPath, t.partitionBy.length - 1)
-          }
-          .filterNot { leaf =>
-            val rel = fs.makeQualified(leaf).toString
-              .stripPrefix(fs.makeQualified(root).toString).stripPrefix("/")
-            overridden.contains(rel)
-          }
-        if (keep.nonEmpty)
-          reads += spark.read.option("basePath", root.toString)
-            .parquet(keep.map(_.toString): _*)
-      }
-    }
-    // archived partition dirs, grouped by version root for basePath
-    parts.groupBy(_._2.getParent match {
-      case p if t.partitionBy.length <= 1 => p
-      case p => // multi-level rels: base is versionRoot (strip rel depth)
-        (1 until t.partitionBy.length).foldLeft(p)((q, _) => q.getParent)
-    }).foreach { case (base, m) =>
-      reads += spark.read.option("basePath", base.toString)
-        .parquet(m.values.map(_.toString).toSeq: _*)
-    }
-    // allowMissingColumns: archives predating a schema evolution lack
-    // the evolved columns (null there); project to the as-of schema
-    // when one is recorded.
-    val unioned = reads.result()
-      .reduce(_.unionByName(_, allowMissingColumns = true))
-      .filter(col(KeyedTable.CommitCol) <= lit(asOf))
-    schemaAt(spark, t, Some(asOf)) match {
-      case Some(sch) =>
-        val want = sch.fields.map(_.name) ++
-          t.partitionBy.filterNot(sch.fieldNames.contains)
-        unioned.select(want.collect {
-          case c if unioned.columns.contains(c) => col(c)
-        }.toSeq: _*)
-      case None => unioned
-    }
-  }
 
   /** Incremental read — records whose latest version was committed in
     * (`beginExclusive`, `endInclusive`] (S2; the reference's
@@ -549,8 +530,8 @@ object TableOps {
   /** Small-file compaction (reference: hoodie.parquet.small.file.limit
     * + clustering file sizing, create_hudi_tables.py:157-174): rewrite
     * the current snapshot into right-sized, optionally re-clustered
-    * files via the same staging+swap commit. At scale, run per
-    * partition on partitions whose file-count/size ratio degrades —
+    * files as a fresh commit dir owning every partition. At scale, run
+    * per partition on partitions whose file-count/size ratio degrades —
     * here table-wide for simplicity.
     */
   def compact(spark: SparkSession, t: KeyedTable,
@@ -560,40 +541,43 @@ object TableOps {
     val ts = CommitLog.newCommitTs()
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
-    val staging = new Path(s"${t.path}/.staging/$ts")
+    val dest = new Path(s"${t.dataPath}/$ts")
     val snap = snapshot(spark, t)
     val sized = numFiles.fold(snap)(n => snap.repartition(n))
-    writer(sized, t, sortBy, maxRecordsPerFile).parquet(staging.toString)
-    swapAll(fs, t, ts, staging, new Path(t.dataPath))
-    fs.delete(new Path(s"${t.path}/.staging"), true)
+    writer(sized, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
+    val newParts = relsOf(fs, dest, t.partitionBy.length).map(_ -> ts).toMap
     CommitLog(t, spark).logCommit(ts,
-      Map("table" -> t.name, "action" -> "compact") ++
+      Map("table" -> t.name, "action" -> "compact",
+        PartsKey -> partsJson(newParts)) ++
         latestSchema(spark, t).map("schema" -> _.json))
     ts
   }
 
   /** Cleaner (reference: hoodie.cleaner KEEP_LATEST_FILE_VERSIONS +
-    * retained commits, create_hudi_tables.py:141-148): drop archived
-    * file versions and commit manifests beyond the retention window,
-    * plus any leftover staging dirs. Time travel ([[snapshotAsOf]])
-    * stays valid for any instant ≥ the oldest retained commit.
+    * retained commits, create_hudi_tables.py:141-148): drop commit
+    * manifests beyond the retention window, then every commit data dir
+    * no RETAINED manifest references (which also collects orphan dirs
+    * from crashed writes). Time travel ([[snapshotAsOf]]) stays valid
+    * for any instant ≥ the oldest retained commit. Single-writer: do
+    * not run concurrently with a write.
     */
   def clean(spark: SparkSession, t: KeyedTable, retainCommits: Int): Seq[String] = {
+    require(retainCommits >= 1, "retainCommits must be >= 1")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
-    val staging = new Path(s"${t.path}/.staging")
-    if (fs.exists(staging)) fs.delete(staging, true)
-    require(retainCommits >= 1, "retainCommits must be >= 1")
     val log = CommitLog(t, spark)
-    val commits = log.listCommits()
-    val cutoff = if (commits.size > retainCommits)
-      commits.takeRight(retainCommits).head else ""
-    val versionsRoot = new Path(s"${t.path}/.versions")
-    if (cutoff.nonEmpty && fs.exists(versionsRoot)) {
-      fs.listStatus(versionsRoot)
-        .filter(_.getPath.getName <= cutoff)
+    val dropped = log.retain(retainCommits)
+    val referenced = log.listCommits()
+      .flatMap(ts => log.commitMeta(ts).flatMap(partsOf))
+      .flatMap(_.values).toSet
+    val dataRoot = new Path(t.dataPath)
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot)
+        .filter(st => !referenced.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
-    }
-    log.retain(retainCommits)
+    // legacy layout leftovers (pre-manifest-protocol tables)
+    fs.delete(new Path(s"${t.path}/.staging"), true)
+    fs.delete(new Path(s"${t.path}/.versions"), true)
+    dropped
   }
 }

@@ -17,10 +17,13 @@ class KeyIndexSpec extends SparkSuite {
   private def fsOf(t: KeyedTable) =
     new Path(t.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Overwrite every data file under `dir` with junk so any read throws. */
+  /** Overwrite every data file of the partition with junk so any read
+    * throws (current dir resolved via the manifest parts map).
+    */
   private def corrupt(t: KeyedTable, rel: String): Unit = {
     val fs = fsOf(t)
-    fs.listStatus(new Path(s"${t.dataPath}/$rel")).filter(_.isFile)
+    fs.listStatus(new Path(TableOps.partitionDirs(spark, t)(rel)))
+      .filter(_.isFile)
       .foreach { st =>
         val out = fs.create(st.getPath, true)
         try out.write("not a parquet file".getBytes)

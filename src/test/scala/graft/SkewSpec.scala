@@ -55,7 +55,8 @@ class SkewSpec extends SparkSuite {
     TableOps.upsert(spark, t, orders, maxRecordsPerFile = 100L)
     val fs = new org.apache.hadoop.fs.Path(t.dataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def nFiles: Int = fs.listStatus(new org.apache.hadoop.fs.Path(t.dataPath))
+    def nFiles: Int = fs.listStatus(new org.apache.hadoop.fs.Path(
+      TableOps.partitionDirs(spark, t)("")))
       .count(_.getPath.getName.endsWith(".parquet"))
     val before = TableOps.snapshot(spark, t).count()
     assert(nFiles > 1)
@@ -109,7 +110,8 @@ class SkewSpec extends SparkSuite {
     TableOps.upsert(spark, t, orders)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(t.dataPath).getFileSystem(conf)
-    val file = fs.listStatus(new org.apache.hadoop.fs.Path(t.dataPath))
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(
+      TableOps.partitionDirs(spark, t)("")))
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {

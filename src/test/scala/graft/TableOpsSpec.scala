@@ -57,19 +57,17 @@ class TableOpsSpec extends SparkSuite {
     val t = table(partitioned = true, global = true)
     TableOps.upsert(spark, t,
       rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2"), ("c", 1, "z", "p3")))
-    val fs = new org.apache.hadoop.fs.Path(t.dataPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def mtime(part: String): Long =
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"${t.dataPath}/part=$part"))
-        .map(_.getModificationTime).max
-    val p3Before = mtime("p3")
-    Thread.sleep(1100)
+    val p3Before = TableOps.partitionDirs(spark, t)("part=p3")
     // 'a' moves p1 → p2 (GLOBAL key semantics), p3 untouched
     TableOps.upsert(spark, t, rows(("a", 2, "x2", "p2")))
     val snap = TableOps.snapshot(spark, t)
       .select("id", "ver", "part").as[(String, Int, String)].collect().toSet
     assert(snap === Set(("a", 2, "p2"), ("b", 1, "p2"), ("c", 1, "p3")))
-    assert(mtime("p3") === p3Before, "untouched partition must not be rewritten")
+    val dirs = TableOps.partitionDirs(spark, t)
+    assert(dirs("part=p3") === p3Before,
+      "untouched partition must keep its original commit dir")
+    assert(!dirs.contains("part=p1"),
+      "emptied source partition must drop out of the table state")
   }
 
   test("numeric-string partition values survive read-back type inference") {
@@ -116,22 +114,18 @@ class TableOpsSpec extends SparkSuite {
     TableOps.upsert(spark, t,
       rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2"), ("c", 1, "z", "p2"),
         ("d", 1, "w", "p3")))
-    val fs = new org.apache.hadoop.fs.Path(t.dataPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def mtime(part: String): Long =
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"${t.dataPath}/part=$part"))
-        .map(_.getModificationTime).max
-    val p3Before = mtime("p3")
-    Thread.sleep(1100)
-    // delete 'a' (sole row of p1 → dir must go) and 'b' (p2 keeps 'c')
+    val p3Before = TableOps.partitionDirs(spark, t)("part=p3")
+    // delete 'a' (sole row of p1 → partition must go) and 'b' (p2 keeps 'c')
     val ts = TableOps.delete(spark, t, Seq("a", "b").toDF("id"))
     assert(ts.nonEmpty)
     val snap = TableOps.snapshot(spark, t)
       .select("id").as[String].collect().toSet
     assert(snap === Set("c", "d"))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${t.dataPath}/part=p1")),
-      "fully-deleted partition dir must be removed")
-    assert(mtime("p3") === p3Before, "untouched partition must not be rewritten")
+    val dirs = TableOps.partitionDirs(spark, t)
+    assert(!dirs.contains("part=p1"),
+      "fully-deleted partition must drop out of the table state")
+    assert(dirs("part=p3") === p3Before,
+      "untouched partition must keep its original commit dir")
     // no matching keys: no commit
     val commits = graft.tables.CommitLog(t, spark).listCommits().size
     assert(TableOps.delete(spark, t, Seq("zzz").toDF("id")) === "")
@@ -260,7 +254,7 @@ class TableOpsSpec extends SparkSuite {
     assert(at(ts2) === Set(("a", 2, "p2"), ("b", 1, "p2"), ("c", 1, "p3")))
   }
 
-  test("cleaner drops archived versions beyond retention; time travel inside window survives") {
+  test("cleaner drops unreferenced commit dirs beyond retention; time travel inside window survives") {
     val t = table(partitioned = false)
     val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
     val ts2 = TableOps.upsert(spark, t, rows(("a", 2, "x", "p1")))
@@ -268,12 +262,16 @@ class TableOpsSpec extends SparkSuite {
     TableOps.clean(spark, t, retainCommits = 2)
     val fs = new org.apache.hadoop.fs.Path(t.path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vroot = new org.apache.hadoop.fs.Path(s"${t.path}/.versions")
-    val kept = fs.listStatus(vroot).map(_.getPath.getName).toSet
-    assert(kept === Set(ts3), s"only the newest archive survives, got $kept")
+    val kept = fs.listStatus(new org.apache.hadoop.fs.Path(t.dataPath))
+      .map(_.getPath.getName).toSet
+    assert(kept === Set(ts2, ts3),
+      s"only dirs referenced by retained manifests survive, got $kept")
     // time travel to the oldest RETAINED commit still works
     assert(TableOps.snapshotAsOf(spark, t, ts2)
       .select("ver").as[Int].collect().toSeq === Seq(2))
+    intercept[IllegalArgumentException] {
+      TableOps.snapshotAsOf(spark, t, ts1)
+    }
   }
 
   test("cleaner retains last N commit manifests") {
@@ -332,6 +330,38 @@ class TableOpsSpec extends SparkSuite {
     assert(inc.df.isEmpty)
     assert(inc.advanceTo.isEmpty)
     assert(inc.df.columns.contains("id"))
+  }
+
+  test("mid-commit crash states are invisible to readers (manifest-pointer protocol)") {
+    // The commit sequence is: (1) write a fresh data dir, (2) publish
+    // one manifest file. Readers must see a consistent snapshot after
+    // ANY prefix of that sequence — including a manifest that an object
+    // store's non-atomic copy left truncated.
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2")))
+    def state() = TableOps.snapshot(spark, t)
+      .select("id", "ver").as[(String, Int)].collect().toSet
+    val before = state()
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash state 1: data dir fully written, no manifest → invisible
+    val orphanTs = CommitLog.newCommitTs()
+    rows(("a", 9, "boom", "p1")).write
+      .partitionBy("part").parquet(s"${t.dataPath}/$orphanTs")
+    assert(state() === before, "unreferenced commit dir must be invisible")
+    // crash state 2: manifest half-copied (truncated) → skipped
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"${t.commitsPath}/$orphanTs.commit"), true)
+    out.write("""{"table": "t", "parts": "{\"par""".getBytes)
+    out.close()
+    assert(state() === before, "truncated manifest must be skipped")
+    // the table still accepts new commits, and the cleaner collects
+    // the orphan dir (it is referenced by no retained manifest)
+    TableOps.upsert(spark, t, rows(("c", 1, "z", "p1")))
+    TableOps.clean(spark, t, retainCommits = 10)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${t.dataPath}/$orphanTs")),
+      "cleaner must collect orphan commit dirs")
+    assert(state() === before + (("c", 1)))
   }
 
   test("commit timestamps are strictly monotonic") {
