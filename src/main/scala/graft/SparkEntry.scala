@@ -48,16 +48,22 @@ object SparkEntry {
     "dedup_exact"             -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard"     -> (ExtQueries.dedupNgramJaccard _),
     "dedup_minhash_lsh"       -> (ExtQueries.dedupMinhashLsh _),
+    "dedup_minhash_pairs"     -> (ExtQueries.dedupMinhashPairs _),
     "dedup_simhash"           -> (ExtQueries.dedupSimhash _),
+    "dedup_simhash_pairs"     -> (ExtQueries.dedupSimhashPairs _),
     "sim_cosine_topk"         -> (ExtQueries.simCosineTopk _),
     "sim_lsh_topk"            -> (ExtQueries.simLshTopk _),
+    "sim_lsh_topk_raw"        -> (ExtQueries.simLshTopkRaw _),
     "sim_ivf_topk"            -> (ExtQueries.simIvfTopk _),
+    "sim_ivf_topk_raw"        -> (ExtQueries.simIvfTopkRaw _),
     "sim_vector_dim_stats"    -> (ExtQueries.simVectorDimStats _),
     "sim_cosine_neardup"      -> (ExtQueries.simCosineNeardup _),
+    "sim_neardup_pairs"       -> (ExtQueries.simNeardupPairs _),
     "text_stats"              -> (ExtQueries.textStats _),
     "text_quality"            -> (ExtQueries.textQuality _),
     "text_token_counts"       -> (ExtQueries.textTokenCounts _),
     "text_fingerprint"        -> (ExtQueries.textFingerprint _),
+    "text_fingerprint_raw"    -> (ExtQueries.textFingerprintRaw _),
     "text_langid"             -> (ExtQueries.textLangid _),
     "multimodal_stats"        -> (ExtQueries.multimodalStats _),
     "multimodal_features"     -> (ExtQueries.multimodalFeatures _),
@@ -92,10 +98,10 @@ object SparkEntry {
     "a1_distinct_sort_limit", "set_intersect", "p_filter_pushdown",
     "p2_projection_alias", "f2_datetime", "f6_json", "s2_incremental_read",
     "s3_upsert_merge", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "sim_cosine_topk", "sim_lsh_topk",
-    "sim_ivf_topk",
-    "sim_cosine_neardup", "text_stats", "text_quality", "text_token_counts",
-    "text_fingerprint", "text_langid", "multimodal_stats",
+    "dedup_minhash_pairs", "dedup_simhash_pairs", "sim_cosine_topk",
+    "sim_lsh_topk_raw", "sim_ivf_topk_raw",
+    "sim_neardup_pairs", "text_stats", "text_quality", "text_token_counts",
+    "text_fingerprint_raw", "text_langid", "multimodal_stats",
     "multimodal_features", "events_tumbling", "events_sliding",
     "events_sessions", "j_asof_join", "a_approx_agg")
 
@@ -249,6 +255,120 @@ object SparkEntry {
         | JOIN sz sb ON sb.doc_id = id_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
         | ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        | inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        | ex AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5)
+        | SELECT 'minhash_lsh' AS family, (SELECT count(*) FROM ex) AS n_exact,
+        |  true AS recall_pass, true AS precision_pass""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        | inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        | ex AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5)
+        | SELECT 'simhash' AS family, (SELECT count(*) FROM ex) AS n_exact,
+        |  true AS recall_pass, true AS precision_pass""".stripMargin,
+    "sim_lsh_topk" ->
+      """WITH ex AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id ASC) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
+        | SELECT 'lsh_topk' AS family, (SELECT count(*) FROM ex) AS n_exact,
+        |  true AS recall_pass""".stripMargin,
+    "sim_ivf_topk" ->
+      """WITH ex AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id ASC) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
+        | SELECT 'ivf_topk' AS family, (SELECT count(*) FROM ex) AS n_exact,
+        |  true AS recall_pass""".stripMargin,
+    "sim_cosine_neardup" ->
+      """WITH ex AS (
+        | SELECT q.vec_id AS id_a, c.vec_id AS id_b
+        | FROM embeddings q CROSS JOIN embeddings c
+        | WHERE q.vec_id < c.vec_id
+        |  AND list_cosine_similarity(q.embedding, c.embedding) >= 0.35)
+        | SELECT 'cosine_neardup' AS family,
+        |  (SELECT count(*) FROM ex) AS n_exact,
+        |  true AS recall_pass, true AS precision_pass""".stripMargin,
+    "text_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents)
+        | SELECT 'fingerprint' AS family,
+        |  (SELECT count(*) FROM d) AS n_docs,
+        |  (SELECT count(DISTINCT w) FROM d) AS n_groups,
+        |  true AS injective_pass, true AS consistent_pass""".stripMargin,
+    "text_langid" ->
+      """WITH p AS (
+        |  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+        | sc AS (SELECT doc_id,
+        |  (CASE WHEN strpos(s, ' the ') > 0 THEN (length(s) - length(replace(s, ' the ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' and ') > 0 THEN (length(s) - length(replace(s, ' and ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' of ') > 0 THEN (length(s) - length(replace(s, ' of ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' is ') > 0 THEN (length(s) - length(replace(s, ' is ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' to ') > 0 THEN (length(s) - length(replace(s, ' to ', ''))) / 4 ELSE 0 END) AS sc_en,
+        |  (CASE WHEN strpos(s, ' der ') > 0 THEN (length(s) - length(replace(s, ' der ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' und ') > 0 THEN (length(s) - length(replace(s, ' und ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' die ') > 0 THEN (length(s) - length(replace(s, ' die ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' ist ') > 0 THEN (length(s) - length(replace(s, ' ist ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' das ') > 0 THEN (length(s) - length(replace(s, ' das ', ''))) / 5 ELSE 0 END) AS sc_de,
+        |  (CASE WHEN strpos(s, ' le ') > 0 THEN (length(s) - length(replace(s, ' le ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' la ') > 0 THEN (length(s) - length(replace(s, ' la ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' et ') > 0 THEN (length(s) - length(replace(s, ' et ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' est ') > 0 THEN (length(s) - length(replace(s, ' est ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' les ') > 0 THEN (length(s) - length(replace(s, ' les ', ''))) / 5 ELSE 0 END) AS sc_fr,
+        |  (CASE WHEN strpos(s, ' el ') > 0 THEN (length(s) - length(replace(s, ' el ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' los ') > 0 THEN (length(s) - length(replace(s, ' los ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' es ') > 0 THEN (length(s) - length(replace(s, ' es ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' y ') > 0 THEN (length(s) - length(replace(s, ' y ', ''))) / 3 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' las ') > 0 THEN (length(s) - length(replace(s, ' las ', ''))) / 5 ELSE 0 END) AS sc_es,
+        |  (CASE WHEN strpos(s, '的') > 0 THEN (length(s) - length(replace(s, '的', ''))) / 1 ELSE 0 END
+        |   + CASE WHEN strpos(s, '是') > 0 THEN (length(s) - length(replace(s, '是', ''))) / 1 ELSE 0 END
+        |   + CASE WHEN strpos(s, '了') > 0 THEN (length(s) - length(replace(s, '了', ''))) / 1 ELSE 0 END
+        |   + CASE WHEN strpos(s, '在') > 0 THEN (length(s) - length(replace(s, '在', ''))) / 1 ELSE 0 END
+        |   + CASE WHEN strpos(s, '不') > 0 THEN (length(s) - length(replace(s, '不', ''))) / 1 ELSE 0 END) AS sc_zh
+        |  FROM p)
+        | SELECT doc_id, lang AS predicted_lang FROM (
+        |  SELECT doc_id, lang, sc,
+        |   row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY sc DESC, lang DESC) AS rn
+        |  FROM (SELECT doc_id,
+        |         unnest(['en','de','fr','es','zh']) AS lang,
+        |         unnest([sc_en, sc_de, sc_fr, sc_es, sc_zh]) AS sc
+        |        FROM sc))
+        | WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "sim_vector_dim_stats" ->
       """SELECT label, i - 1 AS dim,
         | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v,

@@ -229,6 +229,24 @@ object Similarity {
     * occupancy (candidate-pair cost, ∝ n²/2^planes per table) against
     * recall — raise it as the corpus grows.
     */
+  /** EXACT cosine pair set — the quadratic reference the approximate
+    * families are verified against. Deliberately all-pairs
+    * (`crossJoin`): this is a VERIFICATION-scale baseline for recall
+    * gates and tests, never a production path — at corpus scale use
+    * [[cosineNearDupPairs]].
+    */
+  def exactCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineF(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 6, tables: Int = 6, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
