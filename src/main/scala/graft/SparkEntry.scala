@@ -47,6 +47,7 @@ object SparkEntry {
     "s3_upsert_merge"         -> (CoreQueries.s3UpsertMerge _),
     "dedup_exact"             -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard"     -> (ExtQueries.dedupNgramJaccard _),
+    "dedup_clusters"          -> (ExtQueries.dedupClusters _),
     "dedup_minhash_lsh"       -> (ExtQueries.dedupMinhashLsh _),
     "dedup_minhash_pairs"     -> (ExtQueries.dedupMinhashPairs _),
     "dedup_simhash"           -> (ExtQueries.dedupSimhash _),
@@ -98,7 +99,8 @@ object SparkEntry {
     "a1_distinct_sort_limit", "set_intersect", "p_filter_pushdown",
     "p2_projection_alias", "f2_datetime", "f6_json", "s2_incremental_read",
     "s3_upsert_merge", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_pairs", "dedup_simhash_pairs", "sim_cosine_topk",
+    "dedup_clusters", "dedup_minhash_pairs", "dedup_simhash_pairs",
+    "sim_cosine_topk",
     "sim_lsh_topk_raw", "sim_ivf_topk_raw",
     "sim_neardup_pairs", "text_stats", "text_quality", "text_token_counts",
     "text_fingerprint_raw", "text_langid", "multimodal_stats",
@@ -255,6 +257,31 @@ object SparkEntry {
         | JOIN sz sb ON sb.doc_id = id_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
         | ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        | inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        | ex AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
+        | edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM ex
+        |  UNION ALL SELECT id_b, id_a FROM ex),
+        | reach AS (
+        |  SELECT DISTINCT a AS id, a AS comp FROM edges
+        |  UNION
+        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b)
+        | SELECT id AS doc_id, min(comp) AS cluster_rep
+        | FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

@@ -223,4 +223,71 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over a duplicate-pair set — iterative
+    * hash-min label propagation: every node starts labeled with itself;
+    * each round a node adopts the minimum label in its neighborhood;
+    * fixpoint = components, and each component's label IS its minimum
+    * member (the natural representative). A training-data pipeline
+    * prunes by CLUSTER, not by pair list — A~B and B~C must collapse to
+    * one surviving document even though (A,C) was never emitted as a
+    * pair.
+    *
+    * Scale shape: per round, one join of the (symmetrized, distinct)
+    * edge list against current labels + one min-aggregate — all
+    * hash-partitioned on node id, map-side combined; `localCheckpoint`
+    * each round truncates the growing lineage (the classic iterative-
+    * Spark trap). Rounds needed = component diameter (near-dup clusters
+    * are shallow; for adversarially long chains the alternating
+    * large-star/small-star variant reduces rounds to O(log n) — the
+    * loop converges-and-stops either way). Labels only ever decrease,
+    * so the early-exit check (`limit(1)` on changed rows) is cheap and
+    * convergence is guaranteed.
+    *
+    * Returns `(id, comp)` for every node appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_comp")).as("nbr_comp"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp"),
+          (col("nbr_comp") < col("comp")).as("_changed"))
+        .localCheckpoint()
+      converged = next.filter(col("_changed")).limit(1).isEmpty
+      labels = next.drop("_changed")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster-prune a corpus: keep each duplicate cluster's
+    * representative (minimum id) plus every document that belongs to no
+    * pair. The standard final step of a dedup pass — `pairs` typically
+    * comes from [[ngramJaccardPairs]] or a verified approximate family.
+    */
+  def pruneDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val losers = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -33,6 +33,30 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
   }
 
+  test("connected components: chains merge, singletons keep, representatives are min ids") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L))
+      .toDF("id_a", "id_b")
+    val comps = graft.ext.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // cluster pruning keeps the representative + unpaired docs
+    val docs = (1L to 12L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = graft.ext.Dedup.pruneDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 10L, 4L, 5L, 6L, 8L, 9L, 12L))
+  }
+
+  test("connected components: long path converges within the iteration budget") {
+    // a worst-case chain (diameter 14) — label propagation must reach
+    // the fixpoint and stop via the early-exit, not via maxIter
+    val pairs = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = graft.ext.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect()
+    assert(comps.length === 15)
+    assert(comps.forall(_._2 === 1L))
+  }
+
   test("simhash: identical docs collide; pair list is deterministic") {
     // duplicated normalized text ⇒ identical simhash (hamming 0)
     val sh = Dedup.simhash(docs, "doc_id", "text")
