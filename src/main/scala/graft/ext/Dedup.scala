@@ -48,16 +48,30 @@ object Dedup {
   }
 
   /** Exact dedup: one representative (min id) per distinct normalized
-    * text, with the duplicate count. At 100 TB, group on a 64-bit text
-    * hash first so the shuffle carries hashes, not documents; the full
-    * text only rides along inside each group for collision safety.
+    * text, with the duplicate count. At 100 TB, group on text HASHES so
+    * the shuffle carries 16 bytes per doc, not documents. Collision
+    * safety comes from the group key being TWO independently-seeded
+    * 64-bit hashes: merging two distinct texts requires a simultaneous
+    * collision in both (~2⁻¹²⁸ per pair, ~10⁻¹⁵ expected merges even at
+    * 10¹² docs) — the full text never rides through the shuffle.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactBy(docs, idCol,
+      n => xxhash64(n), n => xxhash64(n, lit(0x9e3779b97f4a7c15L)))(textCol)
+
+  /** [[exact]] with injectable hash functions over the normalized text —
+    * lets tests substitute a deliberately-colliding first hash and
+    * observe the second one keeping distinct texts apart.
+    */
+  private[graft] def exactBy(docs: DataFrame, idCol: String,
+      h1: Column => Column, h2: Column => Column)(textCol: String): DataFrame = {
+    val norm = lower(trim(col(textCol)))
     docs
-      .groupBy(xxhash64(lower(trim(col(textCol)))).as("text_hash"))
+      .groupBy(h1(norm).as("text_hash"), h2(norm).as("text_hash2"))
       .agg(min(col(idCol)).as("representative_id"),
         count(lit(1)).as("n_dups"))
       .select("representative_id", "text_hash", "n_dups")
+  }
 
   private val MersennePrime = 2147483647L // 2^31 - 1
 

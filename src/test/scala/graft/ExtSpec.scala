@@ -33,6 +33,21 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
   }
 
+  test("exact dedup survives a first-hash collision via the second hash") {
+    // craft a guaranteed h1 collision (hash = text length) between two
+    // DISTINCT texts; the independent second hash must keep them apart,
+    // while true duplicates still merge
+    val docs = Seq((1L, "aaaa"), (2L, "bbbb"), (3L, "aaaa"))
+      .toDF("doc_id", "text")
+    val groups = graft.ext.Dedup.exactBy(docs, "doc_id",
+      n => org.apache.spark.sql.functions.length(n).cast("long"),
+      n => org.apache.spark.sql.functions.xxhash64(n))("text")
+      .select("representative_id", "n_dups")
+      .as[(Long, Long)].collect().toSet
+    assert(groups === Set((1L, 2L), (2L, 1L)),
+      "distinct texts colliding on h1 must stay separate groups")
+  }
+
   test("connected components: chains merge, singletons keep, representatives are min ids") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L))
       .toDF("id_a", "id_b")
