@@ -553,6 +553,68 @@ object TableOps {
     ts
   }
 
+  /** Partition rels whose CURRENT dir holds more than `maxFiles` data
+    * files — the small-file detection feeding [[compactPartitions]].
+    * Driver-side FS listing of current dirs only (metadata-sized).
+    */
+  def smallFilePartitions(spark: SparkSession, t: KeyedTable,
+      maxFiles: Int): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    partitionDirs(spark, t).collect {
+      case (rel, dir)
+          if fs.exists(new Path(dir)) &&
+            fs.listStatus(new Path(dir))
+              .count(st => st.isFile && !st.getPath.getName.startsWith("_")) > maxFiles =>
+        rel
+    }.toSeq.sorted
+  }
+
+  /** Partition-scoped compaction: rewrite ONLY the given partition rels
+    * into a fresh commit dir (coalesced to `filesPerPartition` files
+    * each, optionally re-clustered); every other partition keeps its
+    * current dir untouched. This is the production compaction schedule
+    * the table-wide [[compact]] scaladoc promises — pair it with
+    * [[smallFilePartitions]]:
+    *
+    * {{{
+    * TableOps.compactPartitions(spark, t,
+    *   TableOps.smallFilePartitions(spark, t, maxFiles = 16))
+    * }}}
+    */
+  def compactPartitions(spark: SparkSession, t: KeyedTable,
+      rels: Seq[String],
+      sortBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 4000000L,
+      filesPerPartition: Int = 1): String = {
+    require(t.partitionBy.nonEmpty, "compactPartitions needs a partitioned table")
+    if (rels.isEmpty) return ""
+    val oldParts = currentParts(spark, t, None).getOrElse(return "")
+    val target = oldParts.view.filterKeys(rels.contains).toMap
+    if (target.isEmpty) return ""
+    val ts = CommitLog.newCommitTs()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    val dest = new Path(s"${t.dataPath}/$ts")
+    val sch = latestSchema(spark, t)
+    val subset = readParts(spark, t, target, sch)
+    // one write task per (shuffle-partition ∩ partition value): hashing
+    // on the partition columns coalesces each partition's small files
+    val coalesced =
+      if (sortBy.nonEmpty) subset
+      else subset.repartition(
+        math.max(filesPerPartition * target.size, 1),
+        t.partitionBy.map(col): _*)
+    writer(coalesced, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
+    val written = relsOf(fs, dest, t.partitionBy.length)
+    val newParts = oldParts -- target.keySet ++ written.map(_ -> ts)
+    CommitLog(t, spark).logCommit(ts,
+      Map("table" -> t.name, "action" -> "compact",
+        PartsKey -> partsJson(newParts)) ++
+        sch.map("schema" -> _.json))
+    ts
+  }
+
   /** Cleaner (reference: hoodie.cleaner KEEP_LATEST_FILE_VERSIONS +
     * retained commits, create_hudi_tables.py:141-148): drop commit
     * manifests beyond the retention window, then every commit data dir

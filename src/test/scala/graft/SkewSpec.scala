@@ -66,6 +66,33 @@ class SkewSpec extends SparkSuite {
     assert(graft.tables.CommitLog(t, spark).listCommits().size === 2)
   }
 
+  test("partition-scoped compaction rewrites only targeted partitions") {
+    val base = tmpDir("graft-pcompact")
+    val t = KeyedTable("pc", s"$base/pc", Seq("o_orderkey"), "o_orderdate",
+      Seq("o_orderpriority"))
+    TableOps.upsert(spark, t, orders.limit(2000), maxRecordsPerFile = 100L)
+    val fs = new org.apache.hadoop.fs.Path(t.dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles(rel: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(
+        TableOps.partitionDirs(spark, t)(rel)))
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    val small = TableOps.smallFilePartitions(spark, t, maxFiles = 2)
+    assert(small.nonEmpty, "tiny maxRecordsPerFile must create small files")
+    val target = small.head
+    val other = TableOps.partitionDirs(spark, t).keySet - target
+    val otherDirsBefore = other.map(TableOps.partitionDirs(spark, t))
+    val before = TableOps.snapshot(spark, t).count()
+    val ts = TableOps.compactPartitions(spark, t, Seq(target))
+    assert(ts.nonEmpty)
+    assert(nFiles(target) === 1, "compacted partition must coalesce to 1 file")
+    assert(other.map(TableOps.partitionDirs(spark, t)) === otherDirsBefore,
+      "untargeted partitions must keep their current dirs")
+    assert(TableOps.snapshot(spark, t).count() === before)
+    assert(!TableOps.smallFilePartitions(spark, t, maxFiles = 2)
+      .contains(target))
+  }
+
   test("idempotency key makes upsert exactly-once under replay") {
     val base = tmpDir("graft-idem")
     val t = KeyedTable("i", s"$base/i", Seq("o_orderkey"), "o_orderdate")
