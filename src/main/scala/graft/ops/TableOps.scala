@@ -553,6 +553,22 @@ object TableOps {
     ts
   }
 
+  /** Catalog-sync analog of Hudi's hive sync (create_hudi_tables.py:
+    * 130-138 — configured but DISABLED in every reference call, so a
+    * session-catalog view is the faithful scope): (re)register the
+    * table's current snapshot under a SQL-visible name. Like Hudi's
+    * sync-after-commit, the registration captures THIS commit's
+    * manifest — call again after writes so SQL sees the new state
+    * (pipelines that re-load each run get this via [[graft.loaders
+    * .Loaders.load]] instead).
+    */
+  def syncView(spark: SparkSession, t: KeyedTable,
+      name: Option[String] = None): String = {
+    val viewName = name.getOrElse(t.name)
+    snapshot(spark, t).createOrReplaceTempView(viewName)
+    viewName
+  }
+
   /** Partition rels whose CURRENT dir holds more than `maxFiles` data
     * files — the small-file detection feeding [[compactPartitions]].
     * Driver-side FS listing of current dirs only (metadata-sized).

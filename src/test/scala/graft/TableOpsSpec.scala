@@ -332,6 +332,18 @@ class TableOpsSpec extends SparkSuite {
     assert(inc.df.columns.contains("id"))
   }
 
+  test("syncView: SQL sees the synced commit; re-sync after write refreshes") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val v = TableOps.syncView(spark, t, Some("sync_t"))
+    assert(spark.sql(s"SELECT count(*) FROM $v").as[Long].head() === 1)
+    TableOps.upsert(spark, t, rows(("b", 1, "y", "p1")))
+    // like Hudi hive-sync, the view pins the synced commit until re-sync
+    assert(spark.sql(s"SELECT count(*) FROM $v").as[Long].head() === 1)
+    TableOps.syncView(spark, t, Some("sync_t"))
+    assert(spark.sql(s"SELECT count(*) FROM $v").as[Long].head() === 2)
+  }
+
   test("mid-commit crash states are invisible to readers (manifest-pointer protocol)") {
     // The commit sequence is: (1) write a fresh data dir, (2) publish
     // one manifest file. Readers must see a consistent snapshot after
