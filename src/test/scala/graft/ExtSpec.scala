@@ -256,6 +256,43 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("streaming incremental source delivers exactly each commit's change records") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("graft-incsrc")
+    val t = graft.tables.KeyedTable("cdc", s"$base/cdc", Seq("id"), "ver",
+      Seq("part"))
+    def up(rs: (String, Int, String)*) =
+      graft.ops.TableOps.upsert(spark, t, rs.toDF("id", "ver", "part"))
+    up(("a", 1, "p1"), ("b", 1, "p2"))
+    val ckpt = tmpDir("graft-incsrc-ckpt")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, String)]()
+    def drain(): Set[(String, Int, String)] = {
+      got.clear()
+      val q = graft.streaming.IncrementalSource.changes(spark, t)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id", "ver", "part")
+            .collect().foreach(r =>
+              got.add((r.getString(0), r.getInt(1), r.getString(2))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      scala.jdk.CollectionConverters.IteratorHasAsScala(got.iterator()).asScala.toSet
+    }
+    // bootstrap: every live commit streams in
+    assert(drain() === Set(("a", 1, "p1"), ("b", 1, "p2")))
+    // second commit rewrites p1 (carrying 'a' over) and adds 'c'; only
+    // the CHANGE records may arrive on the same checkpoint
+    up(("c", 1, "p1"))
+    assert(drain() === Set(("c", 1, "p1")),
+      "carried-over rows of the rewritten partition must be filtered")
+    // an update is a change record; compaction emits nothing
+    up(("a", 2, "p1"))
+    graft.ops.TableOps.compactPartitions(spark, t, Seq("part=p1"))
+    assert(drain() === Set(("a", 2, "p1")))
+  }
+
   test("streaming: windowed counts over file stream match batch windows") {
     import org.apache.spark.sql.streaming.Trigger
     val events = CoreQueries.events(spark, sfDir)
