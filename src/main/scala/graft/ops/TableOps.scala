@@ -265,16 +265,13 @@ object TableOps {
     // (Delta/Hudi-style): reads never depend on which file's footer
     // gets sampled, evolved columns are visible from every partition,
     // and an all-rows-deleted table stays readable. Partition columns
-    // stay IN the schema: reads then carry their declared types (no
-    // dir-name inference).
-    val mergedSchema = {
-      val evolved = stamped.schema.fields
-      val base = latestSchema(spark, t)
-        .map(_.fields)
-        .getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
-      StructType(
-        base ++ evolved.filterNot(f => base.exists(_.name == f.name)))
-    }
+    // stay IN the schema. The recorded schema is the MERGE PLAN's
+    // output schema: union coercion has already reconciled same-name
+    // columns of different types (an int batch against a long table
+    // widens — Hudi-style type evolution), so manifest == written
+    // files by construction, and older narrower files upcast at read
+    // (Spark 4 parquet widening; asserted in TableOpsSpec).
+    var mergedSchema: StructType = stamped.schema
 
     val newParts: Map[String, String] = oldParts match {
       case None =>
@@ -284,6 +281,7 @@ object TableOps {
         val existing = snapshot(spark, t)
         val merged = Upsert.merge(existing, stamped, t.recordKey,
           Seq(t.precombineKey, KeyedTable.CommitCol))
+        mergedSchema = merged.schema
         writer(merged, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
         Map("" -> ts)
       case Some(old) =>
@@ -321,6 +319,7 @@ object TableOps {
           else (t.partitionBy ++ keyCols).distinct
         val merged = Upsert.merge(affectedExisting, stamped, mergeKeys,
           Seq(t.precombineKey, KeyedTable.CommitCol))
+        mergedSchema = merged.schema
         writer(merged, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
         // Ownership update: affected rels move to the new commit dir
         // (or drop entirely when a moved-away key emptied them); the

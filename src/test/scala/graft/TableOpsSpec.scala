@@ -149,6 +149,26 @@ class TableOpsSpec extends SparkSuite {
     assert(byId === Map("a" -> None, "b" -> Some("extra")))
   }
 
+  test("type-widening evolution: int batch into long table and vice versa") {
+    val base = tmpDir("graft-widen")
+    val t = KeyedTable("tw", s"$base/tw", Seq("id"), "ver")
+    TableOps.upsert(spark, t, Seq(("a", 1, 5)).toDF("id", "ver", "n"))
+    // wider incoming type: manifest must record the widened column and
+    // the old int file must upcast at read
+    TableOps.upsert(spark, t, Seq(("b", 1, 6000000000L)).toDF("id", "ver", "n"))
+    val snap = TableOps.snapshot(spark, t)
+    assert(snap.schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(snap.select("id", "n").as[(String, Long)].collect().toSet ===
+      Set(("a", 5L), ("b", 6000000000L)))
+    // narrower incoming type widens TO the table type
+    TableOps.upsert(spark, t, Seq(("c", 1, 7)).toDF("id", "ver", "n"))
+    val snap2 = TableOps.snapshot(spark, t)
+    assert(snap2.schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(snap2.count() === 3)
+  }
+
   test("soft delete: CDC-visible tombstone, active view hides, upsert resurrects") {
     val t = table(partitioned = false)
     val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
