@@ -56,8 +56,13 @@ object Dedup {
     * 10¹² docs) — the full text never rides through the shuffle.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // Seed constant FIRST: Spark's XxHash64 folds children left-to-right
+    // with the running hash as seed, so xxhash64(n, c) would be a pure
+    // function of xxhash64(n) (an h1 collision would imply an h2
+    // collision — zero extra safety). xxhash64(c, n) re-hashes the text
+    // under a different effective seed, making the pair independent.
     exactBy(docs, idCol,
-      n => xxhash64(n), n => xxhash64(n, lit(0x9e3779b97f4a7c15L)))(textCol)
+      n => xxhash64(n), n => xxhash64(lit(0x9e3779b97f4a7c15L), n))(textCol)
 
   /** [[exact]] with injectable hash functions over the normalized text —
     * lets tests substitute a deliberately-colliding first hash and
@@ -289,6 +294,12 @@ object Dedup {
       labels = next.drop("_changed")
       iter += 1
     }
+    // Silent unconvergence would under-merge clusters (multiple
+    // "representatives" per true component) — fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds the budget); raise maxIter")
     labels
   }
 

@@ -97,10 +97,26 @@ object TableOps {
     } else {
       import org.apache.spark.sql.catalyst.expressions.{Expression, In, Literal}
       import org.apache.spark.sql.graft.ColumnBridge
-      val probe = ColumnBridge.expression(struct(partCols.map(col): _*))
-      val lits = affected.toSeq
-        .map(r => Literal.create(r, schema): Expression)
-      ColumnBridge.column(In(probe, lits))
+      // `IN` is null-hostile (a tuple containing NULL never matches —
+      // three-valued logic), so null-free tuples go through the single
+      // struct-IN node and the (rare — at most one hive default
+      // partition per column) null-carrying tuples get an OR'd
+      // null-safe conjunction each.
+      val (withNulls, noNulls) = affected.partition(r =>
+        partCols.indices.exists(r.isNullAt))
+      val inPred =
+        if (noNulls.isEmpty) lit(false)
+        else {
+          val probe = ColumnBridge.expression(struct(partCols.map(col): _*))
+          val lits = noNulls.toSeq
+            .map(r => Literal.create(r, schema): Expression)
+          ColumnBridge.column(In(probe, lits))
+        }
+      withNulls.map(r =>
+        partCols.zipWithIndex
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+          .reduce(_ && _))
+        .foldLeft(inPred)(_ || _)
     }
 
   // ————————————————————————————— manifest parts map (rel → commit dir)
@@ -275,6 +291,19 @@ object TableOps {
 
     val newParts: Map[String, String] = oldParts match {
       case None =>
+        // First commit. Refuse to adopt a dir holding FOREIGN data (the
+        // bare-parquet interop case snapshot() reads): publishing a
+        // manifest over it would hide those rows from every reader and
+        // leave them untracked. Orphan commit-shaped dirs from a
+        // crashed first write are fine — clean() collects them.
+        if (fs.exists(new Path(t.dataPath))) {
+          val foreign = fs.listStatus(new Path(t.dataPath))
+            .filterNot(st => CommitDirPattern.matches(st.getPath.getName))
+          require(foreign.isEmpty,
+            s"table ${t.name}: ${t.dataPath} already holds non-graft data " +
+              s"(e.g. ${foreign.head.getPath.getName}); import it with an " +
+              "explicit upsert from a read of that dir into a fresh table")
+        }
         writer(stamped, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
         relsOf(fs, dest, t.partitionBy.length).map(_ -> ts).toMap
       case Some(_) if t.partitionBy.isEmpty =>
@@ -300,8 +329,9 @@ object TableOps {
         val affectedDf =
           if (!t.globalIndex) incomingParts.distinct()
           else {
-            if (!KeyIndex.exists(spark, t))
-              KeyIndex.rebuild(spark, t, existing) // one-time bootstrap scan
+            // bootstrap + crash-recovery in one probe: rebuild unless
+            // the index is stamped with the latest published commit
+            KeyIndex.ensureFresh(spark, t, log.latestCommit(), existing)
             incomingParts
               .union(KeyIndex.lookupPartitions(spark, t, stamped))
               .distinct()
@@ -329,11 +359,25 @@ object TableOps {
         old -- affectedRels ++ written.map(_ -> ts)
     }
 
+    // Manifest FIRST (it is the publish point — a key recorded for an
+    // unpublished commit would make a replay skip a batch whose data is
+    // an invisible orphan: silent loss). The marker after it is only a
+    // cache; hasIdempotencyKey falls back to the manifests for the
+    // crash window between the two.
+    log.logCommit(ts, Map(
+      "table" -> t.name,
+      "schema" -> mergedSchema.json,
+      PartsKey -> partsJson(newParts)) ++
+      idempotencyKey.map("idempotency_key" -> _))
+    idempotencyKey.foreach(log.recordIdempotencyKey)
     // GLOBAL tables: record the new home partition of every key this
-    // commit wrote. Reading back the just-written commit dir (under
-    // the merged schema — declared partition types) is exact: a key
-    // whose EXISTING row won the precombine keeps its old home, rides
-    // in the new dir with its OLD _commit_ts, and is filtered out.
+    // commit wrote, AFTER the publish (the index stamps the commit it
+    // reflects; a crash anywhere in between is caught by the next
+    // writer's ensureFresh probe and costs one rebuild, never a wrong
+    // lookup). Reading back the just-written commit dir (under the
+    // merged schema — declared partition types) is exact: a key whose
+    // EXISTING row won the precombine keeps its old home, rides in the
+    // new dir with its OLD _commit_ts, and is filtered out.
     if (t.globalIndex && t.partitionBy.nonEmpty) {
       val written = spark.read.schema(mergedSchema)
         .option("basePath", dest.toString).parquet(dest.toString)
@@ -342,17 +386,8 @@ object TableOps {
       else
         KeyIndex.update(spark, t,
           written.filter(col(KeyedTable.CommitCol) === lit(ts)))
+      KeyIndex.markSynced(spark, t, ts)
     }
-    // Key registry BEFORE the manifest (ADVICE r1): a crash in between
-    // leaves the key recorded for an already-published commit, so a
-    // replayed batch is still skipped; the reverse order would let the
-    // replay re-commit under a new ts and emit duplicate change records.
-    idempotencyKey.foreach(log.recordIdempotencyKey)
-    log.logCommit(ts, Map(
-      "table" -> t.name,
-      "schema" -> mergedSchema.json,
-      PartsKey -> partsJson(newParts)) ++
-      idempotencyKey.map("idempotency_key" -> _))
     ts
   }
 
@@ -415,7 +450,9 @@ object TableOps {
     // GLOBAL tables: the key index narrows the match scan to the keys'
     // home partitions instead of the whole snapshot.
     val existing =
-      if (t.globalIndex && t.partitionBy.nonEmpty && KeyIndex.exists(spark, t)) {
+      if (t.globalIndex && t.partitionBy.nonEmpty) {
+        KeyIndex.ensureFresh(spark, t,
+          CommitLog(t, spark).latestCommit(), snap)
         val homes = KeyIndex.lookupPartitions(spark, t, delKeys)
         snap.filter(
           partitionPredicate(t.partitionBy, homes.schema, homes.collect()))
@@ -452,12 +489,16 @@ object TableOps {
         val written = relsOf(fs, dest, t.partitionBy.length)
         oldParts -- affected.keySet ++ written.map(_ -> ts)
       }
-    if (t.globalIndex && t.partitionBy.nonEmpty && KeyIndex.exists(spark, t))
-      KeyIndex.remove(spark, t, delKeys)
     CommitLog(t, spark).logCommit(ts,
       Map("table" -> t.name, "action" -> "delete",
         PartsKey -> partsJson(newParts)) ++
         preSchema.map("schema" -> _.json))
+    // index maintenance after the publish — same recovery contract as
+    // upsert (ensureFresh rebuilds on the next write if we crash here)
+    if (t.globalIndex && t.partitionBy.nonEmpty && KeyIndex.exists(spark, t)) {
+      KeyIndex.remove(spark, t, delKeys)
+      KeyIndex.markSynced(spark, t, ts)
+    }
     ts
   }
 
@@ -549,6 +590,10 @@ object TableOps {
       Map("table" -> t.name, "action" -> "compact",
         PartsKey -> partsJson(newParts)) ++
         latestSchema(spark, t).map("schema" -> _.json))
+    // compaction moves files, not keys — the index stays valid for the
+    // new commit; stamp it so ensureFresh doesn't rebuild spuriously
+    if (t.globalIndex && t.partitionBy.nonEmpty && KeyIndex.exists(spark, t))
+      KeyIndex.markSynced(spark, t, ts)
     ts
   }
 
@@ -600,8 +645,7 @@ object TableOps {
   def compactPartitions(spark: SparkSession, t: KeyedTable,
       rels: Seq[String],
       sortBy: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 4000000L,
-      filesPerPartition: Int = 1): String = {
+      maxRecordsPerFile: Long = 4000000L): String = {
     require(t.partitionBy.nonEmpty, "compactPartitions needs a partitioned table")
     if (rels.isEmpty) return ""
     val oldParts = currentParts(spark, t, None).getOrElse(return "")
@@ -613,13 +657,13 @@ object TableOps {
     val dest = new Path(s"${t.dataPath}/$ts")
     val sch = latestSchema(spark, t)
     val subset = readParts(spark, t, target, sch)
-    // one write task per (shuffle-partition ∩ partition value): hashing
-    // on the partition columns coalesces each partition's small files
+    // hashing on the partition columns puts each partition's rows in
+    // ONE write task → one file per partition, with maxRecordsPerFile
+    // still splitting oversized partitions inside the task
     val coalesced =
       if (sortBy.nonEmpty) subset
       else subset.repartition(
-        math.max(filesPerPartition * target.size, 1),
-        t.partitionBy.map(col): _*)
+        math.max(target.size, 1), t.partitionBy.map(col): _*)
     writer(coalesced, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
     val written = relsOf(fs, dest, t.partitionBy.length)
     val newParts = oldParts -- target.keySet ++ written.map(_ -> ts)
@@ -627,6 +671,8 @@ object TableOps {
       Map("table" -> t.name, "action" -> "compact",
         PartsKey -> partsJson(newParts)) ++
         sch.map("schema" -> _.json))
+    if (t.globalIndex && KeyIndex.exists(spark, t))
+      KeyIndex.markSynced(spark, t, ts)
     ts
   }
 
@@ -638,18 +684,30 @@ object TableOps {
     * for any instant ≥ the oldest retained commit. Single-writer: do
     * not run concurrently with a write.
     */
+  /** `data/{17-digit-instant}` — the only dir shape this engine writes;
+    * anything else under `data/` is foreign (externally-written parquet
+    * the bare-dir snapshot fallback tolerates) and must never be
+    * garbage-collected.
+    */
+  private val CommitDirPattern = "[0-9]{17}".r
+
   def clean(spark: SparkSession, t: KeyedTable, retainCommits: Int): Seq[String] = {
     require(retainCommits >= 1, "retainCommits must be >= 1")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
     val log = CommitLog(t, spark)
     val dropped = log.retain(retainCommits)
-    val referenced = log.listCommits()
+    val partsMaps = log.listCommits()
       .flatMap(ts => log.commitMeta(ts).flatMap(partsOf))
-      .flatMap(_.values).toSet
+    val referenced = partsMaps.flatMap(_.values).toSet
     val dataRoot = new Path(t.dataPath)
-    if (fs.exists(dataRoot))
+    // Two safety rails: (1) never collect anything unless at least one
+    // retained manifest actually carries a parts map (a manifest-less
+    // dir is NOT ours to delete); (2) only commit-shaped dirs are
+    // candidates — foreign files/dirs are left alone.
+    if (partsMaps.nonEmpty && fs.exists(dataRoot))
       fs.listStatus(dataRoot)
+        .filter(st => CommitDirPattern.matches(st.getPath.getName))
         .filter(st => !referenced.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
     // legacy layout leftovers (pre-manifest-protocol tables)

@@ -67,8 +67,11 @@ object ExtQueries {
     */
   private def pairGate(family: String, exact: DataFrame, approx: DataFrame,
       keys: Seq[String], recallMin: Double, maxFpFrac: Double): DataFrame = {
-    val e = exact.select(keys.map(col): _*).distinct()
-    val a = approx.select(keys.map(col): _*).distinct()
+    // materialize both sides once — the gate references each in up to
+    // three aggregates, and the exact side can be the query's most
+    // expensive lineage (e.g. the quadratic cosine baseline)
+    val e = exact.select(keys.map(col): _*).distinct().localCheckpoint()
+    val a = approx.select(keys.map(col): _*).distinct().localCheckpoint()
     e.agg(count(lit(1)).as("n_exact"))
       .crossJoin(e.join(a, keys, "left_semi").agg(count(lit(1)).as("n_caught")))
       .crossJoin(a.join(e, keys, "left_anti").agg(count(lit(1)).as("n_fp")))
@@ -85,8 +88,8 @@ object ExtQueries {
     */
   private def topkGate(family: String, exact: DataFrame, approx: DataFrame,
       keys: Seq[String], recallMin: Double): DataFrame = {
-    val e = exact.select(keys.map(col): _*).distinct()
-    val a = approx.select(keys.map(col): _*).distinct()
+    val e = exact.select(keys.map(col): _*).distinct().localCheckpoint()
+    val a = approx.select(keys.map(col): _*).distinct().localCheckpoint()
     e.agg(count(lit(1)).as("n_exact"))
       .crossJoin(e.join(a, keys, "left_semi").agg(count(lit(1)).as("n_caught")))
       .select(lit(family).as("family"), col("n_exact"),

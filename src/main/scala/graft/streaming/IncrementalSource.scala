@@ -33,6 +33,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * nothing (all their rows carry older `_commit_ts` — correct, nothing
   * changed logically); cleaned dirs are simply absent. Soft-delete
   * tombstones arrive as ordinary change rows with `_deleted = true`.
+  *
+  * Caveat (writer-crash window): the file source has no manifest
+  * awareness, so a commit dir whose writer crashed BEFORE publishing
+  * its manifest — invisible to every batch reader — can still feed
+  * phantom change rows into a micro-batch that polls before recovery.
+  * The single-writer recovery protocol is: run `TableOps.clean` (which
+  * collects orphan commit dirs) before restarting the writer or the
+  * stream after an unclean shutdown. An in-flight commit's files may
+  * also split across consecutive micro-batches (file-level tracking
+  * means no duplicates, and completeness once the commit publishes) —
+  * downstream keyed upsert sinks are insensitive to both effects.
   */
 object IncrementalSource {
 

@@ -110,7 +110,21 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     new Path(dir, s"keys/$h.key")
   }
 
-  def hasIdempotencyKey(key: String): Boolean = fs.exists(keyPath(key))
+  /** Marker probe, with the commit manifests as the authoritative
+    * fallback: the marker is written AFTER the manifest publishes (a
+    * key must never be recorded for a commit that is not yet visible —
+    * that would turn a crash into silent batch loss), so a crash in
+    * between leaves a published manifest whose marker is missing; the
+    * manifest scan (driver-side kilobyte files, retention-bounded)
+    * still reports the key as committed and backfills the marker.
+    */
+  def hasIdempotencyKey(key: String): Boolean =
+    fs.exists(keyPath(key)) || {
+      val inManifest =
+        commitMetas().exists(_.get("idempotency_key").contains(key))
+      if (inManifest) recordIdempotencyKey(key) // heal the marker
+      inManifest
+    }
 
   def recordIdempotencyKey(key: String): Unit = {
     val p = keyPath(key)

@@ -24,11 +24,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * full-snapshot semi-join per upsert (the one scale-killer flagged in
   * VERDICT r1).
   *
-  * Crash-consistency: the index is *derived* state, updated after the
-  * data swap and before the commit manifest is logged. A crash in
-  * between leaves a stale index; recovery for the single-writer is
-  * [[rebuild]] (one snapshot scan). Readers never consult the index —
-  * only upsert/delete do — so a stale index can never corrupt a read.
+  * Crash-consistency: the index is *derived* state and SELF-HEALING.
+  * Every index write ends by stamping `_synced` with the commit ts it
+  * reflects; before trusting the index, writers call [[ensureFresh]],
+  * which compares `_synced` against the table's latest published
+  * manifest and rebuilds from the snapshot on any mismatch — so a
+  * crash anywhere between manifest publish and index write costs one
+  * rebuild scan on the next write, never a wrong lookup. Readers never
+  * consult the index — only upsert/delete do — so a stale index can
+  * never corrupt a read.
   */
 object KeyIndex {
 
@@ -49,6 +53,50 @@ object KeyIndex {
   def exists(spark: SparkSession, t: KeyedTable): Boolean = {
     val p = new Path(indexPath(t))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def syncedPath(t: KeyedTable) = new Path(indexPath(t), "_synced")
+
+  /** Commit ts the index last reflected (None = never synced). */
+  def syncedTs(spark: SparkSession, t: KeyedTable): Option[String] = {
+    val p = syncedPath(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** Stamp the commit the index now reflects (called LAST by every
+    * index write, so a crash mid-write reads as out-of-sync).
+    */
+  def markSynced(spark: SparkSession, t: KeyedTable, ts: String): Unit = {
+    val p = syncedPath(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, "._synced.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(ts.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"index sync stamp failed: $tmp → $p")
+  }
+
+  /** Make the index trustworthy for the table state at `latestCommit`:
+    * rebuild from `snapshot` unless `_synced` matches exactly. The O(1)
+    * staleness probe is what lets a crashed writer's successor recover
+    * automatically instead of acting on a wrong mapping.
+    */
+  def ensureFresh(spark: SparkSession, t: KeyedTable,
+      latestCommit: Option[String], snapshot: => DataFrame): Unit = {
+    val expected = latestCommit.getOrElse("")
+    if (!exists(spark, t) || !syncedTs(spark, t).contains(expected)) {
+      rebuild(spark, t, snapshot)
+      markSynced(spark, t, expected)
+    }
   }
 
   private def bucketExpr(t: KeyedTable) =

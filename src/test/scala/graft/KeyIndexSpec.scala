@@ -123,6 +123,45 @@ class KeyIndexSpec extends SparkSuite {
     assert(eu1 === Set(("a", 2)))
   }
 
+  test("GLOBAL index self-heals from a stale sync stamp (simulated crash)") {
+    val base = tmpDir("graft-heal")
+    val t = KeyedTable("hl", s"$base/hl", Seq("id"), "ver", Seq("part"),
+      globalIndex = true)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2")))
+    // simulate a writer that crashed between manifest publish and index
+    // update: move 'a' p1→p2, then FORGE the index back to the stale
+    // state (old mapping + old sync stamp)
+    TableOps.upsert(spark, t, rows(("a", 2, "x2", "p2")))
+    val fs = fsOf(t)
+    val idx = new Path(s"${t.path}/.commits/index")
+    fs.delete(idx, true) // index lost entirely == arbitrarily stale
+    // next GLOBAL write must rebuild (ensureFresh) and still be correct:
+    // move 'a' p2→p3 — the stale-free index must point at p2
+    TableOps.upsert(spark, t, rows(("a", 3, "x3", "p3")))
+    val snap = TableOps.snapshot(spark, t)
+      .select("id", "ver", "part").as[(String, Int, String)].collect().toSet
+    assert(snap === Set(("a", 3, "p3"), ("b", 1, "p2")),
+      "no stale duplicate of the moved key may survive")
+    assert(graft.tables.KeyIndex.syncedTs(spark, t).nonEmpty)
+  }
+
+  test("null partition values: predicate matches the hive default partition") {
+    val base = tmpDir("graft-nullpart")
+    val t = KeyedTable("np2", s"$base/np2", Seq("id"), "ver",
+      Seq("region", "day"))
+    def r(rs: (String, Int, String, Integer)*) =
+      rs.toDF("id", "ver", "region", "day")
+    TableOps.upsert(spark, t,
+      r(("a", 1, "eu", null), ("b", 1, "eu", 1), ("c", 1, "us", 2)))
+    // second upsert into the null-day partition must MERGE (update 'a'),
+    // not duplicate it — the struct-IN predicate alone would drop
+    // null-tuples via three-valued logic
+    TableOps.upsert(spark, t, r(("a", 2, "eu", null)))
+    val snap = TableOps.snapshot(spark, t)
+      .select("id", "ver").as[(String, Int)].collect().toSet
+    assert(snap === Set(("a", 2), ("b", 1), ("c", 1)))
+  }
+
   test("wide upsert: hundreds of partitions plan via a single IN predicate") {
     val base = tmpDir("graft-wide")
     val t = KeyedTable("wd", s"$base/wd", Seq("id"), "ver", Seq("part"))

@@ -236,6 +236,24 @@ class TableOpsSpec extends SparkSuite {
     }
   }
 
+  test("idempotency: manifest fallback covers a crash before the marker write") {
+    val t = table(partitioned = false)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")),
+      idempotencyKey = Some("b1"))
+    // simulate the crash window: manifest published, marker lost
+    val log = CommitLog(t, spark)
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keysDir = new org.apache.hadoop.fs.Path(s"${t.commitsPath}/keys")
+    fs.delete(keysDir, true)
+    // the replay must still be skipped (manifest carries the key) and
+    // the marker healed
+    assert(TableOps.upsert(spark, t, rows(("a", 9, "x9", "p1")),
+      idempotencyKey = Some("b1")) === "")
+    assert(fs.exists(keysDir), "marker must be backfilled from the manifest")
+    assert(log.listCommits() === Seq(ts1))
+  }
+
   test("idempotency keys survive the cleaner") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")),
