@@ -60,6 +60,8 @@ object SparkEntry {
     "sim_vector_dim_stats"    -> (ExtQueries.simVectorDimStats _),
     "sim_cosine_neardup"      -> (ExtQueries.simCosineNeardup _),
     "sim_neardup_pairs"       -> (ExtQueries.simNeardupPairs _),
+    "sample_stratified"       -> (ExtQueries.sampleStratified _),
+    "sample_split"            -> (ExtQueries.sampleSplit _),
     "text_stats"              -> (ExtQueries.textStats _),
     "text_quality"            -> (ExtQueries.textQuality _),
     "text_token_counts"       -> (ExtQueries.textTokenCounts _),
@@ -102,7 +104,8 @@ object SparkEntry {
     "dedup_clusters", "dedup_minhash_pairs", "dedup_simhash_pairs",
     "sim_cosine_topk",
     "sim_lsh_topk_raw", "sim_ivf_topk_raw",
-    "sim_neardup_pairs", "text_stats", "text_quality", "text_token_counts",
+    "sim_neardup_pairs", "sample_stratified", "sample_split",
+    "text_stats", "text_quality", "text_token_counts",
     "text_fingerprint_raw", "text_langid", "multimodal_stats",
     "multimodal_features", "events_tumbling", "events_sliding",
     "events_sessions", "j_asof_join", "a_approx_agg")
@@ -349,6 +352,14 @@ object SparkEntry {
         | SELECT 'cosine_neardup' AS family,
         |  (SELECT count(*) FROM ex) AS n_exact,
         |  true AS recall_pass, true AS precision_pass""".stripMargin,
+    "sample_stratified" ->
+      """SELECT label, CAST(ceil(0.1 * count(*)) AS BIGINT) AS n_sampled
+        | FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "sample_split" ->
+      """SELECT 'hash_split' AS family, count(*) AS n_total,
+        | true AS coverage_pass, true AS train_pass, true AS val_pass,
+        | true AS test_pass
+        | FROM documents""".stripMargin,
     "text_fingerprint" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

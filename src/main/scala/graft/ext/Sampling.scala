@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling / splitting primitives for training-data
+  * pipelines. Everything here is a pure function of the record id and a
+  * seed — replayable across runs and cluster layouts (no RNG state, no
+  * partition-order dependence), which is what makes a 100 TB pipeline's
+  * train/val/test assignment reproducible and joinable.
+  */
+object Sampling {
+
+  private val Buckets = 1000000
+
+  /** Stable per-row bucket in [0, Buckets): seed FIRST in the hash
+    * chain (Spark's XxHash64 folds left-to-right with the running hash
+    * as seed — a trailing constant would be a no-op reshuffle of the
+    * same hash).
+    */
+  private def bucket(idCol: Column, seed: Long): Column =
+    pmod(xxhash64(lit(seed), idCol), lit(Buckets))
+
+  /** Assign every row to exactly one named split by hashed-id ranges —
+    * the train/val/test split primitive. `weights` need not sum to 1
+    * (they are normalized); assignment is map-only (no shuffle), and a
+    * row's split never changes as the corpus grows (it depends only on
+    * the id and seed).
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0)(_ + _._2 / total).tail
+      .map(f => math.round(f * Buckets))
+    val b = bucket(col(idCol), seed)
+    val expr = weights.zip(cuts).reverse.tail.foldLeft(
+      lit(weights.last._1)) { case (acc, ((name, _), cut)) =>
+      when(b < lit(cut), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Exact-size stratified sample: from each stratum, the ⌈frac·n⌉ rows
+    * with the smallest hashed ids (deterministic, unbiased w.r.t. any
+    * column correlated with neither hash nor id). One shuffle on the
+    * stratum key; per-stratum sizes are exact — the property the count
+    * oracle checks — unlike `df.sampleBy`, whose Bernoulli draw only
+    * hits the fraction in expectation.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      frac: Double, seed: Long = 42L): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(bucket(col(idCol), seed), col(idCol))
+    val n = Window.partitionBy(col(strataCol))
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(n))
+      .filter(col("_rn") <= ceil(col("_n") * lit(frac)))
+      .drop("_rn", "_n")
+  }
+}

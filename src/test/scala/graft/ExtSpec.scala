@@ -72,6 +72,41 @@ class ExtSpec extends SparkSuite {
     assert(comps.forall(_._2 === 1L))
   }
 
+  test("hash split: disjoint exact cover, replay-deterministic, near weights") {
+    val split = graft.ext.Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val total = docs.count()
+    assert(counts.values.sum === total, "every doc lands in exactly one split")
+    assert(counts.keySet === Set("train", "val", "test"))
+    val fracs = counts.view.mapValues(_.toDouble / total).toMap
+    assert(math.abs(fracs("train") - 0.8) < 0.05, s"fracs=$fracs")
+    // determinism: identical assignment on replay
+    val again = graft.ext.Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again === split.select("doc_id", "split")
+      .as[(Long, String)].collect().toSet)
+    // membership is stable under corpus growth: the half-corpus
+    // assignment agrees with the full-corpus one
+    val half = graft.ext.Sampling.hashSplit(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(half.subsetOf(again))
+  }
+
+  test("stratified sample: exact ceil(frac*n) rows per stratum, deterministic") {
+    val sampled = graft.ext.Sampling.stratifiedSample(emb, "label", "vec_id",
+      frac = 0.1)
+    val got = sampled.groupBy("label").count().as[(String, Long)].collect().toMap
+    val want = emb.groupBy("label").count().as[(String, Long)].collect().toMap
+      .view.mapValues(n => math.ceil(n * 0.1).toLong).toMap
+    assert(got === want)
+    // sampled rows are real rows of the corpus
+    assert(sampled.join(emb, Seq("vec_id"), "left_anti").count() === 0)
+  }
+
   test("simhash: identical docs collide; pair list is deterministic") {
     // duplicated normalized text ⇒ identical simhash (hamming 0)
     val sh = Dedup.simhash(docs, "doc_id", "text")
