@@ -295,11 +295,22 @@ object Dedup {
       iter += 1
     }
     // Silent unconvergence would under-merge clusters (multiple
-    // "representatives" per true component) — fail loudly instead.
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          "(component diameter exceeds the budget); raise maxIter")
+    // "representatives" per true component) — fail loudly instead. The
+    // loop may have CONVERGED on its very last round without a quiet
+    // round to observe it, so probe once more before throwing.
+    if (!converged) {
+      val pending = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_comp")).as("nbr_comp"))
+        .join(labels, Seq("id"))
+        .filter(col("nbr_comp") < col("comp"))
+      if (!pending.limit(1).isEmpty)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            "(component diameter exceeds the budget); raise maxIter")
+    }
     labels
   }
 

@@ -56,9 +56,13 @@ object Sampling {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(bucket(col(idCol), seed), col(idCol))
     val n = Window.partitionBy(col(strataCol))
+    // the epsilon keeps ceil exact when n*frac lands on an integer that
+    // IEEE rounds up past (100 * 0.07 = 7.000000000000001 → must be 7,
+    // not 8); oracles should compute ceil the same double way or use
+    // exact decimal fractions
     df.withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(n))
-      .filter(col("_rn") <= ceil(col("_n") * lit(frac)))
+      .filter(col("_rn") <= ceil(col("_n") * lit(frac) - lit(1e-9)))
       .drop("_rn", "_n")
   }
 }

@@ -327,7 +327,7 @@ object TableOps {
         val incomingParts =
           stamped.select(t.partitionBy.map(col): _*).distinct()
         val affectedDf =
-          if (!t.globalIndex) incomingParts.distinct()
+          if (!t.globalIndex) incomingParts
           else {
             // bootstrap + crash-recovery in one probe: rebuild unless
             // the index is stamped with the latest published commit
@@ -582,6 +582,7 @@ object TableOps {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
     val dest = new Path(s"${t.dataPath}/$ts")
+    val indexWasFresh = indexFresh(spark, t)
     val snap = snapshot(spark, t)
     val sized = numFiles.fold(snap)(n => snap.repartition(n))
     writer(sized, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
@@ -591,11 +592,20 @@ object TableOps {
         PartsKey -> partsJson(newParts)) ++
         latestSchema(spark, t).map("schema" -> _.json))
     // compaction moves files, not keys — the index stays valid for the
-    // new commit; stamp it so ensureFresh doesn't rebuild spuriously
-    if (t.globalIndex && t.partitionBy.nonEmpty && KeyIndex.exists(spark, t))
-      KeyIndex.markSynced(spark, t, ts)
+    // new commit, so re-stamp it, but ONLY if it was fresh for the
+    // pre-compact commit (stamping a stale index would launder it past
+    // the next writer's ensureFresh probe)
+    if (indexWasFresh) KeyIndex.markSynced(spark, t, ts)
     ts
   }
+
+  /** Was the key index in sync with the CURRENT latest commit? (false
+    * when absent, not global, or stamped for an older commit)
+    */
+  private def indexFresh(spark: SparkSession, t: KeyedTable): Boolean =
+    t.globalIndex && t.partitionBy.nonEmpty && KeyIndex.exists(spark, t) &&
+      KeyIndex.syncedTs(spark, t).contains(
+        CommitLog(t, spark).latestCommit().getOrElse(""))
 
   /** Catalog-sync analog of Hudi's hive sync (create_hudi_tables.py:
     * 130-138 — configured but DISABLED in every reference call, so a
@@ -631,9 +641,10 @@ object TableOps {
   }
 
   /** Partition-scoped compaction: rewrite ONLY the given partition rels
-    * into a fresh commit dir (coalesced to `filesPerPartition` files
-    * each, optionally re-clustered); every other partition keeps its
-    * current dir untouched. This is the production compaction schedule
+    * into a fresh commit dir (one write task — hence one file — per
+    * partition, with `maxRecordsPerFile` splitting oversized ones;
+    * optionally re-clustered via `sortBy`); every other partition keeps
+    * its current dir untouched. This is the production compaction schedule
     * the table-wide [[compact]] scaladoc promises — pair it with
     * [[smallFilePartitions]]:
     *
@@ -655,6 +666,7 @@ object TableOps {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
     val dest = new Path(s"${t.dataPath}/$ts")
+    val indexWasFresh = indexFresh(spark, t)
     val sch = latestSchema(spark, t)
     val subset = readParts(spark, t, target, sch)
     // hashing on the partition columns puts each partition's rows in
@@ -671,8 +683,7 @@ object TableOps {
       Map("table" -> t.name, "action" -> "compact",
         PartsKey -> partsJson(newParts)) ++
         sch.map("schema" -> _.json))
-    if (t.globalIndex && KeyIndex.exists(spark, t))
-      KeyIndex.markSynced(spark, t, ts)
+    if (indexWasFresh) KeyIndex.markSynced(spark, t, ts)
     ts
   }
 

@@ -110,20 +110,23 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     new Path(dir, s"keys/$h.key")
   }
 
-  /** Marker probe, with the commit manifests as the authoritative
+  /** Marker probe, with the LATEST commit manifest as the authoritative
     * fallback: the marker is written AFTER the manifest publishes (a
     * key must never be recorded for a commit that is not yet visible —
     * that would turn a crash into silent batch loss), so a crash in
-    * between leaves a published manifest whose marker is missing; the
-    * manifest scan (driver-side kilobyte files, retention-bounded)
-    * still reports the key as committed and backfills the marker.
+    * between leaves a published manifest whose marker is missing.
+    * Under the single-writer model only the newest commit can sit in
+    * that window (every older commit completed its marker write before
+    * the next began), so the fallback reads exactly one manifest —
+    * keeping the per-batch probe O(1), not an O(#commits) scan — and
+    * backfills the marker.
     */
   def hasIdempotencyKey(key: String): Boolean =
     fs.exists(keyPath(key)) || {
-      val inManifest =
-        commitMetas().exists(_.get("idempotency_key").contains(key))
-      if (inManifest) recordIdempotencyKey(key) // heal the marker
-      inManifest
+      val inLatest = latestCommit().flatMap(commitMeta)
+        .exists(_.get("idempotency_key").contains(key))
+      if (inLatest) recordIdempotencyKey(key) // heal the marker
+      inLatest
     }
 
   def recordIdempotencyKey(key: String): Unit = {
