@@ -258,6 +258,9 @@ object TableOps {
       maxRecordsPerFile: Long = 4000000L,
       idempotencyKey: Option[String] = None): String = {
     val log = CommitLog(t, spark)
+    // Lost-update tripwire: the commit below is computed on top of THIS
+    // timeline head (see CommitLog.logCommit expectedPrev).
+    val baseCommit = log.latestCommit()
     // Exactly-once upgrade of the at-least-once contract (SURVEY.md
     // §2i I3): a caller-supplied idempotency key (e.g. the streaming
     // micro-batch id) is recorded in the commit manifest; a replayed
@@ -368,7 +371,8 @@ object TableOps {
       "table" -> t.name,
       "schema" -> mergedSchema.json,
       PartsKey -> partsJson(newParts)) ++
-      idempotencyKey.map("idempotency_key" -> _))
+      idempotencyKey.map("idempotency_key" -> _),
+      expectedPrev = Some(baseCommit))
     idempotencyKey.foreach(log.recordIdempotencyKey)
     // GLOBAL tables: record the new home partition of every key this
     // commit wrote, AFTER the publish (the index stamps the commit it
@@ -443,6 +447,7 @@ object TableOps {
     */
   def delete(spark: SparkSession, t: KeyedTable, keys: DataFrame): String = {
     if (!exists(spark, t)) return ""
+    val baseCommit = CommitLog(t, spark).latestCommit()
     val keyCols = t.recordKey
     val delKeys = keys.select(keyCols.map(col): _*).distinct()
     val preSchema = latestSchema(spark, t)
@@ -492,7 +497,8 @@ object TableOps {
     CommitLog(t, spark).logCommit(ts,
       Map("table" -> t.name, "action" -> "delete",
         PartsKey -> partsJson(newParts)) ++
-        preSchema.map("schema" -> _.json))
+        preSchema.map("schema" -> _.json),
+      expectedPrev = Some(baseCommit))
     // index maintenance after the publish — same recovery contract as
     // upsert (ensureFresh rebuilds on the next write if we crash here)
     if (t.globalIndex && t.partitionBy.nonEmpty && KeyIndex.exists(spark, t)) {
@@ -583,6 +589,7 @@ object TableOps {
     val fs = new Path(t.path).getFileSystem(conf)
     val dest = new Path(s"${t.dataPath}/$ts")
     val indexWasFresh = indexFresh(spark, t)
+    val baseCommit = CommitLog(t, spark).latestCommit()
     val snap = snapshot(spark, t)
     val sized = numFiles.fold(snap)(n => snap.repartition(n))
     writer(sized, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
@@ -590,7 +597,8 @@ object TableOps {
     CommitLog(t, spark).logCommit(ts,
       Map("table" -> t.name, "action" -> "compact",
         PartsKey -> partsJson(newParts)) ++
-        latestSchema(spark, t).map("schema" -> _.json))
+        latestSchema(spark, t).map("schema" -> _.json),
+      expectedPrev = Some(baseCommit))
     // compaction moves files, not keys — the index stays valid for the
     // new commit, so re-stamp it, but ONLY if it was fresh for the
     // pre-compact commit (stamping a stale index would launder it past
@@ -667,6 +675,7 @@ object TableOps {
     val fs = new Path(t.path).getFileSystem(conf)
     val dest = new Path(s"${t.dataPath}/$ts")
     val indexWasFresh = indexFresh(spark, t)
+    val baseCommit = CommitLog(t, spark).latestCommit()
     val sch = latestSchema(spark, t)
     val subset = readParts(spark, t, target, sch)
     // hashing on the partition columns puts each partition's rows in
@@ -682,7 +691,8 @@ object TableOps {
     CommitLog(t, spark).logCommit(ts,
       Map("table" -> t.name, "action" -> "compact",
         PartsKey -> partsJson(newParts)) ++
-        sch.map("schema" -> _.json))
+        sch.map("schema" -> _.json),
+      expectedPrev = Some(baseCommit))
     if (indexWasFresh) KeyIndex.markSynced(spark, t, ts)
     ts
   }

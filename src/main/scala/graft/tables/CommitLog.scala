@@ -40,8 +40,29 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
 
   /** Record a completed commit. `meta` is free-form (rows written, …);
     * values are JSON-escaped (the table schema rides in here).
+    *
+    * `expectedPrev` (Some(previous-latest-commit)) arms a best-effort
+    * lost-update detector: the engine is single-writer per table, and a
+    * second writer racing in would compute its state (parts map, merge
+    * inputs) from a snapshot that omits the first writer's commit —
+    * publishing would then silently HIDE that commit. Re-checking the
+    * timeline just before the rename turns the common case of that
+    * contract violation into a loud ConcurrentModificationException
+    * (a small TOCTOU window remains — this is a tripwire, not a lock;
+    * real multi-writer needs an external lock service, which the
+    * reference also scopes out).
     */
-  def logCommit(ts: String, meta: Map[String, String] = Map.empty): Unit = {
+  def logCommit(ts: String, meta: Map[String, String] = Map.empty,
+      expectedPrev: Option[Option[String]] = None): Unit = {
+    expectedPrev.foreach { expected =>
+      val actual = latestCommit()
+      if (actual != expected)
+        throw new java.util.ConcurrentModificationException(
+          s"table ${table.name}: commit $ts was computed on top of " +
+            s"${expected.getOrElse("<empty>")} but the timeline now ends at " +
+            s"${actual.getOrElse("<empty>")} — a concurrent writer violated " +
+            "the single-writer contract; this commit is NOT published")
+    }
     def esc(s: String): String = s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -414,6 +414,21 @@ class TableOpsSpec extends SparkSuite {
     assert(state() === before + (("c", 1)))
   }
 
+  test("lost-update tripwire: a racing commit on the same base is rejected") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val log = CommitLog(t, spark)
+    val base = log.latestCommit()
+    // writer B publishes while writer A (simulated below) is mid-commit
+    TableOps.upsert(spark, t, rows(("b", 1, "y", "p1")))
+    // writer A's publish — computed on the stale base — must throw, not
+    // silently hide B's commit
+    intercept[java.util.ConcurrentModificationException] {
+      log.logCommit(CommitLog.newCommitTs(),
+        Map("table" -> "t"), expectedPrev = Some(base))
+    }
+  }
+
   test("commit timestamps are strictly monotonic") {
     val ts = (1 to 50).map(_ => CommitLog.newCommitTs())
     assert(ts === ts.sorted)
