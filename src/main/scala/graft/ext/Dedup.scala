@@ -101,10 +101,12 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, n: Int = 3, seed: Long = 42L): DataFrame = {
+    // hashes straight from the kernel: the exploded stream carries
+    // 8-byte longs, never shingle strings
     val sh = docs.select(col(idCol).as("id"),
-      explode(graft.functions.TextFunctions.shingles(docs.sparkSession,
+      explode(graft.functions.TextFunctions.shingleHashes(docs.sparkSession,
         col(textCol), n)).as("g"))
-      .withColumn("h", pmod(xxhash64(col("g")), lit(MersennePrime)))
+      .withColumn("h", pmod(col("g"), lit(MersennePrime)))
     val aggs = coeffs(k, seed).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(MersennePrime))).as(s"mh_$i")
     }
@@ -214,9 +216,8 @@ object Dedup {
     // strings. A 2^-64 hash collision could overcount one intersection
     // cell — immaterial against exact-set semantics at any real scale.
     val sh = docs.select(col(idCol).as("id"),
-      explode(graft.functions.TextFunctions.shingles(
-        docs.sparkSession, col(textCol), n)).as("gs"))
-      .select(col("id"), xxhash64(col("gs")).as("g"))
+      explode(graft.functions.TextFunctions.shingleHashes(
+        docs.sparkSession, col(textCol), n)).as("g"))
     val withDf = maxDf match {
       case Some(cap) =>
         // df per shingle is a tiny aggregate; broadcast it back.

@@ -50,6 +50,27 @@ object ShingleKernel {
     while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(arr)
   }
+
+  /** xxhash64 (Spark's SQL `xxhash64`, seed 42) of each distinct
+    * shingle, without materializing the string array into the row
+    * batch: the dedup hot paths explode this — shipping 8-byte longs
+    * through explode+shuffle instead of shingle strings. Distinctness
+    * is by STRING (then hashed), bit-identical to
+    * `explode(compute(...))` + `xxhash64(col)`, collisions included.
+    */
+  def computeHashes(input: UTF8String, n: Int): GenericArrayData = {
+    val strings = compute(input, n)
+    val m = strings.numElements()
+    val arr = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      arr(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(strings.getUTF8String(i),
+          org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
 }
 
 /** `graft_shingles(text, n) → array<string>` — distinct word n-grams of
@@ -79,9 +100,28 @@ case class TextShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_shingle_hashes(text, n) → array<long>` — xxhash64 of each
+  * distinct shingle, straight from the kernel (no intermediate string
+  * array in the row batch). The dedup paths explode this.
+  */
+case class TextShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.computeHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleKernel.computeHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Registered per n (the registry closes over it). */
   private def fnName(n: Int) = s"graft_shingles_$n"
+  private def fnNameH(n: Int) = s"graft_shingle_hashes_$n"
 
   def registerShingles(spark: SparkSession, n: Int): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -90,5 +130,11 @@ object TextFunctions {
   def shingles(spark: SparkSession, text: Column, n: Int): Column = {
     registerShingles(spark, n)
     call_function(fnName(n), text)
+  }
+
+  def shingleHashes(spark: SparkSession, text: Column, n: Int): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fnNameH(n), exprs => TextShingleHashes(exprs.head, n), "scala_udf")
+    call_function(fnNameH(n), text)
   }
 }

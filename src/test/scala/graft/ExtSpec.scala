@@ -180,6 +180,20 @@ class ExtSpec extends SparkSuite {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("TextShingleHashes == xxhash64 over TextShingles, multiset-exact") {
+    val tricky = Seq((9001L, "\tThe  Fast\nkey "), (9002L, " a b c"),
+      (9003L, "one two"), (9004L, ""))
+      .toDF("doc_id", "text")
+    val all = docs.select($"doc_id", $"text").unionByName(tricky)
+    val viaStrings = all.select($"doc_id",
+      explode(graft.functions.TextFunctions.shingles(spark, $"text", 3)).as("g"))
+      .select($"doc_id", xxhash64($"g").as("h"))
+    val viaKernel = all.select($"doc_id",
+      explode(graft.functions.TextFunctions.shingleHashes(spark, $"text", 3)).as("h"))
+    assert(viaStrings.exceptAll(viaKernel).count() === 0)
+    assert(viaKernel.exceptAll(viaStrings).count() === 0)
+  }
+
   test("custom expressions are SQL-visible (registry + extensions object)") {
     graft.functions.VectorFunctions.register(spark)
     graft.functions.TextFunctions.registerShingles(spark, 3)
