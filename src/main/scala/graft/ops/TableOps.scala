@@ -333,8 +333,11 @@ object TableOps {
           if (!t.globalIndex) incomingParts
           else {
             // bootstrap + crash-recovery in one probe: rebuild unless
-            // the index is stamped with the latest published commit
-            KeyIndex.ensureFresh(spark, t, log.latestCommit(), existing)
+            // the index is stamped with the SAME base commit the
+            // tripwire asserts at publish — a fresh latestCommit() here
+            // could stamp a rebuild-from-our-base as synced to an
+            // interloper's newer commit, surviving our aborted publish
+            KeyIndex.ensureFresh(spark, t, baseCommit, existing)
             incomingParts
               .union(KeyIndex.lookupPartitions(spark, t, stamped))
               .distinct()
@@ -456,8 +459,7 @@ object TableOps {
     // home partitions instead of the whole snapshot.
     val existing =
       if (t.globalIndex && t.partitionBy.nonEmpty) {
-        KeyIndex.ensureFresh(spark, t,
-          CommitLog(t, spark).latestCommit(), snap)
+        KeyIndex.ensureFresh(spark, t, baseCommit, snap)
         val homes = KeyIndex.lookupPartitions(spark, t, delKeys)
         snap.filter(
           partitionPredicate(t.partitionBy, homes.schema, homes.collect()))

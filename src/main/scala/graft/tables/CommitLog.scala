@@ -54,15 +54,6 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     */
   def logCommit(ts: String, meta: Map[String, String] = Map.empty,
       expectedPrev: Option[Option[String]] = None): Unit = {
-    expectedPrev.foreach { expected =>
-      val actual = latestCommit()
-      if (actual != expected)
-        throw new java.util.ConcurrentModificationException(
-          s"table ${table.name}: commit $ts was computed on top of " +
-            s"${expected.getOrElse("<empty>")} but the timeline now ends at " +
-            s"${actual.getOrElse("<empty>")} — a concurrent writer violated " +
-            "the single-writer contract; this commit is NOT published")
-    }
     def esc(s: String): String = s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -84,6 +75,20 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     try out.write(payload.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dest = new Path(dir, s"$ts.commit")
+    // tripwire sits immediately before the publishing rename — checking
+    // any earlier would leave the whole manifest write (a full PUT on
+    // object stores) inside the undetected window
+    expectedPrev.foreach { expected =>
+      val actual = latestCommit()
+      if (actual != expected) {
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"table ${table.name}: commit $ts was computed on top of " +
+            s"${expected.getOrElse("<empty>")} but the timeline now ends at " +
+            s"${actual.getOrElse("<empty>")} — a concurrent writer violated " +
+            "the single-writer contract; this commit is NOT published")
+      }
+    }
     fs.delete(dest, false)
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"manifest rename failed: $tmp → $dest")
