@@ -310,13 +310,32 @@ object CoreQueries {
   /** S2 — incremental read as a pushed-down commit-range predicate
     * (incremental_etl_orders.py:217-227), expressed on the events table
     * with a fixed checkpoint literal.
+    *
+    * The range predicate is applied to the RAW int64 nanos column
+    * BEFORE the µs-timestamp rebuild: a filter on the computed column
+    * cannot reach the scan, while the equivalent raw condition
+    * (`ts_µs > T  ⟺  nanos ≥ (T+1)·1000` under floor-truncation) shows
+    * up in `PushedFilters` and lets row-group stats skip untouched
+    * files — the point of an incremental read at 100 TB.
     */
-  def s2IncrementalRead(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .filter(col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"))
-      .orderBy("event_id")
+  def s2IncrementalRead(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+    val cutoffMicros = cutoff.getTime * 1000L // UTC session; whole seconds
+    val key  = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try
+      s.read.parquet(s"$dir/events.parquet")
+        .filter(col("ts") >= lit((cutoffMicros + 1L) * 1000L))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
 
   /** S3/J2 — the upsert merge verified against SQL: existing = line
     * numbers ≤ 2, incoming = ≥ 3; merged = greatest precombine
