@@ -171,8 +171,10 @@ object Similarity {
     val vmean = udaf(graft.functions.VectorMean,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
     var cents = sampleCentroids(corpus, idCol, vecCol, nlist, seed)
-    val vecs = corpus.select(col(vecCol).as("v"))
-    for (_ <- 0 until iters) {
+    // each Lloyd iteration re-reads the vectors; cache once for the
+    // training loop (released before returning)
+    val vecs = corpus.select(col(vecCol).as("v")).persist()
+    try for (_ <- 0 until iters) {
       val means = vecs
         .withColumn("list", element_at(nearestLists(col("v"), 1, cents), 1))
         .groupBy("list").agg(vmean(col("v")).as("m"))
@@ -182,7 +184,7 @@ object Similarity {
       cents = cents.zipWithIndex.map { case (old, i) =>
         means.getOrElse(i, old)
       }
-    }
+    } finally vecs.unpersist()
     cents
   }
 

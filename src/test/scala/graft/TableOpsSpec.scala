@@ -414,6 +414,27 @@ class TableOpsSpec extends SparkSuite {
     assert(state() === before + (("c", 1)))
   }
 
+  test("clean() and first-commit upsert never touch foreign data") {
+    // a bare-parquet dir someone else wrote under the table's data path
+    val base = tmpDir("graft-foreign")
+    val t = KeyedTable("fx", s"$base/fx", Seq("id"), "ver")
+    // the natural interop layout: parquet files directly under data/
+    rows(("x", 1, "p", "p1")).write.parquet(t.dataPath)
+    // no manifests → nothing is ours to collect
+    TableOps.clean(spark, t, retainCommits = 1)
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(t.dataPath))
+      .exists(_.getPath.getName.endsWith(".parquet")),
+      "cleaner must never delete non-commit-shaped entries")
+    // first commit refuses to adopt (publishing would hide those rows)
+    intercept[IllegalArgumentException] {
+      TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    }
+    // the bare dir stays readable via the interop fallback
+    assert(TableOps.snapshot(spark, t).count() === 1)
+  }
+
   test("lost-update tripwire: a racing commit on the same base is rejected") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
