@@ -48,6 +48,7 @@ object SparkEntry {
     "dedup_exact"             -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard"     -> (ExtQueries.dedupNgramJaccard _),
     "dedup_clusters"          -> (ExtQueries.dedupClusters _),
+    "curation_pipeline"       -> (ExtQueries.curationPipeline _),
     "dedup_minhash_lsh"       -> (ExtQueries.dedupMinhashLsh _),
     "dedup_minhash_pairs"     -> (ExtQueries.dedupMinhashPairs _),
     "dedup_simhash"           -> (ExtQueries.dedupSimhash _),
@@ -101,8 +102,8 @@ object SparkEntry {
     "a1_distinct_sort_limit", "set_intersect", "p_filter_pushdown",
     "p2_projection_alias", "f2_datetime", "f6_json", "s2_incremental_read",
     "s3_upsert_merge", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_clusters", "dedup_minhash_pairs", "dedup_simhash_pairs",
-    "sim_cosine_topk",
+    "dedup_clusters", "curation_pipeline", "dedup_minhash_pairs",
+    "dedup_simhash_pairs", "sim_cosine_topk",
     "sim_lsh_topk_raw", "sim_ivf_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
     "text_stats", "text_quality", "text_token_counts",
@@ -260,6 +261,90 @@ object SparkEntry {
         | JOIN sz sb ON sb.doc_id = id_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
         | ORDER BY id_a, id_b""".stripMargin,
+    "curation_pipeline" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+        | lsc AS (SELECT doc_id,
+        |  (CASE WHEN strpos(s, ' the ') > 0 THEN (length(s) - length(replace(s, ' the ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' and ') > 0 THEN (length(s) - length(replace(s, ' and ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' of ') > 0 THEN (length(s) - length(replace(s, ' of ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' is ') > 0 THEN (length(s) - length(replace(s, ' is ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' to ') > 0 THEN (length(s) - length(replace(s, ' to ', ''))) / 4 ELSE 0 END) AS sc_en,
+        |  (CASE WHEN strpos(s, ' der ') > 0 THEN (length(s) - length(replace(s, ' der ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' und ') > 0 THEN (length(s) - length(replace(s, ' und ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' die ') > 0 THEN (length(s) - length(replace(s, ' die ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' ist ') > 0 THEN (length(s) - length(replace(s, ' ist ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' das ') > 0 THEN (length(s) - length(replace(s, ' das ', ''))) / 5 ELSE 0 END) AS sc_de,
+        |  (CASE WHEN strpos(s, ' le ') > 0 THEN (length(s) - length(replace(s, ' le ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' la ') > 0 THEN (length(s) - length(replace(s, ' la ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' et ') > 0 THEN (length(s) - length(replace(s, ' et ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' est ') > 0 THEN (length(s) - length(replace(s, ' est ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' les ') > 0 THEN (length(s) - length(replace(s, ' les ', ''))) / 5 ELSE 0 END) AS sc_fr,
+        |  (CASE WHEN strpos(s, ' el ') > 0 THEN (length(s) - length(replace(s, ' el ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' los ') > 0 THEN (length(s) - length(replace(s, ' los ', ''))) / 5 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' es ') > 0 THEN (length(s) - length(replace(s, ' es ', ''))) / 4 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' y ') > 0 THEN (length(s) - length(replace(s, ' y ', ''))) / 3 ELSE 0 END
+        |   + CASE WHEN strpos(s, ' las ') > 0 THEN (length(s) - length(replace(s, ' las ', ''))) / 5 ELSE 0 END) AS sc_es,
+        |  (CASE WHEN strpos(s, '的') > 0 THEN (length(s) - length(replace(s, '的', ''))) / 1 ELSE 0 END
+        |   + CASE WHEN strpos(s, '是') > 0 THEN (length(s) - length(replace(s, '是', ''))) / 1 ELSE 0 END
+        |   + CASE WHEN strpos(s, '了') > 0 THEN (length(s) - length(replace(s, '了', ''))) / 1 ELSE 0 END
+        |   + CASE WHEN strpos(s, '在') > 0 THEN (length(s) - length(replace(s, '在', ''))) / 1 ELSE 0 END
+        |   + CASE WHEN strpos(s, '不') > 0 THEN (length(s) - length(replace(s, '不', ''))) / 1 ELSE 0 END) AS sc_zh
+        |  FROM p),
+        | lang AS (
+        |  SELECT doc_id FROM (
+        |   SELECT doc_id, lang, sc,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY sc DESC, lang DESC) AS rn
+        |   FROM (SELECT doc_id,
+        |          unnest(['en','de','fr','es','zh']) AS lang,
+        |          unnest([sc_en, sc_de, sc_fr, sc_es, sc_zh]) AS sc
+        |         FROM lsc))
+        |  WHERE rn = 1 AND lang = 'en'),
+        | qtok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | qual AS (
+        |  SELECT doc_id FROM (
+        |   SELECT doc_id, round(
+        |    least(1.0, CAST(len(w) AS DOUBLE) / 64.0) * 0.4
+        |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+        |    + least(1.0, (CAST(len(list_filter(w, t -> t IN ('the','a','an',
+        |        'and','or','of','to','in','is','it','for','on','with','as',
+        |        'at','by'))) AS DOUBLE) / len(w)) * 4.0) * 0.2, 6) AS quality
+        |   FROM qtok) WHERE quality >= 0.5),
+        | kept AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN lang USING (doc_id) JOIN qual USING (doc_id)),
+        | ktok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM kept),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM ktok, UNNEST(range(1, len(w)-1)) AS u(i)),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        | inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        | ex AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
+        | edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM ex
+        |  UNION ALL SELECT id_b, id_a FROM ex),
+        | reach AS (
+        |  SELECT DISTINCT a AS id, a AS comp FROM edges
+        |  UNION
+        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b),
+        | losers AS (
+        |  SELECT id FROM (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |  WHERE id <> comp)
+        | SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(*) FROM lang) AS n_en,
+        |  (SELECT count(*) FROM kept) AS n_kept,
+        |  (SELECT count(*) FROM kept) - (SELECT count(*) FROM losers) AS n_final""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

@@ -232,6 +232,32 @@ object ExtQueries {
         count(lit(1)).as("n"))
       .orderBy("label", "dim")
 
+  /** End-to-end corpus curation — the composed pipeline a training-data
+    * run executes: language-ID filter (en) → quality filter (≥ 0.5) →
+    * duplicate-cluster pruning over the survivors. The DuckDB oracle
+    * recomputes ALL THREE stages (marker-count langid, quality formula,
+    * recursive-CTE components over the filtered pair set), so the
+    * funnel counts are verified stage by stage across engines. The 0.5
+    * threshold is safe at the boundary because `quality` itself is
+    * hash-matched per doc (rounded to 6 decimals identically).
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val en = TextStats.languageId(docs, "doc_id", "text")
+      .filter(col("predicted_lang") === "en").select("doc_id")
+    val good = TextStats.qualityScore(docs, "doc_id", "text")
+      .filter(col("quality") >= 0.5).select("doc_id")
+    val kept = docs.join(en, "doc_id").join(good, "doc_id")
+      .select("doc_id", "text").localCheckpoint()
+    val pairs = Dedup.ngramJaccardPairs(kept, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val fin = Dedup.pruneDuplicates(kept, pairs, "doc_id")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(en.agg(count(lit(1)).as("n_en")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .crossJoin(fin.agg(count(lit(1)).as("n_final")))
+  }
+
   // ———————————————————————————————————————— sampling / splits
 
   /** Exact-size stratified sample: per-stratum sampled counts are
