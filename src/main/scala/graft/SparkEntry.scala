@@ -111,6 +111,85 @@ object SparkEntry {
     "multimodal_features", "events_tumbling", "events_sliding",
     "events_sessions", "j_asof_join", "a_approx_agg")
 
+  /** Shared DuckDB oracle fragments — one source of truth for the
+    * shapes several oracles verify against (exact 3-gram Jaccard
+    * pairs, connected components, langid scoring, quality scoring),
+    * so the independent re-computations can't drift apart.
+    */
+  private def ngramExCte(src: String): String =
+    raw"""tok AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM $src),
+         | sh AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+         |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
+         | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         | inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         | ex AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5)""".stripMargin
+
+  /** Reachability components over `ex` (requires WITH RECURSIVE). */
+  private val edgesReachCte: String =
+    """edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM ex
+      |  UNION ALL SELECT id_b, id_a FROM ex),
+      | reach AS (
+      |  SELECT DISTINCT a AS id, a AS comp FROM edges
+      |  UNION
+      |  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b)""".stripMargin
+
+  /** Marker-count language scoring ranked per doc: `ranked(doc_id,
+    * lang, rn)` with rn = 1 at the (score, lang)-max — replicates
+    * [[graft.ext.TextStats.languageId]] verbatim.
+    */
+  private def langidRankedCte(src: String): String = {
+    def score(markers: Seq[String]): String = markers.map { m =>
+      s"CASE WHEN strpos(s, '$m') > 0 THEN (length(s) - length(replace(s, '$m', ''))) / ${m.length} ELSE 0 END"
+    }.mkString("(", "\n   + ", ")")
+    val langs = Seq(
+      "en" -> Seq(" the ", " and ", " of ", " is ", " to "),
+      "de" -> Seq(" der ", " und ", " die ", " ist ", " das "),
+      "fr" -> Seq(" le ", " la ", " et ", " est ", " les "),
+      "es" -> Seq(" el ", " los ", " es ", " y ", " las "),
+      "zh" -> Seq("的", "是", "了", "在", "不"))
+    val scoreCols = langs
+      .map { case (l, ms) => s"  ${score(ms)} AS sc_$l" }.mkString(",\n")
+    s"""p AS (
+       |  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM $src),
+       | lsc AS (SELECT doc_id,
+       |$scoreCols
+       |  FROM p),
+       | ranked AS (
+       |  SELECT doc_id, lang, sc,
+       |   row_number() OVER (PARTITION BY doc_id
+       |     ORDER BY sc DESC, lang DESC) AS rn
+       |  FROM (SELECT doc_id,
+       |         unnest([${langs.map(l => s"'${l._1}'").mkString(",")}]) AS lang,
+       |         unnest([${langs.map(l => s"sc_${l._1}").mkString(", ")}]) AS sc
+       |        FROM lsc))""".stripMargin
+  }
+
+  /** Quality scoring per doc: `qual(doc_id, quality)` — replicates
+    * [[graft.ext.TextStats.qualityScore]] verbatim.
+    */
+  private def qualityCte(src: String): String =
+    raw"""qtok AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM $src),
+         | qual AS (
+         |  SELECT doc_id, round(
+         |   least(1.0, CAST(len(w) AS DOUBLE) / 64.0) * 0.4
+         |   + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
+         |   + least(1.0, (CAST(len(list_filter(w, t -> t IN ('the','a','an',
+         |       'and','or','of','to','in','is','it','for','on','with','as',
+         |       'at','by'))) AS DOUBLE) / len(w)) * 4.0) * 0.2, 6) AS quality
+         |  FROM qtok)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "p1_select_star" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
@@ -262,82 +341,15 @@ object SparkEntry {
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
         | ORDER BY id_a, id_b""".stripMargin,
     "curation_pipeline" ->
-      """WITH RECURSIVE p AS (
-        |  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
-        | lsc AS (SELECT doc_id,
-        |  (CASE WHEN strpos(s, ' the ') > 0 THEN (length(s) - length(replace(s, ' the ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' and ') > 0 THEN (length(s) - length(replace(s, ' and ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' of ') > 0 THEN (length(s) - length(replace(s, ' of ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' is ') > 0 THEN (length(s) - length(replace(s, ' is ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' to ') > 0 THEN (length(s) - length(replace(s, ' to ', ''))) / 4 ELSE 0 END) AS sc_en,
-        |  (CASE WHEN strpos(s, ' der ') > 0 THEN (length(s) - length(replace(s, ' der ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' und ') > 0 THEN (length(s) - length(replace(s, ' und ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' die ') > 0 THEN (length(s) - length(replace(s, ' die ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' ist ') > 0 THEN (length(s) - length(replace(s, ' ist ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' das ') > 0 THEN (length(s) - length(replace(s, ' das ', ''))) / 5 ELSE 0 END) AS sc_de,
-        |  (CASE WHEN strpos(s, ' le ') > 0 THEN (length(s) - length(replace(s, ' le ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' la ') > 0 THEN (length(s) - length(replace(s, ' la ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' et ') > 0 THEN (length(s) - length(replace(s, ' et ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' est ') > 0 THEN (length(s) - length(replace(s, ' est ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' les ') > 0 THEN (length(s) - length(replace(s, ' les ', ''))) / 5 ELSE 0 END) AS sc_fr,
-        |  (CASE WHEN strpos(s, ' el ') > 0 THEN (length(s) - length(replace(s, ' el ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' los ') > 0 THEN (length(s) - length(replace(s, ' los ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' es ') > 0 THEN (length(s) - length(replace(s, ' es ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' y ') > 0 THEN (length(s) - length(replace(s, ' y ', ''))) / 3 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' las ') > 0 THEN (length(s) - length(replace(s, ' las ', ''))) / 5 ELSE 0 END) AS sc_es,
-        |  (CASE WHEN strpos(s, '的') > 0 THEN (length(s) - length(replace(s, '的', ''))) / 1 ELSE 0 END
-        |   + CASE WHEN strpos(s, '是') > 0 THEN (length(s) - length(replace(s, '是', ''))) / 1 ELSE 0 END
-        |   + CASE WHEN strpos(s, '了') > 0 THEN (length(s) - length(replace(s, '了', ''))) / 1 ELSE 0 END
-        |   + CASE WHEN strpos(s, '在') > 0 THEN (length(s) - length(replace(s, '在', ''))) / 1 ELSE 0 END
-        |   + CASE WHEN strpos(s, '不') > 0 THEN (length(s) - length(replace(s, '不', ''))) / 1 ELSE 0 END) AS sc_zh
-        |  FROM p),
-        | lang AS (
-        |  SELECT doc_id FROM (
-        |   SELECT doc_id, lang, sc,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY sc DESC, lang DESC) AS rn
-        |   FROM (SELECT doc_id,
-        |          unnest(['en','de','fr','es','zh']) AS lang,
-        |          unnest([sc_en, sc_de, sc_fr, sc_es, sc_zh]) AS sc
-        |         FROM lsc))
-        |  WHERE rn = 1 AND lang = 'en'),
-        | qtok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents),
-        | qual AS (
-        |  SELECT doc_id FROM (
-        |   SELECT doc_id, round(
-        |    least(1.0, CAST(len(w) AS DOUBLE) / 64.0) * 0.4
-        |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
-        |    + least(1.0, (CAST(len(list_filter(w, t -> t IN ('the','a','an',
-        |        'and','or','of','to','in','is','it','for','on','with','as',
-        |        'at','by'))) AS DOUBLE) / len(w)) * 4.0) * 0.2, 6) AS quality
-        |   FROM qtok) WHERE quality >= 0.5),
+      s"""WITH RECURSIVE ${langidRankedCte("documents")},
+        | lang AS (SELECT doc_id FROM ranked WHERE rn = 1 AND lang = 'en'),
+        | ${qualityCte("documents")},
         | kept AS (
         |  SELECT d.doc_id, d.text FROM documents d
-        |  JOIN lang USING (doc_id) JOIN qual USING (doc_id)),
-        | ktok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM kept),
-        | sh AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-        |  FROM ktok, UNNEST(range(1, len(w)-1)) AS u(i)),
-        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        | inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        | ex AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
-        | edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM ex
-        |  UNION ALL SELECT id_b, id_a FROM ex),
-        | reach AS (
-        |  SELECT DISTINCT a AS id, a AS comp FROM edges
-        |  UNION
-        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b),
+        |  JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+        |  WHERE qual.quality >= 0.5),
+        | ${ngramExCte("kept")},
+        | $edgesReachCte,
         | losers AS (
         |  SELECT id FROM (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
         |  WHERE id <> comp)
@@ -346,64 +358,16 @@ object SparkEntry {
         |  (SELECT count(*) FROM kept) AS n_kept,
         |  (SELECT count(*) FROM kept) - (SELECT count(*) FROM losers) AS n_final""".stripMargin,
     "dedup_clusters" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents),
-        | sh AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-        |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
-        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        | inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        | ex AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5),
-        | edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM ex
-        |  UNION ALL SELECT id_b, id_a FROM ex),
-        | reach AS (
-        |  SELECT DISTINCT a AS id, a AS comp FROM edges
-        |  UNION
-        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b)
+      s"""WITH RECURSIVE ${ngramExCte("documents")},
+        | $edgesReachCte
         | SELECT id AS doc_id, min(comp) AS cluster_rep
         | FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents),
-        | sh AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-        |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
-        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        | inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        | ex AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5)
+      s"""WITH ${ngramExCte("documents")}
         | SELECT 'minhash_lsh' AS family, (SELECT count(*) FROM ex) AS n_exact,
         |  true AS recall_pass, true AS precision_pass""".stripMargin,
     "dedup_simhash" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents),
-        | sh AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-        |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
-        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        | inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        | ex AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5)
+      s"""WITH ${ngramExCte("documents")}
         | SELECT 'simhash' AS family, (SELECT count(*) FROM ex) AS n_exact,
         |  true AS recall_pass, true AS precision_pass""".stripMargin,
     "sim_lsh_topk" ->
@@ -454,43 +418,8 @@ object SparkEntry {
         |  (SELECT count(DISTINCT w) FROM d) AS n_groups,
         |  true AS injective_pass, true AS consistent_pass""".stripMargin,
     "text_langid" ->
-      """WITH p AS (
-        |  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
-        | sc AS (SELECT doc_id,
-        |  (CASE WHEN strpos(s, ' the ') > 0 THEN (length(s) - length(replace(s, ' the ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' and ') > 0 THEN (length(s) - length(replace(s, ' and ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' of ') > 0 THEN (length(s) - length(replace(s, ' of ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' is ') > 0 THEN (length(s) - length(replace(s, ' is ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' to ') > 0 THEN (length(s) - length(replace(s, ' to ', ''))) / 4 ELSE 0 END) AS sc_en,
-        |  (CASE WHEN strpos(s, ' der ') > 0 THEN (length(s) - length(replace(s, ' der ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' und ') > 0 THEN (length(s) - length(replace(s, ' und ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' die ') > 0 THEN (length(s) - length(replace(s, ' die ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' ist ') > 0 THEN (length(s) - length(replace(s, ' ist ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' das ') > 0 THEN (length(s) - length(replace(s, ' das ', ''))) / 5 ELSE 0 END) AS sc_de,
-        |  (CASE WHEN strpos(s, ' le ') > 0 THEN (length(s) - length(replace(s, ' le ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' la ') > 0 THEN (length(s) - length(replace(s, ' la ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' et ') > 0 THEN (length(s) - length(replace(s, ' et ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' est ') > 0 THEN (length(s) - length(replace(s, ' est ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' les ') > 0 THEN (length(s) - length(replace(s, ' les ', ''))) / 5 ELSE 0 END) AS sc_fr,
-        |  (CASE WHEN strpos(s, ' el ') > 0 THEN (length(s) - length(replace(s, ' el ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' los ') > 0 THEN (length(s) - length(replace(s, ' los ', ''))) / 5 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' es ') > 0 THEN (length(s) - length(replace(s, ' es ', ''))) / 4 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' y ') > 0 THEN (length(s) - length(replace(s, ' y ', ''))) / 3 ELSE 0 END
-        |   + CASE WHEN strpos(s, ' las ') > 0 THEN (length(s) - length(replace(s, ' las ', ''))) / 5 ELSE 0 END) AS sc_es,
-        |  (CASE WHEN strpos(s, '的') > 0 THEN (length(s) - length(replace(s, '的', ''))) / 1 ELSE 0 END
-        |   + CASE WHEN strpos(s, '是') > 0 THEN (length(s) - length(replace(s, '是', ''))) / 1 ELSE 0 END
-        |   + CASE WHEN strpos(s, '了') > 0 THEN (length(s) - length(replace(s, '了', ''))) / 1 ELSE 0 END
-        |   + CASE WHEN strpos(s, '在') > 0 THEN (length(s) - length(replace(s, '在', ''))) / 1 ELSE 0 END
-        |   + CASE WHEN strpos(s, '不') > 0 THEN (length(s) - length(replace(s, '不', ''))) / 1 ELSE 0 END) AS sc_zh
-        |  FROM p)
-        | SELECT doc_id, lang AS predicted_lang FROM (
-        |  SELECT doc_id, lang, sc,
-        |   row_number() OVER (PARTITION BY doc_id
-        |     ORDER BY sc DESC, lang DESC) AS rn
-        |  FROM (SELECT doc_id,
-        |         unnest(['en','de','fr','es','zh']) AS lang,
-        |         unnest([sc_en, sc_de, sc_fr, sc_es, sc_zh]) AS sc
-        |        FROM sc))
+      s"""WITH ${langidRankedCte("documents")}
+        | SELECT doc_id, lang AS predicted_lang FROM ranked
         | WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "sim_vector_dim_stats" ->
       """SELECT label, i - 1 AS dim,
@@ -523,16 +452,8 @@ object SparkEntry {
         |    AS n_punct
         | FROM tok ORDER BY doc_id""".stripMargin,
     "text_quality" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents)
-        | SELECT doc_id, round(
-        |  least(1.0, CAST(len(w) AS DOUBLE) / 64.0) * 0.4
-        |  + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.4
-        |  + least(1.0, (CAST(len(list_filter(w, t -> t IN ('the','a','an',
-        |      'and','or','of','to','in','is','it','for','on','with','as',
-        |      'at','by'))) AS DOUBLE) / len(w)) * 4.0) * 0.2, 6) AS quality
-        | FROM tok ORDER BY doc_id""".stripMargin,
+      s"""WITH ${qualityCte("documents")}
+        | SELECT doc_id, quality FROM qual ORDER BY doc_id""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(lower(text)), '\s+')) AS ws_tokens,

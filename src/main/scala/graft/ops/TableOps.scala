@@ -479,18 +479,13 @@ object TableOps {
         Map("" -> ts)
       } else {
         val affected = backingRels(spark, t, fs, matched)
-        // Re-read ONLY the affected dirs (partition pruning by file
-        // path) under the MANIFEST schema, exactly like snapshot():
-        // footer sampling could drop evolved columns from the rewrite,
-        // and partition-type inference could re-identify a
-        // numeric-string partition value (month=01 read back as int 1)
-        // — both silent data corruption (ADVICE r1).
-        val affectedExisting = affected.groupBy(_._2).map { case (ver, m) =>
-          preSchema.foldLeft(
-            spark.read.option("basePath", s"${t.dataPath}/$ver"))(
-            (r, sch) => r.schema(sch))
-            .parquet(m.keys.toSeq.sorted.map(rel => s"${t.dataPath}/$ver/$rel"): _*)
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        // Re-read ONLY the affected dirs (the same per-version grouped
+        // read snapshot() uses) under the MANIFEST schema: footer
+        // sampling could drop evolved columns from the rewrite, and
+        // partition-type inference could re-identify a numeric-string
+        // partition value (month=01 read back as int 1) — both silent
+        // data corruption (ADVICE r1).
+        val affectedExisting = readParts(spark, t, affected, preSchema)
         val remaining = affectedExisting.join(delKeys, keyCols, "left_anti")
         writer(remaining, t, Nil, 4000000L).parquet(dest.toString)
         val written = relsOf(fs, dest, t.partitionBy.length)

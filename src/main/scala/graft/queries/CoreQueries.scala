@@ -26,13 +26,19 @@ object CoreQueries {
     * timestamp (floor — consistent with what a ns→µs-truncating reader
     * would produce).
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
+  def events(s: SparkSession, dir: String): DataFrame =
+    eventsRaw(s, dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** The events scan BEFORE the µs rebuild (ts = raw int64 nanos) — the
+    * layer to apply range predicates at, so they reach the parquet scan
+    * (a filter on the computed timestamp pushes nothing). The legacy
+    * conf is scoped to schema resolution and restored.
+    */
+  private def eventsRaw(s: SparkSession, dir: String): DataFrame = {
     val key  = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "true")
-    try
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    try s.read.parquet(s"$dir/events.parquet")
     finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None    => s.conf.unset(key)
@@ -321,20 +327,11 @@ object CoreQueries {
   def s2IncrementalRead(s: SparkSession, dir: String): DataFrame = {
     val cutoff = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
     val cutoffMicros = cutoff.getTime * 1000L // UTC session; whole seconds
-    val key  = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    try
-      s.read.parquet(s"$dir/events.parquet")
-        .filter(col("ts") >= lit((cutoffMicros + 1L) * 1000L))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"))
-        .orderBy("event_id")
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
-    }
+    eventsRaw(s, dir)
+      .filter(col("ts") >= lit((cutoffMicros + 1L) * 1000L))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy("event_id")
   }
 
   /** S3/J2 — the upsert merge verified against SQL: existing = line

@@ -38,16 +38,8 @@ final class CheckpointStore(root: String, conf: Configuration) {
         "table_name"            -> JString(cp.tableName),
         "path"                  -> JString(cp.path),
         "inserted_time"         -> JString(cp.insertedTime)))
-    // Write-then-rename so a crash mid-write never leaves a truncated
-    // checkpoint at the final path (same discipline as CommitLog).
-    val dest = keyPath(cp.tableName)
-    val tmp = new Path(dest.getParent, s".${dest.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"checkpoint rename failed: $tmp → $dest")
+    AtomicFile.write(fs, keyPath(cp.tableName),
+      json.getBytes(StandardCharsets.UTF_8))
   }
 
   /** item_exists analog (incremental_etl_orders.py:93-99). */

@@ -66,32 +66,21 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     val payload = (meta + ("commit_ts" -> ts))
       .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{", ", ", "}")
-    // Write-then-rename: a crash mid-write must never leave a truncated
-    // manifest at the final path (readers treat *.commit files as
-    // authoritative; see also the unparseable-manifest tolerance in
-    // commitMeta).
-    val tmp = new Path(dir, s".$ts.commit.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(payload.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val dest = new Path(dir, s"$ts.commit")
-    // tripwire sits immediately before the publishing rename — checking
-    // any earlier would leave the whole manifest write (a full PUT on
-    // object stores) inside the undetected window
-    expectedPrev.foreach { expected =>
-      val actual = latestCommit()
-      if (actual != expected) {
-        fs.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"table ${table.name}: commit $ts was computed on top of " +
-            s"${expected.getOrElse("<empty>")} but the timeline now ends at " +
-            s"${actual.getOrElse("<empty>")} — a concurrent writer violated " +
-            "the single-writer contract; this commit is NOT published")
-      }
-    }
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"manifest rename failed: $tmp → $dest")
+    // The tripwire runs as the pre-publish hook — immediately before
+    // the publishing rename, so the whole manifest write (a full PUT on
+    // object stores) stays outside the undetected window.
+    AtomicFile.write(fs, new Path(dir, s"$ts.commit"),
+      payload.getBytes(StandardCharsets.UTF_8),
+      beforePublish = () => expectedPrev.foreach { expected =>
+        val actual = latestCommit()
+        if (actual != expected)
+          throw new java.util.ConcurrentModificationException(
+            s"table ${table.name}: commit $ts was computed on top of " +
+              s"${expected.getOrElse("<empty>")} but the timeline now ends " +
+              s"at ${actual.getOrElse("<empty>")} — a concurrent writer " +
+              "violated the single-writer contract; this commit is NOT " +
+              "published")
+      })
   }
 
   /** Meta of one commit (None if the manifest is gone or unparseable —

@@ -77,12 +77,7 @@ object KeyIndex {
     val p = syncedPath(t)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, "._synced.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(ts.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"index sync stamp failed: $tmp → $p")
+    AtomicFile.write(fs, p, ts.getBytes("UTF-8"))
   }
 
   /** Make the index trustworthy for the table state at `latestCommit`:
