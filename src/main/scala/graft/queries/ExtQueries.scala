@@ -243,8 +243,11 @@ object ExtQueries {
     */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // materialized once: referenced by both the kept join and the n_en
+    // count (an unpersisted frame would run the langid scan twice)
     val en = TextStats.languageId(docs, "doc_id", "text")
       .filter(col("predicted_lang") === "en").select("doc_id")
+      .localCheckpoint()
     val good = TextStats.qualityScore(docs, "doc_id", "text")
       .filter(col("quality") >= 0.5).select("doc_id")
     val kept = docs.join(en, "doc_id").join(good, "doc_id")

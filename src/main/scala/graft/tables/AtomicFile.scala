@@ -19,10 +19,13 @@ private[graft] object AtomicFile {
   def write(fs: FileSystem, dest: Path, bytes: Array[Byte],
       beforePublish: () => Unit = () => ()): Unit = {
     val tmp = new Path(dest.getParent, s".${dest.getName}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    try beforePublish()
-    catch { case e: Throwable => fs.delete(tmp, false); throw e }
+    // any failure before the rename removes the staged file — crashed
+    // writes must not accumulate invisible .tmp garbage
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      beforePublish()
+    } catch { case e: Throwable => fs.delete(tmp, false); throw e }
     fs.delete(dest, false)
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"atomic publish failed: $tmp → $dest")
