@@ -45,6 +45,49 @@ object StreamingEtl {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Continuous silver→gold CDC: stream `source`'s change records
+    * ([[IncrementalSource.changes]]) and key-merge each micro-batch
+    * into `target` — the streaming form of the reference's polled
+    * incremental ETL (incremental_etl_orders.py:236-283), with the
+    * file-source checkpoint replacing the hand-rolled JSON checkpoint
+    * and batch-id idempotency keys making the sink exactly-once.
+    */
+  def tableToTable(
+      spark: SparkSession,
+      source: KeyedTable,
+      target: KeyedTable,
+      checkpointDir: String,
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
+    IncrementalSource.changes(spark, source)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TableOps.upsert(spark, target,
+          transform(batch.drop(graft.tables.KeyedTable.CommitCol)),
+          idempotencyKey = Some(s"${target.name}-cdc-$batchId")): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming exact dedup with bounded state: first occurrence per key
+    * wins; duplicates arriving within the watermark are dropped and the
+    * per-key state expires with it (`dropDuplicatesWithinWatermark` —
+    * the streaming face of the batch [[graft.ext.Dedup]] family; an
+    * unbounded-state `dropDuplicates` would OOM on an infinite stream).
+    */
+  def dedupStream(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      keyCols: Seq[String],
+      eventTimeCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming windowed aggregation with a watermark — the event-time
     * capability the reference lacks (SURVEY.md §2i: "no watermarks, no
     * event-time windows"). Tumbling count per (window, event_type);

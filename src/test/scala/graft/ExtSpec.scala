@@ -342,6 +342,54 @@ class ExtSpec extends SparkSuite {
     assert(drain() === Set(("a", 2, "p1")))
   }
 
+  test("streaming table-to-table CDC: gold table tracks silver through commits") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("graft-t2t")
+    val silver = graft.tables.KeyedTable("silver", s"$base/silver",
+      Seq("id"), "ver")
+    val gold = graft.tables.KeyedTable("gold", s"$base/gold",
+      Seq("id"), "ver")
+    val ckpt = tmpDir("graft-t2t-ckpt")
+    def run(): Unit = {
+      val q = graft.streaming.StreamingEtl.tableToTable(spark, silver, gold, ckpt)
+      q.awaitTermination(60000)
+    }
+    graft.ops.TableOps.upsert(spark, silver,
+      Seq(("a", 1, "x"), ("b", 1, "y")).toDF("id", "ver", "payload"))
+    run()
+    assert(graft.ops.TableOps.snapshot(spark, gold)
+      .select("id", "ver").as[(String, Int)].collect().toSet ===
+      Set(("a", 1), ("b", 1)))
+    // a second silver commit flows through on the same checkpoint
+    graft.ops.TableOps.upsert(spark, silver,
+      Seq(("a", 2, "x2"), ("c", 1, "z")).toDF("id", "ver", "payload"))
+    run()
+    assert(graft.ops.TableOps.snapshot(spark, gold)
+      .select("id", "ver").as[(String, Int)].collect().toSet ===
+      Set(("a", 2), ("b", 1), ("c", 1)))
+  }
+
+  test("streaming dedup: duplicates within the watermark are dropped, state bounded") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = tmpDir("graft-sdedup-src")
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "a-dup"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "b"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:12:00"), "b-dup"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), "c"))
+      .toDF("event_id", "ts", "payload")
+    rows.write.mode("overwrite").parquet(srcDir)
+    val q = graft.streaming.StreamingEtl.dedupStream(spark, srcDir,
+      rows.schema, Seq("event_id"), "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("sdedup").select("event_id")
+      .as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L), "one survivor per key")
+  }
+
   test("streaming: windowed counts over file stream match batch windows") {
     import org.apache.spark.sql.streaming.Trigger
     val events = CoreQueries.events(spark, sfDir)
