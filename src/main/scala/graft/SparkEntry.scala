@@ -71,6 +71,7 @@ object SparkEntry {
     "text_langid"             -> (ExtQueries.textLangid _),
     "multimodal_stats"        -> (ExtQueries.multimodalStats _),
     "multimodal_features"     -> (ExtQueries.multimodalFeatures _),
+    "multimodal_features_raw" -> (ExtQueries.multimodalFeaturesRaw _),
     "multimodal_frames"       -> (ExtQueries.multimodalFrames _),
     "multimodal_resize"       -> (ExtQueries.multimodalResize _),
     "events_tumbling"         -> (ExtQueries.eventsTumbling _),
@@ -108,7 +109,7 @@ object SparkEntry {
     "sim_neardup_pairs", "sample_stratified", "sample_split",
     "text_stats", "text_quality", "text_token_counts",
     "text_fingerprint_raw", "text_langid", "multimodal_stats",
-    "multimodal_features", "events_tumbling", "events_sliding",
+    "multimodal_features_raw", "events_tumbling", "events_sliding",
     "events_sessions", "j_asof_join", "a_approx_agg")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
@@ -528,6 +529,25 @@ object SparkEntry {
       "SELECT * FROM region ORDER BY r_regionkey",
     "s_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+    "s5_generator" ->
+      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(50 AS BIGINT) AS n_ids,
+        | CAST(10 AS BIGINT) AS n_states""".stripMargin,
+    "a_approx_agg" ->
+      """SELECT 'approx_agg' AS family,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | true AS orders_pass, true AS parts_pass, true AS median_pass
+        | FROM lineitem""".stripMargin,
+    "multimodal_features" ->
+      """SELECT 'media_features' AS family, count(*) AS n_rows,
+        | true AS dims_pass, true AS range_pass FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+        | SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(least(64, len - i * 64) AS INT) AS frame_len
+        | FROM m, UNNEST(range(0, CAST(ceil(len / 64.0) AS BIGINT), 2)) AS u(i)
+        | ORDER BY doc_id, frame_idx""".stripMargin,
     "s_delete_keys" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
         | WHERE o_orderpriority <> '1-URGENT'

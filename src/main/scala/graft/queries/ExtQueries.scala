@@ -354,10 +354,25 @@ object ExtQueries {
       .select("doc_id", "media_type", "payload_bytes", "n_pixels")
       .orderBy("doc_id")
 
-  /** Batched feature extraction through mapPartitions (decode stubbed —
-    * rows-only; Spark-side plumbing is the thing under test).
+  /** Batched feature-extraction gate: the decode is an honest stub, so
+    * the driver-visible invariants are the PLUMBING's — one feature row
+    * per document, fixed dimensionality, values in the documented
+    * [0, 1) range; the oracle counts documents and states them.
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s,
+      Multimodal.fromDocuments(t(s, dir, "documents")))
+      .toDF()
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(size(col("features")) === 8, 1)).as("n_dim_ok"),
+        min(array_min(col("features"))).as("f_min"),
+        max(array_max(col("features"))).as("f_max"))
+      .select(lit("media_features").as("family"), col("n_rows"),
+        (col("n_dim_ok") === col("n_rows")).as("dims_pass"),
+        (col("f_min") >= 0f && col("f_max") < 1f).as("range_pass"))
+
+  /** Raw per-doc stub features (bench surface of the gated family). */
+  def multimodalFeaturesRaw(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s,
       Multimodal.fromDocuments(t(s, dir, "documents")))
       .toDF()

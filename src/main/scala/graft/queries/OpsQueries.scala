@@ -178,6 +178,9 @@ object OpsQueries {
     * in PipelineSpec).
     */
   def s5Generator(s: SparkSession, dir: String): DataFrame = {
+    // Seeded at fixed params ⇒ the whole summary row is deterministic;
+    // the oracle PINS it (50 rows, 50 unique ids, 10 states) so any
+    // generator drift across runs/engines fails the hash compare.
     val c = SeedTables.customers(s, 50, seed = 42L,
       epochMillis = 1704067200000L)
     c.agg(count(lit(1)).as("n_rows"),
@@ -186,16 +189,29 @@ object OpsQueries {
   }
 
   /** Approximate aggregates — the sketch family a 100 TB engine needs
-    * (HLL approx-distinct, t-digest quantiles). Deterministic within
-    * Spark (rows-only: DuckDB's sketches differ by construction);
-    * bounds vs exact values asserted in SkewSpec.
+    * (HLL approx-distinct, t-digest quantiles). DuckDB's sketches
+    * differ by construction, so the gate compares the sketches against
+    * the EXACT values computed in the same query (HLL default rsd 5%,
+    * gated at 10%; measured 3.6%/2.7%/<0.1% at sf0.01) while the
+    * oracle recomputes the exact counts and states the bounds hold.
     */
   def aApproxAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      approx_count_distinct(col("l_orderkey")).as("a_orders"),
+      approx_count_distinct(col("l_partkey")).as("a_parts"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-        .as("approx_median_price"))
+        .as("a_med"),
+      expr("percentile(l_extendedprice, 0.5)").as("x_med"))
+      .select(lit("approx_agg").as("family"),
+        col("n_orders"), col("n_parts"),
+        (abs(col("a_orders") - col("n_orders")).cast("double") <=
+          col("n_orders").cast("double") * 0.1).as("orders_pass"),
+        (abs(col("a_parts") - col("n_parts")).cast("double") <=
+          col("n_parts").cast("double") * 0.1).as("parts_pass"),
+        (abs(col("a_med") - col("x_med")) <=
+          abs(col("x_med")) * 0.05).as("median_pass"))
 
   /** F3 — generator functions (uuid(), monotonically_increasing_id():
     * the reference's declared-but-unused import surface plus its
