@@ -529,6 +529,9 @@ object SparkEntry {
       "SELECT * FROM region ORDER BY r_regionkey",
     "s_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+    "i1_pipeline_roundtrip" ->
+      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(19 AS BIGINT) AS n_customers,
+        | '24981.00' AS total_value, true AS checkpoint_advanced""".stripMargin,
     "s5_generator" ->
       """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(50 AS BIGINT) AS n_ids,
         | CAST(10 AS BIGINT) AS n_states""".stripMargin,

