@@ -89,6 +89,7 @@ object SparkEntry {
     "s_delete_keys"           -> (OpsQueries.sDeleteKeys _),
     "s5_generator"            -> (OpsQueries.s5Generator _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
+    "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
   )
 
   /** Headline bench set (graft.Bench): the analytically-representative
@@ -110,7 +111,7 @@ object SparkEntry {
     "text_stats", "text_quality", "text_token_counts",
     "text_fingerprint_raw", "text_langid", "multimodal_stats",
     "multimodal_features_raw", "events_tumbling", "events_sliding",
-    "events_sessions", "j_asof_join", "a_approx_agg")
+    "events_sessions", "j_asof_join", "a_approx_agg_raw")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -530,7 +531,7 @@ object SparkEntry {
     "s_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
     "i1_pipeline_roundtrip" ->
-      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(19 AS BIGINT) AS n_customers,
+      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(20 AS BIGINT) AS n_customers,
         | '24981.00' AS total_value, true AS checkpoint_advanced""".stripMargin,
     "s5_generator" ->
       """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(50 AS BIGINT) AS n_ids,

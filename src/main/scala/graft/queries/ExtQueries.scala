@@ -380,8 +380,11 @@ object ExtQueries {
         element_at(col("features"), 1).as("f0"))
       .orderBy("doc_id")
 
-  /** Frame sampling plumbing (every 2nd 64-byte frame; rows-only —
-    * frame_bytes content asserted in ExtSpec).
+  /** Frame sampling (every 2nd 64-byte frame) — fully oracled: frame
+    * indices and lengths are pure stride/ceil arithmetic over the
+    * payload length, recomputed in DuckDB; the frame BYTES (not
+    * SQL-comparable) are asserted against hand-sliced payloads in
+    * ExtSpec.
     */
   def multimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(

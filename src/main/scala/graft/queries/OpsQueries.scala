@@ -74,24 +74,28 @@ object OpsQueries {
 
   /** I1–I5 — the full checkpointed incremental pipeline as a query:
     * seed silver, run the ETL twice (second run = empty increment), add
-    * a second orders commit, run again; return the gold snapshot plus
-    * the checkpoint state. Deterministic row count (50 = 40 + 10);
-    * rows-only check (inputs are generated, not oracle-visible).
+    * a second orders commit, run again; return the gold SUMMARY row,
+    * which is seeded-deterministic and pinned by a literal oracle (the
+    * generated inputs themselves are not oracle-recomputable).
     */
   def i1PipelineRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("graft-i1")
     SeedTables.seed(s, base, nCustomers = 20, nOrders = 40)
     IncrementalEtl.run(s, base)
     IncrementalEtl.run(s, base) // empty increment — must not change gold
+    // sorted: the pinned oracle below depends on which customers the
+    // extra orders hit — an unsorted collect() permutes with file/split
+    // order and would flip the distinct-customer count
     val custIds = TableOps.snapshot(s, SeedTables.customersTable(base))
-      .select("customer_id").collect().map(_.getString(0)).toSeq
+      .select("customer_id").orderBy("customer_id")
+      .collect().map(_.getString(0)).toSeq
     TableOps.upsert(s, SeedTables.ordersTable(base),
       SeedTables.orders(s, 10, seed = 7L, custIds, epochDay = 19800))
     IncrementalEtl.run(s, base)
     val store = CheckpointStore(s"$base/checkpoints", s)
     val cp = store.get("orders").map(_.lastProcessedCommit).getOrElse("")
     // Seeded end to end ⇒ the gold summary is deterministic; the oracle
-    // PINS it (50 orders over 19 customers totalling 24981.00, with an
+    // PINS it (50 orders over 20 customers totalling 24981.00, with an
     // advanced checkpoint), so the whole lifecycle — seed, two ETL runs,
     // an empty increment, a third commit — is hash-gated, not rows-only.
     TableOps.snapshot(s, IncrementalEtl.goldTable(base))
@@ -217,6 +221,16 @@ object OpsQueries {
           col("n_parts").cast("double") * 0.1).as("parts_pass"),
         (abs(col("a_med") - col("x_med")) <=
           abs(col("x_med")) * 0.05).as("median_pass"))
+
+  /** Raw sketch aggregates (bench surface of the gated family —
+    * measures HLL/t-digest, not the exact counts the gate adds).
+    */
+  def aApproxAggRaw(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("approx_median_price"))
 
   /** F3 — generator functions (uuid(), monotonically_increasing_id():
     * the reference's declared-but-unused import surface plus its

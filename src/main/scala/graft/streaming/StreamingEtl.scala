@@ -51,6 +51,13 @@ object StreamingEtl {
     * incremental ETL (incremental_etl_orders.py:236-283), with the
     * file-source checkpoint replacing the hand-rolled JSON checkpoint
     * and batch-id idempotency keys making the sink exactly-once.
+    *
+    * Change semantics: upserts and SOFT deletes (tombstone rows) flow;
+    * a HARD delete in the source emits no change record (the reference
+    * engine behaves the same way — Hudi emits delete markers only for
+    * delete operations routed through its writer), so pipelines that
+    * hard-delete upstream must either soft-delete or re-seed the
+    * target. Same caveat family as [[IncrementalSource.changes]].
     */
   def tableToTable(
       spark: SparkSession,

@@ -343,7 +343,6 @@ class ExtSpec extends SparkSuite {
   }
 
   test("streaming table-to-table CDC: gold table tracks silver through commits") {
-    import org.apache.spark.sql.streaming.Trigger
     val base = tmpDir("graft-t2t")
     val silver = graft.tables.KeyedTable("silver", s"$base/silver",
       Seq("id"), "ver")
@@ -380,14 +379,31 @@ class ExtSpec extends SparkSuite {
       (3L, java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), "c"))
       .toDF("event_id", "ts", "payload")
     rows.write.mode("overwrite").parquet(srcDir)
-    val q = graft.streaming.StreamingEtl.dedupStream(spark, srcDir,
-      rows.schema, Seq("event_id"), "ts", watermark = "1 hour")
-      .writeStream.format("memory").queryName("sdedup")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
-    val got = spark.table("sdedup").select("event_id")
-      .as[Long].collect().sorted
-    assert(got.toSeq === Seq(1L, 2L, 3L), "one survivor per key")
+    val ckpt = tmpDir("graft-sdedup-ckpt")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def drain(): Seq[Long] = {
+      val q = graft.streaming.StreamingEtl.dedupStream(spark, srcDir,
+        rows.schema, Seq("event_id"), "ts", watermark = "1 hour")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("event_id").collect().foreach(r => got.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      scala.jdk.CollectionConverters.IteratorHasAsScala(got.iterator())
+        .asScala.toSeq.sorted
+    }
+    assert(drain() === Seq(1L, 2L, 3L), "one survivor per key in batch 1")
+    // a SECOND batch on the same checkpoint: an in-watermark duplicate
+    // of key 3 must still be dropped (cross-batch state), a new key
+    // flows, and state for long-expired keys has been evicted
+    Seq((3L, java.sql.Timestamp.valueOf("2024-01-01 11:40:00"), "c-dup"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 11:45:00"), "d"))
+      .toDF("event_id", "ts", "payload")
+      .write.mode("append").parquet(srcDir)
+    assert(drain() === Seq(1L, 2L, 3L, 4L),
+      "cross-batch duplicate dropped, new key emitted")
   }
 
   test("streaming: windowed counts over file stream match batch windows") {
