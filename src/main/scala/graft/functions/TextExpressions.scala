@@ -123,9 +123,20 @@ object TextFunctions {
   private def fnName(n: Int) = s"graft_shingles_$n"
   private def fnNameH(n: Int) = s"graft_shingle_hashes_$n"
 
+  /** Register once per session: replacing an existing registration logs
+    * a WARN per call, which on query-per-line mains (Verify/Bench)
+    * floods the logs.
+    */
+  private def registerOnce(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+
   def registerShingles(spark: SparkSession, n: Int): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName(n), exprs => TextShingles(exprs.head, n), "scala_udf")
+    registerOnce(spark, fnName(n), exprs => TextShingles(exprs.head, n))
 
   def shingles(spark: SparkSession, text: Column, n: Int): Column = {
     registerShingles(spark, n)
@@ -133,8 +144,8 @@ object TextFunctions {
   }
 
   def shingleHashes(spark: SparkSession, text: Column, n: Int): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnNameH(n), exprs => TextShingleHashes(exprs.head, n), "scala_udf")
+    registerOnce(spark, fnNameH(n),
+      exprs => TextShingleHashes(exprs.head, n))
     call_function(fnNameH(n), text)
   }
 }

@@ -102,13 +102,18 @@ object VectorFunctions {
 
   /** Idempotently register the kernels in the session's function
     * registry (temp functions — visible to both the Column API via
-    * `call_function` and SQL).
+    * `call_function` and SQL). Registration is guarded: re-registering
+    * logs a `graft_dot replaced...` WARN per call, which on
+    * query-per-line mains (Verify/Bench) floods the logs.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => DotProductF(exprs.head, exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnNameFD, exprs => DotProductFD(exprs.head, exprs(1)), "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    def once(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    once(FnName, exprs => DotProductF(exprs.head, exprs(1)))
+    once(FnNameFD, exprs => DotProductFD(exprs.head, exprs(1)))
   }
 
   def dotFD(a: Column, b: Column): Column = call_function(FnNameFD, a, b)

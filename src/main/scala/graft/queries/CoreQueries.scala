@@ -325,8 +325,12 @@ object CoreQueries {
     * files — the point of an incremental read at 100 TB.
     */
   def s2IncrementalRead(s: SparkSession, dir: String): DataFrame = {
-    val cutoff = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
-    val cutoffMicros = cutoff.getTime * 1000L // UTC session; whole seconds
+    // Cutoff derived explicitly in UTC: the session and the oracle both
+    // run UTC, and `Timestamp.valueOf` would parse in the JVM default
+    // zone — correct on this container, silently shifted on any non-UTC
+    // JVM.
+    val cutoffMicros = java.time.LocalDateTime.of(2024, 1, 25, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
     eventsRaw(s, dir)
       .filter(col("ts") >= lit((cutoffMicros + 1L) * 1000L))
       .select(col("event_id"), col("user_id"), col("event_type"),
