@@ -5,13 +5,29 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): times the headline queries on
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
   *
-  * Methodology: each query is first executed once at sf0.001 (JVM/JIT/
-  * codegen warm-up — measures the engine, not HotSpot), then timed on
-  * the target scale factor with a `noop` sink so the FULL plan executes
-  * (including final sorts that a bare count() would let the optimizer
-  * elide) without measuring result serialization.
+  * Methodology:
+  *   - each query first executes once at sf0.001 (JVM/JIT/codegen warm-up —
+  *     measures the engine, not HotSpot), then runs THREE timed iterations on
+  *     the target scale factor; the reported number is the MEDIAN, so a single
+  *     GC pause / machine-load spike cannot contaminate the artifact;
+  *   - every iteration writes to a `noop` sink so the FULL plan executes
+  *     (including final sorts a bare count() would let the optimizer elide)
+  *     without measuring result serialization;
+  *   - between iterations the SQL cache is cleared and every persisted RDD
+  *     (e.g. localCheckpoint blocks left by iterative queries) is dropped, so
+  *     no query inherits — or is charged for — another query's cached state;
+  *   - a query whose three runs disagree by more than `SuspectSpread`× is
+  *     flagged in "suspect": its median is still reported but should be
+  *     treated as machine-load noise, not an engine regression/improvement.
   */
 object Bench {
+  /** max/min ratio across the 3 timed runs above which the median is
+    * untrustworthy (external load, paging, …). 5× is far beyond the run-to-run
+    * jitter of a quiet machine (<1.3×) while still catching the 5–10×
+    * phantom inflation seen under concurrent load. */
+  private val SuspectSpread = 5.0
+  private val TimedRuns = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -28,28 +44,47 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
+    /** Drop all cached state a query run may have left behind (SQL cache,
+      * localCheckpoint / persist blocks) so runs are independent. */
+    def resetCaches(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // warm-up pass at the small scale factor
     names.foreach { n =>
-      try execute(n, warmDir)
-      catch { case _: Throwable => () }
+      try { execute(n, warmDir); resetCaches() }
+      catch { case _: Throwable => resetCaches() }
     }
     // A query that fails must NOT report its time-to-crash as a valid
     // number (a regression would read as a speedup): failed queries get
     // sentinel -1 and an entry in "errors".
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    val suspect = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { execute(name, sfDir); true }
-        catch { case e: Throwable => errors += name; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to TimedRuns).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { execute(name, sfDir); true }
+          catch { case _: Throwable => false }
+        resetCaches()
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      if (times.size < TimedRuns) errors += name
+      if (times.isEmpty) name -> -1.0
+      else {
+        val sorted = times.sorted
+        if (sorted.last / sorted.head > SuspectSpread) suspect += name
+        name -> sorted(sorted.size / 2)
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$sus,"runs_per_query":$TimedRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -368,6 +368,57 @@ object SparkEntry {
       s"""WITH ${ngramExCte("documents")}
         | SELECT 'minhash_lsh' AS family, (SELECT count(*) FROM ex) AS n_exact,
         |  true AS recall_pass, true AS precision_pass""".stripMargin,
+    // The verified-LSH surface emits TRUE Jaccard values and, at this
+    // corpus, banding recall is 1.0 (seed-deterministic) while FPs are
+    // impossible by construction — so the exact pair recomputation IS
+    // the value-level oracle.
+    "dedup_minhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        | inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        | SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+        | FROM inter
+        | JOIN sz sa ON sa.doc_id = id_a
+        | JOIN sz sb ON sb.doc_id = id_b
+        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+        | ORDER BY id_a, id_b""".stripMargin,
+    // Digit-for-digit DuckDB replica of Dedup.simhash (md5-based 60-bit
+    // token hash, sign-sum bits) + brute-force hamming ≤ 3 — equals the
+    // pigeonhole-banded Spark output because banding emits the EXACT
+    // hamming ball.
+    "dedup_simhash_pairs" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        | th AS (
+        |  SELECT doc_id,
+        |   list_reduce(
+        |     list_transform(string_split(substr(md5(tok), 1, 15), ''),
+        |       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |     (acc, d) -> acc * 16 + d) AS h
+        |  FROM tok),
+        | bits AS (
+        |  SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS bitsum
+        |  FROM th, range(0, 60) AS r(i)
+        |  GROUP BY doc_id, i),
+        | simh AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN bitsum > 0
+        |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        | FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        | ORDER BY id_a, id_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH ${ngramExCte("documents")}
         | SELECT 'simhash' AS family, (SELECT count(*) FROM ex) AS n_exact,

@@ -78,6 +78,37 @@ object Dedup {
       .select("representative_id", "text_hash", "n_dups")
   }
 
+  /** Release the BlockManager blocks behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only evicts SQL-cache entries; a local
+    * checkpoint persists the underlying internal RDD, reachable through
+    * the returned frame's `LogicalRDD` plan node — that RDD is what
+    * must be unpersisted. (After release the frame is UNRECOMPUTABLE:
+    * lineage was truncated — only call once fully consumed.)
+    */
+  private[graft] def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Drop shingles whose document frequency exceeds the cap from an
+    * `(id, g)` shingle stream — the f² hot-key guard shared by
+    * [[ngramJaccardPairs]] and [[verifiedJaccard]]. The broadcast side
+    * is the HOT set (df > cap) anti-joined away: by construction it is
+    * tiny (a corpus has few ubiquitous shingles), whereas the
+    * complement — every discriminating shingle — is O(corpus) and must
+    * never be broadcast.
+    */
+  private def dropStopShingles(sh: DataFrame, maxDf: Option[Int]): DataFrame =
+    maxDf match {
+      case Some(cap) =>
+        val hot = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("g")
+        sh.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => sh
+    }
+
   private val MersennePrime = 2147483647L // 2^31 - 1
 
   /** Deterministic minhash coefficient streams (seeded LCG, like the
@@ -113,71 +144,133 @@ object Dedup {
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Near-duplicate candidate pairs via LSH banding (bands × rowsPerBand
-    * = k), each verified with the signature-agreement estimate.
-    * Returns `(id_a, id_b, est_jaccard)` with id_a < id_b and
-    * est_jaccard ≥ threshold.
-    *
-    * Scale: the only shuffles are (1) explode to (band_hash → id) — a
-    * key-value stream of O(docs × bands) small rows; (2) the
-    * equi-self-join on band_hash — skew-safe because a band bucket only
-    * contains near-identical docs; (3) pair dedup. No pairwise scan of
-    * the corpus ever happens.
+  /** LSH band-collision candidate pairs (`id_a < id_b`, deduped). The
+    * banded/exploded frame — the dominant shuffle of the whole family —
+    * carries ONLY `(band_id, band_hash, id)`, ~24 bytes/row; the k-wide
+    * signature never rides the explode or the self-join (doing so
+    * multiplies the shuffle volume ~k/3× and was the slowest query on
+    * the whole bench board). Band hashes are computed straight off the
+    * signature columns (static codegen'd expressions — no interpreted
+    * HOF lambda).
     */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, bands: Int = 16, n: Int = 3, threshold: Double = 0.7,
-      seed: Long = 42L): DataFrame = {
+  private[graft] def minhashCandidates(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, bands: Int, n: Int, seed: Long): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sig = minhashSignatures(docs, idCol, textCol, k, n, seed)
-      .withColumn("sig", array((0 until k).map(i => col(s"mh_$i")): _*))
-      .select("id", "sig")
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(concat_ws("_",
-          b +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)))))
-      .withColumnRenamed("col", "band_hash")
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
+    }: _*)
+    val banded = sig.select(col("id"), posexplode(bandHashes))
       .withColumnRenamed("pos", "band_id")
-    val l = banded.select(col("band_id"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band_id"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+      .withColumnRenamed("col", "band_hash")
+    val l = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
+    val r = banded.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
     l.join(r, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(null)).cast(ArrayType(IntegerType)))
-          .cast(DoubleType) / lit(k.toDouble)).as("est_jaccard"))
+      .select("id_a", "id_b")
       .distinct()
-      .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash per doc: bit i is the sign of the sum over tokens of
-    * (2·bit_i(hash(token)) − 1).
+  /** TRUE word-n-gram Jaccard for an explicit candidate pair set:
+    * `(id_a, id_b, jaccard)`. The shingle-hash streams are restricted to
+    * docs that appear in `cand` (semi-join) before the intersection
+    * join, so the cost is O(candidate docs × shingles), never O(corpus).
+    * Pairs with zero shingle overlap are not emitted (their Jaccard is
+    * 0 — below any meaningful threshold). The same `maxDf` stop-shingle
+    * cap as [[ngramJaccardPairs]] applies, so a verified candidate set
+    * is a subset of the exact pair set BY CONSTRUCTION.
+    */
+  private[graft] def verifiedJaccard(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, cand: DataFrame,
+      maxDf: Option[Int]): DataFrame = {
+    val sh = dropStopShingles(docs.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.shingleHashes(
+        docs.sparkSession, col(textCol), n)).as("g")), maxDf)
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val candSh = sh.join(candIds, Seq("id"), "left_semi")
+    val sizes = candSh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(candSh.select(col("id").as("id_a"), col("g")), Seq("id_a"))
+      .join(candSh.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
+          .as("jaccard"))
+  }
+
+  /** Near-duplicate pairs via LSH banding (bands × rowsPerBand = k),
+    * each candidate VERIFIED against the true n-gram Jaccard (computed
+    * from the shingle-hash sets, restricted to candidate docs). Returns
+    * `(id_a, id_b, jaccard)` with `id_a < id_b`, true Jaccard ≥
+    * threshold, among pairs that collided in ≥ 1 band — so false
+    * positives are impossible by construction (signature-estimate
+    * thresholds admit hash-coincidence FPs; true-Jaccard verification
+    * does not), while recall stays that of the banding scheme.
+    *
+    * Scale: the only shuffles are (1) explode to (band_hash → id) — a
+    * key-value stream of O(docs × bands) 24-byte rows; (2) the
+    * equi-self-join on band_hash — skew-safe because a band bucket only
+    * contains near-identical docs; (3) pair dedup; (4) the verification
+    * joins, restricted to candidate docs. No pairwise scan of the
+    * corpus ever happens.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, n: Int = 3, threshold: Double = 0.7,
+      seed: Long = 42L, maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame =
+    verifiedJaccard(docs, idCol, textCol, n,
+      minhashCandidates(docs, idCol, textCol, k, bands, n, seed), maxDf)
+      .filter(col("jaccard") >= threshold)
+
+  /** SimHash signature width in bits. 60 rather than 64: the per-token
+    * hash is the top 15 hex digits of md5(token) — a construction BOTH
+    * engines compute identically (DuckDB has md5 but not Spark's
+    * xxhash64), which is what lets the raw pair surface
+    * `dedup_simhash_pairs` carry a full value-level DuckDB oracle
+    * instead of a rows-only check. 60 bits divide evenly into the
+    * (maxDist+1)=4 pigeonhole chunks, and the 4-bit narrowing is
+    * immaterial to the similarity semantics.
+    */
+  val SimhashBits = 60
+
+  /** 60-bit per-token hash: top 15 hex digits of md5, parsed base-16.
+    * Stays < 2^60, so ANSI-safe in a signed long on both engines.
+    */
+  private def tokenHash60(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast(LongType)
+
+  /** [[SimhashBits]]-bit SimHash per doc: bit i is the sign of the sum
+    * over tokens (with multiplicity) of (2·bit_i(hash(token)) − 1).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(i =>
+      .withColumn("h", tokenHash60(col("tok")))
+    val bitSums = (0 until SimhashBits).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(1L) * 2 - 1).as(s"bs_$i"))
     tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i =>
+        (0 until SimhashBits).map(i =>
           when(col(s"bs_$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
   /** Candidate near-dup pairs with hamming(simhash) ≤ maxDist, via
-    * pigeonhole banding: split 64 bits into (maxDist+1) chunks — any
-    * pair within distance maxDist must agree on at least one full chunk,
-    * so an equi-join per chunk finds all of them without a cross join.
+    * pigeonhole banding: split the signature bits into (maxDist+1)
+    * chunks — any pair within distance maxDist must agree on at least
+    * one full chunk, so an equi-join per chunk finds ALL of them (the
+    * output is the exact hamming-ball pair set) without a cross join.
     * Returns `(id_a, id_b, hamming)`.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
-    val bitsPer = 64 / chunks
+    val bitsPer = SimhashBits / chunks
     val sh = simhash(docs, idCol, textCol)
     val banded = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until chunks).map(cI =>
@@ -204,13 +297,24 @@ object Dedup {
     * division, so the result is bit-exact against a SQL oracle.
     *
     * Scale: the join key is the shingle hash; a stop-shingle appearing
-    * in f docs costs f² pair-rows for that key — cap it by dropping
-    * shingles with document frequency above `maxDf` (standard trick;
-    * such shingles carry no discriminating signal).
+    * in f docs costs f² pair-rows for that key — capped ON BY DEFAULT by
+    * dropping shingles with document frequency above `maxDf` (standard
+    * trick; such shingles carry no discriminating signal). The cap
+    * changes the SEMANTICS at scale: each doc's shingle set is
+    * restricted to shingles appearing in ≤ maxDf docs, for BOTH the
+    * intersection and the union, so two docs sharing only
+    * corpus-ubiquitous boilerplate score 0 rather than melting the
+    * shuffle. Pass `None` for the literal uncapped Jaccard (safe only
+    * when no shingle is hot — e.g. verification-scale corpora; at
+    * sf0.01's 500 docs the default cap filters nothing, which is why
+    * the DuckDB oracle — which computes the uncapped form — still
+    * hash-matches).
     */
+  val DefaultMaxDf = 1000
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
-      maxDf: Option[Int] = None): DataFrame = {
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
     // Join on the 64-bit shingle hash, not the shingle string: the
     // self-join shuffle then carries 8-byte keys instead of ~n-word
     // strings. A 2^-64 hash collision could overcount one intersection
@@ -218,14 +322,7 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
       explode(graft.functions.TextFunctions.shingleHashes(
         docs.sparkSession, col(textCol), n)).as("g"))
-    val withDf = maxDf match {
-      case Some(cap) =>
-        // df per shingle is a tiny aggregate; broadcast it back.
-        val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("g")
-        sh.join(broadcast(df), Seq("g"), "left_semi")
-      case None => sh
-    }
+    val withDf = dropStopShingles(sh, maxDf)
     val sizes = withDf.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = withDf.select(col("g"), col("id").as("id_a"))
     val b = withDf.select(col("g"), col("id").as("id_b"))
@@ -255,64 +352,107 @@ object Dedup {
     *
     * Scale shape: per round, one join of the (symmetrized, distinct)
     * edge list against current labels + one min-aggregate — all
-    * hash-partitioned on node id, map-side combined; `localCheckpoint`
-    * each round truncates the growing lineage (the classic iterative-
-    * Spark trap). Rounds needed = component diameter (near-dup clusters
-    * are shallow; for adversarially long chains the alternating
+    * hash-partitioned on node id, map-side combined; each round's frame
+    * is checkpointed to truncate the growing lineage (the classic
+    * iterative-Spark trap). Rounds needed = component diameter (near-dup
+    * clusters are shallow; for adversarially long chains the alternating
     * large-star/small-star variant reduces rounds to O(log n) — the
     * loop converges-and-stops either way). Labels only ever decrease,
     * so the early-exit check (`limit(1)` on changed rows) is cheap and
     * convergence is guaranteed.
     *
+    * Checkpoint mode — `checkpointDir`:
+    *   - `Some(dir)`: RELIABLE checkpoints under `dir` (the cluster
+    *     setting): every round survives executor loss, and NO
+    *     BlockManager storage blocks are held at any point — the frames
+    *     read back from checkpoint files. The caller owns `dir`'s
+    *     lifecycle (delete it once the result is consumed).
+    *   - `None` (default, interactive/local): `localCheckpoint` —
+    *     fastest, but executor-loss-fragile, so not for long cluster
+    *     jobs. Every intermediate round's blocks are unpersisted before
+    *     returning; the blocks backing the RETURNED frame are released
+    *     by the context cleaner once the frame is unreferenced
+    *     (`Dataset.unpersist` only touches the SQL cache, not
+    *     checkpoint blocks — callers needing a block-free session at a
+    *     deterministic point should pass `checkpointDir`).
+    *
     * Returns `(id, comp)` for every node appearing in `pairs`.
     */
   def connectedComponents(pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")),
-          Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("dst_comp")).as("nbr_comp"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("comp"),
-          (col("nbr_comp") < col("comp")).as("_changed"))
-        .localCheckpoint()
-      converged = next.filter(col("_changed")).limit(1).isEmpty
-      labels = next.drop("_changed")
-      iter += 1
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = checkpointDir.isDefined
+    checkpointDir.foreach(sc.setCheckpointDir)
+    // local-checkpointed frames whose blocks this call must release
+    val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) {
+        // eager checkpoint runs a SECOND job to write the files; a
+        // transient persist makes that job read the first job's cache
+        // instead of recomputing the round, and is dropped immediately
+        val cached = df.persist()
+        try cached.checkpoint() finally cached.unpersist(blocking = false)
+      } else { val c = df.localCheckpoint(); tracked += c; c }
+    // the cp'd frame backing the returned labels — excluded from release
+    var keep: DataFrame = null
+    try {
+      val edges = cp(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+      var labelsCp = cp(edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
+      var labels = labelsCp
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")),
+            Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("dst_comp")).as("nbr_comp"))
+        val next = cp(labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+              .as("comp"),
+            (col("nbr_comp") < col("comp")).as("_changed")))
+        converged = next.filter(col("_changed")).limit(1).isEmpty
+        // the superseded round's blocks are dead the moment `next` is
+        // materialized (checkpointing is eager) — release them now
+        // rather than accumulating one round-sized block set per
+        // iteration for the life of the loop
+        if (!reliable && (labelsCp ne null)) {
+          releaseLocalCheckpoint(labelsCp)
+          tracked -= labelsCp
+        }
+        labelsCp = next
+        labels = next.drop("_changed")
+        iter += 1
+      }
+      // Silent unconvergence would under-merge clusters (multiple
+      // "representatives" per true component) — fail loudly instead. The
+      // loop may have CONVERGED on its very last round without a quiet
+      // round to observe it, so probe once more before throwing.
+      if (!converged) {
+        val pending = edges
+          .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")),
+            Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("dst_comp")).as("nbr_comp"))
+          .join(labels, Seq("id"))
+          .filter(col("nbr_comp") < col("comp"))
+        if (!pending.limit(1).isEmpty)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIter rounds " +
+              "(component diameter exceeds the budget); raise maxIter")
+      }
+      keep = labelsCp
+      labels
+    } finally {
+      // releases edges and, on an exception path, every surviving round
+      tracked.foreach(f => if (f ne keep) releaseLocalCheckpoint(f))
     }
-    // Silent unconvergence would under-merge clusters (multiple
-    // "representatives" per true component) — fail loudly instead. The
-    // loop may have CONVERGED on its very last round without a quiet
-    // round to observe it, so probe once more before throwing.
-    if (!converged) {
-      val pending = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")),
-          Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("dst_comp")).as("nbr_comp"))
-        .join(labels, Seq("id"))
-        .filter(col("nbr_comp") < col("comp"))
-      if (!pending.limit(1).isEmpty)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds " +
-            "(component diameter exceeds the budget); raise maxIter")
-    }
-    labels
   }
 
   /** Cluster-prune a corpus: keep each duplicate cluster's
@@ -321,8 +461,10 @@ object Dedup {
     * comes from [[ngramJaccardPairs]] or a verified approximate family.
     */
   def pruneDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String,
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val comps = connectedComponents(pairs, aCol, bCol)
+      aCol: String = "id_a", bCol: String = "id_b",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol,
+      checkpointDir = checkpointDir)
     val losers = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")

@@ -33,6 +33,64 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
   }
 
+  test("minhash LSH filters signature-collision false positives via true Jaccard") {
+    // ADVERSARIAL construction: docs 1/2 share one 1-gram shingle ("x");
+    // with k=4, bands=4, rows=1 and seed 42 the shared shingle is the
+    // signature minimum in ≥1 band for both docs, so the pair IS a band
+    // collision — but its true Jaccard is 1/2, below the 0.6 threshold.
+    // A signature-agreement estimate would emit it; the true-Jaccard
+    // verification must filter it while keeping the genuine duplicate.
+    val adv = Seq((1L, "x"), (2L, "x y"), (3L, "a b"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(adv, "doc_id", "text",
+      k = 4, bands = 4, n = 1, seed = 42L)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 2L)),
+      "construction must produce the band collision (seed-deterministic)")
+    val out = Dedup.minhashLsh(adv, "doc_id", "text",
+      k = 4, bands = 4, n = 1, threshold = 0.6, seed = 42L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((3L, 4L)),
+      "collision pair filtered by true Jaccard; real duplicate kept")
+  }
+
+  test("ngram Jaccard maxDf cap drops stop-shingles (and defaults ON)") {
+    val two = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    // the single shingle "a b c" has df=2: a cap of 1 removes it from
+    // both docs' shingle sets, so no pair survives
+    assert(Dedup.ngramJaccardPairs(two, "doc_id", "text", n = 3,
+      threshold = 0.1, maxDf = Some(1)).count() === 0)
+    // the default cap (1000) filters nothing here — exact pair intact
+    assert(Dedup.ngramJaccardPairs(two, "doc_id", "text", n = 3,
+      threshold = 0.1).select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("connected components + gates hold no storage blocks after consumption") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // eager gates: a full gate query leaves the block set untouched
+    graft.queries.ExtQueries.dedupMinhashLsh(spark, sfDir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "gate queries must unpersist their materialized sides")
+    // reliable-checkpoint mode: zero blocks at ANY point, files under dir
+    val ccDir = tmpDir("graft-cc-test")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs,
+      checkpointDir = Some(ccDir)).as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "reliable CC must not register persistent RDDs")
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(ccDir))
+      .count() > 0, "reliable checkpoints must land under the given dir")
+    // local mode: only the returned frame's blocks may remain (released
+    // by the context cleaner once unreferenced); every intermediate
+    // round and the edge frame must already be gone
+    val local = Dedup.connectedComponents(pairs)
+    assert(local.as[(Long, Long)].collect().toMap === comps)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size <= before.size + 1,
+      "intermediate rounds must be unpersisted eagerly")
+  }
+
   test("exact dedup survives a first-hash collision via the second hash") {
     // craft a guaranteed h1 collision (hash = text length) between two
     // DISTINCT texts; the independent second hash must keep them apart,
