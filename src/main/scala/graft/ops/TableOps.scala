@@ -728,9 +728,23 @@ object TableOps {
         .filter(st => CommitDirPattern.matches(st.getPath.getName))
         .filter(st => !referenced.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
-    // legacy layout leftovers (pre-manifest-protocol tables)
-    fs.delete(new Path(s"${t.path}/.staging"), true)
-    fs.delete(new Path(s"${t.path}/.versions"), true)
+    // Legacy layout leftovers (pre-manifest-protocol tables) — but ONLY
+    // once this table demonstrably speaks the manifest protocol: for a
+    // table whose manifests carry no parts map (a round-1 layout), the
+    // `.versions` dir IS its version archive — deleting it would destroy
+    // time travel with no migration path. Warn and leave it instead.
+    if (partsMaps.nonEmpty) {
+      fs.delete(new Path(s"${t.path}/.staging"), true)
+      fs.delete(new Path(s"${t.path}/.versions"), true)
+    } else if (log.listCommits().nonEmpty &&
+        (fs.exists(new Path(s"${t.path}/.versions")) ||
+          fs.exists(new Path(s"${t.path}/.staging")))) {
+      System.err.println(
+        s"graft: table ${t.name} has commit manifests but none carries a " +
+          "parts map (pre-manifest legacy layout?) — leaving .versions/" +
+          ".staging untouched; re-write the table (read + upsert into a " +
+          "fresh path) to migrate before cleaning")
+    }
     dropped
   }
 }

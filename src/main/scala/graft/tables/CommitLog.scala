@@ -125,24 +125,47 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     new Path(dir, s"keys/$h.key")
   }
 
-  /** Marker probe, with the LATEST commit manifest as the authoritative
-    * fallback: the marker is written AFTER the manifest publishes (a
-    * key must never be recorded for a commit that is not yet visible —
-    * that would turn a crash into silent batch loss), so a crash in
-    * between leaves a published manifest whose marker is missing.
-    * Under the single-writer model only the newest commit can sit in
-    * that window (every older commit completed its marker write before
-    * the next began), so the fallback reads exactly one manifest —
-    * keeping the per-batch probe O(1), not an O(#commits) scan — and
-    * backfills the marker.
+  /** Marker probe, with a newest-to-oldest manifest scan as the
+    * authoritative fallback: the marker is written AFTER the manifest
+    * publishes (a key must never be recorded for a commit that is not
+    * yet visible — that would turn a crash into silent batch loss), so
+    * a crash in between leaves a published manifest whose marker is
+    * missing. Consulting only the NEWEST manifest is not enough: a
+    * maintenance commit (compact/clean/delete — none of which carry
+    * this key) can land between the crashed keyed commit and the batch
+    * replay, pushing the keyed manifest off the head of the timeline —
+    * the replay would then re-apply the batch, silently breaking
+    * exactly-once. The scan walks newest→oldest and stops at the first
+    * keyed manifest whose OWN marker exists: under the single-writer
+    * model markers complete in commit order, so every keyed commit
+    * older than a marker-complete one has its marker too — the probe
+    * key, had it ever committed there, would have hit the fast path.
+    * That bounds the scan to O(crash window) manifests (normally 1–2),
+    * never O(#commits). A found key is backfilled into the marker
+    * registry so subsequent probes are O(1) again.
     */
   def hasIdempotencyKey(key: String): Boolean =
     fs.exists(keyPath(key)) || {
-      val inLatest = latestCommit().flatMap(commitMeta)
-        .exists(_.get("idempotency_key").contains(key))
-      if (inLatest) recordIdempotencyKey(key) // heal the marker
-      inLatest
+      val found = scanForKey(key)
+      if (found) recordIdempotencyKey(key) // heal the marker
+      found
     }
+
+  private def scanForKey(key: String): Boolean = {
+    val it = listCommits().reverseIterator
+    while (it.hasNext) {
+      commitMeta(it.next()).flatMap(_.get("idempotency_key")) match {
+        case Some(k) if k == key => return true
+        case Some(k) if fs.exists(keyPath(k)) =>
+          // marker-complete keyed commit: all older keyed commits are
+          // marker-complete too — the probe key cannot be below here
+          return false
+        case _ => () // unkeyed commit, or a keyed one inside the crash
+                     // window — keep walking
+      }
+    }
+    false
+  }
 
   def recordIdempotencyKey(key: String): Unit = {
     val p = keyPath(key)

@@ -2,7 +2,8 @@ package graft.tables
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DecimalType, NumericType}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Persisted record-key → partition index for GLOBAL upsert semantics —
   * the engine's analog of Hudi's record-level index (the reference
@@ -57,16 +58,30 @@ object KeyIndex {
 
   private def syncedPath(t: KeyedTable) = new Path(indexPath(t), "_synced")
 
-  /** Commit ts the index last reflected (None = never synced). */
+  /** Bucket-hash format version, stamped into `_synced`. Bumped when
+    * the bucket routing function changes (v2 = type-canonical key
+    * hashing): an index written under an older routing would send
+    * probes to the wrong buckets, so a version mismatch reads as
+    * never-synced and [[ensureFresh]] rebuilds it.
+    */
+  private val HashVersion = "v2"
+
+  /** Commit ts the index last reflected (None = never synced, or synced
+    * under an incompatible bucket-routing version).
+    */
   def syncedTs(spark: SparkSession, t: KeyedTable): Option[String] = {
     val p = syncedPath(t)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
-      finally in.close()
+      val content =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      if (content.startsWith(s"$HashVersion:"))
+        Some(content.stripPrefix(s"$HashVersion:"))
+      else None
     }
   }
 
@@ -77,7 +92,7 @@ object KeyIndex {
     val p = syncedPath(t)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
-    AtomicFile.write(fs, p, ts.getBytes("UTF-8"))
+    AtomicFile.write(fs, p, s"$HashVersion:$ts".getBytes("UTF-8"))
   }
 
   /** Make the index trustworthy for the table state at `latestCommit`:
@@ -94,8 +109,26 @@ object KeyIndex {
     }
   }
 
-  private def bucketExpr(t: KeyedTable) =
-    pmod(xxhash64(t.recordKey.map(col): _*), lit(NumBuckets)).cast("int")
+  /** Bucket routing must hash the LOGICAL key value, not its physical
+    * type: `xxhash64` of int 5 differs from long 5, and type-widening
+    * evolution is supported — a batch whose key column arrives wider
+    * than the indexed type would otherwise probe the wrong buckets,
+    * miss the key's old home, and silently violate GLOBAL uniqueness.
+    * Numeric key columns are canonicalized to DECIMAL(38,18) before
+    * hashing (int/long/float/double 5 all hash identically; stable
+    * under every widening the merge plan can produce — an out-of-range
+    * key fails the ANSI cast loudly instead of mis-routing). Other
+    * types don't widen, so they hash as-is.
+    */
+  private def canonicalKey(frame: DataFrame)(k: String): Column =
+    frame.schema(k).dataType match {
+      case _: NumericType => col(k).cast(DecimalType(38, 18))
+      case _ => col(k)
+    }
+
+  private def bucketExpr(t: KeyedTable, frame: DataFrame) =
+    pmod(xxhash64(t.recordKey.map(canonicalKey(frame)): _*), lit(NumBuckets))
+      .cast("int")
 
   /** Index rows restricted to the given buckets (partition-pruned read);
     * None when the index (or every probed bucket) has no data yet.
@@ -116,7 +149,7 @@ object KeyIndex {
     * metadata-sized collect.
     */
   private def bucketsOf(t: KeyedTable, keys: DataFrame): Seq[Int] =
-    keys.select(bucketExpr(t).as("b")).distinct()
+    keys.select(bucketExpr(t, keys).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
 
   /** Home partitions currently recorded for any of `keys` — the moved-
@@ -154,7 +187,7 @@ object KeyIndex {
           .unionByName(fresh)
       case None => fresh
     }
-    writeBuckets(spark, t, merged.withColumn(BucketCol, bucketExpr(t)),
+    writeBuckets(spark, t, merged.withColumn(BucketCol, bucketExpr(t, merged)),
       buckets)
   }
 
@@ -167,7 +200,7 @@ object KeyIndex {
       val remaining = old.select(cols.map(col): _*)
         .join(probe, t.recordKey, "left_anti")
       writeBuckets(spark, t,
-        remaining.withColumn(BucketCol, bucketExpr(t)), buckets)
+        remaining.withColumn(BucketCol, bucketExpr(t, remaining)), buckets)
     }
   }
 
@@ -179,7 +212,7 @@ object KeyIndex {
       snapshot: DataFrame): Unit = {
     val cols = (t.recordKey ++ t.partitionBy).distinct
     val all = snapshot.select(cols.map(col): _*)
-      .withColumn(BucketCol, bucketExpr(t))
+      .withColumn(BucketCol, bucketExpr(t, snapshot))
     writeBuckets(spark, t, all, 0 until NumBuckets)
   }
 

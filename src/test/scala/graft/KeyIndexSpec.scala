@@ -145,6 +145,26 @@ class KeyIndexSpec extends SparkSuite {
     assert(graft.tables.KeyIndex.syncedTs(spark, t).nonEmpty)
   }
 
+  test("GLOBAL uniqueness survives a key batch arriving WIDER than the indexed type") {
+    val base = tmpDir("graft-widekey")
+    val t = KeyedTable("wk", s"$base/wk", Seq("id"), "ver", Seq("part"),
+      globalIndex = true)
+    // batch 1 writes the key as INT
+    TableOps.upsert(spark, t, Seq((5, 1, "p1"), (7, 1, "p1"))
+      .toDF("id", "ver", "part"))
+    // batch 2 moves the same LOGICAL key, arriving as LONG (the widening
+    // the merge plan supports): the index probe must hash to the same
+    // bucket the int write used, find p1, and evict the old home —
+    // physical-type hashing would probe the wrong bucket and leave a
+    // silent duplicate of key 5 in p1
+    TableOps.upsert(spark, t, Seq((5L, 2, "p2")).toDF("id", "ver", "part"))
+    val snap = TableOps.snapshot(spark, t)
+      .select($"id".cast("long"), $"ver", $"part")
+      .as[(Long, Int, String)].collect().toSet
+    assert(snap === Set((5L, 2, "p2"), (7L, 1, "p1")),
+      "exactly one row per logical key — GLOBAL uniqueness")
+  }
+
   test("null partition values: predicate matches the hive default partition") {
     val base = tmpDir("graft-nullpart")
     val t = KeyedTable("np2", s"$base/np2", Seq("id"), "ver",

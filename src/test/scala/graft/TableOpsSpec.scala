@@ -254,6 +254,29 @@ class TableOpsSpec extends SparkSuite {
     assert(log.listCommits() === Seq(ts1))
   }
 
+  test("idempotency: fallback survives an interleaved commit in the crash window") {
+    val t = table(partitioned = false)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")),
+      idempotencyKey = Some("b1"))
+    // crash window: manifest published, marker lost
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${t.commitsPath}/keys"), true)
+    // a maintenance commit lands BEFORE the replay — b1's manifest is no
+    // longer the timeline head, so a latest-manifest-only fallback would
+    // re-apply the batch
+    val ts2 = TableOps.compact(spark, t)
+    assert(CommitLog(t, spark).listCommits() === Seq(ts1, ts2))
+    assert(TableOps.upsert(spark, t, rows(("a", 9, "x9", "p1")),
+      idempotencyKey = Some("b1")) === "", "replayed batch must be skipped")
+    assert(TableOps.snapshot(spark, t).select("ver").as[Int].collect()
+      === Array(1), "the batch must have applied exactly once")
+    // a genuinely new key still applies (the scan stops at b1's healed
+    // marker instead of walking the whole timeline)
+    assert(TableOps.upsert(spark, t, rows(("b", 1, "y", "p1")),
+      idempotencyKey = Some("b2")).nonEmpty)
+  }
+
   test("idempotency keys survive the cleaner") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")),
