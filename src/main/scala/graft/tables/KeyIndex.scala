@@ -219,6 +219,14 @@ object KeyIndex {
   /** Stage `rows` (already carrying [[BucketCol]]) and swap exactly the
     * given bucket dirs into place. A bucket with no staged rows (all its
     * keys deleted) is removed.
+    *
+    * The swap moves FILES, never directories — object stores have no
+    * atomic directory rename (S3A emulates it as per-object copy+delete),
+    * and the engine's contract is that no reader-visible state depends
+    * on one. A crash mid-swap leaves a partial bucket, which is safe:
+    * the index is derived state, `_synced` still names the PREVIOUS
+    * commit (markSynced runs after the swap), and the next writer's
+    * [[ensureFresh]] probe sees the mismatch and rebuilds.
     */
   private def writeBuckets(spark: SparkSession, t: KeyedTable,
       rows: DataFrame, buckets: Seq[Int]): Unit = {
@@ -233,9 +241,14 @@ object KeyIndex {
       val target = new Path(root, s"$BucketCol=$b")
       val staged = new Path(staging, s"$BucketCol=$b")
       fs.delete(target, true)
-      if (fs.exists(staged) && !fs.rename(staged, target))
-        throw new java.io.IOException(
-          s"index bucket swap failed: $staged → $target")
+      if (fs.exists(staged)) {
+        fs.mkdirs(target)
+        fs.listStatus(staged).filter(_.isFile).foreach { st =>
+          if (!fs.rename(st.getPath, new Path(target, st.getPath.getName)))
+            throw new java.io.IOException(
+              s"index bucket file move failed: ${st.getPath} → $target")
+        }
+      }
     }
     fs.delete(staging, true)
   }
