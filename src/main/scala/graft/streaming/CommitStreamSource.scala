@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.ops.TableOps
+import graft.tables.{CommitLog, KeyedTable}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+
+/** Commit offset: the 17-digit instant string itself (lexicographically
+  * == chronologically ordered, so string compare is range logic).
+  */
+private[streaming] case class CommitOffset(ts: String) extends Offset {
+  override def json: String = ts
+}
+
+/** Manifest-driven streaming source over a [[KeyedTable]] — the engine's
+  * `spark.readStream.format("hudi")` analog, built the way Delta builds
+  * its streaming source: OFFSETS ARE PUBLISHED COMMITS, not files.
+  *
+  * `getOffset` lists the commit log (kilobyte manifests, driver-side);
+  * `getBatch(start, end]` reads exactly the immutable `data/{ts}` dirs
+  * of the commits in the range and keeps each dir's rows stamped with
+  * its own `_commit_ts` — the change records (carried-over COW rows
+  * keep their old stamp and are filtered; compaction commits therefore
+  * emit nothing, which is correct: nothing changed logically).
+  *
+  * Why offsets-are-commits is the load-bearing design choice (vs the
+  * file-stream + filter approach it replaces):
+  *
+  *   - An UNPUBLISHED commit dir — a crashed or in-flight writer's —
+  *     is structurally invisible: it has no manifest, so no offset ever
+  *     covers it. No phantom rows, ever.
+  *   - No data loss either: a stateless "filter by published set" over
+  *     a file stream CONSUMES an in-flight commit's early files (file
+  *     sources track processed files) and then drops them — when the
+  *     commit publishes a moment later those rows are gone for good.
+  *     Here the commit becomes visible atomically with its manifest,
+  *     whole or not at all.
+  *   - Partition values parse through Spark's own `basePath` partition
+  *     discovery per commit dir (manifest-declared types), not a path
+  *     regex — immune to base paths that look like commit dirs and to
+  *     escaped partition values.
+  *
+  * Retention contract: an incremental consumer must restart within the
+  * cleaner's retention window ([[TableOps.clean]]) — a commit cleaned
+  * while the stream was down has been merged into newer dirs and its
+  * individual change records no longer exist (same contract as any
+  * compacted CDC log); such commits are skipped with a warning.
+  *
+  * Rate limiting: `maxCommitsPerTrigger` caps how many commits one
+  * micro-batch covers (best-effort: the first trigger after a restart
+  * may cover the whole backlog, since the limiter's baseline is the
+  * last offset THIS process served).
+  */
+class CommitStreamSource(spark: SparkSession, t: KeyedTable,
+    maxCommitsPerTrigger: Option[Int]) extends Source {
+
+  private val log = CommitLog(t, spark)
+  // newest offset this process has served or seen committed — baseline
+  // for the trigger rate limiter (not for correctness: getBatch reads
+  // whatever range the engine asks for)
+  @volatile private var lastEnd: Option[String] = None
+
+  override val schema: StructType =
+    TableOps.latestSchema(spark, t).getOrElse(
+      throw new IllegalStateException(
+        s"table ${t.name} has no commit manifest — nothing to stream"))
+
+  override def getOffset: Option[Offset] = {
+    val commits = log.listCommits()
+    if (commits.isEmpty) None
+    else {
+      val end = (maxCommitsPerTrigger, lastEnd) match {
+        case (Some(n), Some(last)) =>
+          val pending = commits.filter(_ > last)
+          if (pending.isEmpty) last else pending.take(n).last
+        case _ => commits.last
+      }
+      Some(CommitOffset(end))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val startTs = start.map(_.json).getOrElse("")
+    val endTs = end.json
+    if (lastEnd.forall(_ < endTs)) lastEnd = Some(endTs)
+    val fs = new Path(t.dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frames = log.listCommits()
+      .filter(ts => ts > startTs && ts <= endTs)
+      .flatMap { ts =>
+        val dir = new Path(s"${t.dataPath}/$ts")
+        if (!fs.exists(dir)) {
+          // cleaned while the stream was down — see retention contract
+          System.err.println(s"graft: stream over ${t.name} skipping " +
+            s"commit $ts (cleaned beyond retention)")
+          None
+        } else Some(
+          spark.read.schema(schema).option("basePath", dir.toString)
+            .parquet(dir.toString)
+            .filter(col(KeyedTable.CommitCol) === lit(ts)))
+      }
+    org.apache.spark.sql.graft.ColumnBridge.asStreaming(
+      frames.reduceOption(_.unionByName(_))
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema))
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  override def commit(end: Offset): Unit =
+    if (lastEnd.forall(_ < end.json)) lastEnd = Some(end.json)
+
+  override def stop(): Unit = ()
+}
+
+/** `spark.readStream.format(classOf[CommitStreamProvider].getName)`
+  * provider. Options: `table.name`, `table.path`, `table.recordKey`
+  * (comma-separated), `table.precombine`, `table.partitionBy`
+  * (comma-separated, optional), `maxCommitsPerTrigger` (optional).
+  * [[IncrementalSource.changes]] wires these from a [[KeyedTable]].
+  */
+class CommitStreamProvider extends StreamSourceProvider {
+
+  private def tableOf(params: Map[String, String]): KeyedTable = {
+    def req(k: String) = params.getOrElse(k, throw new
+        IllegalArgumentException(s"graft commit stream: missing option $k"))
+    def list(s: String) =
+      s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    KeyedTable(req("table.name"), req("table.path"),
+      list(req("table.recordKey")), req("table.precombine"),
+      params.get("table.partitionBy").map(list).getOrElse(Nil))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val t = tableOf(parameters)
+    val sch = schema.orElse(
+      TableOps.latestSchema(sqlContext.sparkSession, t)).getOrElse(
+      throw new IllegalStateException(
+        s"table ${t.name} has no commit manifest — nothing to stream"))
+    (s"graft-commits[${t.name}]", sch)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new CommitStreamSource(sqlContext.sparkSession, tableOf(parameters),
+      parameters.get("maxCommitsPerTrigger").map(_.toInt))
+}

@@ -400,6 +400,46 @@ class ExtSpec extends SparkSuite {
     assert(drain() === Set(("a", 2, "p1")))
   }
 
+  test("streaming source is manifest-gated: unpublished commit dir emits zero rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("graft-unpub")
+    val t = graft.tables.KeyedTable("unpub", s"$base/unpub", Seq("id"), "ver",
+      Seq("part"))
+    graft.ops.TableOps.upsert(spark, t, Seq(("a", 1, "p1"))
+      .toDF("id", "ver", "part"))
+    val ckpt = tmpDir("graft-unpub-ckpt")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, String)]()
+    def drain(): Set[(String, Int, String)] = {
+      got.clear()
+      val q = graft.streaming.IncrementalSource.changes(spark, t)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("id", "ver", "part").collect().foreach(r =>
+            got.add((r.getString(0), r.getInt(1), r.getString(2))))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      scala.jdk.CollectionConverters.IteratorHasAsScala(got.iterator()).asScala.toSet
+    }
+    assert(drain() === Set(("a", 1, "p1")))
+    // STAGE a crashed writer's commit: data files on disk, NO manifest —
+    // invisible to batch readers, and it must be invisible to the stream
+    // too (no phantom rows)
+    val ts = graft.tables.CommitLog.newCommitTs()
+    Seq(("ghost", 1, ts)).toDF("id", "ver", graft.tables.KeyedTable.CommitCol)
+      .write.parquet(s"${t.dataPath}/$ts/part=p1")
+    assert(drain() === Set.empty,
+      "unpublished commit dir must emit zero rows")
+    // PUBLISH the manifest: the same rows must now arrive, whole
+    val schemaJson = graft.ops.TableOps.latestSchema(spark, t).get.json
+    graft.tables.CommitLog(t, spark).logCommit(ts, Map(
+      "table" -> t.name, "schema" -> schemaJson,
+      "parts" -> s"""{"part=p1": "$ts"}"""))
+    assert(drain() === Set(("ghost", 1, "p1")),
+      "the commit becomes visible atomically with its manifest")
+  }
+
   test("streaming table-to-table CDC: gold table tracks silver through commits") {
     val base = tmpDir("graft-t2t")
     val silver = graft.tables.KeyedTable("silver", s"$base/silver",
