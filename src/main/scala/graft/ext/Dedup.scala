@@ -173,13 +173,17 @@ object Dedup {
   }
 
   /** TRUE word-n-gram Jaccard for an explicit candidate pair set:
-    * `(id_a, id_b, jaccard)`. The shingle-hash streams are restricted to
-    * docs that appear in `cand` (semi-join) before the intersection
-    * join, so the cost is O(candidate docs × shingles), never O(corpus).
-    * Pairs with zero shingle overlap are not emitted (their Jaccard is
-    * 0 — below any meaningful threshold). The same `maxDf` stop-shingle
-    * cap as [[ngramJaccardPairs]] applies, so a verified candidate set
-    * is a subset of the exact pair set BY CONSTRUCTION.
+    * `(id_a, id_b, jaccard)`. The candidate frame — typically the
+    * EXPENSIVE lineage (a signature + band self-join) — is referenced
+    * exactly ONCE: the intersection join restricts the shingle streams
+    * to candidate docs implicitly (an equi-join on `id_a`/`id_b` IS the
+    * restriction), and per-doc sizes come from one corpus-wide narrow
+    * aggregate (the shingle stream is being computed anyway; a
+    * candidate-restricted size table would cost a second evaluation of
+    * `cand`). Pairs with zero shingle overlap are not emitted (their
+    * Jaccard is 0 — below any meaningful threshold). The same `maxDf`
+    * stop-shingle cap as [[ngramJaccardPairs]] applies, so a verified
+    * candidate set is a subset of the exact pair set BY CONSTRUCTION.
     */
   private[graft] def verifiedJaccard(docs: DataFrame, idCol: String,
       textCol: String, n: Int, cand: DataFrame,
@@ -187,13 +191,10 @@ object Dedup {
     val sh = dropStopShingles(docs.select(col(idCol).as("id"),
       explode(graft.functions.TextFunctions.shingleHashes(
         docs.sparkSession, col(textCol), n)).as("g")), maxDf)
-    val candIds = cand.select(col("id_a").as("id"))
-      .union(cand.select(col("id_b").as("id"))).distinct()
-    val candSh = sh.join(candIds, Seq("id"), "left_semi")
-    val sizes = candSh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(candSh.select(col("id").as("id_a"), col("g")), Seq("id_a"))
-      .join(candSh.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .join(sh.select(col("id").as("id_a"), col("g")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("g")), Seq("id_b", "g"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
@@ -397,9 +398,15 @@ object Dedup {
     // the cp'd frame backing the returned labels — excluded from release
     var keep: DataFrame = null
     try {
-      val edges = cp(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct())
+      // the pair lineage (often an expensive dedup join) appears twice
+      // in the symmetrized edge list — cache it for the one job that
+      // materializes the edge checkpoint, then drop it
+      val pairsCached = pairs.persist()
+      val edges =
+        try cp(pairsCached.select(col(aCol).as("src"), col(bCol).as("dst"))
+          .union(pairsCached.select(col(bCol).as("src"), col(aCol).as("dst")))
+          .distinct())
+        finally pairsCached.unpersist(blocking = false)
       var labelsCp = cp(edges.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id")))
       var labels = labelsCp

@@ -25,14 +25,6 @@ object ExtQueries {
   private def ccScratchDir(): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft-cc-")
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
-
   // ———————————————————————————————————————— dedup
 
   /** Exact dedup, SQL-oracle form: representative (min id) + dup count
@@ -301,21 +293,25 @@ object ExtQueries {
       .filter(col("quality") >= 0.5).select("doc_id")
     val kept = docs.join(en, "doc_id").join(good, "doc_id")
       .select("doc_id", "text").persist()
-    val cc = ccScratchDir()
+    val pairs = Dedup.ngramJaccardPairs(kept, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    // local-checkpoint CC (fastest mode) — safe to release
+    // deterministically here because the funnel counts are consumed
+    // eagerly below, so no lazy lineage escapes the query
+    val comps = Dedup.connectedComponents(pairs)
     try {
-      val pairs = Dedup.ngramJaccardPairs(kept, "doc_id", "text",
-        n = 3, threshold = 0.5)
-      val fin = Dedup.pruneDuplicates(kept, pairs, "doc_id",
-        checkpointDir = Some(cc.toString))
+      val losers = comps.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      val fin = kept.join(losers, Seq("doc_id"), "left_anti")
       // the funnel counts are driver-sized scalars by design — computed
-      // eagerly so every materialized stage (and the CC checkpoint dir)
-      // is released before the query returns
+      // eagerly so every materialized stage is released before the
+      // query returns
       Seq((docs.count(), en.count(), kept.count(), fin.count()))
         .toDF("n_docs", "n_en", "n_kept", "n_final")
     } finally {
       en.unpersist(blocking = false)
       kept.unpersist(blocking = false)
-      deleteRecursively(cc)
+      Dedup.releaseLocalCheckpoint(comps)
     }
   }
 

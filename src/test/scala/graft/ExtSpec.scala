@@ -72,6 +72,10 @@ class ExtSpec extends SparkSuite {
     graft.queries.ExtQueries.dedupMinhashLsh(spark, sfDir).collect()
     assert(spark.sparkContext.getPersistentRDDs.keySet === before,
       "gate queries must unpersist their materialized sides")
+    // the composed curation pipeline (persist + local-mode CC) too
+    graft.queries.ExtQueries.curationPipeline(spark, sfDir).collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "curation must release every materialized stage")
     // reliable-checkpoint mode: zero blocks at ANY point, files under dir
     val ccDir = tmpDir("graft-cc-test")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
