@@ -454,6 +454,18 @@ object SparkEntry {
         | SELECT 'cosine_neardup' AS family,
         |  (SELECT count(*) FROM ex) AS n_exact,
         |  true AS recall_pass, true AS precision_pass""".stripMargin,
+    // LSH near-dup at the verification-scale operating point has
+    // measured recall 1.0 (seed-deterministic) and zero FPs by
+    // construction (true-cosine scoring) — so the exact pair
+    // recomputation IS the value-level oracle. Threshold safety: the
+    // nearest corpus pair sits 2.9e-5 from 0.35 while cross-engine
+    // cosine deviation is ≤ 2.4e-7.
+    "sim_neardup_pairs" ->
+      """SELECT q.vec_id AS id_a, c.vec_id AS id_b
+        | FROM embeddings q CROSS JOIN embeddings c
+        | WHERE q.vec_id < c.vec_id
+        |  AND list_cosine_similarity(q.embedding, c.embedding) >= 0.35
+        | ORDER BY id_a, id_b""".stripMargin,
     "sample_stratified" ->
       """SELECT label, CAST(ceil(0.1 * count(*)) AS BIGINT) AS n_sampled
         | FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
@@ -470,6 +482,23 @@ object SparkEntry {
         |  (SELECT count(*) FROM d) AS n_docs,
         |  (SELECT count(DISTINCT w) FROM d) AS n_groups,
         |  true AS injective_pass, true AS consistent_pass""".stripMargin,
+    // Karp-Rabin fold replicated exactly: per-token md5-60-bit hash mod
+    // p, then acc = (acc*31 + th) mod p left-to-right (list_prepend
+    // seeds the fold with 0, matching Spark's aggregate initial value).
+    "text_fingerprint_raw" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents)
+        | SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(w, t ->
+        |        list_reduce(
+        |          list_transform(string_split(substr(md5(t), 1, 15), ''),
+        |            c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |          (acc, d) -> acc * 16 + d) % 2147483647)),
+        |    (acc, th) -> (acc * 31 + th) % 2147483647) AS fingerprint
+        | FROM tok ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""WITH ${langidRankedCte("documents")}
         | SELECT doc_id, lang AS predicted_lang FROM ranked
@@ -596,6 +625,26 @@ object SparkEntry {
     "multimodal_features" ->
       """SELECT 'media_features' AS family, count(*) AS n_rows,
         | true AS dims_pass, true AS range_pass FROM documents""".stripMargin,
+    // The decode stub's feature values, recomputed: h = md5-60-bit of
+    // the payload (= UTF-8 text bytes); f0 = ((h ^ K1) >>> 11) / 2^53
+    // as float32. K1 = 0x9E3779B97F4A7C15 as signed; the arithmetic
+    // shift + 53-bit mask equals the unsigned shift.
+    "multimodal_features_raw" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |     ELSE 'video' END AS media_type,
+        |   CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
+        |   list_reduce(
+        |     list_transform(string_split(substr(md5(text), 1, 15), ''),
+        |       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |     (acc, d) -> acc * 16 + d) AS h
+        |  FROM documents)
+        | SELECT doc_id, media_type, payload_bytes,
+        |  CAST(((xor(h, -7046029254386353131) >> 11)
+        |      & ((CAST(1 AS BIGINT) << 53) - 1))
+        |    / 9007199254740992.0 AS REAL) AS f0
+        | FROM m ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents)

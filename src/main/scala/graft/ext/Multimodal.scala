@@ -57,11 +57,21 @@ object Multimodal {
     * the payload bytes (seeded by content hash). A real deployment
     * replaces ONLY this function with a codec call — signature and
     * batch shape stay identical.
+    *
+    * The content hash is the md5-60-bit construction (top 15 hex digits
+    * of md5(payload), parsed base-16 — bit-identical to
+    * `conv(substr(md5(x),1,15),16,10)` in SQL on either engine), so the
+    * emitted feature VALUES are recomputable in the DuckDB oracle: the
+    * raw feature surface gets a value-level check, not just the
+    * plumbing gate.
     */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
     // ??? — real image/audio decode goes here; deterministic fake:
-    var h = 1125899906842597L
-    payload.foreach(b => h = h * 31 + b)
+    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+    h = h >>> 4 // top 60 bits == first 15 hex digits of the md5 string
     Array.tabulate(FeatureDim) { i =>
       val x = h ^ (0x9E3779B97F4A7C15L * (i + 1))
       ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat

@@ -225,11 +225,15 @@ object Similarity {
     * contract as [[Dedup.minhashLsh]] but in embedding space).
     *
     * Recall comes from `tables` independent hash tables (standard
-    * multi-table LSH) plus hamming-1 multi-probe on the left side; with
-    * the defaults, a cos≈0.35 pair is found with ≈0.84 probability
-    * (asserted empirically in ExtSpec). `planes` trades bucket
-    * occupancy (candidate-pair cost, ∝ n²/2^planes per table) against
-    * recall — raise it as the corpus grows.
+    * multi-table LSH) plus hamming-1 multi-probe on the left side;
+    * candidates are scored with the TRUE cosine, so false positives are
+    * impossible by construction. The defaults (5 planes × 10 tables)
+    * are a verification-scale operating point: measured recall 1.0 at
+    * sf0.01 — which is what lets the raw pair surface carry the full
+    * exact-pair DuckDB oracle. `planes` trades bucket occupancy
+    * (candidate-pair cost, ∝ tables·n²/2^planes) against recall —
+    * RAISE planes as the corpus grows (and add tables to buy recall
+    * back); at 10⁹ docs the right shape is ~16 planes × 8 tables.
     */
   /** EXACT cosine pair set — the quadratic reference the approximate
     * families are verified against. Deliberately all-pairs
@@ -250,7 +254,7 @@ object Similarity {
   }
 
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 6, tables: Int = 6, dim: Int = 64,
+      threshold: Double, planes: Int = 5, tables: Int = 10, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     val allPlanes = hyperplanes(planes * tables, dim, seed)

@@ -101,10 +101,18 @@ object TextStats {
     * acc*31 < 2^36). Equal fingerprints ⇒ near-certainly identical
     * normalized content; cheaper than carrying full text through a
     * shuffle.
+    *
+    * The per-token hash is the md5-60-bit construction (top 15 hex
+    * digits of md5, parsed base-16) rather than xxhash64 — BOTH engines
+    * compute it identically, which is what lets the raw per-doc
+    * fingerprint surface carry a full value-level DuckDB oracle
+    * (list_reduce over the same digits) instead of a rows-only check.
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       aggregate(toks(col(textCol)), lit(0L),
-        (acc, tk) => pmod(acc * 31L + pmod(xxhash64(tk), lit(2147483647L)),
+        (acc, tk) => pmod(acc * 31L +
+          pmod(conv(substring(md5(tk.cast("binary")), 1, 15), 16, 10)
+            .cast(LongType), lit(2147483647L)),
           lit(2147483647L))).as("fingerprint"))
 }

@@ -234,11 +234,11 @@ object ExtQueries {
   }
 
   /** Embedding near-dup gate: recall ≥ 0.7 vs the exact quadratic
-    * cosine pair set (measured 0.826 at sf0.01) and zero false
-    * positives (the LSH variant scores candidates with the true
-    * cosine). The 0.35 threshold sits 2.9e-5 away from the nearest
-    * corpus pair while the cross-engine cosine deviation is ≤ 2.4e-7,
-    * so the exact count is engine-stable.
+    * cosine pair set (measured 1.0 at sf0.01 with the 5-plane ×
+    * 10-table defaults) and zero false positives (the LSH variant
+    * scores candidates with the true cosine). The 0.35 threshold sits
+    * 2.9e-5 away from the nearest corpus pair while the cross-engine
+    * cosine deviation is ≤ 2.4e-7, so the exact count is engine-stable.
     */
   def simCosineNeardup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
