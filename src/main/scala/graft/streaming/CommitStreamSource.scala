@@ -3,6 +3,7 @@ package graft.streaming
 import graft.ops.TableOps
 import graft.tables.{CommitLog, KeyedTable}
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.StreamSourceProvider
@@ -51,42 +52,66 @@ private[streaming] case class CommitOffset(ts: String) extends Offset {
   * compacted CDC log); such commits are skipped with a warning.
   *
   * Rate limiting: `maxCommitsPerTrigger` caps how many commits one
-  * micro-batch covers (best-effort: the first trigger after a restart
-  * may cover the whole backlog, since the limiter's baseline is the
-  * last offset THIS process served).
+  * micro-batch covers, exactly, including across restarts — the source
+  * implements `SupportsAdmissionControl`, so the engine hands it the
+  * previous end offset on every trigger. `Trigger.AvailableNow` drains
+  * the backlog-at-start across as many rate-limited batches as needed
+  * (`SupportsTriggerAvailableNow`, same contract as FileStreamSource).
   */
 class CommitStreamSource(spark: SparkSession, t: KeyedTable,
-    maxCommitsPerTrigger: Option[Int]) extends Source {
+    maxCommitsPerTrigger: Option[Int])
+    extends Source with SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming
 
   private val log = CommitLog(t, spark)
-  // newest offset this process has served or seen committed — baseline
-  // for the trigger rate limiter (not for correctness: getBatch reads
-  // whatever range the engine asks for)
-  @volatile private var lastEnd: Option[String] = None
+  // Trigger.AvailableNow contract: process everything published at
+  // query START (across as many rate-limited micro-batches as needed),
+  // ignoring commits that land during the run (same as
+  // FileStreamSource's implementation of this interface)
+  @volatile private var availableNowCap: Option[String] = None
 
   override val schema: StructType =
     TableOps.latestSchema(spark, t).getOrElse(
       throw new IllegalStateException(
         s"table ${t.name} has no commit manifest — nothing to stream"))
 
-  override def getOffset: Option[Offset] = {
-    val commits = log.listCommits()
-    if (commits.isEmpty) None
-    else {
-      val end = (maxCommitsPerTrigger, lastEnd) match {
-        case (Some(n), Some(last)) =>
-          val pending = commits.filter(_ > last)
-          if (pending.isEmpty) last else pending.take(n).last
-        case _ => commits.last
-      }
-      Some(CommitOffset(end))
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = log.listCommits().lastOption
+
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    maxCommitsPerTrigger
+      .map(n => streaming.ReadLimit.maxRows(n.toLong))
+      .getOrElse(streaming.ReadLimit.allAvailable())
+
+  /** Admission-control offset discovery: the engine hands us the
+    * PREVIOUS end offset, so the rate limiter is exact across restarts
+    * (no internal baseline to lose). "Rows" in the limit are COMMITS —
+    * the unit this source admits by.
+    */
+  override def latestOffset(start: streaming.Offset,
+      limit: streaming.ReadLimit): streaming.Offset = {
+    val startTs = Option(start).map(_.json).getOrElse("")
+    val all = log.listCommits()
+    val pending = availableNowCap.fold(all)(cap => all.filter(_ <= cap))
+      .filter(_ > startTs)
+    val admitted = limit match {
+      case r: streaming.ReadMaxRows => pending.take(r.maxRows.toInt)
+      case _ => pending
     }
+    if (admitted.nonEmpty) CommitOffset(admitted.last)
+    else if (startTs.nonEmpty) CommitOffset(startTs)
+    else null
   }
+
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead " +
+        "(SupportsAdmissionControl)")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startTs = start.map(_.json).getOrElse("")
     val endTs = end.json
-    if (lastEnd.forall(_ < endTs)) lastEnd = Some(endTs)
     val fs = new Path(t.dataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val frames = log.listCommits()
@@ -109,9 +134,6 @@ class CommitStreamSource(spark: SparkSession, t: KeyedTable,
           spark.sparkContext.emptyRDD[Row], schema))
         .select(schema.fieldNames.toIndexedSeq.map(col): _*))
   }
-
-  override def commit(end: Offset): Unit =
-    if (lastEnd.forall(_ < end.json)) lastEnd = Some(end.json)
 
   override def stop(): Unit = ()
 }

@@ -444,6 +444,63 @@ class ExtSpec extends SparkSuite {
       "the commit becomes visible atomically with its manifest")
   }
 
+  test("streaming source rate limit: maxCommitsPerTrigger splits the backlog") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("graft-rate")
+    val t = graft.tables.KeyedTable("rate", s"$base/rate", Seq("id"), "ver")
+    def up(id: String, ver: Int) = graft.ops.TableOps.upsert(spark, t,
+      Seq((id, ver)).toDF("id", "ver"))
+    up("a", 1)
+    // first AvailableNow run initializes the limiter's baseline
+    val ckpt = tmpDir("graft-rate-ckpt")
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Set[String]]()
+    def drain(): Seq[Set[String]] = {
+      batches.clear()
+      val q = graft.streaming.IncrementalSource.changes(spark, t,
+        Map("maxCommitsPerTrigger" -> "1"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = b.select("id").collect().map(_.getString(0)).toSet
+          if (ids.nonEmpty) { batches.add(ids); () }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      scala.jdk.CollectionConverters.IteratorHasAsScala(batches.iterator())
+        .asScala.toSeq
+    }
+    assert(drain() === Seq(Set("a")))
+    // three more commits: the limiter must deliver them as THREE
+    // micro-batches of one commit each (in order), not one big batch
+    up("b", 1); up("c", 1); up("d", 1)
+    assert(drain() === Seq(Set("b"), Set("c"), Set("d")))
+  }
+
+  test("streaming source skips commits cleaned beyond retention") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("graft-cleanskip")
+    val t = graft.tables.KeyedTable("cs", s"$base/cs", Seq("id"), "ver")
+    graft.ops.TableOps.upsert(spark, t, Seq(("a", 1)).toDF("id", "ver"))
+    graft.ops.TableOps.upsert(spark, t, Seq(("b", 1)).toDF("id", "ver"))
+    graft.ops.TableOps.upsert(spark, t, Seq(("c", 1)).toDF("id", "ver"))
+    // retain only the newest commit: older change records are gone
+    graft.ops.TableOps.clean(spark, t, retainCommits = 1)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = graft.streaming.IncrementalSource.changes(spark, t)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("id").collect().foreach(r => got.add(r.getString(0)))
+      }
+      .option("checkpointLocation", tmpDir("graft-cleanskip-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // only the retained commit's change records stream; the stream does
+    // not crash on the two cleaned commit dirs
+    assert(scala.jdk.CollectionConverters.IteratorHasAsScala(got.iterator())
+      .asScala.toSet === Set("c"))
+  }
+
   test("streaming table-to-table CDC: gold table tracks silver through commits") {
     val base = tmpDir("graft-t2t")
     val silver = graft.tables.KeyedTable("silver", s"$base/silver",
