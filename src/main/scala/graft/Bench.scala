@@ -49,6 +49,9 @@ object Bench {
     def resetCaches(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // collect the previous run's garbage NOW so its GC debt is not
+      // charged to (and does not inflate) the next timed run
+      System.gc()
     }
 
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
@@ -57,22 +60,23 @@ object Bench {
       try { execute(n, warmDir); resetCaches() }
       catch { case _: Throwable => resetCaches() }
     }
-    // A query that fails must NOT report its time-to-crash as a valid
-    // number (a regression would read as a speedup): failed queries get
-    // sentinel -1 and an entry in "errors".
+    // A query with ANY failed run must NOT report a number (a partial
+    // median has no spread protection, and a time-to-crash would read
+    // as a speedup): it gets sentinel -1 and an entry in "errors".
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val suspect = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
       val times = (1 to TimedRuns).flatMap { _ =>
         val t0 = System.nanoTime()
-        val ok =
-          try { execute(name, sfDir); true }
-          catch { case _: Throwable => false }
+        val elapsed =
+          try { execute(name, sfDir); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        // teardown (cache clear, unpersist, GC) happens OUTSIDE the
+        // measured interval — it must be charged to no run at all
         resetCaches()
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        elapsed
       }
-      if (times.size < TimedRuns) errors += name
-      if (times.isEmpty) name -> -1.0
+      if (times.size < TimedRuns) { errors += name; name -> -1.0 }
       else {
         val sorted = times.sorted
         if (sorted.last / sorted.head > SuspectSpread) suspect += name

@@ -384,6 +384,10 @@ object Dedup {
       maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     val reliable = checkpointDir.isDefined
+    // setCheckpointDir is session-global state: remember the previous
+    // dir and restore it on exit so this call doesn't silently redirect
+    // unrelated rdd.checkpoint() users to our scratch dir
+    val prevCheckpointDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
     // local-checkpointed frames whose blocks this call must release
     val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -459,6 +463,7 @@ object Dedup {
     } finally {
       // releases edges and, on an exception path, every surviving round
       tracked.foreach(f => if (f ne keep) releaseLocalCheckpoint(f))
+      if (reliable) prevCheckpointDir.foreach(sc.setCheckpointDir)
     }
   }
 

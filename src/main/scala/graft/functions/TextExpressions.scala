@@ -125,9 +125,11 @@ object TextFunctions {
 
   /** Register once per session: replacing an existing registration logs
     * a WARN per call, which on query-per-line mains (Verify/Bench)
-    * floods the logs.
+    * floods the logs. Shared by every kernel registry in this package
+    * ([[VectorFunctions.register]] included) — one place to fix if the
+    * guard ever needs thread-safety or case-sensitivity changes.
     */
-  private def registerOnce(spark: SparkSession, name: String,
+  private[functions] def registerOnce(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(

@@ -107,13 +107,10 @@ object VectorFunctions {
     * query-per-line mains (Verify/Bench) floods the logs.
     */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    def once(name: String, builder: Seq[Expression] => Expression): Unit =
-      if (!reg.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-    once(FnName, exprs => DotProductF(exprs.head, exprs(1)))
-    once(FnNameFD, exprs => DotProductFD(exprs.head, exprs(1)))
+    TextFunctions.registerOnce(spark, FnName,
+      exprs => DotProductF(exprs.head, exprs(1)))
+    TextFunctions.registerOnce(spark, FnNameFD,
+      exprs => DotProductFD(exprs.head, exprs(1)))
   }
 
   def dotFD(a: Column, b: Column): Column = call_function(FnNameFD, a, b)

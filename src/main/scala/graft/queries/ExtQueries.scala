@@ -21,9 +21,32 @@ object ExtQueries {
     * no localCheckpoint leak survives a query's return). Local-FS temp
     * is right for this driver-contract/test surface; cluster callers
     * use the `Dedup` API directly and pass a durable `checkpointDir`.
+    * The returned frame reads these files LAZILY, so the dir cannot be
+    * deleted at query return — a JVM shutdown hook reclaims every
+    * scratch dir this process created (bounded by invocation count;
+    * abandoned dirs fall to normal /tmp hygiene).
     */
-  private def ccScratchDir(): java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory("graft-cc-")
+  private val ccScratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        ccScratchDirs.iterator()).asScala.foreach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Exception => () }
+      }))
+  }
+
+  private def ccScratchDir(): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-cc-")
+    ccScratchDirs.add(p)
+    p
+  }
 
   // ———————————————————————————————————————— dedup
 

@@ -59,7 +59,8 @@ private[streaming] case class CommitOffset(ts: String) extends Offset {
   * (`SupportsTriggerAvailableNow`, same contract as FileStreamSource).
   */
 class CommitStreamSource(spark: SparkSession, t: KeyedTable,
-    maxCommitsPerTrigger: Option[Int])
+    maxCommitsPerTrigger: Option[Int],
+    userSchema: Option[StructType] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming
@@ -68,16 +69,23 @@ class CommitStreamSource(spark: SparkSession, t: KeyedTable,
   // Trigger.AvailableNow contract: process everything published at
   // query START (across as many rate-limited micro-batches as needed),
   // ignoring commits that land during the run (same as
-  // FileStreamSource's implementation of this interface)
+  // FileStreamSource's implementation of this interface). None = not
+  // an AvailableNow run; Some("") = prepared on a then-empty table, in
+  // which case the run must process NOTHING even if commits land later.
   @volatile private var availableNowCap: Option[String] = None
 
+  /** A user-supplied schema lets the stream START on a table with no
+    * commits yet (the start-stream-before-first-write bootstrap);
+    * otherwise the manifest schema is required up front.
+    */
   override val schema: StructType =
-    TableOps.latestSchema(spark, t).getOrElse(
+    userSchema.orElse(TableOps.latestSchema(spark, t)).getOrElse(
       throw new IllegalStateException(
-        s"table ${t.name} has no commit manifest — nothing to stream"))
+        s"table ${t.name} has no commit manifest — nothing to stream " +
+          "(pass an explicit schema to start before the first commit)"))
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = log.listCommits().lastOption
+    availableNowCap = Some(log.listCommits().lastOption.getOrElse(""))
 
   override def getDefaultReadLimit: streaming.ReadLimit =
     maxCommitsPerTrigger
@@ -171,5 +179,6 @@ class CommitStreamProvider extends StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new CommitStreamSource(sqlContext.sparkSession, tableOf(parameters),
-      parameters.get("maxCommitsPerTrigger").map(_.toInt))
+      parameters.get("maxCommitsPerTrigger").map(_.toInt),
+      userSchema = schema)
 }

@@ -32,11 +32,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object IncrementalSource {
 
   /** Change-record stream of `t`. Options are [[CommitStreamProvider]]
-    * options (e.g. `maxCommitsPerTrigger`).
+    * options (e.g. `maxCommitsPerTrigger`). Pass `schema` to start the
+    * stream on a table with no commits yet (the stream then idles until
+    * the first manifest publishes); otherwise the manifest schema is
+    * required at start.
     */
   def changes(spark: SparkSession, t: KeyedTable,
-      options: Map[String, String] = Map.empty): DataFrame =
-    options.foldLeft(
+      options: Map[String, String] = Map.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val reader = options.foldLeft(
       spark.readStream.format(classOf[CommitStreamProvider].getName)
         .option("table.name", t.name)
         .option("table.path", t.path)
@@ -44,5 +49,6 @@ object IncrementalSource {
         .option("table.precombine", t.precombineKey)
         .option("table.partitionBy", t.partitionBy.mkString(",")))(
       (r, kv) => r.option(kv._1, kv._2))
-      .load()
+    schema.foldLeft(reader)((r, s) => r.schema(s)).load()
+  }
 }

@@ -143,6 +143,15 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     * That bounds the scan to O(crash window) manifests (normally 1–2),
     * never O(#commits). A found key is backfilled into the marker
     * registry so subsequent probes are O(1) again.
+    *
+    * HARD PRECONDITION (the Structured-Streaming foreachBatch contract
+    * this API targets): a sink must replay a crashed keyed batch BEFORE
+    * submitting any NEW keyed batch. If an out-of-order pipeline lands
+    * a fresh keyed commit (marker complete) on top of a crashed one
+    * whose marker was lost, the early-exit stops at the fresh commit
+    * and the later replay of the crashed batch re-applies. Interleaved
+    * UNKEYED commits (compact/clean/delete) are always safe — the scan
+    * walks past them.
     */
   def hasIdempotencyKey(key: String): Boolean =
     fs.exists(keyPath(key)) || {

@@ -477,6 +477,37 @@ class ExtSpec extends SparkSuite {
     assert(drain() === Seq(Set("b"), Set("c"), Set("d")))
   }
 
+  test("streaming source with explicit schema starts before the first commit") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = tmpDir("graft-prestart")
+    val t = graft.tables.KeyedTable("ps0", s"$base/ps0", Seq("id"), "ver")
+    val sch = StructType(Seq(StructField("id", StringType),
+      StructField("ver", IntegerType),
+      StructField(graft.tables.KeyedTable.CommitCol, StringType)))
+    val ckpt = tmpDir("graft-prestart-ckpt")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def drain(): Set[String] = {
+      got.clear()
+      val q = graft.streaming.IncrementalSource
+        .changes(spark, t, schema = Some(sch))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("id").collect().foreach(r => got.add(r.getString(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      scala.jdk.CollectionConverters.IteratorHasAsScala(got.iterator())
+        .asScala.toSet
+    }
+    // no commits yet: the stream must start, emit nothing, and stop
+    assert(drain() === Set.empty)
+    // after the first commit the same checkpoint picks it up
+    graft.ops.TableOps.upsert(spark, t, Seq(("a", 1)).toDF("id", "ver"))
+    assert(drain() === Set("a"))
+  }
+
   test("streaming source skips commits cleaned beyond retention") {
     import org.apache.spark.sql.streaming.Trigger
     val base = tmpDir("graft-cleanskip")
