@@ -342,25 +342,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Connected components over a duplicate-pair set — iterative
-    * hash-min label propagation: every node starts labeled with itself;
-    * each round a node adopts the minimum label in its neighborhood;
-    * fixpoint = components, and each component's label IS its minimum
-    * member (the natural representative). A training-data pipeline
-    * prunes by CLUSTER, not by pair list — A~B and B~C must collapse to
-    * one surviving document even though (A,C) was never emitted as a
-    * pair.
+  /** Connected components over a duplicate-pair set — the alternating
+    * LARGE-STAR / SMALL-STAR algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * the edge set toward a forest of stars rooted at component minima;
+    * at the fixpoint every node points directly at its component's
+    * minimum member (the natural representative). A training-data
+    * pipeline prunes by CLUSTER, not by pair list — A~B and B~C must
+    * collapse to one surviving document even though (A,C) was never
+    * emitted as a pair.
     *
-    * Scale shape: per round, one join of the (symmetrized, distinct)
-    * edge list against current labels + one min-aggregate — all
-    * hash-partitioned on node id, map-side combined; each round's frame
-    * is checkpointed to truncate the growing lineage (the classic
-    * iterative-Spark trap). Rounds needed = component diameter (near-dup
-    * clusters are shallow; for adversarially long chains the alternating
-    * large-star/small-star variant reduces rounds to O(log n) — the
-    * loop converges-and-stops either way). Labels only ever decrease,
-    * so the early-exit check (`limit(1)` on changed rows) is cheap and
-    * convergence is guaranteed.
+    * Why star-contraction rather than hash-min label propagation (the
+    * round-≤4 internals): propagation needs one round PER HOP of
+    * component diameter — an adversarially chained near-dup corpus
+    * (doc₁~doc₂~…~docₙ, common with templated spam) needs n rounds or
+    * dies on the iteration budget. Star contraction halves path
+    * lengths every alternation, converging in O(log n) rounds on ANY
+    * graph shape, with the same per-round cost profile: two grouped
+    * min-aggregates + two equi-joins, all hash-partitioned on node id,
+    * map-side combined.
+    *
+    * Edges are kept in canonical (larger, smaller) orientation:
+    *   - large-star: for each node u over its full neighborhood N(u),
+    *     m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+    *   - small-star: for each node a over its SMALLER neighbors
+    *     N⁻(a), m = min(N⁻(a)); emit (a, m) and (b, m) for
+    *     b ∈ N⁻(a) − {m}.
+    * Convergence = the canonical edge set reaches a fixpoint; each
+    * round's frame is checkpointed to truncate the growing lineage
+    * (the classic iterative-Spark trap).
     *
     * Checkpoint mode — `checkpointDir`:
     *   - `Some(dir)`: RELIABLE checkpoints under `dir` (the cluster
@@ -377,7 +387,8 @@ object Dedup {
     *     checkpoint blocks — callers needing a block-free session at a
     *     deterministic point should pass `checkpointDir`).
     *
-    * Returns `(id, comp)` for every node appearing in `pairs`.
+    * Returns `(id, comp)` for every node appearing in a non-self pair
+    * (a pair (x, x) carries no connectivity and is ignored).
     */
   def connectedComponents(pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
@@ -403,62 +414,78 @@ object Dedup {
     var keep: DataFrame = null
     try {
       // the pair lineage (often an expensive dedup join) appears twice
-      // in the symmetrized edge list — cache it for the one job that
+      // in the canonicalized edge list — cache it for the one job that
       // materializes the edge checkpoint, then drop it
       val pairsCached = pairs.persist()
-      val edges =
-        try cp(pairsCached.select(col(aCol).as("src"), col(bCol).as("dst"))
-          .union(pairsCached.select(col(bCol).as("src"), col(aCol).as("dst")))
+      // canonical orientation (big, small); self-pairs dropped
+      var edgesCp =
+        try cp(pairsCached.select(
+          greatest(col(aCol), col(bCol)).as("big"),
+          least(col(aCol), col(bCol)).as("small"))
+          .filter(col("big") =!= col("small"))
           .distinct())
         finally pairsCached.unpersist(blocking = false)
-      var labelsCp = cp(edges.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id")))
-      var labels = labelsCp
+      var edges = edgesCp
+
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.select(col("big").as("u"), col("small").as("v"))
+          .union(e.select(col("small").as("u"), col("big").as("v")))
+        val m = sym.groupBy("u")
+          .agg(least(min(col("v")), col("u")).as("m"))
+        // v > u ≥ m ⇒ output is canonical (big=v, small=m)
+        sym.join(m, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("big"), col("m").as("small"))
+          .distinct()
+      }
+
+      def smallStar(e: DataFrame): DataFrame = {
+        // canonical edges already orient big → strictly-smaller nbrs
+        val m = e.groupBy("big").agg(min(col("small")).as("m"))
+        val withM = e.join(m, Seq("big"))
+        withM.select(col("big"), col("m").as("small"))
+          .union(withM.filter(col("small") =!= col("m"))
+            .select(col("small").as("big"), col("m").as("small")))
+          .distinct()
+      }
+
       var iter = 0
       var converged = false
       while (iter < maxIter && !converged) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")),
-            Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(min(col("dst_comp")).as("nbr_comp"))
-        val next = cp(labels
-          .join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-              .as("comp"),
-            (col("nbr_comp") < col("comp")).as("_changed")))
-        converged = next.filter(col("_changed")).limit(1).isEmpty
+        val next = cp(smallStar(largeStar(edges)))
+        // fixpoint test: equal cardinality + no edge outside the old
+        // set ⇒ identical sets (both sides are distinct)
+        converged = next.count() == edges.count() &&
+          next.exceptAll(edges).limit(1).isEmpty
         // the superseded round's blocks are dead the moment `next` is
         // materialized (checkpointing is eager) — release them now
         // rather than accumulating one round-sized block set per
         // iteration for the life of the loop
-        if (!reliable && (labelsCp ne null)) {
-          releaseLocalCheckpoint(labelsCp)
-          tracked -= labelsCp
+        if (!reliable) {
+          releaseLocalCheckpoint(edgesCp)
+          tracked -= edgesCp
         }
-        labelsCp = next
-        labels = next.drop("_changed")
+        edgesCp = next
+        edges = next
         iter += 1
       }
       // Silent unconvergence would under-merge clusters (multiple
-      // "representatives" per true component) — fail loudly instead. The
-      // loop may have CONVERGED on its very last round without a quiet
-      // round to observe it, so probe once more before throwing.
-      if (!converged) {
-        val pending = edges
-          .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")),
-            Seq("dst"))
-          .groupBy(col("src").as("id"))
-          .agg(min(col("dst_comp")).as("nbr_comp"))
-          .join(labels, Seq("id"))
-          .filter(col("nbr_comp") < col("comp"))
-        if (!pending.limit(1).isEmpty)
-          throw new IllegalStateException(
-            s"connectedComponents did not converge in $maxIter rounds " +
-              "(component diameter exceeds the budget); raise maxIter")
+      // "representatives" per true component) — fail loudly instead.
+      // maxIter bounds ROUNDS of a O(log n)-round algorithm, so 20
+      // covers any real graph; hitting it means something is wrong.
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter star " +
+            "rounds; raise maxIter")
+      // fixpoint edges are (node → component-min); add the roots
+      val labels = cp(edges.select(col("big").as("id"), col("small").as("comp"))
+        .union(edges.select(col("small").as("id"), col("small").as("comp")))
+        .distinct())
+      if (!reliable) {
+        releaseLocalCheckpoint(edgesCp)
+        tracked -= edgesCp
       }
-      keep = labelsCp
+      keep = labels
       labels
     } finally {
       // releases edges and, on an exception path, every surviving round

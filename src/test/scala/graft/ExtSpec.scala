@@ -124,14 +124,43 @@ class ExtSpec extends SparkSuite {
     assert(kept === Set(1L, 10L, 4L, 5L, 6L, 8L, 9L, 12L))
   }
 
-  test("connected components: long path converges within the iteration budget") {
-    // a worst-case chain (diameter 14) — label propagation must reach
-    // the fixpoint and stop via the early-exit, not via maxIter
-    val pairs = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+  test("connected components: 500-deep chain converges in O(log n) star rounds") {
+    // a diameter-500 chain would need 500 label-propagation rounds;
+    // star contraction must finish inside the default 20-round budget
+    val pairs = (1L until 501L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val comps = graft.ext.Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect()
-    assert(comps.length === 15)
+    assert(comps.length === 501)
     assert(comps.forall(_._2 === 1L))
+  }
+
+  test("connected components: random graphs match a union-find ground truth") {
+    // ground truth computed by an INDEPENDENT driver-side union-find —
+    // not by another Spark formulation of the same algorithm
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 40 + trial * 30
+      val edges = Seq.fill(n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expected = unionFind(n, edges)
+      val got = graft.ext.Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial (n=$n, ${edges.size} edges)")
+    }
   }
 
   test("hash split: disjoint exact cover, replay-deterministic, near weights") {
