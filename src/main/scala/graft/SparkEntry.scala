@@ -176,6 +176,26 @@ object SparkEntry {
        |        FROM lsc))""".stripMargin
   }
 
+  /** md5-60-bit field hash of the synthetic generator — replicates
+    * [[graft.pipeline.SeedTables]]'s `h60(tag, seed, i)` digit for
+    * digit (`i` must be an unambiguous column reference at the call
+    * site).
+    */
+  private def h60Sql(tag: String, seed: Long, i: String): String =
+    s"""list_reduce(list_transform(string_split(substr(md5('$tag:$seed:' || CAST($i AS VARCHAR)), 1, 15), ''),
+       |     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+       |   (acc, d) -> acc * 16 + d)""".stripMargin
+
+  /** `java.util.UUID(hi, lo).toString` in SQL — replicates
+    * [[graft.pipeline.SeedTables]]'s `uuidCol`/`uuidOf`.
+    */
+  private def uuidSql(hi: String, lo: String): String = {
+    val h = s"lpad(lower(hex($hi)),16,'0')"
+    val l = s"lpad(lower(hex($lo)),16,'0')"
+    s"concat(substr($h,1,8),'-',substr($h,9,4),'-',substr($h,13,4)," +
+      s"'-',substr($l,1,4),'-',substr($l,5,12))"
+  }
+
   /** Quality scoring per doc: `qual(doc_id, quality)` — replicates
     * [[graft.ext.TextStats.qualityScore]] verbatim.
     */
@@ -610,12 +630,49 @@ object SparkEntry {
       "SELECT * FROM region ORDER BY r_regionkey",
     "s_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+    // INDEPENDENT RECOMPUTATION of the end-to-end pipeline summary (not
+    // a pinned literal): the hash-derived generator is regenerated in
+    // SQL — 20 customer uuids, the 40-order batch indexing customers in
+    // natural order (seed 42) and the 10-order batch indexing the
+    // SORTED snapshot ids (seed 7), summed order values and distinct
+    // customers over the union. The gold join preserves exactly these
+    // 50 rows, so the numbers must agree.
     "i1_pipeline_roundtrip" ->
-      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(20 AS BIGINT) AS n_customers,
-        | '24981.00' AS total_value, true AS checkpoint_advanced""".stripMargin,
+      s"""WITH cust AS (
+        |  SELECT i AS k, ${uuidSql("42*1000003 + i", "i*2654435761")} AS cid
+        |  FROM range(0, 20) t(i)),
+        | csort AS (
+        |  SELECT cid, row_number() OVER (ORDER BY cid) - 1 AS k FROM cust),
+        | o1 AS (
+        |  SELECT 10 + ${h60Sql("oval", 42, "i")} % 991 AS val,
+        |         ${h60Sql("ocust", 42, "i")} % 20 AS hc
+        |  FROM range(0, 40) t(i)),
+        | o2 AS (
+        |  SELECT 10 + ${h60Sql("oval", 7, "i")} % 991 AS val,
+        |         ${h60Sql("ocust", 7, "i")} % 20 AS hc
+        |  FROM range(0, 10) t(i)),
+        | allo AS (
+        |  SELECT val, cid AS cust FROM o1 JOIN cust ON cust.k = o1.hc
+        |  UNION ALL
+        |  SELECT val, cid AS cust FROM o2 JOIN csort ON csort.k = o2.hc)
+        | SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT cust) AS BIGINT) AS n_customers,
+        |  CAST(CAST(sum(val) AS DECIMAL(22,2)) AS VARCHAR) AS total_value,
+        |  true AS checkpoint_advanced
+        | FROM allo""".stripMargin,
+    // Full regeneration of the synthetic customers table in SQL — every
+    // summary column recomputed from the (tag, seed, i) hash algebra.
     "s5_generator" ->
-      """SELECT CAST(50 AS BIGINT) AS n_rows, CAST(50 AS BIGINT) AS n_ids,
-        | CAST(10 AS BIGINT) AS n_states""".stripMargin,
+      s"""WITH c AS (
+        |  SELECT i, ${uuidSql("42*1000003 + i", "i*2654435761")} AS cid,
+        |   (['CA','NY','TX','WA','FL','IL','MA','OR','CO','GA'])[
+        |     CAST(${h60Sql("state", 42, "i")} % 10 AS INT) + 1] AS state
+        |  FROM range(0, 50) t(i))
+        | SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT cid) AS BIGINT) AS n_ids,
+        |  CAST(count(DISTINCT state) AS BIGINT) AS n_states,
+        |  min(cid) AS min_id, max(cid) AS max_id
+        | FROM c""".stripMargin,
     "a_approx_agg" ->
       """SELECT 'approx_agg' AS family,
         | count(DISTINCT l_orderkey) AS n_orders,

@@ -94,10 +94,10 @@ object OpsQueries {
     IncrementalEtl.run(s, base)
     val store = CheckpointStore(s"$base/checkpoints", s)
     val cp = store.get("orders").map(_.lastProcessedCommit).getOrElse("")
-    // Seeded end to end ⇒ the gold summary is deterministic; the oracle
-    // PINS it (50 orders over 20 customers totalling 24981.00, with an
-    // advanced checkpoint), so the whole lifecycle — seed, two ETL runs,
-    // an empty increment, a third commit — is hash-gated, not rows-only.
+    // Hash-derived generator end to end ⇒ the oracle REGENERATES both
+    // order batches in SQL and recomputes this summary independently —
+    // the whole lifecycle (seed, two ETL runs, an empty increment, a
+    // third commit) is value-checked, not stability-pinned.
     TableOps.snapshot(s, IncrementalEtl.goldTable(base))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("customer_id")).as("n_customers"),
@@ -187,14 +187,17 @@ object OpsQueries {
     * in PipelineSpec).
     */
   def s5Generator(s: SparkSession, dir: String): DataFrame = {
-    // Seeded at fixed params ⇒ the whole summary row is deterministic;
-    // the oracle PINS it (50 rows, 50 unique ids, 10 states) so any
-    // generator drift across runs/engines fails the hash compare.
+    // Hash-derived generator ⇒ the oracle REGENERATES the table in
+    // DuckDB (uuid + md5-60-bit field hashes over range(50)) and
+    // recomputes every column of this summary independently — a real
+    // value check, not a pinned-stability literal.
     val c = SeedTables.customers(s, 50, seed = 42L,
       epochMillis = 1704067200000L)
     c.agg(count(lit(1)).as("n_rows"),
       countDistinct(col("customer_id")).as("n_ids"),
-      countDistinct(col("state")).as("n_states"))
+      countDistinct(col("state")).as("n_states"),
+      min(col("customer_id")).as("min_id"),
+      max(col("customer_id")).as("max_id"))
   }
 
   /** Approximate aggregates — the sketch family a 100 TB engine needs

@@ -74,5 +74,14 @@ class PipelineSpec extends SparkSuite {
     val a = SeedTables.customers(spark, 5, 42L, 1704067200000L).collect()
     val b = SeedTables.customers(spark, 5, 42L, 1704067200000L).collect()
     assert(a === b)
+    // partitioning must not change values: values are pure functions of
+    // the row index, not of task/sequence order
+    val one = SeedTables.customers(spark, 5, 42L, 1704067200000L)
+      .repartition(1).orderBy("customer_id").collect()
+    assert(one.toSeq === a.sortBy(_.getString(0)).toSeq)
+    // the declarative uuid column equals the Scala uuidOf used for key
+    // lists (both replicate java.util.UUID(hi, lo).toString)
+    assert(a.map(_.getString(0)).toSeq ===
+      (0 until 5).map(SeedTables.uuidOf(42L, _)))
   }
 }
