@@ -392,7 +392,7 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+      maxIter: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     val reliable = checkpointDir.isDefined
     // setCheckpointDir is session-global state: remember the previous
@@ -451,12 +451,17 @@ object Dedup {
 
       var iter = 0
       var converged = false
+      var prevCount = -1L // carried across rounds: next.count() becomes
+                          // the following round's edges.count()
       while (iter < maxIter && !converged) {
         val next = cp(smallStar(largeStar(edges)))
         // fixpoint test: equal cardinality + no edge outside the old
         // set ⇒ identical sets (both sides are distinct)
-        converged = next.count() == edges.count() &&
+        val edgeCount = if (prevCount >= 0) prevCount else edges.count()
+        val nextCount = next.count()
+        converged = nextCount == edgeCount &&
           next.exceptAll(edges).limit(1).isEmpty
+        prevCount = nextCount
         // the superseded round's blocks are dead the moment `next` is
         // materialized (checkpointing is eager) — release them now
         // rather than accumulating one round-sized block set per
@@ -471,8 +476,10 @@ object Dedup {
       }
       // Silent unconvergence would under-merge clusters (multiple
       // "representatives" per true component) — fail loudly instead.
-      // maxIter bounds ROUNDS of a O(log n)-round algorithm, so 20
-      // covers any real graph; hitting it means something is wrong.
+      // Measured composite rounds to convergence on path graphs (the
+      // worst case): ~log2(n) + 2 — 501 nodes → 10, 100k → 18,
+      // 1M → 21 — so the 64 default covers components beyond 2^60
+      // nodes; hitting it means something is genuinely wrong.
       if (!converged)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter star " +

@@ -74,18 +74,19 @@ object OpsQueries {
 
   /** I1–I5 — the full checkpointed incremental pipeline as a query:
     * seed silver, run the ETL twice (second run = empty increment), add
-    * a second orders commit, run again; return the gold SUMMARY row,
-    * which is seeded-deterministic and pinned by a literal oracle (the
-    * generated inputs themselves are not oracle-recomputable).
+    * a second orders commit, run again; return the gold SUMMARY row.
+    * The hash-derived generator makes the inputs oracle-recomputable:
+    * the DuckDB oracle regenerates both order batches and recomputes
+    * every summary column independently.
     */
   def i1PipelineRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("graft-i1")
     SeedTables.seed(s, base, nCustomers = 20, nOrders = 40)
     IncrementalEtl.run(s, base)
     IncrementalEtl.run(s, base) // empty increment — must not change gold
-    // sorted: the pinned oracle below depends on which customers the
-    // extra orders hit — an unsorted collect() permutes with file/split
-    // order and would flip the distinct-customer count
+    // sorted: the regenerating oracle indexes this exact list (its
+    // csort CTE) — an unsorted collect() permutes with file/split
+    // order and would flip which customers the extra orders hit
     val custIds = TableOps.snapshot(s, SeedTables.customersTable(base))
       .select("customer_id").orderBy("customer_id")
       .collect().map(_.getString(0)).toSeq
