@@ -51,6 +51,7 @@ object SparkEntry {
     "curation_pipeline"       -> (ExtQueries.curationPipeline _),
     "dedup_minhash_lsh"       -> (ExtQueries.dedupMinhashLsh _),
     "dedup_minhash_pairs"     -> (ExtQueries.dedupMinhashPairs _),
+    "dedup_minhash_incr"      -> (ExtQueries.dedupMinhashIncremental _),
     "dedup_simhash"           -> (ExtQueries.dedupSimhash _),
     "dedup_simhash_pairs"     -> (ExtQueries.dedupSimhashPairs _),
     "sim_cosine_topk"         -> (ExtQueries.simCosineTopk _),
@@ -105,7 +106,7 @@ object SparkEntry {
     "p2_projection_alias", "f2_datetime", "f6_json", "s2_incremental_read",
     "s3_upsert_merge", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_clusters", "curation_pipeline", "dedup_minhash_pairs",
-    "dedup_simhash_pairs", "sim_cosine_topk",
+    "dedup_minhash_incr", "dedup_simhash_pairs", "sim_cosine_topk",
     "sim_lsh_topk_raw", "sim_ivf_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
     "text_stats", "text_quality", "text_token_counts",
@@ -410,6 +411,29 @@ object SparkEntry {
         | JOIN sz sa ON sa.doc_id = id_a
         | JOIN sz sb ON sb.doc_id = id_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+        | ORDER BY id_a, id_b""".stripMargin,
+    // Incremental near-dup = exact pairs with at least one side in the
+    // new batch; id_b is the pair max, so "id_b >= 400" is exactly
+    // "touches the batch".
+    "dedup_minhash_incr" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        | inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        | SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+        | FROM inter
+        | JOIN sz sa ON sa.doc_id = id_a
+        | JOIN sz sb ON sb.doc_id = id_b
+        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+        |  AND id_b >= 400
         | ORDER BY id_a, id_b""".stripMargin,
     // Digit-for-digit DuckDB replica of Dedup.simhash (md5-based 60-bit
     // token hash, sign-sum bits) + brute-force hamming ≤ 3 — equals the

@@ -144,32 +144,88 @@ object Dedup {
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band-collision candidate pairs (`id_a < id_b`, deduped). The
-    * banded/exploded frame — the dominant shuffle of the whole family —
-    * carries ONLY `(band_id, band_hash, id)`, ~24 bytes/row; the k-wide
-    * signature never rides the explode or the self-join (doing so
-    * multiplies the shuffle volume ~k/3× and was the slowest query on
-    * the whole bench board). Band hashes are computed straight off the
-    * signature columns (static codegen'd expressions — no interpreted
-    * HOF lambda).
+  /** Per-doc LSH band rows `(id, band_id, band_hash)` — ~24 bytes/row,
+    * the k-wide signature never leaves the signature aggregate (letting
+    * it ride the explode multiplies the dominant shuffle ~k/3× and was
+    * the slowest query on the whole bench board). Band hashes are
+    * computed straight off the signature columns (static codegen'd
+    * expressions — no interpreted HOF lambda).
+    *
+    * This is also the SIGNATURE STORE an incremental ingest pipeline
+    * persists (e.g. as a [[graft.tables.KeyedTable]] keyed on
+    * (id, band_id)): [[minhashLshIncremental]] dedups a new batch
+    * against it without ever re-banding the corpus.
     */
-  private[graft] def minhashCandidates(docs: DataFrame, idCol: String,
-      textCol: String, k: Int, bands: Int, n: Int, seed: Long): DataFrame = {
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, n: Int = 3,
+      seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sig = minhashSignatures(docs, idCol, textCol, k, n, seed)
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
     }: _*)
-    val banded = sig.select(col("id"), posexplode(bandHashes))
+    sig.select(col("id"), posexplode(bandHashes))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
+  }
+
+  /** LSH band-collision candidate pairs (`id_a < id_b`, deduped). */
+  private[graft] def minhashCandidates(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, bands: Int, n: Int, seed: Long): DataFrame = {
+    val banded = minhashBands(docs, idCol, textCol, k, bands, n, seed)
     val l = banded.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
     val r = banded.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
     l.join(r, Seq("band_id", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** INCREMENTAL near-dup: verified pairs between a NEW batch and an
+    * existing corpus (new↔corpus and new↔new; corpus↔corpus pairs were
+    * found when those docs were ingested). The shape a production
+    * ingest pipeline runs per batch:
+    *
+    *   - the corpus side arrives as its persisted band rows
+    *     (`corpusBands` = [[minhashBands]] output, maintained
+    *     incrementally) — the corpus is NEVER re-shingled or re-banded;
+    *   - only the new batch is banded (O(batch) work), then one
+    *     equi-join against the store on (band_id, band_hash) — at
+    *     100 TB the join cost is O(batch × bands) probe rows against a
+    *     bucketed store, not O(corpus);
+    *   - candidates are verified against TRUE n-gram Jaccard (the
+    *     shingle streams of only the docs actually involved), same
+    *     zero-FP construction as [[minhashLsh]].
+    *
+    * `corpusDocs` supplies the text of corpus docs for verification —
+    * only candidate-matched corpus docs are ever shingled (the
+    * verification join restricts by id before any text work). Note the
+    * `maxDf` cap is therefore computed over the RESTRICTED doc set; at
+    * scale, corpora with hot boilerplate should precompute the
+    * corpus-level stop-shingle list and pre-filter instead.
+    * Returns `(id_a, id_b, jaccard)`, `id_a < id_b`, jaccard ≥
+    * threshold, with at least one side in the new batch.
+    */
+  def minhashLshIncremental(newDocs: DataFrame, corpusDocs: DataFrame,
+      corpusBands: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, n: Int = 3, threshold: Double = 0.7,
+      seed: Long = 42L, maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+    val newBands = minhashBands(newDocs, idCol, textCol, k, bands, n, seed)
+    val l = newBands.select(col("band_id"), col("band_hash"),
+      col("id").as("id_l"))
+    val r = corpusBands.unionByName(newBands)
+      .select(col("band_id"), col("band_hash"), col("id").as("id_r"))
+    val cand = l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
+      .distinct()
+    val allDocs = corpusDocs.select(col(idCol), col(textCol))
+      .unionByName(newDocs.select(col(idCol), col(textCol)))
+    verifiedJaccard(allDocs, idCol, textCol, n, cand, maxDf,
+      restrictDocs = true)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** TRUE word-n-gram Jaccard for an explicit candidate pair set:
@@ -187,8 +243,20 @@ object Dedup {
     */
   private[graft] def verifiedJaccard(docs: DataFrame, idCol: String,
       textCol: String, n: Int, cand: DataFrame,
-      maxDf: Option[Int]): DataFrame = {
-    val sh = dropStopShingles(docs.select(col(idCol).as("id"),
+      maxDf: Option[Int], restrictDocs: Boolean = false): DataFrame = {
+    // restrictDocs: semi-join the doc set down to candidate ids BEFORE
+    // any shingling — right when `docs` is a large corpus but `cand` is
+    // a small batch's matches (the incremental path; it re-evaluates
+    // the cand lineage twice more, which is O(batch)). For full-corpus
+    // dedup the corpus is being shingled anyway and `cand` is the
+    // expensive side — leave it false there.
+    val base =
+      if (restrictDocs) {
+        val candIds = cand.select(col("id_a").as(idCol))
+          .union(cand.select(col("id_b").as(idCol))).distinct()
+        docs.join(candIds, Seq(idCol), "left_semi")
+      } else docs
+    val sh = dropStopShingles(base.select(col(idCol).as("id"),
       explode(graft.functions.TextFunctions.shingleHashes(
         docs.sparkSession, col(textCol), n)).as("g")), maxDf)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))

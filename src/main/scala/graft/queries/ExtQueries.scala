@@ -175,6 +175,23 @@ object ExtQueries {
       k = 64, bands = 16, n = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Incremental near-dup — the per-ingest-batch shape: docs ≥ 400 are
+    * the "new batch", the rest the existing corpus whose persisted band
+    * store is probed (never re-shingled corpus-wide). True-Jaccard
+    * verified like the full variant, so the exact pair recomputation
+    * restricted to batch-touching pairs is the value-level oracle
+    * (banding recall 1.0 at sf0.01, seed-deterministic).
+    */
+  def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val fresh = docs.filter(col("doc_id") >= 400)
+    Dedup.minhashLshIncremental(fresh, corpus,
+      Dedup.minhashBands(corpus, "doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   /** SimHash gate vs exact 3-gram Jaccard: hamming-≤3 on a
     * [[Dedup.SimhashBits]]-bit SimHash is a coarser similarity than
     * Jaccard ≥ 0.5, so the thresholds are looser — recall ≥ 0.4

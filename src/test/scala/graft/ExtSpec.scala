@@ -33,6 +33,29 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
   }
 
+  test("incremental minhash == full dedup restricted to batch-touching pairs") {
+    val cut = 250L
+    val corpus = docs.filter($"doc_id" < cut)
+    val fresh = docs.filter($"doc_id" >= cut)
+    // the band store is PERSISTABLE state: round-trip through parquet
+    // like an ingest pipeline would
+    val store = tmpDir("graft-bands")
+    Dedup.minhashBands(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(store)
+    val incr = Dedup.minhashLshIncremental(fresh, corpus,
+      spark.read.parquet(store), "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashLsh(docs, "doc_id", "text",
+      k = 64, bands = 16, n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => p._2 >= cut) // id_b = max ⇒ touches the batch
+    assert(incr === full,
+      "incremental dedup must find exactly the full variant's batch-touching pairs")
+    assert(incr.forall(p => p._1 >= cut || p._2 >= cut))
+  }
+
   test("minhash LSH filters signature-collision false positives via true Jaccard") {
     // ADVERSARIAL construction: docs 1/2 share one 1-gram shingle ("x");
     // with k=4, bands=4, rows=1 and seed 42 the shared shingle is the
