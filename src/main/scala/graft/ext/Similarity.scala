@@ -188,24 +188,54 @@ object Similarity {
     cents
   }
 
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    VectorFunctions.register(corpus.sparkSession)
-    val centroids =
+  /** Build a PERSISTABLE IVF index: `(assignments, centroids)` — both
+    * plain DataFrames, so the whole index round-trips through parquet
+    * (the shape an embedding pipeline maintains: build once per corpus
+    * version, probe per query batch via [[ivfTopKWithIndex]] without
+    * re-assigning the corpus).
+    *
+    *   - assignments: `(list, neighbor_id, cv, cn)` — one row per
+    *     corpus vector, norm precomputed, hash-partitionable by `list`
+    *     (= an IVF shard);
+    *   - centroids: `(list, centroid: array<double>)` — nlist rows of
+    *     driver-metadata size.
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, trainIters: Int = 0,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val cents =
       if (trainIters > 0)
         trainCentroids(corpus, idCol, vecCol, nlist, trainIters, seed)
       else sampleCentroids(corpus, idCol, vecCol, nlist, seed)
-    def nearest(v: Column, n: Int): Column = nearestLists(v, n, centroids)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toDF("list", "centroid")
+    val assignments = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", VectorFunctions.normF(col("cv")))
-      .withColumn("list", element_at(nearest(col("cv"), 1), 1))
+      .withColumn("list", element_at(nearestLists(col("cv"), 1, cents), 1))
+    (assignments, centDf)
+  }
+
+  /** Probe a prebuilt IVF index (see [[ivfBuild]]): assigns only the
+    * QUERY batch to its `nprobe` nearest lists (the centroid table is a
+    * metadata-sized driver collect) and equi-joins the index on the
+    * list id — per-batch cost ≈ index/nlist × nprobe rows scored,
+    * independent of how the corpus was built.
+    */
+  def ivfTopKWithIndex(queries: DataFrame, assignments: DataFrame,
+      centroidTable: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(queries.sparkSession)
+    val cents = centroidTable.orderBy("list").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", VectorFunctions.normF(col("qv")))
-      .withColumn("list", explode(nearest(col("qv"), nprobe)))
-    val scored = c.join(q, Seq("list"))
+      .withColumn("list", explode(nearestLists(col("qv"), nprobe, cents)))
+    val scored = assignments.join(q, Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         VectorFunctions.dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -218,6 +248,15 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    val (assignments, centDf) =
+      ivfBuild(corpus, idCol, vecCol, nlist, trainIters, seed)
+    ivfTopKWithIndex(queries, assignments, centDf, idCol, vecCol, k, nprobe)
   }
 
   /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥

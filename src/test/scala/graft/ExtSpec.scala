@@ -267,6 +267,28 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.3, s"trained recall=$recall")
   }
 
+  test("IVF index round-trips through parquet and probes identically") {
+    val q = emb.filter($"vec_id" < 20)
+    val direct = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 6, trainIters = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // persist both index halves like an embedding pipeline would, then
+    // probe the reloaded index — results must be identical
+    val (assignments, centroids) = Similarity.ivfBuild(emb, "vec_id",
+      "embedding", nlist = 16, trainIters = 2)
+    val dir = tmpDir("graft-ivf")
+    assignments.write.mode("overwrite").parquet(s"$dir/assignments")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val probed = Similarity.ivfTopKWithIndex(q,
+      spark.read.parquet(s"$dir/assignments"),
+      spark.read.parquet(s"$dir/centroids"),
+      "vec_id", "embedding", 5, nprobe = 6)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probed === direct)
+  }
+
   test("LSH top-k recall ≥ 0.4 vs brute force (approximate by design)") {
     val q = emb.filter($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
