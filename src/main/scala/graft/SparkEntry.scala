@@ -413,8 +413,10 @@ object SparkEntry {
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
         | ORDER BY id_a, id_b""".stripMargin,
     // Incremental near-dup = exact pairs with at least one side in the
-    // new batch; id_b is the pair max, so "id_b >= 400" is exactly
-    // "touches the batch".
+    // new batch; id_b is the pair max, so "id_b >= cutoff" is exactly
+    // "touches the batch". The cutoff mirrors the query's integer
+    // arithmetic ((max_id+1)*4//5 — 400 at sf0.01) so the two can't
+    // diverge across scale factors.
     "dedup_minhash_incr" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
@@ -433,7 +435,7 @@ object SparkEntry {
         | JOIN sz sa ON sa.doc_id = id_a
         | JOIN sz sb ON sb.doc_id = id_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
-        |  AND id_b >= 400
+        |  AND id_b >= (SELECT (max(doc_id) + 1) * 4 // 5 FROM documents)
         | ORDER BY id_a, id_b""".stripMargin,
     // Digit-for-digit DuckDB replica of Dedup.simhash (md5-based 60-bit
     // token hash, sign-sum bits) + brute-force hamming ≤ 3 — equals the

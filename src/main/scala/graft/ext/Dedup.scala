@@ -199,10 +199,10 @@ object Dedup {
     *     zero-FP construction as [[minhashLsh]].
     *
     * `corpusDocs` supplies the text of corpus docs for verification —
-    * only candidate-matched corpus docs are ever shingled (the
-    * verification join restricts by id before any text work). Note the
-    * `maxDf` cap is therefore computed over the RESTRICTED doc set; at
-    * scale, corpora with hot boilerplate should precompute the
+    * only corpus docs sharing a band with the batch are ever shingled
+    * (the verification set restricts by id before any text work). Note
+    * the `maxDf` cap is therefore computed over the RESTRICTED doc set;
+    * at scale, corpora with hot boilerplate should precompute the
     * corpus-level stop-shingle list and pre-filter instead.
     * Returns `(id_a, id_b, jaccard)`, `id_a < id_b`, jaccard ≥
     * threshold, with at least one side in the new batch.
@@ -221,10 +221,19 @@ object Dedup {
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"))
       .distinct()
-    val allDocs = corpusDocs.select(col(idCol), col(textCol))
-      .unionByName(newDocs.select(col(idCol), col(textCol)))
-    verifiedJaccard(allDocs, idCol, textCol, n, cand, maxDf,
-      restrictDocs = true)
+    // Verification doc set: the batch plus every corpus doc sharing ≥1
+    // band with it — a SUPERSET of the candidate ids, obtained from a
+    // cheap band SEMI-JOIN against the store (no pair formation), so
+    // the expensive candidate pair join is evaluated exactly ONCE (by
+    // the intersection join inside verifiedJaccard). Superfluous docs
+    // just contribute unused shingle rows to the size table.
+    val matchedCorpusIds = corpusBands
+      .join(newBands, Seq("band_id", "band_hash"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    val verifyDocs = newDocs.select(col(idCol), col(textCol))
+      .unionByName(corpusDocs.select(col(idCol), col(textCol))
+        .join(matchedCorpusIds, Seq(idCol), "left_semi"))
+    verifiedJaccard(verifyDocs, idCol, textCol, n, cand, maxDf)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -243,20 +252,8 @@ object Dedup {
     */
   private[graft] def verifiedJaccard(docs: DataFrame, idCol: String,
       textCol: String, n: Int, cand: DataFrame,
-      maxDf: Option[Int], restrictDocs: Boolean = false): DataFrame = {
-    // restrictDocs: semi-join the doc set down to candidate ids BEFORE
-    // any shingling — right when `docs` is a large corpus but `cand` is
-    // a small batch's matches (the incremental path; it re-evaluates
-    // the cand lineage twice more, which is O(batch)). For full-corpus
-    // dedup the corpus is being shingled anyway and `cand` is the
-    // expensive side — leave it false there.
-    val base =
-      if (restrictDocs) {
-        val candIds = cand.select(col("id_a").as(idCol))
-          .union(cand.select(col("id_b").as(idCol))).distinct()
-        docs.join(candIds, Seq(idCol), "left_semi")
-      } else docs
-    val sh = dropStopShingles(base.select(col(idCol).as("id"),
+      maxDf: Option[Int]): DataFrame = {
+    val sh = dropStopShingles(docs.select(col(idCol).as("id"),
       explode(graft.functions.TextFunctions.shingleHashes(
         docs.sparkSession, col(textCol), n)).as("g")), maxDf)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))

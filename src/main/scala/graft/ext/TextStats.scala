@@ -40,17 +40,53 @@ object TextStats {
         .as("n_punct"))
   }
 
+  /** The composite-quality column expression (shared by [[qualityScore]]
+    * and [[profile]] so the two can never drift).
+    */
+  private def qualityExpr(textCol: Column): Column = {
+    val t = toks(textCol)
+    val nTok = size(t).cast(DoubleType)
+    round(
+      least(lit(1.0), nTok / lit(64.0)) * lit(0.4)
+        + (size(array_distinct(t)).cast(DoubleType) / nTok) * lit(0.4)
+        + least(lit(1.0),
+          (size(filter(t, tk => tk.isin(stopwords: _*))).cast(DoubleType)
+            / nTok) * lit(4.0)) * lit(0.2),
+      6)
+  }
+
   /** Composite quality score in [0,1]: rewards lexical diversity and a
     * sane stopword rate, penalizes very short docs. Deterministic
-    * double arithmetic over [[stats]] columns.
+    * double arithmetic.
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    stats(docs, idCol, textCol).select(col("doc_id"),
-      round(
-        least(lit(1.0), col("n_tokens").cast(DoubleType) / lit(64.0)) * lit(0.4)
-          + col("uniq_ratio") * lit(0.4)
-          + least(lit(1.0), col("stopword_ratio") * lit(4.0)) * lit(0.2),
-        6).as("quality"))
+    docs.select(col(idCol).as("doc_id"),
+      qualityExpr(col(textCol)).as("quality"))
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to "),
+    "de" -> Seq(" der ", " und ", " die ", " ist ", " das "),
+    "fr" -> Seq(" le ", " la ", " et ", " est ", " les "),
+    "es" -> Seq(" el ", " los ", " es ", " y ", " las "),
+    "zh" -> Seq("的", "是", "了", "在", "不"))
+
+  private def langScored(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, Seq[Column]) = {
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    def score(ms: Seq[String]): Column =
+      ms.map(m => when(padded.contains(m),
+        (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
+          / length(lit(m))).otherwise(lit(0)))
+        .reduce(_ + _).cast(DoubleType)
+    val scored = langMarkers.foldLeft(
+      docs.select(col(idCol).as("doc_id"), col(textCol))) {
+      case (d, (lang, ms)) => d.withColumn(s"sc_$lang", score(ms))
+    }
+    val best = langMarkers.map { case (lang, _) =>
+      struct(col(s"sc_$lang").as("score"), lit(lang).as("lang"))
+    }
+    (scored, best)
+  }
 
   /** Language ID by character/stopword heuristics — an n-gram-profile
     * classifier over tiny built-in profiles (public langid approach,
@@ -58,27 +94,23 @@ object TextStats {
     * (doc_id, predicted_lang, score).
     */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq(" the ", " and ", " of ", " is ", " to "),
-      "de" -> Seq(" der ", " und ", " die ", " ist ", " das "),
-      "fr" -> Seq(" le ", " la ", " et ", " est ", " les "),
-      "es" -> Seq(" el ", " los ", " es ", " y ", " las "),
-      "zh" -> Seq("的", "是", "了", "在", "不"))
-    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
-    def score(ms: Seq[String]): Column =
-      ms.map(m => when(padded.contains(m),
-        (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
-          / length(lit(m))).otherwise(lit(0)))
-        .reduce(_ + _).cast(DoubleType)
-    val scored = markers.foldLeft(docs.select(col(idCol).as("doc_id"), col(textCol))) {
-      case (d, (lang, ms)) => d.withColumn(s"sc_$lang", score(ms))
-    }
-    val best = markers.map { case (lang, _) =>
-      struct(col(s"sc_$lang").as("score"), lit(lang).as("lang"))
-    }
+    val (scored, best) = langScored(docs, idCol, textCol)
     scored.select(col("doc_id"),
       greatest(best: _*).getField("lang").as("predicted_lang"),
       greatest(best: _*).getField("score").as("score"))
+  }
+
+  /** SINGLE-SCAN doc profile: language prediction + quality together —
+    * what the curation funnel consumes (computing them via
+    * [[languageId]] + [[qualityScore]] separately scans the corpus
+    * twice and joins; identical values, asserted in ExtSpec).
+    */
+  def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (scored, best) = langScored(docs, idCol, textCol)
+    scored.select(col("doc_id"),
+      greatest(best: _*).getField("lang").as("predicted_lang"),
+      greatest(best: _*).getField("score").as("score"),
+      qualityExpr(col(textCol)).as("quality"))
   }
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex

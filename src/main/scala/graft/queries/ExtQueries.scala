@@ -184,10 +184,23 @@ object ExtQueries {
     */
   def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val corpus = docs.filter(col("doc_id") < 400)
-    val fresh = docs.filter(col("doc_id") >= 400)
-    Dedup.minhashLshIncremental(fresh, corpus,
-      Dedup.minhashBands(corpus, "doc_id", "text"),
+    // the "new batch" is the top 20% of doc ids at ANY scale factor
+    // (cutoff mirrored by integer arithmetic in the DuckDB oracle:
+    // sf0.01 → 400 of 0..499); a fixed cutoff would degenerate to
+    // batch≈corpus at larger SFs and stop measuring the incremental
+    // shape
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val cutoff = (maxId + 1L) * 4L / 5L
+    val corpus = docs.filter(col("doc_id") < cutoff)
+    val fresh = docs.filter(col("doc_id") >= cutoff)
+    // the band store is PERSISTED state in a real ingest pipeline —
+    // materialize it once (parquet scratch) so the probe measures the
+    // incremental shape (store scan + batch banding), not a corpus
+    // re-banding per candidate evaluation
+    val store = s"${ccScratchDir()}/bands"
+    Dedup.minhashBands(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(store)
+    Dedup.minhashLshIncremental(fresh, corpus, s.read.parquet(store),
       "doc_id", "text", threshold = 0.5)
       .orderBy("id_a", "id_b")
   }
@@ -323,15 +336,14 @@ object ExtQueries {
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    // materialized once (SQL cache — releasable): referenced by both
-    // the kept join and the n_en count (an unpersisted frame would run
-    // the langid scan twice)
-    val en = TextStats.languageId(docs, "doc_id", "text")
-      .filter(col("predicted_lang") === "en").select("doc_id")
-      .persist()
-    val good = TextStats.qualityScore(docs, "doc_id", "text")
-      .filter(col("quality") >= 0.5).select("doc_id")
-    val kept = docs.join(en, "doc_id").join(good, "doc_id")
+    // ONE corpus scan computes language + quality together
+    // (TextStats.profile); materialized once (SQL cache — releasable)
+    // because the funnel reads it for n_en, the kept join, and n_kept
+    val prof = TextStats.profile(docs, "doc_id", "text").persist()
+    val en = prof.filter(col("predicted_lang") === "en").select("doc_id")
+    val kept = docs.join(
+      prof.filter(col("predicted_lang") === "en" && col("quality") >= 0.5)
+        .select("doc_id"), "doc_id")
       .select("doc_id", "text").persist()
     val pairs = Dedup.ngramJaccardPairs(kept, "doc_id", "text",
       n = 3, threshold = 0.5)
@@ -349,7 +361,7 @@ object ExtQueries {
       Seq((docs.count(), en.count(), kept.count(), fin.count()))
         .toDF("n_docs", "n_en", "n_kept", "n_final")
     } finally {
-      en.unpersist(blocking = false)
+      prof.unpersist(blocking = false)
       kept.unpersist(blocking = false)
       Dedup.releaseLocalCheckpoint(comps)
     }

@@ -391,6 +391,15 @@ class ExtSpec extends SparkSuite {
     assert(out.count() === docs.count())
     val langs = out.select("predicted_lang").distinct().as[String].collect().toSet
     assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh")))
+    // the single-scan profile equals the two-scan composition, value
+    // for value (shared column expressions cannot drift)
+    val composed = out.join(
+      TextStats.qualityScore(docs, "doc_id", "text"), "doc_id")
+      .select("doc_id", "predicted_lang", "score", "quality")
+      .as[(Long, String, Double, Double)].collect().toSet
+    val single = TextStats.profile(docs, "doc_id", "text")
+      .as[(Long, String, Double, Double)].collect().toSet
+    assert(single === composed)
   }
 
   test("multimodal: batched feature extraction preserves rows, is deterministic") {
