@@ -230,11 +230,23 @@ object Similarity {
       nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorFunctions.register(queries.sparkSession)
-    val cents = centroidTable.orderBy("list").collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
+    // Name-addressed, value-keyed: a reloaded/reprojected centroid
+    // table may arrive with reordered columns or non-contiguous list
+    // ids (a compacted list, a SQL SELECT with another column order) —
+    // positional reads would then probe the WRONG shards silently.
+    // nearestLists ranks by POSITION in the collected seq; positions
+    // are mapped back to the actual list values before the join.
+    val rows = centroidTable.collect()
+      .map(r => (r.getAs[Int]("list"),
+        r.getAs[scala.collection.Seq[Double]]("centroid")))
+      .sortBy(_._1)
+    val listIds = rows.map(_._1)
+    val cents = rows.map(_._2.toSeq).toSeq
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", VectorFunctions.normF(col("qv")))
-      .withColumn("list", explode(nearestLists(col("qv"), nprobe, cents)))
+      .withColumn("pos", explode(nearestLists(col("qv"), nprobe, cents)))
+      .withColumn("list", element_at(lit(listIds.toArray), col("pos") + 1))
+      .drop("pos")
     val scored = assignments.join(q, Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",

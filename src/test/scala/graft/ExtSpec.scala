@@ -269,24 +269,28 @@ class ExtSpec extends SparkSuite {
 
   test("IVF index round-trips through parquet and probes identically") {
     val q = emb.filter($"vec_id" < 20)
-    val direct = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
-      nlist = 16, nprobe = 6, trainIters = 2)
-      .select("query_id", "neighbor_id", "rank")
-      .as[(Long, Long, Int)].collect().toSet
-    // persist both index halves like an embedding pipeline would, then
-    // probe the reloaded index — results must be identical
+    // build ONCE; the property under test is the round-trip, so the
+    // in-memory index and its parquet reload must probe identically
+    // (no dependence on repeated distributed training being bit-stable)
     val (assignments, centroids) = Similarity.ivfBuild(emb, "vec_id",
       "embedding", nlist = 16, trainIters = 2)
+    val direct = Similarity.ivfTopKWithIndex(q, assignments, centroids,
+      "vec_id", "embedding", 5, nprobe = 6)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
     val dir = tmpDir("graft-ivf")
     assignments.write.mode("overwrite").parquet(s"$dir/assignments")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    // reload with a REPROJECTED column order — the probe must address
+    // columns by name and key shards by list value, not position
     val probed = Similarity.ivfTopKWithIndex(q,
       spark.read.parquet(s"$dir/assignments"),
-      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/centroids").select("centroid", "list"),
       "vec_id", "embedding", 5, nprobe = 6)
       .select("query_id", "neighbor_id", "rank")
       .as[(Long, Long, Int)].collect().toSet
     assert(probed === direct)
+    assert(direct.nonEmpty)
   }
 
   test("LSH top-k recall ≥ 0.4 vs brute force (approximate by design)") {
