@@ -80,6 +80,7 @@ object SparkEntry {
     "events_sessions"         -> (ExtQueries.eventsSessions _),
     "s1_snapshot_roundtrip"   -> (OpsQueries.s1SnapshotRoundtrip _),
     "o5_clustered_write"      -> (OpsQueries.o5ClusteredWrite _),
+    "o6_stats_pruned_read"    -> (OpsQueries.o6StatsPrunedRead _),
     "i1_pipeline_roundtrip"   -> (OpsQueries.i1PipelineRoundtrip _),
     "f3_generators"           -> (OpsQueries.f3Generators _),
     "j_asof_join"             -> (OpsQueries.jAsofJoin _),
@@ -641,6 +642,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
         | FROM lineitem WHERE l_quantity >= 49
         | ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
+    // o6 returns the rows the pruned scan produced; the file-skipping
+    // itself is gated inside the query (require on inputFiles) — the
+    // oracle verifies the VALUES are exactly the unpruned filter.
+    "o6_stats_pruned_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | WHERE o_totalprice >= 100000.0 AND o_totalprice < 120000.0
+        | ORDER BY o_orderkey""".stripMargin,
     "f3_generators" ->
       """SELECT count(*) AS n_rows, count(*) AS n_uuid, count(*) AS n_mid
         | FROM documents""".stripMargin,

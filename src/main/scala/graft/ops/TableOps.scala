@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.tables.{CommitLog, KeyIndex, KeyedTable}
+import graft.tables.{ColumnStats, CommitLog, KeyIndex, KeyedTable}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -365,6 +365,10 @@ object TableOps {
         old -- affectedRels ++ written.map(_ -> ts)
     }
 
+    // Column-stats sidecar before the publish: a crash here leaves an
+    // orphan dir, never a published commit with a missing sidecar.
+    if (t.statsColumns.nonEmpty)
+      ColumnStats.write(spark, t, ts, Some(mergedSchema))
     // Manifest FIRST (it is the publish point — a key recorded for an
     // unpublished commit would make a replay skip a batch whose data is
     // an invisible orphan: silent loss). The marker after it is only a
@@ -435,6 +439,30 @@ object TableOps {
         spark.read.parquet(t.dataPath)
     }
 
+  /** Predicate-pruned snapshot read — `snapshot(t).filter(pred)` with
+    * file skipping via the column-stats index (see
+    * [[graft.tables.ColumnStats]]; Hudi's data-skipping read path over
+    * its column-stats metadata index, create_hudi_tables.py:176-183).
+    * Only files whose recorded min/max admit a match are handed to the
+    * scan; the full predicate is re-applied on top, so a conservative
+    * (or absent) stats translation never changes results — tables
+    * without declared `statsColumns` degrade to exactly
+    * `snapshot().filter(pred)`.
+    */
+  def snapshotWhere(spark: SparkSession, t: KeyedTable,
+      pred: Column): DataFrame =
+    currentParts(spark, t, None) match {
+      case None => spark.read.parquet(t.dataPath).filter(pred)
+      case Some(parts) =>
+        val sch = latestSchema(spark, t)
+        val base =
+          if (t.statsColumns.isEmpty) readParts(spark, t, parts, sch)
+          else ColumnStats.prunedRead(spark, t, parts, sch, pred)
+            // every file pruned — empty result, schema preserved
+            .getOrElse(readParts(spark, t, parts, sch).filter(lit(false)))
+        base.filter(pred)
+    }
+
   /** Keyed hard delete — the Hudi `hoodie.datasource.write.operation=
     * delete` analog (and the GDPR/right-to-be-forgotten primitive a
     * training-data lake needs). `keys` carries the record-key columns;
@@ -491,6 +519,8 @@ object TableOps {
         val written = relsOf(fs, dest, t.partitionBy.length)
         oldParts -- affected.keySet ++ written.map(_ -> ts)
       }
+    if (t.statsColumns.nonEmpty)
+      ColumnStats.write(spark, t, ts, preSchema)
     CommitLog(t, spark).logCommit(ts,
       Map("table" -> t.name, "action" -> "delete",
         PartsKey -> partsJson(newParts)) ++
@@ -591,6 +621,8 @@ object TableOps {
     val sized = numFiles.fold(snap)(n => snap.repartition(n))
     writer(sized, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
     val newParts = relsOf(fs, dest, t.partitionBy.length).map(_ -> ts).toMap
+    if (t.statsColumns.nonEmpty)
+      ColumnStats.write(spark, t, ts, latestSchema(spark, t))
     CommitLog(t, spark).logCommit(ts,
       Map("table" -> t.name, "action" -> "compact",
         PartsKey -> partsJson(newParts)) ++
@@ -685,6 +717,8 @@ object TableOps {
     writer(coalesced, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
     val written = relsOf(fs, dest, t.partitionBy.length)
     val newParts = oldParts -- target.keySet ++ written.map(_ -> ts)
+    if (t.statsColumns.nonEmpty)
+      ColumnStats.write(spark, t, ts, sch)
     CommitLog(t, spark).logCommit(ts,
       Map("table" -> t.name, "action" -> "compact",
         PartsKey -> partsJson(newParts)) ++
@@ -725,6 +759,15 @@ object TableOps {
     // candidates — foreign files/dirs are left alone.
     if (partsMaps.nonEmpty && fs.exists(dataRoot))
       fs.listStatus(dataRoot)
+        .filter(st => CommitDirPattern.matches(st.getPath.getName))
+        .filter(st => !referenced.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
+    // Column-stats sidecars follow their commit dirs: collect any whose
+    // commit is no longer referenced (includes orphans from crashed
+    // writes — sidecar lands before the manifest).
+    val statsRoot = new Path(s"${t.commitsPath}/stats")
+    if (partsMaps.nonEmpty && fs.exists(statsRoot))
+      fs.listStatus(statsRoot)
         .filter(st => CommitDirPattern.matches(st.getPath.getName))
         .filter(st => !referenced.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))

@@ -72,6 +72,36 @@ object OpsQueries {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey")
   }
 
+  /** O6 — column-stats file skipping (Hudi's column-stats metadata
+    * index, create_hudi_tables.py:176-183): orders upserted clustered
+    * by `o_totalprice` with per-file min/max recorded in the `_stats`
+    * sidecar; a range read via [[TableOps.snapshotWhere]] must (a)
+    * return exactly the filtered rows — the DuckDB oracle — and (b)
+    * PROVABLY skip files: the query itself gates on the pruned scan
+    * touching fewer files than the snapshot (a stats regression fails
+    * the query, not just a perf number).
+    */
+  def o6StatsPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val table = KeyedTable("orders_cs",
+      s"${scratch("graft-o6")}/orders_cs",
+      Seq("o_orderkey"), "o_orderkey",
+      statsColumns = Seq("o_totalprice"))
+    val orders = t(s, dir, "orders")
+    // scale-relative file sizing: ~8 range-clustered files at ANY SF
+    // (a fixed cap degenerates to one unprunable file at small SFs)
+    val perFile = math.max(orders.count() / 8L, 1L)
+    TableOps.upsert(s, table, orders,
+      sortBy = Seq("o_totalprice"), maxRecordsPerFile = perFile)
+    val pred = col("o_totalprice") >= 100000.0 &&
+      col("o_totalprice") < 120000.0
+    val pruned = TableOps.snapshotWhere(s, table, pred)
+    require(pruned.inputFiles.length <
+      TableOps.snapshot(s, table).inputFiles.length,
+      "column-stats index failed to skip files on a clustered range read")
+    pruned.select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** I1–I5 — the full checkpointed incremental pipeline as a query:
     * seed silver, run the ETL twice (second run = empty increment), add
     * a second orders commit, run again; return the gold SUMMARY row.

@@ -1,0 +1,257 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Per-file column statistics — the engine's analog of Hudi's
+  * column-stats metadata index (reference:
+  * `hoodie.metadata.index.column.stats.enable` + the metadata table,
+  * AirflowHudiLabs/Lab2/jobs/python/create_hudi_tables.py:176-183).
+  *
+  * Every commit dir with declared [[KeyedTable.statsColumns]] carries a
+  * `_stats` parquet sidecar: one row per data FILE with
+  * `min_<col> / max_<col> / nulls_<col>` for each declared column.
+  * `TableOps.snapshotWhere` evaluates a scan predicate against those
+  * rows and hands Spark only the files that can possibly match.
+  *
+  * Why this matters at 100 TB: parquet row-group stats give the same
+  * skipping, but only AFTER the scan has listed every file and opened
+  * every footer — millions of object-store GETs for a selective query.
+  * A manifest-level index prunes from kilobyte-scale metadata before
+  * any data file is touched (the Delta/Iceberg/Hudi design). Pair it
+  * with a clustered write (`sortBy` on the stats column) so per-file
+  * ranges are disjoint and a range predicate isolates a handful of
+  * files.
+  *
+  * Collection cost: one column-pruned scan of the JUST-WRITTEN commit
+  * dir (only the declared columns are read — proportional to the
+  * increment, never the table). The sidecar is immutable alongside its
+  * commit dir: the cleaner collects both together, and no merge step
+  * exists — each manifest's parts map decides which dirs (and hence
+  * which sidecars) are live.
+  *
+  * Pruning is CONSERVATIVE by construction: predicate nodes with no
+  * stats translation keep every file, and the caller re-applies the
+  * full predicate to the surviving rows — a missed pruning opportunity
+  * costs I/O, never correctness.
+  */
+object ColumnStats {
+
+  /** Sidecar location: `{table}/.commits/stats/{commitTs}` — beside
+    * the manifests, NOT inside the commit data dir (Spark's hidden-path
+    * filter refuses to read an underscore/dot-prefixed dir even when
+    * addressed explicitly, and an unprefixed dir inside the commit dir
+    * would be picked up as data by unpartitioned whole-dir reads).
+    * Same immutability story as the data dirs: written once before the
+    * manifest publishes, collected by clean() when no retained manifest
+    * references the commit.
+    */
+  private[graft] def statsPath(t: KeyedTable, ver: String): String =
+    s"${t.commitsPath}/stats/$ver"
+
+  /** Collect + write the sidecar for a freshly-written commit dir.
+    * Call AFTER the data write and BEFORE the manifest publish (a crash
+    * in between leaves an orphan dir, never a published commit whose
+    * sidecar is missing — readers may therefore treat a missing sidecar
+    * as "legacy commit, no pruning" rather than a protocol error).
+    */
+  def write(spark: SparkSession, t: KeyedTable, ver: String,
+      schema: Option[StructType]): Unit = {
+    val destDir = s"${t.dataPath}/$ver"
+    require(t.statsColumns.forall(c => !c.contains(".")),
+      s"statsColumns must be top-level column names: ${t.statsColumns}")
+    val readBack = schema.foldLeft(spark.read)((r, s) => r.schema(s))
+      .option("basePath", destDir).parquet(destDir)
+    val present = readBack.columns.toSet
+    val tracked = t.statsColumns.filter(present)
+    val aggs = tracked.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    }
+    val stats =
+      if (aggs.isEmpty)
+        readBack.select(input_file_name().as("file")).distinct()
+      else
+        readBack.groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+    // one row per file — a driver-metadata-sized frame; one part file
+    stats.coalesce(1).write.mode("overwrite").parquet(statsPath(t, ver))
+  }
+
+  /** The live data files of one commit dir (the rels `parts` assigns to
+    * `ver`), as FS-qualified paths. The same listing Spark's own file
+    * index performs — driver-side, metadata-sized.
+    */
+  private def liveFiles(fs: FileSystem, t: KeyedTable, ver: String,
+      rels: Seq[String]): Seq[Path] = {
+    val dirs =
+      if (rels == Seq("")) Seq(new Path(s"${t.dataPath}/$ver"))
+      else rels.map(rel => new Path(s"${t.dataPath}/$ver/$rel"))
+    dirs.filter(fs.exists).flatMap { d =>
+      fs.listStatus(d).toSeq
+        .filter(st => st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        .map(st => fs.makeQualified(st.getPath))
+    }
+  }
+
+  /** `input_file_name()` returns a URI string; decode it to the same
+    * qualified-path form `liveFiles` produces. `new URI(...).getPath`
+    * is the correct inverse (percent-decodes, leaves '+' alone —
+    * `URLDecoder` would corrupt it; ADVICE r3).
+    */
+  private def qualifiedOf(fs: FileSystem, uri: String): Path =
+    fs.makeQualified(new Path(new java.net.URI(uri)))
+
+  /** Read the table state of `parts`, pruning files via the `_stats`
+    * sidecars. Commit dirs without a sidecar (legacy, or no declared
+    * stats columns at write time) are read in full. Returns None when
+    * every file was pruned (no possible match anywhere). The caller
+    * must still apply `pred` to the result.
+    */
+  private[graft] def prunedRead(spark: SparkSession, t: KeyedTable,
+      parts: Map[String, String], sch: Option[StructType],
+      pred: Column): Option[DataFrame] = {
+    val fs = new Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // resolve the predicate through Spark's analyzer (Columns carry a
+    // connect-style node tree, not catalyst expressions) — without a
+    // manifest schema there is nothing to resolve against: no pruning
+    val resolved = sch.map(s => analyzedPredicate(spark, s, pred))
+    val frames = parts.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+      case (ver, m) =>
+        val rels = m.keys.toSeq.sorted
+        val verDir = s"${t.dataPath}/$ver"
+        val reader = sch.foldLeft(spark.read)((r, s) => r.schema(s))
+          .option("basePath", verDir)
+        if (resolved.isEmpty || !fs.exists(new Path(statsPath(t, ver)))) {
+          // no sidecar — whole-dir read, same shape as readParts
+          val dirs = if (rels == Seq("")) Seq(verDir)
+                     else rels.map(rel => s"$verDir/$rel")
+          Some(reader.parquet(dirs: _*))
+        } else {
+          val statsDf = spark.read.parquet(statsPath(t, ver))
+          val keepCol = translate(resolved.get, t.statsColumns.toSet, statsDf)
+          // (file, keep) — keep=null means "no value can match": prune
+          val verdicts = statsDf
+            .select(col("file"), coalesce(keepCol, lit(false)).as("keep"))
+            .collect()
+            .map(r => qualifiedOf(fs, r.getString(0)).toString
+              -> r.getBoolean(1))
+            .toMap
+          // a live file absent from the sidecar survives (conservative)
+          val surviving = liveFiles(fs, t, ver, rels)
+            .filter(p => verdicts.getOrElse(p.toString, true))
+          if (surviving.isEmpty) None
+          else Some(reader.parquet(surviving.map(_.toString): _*))
+        }
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  // ——————————————————————————— predicate → file-survives translation
+
+  /** The predicate as a resolved catalyst tree: run the analyzer over a
+    * `filter` of an empty frame with the table schema and take the
+    * Filter's condition — attributes become [[AttributeReference]]s,
+    * literals are type-coerced exactly as the real scan will coerce
+    * them. (The optimizer is NOT run: it would collapse the empty
+    * relation and drop the Filter.)
+    */
+  private def analyzedPredicate(spark: SparkSession, schema: StructType,
+      pred: Column): Expression = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    empty.filter(pred).queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition
+    }.getOrElse(ColumnBridge.expression(lit(true)))
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  /** A comparison operand that folds to a constant (a literal, or a
+    * coercion cast the analyzer wrapped around one). ANSI eval of a
+    * malformed cast throws — treat as untranslatable, not an error.
+    */
+  private def litOf(e: Expression): Option[Column] =
+    if (!e.foldable) None
+    else try Some(ColumnBridge.column(Literal(e.eval(null), e.dataType)))
+    catch { case _: Exception => None }
+
+  /** Translate a resolved row predicate into a "this file may contain a
+    * matching row" predicate over the sidecar's min/max/nulls columns.
+    * Nodes with no translation become `lit(true)` (keep the file). A
+    * comparison whose min/max stat is NULL (an all-null file) yields
+    * NULL — the caller coalesces that to false, which is exact: no
+    * non-null value exists to satisfy the comparison.
+    */
+  private def translate(pred: Expression, tracked: Set[String],
+      statsDf: DataFrame): Column = {
+    def minC(c: String) = statsDf(s"min_$c")
+    def maxC(c: String) = statsDf(s"max_$c")
+    def nullsC(c: String) = statsDf(s"nulls_$c")
+    def has(c: String) =
+      tracked(c) && statsDf.columns.contains(s"min_$c")
+
+    /** Attr-vs-constant comparison in either orientation: `direct` for
+      * `attr OP const`, `flipped` for `const OP attr` (≡ attr FLIP(OP)
+      * const).
+      */
+    def cmp(l: Expression, r: Expression)(
+        direct: (String, Column) => Column,
+        flipped: (String, Column) => Column): Column =
+      (attrName(l).filter(has), litOf(r),
+        attrName(r).filter(has), litOf(l)) match {
+        case (Some(c), Some(v), _, _) => direct(c, v)
+        case (_, _, Some(c), Some(v)) => flipped(c, v)
+        case _ => lit(true)
+      }
+
+    def pointHit(c: String, v: Column): Column =
+      minC(c) <= v && maxC(c) >= v
+
+    def go(e: Expression): Column = e match {
+      case And(l, r) => go(l) && go(r)
+      case Or(l, r)  => go(l) || go(r)
+      case EqualTo(l, r) => cmp(l, r)(pointHit, pointHit)
+      case EqualNullSafe(l, r) =>
+        (attrName(l).filter(has), attrName(r).filter(has)) match {
+          case (Some(c), _) if r.foldable && r.eval(null) == null =>
+            nullsC(c) > 0
+          case (_, Some(c)) if l.foldable && l.eval(null) == null =>
+            nullsC(c) > 0
+          case _ => cmp(l, r)(pointHit, pointHit)
+        }
+      case GreaterThan(l, r) =>
+        cmp(l, r)((c, v) => maxC(c) > v, (c, v) => minC(c) < v)
+      case GreaterThanOrEqual(l, r) =>
+        cmp(l, r)((c, v) => maxC(c) >= v, (c, v) => minC(c) <= v)
+      case LessThan(l, r) =>
+        cmp(l, r)((c, v) => minC(c) < v, (c, v) => maxC(c) > v)
+      case LessThanOrEqual(l, r) =>
+        cmp(l, r)((c, v) => minC(c) <= v, (c, v) => maxC(c) >= v)
+      case In(a, list) if attrName(a).exists(has) =>
+        val hits = list.map(litOf)
+        if (hits.exists(_.isEmpty)) lit(true)
+        else hits.flatten.map(v => pointHit(attrName(a).get, v))
+          .reduceOption(_ || _).getOrElse(lit(false))
+      case IsNull(a) if attrName(a).exists(has) =>
+        nullsC(attrName(a).get) > 0
+      case IsNotNull(a) if attrName(a).exists(has) =>
+        // some non-null value exists ⇔ the min stat is populated
+        minC(attrName(a).get).isNotNull
+      case _ => lit(true)
+    }
+    go(pred)
+  }
+}

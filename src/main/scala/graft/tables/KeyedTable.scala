@@ -30,6 +30,14 @@ package graft.tables
   * between partitions, with old-home discovery served by the persisted
   * bucketed [[KeyIndex]] under `.commits/index/` — never by scanning
   * the table.
+  *
+  * `statsColumns` ↔ hoodie.metadata.index.column.stats
+  * (create_hudi_tables.py:176-183): columns whose per-FILE min/max/
+  * null-count are recorded in a `_stats` sidecar at every write,
+  * powering file-skipping reads via
+  * [[graft.ops.TableOps.snapshotWhere]] (see [[ColumnStats]]). Declare
+  * the columns selective predicates hit — ideally the ones writes
+  * cluster by (`sortBy`), so per-file ranges are disjoint.
   */
 final case class KeyedTable(
     name: String,
@@ -37,7 +45,8 @@ final case class KeyedTable(
     recordKey: Seq[String],
     precombineKey: String,
     partitionBy: Seq[String] = Nil,
-    globalIndex: Boolean = false) {
+    globalIndex: Boolean = false,
+    statsColumns: Seq[String] = Nil) {
   require(recordKey.nonEmpty, "recordKey must be nonempty")
   def dataPath: String = s"$path/data"
   def commitsPath: String = s"$path/.commits"
