@@ -46,8 +46,13 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
   *   - cleaner (create_hudi_tables.py:141-148) → [[clean]] (drops
   *     data dirs no retained manifest references)
   *
-  * Concurrency: single-writer per table (the reference only enables OCC
-  * for metadata indexing; SURVEY.md §2k); readers are always safe.
+  * Concurrency: single-writer per table by default (the reference only
+  * enables OCC for metadata indexing; SURVEY.md §2k); readers are
+  * always safe. Multi-writer deployments serialize writes with
+  * [[graft.tables.TableLock.withLock]] (the reference's OCC lock
+  * provider analog); the `expectedPrev` tripwire in
+  * [[graft.tables.CommitLog.logCommit]] stays as the last-line
+  * lost-update detector either way.
   */
 object TableOps {
 

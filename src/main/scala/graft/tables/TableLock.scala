@@ -1,0 +1,151 @@
+package graft.tables
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import java.nio.charset.StandardCharsets
+
+/** Lease-based writer lock for a [[KeyedTable]] — the engine's analog
+  * of the OCC lock provider the reference enables alongside metadata
+  * indexing (`hoodie.write.concurrency.mode=OPTIMISTIC_CONCURRENCY_
+  * CONTROL` + `InProcessLockProvider`, AirflowHudiLabs/Lab2/jobs/
+  * python/create_hudi_tables.py:176-183).
+  *
+  * The engine's commit protocol is already race-DETECTING (the
+  * `expectedPrev` tripwire in [[CommitLog.logCommit]] refuses to
+  * publish a commit computed on a stale timeline head); this lock makes
+  * multi-writer deployments race-FREE by serializing the whole
+  * compute-and-publish window:
+  *
+  * {{{
+  * TableLock.withLock(spark, table) {
+  *   TableOps.upsert(spark, table, batch)
+  * }
+  * }}}
+  *
+  * Mechanism: one lock file at `.commits/.lock`, acquired with the
+  * FS's atomic create-if-absent (`create(path, overwrite = false)` —
+  * atomic on POSIX, HDFS, and any FS with O_EXCL semantics). The file
+  * carries `owner uuid | acquired-at | lease-ms`; a holder that dies
+  * without releasing is STOLEN once its lease expires (expiry judged
+  * by the payload's own clock fields — wall-clock skew between writers
+  * should stay well under the lease).
+  *
+  * Object-store caveat (same one Hudi documents): S3's `create` is not
+  * atomic-if-absent through s3a, so two racing acquirers can both
+  * think they won. On object stores, either run single-writer (the
+  * reference's actual deployment shape), point `.commits/` at an
+  * HDFS/NFS path while data stays on S3, or use an external lock
+  * service — the tripwire remains as the last-line detector in all
+  * cases.
+  */
+object TableLock {
+
+  final case class LockInfo(owner: String, acquiredMs: Long, leaseMs: Long) {
+    def expired(nowMs: Long): Boolean = nowMs - acquiredMs > leaseMs
+  }
+
+  private def lockPath(t: KeyedTable): Path =
+    new Path(s"${t.commitsPath}/.lock")
+
+  private def fsOf(spark: SparkSession, t: KeyedTable): FileSystem =
+    new Path(t.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The current lock file, if present and parseable. An unreadable or
+    * empty payload (a holder between create and write) counts as a
+    * live lock acquired "now" — stealing it would race the writer.
+    */
+  def holder(spark: SparkSession, t: KeyedTable): Option[LockInfo] = {
+    val fs = fsOf(spark, t)
+    val p = lockPath(t)
+    if (!fs.exists(p)) return None
+    val parsed =
+      try {
+        val in = fs.open(p)
+        val raw =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            StandardCharsets.UTF_8)
+          finally in.close()
+        raw.split('|') match {
+          case Array(o, a, l) => Some(LockInfo(o, a.toLong, l.toLong))
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    parsed.orElse(Some(LockInfo("<unreadable>",
+      System.currentTimeMillis(), DefaultLeaseMs)))
+  }
+
+  val DefaultLeaseMs: Long = 5 * 60 * 1000L
+
+  /** One shot: acquire or return None. Steals an expired holder's lock
+    * (delete + re-race the atomic create — losing the re-race is a
+    * normal None).
+    */
+  def tryAcquire(spark: SparkSession, t: KeyedTable,
+      leaseMs: Long = DefaultLeaseMs): Option[LockInfo] = {
+    val fs = fsOf(spark, t)
+    val p = lockPath(t)
+    holder(spark, t) match {
+      case Some(h) if !h.expired(System.currentTimeMillis()) => return None
+      case Some(h) =>
+        // Expired — steal. Re-read immediately before the delete: the
+        // holder may have released and ANOTHER writer acquired in the
+        // meantime; deleting that fresh lock would hand out two locks.
+        // (A TOCTOU sliver remains between this check and the delete —
+        // wall-clock lease expiry is inherently advisory; the commit
+        // tripwire stays as the hard detector.)
+        holder(spark, t) match {
+          case Some(h2) if h2.owner == h.owner && h2.acquiredMs == h.acquiredMs =>
+            fs.delete(p, false)
+          case _ => return None
+        }
+      case None => ()
+    }
+    val me = LockInfo(java.util.UUID.randomUUID().toString,
+      System.currentTimeMillis(), leaseMs)
+    try {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false) // atomic create-if-absent
+      try out.write(s"${me.owner}|${me.acquiredMs}|${me.leaseMs}"
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      Some(me)
+    } catch { case _: java.io.IOException => None } // lost the race
+  }
+
+  /** Release a lock WE hold. Refuses (false) when the file now carries
+    * a different owner — a stolen-after-expiry lock must not clobber
+    * the thief.
+    */
+  def release(spark: SparkSession, t: KeyedTable, lock: LockInfo): Boolean = {
+    val fs = fsOf(spark, t)
+    holder(spark, t) match {
+      case Some(h) if h.owner == lock.owner =>
+        fs.delete(lockPath(t), false)
+      case _ => false
+    }
+  }
+
+  /** Acquire (waiting up to `waitMs`, polling with backoff), run
+    * `body`, release. Throws IllegalStateException on acquisition
+    * timeout. The body must finish within the lease or a waiting
+    * writer may steal the lock mid-commit — size `leaseMs` to the
+    * workload (the tripwire still catches the resulting race).
+    */
+  def withLock[A](spark: SparkSession, t: KeyedTable,
+      leaseMs: Long = DefaultLeaseMs, waitMs: Long = 60000L)(body: => A): A = {
+    val deadline = System.currentTimeMillis() + waitMs
+    var backoff = 20L
+    var lock: Option[LockInfo] = tryAcquire(spark, t, leaseMs)
+    while (lock.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(backoff + scala.util.Random.nextLong(backoff))
+      backoff = math.min(backoff * 2, 1000L)
+      lock = tryAcquire(spark, t, leaseMs)
+    }
+    val l = lock.getOrElse(throw new IllegalStateException(
+      s"table ${t.name}: could not acquire writer lock within ${waitMs}ms " +
+        s"(held by ${holder(spark, t).map(_.owner).getOrElse("<gone>")})"))
+    try body
+    finally release(spark, t, l)
+  }
+}
