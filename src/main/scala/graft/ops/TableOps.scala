@@ -592,17 +592,22 @@ object TableOps {
     * A pushed-down string-range predicate on `_commit_ts`: `.explain`
     * shows it in PushedFilters, so parquet row-group stats (and the
     * commit-clustered file layout) skip untouched files — the Spark
-    * analog of Hudi's timeline file-slice pruning.
+    * analog of Hudi's timeline file-slice pruning. Tables carrying
+    * column-stats sidecars (which always track `_commit_ts`) prune
+    * untouched FILES from metadata before the scan even lists them —
+    * at 100 TB the footer-open cost of a wide table dwarfs the
+    * increment itself.
     */
   def incremental(
       spark: SparkSession,
       t: KeyedTable,
       beginExclusive: String,
       endInclusive: Option[String] = None): DataFrame = {
-    val base = snapshot(spark, t)
-      .filter(col(KeyedTable.CommitCol) > lit(beginExclusive))
-    endInclusive.fold(base)(e =>
-      base.filter(col(KeyedTable.CommitCol) <= lit(e)))
+    val pred = endInclusive.foldLeft(
+      col(KeyedTable.CommitCol) > lit(beginExclusive))(
+      (p, e) => p && col(KeyedTable.CommitCol) <= lit(e))
+    if (t.statsColumns.nonEmpty) snapshotWhere(spark, t, pred)
+    else snapshot(spark, t).filter(pred)
   }
 
   /** Small-file compaction (reference: hoodie.parquet.small.file.limit

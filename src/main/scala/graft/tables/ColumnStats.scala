@@ -67,7 +67,7 @@ object ColumnStats {
     val readBack = schema.foldLeft(spark.read)((r, s) => r.schema(s))
       .option("basePath", destDir).parquet(destDir)
     val present = readBack.columns.toSet
-    val tracked = t.statsColumns.filter(present)
+    val tracked = trackedColumns(t).filter(present)
     val aggs = tracked.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
@@ -81,6 +81,14 @@ object ColumnStats {
     // one row per file — a driver-metadata-sized frame; one part file
     stats.coalesce(1).write.mode("overwrite").parquet(statsPath(t, ver))
   }
+
+  /** Stats are always kept for `_commit_ts` too (a COW rewrite carries
+    * old rows forward, so per-file commit-ts ranges let an INCREMENTAL
+    * read prune untouched files from metadata — the timeline-side
+    * file-slice pruning Hudi gets from its timeline server).
+    */
+  private[graft] def trackedColumns(t: KeyedTable): Seq[String] =
+    (t.statsColumns :+ KeyedTable.CommitCol).distinct
 
   /** The live data files of one commit dir (the rels `parts` assigns to
     * `ver`), as FS-qualified paths. The same listing Spark's own file
@@ -137,7 +145,8 @@ object ColumnStats {
           Some(reader.parquet(dirs: _*))
         } else {
           val statsDf = spark.read.parquet(statsPath(t, ver))
-          val keepCol = translate(resolved.get, t.statsColumns.toSet, statsDf)
+          val keepCol =
+            translate(resolved.get, trackedColumns(t).toSet, statsDf)
           // (file, keep) — keep=null means "no value can match": prune
           val verdicts = statsDf
             .select(col("file"), coalesce(keepCol, lit(false)).as("keep"))

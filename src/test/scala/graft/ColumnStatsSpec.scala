@@ -150,6 +150,26 @@ class ColumnStatsSpec extends SparkSuite {
       TableOps.snapshot(spark, t).filter(pred).count())
   }
 
+  test("incremental read prunes untouched files via always-tracked _commit_ts stats") {
+    val t = statsTable(partitioned = true)
+    seed(t) // commit 1: part=0 and part=1
+    val ts1 = graft.tables.CommitLog(t, spark).latestCommit().get
+    // commit 2 touches ONLY part=0 — part=1's files keep max
+    // _commit_ts = ts1 and must be pruned from metadata
+    val upd = spark.range(5).select(
+      concat(lit("k"), col("id") * 2).as("id"), lit(2).as("ver"),
+      (col("id") * 2).cast("long").as("v"), lit("0").as("part"))
+    TableOps.upsert(spark, t, upd, sortBy = Seq("v"), maxRecordsPerFile = 25L)
+    val inc = TableOps.incremental(spark, t, ts1)
+    val full = TableOps.snapshot(spark, t)
+    assert(inc.select("id", "v").orderBy("v").collect().toSeq ===
+      full.filter(col(graft.tables.KeyedTable.CommitCol) > ts1)
+        .select("id", "v").orderBy("v").collect().toSeq)
+    assert(inc.count() === 5)
+    assert(inc.inputFiles.length < full.inputFiles.length,
+      s"expected commit-ts pruning: ${inc.inputFiles.length} vs ${full.inputFiles.length}")
+  }
+
   test("stats survive compaction and delete rewrites") {
     val t = statsTable(partitioned = false)
     seed(t)
