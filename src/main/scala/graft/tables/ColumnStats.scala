@@ -82,13 +82,15 @@ object ColumnStats {
     stats.coalesce(1).write.mode("overwrite").parquet(statsPath(t, ver))
   }
 
-  /** Stats are always kept for `_commit_ts` too (a COW rewrite carries
-    * old rows forward, so per-file commit-ts ranges let an INCREMENTAL
+  /** Stats are always kept for `_commit_ts` (a COW rewrite carries old
+    * rows forward, so per-file commit-ts ranges let an INCREMENTAL
     * read prune untouched files from metadata — the timeline-side
-    * file-slice pruning Hudi gets from its timeline server).
+    * file-slice pruning Hudi gets from its timeline server) and for
+    * the partition columns (constant per file — free rows that give
+    * `snapshotWhere` partition pruning without declaration).
     */
   private[graft] def trackedColumns(t: KeyedTable): Seq[String] =
-    (t.statsColumns :+ KeyedTable.CommitCol).distinct
+    (t.statsColumns ++ t.partitionBy :+ KeyedTable.CommitCol).distinct
 
   /** The live data files of one commit dir (the rels `parts` assigns to
     * `ver`), as FS-qualified paths. The same listing Spark's own file

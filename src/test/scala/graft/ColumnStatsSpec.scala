@@ -170,6 +170,15 @@ class ColumnStatsSpec extends SparkSuite {
       s"expected commit-ts pruning: ${inc.inputFiles.length} vs ${full.inputFiles.length}")
   }
 
+  test("partition-column predicates prune without declaration") {
+    val t = statsTable(partitioned = true)
+    seed(t)
+    val full = TableOps.snapshot(spark, t)
+    val res = TableOps.snapshotWhere(spark, t, col("part") === "1")
+    assert(res.count() === 100)
+    assert(res.inputFiles.length < full.inputFiles.length)
+  }
+
   test("stats survive compaction and delete rewrites") {
     val t = statsTable(partitioned = false)
     seed(t)
