@@ -168,7 +168,7 @@ object TableOps {
     * basePath; with a manifest schema the partition columns keep their
     * declared types (no dir-name inference).
     */
-  private def readParts(spark: SparkSession, t: KeyedTable,
+  private[graft] def readParts(spark: SparkSession, t: KeyedTable,
       parts: Map[String, String], sch: Option[StructType]): DataFrame =
     if (parts.isEmpty) {
       val s = sch.getOrElse(throw new IllegalStateException(
@@ -631,12 +631,13 @@ object TableOps {
     val sized = numFiles.fold(snap)(n => snap.repartition(n))
     writer(sized, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
     val newParts = relsOf(fs, dest, t.partitionBy.length).map(_ -> ts).toMap
+    val sch = latestSchema(spark, t)
     if (t.statsColumns.nonEmpty)
-      ColumnStats.write(spark, t, ts, latestSchema(spark, t))
+      ColumnStats.write(spark, t, ts, sch)
     CommitLog(t, spark).logCommit(ts,
       Map("table" -> t.name, "action" -> "compact",
         PartsKey -> partsJson(newParts)) ++
-        latestSchema(spark, t).map("schema" -> _.json),
+        sch.map("schema" -> _.json),
       expectedPrev = Some(baseCommit))
     // compaction moves files, not keys — the index stays valid for the
     // new commit, so re-stamp it, but ONLY if it was fresh for the
@@ -767,20 +768,17 @@ object TableOps {
     // retained manifest actually carries a parts map (a manifest-less
     // dir is NOT ours to delete); (2) only commit-shaped dirs are
     // candidates — foreign files/dirs are left alone.
-    if (partsMaps.nonEmpty && fs.exists(dataRoot))
-      fs.listStatus(dataRoot)
-        .filter(st => CommitDirPattern.matches(st.getPath.getName))
-        .filter(st => !referenced.contains(st.getPath.getName))
-        .foreach(st => fs.delete(st.getPath, true))
-    // Column-stats sidecars follow their commit dirs: collect any whose
-    // commit is no longer referenced (includes orphans from crashed
-    // writes — sidecar lands before the manifest).
-    val statsRoot = new Path(s"${t.commitsPath}/stats")
-    if (partsMaps.nonEmpty && fs.exists(statsRoot))
-      fs.listStatus(statsRoot)
-        .filter(st => CommitDirPattern.matches(st.getPath.getName))
-        .filter(st => !referenced.contains(st.getPath.getName))
-        .foreach(st => fs.delete(st.getPath, true))
+    // One GC policy for both roots (commit data dirs and their
+    // column-stats sidecars — the sidecar of an unreferenced commit is
+    // as dead as its dir, including orphans from crashed writes).
+    def deleteUnreferenced(root: Path): Unit =
+      if (partsMaps.nonEmpty && fs.exists(root))
+        fs.listStatus(root)
+          .filter(st => CommitDirPattern.matches(st.getPath.getName))
+          .filter(st => !referenced.contains(st.getPath.getName))
+          .foreach(st => fs.delete(st.getPath, true))
+    deleteUnreferenced(dataRoot)
+    deleteUnreferenced(new Path(s"${t.commitsPath}/stats"))
     // Legacy layout leftovers (pre-manifest-protocol tables) — but ONLY
     // once this table demonstrably speaks the manifest protocol: for a
     // table whose manifests carry no parts map (a round-1 layout), the

@@ -62,8 +62,6 @@ object ColumnStats {
   def write(spark: SparkSession, t: KeyedTable, ver: String,
       schema: Option[StructType]): Unit = {
     val destDir = s"${t.dataPath}/$ver"
-    require(t.statsColumns.forall(c => !c.contains(".")),
-      s"statsColumns must be top-level column names: ${t.statsColumns}")
     val readBack = schema.foldLeft(spark.read)((r, s) => r.schema(s))
       .option("basePath", destDir).parquet(destDir)
     val present = readBack.columns.toSet
@@ -141,10 +139,9 @@ object ColumnStats {
         val reader = sch.foldLeft(spark.read)((r, s) => r.schema(s))
           .option("basePath", verDir)
         if (resolved.isEmpty || !fs.exists(new Path(statsPath(t, ver)))) {
-          // no sidecar — whole-dir read, same shape as readParts
-          val dirs = if (rels == Seq("")) Seq(verDir)
-                     else rels.map(rel => s"$verDir/$rel")
-          Some(reader.parquet(dirs: _*))
+          // no sidecar — delegate to the canonical per-version read so
+          // legacy-commit reads can never drift from snapshot() reads
+          Some(graft.ops.TableOps.readParts(spark, t, m, sch))
         } else {
           val statsDf = spark.read.parquet(statsPath(t, ver))
           val keepCol =

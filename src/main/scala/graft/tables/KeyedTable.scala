@@ -48,6 +48,10 @@ final case class KeyedTable(
     globalIndex: Boolean = false,
     statsColumns: Seq[String] = Nil) {
   require(recordKey.nonEmpty, "recordKey must be nonempty")
+  // fail at CONSTRUCTION, not after a full commit write aborts
+  // pre-manifest inside ColumnStats.write
+  require(statsColumns.forall(c => c.nonEmpty && !c.contains(".")),
+    s"statsColumns must be top-level column names: $statsColumns")
   def dataPath: String = s"$path/data"
   def commitsPath: String = s"$path/.commits"
 }

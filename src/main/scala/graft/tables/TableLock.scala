@@ -23,13 +23,16 @@ import java.nio.charset.StandardCharsets
   * }
   * }}}
   *
-  * Mechanism: one lock file at `.commits/.lock`, acquired with the
-  * FS's atomic create-if-absent (`create(path, overwrite = false)` —
-  * atomic on POSIX, HDFS, and any FS with O_EXCL semantics). The file
-  * carries `owner uuid | acquired-at | lease-ms`; a holder that dies
-  * without releasing is STOLEN once its lease expires (expiry judged
-  * by the payload's own clock fields — wall-clock skew between writers
-  * should stay well under the lease).
+  * Mechanism: one lock file at `.commits/.lock`, acquired with atomic
+  * create-if-absent — java.nio `createFile` (O_EXCL) for `file://`
+  * paths (Hadoop's local connector fakes `create(p, overwrite=false)`
+  * with a non-atomic exists()+truncate), the connector's atomic create
+  * elsewhere (HDFS). The file carries
+  * `owner uuid | acquired-at | lease-ms`; a holder that dies without
+  * releasing is STOLEN once its lease expires (expiry judged by the
+  * payload's clock fields — or the file's mtime when the payload never
+  * landed — so wall-clock skew between writers should stay well under
+  * the lease).
   *
   * Object-store caveat (same one Hudi documents): S3's `create` is not
   * atomic-if-absent through s3a, so two racing acquirers can both
@@ -52,8 +55,12 @@ object TableLock {
     new Path(t.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** The current lock file, if present and parseable. An unreadable or
-    * empty payload (a holder between create and write) counts as a
-    * live lock acquired "now" — stealing it would race the writer.
+    * empty payload (a holder that crashed between create and write, or
+    * one mid-write) counts as a lock acquired at the FILE'S OWN
+    * modification time with the default lease — anchored to a stable
+    * clock so it EXPIRES like any other lock (stamping it "now" on
+    * every probe would mint an unstealable lock and deadlock all
+    * writers forever after a crash in the create-write window).
     */
   def holder(spark: SparkSession, t: KeyedTable): Option[LockInfo] = {
     val fs = fsOf(spark, t)
@@ -71,8 +78,11 @@ object TableLock {
           case _ => None
         }
       } catch { case _: Exception => None }
-    parsed.orElse(Some(LockInfo("<unreadable>",
-      System.currentTimeMillis(), DefaultLeaseMs)))
+    parsed.orElse {
+      try Some(LockInfo("<unreadable>",
+        fs.getFileStatus(p).getModificationTime, DefaultLeaseMs))
+      catch { case _: Exception => None } // deleted between probes
+    }
   }
 
   val DefaultLeaseMs: Long = 5 * 60 * 1000L
@@ -103,14 +113,41 @@ object TableLock {
     }
     val me = LockInfo(java.util.UUID.randomUUID().toString,
       System.currentTimeMillis(), leaseMs)
+    val payload = s"${me.owner}|${me.acquiredMs}|${me.leaseMs}"
+      .getBytes(StandardCharsets.UTF_8)
+    // Phase 1 — create-if-absent. Hadoop's LOCAL connector implements
+    // create(p, overwrite=false) as a non-atomic exists()+truncate, so
+    // for file:// go through java.nio O_EXCL instead (truly atomic on
+    // POSIX); other FSs (HDFS) get the connector's atomic create.
+    val created =
+      try {
+        fs.mkdirs(p.getParent)
+        if ("file" == fs.getUri.getScheme) {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(p.toUri.getPath))
+          true
+        } else {
+          fs.create(p, false).close() // atomic create-if-absent
+          true
+        }
+      } catch { case _: java.io.IOException | _: java.nio.file.FileAlreadyExistsException =>
+        false } // lost the race
+    if (!created) return None
+    // Phase 2 — write the payload into OUR file. A failure here (disk
+    // full, interrupt) must not leave an empty lock squatting the
+    // table: best-effort delete before reporting failure.
     try {
-      fs.mkdirs(p.getParent)
-      val out = fs.create(p, false) // atomic create-if-absent
-      try out.write(s"${me.owner}|${me.acquiredMs}|${me.leaseMs}"
-        .getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      Some(me)
-    } catch { case _: java.io.IOException => None } // lost the race
+      val out = fs.create(p, true)
+      try out.write(payload) finally out.close()
+    } catch {
+      case e: Exception =>
+        try fs.delete(p, false) catch { case _: Exception => () }
+        throw e
+    }
+    // Phase 3 — confirm we still own it. Closes most of the double-
+    // steal window: a second stealer whose delete raced in between
+    // clobbered our file, and exactly one of us sees its own uuid.
+    if (holder(spark, t).exists(_.owner == me.owner)) Some(me) else None
   }
 
   /** Release a lock WE hold. Refuses (false) when the file now carries

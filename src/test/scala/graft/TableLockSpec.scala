@@ -61,6 +61,23 @@ class TableLockSpec extends SparkSuite {
     assert(TableLock.holder(spark, t).isEmpty) // everyone released
   }
 
+  test("crashed holder's empty lock file expires by mtime and is stolen") {
+    val t = table()
+    // simulate a crash between create and payload write: an empty
+    // .lock whose mtime predates the default lease
+    val lockFile = java.nio.file.Paths.get(s"${t.commitsPath}/.lock")
+    java.nio.file.Files.createDirectories(lockFile.getParent)
+    java.nio.file.Files.createFile(lockFile)
+    java.nio.file.Files.setLastModifiedTime(lockFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - TableLock.DefaultLeaseMs - 60000L))
+    // unreadable-but-expired: stealable (a "now"-anchored probe would
+    // deadlock every writer forever)
+    val l = TableLock.tryAcquire(spark, t)
+    assert(l.isDefined)
+    assert(TableLock.release(spark, t, l.get))
+  }
+
   test("withLock times out against a held lock") {
     val t = table()
     val l = TableLock.tryAcquire(spark, t).get
