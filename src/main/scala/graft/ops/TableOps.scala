@@ -620,7 +620,10 @@ object TableOps {
   def compact(spark: SparkSession, t: KeyedTable,
       sortBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 4000000L,
-      numFiles: Option[Int] = None): String = {
+      numFiles: Option[Int] = None,
+      zorderBy: Seq[String] = Nil): String = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "pass sortBy (lexicographic) or zorderBy (multi-column), not both")
     val ts = CommitLog.newCommitTs()
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
@@ -629,7 +632,13 @@ object TableOps {
     val baseCommit = CommitLog(t, spark).latestCommit()
     val snap = snapshot(spark, t)
     val sized = numFiles.fold(snap)(n => snap.repartition(n))
-    writer(sized, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
+    // z-order clustering (Delta OPTIMIZE ZORDER analog): files laid
+    // out along the Morton curve of several columns, so column-stats
+    // skipping works for predicates on ANY of them, not just a sort
+    // prefix
+    val clustered =
+      if (zorderBy.nonEmpty) ZOrder.cluster(sized, zorderBy) else sized
+    writer(clustered, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
     val newParts = relsOf(fs, dest, t.partitionBy.length).map(_ -> ts).toMap
     val sch = latestSchema(spark, t)
     if (t.statsColumns.nonEmpty)
