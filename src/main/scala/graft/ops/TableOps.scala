@@ -444,6 +444,19 @@ object TableOps {
         spark.read.parquet(t.dataPath)
     }
 
+  /** Exact row count of the current snapshot. Tables carrying
+    * column-stats sidecars answer from METADATA (Σ per-file `rows`
+    * over live files — no scan job at all; the Delta count-from-stats
+    * optimization); anything else falls back to `snapshot().count()`.
+    */
+  def countFast(spark: SparkSession, t: KeyedTable): Long =
+    currentParts(spark, t, None) match {
+      case Some(parts) if t.statsColumns.nonEmpty =>
+        ColumnStats.rowCount(spark, t, parts)
+          .getOrElse(readParts(spark, t, parts, latestSchema(spark, t)).count())
+      case _ => snapshot(spark, t).count()
+    }
+
   /** Predicate-pruned snapshot read — `snapshot(t).filter(pred)` with
     * file skipping via the column-stats index (see
     * [[graft.tables.ColumnStats]]; Hudi's data-skipping read path over

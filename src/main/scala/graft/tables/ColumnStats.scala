@@ -66,16 +66,14 @@ object ColumnStats {
       .option("basePath", destDir).parquet(destDir)
     val present = readBack.columns.toSet
     val tracked = trackedColumns(t).filter(present)
-    val aggs = tracked.flatMap { c =>
+    // `rows` always rides along: Σ rows over live files is an exact
+    // metadata-only table count (see [[rowCount]])
+    val aggs = count(lit(1L)).as("rows") +: tracked.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
     }
-    val stats =
-      if (aggs.isEmpty)
-        readBack.select(input_file_name().as("file")).distinct()
-      else
-        readBack.groupBy(input_file_name().as("file"))
-          .agg(aggs.head, aggs.tail: _*)
+    val stats = readBack.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
     // one row per file — a driver-metadata-sized frame; one part file
     stats.coalesce(1).write.mode("overwrite").parquet(statsPath(t, ver))
   }
@@ -161,6 +159,34 @@ object ColumnStats {
         }
     }
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Exact table row count from metadata alone — the Σ of per-file
+    * `rows` over the LIVE files of every current commit dir (the
+    * Delta-style count-from-stats optimization: at 100 TB a `count()`
+    * scan job over millions of files becomes a kilobyte sidecar read).
+    * None when any live commit lacks a sidecar (or predates the `rows`
+    * column) — the caller falls back to a real count.
+    */
+  private[graft] def rowCount(spark: SparkSession, t: KeyedTable,
+      parts: Map[String, String]): Option[Long] = {
+    val fs = new Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var total = 0L
+    for ((ver, m) <- parts.groupBy(_._2)) {
+      if (!fs.exists(new Path(statsPath(t, ver)))) return None
+      val statsDf = spark.read.parquet(statsPath(t, ver))
+      if (!statsDf.columns.contains("rows")) return None
+      val counts = statsDf.select("file", "rows").collect()
+        .map(r => qualifiedOf(fs, r.getString(0)).toString -> r.getLong(1))
+        .toMap
+      for (p <- liveFiles(fs, t, ver, m.keys.toSeq.sorted))
+        counts.get(p.toString) match {
+          case Some(n) => total += n
+          case None => return None // file unknown to the sidecar
+        }
+    }
+    Some(total)
   }
 
   // ——————————————————————————— predicate → file-survives translation

@@ -179,6 +179,28 @@ class ColumnStatsSpec extends SparkSuite {
     assert(res.inputFiles.length < full.inputFiles.length)
   }
 
+  test("countFast answers from metadata and tracks upsert/delete/compact") {
+    val t = statsTable(partitioned = true)
+    seed(t)
+    assert(TableOps.countFast(spark, t) === 200L)
+    // upsert: 5 updates (no growth) + implicit new rows? — pure updates
+    val upd = spark.range(5).select(
+      concat(lit("k"), col("id") * 2).as("id"), lit(2).as("ver"),
+      (col("id") * 2).cast("long").as("v"), lit("0").as("part"))
+    TableOps.upsert(spark, t, upd)
+    assert(TableOps.countFast(spark, t) === 200L)
+    TableOps.delete(spark, t, Seq(("k1")).toDF("id"))
+    assert(TableOps.countFast(spark, t) === 199L)
+    TableOps.compact(spark, t)
+    assert(TableOps.countFast(spark, t) === 199L)
+    assert(TableOps.countFast(spark, t) ===
+      TableOps.snapshot(spark, t).count())
+    // a table without sidecars still answers (scan fallback)
+    val plain = KeyedTable("p", s"${tmpDir("graft-cf")}/p", Seq("id"), "ver")
+    TableOps.upsert(spark, plain, Seq(("a", 1)).toDF("id", "ver"))
+    assert(TableOps.countFast(spark, plain) === 1L)
+  }
+
   test("stats survive compaction and delete rewrites") {
     val t = statsTable(partitioned = false)
     seed(t)
