@@ -81,6 +81,7 @@ object SparkEntry {
     "s1_snapshot_roundtrip"   -> (OpsQueries.s1SnapshotRoundtrip _),
     "o5_clustered_write"      -> (OpsQueries.o5ClusteredWrite _),
     "o6_stats_pruned_read"    -> (OpsQueries.o6StatsPrunedRead _),
+    "o7_zorder_pruned_read"   -> (OpsQueries.o7ZorderPrunedRead _),
     "i1_pipeline_roundtrip"   -> (OpsQueries.i1PipelineRoundtrip _),
     "f3_generators"           -> (OpsQueries.f3Generators _),
     "j_asof_join"             -> (OpsQueries.jAsofJoin _),
@@ -648,6 +649,12 @@ object SparkEntry {
     "o6_stats_pruned_read" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         | WHERE o_totalprice >= 100000.0 AND o_totalprice < 120000.0
+        | ORDER BY o_orderkey""".stripMargin,
+    // o7: values = the plain filter; the z-order file skipping is
+    // gated in-query (require on inputFiles after zorder compaction).
+    "o7_zorder_pruned_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | WHERE o_custkey >= 100 AND o_custkey < 200
         | ORDER BY o_orderkey""".stripMargin,
     "f3_generators" ->
       """SELECT count(*) AS n_rows, count(*) AS n_uuid, count(*) AS n_mid

@@ -102,6 +102,32 @@ object OpsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** O7 — z-order clustering (Delta OPTIMIZE ZORDER / Hudi z-order
+    * analog): orders written UNclustered, then `compact(zorderBy =
+    * (o_custkey, o_totalprice))`; a range read on `o_custkey` — which
+    * a lexicographic `sortBy(o_totalprice)` layout could never serve —
+    * must skip files through the stats sidecar. Values oracled against
+    * the plain filter; the skipping is gated in-query.
+    */
+  def o7ZorderPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val table = KeyedTable("orders_z",
+      s"${scratch("graft-o7")}/orders_z",
+      Seq("o_orderkey"), "o_orderkey",
+      statsColumns = Seq("o_custkey", "o_totalprice"))
+    val orders = t(s, dir, "orders")
+    val perFile = math.max(orders.count() / 16L, 1L)
+    TableOps.upsert(s, table, orders, maxRecordsPerFile = perFile)
+    TableOps.compact(s, table, maxRecordsPerFile = perFile,
+      zorderBy = Seq("o_custkey", "o_totalprice"))
+    val pred = col("o_custkey") >= 100L && col("o_custkey") < 200L
+    val pruned = TableOps.snapshotWhere(s, table, pred)
+    require(pruned.inputFiles.length <
+      TableOps.snapshot(s, table).inputFiles.length,
+      "z-order layout failed to skip files on a non-prefix column range")
+    pruned.select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** I1–I5 — the full checkpointed incremental pipeline as a query:
     * seed silver, run the ETL twice (second run = empty increment), add
     * a second orders commit, run again; return the gold SUMMARY row.
