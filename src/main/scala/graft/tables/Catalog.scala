@@ -1,0 +1,108 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import java.nio.charset.StandardCharsets
+
+/** Persistent file-based table catalog — the engine's hive-sync analog
+  * (reference: `hoodie.datasource.hive_sync.*`, AirflowHudiLabs/Lab2/
+  * jobs/python/create_hudi_tables.py:130-138 — configured but DISABLED
+  * in every call, `:249,271`, so the reference itself never gets
+  * cross-session table discovery; this closes that gap the way a
+  * metastore would).
+  *
+  * One JSON descriptor per table at `{root}/{name}.json`, published
+  * with the same [[AtomicFile]] discipline as every other metadata
+  * write. A new session, job, or cluster points at the catalog root
+  * and recovers every [[KeyedTable]] descriptor — then
+  * [[syncViews]] registers each table's CURRENT snapshot as a SQL
+  * temp view (the after-commit sync shape Hudi's hive sync performs).
+  *
+  * Metadata-only: kilobyte files, driver-side listing — never a data
+  * scan. Descriptor updates are last-writer-wins (table identity
+  * lives in the commit log, not here).
+  */
+final class Catalog(root: String, spark: SparkSession) {
+  private val dir = new Path(root)
+  private def fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def descPath(name: String): Path = {
+    require(name.nonEmpty && !name.contains("/") && !name.contains(".."),
+      s"illegal table name: $name")
+    new Path(dir, s"$name.json")
+  }
+
+  /** Register (or update) a table descriptor. */
+  def register(t: KeyedTable): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val json = ("name" -> t.name) ~ ("path" -> t.path) ~
+      ("recordKey" -> t.recordKey) ~
+      ("precombineKey" -> t.precombineKey) ~
+      ("partitionBy" -> t.partitionBy) ~
+      ("globalIndex" -> t.globalIndex) ~
+      ("statsColumns" -> t.statsColumns)
+    AtomicFile.write(fs, descPath(t.name),
+      JsonMethods.compact(JsonMethods.render(json))
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The descriptor registered under `name`, if present and parseable. */
+  def load(name: String): Option[KeyedTable] = {
+    val p = descPath(name)
+    if (!fs.exists(p)) return None
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      val j = {
+        val in = fs.open(p)
+        try JsonMethods.parse(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8))
+        finally in.close()
+      }
+      Some(KeyedTable(
+        name = (j \ "name").extract[String],
+        path = (j \ "path").extract[String],
+        recordKey = (j \ "recordKey").extract[Seq[String]],
+        precombineKey = (j \ "precombineKey").extract[String],
+        partitionBy = (j \ "partitionBy").extract[Seq[String]],
+        globalIndex = (j \ "globalIndex").extract[Boolean],
+        statsColumns = (j \ "statsColumns").extract[Seq[String]]))
+    } catch {
+      case _: Exception =>
+        System.err.println(s"graft: skipping unparseable catalog entry $p")
+        None
+    }
+  }
+
+  /** Registered table names, sorted. */
+  def list(): Seq[String] = {
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json"))
+      .toSeq.sorted
+  }
+
+  /** Remove a registration (the table's data is untouched). */
+  def drop(name: String): Boolean = fs.delete(descPath(name), false)
+
+  /** Register every cataloged table's current snapshot as a SQL temp
+    * view (Hudi's sync-after-commit shape: call again after writes so
+    * SQL sees the new state). Returns the synced names.
+    */
+  def syncViews(): Seq[String] = {
+    val synced = list().flatMap(load)
+    synced.foreach(t => graft.ops.TableOps.syncView(spark, t))
+    synced.map(_.name)
+  }
+}
+
+object Catalog {
+  def apply(root: String, spark: SparkSession): Catalog =
+    new Catalog(root, spark)
+}
