@@ -644,13 +644,20 @@ object TableOps {
     val indexWasFresh = indexFresh(spark, t)
     val baseCommit = CommitLog(t, spark).latestCommit()
     val snap = snapshot(spark, t)
-    val sized = numFiles.fold(snap)(n => snap.repartition(n))
     // z-order clustering (Delta OPTIMIZE ZORDER analog): files laid
     // out along the Morton curve of several columns, so column-stats
     // skipping works for predicates on ANY of them, not just a sort
-    // prefix
+    // prefix. numFiles feeds the z range-partitioning directly (a
+    // repartition before it would just be re-shuffled away), and the
+    // per-column ranges fold from the stats sidecars when available —
+    // no extra data pass.
     val clustered =
-      if (zorderBy.nonEmpty) ZOrder.cluster(sized, zorderBy) else sized
+      if (zorderBy.nonEmpty)
+        ZOrder.cluster(snap, zorderBy, numPartitions = numFiles,
+          ranges = currentParts(spark, t, None)
+            .map(ColumnStats.columnRanges(spark, t, _, zorderBy))
+            .getOrElse(Map.empty))
+      else numFiles.fold(snap)(n => snap.repartition(n))
     writer(clustered, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
     val newParts = relsOf(fs, dest, t.partitionBy.length).map(_ -> ts).toMap
     val sch = latestSchema(spark, t)

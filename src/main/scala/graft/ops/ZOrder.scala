@@ -14,7 +14,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   * on ANY of them.
   *
   * Construction (all codegen'd Column arithmetic, no UDFs):
-  *   1. one metadata-sized agg collects each column's min/max;
+  *   1. per-column min/max ranges — folded from the column-stats
+  *      sidecars (kilobyte metadata) when the caller supplies them,
+  *      else one column-pruned agg over the input;
   *   2. each value linearly scales to a `bits`-wide integer rank
   *      (nulls → rank 0, constant columns → 0);
   *   3. ranks interleave bit-by-bit into one LongType z-value
@@ -30,11 +32,26 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object ZOrder {
 
+  /** A value column embedded into doubles for ranking. */
+  private def asDouble(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case DateType => unix_date(col(c)).cast(DoubleType)
+      case TimestampType => unix_micros(col(c)).cast(DoubleType)
+      case _ => col(c).cast(DoubleType)
+    }
+
   /** The interleaved z-value of `cols` as a LongType Column. Numeric,
     * date, and timestamp columns only (values must linearly embed into
     * a rank).
+    *
+    * `ranges` supplies known per-column (lo, hi) embeddings (e.g.
+    * folded from column-stats sidecars — kilobyte metadata); columns
+    * not covered get their range from one column-pruned agg over `df`.
+    * A too-narrow supplied range only clamps outliers to the edge
+    * ranks — clustering quality, never correctness.
     */
-  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
+  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 16,
+      ranges: Map[String, (Double, Double)] = Map.empty): Column = {
     require(cols.size >= 2, "z-order needs at least 2 columns")
     require(cols.size * bits <= 60,
       s"cols.size * bits must be <= 60 (ANSI-safe long): ${cols.size} * $bits")
@@ -44,29 +61,42 @@ object ZOrder {
         dt == TimestampType,
         s"z-order column $c has non-embeddable type $dt")
     }
-    def asDouble(c: String): Column = df.schema(c).dataType match {
-      case DateType => unix_date(col(c)).cast(DoubleType)
-      case TimestampType => unix_micros(col(c)).cast(DoubleType)
-      case _ => col(c).cast(DoubleType)
-    }
-    // one metadata-sized job for the per-column ranges
-    val mm = df.agg(
-      struct(cols.flatMap(c =>
-        Seq(min(asDouble(c)).as(s"mn_$c"), max(asDouble(c)).as(s"mx_$c"))): _*)
-        .as("s")).select("s.*").head()
-    val maxRank = (1L << bits) - 1
-    val ranks = cols.zipWithIndex.map { case (c, i) =>
-      val mn = mm.getAs[Any](s"mn_$c")
-      val mx = mm.getAs[Any](s"mx_$c")
-      if (mn == null || mx == null || mn == mx) lit(0L)
+    val missing = cols.filterNot(ranges.contains)
+    val computed: Map[String, (Double, Double)] =
+      if (missing.isEmpty) Map.empty
       else {
-        val lo = mn.asInstanceOf[Double]
-        val hi = mx.asInstanceOf[Double]
-        val scaled = ((asDouble(c) - lit(lo)) / lit(hi - lo) *
-          lit(maxRank.toDouble))
-        // clamp + null→0 so every row has a rank
-        coalesce(greatest(lit(0L),
-          least(lit(maxRank), scaled.cast(LongType))), lit(0L))
+        val mm = df.agg(
+          struct(missing.flatMap(c => Seq(
+            min(asDouble(df, c)).as(s"mn_$c"),
+            max(asDouble(df, c)).as(s"mx_$c"))): _*)
+            .as("s")).select("s.*").head()
+        missing.flatMap { c =>
+          (Option(mm.getAs[Any](s"mn_$c")), Option(mm.getAs[Any](s"mx_$c"))) match {
+            case (Some(lo: java.lang.Double), Some(hi: java.lang.Double)) =>
+              Some(c -> (lo.doubleValue, hi.doubleValue))
+            case _ => None // all-null column — constant rank below
+          }
+        }.toMap
+      }
+    val bounds = ranges ++ computed
+    val maxRank = (1L << bits) - 1
+    val ranks = cols.map { c =>
+      bounds.get(c) match {
+        // degenerate ranges (all-null, constant, NaN/Inf endpoints —
+        // max() surfaces a single NaN as the column max) → constant
+        // rank; an unguarded NaN would crash the ANSI double→long cast
+        case Some((lo, hi))
+            if java.lang.Double.isFinite(lo) &&
+              java.lang.Double.isFinite(hi) && hi - lo > 0 =>
+          val d = asDouble(df, c)
+          val frac = (d - lit(lo)) / lit(hi - lo) * lit(maxRank.toDouble)
+          // clamp in DOUBLE space (cast after — an out-of-range or NaN
+          // value must never reach the ANSI cast), nulls → rank 0
+          when(d.isNull, lit(0L)).otherwise(
+            least(lit(maxRank.toDouble),
+              greatest(lit(0.0), nanvl(frac, lit(0.0))))
+              .cast(LongType))
+        case _ => lit(0L)
       }
     }
     // bit interleave: output bit (b * n + i) = bit b of rank i
@@ -79,12 +109,16 @@ object ZOrder {
   }
 
   /** `df` re-laid-out along the z-curve of `cols`: range-partitioned
-    * and sorted by the interleaved z-value, helper column dropped.
+    * (into `numPartitions` when given) and sorted by the interleaved
+    * z-value, helper column dropped.
     */
-  def cluster(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
+  def cluster(df: DataFrame, cols: Seq[String], bits: Int = 16,
+      numPartitions: Option[Int] = None,
+      ranges: Map[String, (Double, Double)] = Map.empty): DataFrame = {
     val z = "_zorder"
-    df.withColumn(z, zvalue(df, cols, bits))
-      .repartitionByRange(col(z))
+    val withZ = df.withColumn(z, zvalue(df, cols, bits, ranges))
+    numPartitions.fold(withZ.repartitionByRange(col(z)))(
+      n => withZ.repartitionByRange(n, col(z)))
       .sortWithinPartitions(col(z))
       .drop(z)
   }

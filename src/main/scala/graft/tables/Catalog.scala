@@ -93,13 +93,21 @@ final class Catalog(root: String, spark: SparkSession) {
 
   /** Register every cataloged table's current snapshot as a SQL temp
     * view (Hudi's sync-after-commit shape: call again after writes so
-    * SQL sees the new state). Returns the synced names.
+    * SQL sees the new state). Returns the synced names. One broken
+    * entry (registered before its first commit, or a stale descriptor
+    * whose data is gone) is skipped with a warning — it must not stop
+    * every other table from syncing.
     */
-  def syncViews(): Seq[String] = {
-    val synced = list().flatMap(load)
-    synced.foreach(t => graft.ops.TableOps.syncView(spark, t))
-    synced.map(_.name)
-  }
+  def syncViews(): Seq[String] =
+    list().flatMap(load).flatMap { t =>
+      try { graft.ops.TableOps.syncView(spark, t); Some(t.name) }
+      catch {
+        case e: Exception =>
+          System.err.println(
+            s"graft: catalog sync skipping ${t.name}: ${e.getMessage}")
+          None
+      }
+    }
 }
 
 object Catalog {

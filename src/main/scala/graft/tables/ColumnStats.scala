@@ -97,7 +97,14 @@ object ColumnStats {
     val dirs =
       if (rels == Seq("")) Seq(new Path(s"${t.dataPath}/$ver"))
       else rels.map(rel => new Path(s"${t.dataPath}/$ver/$rel"))
-    dirs.filter(fs.exists).flatMap { d =>
+    dirs.flatMap { d =>
+      // a LIVE dir (the current manifest references it) that is gone
+      // is corruption — fail like the plain scan would, don't silently
+      // return fewer files (an undercount or a partial read)
+      if (!fs.exists(d))
+        throw new java.io.FileNotFoundException(
+          s"table ${t.name}: live partition dir $d is missing " +
+            "(manifest references it; out-of-band deletion?)")
       fs.listStatus(d).toSeq
         .filter(st => st.isFile && {
           val n = st.getPath.getName
@@ -159,6 +166,46 @@ object ColumnStats {
         }
     }
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Global (lo, hi) double-embedded ranges of `cols`, folded from the
+    * sidecars of the table's CURRENT commit dirs — the kilobyte
+    * metadata path for z-order range discovery. Empty when any live
+    * commit lacks a sidecar or a column isn't tracked (caller falls
+    * back to a data agg). Sidecar rows of dead rels may widen a range
+    * slightly; clamping makes that a clustering-quality nuance, never
+    * a correctness issue.
+    */
+  private[graft] def columnRanges(spark: SparkSession, t: KeyedTable,
+      parts: Map[String, String], cols: Seq[String])
+      : Map[String, (Double, Double)] = {
+    val fs = new Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vers = parts.values.toSeq.distinct.sorted
+    if (vers.exists(v => !fs.exists(new Path(statsPath(t, v))))) return Map.empty
+    val all = vers.map(v => spark.read.parquet(statsPath(t, v)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    if (cols.exists(c => !all.columns.contains(s"min_$c"))) return Map.empty
+    def emb(src: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.DateType =>
+          unix_date(src).cast("double")
+        case org.apache.spark.sql.types.TimestampType =>
+          unix_micros(src).cast("double")
+        case _ => src.cast("double")
+      }
+    val row = all.agg(
+      struct(cols.flatMap(c => Seq(
+        min(emb(col(s"min_$c"), all.schema(s"min_$c").dataType)).as(s"lo_$c"),
+        max(emb(col(s"max_$c"), all.schema(s"max_$c").dataType)).as(s"hi_$c"))): _*)
+        .as("s")).select("s.*").head()
+    cols.flatMap { c =>
+      (Option(row.getAs[Any](s"lo_$c")), Option(row.getAs[Any](s"hi_$c"))) match {
+        case (Some(lo: java.lang.Double), Some(hi: java.lang.Double)) =>
+          Some(c -> (lo.doubleValue, hi.doubleValue))
+        case _ => None
+      }
+    }.toMap
   }
 
   /** Exact table row count from metadata alone — the Σ of per-file

@@ -44,6 +44,18 @@ class CatalogSpec extends SparkSuite {
     assert(again === Some(t))
   }
 
+  test("one broken entry does not stop the other tables from syncing") {
+    val base = tmpDir("graft-catalog")
+    val cat = Catalog(s"$base/catalog", spark)
+    val good = KeyedTable("good_t", s"$base/good_t", Seq("id"), "ver")
+    TableOps.upsert(spark, good, Seq(("a", 1)).toDF("id", "ver"))
+    cat.register(good)
+    // registered before its first commit — snapshot() has nothing to read
+    cat.register(KeyedTable("early_t", s"$base/early_t", Seq("id"), "ver"))
+    assert(cat.syncViews() === Seq("good_t"))
+    assert(spark.sql("SELECT count(*) FROM good_t").head.getLong(0) === 1L)
+  }
+
   test("illegal names and unparseable entries are rejected, not propagated") {
     val root = tmpDir("graft-catalog")
     val cat = Catalog(root, spark)

@@ -201,6 +201,30 @@ class ColumnStatsSpec extends SparkSuite {
     assert(TableOps.countFast(spark, plain) === 1L)
   }
 
+  test("a missing live dir fails loud, never a silent undercount or partial read") {
+    val t = statsTable(partitioned = true)
+    seed(t)
+    // simulate out-of-band loss of a LIVE partition dir
+    val dirs = TableOps.partitionDirs(spark, t)
+    val victim = java.nio.file.Paths.get(
+      new java.net.URI(dirs("part=1")).getPath match {
+        case p if p.nonEmpty => p
+        case _ => dirs("part=1")
+      })
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    deleteRec(victim)
+    intercept[java.io.FileNotFoundException] {
+      TableOps.countFast(spark, t)
+    }
+    intercept[java.io.FileNotFoundException] {
+      TableOps.snapshotWhere(spark, t, col("v") >= 0L).collect()
+    }
+  }
+
   test("stats survive compaction and delete rewrites") {
     val t = statsTable(partitioned = false)
     seed(t)

@@ -29,6 +29,34 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("nulls rank 0 and NaN/constant columns degrade to constant rank, no ANSI crash") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (0L, 1.0), (3L, Double.NaN), (null, 4.0), (2L, 2.0))
+      .toDF("x", "y")
+    val got = df.select(col("x"), ZOrder.zvalue(df, Seq("x", "y"), 2).as("z"))
+      .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    // y's max() is NaN ⇒ its range is non-finite ⇒ y contributes rank
+    // 0 everywhere; x=null ranks 0 like x=min
+    assert(got(Some(0L)) === got(None))
+    // x=3 → rank 3 (bits 1,1) at interleave positions 0 and 2 → z=5
+    assert(got(Some(3L)) === 5L)
+  }
+
+  test("numFiles bounds the z-order output layout") {
+    val base = tmpDir("graft-zorder")
+    val t = KeyedTable("t", s"$base/t", Seq("id"), "ver",
+      statsColumns = Seq("x", "y"))
+    val df = spark.range(256).select(
+      col("id").cast("string").as("id"), lit(1).as("ver"),
+      (col("id") / 16).cast("long").as("x"),
+      (col("id") % 16).cast("long").as("y"))
+    TableOps.upsert(spark, t, df)
+    TableOps.compact(spark, t, numFiles = Some(2),
+      zorderBy = Seq("x", "y"))
+    assert(TableOps.snapshot(spark, t).inputFiles.length === 2)
+    assert(TableOps.snapshot(spark, t).count() === 256)
+  }
+
   test("z-order compaction prunes files on BOTH columns via column stats") {
     val base = tmpDir("graft-zorder")
     val t = KeyedTable("t", s"$base/t", Seq("id"), "ver",
