@@ -70,6 +70,9 @@ object SparkEntry {
     "text_fingerprint"        -> (ExtQueries.textFingerprint _),
     "text_fingerprint_raw"    -> (ExtQueries.textFingerprintRaw _),
     "text_langid"             -> (ExtQueries.textLangid _),
+    "text_repetition"         -> (ExtQueries.textRepetition _),
+    "pii_redact"              -> (ExtQueries.piiRedact _),
+    "decontam_overlap"        -> (ExtQueries.decontamOverlap _),
     "multimodal_stats"        -> (ExtQueries.multimodalStats _),
     "multimodal_features"     -> (ExtQueries.multimodalFeatures _),
     "multimodal_features_raw" -> (ExtQueries.multimodalFeaturesRaw _),
@@ -112,7 +115,8 @@ object SparkEntry {
     "sim_lsh_topk_raw", "sim_ivf_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
     "text_stats", "text_quality", "text_token_counts",
-    "text_fingerprint_raw", "text_langid", "multimodal_stats",
+    "text_fingerprint_raw", "text_langid", "text_repetition",
+    "pii_redact", "decontam_overlap", "multimodal_stats",
     "multimodal_features_raw", "events_tumbling", "events_sliding",
     "events_sessions", "j_asof_join", "a_approx_agg_raw")
 
@@ -551,6 +555,101 @@ object SparkEntry {
       s"""WITH ${langidRankedCte("documents")}
         | SELECT doc_id, lang AS predicted_lang FROM ranked
         | WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // Gopher repetition signals recomputed the explode/group way (the
+    // Spark side is a one-pass kernel): top-n-gram occupancy with
+    // multiplicity, char-weighted duplicate-line fraction over the
+    // line-ified view, duplicate-token fraction.
+    "text_repetition" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |  FROM tok, UNNEST(range(1, len(w))) AS u(i)),
+        | c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        | f2 AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE)
+        |   / CAST(sum(c) AS DOUBLE), 6) AS top2gram_frac
+        |  FROM c2 GROUP BY 1),
+        | g3 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
+        | c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        | f3 AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE)
+        |   / CAST(sum(c) AS DOUBLE), 6) AS top3gram_frac
+        |  FROM c3 GROUP BY 1),
+        | ln AS (SELECT doc_id,
+        |   unnest(string_split(replace(text, ' table ', chr(10)), chr(10)))
+        |     AS line
+        |  FROM documents),
+        | lc AS (SELECT doc_id, line, count(*) AS c FROM ln GROUP BY 1, 2),
+        | lf AS (SELECT doc_id,
+        |   round(CAST(sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END)
+        |     AS DOUBLE) / CAST(sum(length(line) * c) AS DOUBLE), 6)
+        |     AS dup_line_frac
+        |  FROM lc GROUP BY 1),
+        | tf AS (SELECT doc_id, round(CAST(len(w) - len(list_distinct(w))
+        |   AS DOUBLE) / len(w), 6) AS dup_token_frac FROM tok)
+        | SELECT doc_id, top2gram_frac, top3gram_frac, dup_line_frac,
+        |  dup_token_frac
+        | FROM f2 JOIN f3 USING (doc_id) JOIN lf USING (doc_id)
+        |  JOIN tf USING (doc_id)
+        | ORDER BY doc_id""".stripMargin,
+    // PII scrub: same deterministic salting, same portable-regex
+    // patterns (Java regex and RE2 agree on this restricted core),
+    // every count and the redacted text recomputed.
+    "pii_redact" ->
+      raw"""WITH salted AS (
+        |  SELECT doc_id, text ||
+        |   CASE WHEN doc_id % 4 = 0
+        |     THEN ' contact user' || doc_id || '@example.com'
+        |    WHEN doc_id % 4 = 1
+        |     THEN ' call 555-867-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+        |    WHEN doc_id % 4 = 2
+        |     THEN ' host 10.0.' || (doc_id % 256) || '.7 up'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        | counted AS (
+        |  SELECT doc_id,
+        |   CAST(len(regexp_extract_all(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |     AS n_email,
+        |   CAST(len(regexp_extract_all(text,
+        |     '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+        |   CAST(len(regexp_extract_all(text,
+        |     '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
+        |   CAST(len(regexp_extract_all(text,
+        |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |     '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+        |     AS text_redacted
+        |  FROM salted)
+        | SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4, text_redacted,
+        |  (n_email > 0 OR n_ssn > 0 OR n_phone > 0 OR n_ipv4 > 0) AS has_pii
+        | FROM counted ORDER BY doc_id""".stripMargin,
+    // Benchmark decontamination: string-level 8-gram overlap between
+    // the corpus (doc_id % 10 <> 0) and the benchmark slice
+    // (doc_id % 10 = 0), whole-doc gram for sub-8-token docs (the
+    // shingle-kernel convention).
+    "decontam_overlap" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |   SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |     || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+        |     || ' ' || w[i+7] AS g
+        |   FROM tok, UNNEST(range(1, len(w) - 6)) AS u(i)
+        |   WHERE len(w) >= 8
+        |   UNION ALL
+        |   SELECT doc_id, array_to_string(w, ' ') FROM tok
+        |   WHERE len(w) < 8)),
+        | bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0)
+        | SELECT s.doc_id, count(*) AS n_hits
+        | FROM sh s JOIN bench b USING (g)
+        | WHERE s.doc_id % 10 <> 0
+        | GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "sim_vector_dim_stats" ->
       """SELECT label, i - 1 AS dim,
         | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v,

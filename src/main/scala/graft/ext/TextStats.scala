@@ -127,6 +127,48 @@ object TextStats {
       ceil(length(col(textCol)).cast(DoubleType) / 4.0).cast(IntegerType)
         .as("est_tokens_4cpt"))
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021,
+    * Table A1): fraction of n-gram occurrences held by the top word
+    * n-gram (n = 2, 3), fraction of line characters in exactly-repeated
+    * lines, and the duplicate-token fraction. Each n-gram/line signal
+    * is ONE codegen'd kernel call per document
+    * ([[graft.functions.RepetitionKernel]]) — the whole operator is
+    * map-only (no explode, no shuffle), so at 100 TB it costs exactly
+    * one corpus scan. Values rounded to 6 dp (SQL-oracle-able).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val s = docs.sparkSession
+    val t = toks(col(textCol))
+    val nTok = size(t).cast(DoubleType)
+    docs.select(
+      col(idCol).as("doc_id"),
+      round(graft.functions.TextFunctions.topNgramFrac(s, col(textCol), 2), 6)
+        .as("top2gram_frac"),
+      round(graft.functions.TextFunctions.topNgramFrac(s, col(textCol), 3), 6)
+        .as("top3gram_frac"),
+      round(graft.functions.TextFunctions.dupLineFrac(s, col(textCol)), 6)
+        .as("dup_line_frac"),
+      round((nTok - size(array_distinct(t)).cast(DoubleType)) / nTok, 6)
+        .as("dup_token_frac"))
+  }
+
+  /** Keep only documents below the repetition thresholds — the Gopher
+    * repetition filter (defaults in the ballpark of the published
+    * cutoffs). Composes as a semi-join-free filter: the stats are
+    * computed inline on the same scan, so the filter pushes down to a
+    * single map-only pass.
+    */
+  def repetitionFilter(docs: DataFrame, idCol: String, textCol: String,
+      maxTop2: Double = 0.20, maxTop3: Double = 0.18,
+      maxDupLine: Double = 0.30): DataFrame = {
+    val s = docs.sparkSession
+    docs.filter(
+      graft.functions.TextFunctions.topNgramFrac(s, col(textCol), 2) <= maxTop2 &&
+        graft.functions.TextFunctions.topNgramFrac(s, col(textCol), 3) <= maxTop3 &&
+        graft.functions.TextFunctions.dupLineFrac(s, col(textCol)) <= maxDupLine)
+  }
+
   /** Rolling polynomial fingerprint of the normalized token stream
     * (Karp-Rabin style: acc = (acc*31 + tokenHash) mod (2^31−1), folded
     * left-to-right — deterministic, order-sensitive, ANSI-safe since

@@ -73,6 +73,108 @@ object ShingleKernel {
   }
 }
 
+/** One-pass repetition statistics — the Gopher-style boilerplate
+  * signals (Rae et al. 2021, "Scaling Language Models", Table A1) a
+  * curation funnel filters on. Each is a SINGLE kernel call per
+  * document (local hash map, no explode/groupBy), so the operator is
+  * map-only at any corpus size: the alternative — explode n-grams with
+  * multiplicity and double-aggregate — shuffles O(tokens) rows to
+  * compute a per-doc scalar.
+  */
+object RepetitionKernel {
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * word n-gram (with multiplicity): `max_count / total_count`.
+    * Tokenization matches [[ShingleKernel.compute]] (space-trim,
+    * locale-invariant lowercase, `\s+` split, empties kept). Fewer
+    * than n tokens → 0.0 (no n-gram exists).
+    */
+  def topNgramFrac(input: UTF8String, n: Int): Double = {
+    val text = input.toLowerCase.toString
+    var from = 0
+    var to = text.length
+    while (from < to && text.charAt(from) == ' ') from += 1
+    while (to > from && text.charAt(to - 1) == ' ') to -= 1
+    val toks = text.substring(from, to).split("\\s+", -1)
+    if (toks.length < n) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    var max = 0
+    var total = 0
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > max) max = c
+      total += 1
+      i += 1
+    }
+    max.toDouble / total.toDouble
+  }
+
+  /** Fraction of line characters inside duplicated lines: chars of
+    * lines whose EXACT string occurs ≥ 2 times in the document,
+    * weighted by occurrence, over all line chars. Lines split on '\n'
+    * verbatim (no trim/lowercase — Gopher's duplicate-line semantic);
+    * a document with no line characters scores 0.0.
+    */
+  def dupLineCharFrac(input: UTF8String): Double = {
+    val lines = input.toString.split("\n", -1)
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < lines.length) {
+      counts.merge(lines(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    var dup = 0L
+    var total = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val chars = e.getKey.length.toLong * e.getValue
+      total += chars
+      if (e.getValue > 1) dup += chars
+    }
+    if (total == 0L) 0.0 else dup.toDouble / total.toDouble
+  }
+}
+
+/** `graft_top_ngram_frac_n(text) → double` — see
+  * [[RepetitionKernel.topNgramFrac]]; one static call inside the
+  * enclosing WholeStageCodegen span.
+  */
+case class TextTopNgramFrac(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionKernel.topNgramFrac(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RepetitionKernel.topNgramFrac($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_dup_line_frac(text) → double` — see
+  * [[RepetitionKernel.dupLineCharFrac]].
+  */
+case class TextDupLineFrac(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionKernel.dupLineCharFrac(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RepetitionKernel.dupLineCharFrac($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_shingles(text, n) → array<string>` — distinct word n-grams of
   * the normalized (lowercased, whitespace-split) text in ONE expression
   * evaluation per document.
@@ -149,5 +251,17 @@ object TextFunctions {
     registerOnce(spark, fnNameH(n),
       exprs => TextShingleHashes(exprs.head, n))
     call_function(fnNameH(n), text)
+  }
+
+  def topNgramFrac(spark: SparkSession, text: Column, n: Int): Column = {
+    registerOnce(spark, s"graft_top_ngram_frac_$n",
+      exprs => TextTopNgramFrac(exprs.head, n))
+    call_function(s"graft_top_ngram_frac_$n", text)
+  }
+
+  def dupLineFrac(spark: SparkSession, text: Column): Column = {
+    registerOnce(spark, "graft_dup_line_frac",
+      exprs => TextDupLineFrac(exprs.head))
+    call_function("graft_dup_line_frac", text)
   }
 }

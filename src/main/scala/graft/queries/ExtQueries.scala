@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, EventWindows, Multimodal, Sampling, Similarity, TextStats}
+import graft.ext.{Decontaminate, Dedup, EventWindows, Multimodal, Pii, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -451,6 +451,69 @@ object ExtQueries {
     TextStats.languageId(t(s, dir, "documents"), "doc_id", "text")
       .select("doc_id", "predicted_lang")
       .orderBy("doc_id")
+
+  /** Gopher-style repetition signals per doc. The dup-line signal runs
+    * on a line-ified view of the corpus (the single-line test docs have
+    * no '\n'; replacing the ' table ' delimiter with newlines exercises
+    * the line splitter with the same deterministic text both engines
+    * see). All four fractions are value-level hash-checked.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lineified = TextStats.repetitionStats(
+      docs.select(col("doc_id"),
+        replace(col("text"), lit(" table "), lit("\n")).as("text")),
+      "doc_id", "text")
+      .select(col("doc_id"), col("dup_line_frac"))
+    TextStats.repetitionStats(docs, "doc_id", "text")
+      .drop("dup_line_frac")
+      .join(lineified, "doc_id")
+      .select("doc_id", "top2gram_frac", "top3gram_frac", "dup_line_frac",
+        "dup_token_frac")
+      .orderBy("doc_id")
+  }
+
+  /** PII scrub surface: the corpus is deterministically salted with
+    * synthetic PII (an email / phone / IPv4 by doc_id residue — the raw
+    * corpus contains none, which would make the gate vacuous), then
+    * detection counts and the redacted text are computed in one scan.
+    * The oracle rebuilds the same salted text and recomputes every
+    * count and replacement in DuckDB (both engines run the identical
+    * portable-regex patterns).
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val salted = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit(" call 555-867-"),
+              lpad(col("doc_id").cast("string"), 4, "0")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit(" host 10.0."),
+              pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 up")))
+          .otherwise(lit(""))).as("text"))
+    Pii.report(salted, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: every 10th doc plays the benchmark set;
+    * the rest are the training corpus. 8-gram overlap (partial at this
+    * corpus: the exact-duplicate docs collide, everything else is
+    * clean) with the tiny index broadcast. The oracle recomputes the
+    * string-level n-gram overlap in DuckDB, whole-doc gram for short
+    * docs included.
+    */
+  def decontamOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    Decontaminate.flag(corpus, "doc_id", "text",
+      Decontaminate.benchmarkIndex(bench, "text", n = 8),
+      n = 8, broadcastIndex = true)
+      .orderBy("doc_id")
+  }
 
   // ———————————————————————————————————————— multimodal
 
