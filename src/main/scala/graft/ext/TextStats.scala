@@ -137,7 +137,15 @@ object TextStats {
     * one corpus scan. Values rounded to 6 dp (SQL-oracle-able).
     */
   def repetitionStats(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    repetitionStatsOn(docs, idCol, textCol, col(textCol))
+
+  /** [[repetitionStats]] with the duplicate-line signal computed over
+    * an arbitrary line-carrying expression (e.g. a delimiter-to-'\n'
+    * rewrite of the same text) — still ONE projection over ONE scan.
+    */
+  def repetitionStatsOn(docs: DataFrame, idCol: String, textCol: String,
+      lineText: Column): DataFrame = {
     val s = docs.sparkSession
     val t = toks(col(textCol))
     val nTok = size(t).cast(DoubleType)
@@ -147,7 +155,7 @@ object TextStats {
         .as("top2gram_frac"),
       round(graft.functions.TextFunctions.topNgramFrac(s, col(textCol), 3), 6)
         .as("top3gram_frac"),
-      round(graft.functions.TextFunctions.dupLineFrac(s, col(textCol)), 6)
+      round(graft.functions.TextFunctions.dupLineFrac(s, lineText), 6)
         .as("dup_line_frac"),
       round((nTok - size(array_distinct(t)).cast(DoubleType)) / nTok, 6)
         .as("dup_token_frac"))

@@ -458,20 +458,10 @@ object ExtQueries {
     * the line splitter with the same deterministic text both engines
     * see). All four fractions are value-level hash-checked.
     */
-  def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val lineified = TextStats.repetitionStats(
-      docs.select(col("doc_id"),
-        replace(col("text"), lit(" table "), lit("\n")).as("text")),
-      "doc_id", "text")
-      .select(col("doc_id"), col("dup_line_frac"))
-    TextStats.repetitionStats(docs, "doc_id", "text")
-      .drop("dup_line_frac")
-      .join(lineified, "doc_id")
-      .select("doc_id", "top2gram_frac", "top3gram_frac", "dup_line_frac",
-        "dup_token_frac")
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextStats.repetitionStatsOn(t(s, dir, "documents"), "doc_id", "text",
+      replace(col("text"), lit(" table "), lit("\n")))
       .orderBy("doc_id")
-  }
 
   /** PII scrub surface: the corpus is deterministically salted with
     * synthetic PII (an email / phone / IPv4 by doc_id residue — the raw
