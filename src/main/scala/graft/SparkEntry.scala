@@ -64,6 +64,9 @@ object SparkEntry {
     "sim_neardup_pairs"       -> (ExtQueries.simNeardupPairs _),
     "sample_stratified"       -> (ExtQueries.sampleStratified _),
     "sample_split"            -> (ExtQueries.sampleSplit _),
+    "sample_quota"            -> (ExtQueries.sampleQuota _),
+    "sample_rates"            -> (ExtQueries.sampleRates _),
+    "pack_sequences"          -> (ExtQueries.packSequences _),
     "text_stats"              -> (ExtQueries.textStats _),
     "text_quality"            -> (ExtQueries.textQuality _),
     "text_token_counts"       -> (ExtQueries.textTokenCounts _),
@@ -114,6 +117,7 @@ object SparkEntry {
     "dedup_minhash_incr", "dedup_simhash_pairs", "sim_cosine_topk",
     "sim_lsh_topk_raw", "sim_ivf_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
+    "sample_quota", "sample_rates", "pack_sequences",
     "text_stats", "text_quality", "text_token_counts",
     "text_fingerprint_raw", "text_langid", "text_repetition",
     "pii_redact", "decontam_overlap", "multimodal_stats",
@@ -526,6 +530,37 @@ object SparkEntry {
         | true AS coverage_pass, true AS train_pass, true AS val_pass,
         | true AS test_pass
         | FROM documents""".stripMargin,
+    "sample_quota" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_orderkey""".stripMargin,
+    // Deterministic rate sampling: the identical md5-60 draw and rate
+    // CASE, so the kept set matches row for row.
+    "sample_rates" ->
+      s"""SELECT vec_id, label FROM embeddings
+        | WHERE (${h60Sql("rate", 42, "vec_id")} % 1000000) <
+        |  CASE label WHEN 0 THEN 1000000 WHEN 1 THEN 750000
+        |   WHEN 2 THEN 500000 WHEN 3 THEN 250000 WHEN 4 THEN 100000
+        |   ELSE 50000 END
+        | ORDER BY vec_id""".stripMargin,
+    // Concat-then-chunk packing: same hash bucket, same (bucket, id)
+    // layout order, same start-offset chunk assignment via window
+    // cumsum.
+    "pack_sequences" ->
+      s"""WITH tc AS (
+        |  SELECT doc_id,
+        |   CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+        |     AS BIGINT) AS n_tokens,
+        |   CAST(${h60Sql("pack", 42, "doc_id")} % 8 AS INT) AS bucket
+        |  FROM documents),
+        | c AS (SELECT doc_id, bucket, n_tokens,
+        |   sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |     ROWS UNBOUNDED PRECEDING) - n_tokens AS prev FROM tc)
+        | SELECT doc_id, bucket, CAST(prev // 256 AS BIGINT) AS seq_id,
+        |  n_tokens
+        | FROM c ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

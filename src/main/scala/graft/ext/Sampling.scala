@@ -65,4 +65,48 @@ object Sampling {
       .filter(col("_rn") <= ceil(col("_n") * lit(frac) - lit(1e-9)))
       .drop("_rn", "_n")
   }
+
+  /** Per-group quota cap: keep at most `cap` rows from each group,
+    * deterministically the first by `orderCol` — the "at most N docs
+    * per domain" rule that stops a handful of giant sources from
+    * dominating a training mix.
+    *
+    * One shuffle on the group key. The `row_number() <= cap` filter is
+    * recognized by Spark's `InferWindowGroupLimit` rule, which inserts
+    * a PARTIAL WindowGroupLimit before the exchange — each mapper
+    * forwards only its own first `cap` rows per group, so a skewed
+    * 10⁹-row group ships O(mappers × cap) rows, not the group.
+    */
+  def quotaPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
+  /** Deterministic per-group-rate Bernoulli sampling — the
+    * quality/temperature reweighting step of a training mix ("keep
+    * 100% of tier-0, 25% of tier-3, 5% of everything else"): a row
+    * survives iff its [[graft.functions.PortableHash]] draw falls
+    * under its group's rate. Map-only (the rate table compiles into a
+    * literal CASE chain — no join), replayable (pure function of id
+    * and seed), and value-level verifiable cross-engine (the oracle
+    * recomputes the identical md5-60 arithmetic).
+    */
+  def sampleByRates(df: DataFrame, groupCol: String, idCol: String,
+      rates: Seq[(Any, Double)], defaultRate: Double,
+      seed: Long = 42L): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val draw = pmod(graft.functions.PortableHash.h60("rate", seed,
+      col(idCol)), lit(Buckets.toLong))
+    val cut = rates.foldLeft(lit(math.round(defaultRate * Buckets))) {
+      case (acc, (k, r)) =>
+        when(col(groupCol) === lit(k), lit(math.round(r * Buckets)))
+          .otherwise(acc)
+    }
+    df.filter(draw < cut)
+  }
 }

@@ -70,12 +70,10 @@ object SeedTables {
   }
 
   /** The md5-60-bit field hash: a pure function of (tag, seed, row id),
-    * identical on both engines (`conv(substr(md5(...),1,15),16,10)`).
+    * identical on both engines — see [[graft.functions.PortableHash]].
     */
   private def h60(tag: String, seed: Long, i: Column): Column =
-    conv(substring(md5(
-      concat(lit(s"$tag:$seed:"), i.cast("string")).cast("binary")),
-      1, 15), 16, 10).cast(LongType)
+    graft.functions.PortableHash.h60(tag, seed, i)
 
   def customers(spark: SparkSession, n: Int, seed: Long,
       epochMillis: Long): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Decontaminate, Dedup, EventWindows, Multimodal, Pii, Sampling, Similarity, TextStats}
+import graft.ext.{Decontaminate, Dedup, EventWindows, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -402,6 +402,38 @@ object ExtQueries {
         (abs(col("n_val") / col("n_total") - 0.1) < 0.05).as("val_pass"),
         (abs(col("n_test") / col("n_total") - 0.1) < 0.05).as("test_pass"))
   }
+
+  /** Per-group quota cap over orders (≤ 3 per customer, first by
+    * order key) — fully oracled against the SQL window form; the
+    * Spark plan additionally runs the partial WindowGroupLimit
+    * (asserted in PackingSamplingSpec).
+    */
+  def sampleQuota(s: SparkSession, dir: String): DataFrame =
+    Sampling.quotaPerGroup(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_custkey", "o_orderkey", cap = 3)
+      .orderBy("o_orderkey")
+
+  /** Deterministic per-label-rate sampling over embeddings (the
+    * temperature-mix shape); every kept row is value-level verified —
+    * the oracle recomputes the md5-60 draw and the rate CASE.
+    */
+  def sampleRates(s: SparkSession, dir: String): DataFrame =
+    Sampling.sampleByRates(
+      t(s, dir, "embeddings").select("vec_id", "label"),
+      "label", "vec_id",
+      rates = Seq(0 -> 1.0, 1 -> 0.75, 2 -> 0.5, 3 -> 0.25, 4 -> 0.1),
+      defaultRate = 0.05)
+      .orderBy("vec_id")
+
+  /** Concat-then-chunk sequence packing of the corpus (budget 256
+    * whitespace tokens, 8 hash buckets); the full per-doc assignment
+    * is recomputed by the oracle's window cumsum.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    Packing.assignSequencesByText(t(s, dir, "documents"), "doc_id", "text",
+      budget = 256, buckets = 8)
+      .orderBy("doc_id")
 
   // ———————————————————————————————————————— text analysis
 

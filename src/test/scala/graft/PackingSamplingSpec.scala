@@ -1,0 +1,105 @@
+package graft
+
+import graft.ext.{Packing, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Quota capping, rate sampling, and sequence packing semantics on
+  * constructed inputs, plus the plan-shape guarantees the scale story
+  * rests on.
+  */
+class PackingSamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("quotaPerGroup keeps the first cap rows per group by order") {
+    val df = Seq(
+      ("a", 3), ("a", 1), ("a", 2), ("a", 4),
+      ("b", 10), ("b", 11),
+      ("c", 5)).toDF("g", "o")
+    val kept = Sampling.quotaPerGroup(df, "g", "o", cap = 2)
+      .as[(String, Int)].collect().toSet
+    assert(kept === Set(("a", 1), ("a", 2), ("b", 10), ("b", 11), ("c", 5)))
+  }
+
+  test("quotaPerGroup plan runs a partial WindowGroupLimit before the shuffle") {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val plan = Sampling.quotaPerGroup(df, "o_custkey", "o_orderkey", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial"), "expected the partial (pre-shuffle) mode")
+  }
+
+  test("sampleByRates: rate 1 keeps all, rate 0 keeps none, deterministic") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "g")
+    val all = Sampling.sampleByRates(df, "g", "id",
+      Seq("x" -> 1.0, "y" -> 1.0), defaultRate = 0.0)
+    assert(all.count() === 200)
+    val none = Sampling.sampleByRates(df, "g", "id",
+      Seq("x" -> 0.0), defaultRate = 0.0)
+    assert(none.count() === 0)
+    val half1 = Sampling.sampleByRates(df, "g", "id",
+      Seq("x" -> 0.5), defaultRate = 0.1).select("id").as[Long].collect().toSet
+    val half2 = Sampling.sampleByRates(df, "g", "id",
+      Seq("x" -> 0.5), defaultRate = 0.1).select("id").as[Long].collect().toSet
+    assert(half1 === half2, "same seed must keep the same rows")
+  }
+
+  test("sampleByRates hits group rates within Bernoulli tolerance") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", (pmod($"doc_id", lit(2))).as("g"))
+    val kept = Sampling.sampleByRates(docs, "g", "doc_id",
+      Seq(0L -> 0.8, 1L -> 0.2), defaultRate = 0.0)
+      .groupBy("g").count().as[(Long, Long)].collect().toMap
+    val n = docs.count() / 2.0
+    assert(math.abs(kept(0L) / n - 0.8) < 0.15, s"g0 kept ${kept(0L)} of $n")
+    assert(math.abs(kept(1L) / n - 0.2) < 0.15, s"g1 kept ${kept(1L)} of $n")
+  }
+
+  test("packing: start-offset chunk assignment within one bucket") {
+    // tokens 100,200,100,300 @ budget 250: prev = 0,100,300,400
+    // → seq 0,0,1,1; doc 4 (300 tokens) straddles into seq 2
+    val df = Seq((1L, 100), (2L, 200), (3L, 100), (4L, 300))
+      .toDF("id", "tok")
+    val got = Packing.assignSequences(df, "id", col("tok"),
+      budget = 250, buckets = 1)
+      .select("id", "bucket", "seq_id", "n_tokens")
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((0, 0L, 100L)))
+    assert(got(2L) === ((0, 0L, 200L)))
+    assert(got(3L) === ((0, 1L, 100L)))
+    assert(got(4L) === ((0, 1L, 300L)))
+  }
+
+  test("packing: seq ids are dense from 0 per bucket; stats cover all docs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val assigned = Packing.assignSequencesByText(docs, "doc_id", "text",
+      budget = 128, buckets = 4)
+    assert(assigned.count() === docs.count())
+    // per bucket: min seq 0, max seq = floor((sum - last_doc)/budget),
+    // and no gaps (every seq between min and max is populated —
+    // guaranteed because a doc starting past a boundary closes the
+    // previous seq; verify empirically)
+    val perBucket = assigned.groupBy("bucket")
+      .agg(min($"seq_id").as("mn"), max($"seq_id").as("mx"),
+        countDistinct($"seq_id").as("n"))
+      .as[(Int, Long, Long, Long)].collect()
+    perBucket.foreach { case (b, mn, mx, n) =>
+      assert(mn === 0L, s"bucket $b starts at $mn")
+      assert(n === mx + 1, s"bucket $b has gaps: $n distinct over 0..$mx")
+    }
+    // buckets are hash-balanced: no bucket more than 2× the mean
+    val sizes = assigned.groupBy("bucket").count().as[(Int, Long)]
+      .collect().map(_._2)
+    assert(sizes.max.toDouble / (sizes.sum.toDouble / sizes.length) < 2.0)
+  }
+
+  test("packing determinism: same (seed, budget, buckets) → same assignment") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Packing.assignSequencesByText(docs, "doc_id", "text", 128, 4)
+    val b = Packing.assignSequencesByText(docs, "doc_id", "text", 128, 4)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
