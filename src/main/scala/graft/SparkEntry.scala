@@ -67,6 +67,7 @@ object SparkEntry {
     "sample_quota"            -> (ExtQueries.sampleQuota _),
     "sample_rates"            -> (ExtQueries.sampleRates _),
     "pack_sequences"          -> (ExtQueries.packSequences _),
+    "dq_expectations"         -> (ExtQueries.dqExpectations _),
     "text_stats"              -> (ExtQueries.textStats _),
     "text_quality"            -> (ExtQueries.textQuality _),
     "text_token_counts"       -> (ExtQueries.textTokenCounts _),
@@ -117,7 +118,7 @@ object SparkEntry {
     "dedup_minhash_incr", "dedup_simhash_pairs", "sim_cosine_topk",
     "sim_lsh_topk_raw", "sim_ivf_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
-    "sample_quota", "sample_rates", "pack_sequences",
+    "sample_quota", "sample_rates", "pack_sequences", "dq_expectations",
     "text_stats", "text_quality", "text_token_counts",
     "text_fingerprint_raw", "text_langid", "text_repetition",
     "pii_redact", "decontam_overlap", "multimodal_stats",
@@ -530,6 +531,30 @@ object SparkEntry {
         | true AS coverage_pass, true AS train_pass, true AS val_pass,
         | true AS test_pass
         | FROM documents""".stripMargin,
+    // Expectation gate: per-rule conditional sums (NULL predicate =
+    // violation) + the FK orphan count, all recomputed.
+    "dq_expectations" ->
+      """SELECT rule, n_rows, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'qty_range' AS rule, count(*) AS n_rows,
+        |   CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+        |     AS BIGINT) AS n_violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'qty_under_25', count(*),
+        |   CAST(sum(CASE WHEN l_quantity <= 25 THEN 0 ELSE 1 END) AS BIGINT)
+        |   FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price_positive', count(*),
+        |   CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+        |     AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'returnflag_domain', count(*),
+        |   CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+        |     AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'fk_orders', (SELECT count(*) FROM lineitem),
+        |   (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL))
+        | ORDER BY rule""".stripMargin,
     "sample_quota" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM (
         |  SELECT o_orderkey, o_custkey, o_totalprice,

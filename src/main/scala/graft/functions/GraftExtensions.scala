@@ -34,5 +34,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_shingles_3",
         "graft_shingles_3(text) - distinct word 3-grams of normalized text"),
       (exprs: Seq[Expression]) => TextShingles(exprs.head, 3)))
+    // the Gopher repetition kernels, at the n the curation filter uses
+    // (per-n names mirror the in-session registry convention)
+    for (n <- Seq(2, 3))
+      e.injectFunction((FunctionIdentifier(s"graft_top_ngram_frac_$n"),
+        info(s"graft_top_ngram_frac_$n",
+          s"graft_top_ngram_frac_$n(text) - occupancy of the most frequent word $n-gram"),
+        (exprs: Seq[Expression]) => TextTopNgramFrac(exprs.head, n)))
+    e.injectFunction((FunctionIdentifier("graft_dup_line_frac"),
+      info("graft_dup_line_frac",
+        "graft_dup_line_frac(text) - fraction of line chars in duplicated lines"),
+      (exprs: Seq[Expression]) => TextDupLineFrac(exprs.head)))
   }
 }

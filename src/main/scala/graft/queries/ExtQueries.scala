@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Decontaminate, Dedup, EventWindows, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
+import graft.ext.{Decontaminate, Dedup, EventWindows, Expectations, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -434,6 +434,23 @@ object ExtQueries {
     Packing.assignSequencesByText(t(s, dir, "documents"), "doc_id", "text",
       budget = 256, buckets = 8)
       .orderBy("doc_id")
+
+  /** Data-quality expectation gate over lineitem: four single-scan
+    * rules (one deliberately failing — `qty_under_25` — so nonzero
+    * violation counting is exercised) plus the orders referential-
+    * integrity check; every count recomputed by the oracle.
+    */
+  def dqExpectations(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    Expectations.check(li, Seq(
+      "qty_range" -> col("l_quantity").between(1, 50),
+      "qty_under_25" -> (col("l_quantity") <= 25),
+      "price_positive" -> (col("l_extendedprice") > 0),
+      "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+      .unionByName(Expectations.orphans(li, "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey", rule = "fk_orders"))
+      .orderBy("rule")
+  }
 
   // ———————————————————————————————————————— text analysis
 

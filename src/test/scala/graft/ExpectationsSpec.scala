@@ -1,0 +1,68 @@
+package graft
+
+import graft.ext.Expectations
+import org.apache.spark.sql.functions._
+
+/** Expectation-gate semantics: null-as-violation, quarantine
+  * annotation, orphan counting, and the one-scan cost claim.
+  */
+class ExpectationsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val rows = Seq(
+    (1L, Some(10.0), "A"),
+    (2L, Some(-5.0), "B"),
+    (3L, None, "A"),
+    (4L, Some(99.0), "Z"))
+    .toDF("id", "amount", "flag")
+
+  private val rules = Seq(
+    "amount_positive" -> (col("amount") > 0),
+    "flag_domain" -> col("flag").isin("A", "B"))
+
+  test("check: per-rule counts, NULL predicate counts as violation") {
+    val got = Expectations.check(rows, rules)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // amount_positive: -5 fails, NULL fails → 2 violations
+    assert(got("amount_positive") === ((4L, 2L, false)))
+    // flag_domain: Z fails → 1
+    assert(got("flag_domain") === ((4L, 1L, false)))
+  }
+
+  test("check runs ONE scan regardless of rule count") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val plan = Expectations.check(df, Seq(
+      "a" -> (col("l_quantity") > 0),
+      "b" -> (col("l_extendedprice") > 0),
+      "c" -> col("l_returnflag").isNotNull))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length - 1 === 1,
+      s"expected exactly one scan in:\n$plan")
+  }
+
+  test("violations: quarantine rows annotated with the rules they broke") {
+    val got = Expectations.violations(rows, rules)
+      .select("id", "violated_rules")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got === Map(
+      2L -> Seq("amount_positive"),
+      3L -> Seq("amount_positive"),
+      4L -> Seq("flag_domain")))
+    // clean rows flow through untouched
+    assert(!got.contains(1L))
+  }
+
+  test("orphans: FK violations counted; null child keys are orphans") {
+    val parent = Seq(10L, 20L).toDF("pk")
+    val child = Seq(Some(10L), Some(10L), Some(30L), None)
+      .toDF("fk")
+    val got = Expectations.orphans(child, "fk", parent, "pk")
+      .as[(String, Long, Long, Boolean)].head()
+    assert(got === (("referential_integrity", 4L, 2L, false)))
+    val clean = Expectations.orphans(
+      Seq(10L, 20L).toDF("fk"), "fk", parent, "pk")
+      .as[(String, Long, Long, Boolean)].head()
+    assert(clean._4 === true)
+  }
+}
