@@ -148,6 +148,28 @@ class CurationOpsSpec extends SparkSuite {
     assert(kept === Set(2L))
   }
 
+  test("curation stack is streaming-parity: pii redact + repetition filter on a stream") {
+    // the whole scrub pipeline is map-only, so it must run UNCHANGED
+    // under Structured Streaming — same Columns, same kernels, no
+    // state, no watermark needed
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val srcDir = tmpDir("graft-curation-stream")
+    docs.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val scrubbed = TextStats.repetitionFilter(
+      Pii.redact(stream, "doc_id", "text"), "doc_id", "text")
+    val q = scrubbed.writeStream.format("memory").queryName("curated")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("curated").select("doc_id")
+      .as[Long].collect().toSet
+    val batch = TextStats.repetitionFilter(
+      Pii.redact(docs, "doc_id", "text"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("repetition kernels match the declarative recomputation on corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // declarative top-2-gram frac: explode with multiplicity + 2 aggs
