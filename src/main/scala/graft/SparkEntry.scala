@@ -68,6 +68,7 @@ object SparkEntry {
     "sample_rates"            -> (ExtQueries.sampleRates _),
     "pack_sequences"          -> (ExtQueries.packSequences _),
     "dq_expectations"         -> (ExtQueries.dqExpectations _),
+    "dq_profile"              -> (ExtQueries.dqProfile _),
     "text_stats"              -> (ExtQueries.textStats _),
     "text_quality"            -> (ExtQueries.textQuality _),
     "text_token_counts"       -> (ExtQueries.textTokenCounts _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "sim_lsh_topk_raw", "sim_ivf_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
     "sample_quota", "sample_rates", "pack_sequences", "dq_expectations",
+    "dq_profile",
     "text_stats", "text_quality", "text_token_counts",
     "text_fingerprint_raw", "text_langid", "text_repetition",
     "pii_redact", "decontam_overlap", "multimodal_stats",
@@ -555,6 +557,39 @@ object SparkEntry {
         |   (SELECT count(*) FROM lineitem l LEFT JOIN orders o
         |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL))
         | ORDER BY rule""".stripMargin,
+    // Column profile: every cell (null/distinct/min/max-as-string)
+    // recomputed per column. Both engines render BIGINT and DOUBLE
+    // casts with shortest-roundtrip decimal below 1e7, so the string
+    // forms agree.
+    "dq_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+        |   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_nulls,
+        |   count(DISTINCT o_orderkey) AS n_distinct,
+        |   CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |   CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*),
+        |   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |   count(DISTINCT o_custkey),
+        |   CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*),
+        |   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |     AS BIGINT),
+        |   count(DISTINCT o_orderpriority),
+        |   CAST(min(o_orderpriority) AS VARCHAR),
+        |   CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*),
+        |   CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |     AS BIGINT),
+        |   count(DISTINCT o_totalprice),
+        |   CAST(min(o_totalprice) AS VARCHAR),
+        |   CAST(max(o_totalprice) AS VARCHAR) FROM orders)
+        | ORDER BY "column"""".stripMargin,
     "sample_quota" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM (
         |  SELECT o_orderkey, o_custkey, o_totalprice,

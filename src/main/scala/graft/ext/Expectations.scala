@@ -52,6 +52,40 @@ object Expectations {
       .filter(size(col("violated_rules")) > 0)
   }
 
+  /** Single-scan column profile: `(column, n_rows, n_nulls,
+    * n_distinct, min_value, max_value)` per requested column —
+    * min/max rendered as strings so heterogeneous column types share
+    * one result schema. Like [[check]], ALL columns profile in ONE
+    * aggregation over ONE scan. Caveat: multiple EXACT distinct
+    * aggregates plan through an Expand that replicates every input
+    * row once per distinct column — still one scan, but shuffled
+    * bytes grow with the column count, so at extreme scale flip
+    * `exactDistinct` off to use HLL `approx_count_distinct` (plain
+    * partial aggregates, no Expand, same single pass).
+    */
+  def profile(df: DataFrame, columns: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(columns.nonEmpty, "at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: columns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = explode(array(columns.map { c =>
+      struct(lit(c).as("column"), col(s"nn_$c").as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"), col(s"mn_$c").as("min_value"),
+        col(s"mx_$c").as("max_value"))
+    }: _*)).as("p")
+    wide.select(col("n_rows"), stacked)
+      .select(col("p.column").as("column"), col("n_rows"),
+        col("p.n_nulls").as("n_nulls"), col("p.n_distinct").as("n_distinct"),
+        col("p.min_value").as("min_value"), col("p.max_value").as("max_value"))
+  }
+
   /** Referential integrity: `(rule, n_rows, n_violations, pass)` for
     * child keys with no matching parent key (NULL child keys are
     * orphans — a null FK fails the expectation; relax with an

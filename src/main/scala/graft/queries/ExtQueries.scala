@@ -452,6 +452,14 @@ object ExtQueries {
       .orderBy("rule")
   }
 
+  /** Single-scan column profile of orders (nulls, exact distincts,
+    * min/max as strings) — every cell recomputed by the oracle.
+    */
+  def dqProfile(s: SparkSession, dir: String): DataFrame =
+    Expectations.profile(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"))
+      .orderBy("column")
+
   // ———————————————————————————————————————— text analysis
 
   def textStats(s: SparkSession, dir: String): DataFrame =

@@ -53,6 +53,25 @@ class ExpectationsSpec extends SparkSuite {
     assert(!got.contains(1L))
   }
 
+  test("profile: nulls, distincts, min/max per column in one scan") {
+    val got = Expectations.profile(rows, Seq("amount", "flag"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("amount") === (("amount", 4L, 1L, 3L, "-5.0", "99.0")))
+    assert(got("flag") === (("flag", 4L, 0L, 3L, "A", "Z")))
+    val plan = Expectations.profile(
+      spark.read.parquet(s"$sfDir/orders.parquet"),
+      Seq("o_orderkey", "o_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("FileScan").length - 1 === 1,
+      s"expected exactly one scan in:\n$plan")
+    // approx mode keeps the same schema and lands near the exact counts
+    val approx = Expectations.profile(rows, Seq("flag"),
+      exactDistinct = false)
+      .as[(String, Long, Long, Long, String, String)].head()
+    assert(approx._4 >= 2L && approx._4 <= 4L)
+  }
+
   test("orphans: FK violations counted; null child keys are orphans") {
     val parent = Seq(10L, 20L).toDF("pk")
     val child = Seq(Some(10L), Some(10L), Some(30L), None)
