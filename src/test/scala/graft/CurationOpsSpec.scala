@@ -106,6 +106,24 @@ class CurationOpsSpec extends SparkSuite {
       plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("decontam: benchmark index round-trips through parquet unchanged") {
+    // the index is the persistable artifact a pipeline builds once per
+    // benchmark release — flagging from the stored frame must equal
+    // flagging from the freshly built one
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "nothing shared with any benchmark")).toDF("doc_id", "text")
+    val fresh = Decontaminate.benchmarkIndex(benchDocs, "text", n = 5)
+    val dir = tmpDir("graft-decontam-idx")
+    fresh.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val a = Decontaminate.flag(corpus, "doc_id", "text", fresh, n = 5)
+      .as[(Long, Long)].collect().toSet
+    val b = Decontaminate.flag(corpus, "doc_id", "text", stored, n = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(a === b && a.map(_._1) === Set(1L))
+  }
+
   // ———————————————————————————————————————— repetition signals
 
   test("repetition: top-n-gram occupancy with multiplicity") {
