@@ -49,6 +49,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"     -> (ExtQueries.dedupNgramJaccard _),
     "dedup_clusters"          -> (ExtQueries.dedupClusters _),
     "curation_pipeline"       -> (ExtQueries.curationPipeline _),
+    "curation_full"           -> (ExtQueries.curationFull _),
     "dedup_minhash_lsh"       -> (ExtQueries.dedupMinhashLsh _),
     "dedup_minhash_pairs"     -> (ExtQueries.dedupMinhashPairs _),
     "dedup_minhash_incr"      -> (ExtQueries.dedupMinhashIncremental _),
@@ -115,7 +116,8 @@ object SparkEntry {
     "a1_distinct_sort_limit", "set_intersect", "p_filter_pushdown",
     "p2_projection_alias", "f2_datetime", "f6_json", "s2_incremental_read",
     "s3_upsert_merge", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_clusters", "curation_pipeline", "dedup_minhash_pairs",
+    "dedup_clusters", "curation_pipeline", "curation_full",
+    "dedup_minhash_pairs",
     "dedup_minhash_incr", "dedup_simhash_pairs", "sim_cosine_topk",
     "sim_lsh_topk_raw", "sim_ivf_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
@@ -393,6 +395,86 @@ object SparkEntry {
         |  (SELECT count(*) FROM lang) AS n_en,
         |  (SELECT count(*) FROM kept) AS n_kept,
         |  (SELECT count(*) FROM kept) - (SELECT count(*) FROM losers) AS n_final""".stripMargin,
+    // The FULL funnel, every stage independently recomputed: language
+    // + quality (shared CTE helpers), repetition (raw unrounded
+    // fractions — the filter compares kernel doubles; the dup-line
+    // gate is omitted because single-line docs score 0.0 ≤ any
+    // threshold), 8-gram decontamination vs the benchmark slice,
+    // exact-Jaccard reachability pruning, and a PII-free audit of the
+    // survivors.
+    "curation_full" ->
+      s"""WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        | ${langidRankedCte("corpus")},
+        | lang AS (SELECT doc_id FROM ranked WHERE rn = 1 AND lang = 'en'),
+        | ${qualityCte("corpus")},
+        | keptq AS (
+        |  SELECT c.doc_id, c.text FROM corpus c
+        |  JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+        |  WHERE qual.quality >= 0.5),
+        | rtok AS (SELECT doc_id,
+        |   string_split_regex(trim(lower(text)), '\\s+') AS w FROM keptq),
+        | rg2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |  FROM rtok, UNNEST(range(1, len(w))) AS u(i)),
+        | rc2 AS (SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY 1, 2),
+        | rf2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE)
+        |   / CAST(sum(c) AS DOUBLE) AS t2 FROM rc2 GROUP BY 1),
+        | rg3 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM rtok, UNNEST(range(1, len(w)-1)) AS u(i)),
+        | rc3 AS (SELECT doc_id, g, count(*) AS c FROM rg3 GROUP BY 1, 2),
+        | rf3 AS (SELECT doc_id, CAST(max(c) AS DOUBLE)
+        |   / CAST(sum(c) AS DOUBLE) AS t3 FROM rc3 GROUP BY 1),
+        | keptr AS (
+        |  SELECT k.doc_id, k.text FROM keptq k
+        |  LEFT JOIN rf2 USING (doc_id) LEFT JOIN rf3 USING (doc_id)
+        |  WHERE coalesce(t2, 0) <= 0.10 AND coalesce(t3, 0) <= 0.08),
+        | dtok AS (SELECT doc_id,
+        |   string_split_regex(trim(lower(text)), '\\s+') AS w FROM keptr),
+        | dsh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |   SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |     || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+        |     || ' ' || w[i+7] AS g
+        |   FROM dtok, UNNEST(range(1, len(w) - 6)) AS u(i)
+        |   WHERE len(w) >= 8
+        |   UNION ALL
+        |   SELECT doc_id, array_to_string(w, ' ') FROM dtok
+        |   WHERE len(w) < 8)),
+        | btok AS (SELECT doc_id,
+        |   string_split_regex(trim(lower(text)), '\\s+') AS w
+        |  FROM documents WHERE doc_id % 10 = 0),
+        | bsh AS (
+        |  SELECT DISTINCT g FROM (
+        |   SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |     || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+        |     || ' ' || w[i+7] AS g
+        |   FROM btok, UNNEST(range(1, len(w) - 6)) AS u(i)
+        |   WHERE len(w) >= 8
+        |   UNION ALL
+        |   SELECT array_to_string(w, ' ') FROM btok WHERE len(w) < 8)),
+        | flagged AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN bsh USING (g)),
+        | clean AS (SELECT doc_id, text FROM keptr
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+        | ${ngramExCte("clean")},
+        | $edgesReachCte,
+        | losers AS (
+        |  SELECT id FROM (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |  WHERE id <> comp),
+        | fin AS (SELECT doc_id, text FROM clean
+        |  WHERE doc_id NOT IN (SELECT id FROM losers))
+        | SELECT (SELECT count(*) FROM corpus) AS n_corpus,
+        |  (SELECT count(*) FROM lang) AS n_en,
+        |  (SELECT count(*) FROM keptq) AS n_quality,
+        |  (SELECT count(*) FROM keptr) AS n_repetition,
+        |  (SELECT count(*) FROM clean) AS n_decontam,
+        |  (SELECT count(*) FROM fin) AS n_final,
+        |  (SELECT count(*) FROM fin WHERE
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |     '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+        |     '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
+        |     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')
+        |    = text) AS n_pii_clean""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${ngramExCte("documents")},
         | $edgesReachCte

@@ -367,6 +367,62 @@ object ExtQueries {
     }
   }
 
+  /** The FULL curation funnel — every curation family composed the way
+    * a production pre-training pipeline runs them, each stage count
+    * independently recomputed by the oracle:
+    *
+    *   corpus (minus the benchmark slice) → language ID (en) → quality
+    *   ≥ 0.5 → repetition filter (top-2-gram ≤ 0.10, top-3-gram ≤
+    *   0.08) → benchmark decontamination (8-gram overlap) → duplicate-
+    *   cluster pruning (exact 3-gram Jaccard ≥ 0.5 + connected
+    *   components) → PII audit of the survivors.
+    *
+    * Scan economy: profile computes language+quality in one pass;
+    * repetition is map-only on the kept set; decontam is one semi-join
+    * against the broadcast benchmark index; dedup runs on the
+    * post-filter survivors only (the funnel ORDER is the optimization
+    * — each stage shrinks the set the expensive pair stage sees).
+    */
+  def curationFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val prof = TextStats.profile(corpus, "doc_id", "text").persist()
+    val keptQ = corpus.join(
+      prof.filter(col("predicted_lang") === "en" && col("quality") >= 0.5)
+        .select("doc_id"), "doc_id")
+      .select("doc_id", "text").persist()
+    val keptR = TextStats.repetitionFilter(keptQ, "doc_id", "text",
+      maxTop2 = 0.10, maxTop3 = 0.08)
+    val clean = Decontaminate.removeContaminated(keptR, "doc_id", "text",
+      Decontaminate.benchmarkIndex(bench, "text", n = 8),
+      n = 8, broadcastIndex = true).persist()
+    val pairs = Dedup.ngramJaccardPairs(clean, "doc_id", "text",
+      n = 3, threshold = 0.5)
+    val comps = Dedup.connectedComponents(pairs)
+    try {
+      val losers = comps.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      val fin = clean.join(losers, Seq("doc_id"), "left_anti").persist()
+      try {
+        val piiClean = fin
+          .filter(Pii.redactedCol(col("text")) === col("text")).count()
+        Seq((corpus.count(),
+          prof.filter(col("predicted_lang") === "en").count(),
+          keptQ.count(), keptR.count(), clean.count(), fin.count(),
+          piiClean))
+          .toDF("n_corpus", "n_en", "n_quality", "n_repetition",
+            "n_decontam", "n_final", "n_pii_clean")
+      } finally fin.unpersist(blocking = false)
+    } finally {
+      prof.unpersist(blocking = false)
+      keptQ.unpersist(blocking = false)
+      clean.unpersist(blocking = false)
+      Dedup.releaseLocalCheckpoint(comps)
+    }
+  }
+
   // ———————————————————————————————————————— sampling / splits
 
   /** Exact-size stratified sample: per-stratum sampled counts are
