@@ -28,6 +28,8 @@ object SparkEntry {
     "j_left_join_agg"         -> (CoreQueries.jLeftJoinAgg _),
     "j_semi_join"             -> (CoreQueries.jSemiJoin _),
     "j_anti_join"             -> (CoreQueries.jAntiJoin _),
+    "j_full_outer"            -> (CoreQueries.jFullOuterJoin _),
+    "w_running_total"         -> (CoreQueries.wRunningTotal _),
     "a1_distinct_sort_limit"  -> (CoreQueries.a1DistinctSortLimit _),
     "a2_count"                -> (CoreQueries.a2Count _),
     "a3_minmax"               -> (CoreQueries.a3Max _),
@@ -112,7 +114,8 @@ object SparkEntry {
     */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "j1_customers_orders_join", "q5_multijoin", "o_topk_revenue",
-    "j_left_join_agg", "j_semi_join", "j_anti_join", "w_window_rank",
+    "j_left_join_agg", "j_semi_join", "j_anti_join", "j_full_outer",
+    "w_window_rank", "w_running_total",
     "a1_distinct_sort_limit", "set_intersect", "p_filter_pushdown",
     "p2_projection_alias", "f2_datetime", "f6_json", "s2_incremental_read",
     "s3_upsert_merge", "dedup_exact", "dedup_ngram_jaccard",
@@ -262,6 +265,27 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer c
         | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         | ORDER BY c_custkey""".stripMargin,
+    "j_full_outer" ->
+      """SELECT k, c_name, n_orders, orphan_order, customer_without_orders
+        | FROM (
+        |  SELECT coalesce(c.c_custkey, o.k) AS k, c.c_name,
+        |   coalesce(o.n_orders, 0) AS n_orders,
+        |   c.c_name IS NULL AS orphan_order,
+        |   o.n_orders IS NULL AS customer_without_orders
+        |  FROM customer c FULL OUTER JOIN
+        |   (SELECT o_custkey AS k, count(*) AS n_orders
+        |    FROM orders GROUP BY 1) o
+        |   ON c.c_custkey = o.k) ORDER BY k""".stripMargin,
+    "w_running_total" ->
+      """SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |   - lag(CAST(o_totalprice AS DECIMAL(18,2)))
+        |     OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |   AS DOUBLE) AS delta_prev
+        | FROM orders ORDER BY customer_id, order_id""".stripMargin,
     "a1_distinct_sort_limit" ->
       """SELECT DISTINCT o_orderdate AS commit_time FROM orders
         | ORDER BY commit_time ASC LIMIT 50""".stripMargin,

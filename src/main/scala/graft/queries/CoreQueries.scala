@@ -134,6 +134,24 @@ object CoreQueries {
       .orderBy("c_custkey")
   }
 
+  /** Full outer join: customers with no orders AND orphan order keys
+    * both surface (nation as the small side keeps the result compact);
+    * aggregated per side so null-side semantics are value-checked.
+    */
+  def jFullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name"))
+    val o = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(o, Seq("k"), "full_outer")
+      .select(col("k"), col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("c_name").isNull.as("orphan_order"),
+        col("n_orders").isNull.as("customer_without_orders"))
+      .orderBy("k")
+  }
+
   // ———————————————————————————————————————— A/O: aggregates, sort, limit
 
   /** A1+O1+O2 — the reference's commit-times query shape: DISTINCT,
@@ -263,6 +281,24 @@ object CoreQueries {
       .select(col("o_custkey").as("customer_id"),
         col("o_orderkey").as("order_id"), col("rn"))
       .orderBy("customer_id", "rn")
+  }
+
+  /** Running-total window (cumulative frame): per-customer cumulative
+    * order value in order-key order plus lag-based delta — the
+    * lag/lead + running-aggregate window family.
+    */
+  def wRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("customer_id")).orderBy(col("order_id"))
+    val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey").as("customer_id"),
+        col("o_orderkey").as("order_id"),
+        col("o_totalprice").cast("decimal(18,2)").as("v"))
+      .select(col("customer_id"), col("order_id"),
+        sum(col("v")).over(cum).cast("double").as("running_value"),
+        (col("v") - lag(col("v"), 1).over(byKey)).cast("double").as("delta_prev"))
+      .orderBy("customer_id", "order_id")
   }
 
   // ———————————————————————————————————————— SET ops
