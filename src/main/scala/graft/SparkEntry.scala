@@ -95,6 +95,7 @@ object SparkEntry {
     "o7_zorder_pruned_read"   -> (OpsQueries.o7ZorderPrunedRead _),
     "i1_pipeline_roundtrip"   -> (OpsQueries.i1PipelineRoundtrip _),
     "f3_generators"           -> (OpsQueries.f3Generators _),
+    "f5_regex_search"         -> (OpsQueries.f5RegexSearch _),
     "j_asof_join"             -> (OpsQueries.jAsofJoin _),
     "s4_inmemory_source"      -> (OpsQueries.s4InMemorySource _),
     "s_csv_roundtrip"         -> (OpsQueries.sCsvRoundtrip _),
@@ -959,6 +960,14 @@ object SparkEntry {
     "f3_generators" ->
       """SELECT count(*) AS n_rows, count(*) AS n_uuid, count(*) AS n_mid
         | FROM documents""".stripMargin,
+    // F5: the store's key set is derived from nation, so the regex
+    // match list is recomputable exactly (RE2 and java.util.regex agree
+    // on the digit-class + $-anchor core; both do substring search).
+    "f5_regex_search" ->
+      """SELECT 'etl_' || lower(n_name) || '.json' AS key FROM nation
+        | WHERE regexp_matches('etl_' || lower(n_name) || '.json',
+        |   '_1[0-9][.]json$')
+        | ORDER BY key""".stripMargin,
     "j_asof_join" ->
       """SELECT p.event_id, p.user_id, v.event_id AS view_event_id
         | FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -298,6 +298,38 @@ object OpsQueries {
     * distinctness aggregates, which ARE deterministic and
     * oracle-checkable.
     */
+  /** F5 — regex key search over a checkpoint store
+    * (`find_one_similar_key`, incremental_etl_orders.py:161-163):
+    * write a deterministic key set derived from the nation table,
+    * search it with a regex, return the matches as rows. The oracle
+    * recomputes the key construction and the same regex in SQL, so
+    * the match set is value-level verified.
+    */
+  def f5RegexSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-f5-ckpt").toString
+    val store = graft.tables.CheckpointStore(scratch, s)
+    // deterministic keys: one per nation, "etl_<name lowercased>"
+    val names = s.read.parquet(s"$dir/nation.parquet")
+      .select(lower(col("n_name")).as("n")).as[String].collect().sorted
+    names.foreach { n =>
+      store.put(graft.tables.Checkpoint(
+        lastProcessedCommit = "0", tableName = s"etl_$n",
+        path = s"/lake/$n", insertedTime = "2024-01-01T00:00:00"))
+    }
+    // keys for the two-digit-teen nations: digit class + anchored
+    // object suffix (keys are full object names, reference-faithful)
+    val matched = store.findSimilarKeys("_1[0-9][.]json$")
+    try matched.sorted.toSeq.toDF("key")
+    finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(scratch)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def f3Generators(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(expr("uuid()").as("u"), monotonically_increasing_id().as("mid"))
