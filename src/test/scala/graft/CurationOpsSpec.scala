@@ -56,6 +56,12 @@ class CurationOpsSpec extends SparkSuite {
       .exceptAll(red).isEmpty)
   }
 
+  test("pii redaction is idempotent: placeholders never re-match") {
+    val once = Pii.redact(piiDocs.toDF("doc_id", "text"), "doc_id", "text")
+    val twice = Pii.redact(once, "doc_id", "text")
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
   // ———————————————————————————————————————— decontamination
 
   private val benchDocs = Seq(
@@ -104,6 +110,20 @@ class CurationOpsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("decontam: flag/remove partition the corpus exactly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter(pmod($"doc_id", lit(10)) === 0)
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+    val idx = Decontaminate.benchmarkIndex(bench, "text", n = 8)
+    val flagged = Decontaminate.flag(corpus, "doc_id", "text", idx, n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = Decontaminate.removeContaminated(
+      corpus, "doc_id", "text", idx, n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    val all = corpus.select("doc_id").as[Long].collect().toSet
+    assert((flagged & kept).isEmpty && (flagged | kept) === all)
   }
 
   test("decontam: benchmark index round-trips through parquet unchanged") {

@@ -96,6 +96,31 @@ class PackingSamplingSpec extends SparkSuite {
     assert(sizes.max.toDouble / (sizes.sum.toDouble / sizes.length) < 2.0)
   }
 
+  test("packing conserves tokens and partitions the corpus exactly once") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val assigned = Packing.assignSequencesByText(docs, "doc_id", "text",
+      budget = 200, buckets = 4)
+    // every doc assigned exactly once
+    assert(assigned.select("doc_id").distinct().count() === docs.count())
+    // token totals conserved per bucket vs an independent recount
+    val byBucket = assigned.groupBy("bucket")
+      .agg(sum($"n_tokens").as("t")).as[(Int, Long)].collect().toMap
+    val recount = docs.select(
+      pmod(graft.functions.PortableHash.h60("pack", 42L, $"doc_id"), lit(4L))
+        .cast("int").as("bucket"),
+      size(split(trim(lower($"text")), "\\s+")).cast("long").as("n"))
+      .groupBy("bucket").agg(sum($"n").as("t"))
+      .as[(Int, Long)].collect().toMap
+    assert(byBucket === recount)
+    // seq_id is monotone non-decreasing in id order within a bucket
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"doc_id")
+    assert(assigned
+      .withColumn("prev_seq", lag($"seq_id", 1).over(w))
+      .filter($"prev_seq".isNotNull && $"seq_id" < $"prev_seq")
+      .isEmpty)
+  }
+
   test("packing determinism: same (seed, budget, buckets) → same assignment") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Packing.assignSequencesByText(docs, "doc_id", "text", 128, 4)
