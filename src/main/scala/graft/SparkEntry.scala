@@ -62,6 +62,8 @@ object SparkEntry {
     "sim_lsh_topk_raw"        -> (ExtQueries.simLshTopkRaw _),
     "sim_ivf_topk"            -> (ExtQueries.simIvfTopk _),
     "sim_ivf_topk_raw"        -> (ExtQueries.simIvfTopkRaw _),
+    "sim_q8_topk"             -> (ExtQueries.simQ8Topk _),
+    "sim_q8_topk_raw"         -> (ExtQueries.simQ8TopkRaw _),
     "sim_vector_dim_stats"    -> (ExtQueries.simVectorDimStats _),
     "sim_cosine_neardup"      -> (ExtQueries.simCosineNeardup _),
     "sim_neardup_pairs"       -> (ExtQueries.simNeardupPairs _),
@@ -123,7 +125,7 @@ object SparkEntry {
     "dedup_clusters", "curation_pipeline", "curation_full",
     "dedup_minhash_pairs",
     "dedup_minhash_incr", "dedup_simhash_pairs", "sim_cosine_topk",
-    "sim_lsh_topk_raw", "sim_ivf_topk_raw",
+    "sim_lsh_topk_raw", "sim_ivf_topk_raw", "sim_q8_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
     "sample_quota", "sample_rates", "pack_sequences", "dq_expectations",
     "dq_profile",
@@ -860,6 +862,29 @@ object SparkEntry {
         | FROM embeddings, range(1, 9) AS t(i)
         | GROUP BY label, i ORDER BY label, dim""".stripMargin,
     "sim_cosine_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id ASC) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "sim_q8_topk" ->
+      """WITH ex AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id ASC) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
+        | SELECT 'q8_topk' AS family, (SELECT count(*) FROM ex) AS n_exact,
+        |  true AS recall_pass""".stripMargin,
+    // The rerank stage emits EXACT cosines and coarse recall at sf0.01
+    // is 1.0 (deterministic — SQ8 has no seeds), so the quantized
+    // surface carries the same exact-top-k oracle as sim_cosine_topk.
+    "sim_q8_topk_raw" ->
       """SELECT query_id, neighbor_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |   row_number() OVER (PARTITION BY q.vec_id

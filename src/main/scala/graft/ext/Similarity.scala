@@ -120,6 +120,89 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Build a PERSISTABLE int8-quantized index over the corpus:
+    * `(neighbor_id, qv: binary, q_scale: float, qn: double)` — one row
+    * per vector, 4× narrower than the float column (64 bytes vs 256 at
+    * dim 64), plain parquet-writable. The 100 TB shape: the float
+    * embedding table is scanned ONCE to build this; every subsequent
+    * coarse search scans only the quantized sidecar — a 4× cut in scan
+    * IO and shuffle width for the candidate-generation stage. `qn` is
+    * the norm in quantized units (scales cancel in cosine, see
+    * [[graft.functions.VectorOps.dotI8]]); `q_scale` is kept for
+    * callers that reconstruct raw dot products or dequantize.
+    */
+  def q8Build(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    corpus.select(col(idCol).as("neighbor_id"),
+      VectorFunctions.q8(col(vecCol)).as("qv"),
+      VectorFunctions.q8Scale(col(vecCol)).as("q_scale"))
+      .withColumn("qn", VectorFunctions.normI8(col("qv")))
+  }
+
+  /** Quantized retrieve-and-rerank top-k (the FAISS SQ8 flat pattern):
+    *
+    *   1. COARSE: score every (query, corpus) pair on int8 vectors —
+    *      integer dot kernel over the 4×-narrower quantized index,
+    *      keep the top `k × oversample` per query. Only ids + the
+    *      coarse score ride the top-k shuffle.
+    *   2. RERANK: join the surviving candidate ids back to the FLOAT
+    *      corpus (touches k·oversample·|Q| rows, not the corpus) and
+    *      re-score with the exact cosine; emit the exact-scored top k.
+    *
+    * With `oversample` ≥ 2 the int8 rounding error (≤ scale/2 per
+    * element, ~0.4% of the dot at dim 64) has to push a true neighbor
+    * below rank k·oversample to cost recall — measured recall 1.0 at
+    * sf0.01 (ExtSpec), which is what lets the raw surface carry the
+    * same value-level oracle as the exact brute-force query. Output
+    * shape matches [[bruteForceTopK]]: (query_id, neighbor_id, cos,
+    * rank) with the EXACT cosine.
+    */
+  def q8TopKWithIndex(queries: DataFrame, qIndex: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      oversample: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv_f"))
+    val qq = q.select(col("query_id"),
+      VectorFunctions.q8(col("qv_f")).as("q_qv"))
+      .withColumn("q_qn", VectorFunctions.normI8(col("q_qv")))
+    val coarse = qIndex.join(broadcast(qq),
+      col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos",
+        VectorFunctions.dotI8(col("q_qv"), col("qv")).cast("double") /
+          (col("q_qn") * col("qn")))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    // candidate ids only — the float vectors never ride the coarse top-k
+    val cand = coarse.withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= k * oversample)
+      .select("query_id", "neighbor_id")
+    val cFloat = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+      .withColumn("cn", VectorFunctions.normF(col("cv")))
+    val qFloat = q.withColumn("qn_f", VectorFunctions.normF(col("qv_f")))
+    val rescored = cand
+      .join(cFloat, Seq("neighbor_id"))
+      .join(broadcast(qFloat), Seq("query_id"))
+      .withColumn("cos",
+        VectorFunctions.dotF(col("qv_f"), col("cv")) /
+          (col("qn_f") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** [[q8TopKWithIndex]] with the index built inline (one extra corpus
+    * scan; persist [[q8Build]]'s output to amortize it across query
+    * batches).
+    */
+  def q8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, oversample: Int = 4): DataFrame =
+    q8TopKWithIndex(queries, q8Build(corpus, idCol, vecCol), corpus,
+      idCol, vecCol, k, oversample)
+
   /** IVF (inverted-file) approximate top-k — the other scale path from
     * the brief. Coarse quantizer: `nlist` centroids picked
     * deterministically from the corpus (seeded hash order — for random

@@ -44,6 +44,55 @@ object VectorOps {
     }
     acc
   }
+
+  /** Symmetric int8 scalar quantization: byte_i = round(v_i / scale)
+    * with scale = max|v_i| / 127 — the standard SQ8 embedding
+    * compression (FAISS `SQ8` / Milvus `SQ8`): 4× smaller than float32,
+    * per-element error ≤ scale/2. An all-zero vector quantizes to all
+    * zero bytes (scale 0 by convention — dequantization is exact).
+    */
+  def quantizeI8(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    val s = i8Scale(a)
+    if (s > 0f) {
+      var i = 0
+      while (i < n) {
+        out(i) = math.round(a.getFloat(i) / s).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** The quantization scale [[quantizeI8]] uses: max|v_i| / 127. */
+  def i8Scale(a: ArrayData): Float = {
+    val n = a.numElements()
+    var m = 0f
+    var i = 0
+    while (i < n) {
+      val x = math.abs(a.getFloat(i))
+      if (x > m) m = x
+      i += 1
+    }
+    m / 127f
+  }
+
+  /** Integer dot product over two int8-quantized vectors (exact — a
+    * 64-dim product of ±127 bytes peaks at ~10^6, nowhere near Long
+    * range). cosine(dequantized) = dotI8(qa, qb) / (|qa|·|qb|): the
+    * scales cancel, so cosine search needs no scale column at all.
+    */
+  def dotI8(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a(i).toLong * b(i).toLong
+      i += 1
+    }
+    acc
+  }
 }
 
 /** `graft_dot(array<float>, array<float>) → double`. */
@@ -96,9 +145,84 @@ case class DotProductFD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_q8(array<float>) → binary` — int8 scalar quantization (see
+  * [[VectorOps.quantizeI8]]). Stored as BinaryType: 4× narrower than
+  * the float array on disk and through every shuffle.
+  */
+case class QuantizeI8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_q8 expects array<float>, got ${t.catalogString}")
+    }
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.quantizeI8(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.quantizeI8($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_q8_scale(array<float>) → float` — the matching scale, for
+  * callers that reconstruct dot products or dequantize (cosine search
+  * does not need it: scales cancel).
+  */
+case class I8Scale(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = FloatType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_q8_scale expects array<float>, got ${t.catalogString}")
+    }
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.i8Scale(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorOps.i8Scale($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_dot_i8(binary, binary) → bigint` — integer dot product over
+  * quantized vectors (the coarse-scoring kernel of the SQ8 path).
+  */
+case class DotProductI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right)
+      .forall(_.dataType == org.apache.spark.sql.types.BinaryType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_i8 expects (binary, binary), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotI8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotI8($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   private val FnName = "graft_dot"
   private val FnNameFD = "graft_dot_fd"
+  private val FnNameQ8 = "graft_q8"
+  private val FnNameQ8Scale = "graft_q8_scale"
+  private val FnNameDotI8 = "graft_dot_i8"
 
   /** Idempotently register the kernels in the session's function
     * registry (temp functions — visible to both the Column API via
@@ -111,6 +235,12 @@ object VectorFunctions {
       exprs => DotProductF(exprs.head, exprs(1)))
     TextFunctions.registerOnce(spark, FnNameFD,
       exprs => DotProductFD(exprs.head, exprs(1)))
+    TextFunctions.registerOnce(spark, FnNameQ8,
+      exprs => QuantizeI8(exprs.head))
+    TextFunctions.registerOnce(spark, FnNameQ8Scale,
+      exprs => I8Scale(exprs.head))
+    TextFunctions.registerOnce(spark, FnNameDotI8,
+      exprs => DotProductI8(exprs.head, exprs(1)))
   }
 
   def dotFD(a: Column, b: Column): Column = call_function(FnNameFD, a, b)
@@ -125,4 +255,19 @@ object VectorFunctions {
     */
   def cosineF(a: Column, b: Column): Column =
     dotF(a, b) / (normF(a) * normF(b))
+
+  /** int8 scalar quantization of a float vector → binary. */
+  def q8(a: Column): Column = call_function(FnNameQ8, a)
+
+  /** Quantization scale of a float vector (max|v|/127). */
+  def q8Scale(a: Column): Column = call_function(FnNameQ8Scale, a)
+
+  /** Integer dot over two quantized vectors → bigint. */
+  def dotI8(a: Column, b: Column): Column = call_function(FnNameDotI8, a, b)
+
+  /** Norm of a quantized vector in quantized units (scale-free — pairs
+    * with [[dotI8]] to give the cosine of the dequantized vectors).
+    */
+  def normI8(a: Column): Column =
+    sqrt(call_function(FnNameDotI8, a, a).cast(DoubleType))
 }

@@ -286,6 +286,34 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** int8-quantized retrieve-and-rerank gate: recall@5 ≥ 0.9 vs brute
+    * force (measured 1.0 at sf0.01 — the 4× oversampled coarse stage
+    * has to mis-rank a true neighbor past rank 20 to lose it, far
+    * beyond SQ8's ~0.4% dot-product rounding error at dim 64).
+    */
+  def simQ8Topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    topkGate("q8_topk",
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5),
+      Similarity.q8TopK(q, emb, "vec_id", "embedding", k = 5),
+      Seq("query_id", "neighbor_id"), recallMin = 0.9)
+  }
+
+  /** Raw quantized top-5 (bench surface). Value-level oracled by the
+    * SAME exact top-k SQL as `sim_cosine_topk`: the rerank stage scores
+    * survivors with the exact cosine, and at sf0.01 coarse recall is
+    * 1.0 (seed-free and deterministic), so output == exact top-5, rank
+    * for rank.
+    */
+  def simQ8TopkRaw(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.q8TopK(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding near-dup gate: recall ≥ 0.7 vs the exact quadratic
     * cosine pair set (measured 1.0 at sf0.01 with the 5-plane ×
     * 10-table defaults) and zero false positives (the LSH variant

@@ -303,6 +303,64 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("int8 quantization: error bound, exact integer dot, zero vector") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val vecs = Seq(
+      Array(0.5f, -1.25f, 3.75f, -0.001f),
+      Array(0f, 0f, 0f, 0f), // zero vector → zero bytes, no NaN
+      Array(127f, -127f, 1f, -1f)).toDF("v")
+    val rows = vecs.select($"v", VectorFunctions.q8($"v").as("qv"),
+      VectorFunctions.q8Scale($"v").as("s"))
+      .as[(Array[Float], Array[Byte], Float)].collect()
+    rows.foreach { case (v, qv, s) =>
+      assert(qv.length === v.length)
+      v.zip(qv).foreach { case (x, q) =>
+        // dequantization error ≤ scale/2 per element
+        assert(math.abs(q * s - x) <= s / 2 + 1e-7, s"x=$x q=$q s=$s")
+      }
+    }
+    // integer dot matches a plain Scala reference, exactly
+    val (_, qa, _) = rows(0)
+    val (_, qb, _) = rows(2)
+    val expected = qa.zip(qb).map { case (x, y) => x.toLong * y.toLong }.sum
+    val got = Seq((qa, qb)).toDF("a", "b")
+      .select(VectorFunctions.dotI8($"a", $"b")).as[Long].head()
+    assert(got === expected)
+  }
+
+  test("q8 retrieve-and-rerank == brute-force top-k, exactly") {
+    val q = emb.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val q8 = Similarity.q8TopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // rerank emits exact cosines; coarse recall is 1.0 on this corpus,
+    // so the quantized path reproduces the exact top-k rank for rank —
+    // the property the sim_q8_topk_raw driver oracle relies on
+    assert(q8 === bf)
+    assert(bf.nonEmpty)
+  }
+
+  test("q8 index round-trips through parquet and probes identically") {
+    val q = emb.filter($"vec_id" < 20)
+    val idx = Similarity.q8Build(emb, "vec_id", "embedding")
+    val direct = Similarity.q8TopKWithIndex(q, idx, emb,
+      "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val dir = tmpDir("graft-q8")
+    idx.write.mode("overwrite").parquet(s"$dir/q8")
+    val probed = Similarity.q8TopKWithIndex(q,
+      spark.read.parquet(s"$dir/q8"), emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probed === direct)
+    assert(direct.nonEmpty)
+  }
+
   test("TextShingles expression == declarative shingles formulation") {
     // corpus + adversarial whitespace/case rows (tabs/newlines around
     // text are NOT trimmed by Spark's trim; trailing whitespace keeps an
