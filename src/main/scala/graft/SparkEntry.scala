@@ -95,6 +95,7 @@ object SparkEntry {
     "o5_clustered_write"      -> (OpsQueries.o5ClusteredWrite _),
     "o6_stats_pruned_read"    -> (OpsQueries.o6StatsPrunedRead _),
     "o7_zorder_pruned_read"   -> (OpsQueries.o7ZorderPrunedRead _),
+    "o8_bucketed_join"        -> (OpsQueries.o8BucketedJoin _),
     "i1_pipeline_roundtrip"   -> (OpsQueries.i1PipelineRoundtrip _),
     "f3_generators"           -> (OpsQueries.f3Generators _),
     "f5_regex_search"         -> (OpsQueries.f5RegexSearch _),
@@ -260,6 +261,11 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         | FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         | GROUP BY c_custkey ORDER BY customer_id""".stripMargin,
+    "o8_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        | FROM customer JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "j_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

@@ -45,5 +45,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_dup_line_frac",
         "graft_dup_line_frac(text) - fraction of line chars in duplicated lines"),
       (exprs: Seq[Expression]) => TextDupLineFrac(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_q8"),
+      info("graft_q8",
+        "graft_q8(v) - int8 scalar quantization of a float array (binary)"),
+      (exprs: Seq[Expression]) => QuantizeI8(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_q8_scale"),
+      info("graft_q8_scale",
+        "graft_q8_scale(v) - quantization scale (max|v|/127) of a float array"),
+      (exprs: Seq[Expression]) => I8Scale(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_dot_i8"),
+      info("graft_dot_i8",
+        "graft_dot_i8(a, b) - integer dot product of two int8-quantized vectors"),
+      (exprs: Seq[Expression]) => DotProductI8(exprs.head, exprs(1))))
   }
 }

@@ -128,6 +128,49 @@ object OpsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** O8 — writer-side hash bucketing ([[graft.tables.Buckets]], the
+    * Spark-native analog of the reference's Hudi BUCKET index layout):
+    * customer and orders are bucketed on the join key with the same
+    * bucket count, re-registered from their ON-DISK `_bucket_spec`
+    * (proving the layout survives sessions without a metastore), and
+    * sort-merge-joined. The query GATES on the plan: bucketed scans on
+    * both sides and ZERO Exchange nodes — the join that normally
+    * shuffles both fact tables runs entirely shuffle-free. Values are
+    * oracled against a plain DuckDB join-aggregate.
+    */
+  def o8BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-o8")
+    graft.tables.Buckets.write(s,
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+      "graft_o8_cust", s"$base/cust", Seq("c_custkey"), 8)
+    graft.tables.Buckets.write(s,
+      t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+      "graft_o8_ord", s"$base/ord", Seq("o_custkey"), 8)
+    // re-register purely from the on-disk spec — the session-catalog
+    // entries saveAsTable just created are dropped and rebuilt by DDL
+    graft.tables.Buckets.restore(s, s"$base/cust")
+    graft.tables.Buckets.restore(s, s"$base/ord")
+    // the merge hint pins SortMergeJoin: a broadcast pick at this toy
+    // scale would trade the (absent) shuffle for a BroadcastExchange
+    // and stop demonstrating the co-located path the layout exists for
+    val joined = s.table("graft_o8_cust").hint("merge")
+      .join(s.table("graft_o8_ord"),
+        col("c_custkey") === col("o_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange"),
+      s"bucketed co-located join must be shuffle-free, got:\n$plan")
+    require(plan.contains("SortMergeJoin"),
+      s"expected a sort-merge join over bucketed scans, got:\n$plan")
+    require(plan.contains("SelectedBucketsCount"),
+      s"expected bucketed file scans, got:\n$plan")
+    joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types
+          .DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   /** I1–I5 — the full checkpointed incremental pipeline as a query:
     * seed silver, run the ETL twice (second run = empty increment), add
     * a second orders commit, run again; return the gold SUMMARY row.

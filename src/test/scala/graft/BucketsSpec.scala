@@ -1,0 +1,68 @@
+package graft
+
+import graft.tables.Buckets
+import org.apache.spark.sql.functions._
+
+/** Writer-side bucketing: co-located joins must be shuffle-free, the
+  * on-disk spec must restore bucketed reads without a metastore, and
+  * values must match the unbucketed equivalents exactly.
+  */
+class BucketsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val cust = spark.read
+    .parquet(s"$sfDir/customer.parquet").select("c_custkey", "c_mktsegment")
+  private lazy val ord = spark.read
+    .parquet(s"$sfDir/orders.parquet").select("o_custkey", "o_totalprice")
+
+  test("co-located bucketed join: zero Exchange, values match plain join") {
+    val dir = tmpDir("graft-buckets")
+    Buckets.write(spark, cust, "bspec_cust", s"$dir/cust",
+      Seq("c_custkey"), 4)
+    Buckets.write(spark, ord, "bspec_ord", s"$dir/ord",
+      Seq("o_custkey"), 4)
+    val joined = spark.table("bspec_cust").hint("merge")
+      .join(spark.table("bspec_ord"), $"c_custkey" === $"o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    val bucketed = joined.groupBy("c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    val plain = cust.join(ord, $"c_custkey" === $"o_custkey")
+      .groupBy("c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    assert(bucketed === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("restore rebuilds bucketed reads from the on-disk spec alone") {
+    val dir = tmpDir("graft-buckets-restore")
+    Buckets.write(spark, ord, "bspec_r", s"$dir/ord", Seq("o_custkey"), 4)
+    val before = spark.table("bspec_r").count()
+    // simulate a fresh session: the catalog entry is gone, only files
+    // + _bucket_spec.json remain
+    spark.sql("DROP TABLE bspec_r")
+    val name = Buckets.restore(spark, s"$dir/ord")
+    assert(name === "bspec_r")
+    assert(spark.table("bspec_r").count() === before)
+    // the restored table still carries the bucket layout: a self-join
+    // on the bucket key plans without any Exchange
+    val self = spark.table("bspec_r").hint("merge").join(
+      spark.table("bspec_r").select($"o_custkey".as("k"),
+        $"o_totalprice".as("p2")),
+      $"o_custkey" === $"k")
+    val plan = self.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"restore lost bucketing:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"), plan)
+  }
+
+  test("restore fails loud on a dir with no spec") {
+    val dir = tmpDir("graft-buckets-nospec")
+    ord.limit(5).write.mode("overwrite").parquet(s"$dir/plain")
+    val e = intercept[IllegalStateException] {
+      Buckets.restore(spark, s"$dir/plain")
+    }
+    assert(e.getMessage.contains("_bucket_spec"))
+  }
+}
