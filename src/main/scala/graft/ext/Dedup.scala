@@ -454,10 +454,63 @@ object Dedup {
     *
     * Returns `(id, comp)` for every node appearing in a non-self pair
     * (a pair (x, x) carries no connectivity and is ignored).
+    *
+    * Small graphs — `localEdgeLimit`: when the canonical edge set is
+    * metadata-sized (≤ the cap, default [[LocalEdgeLimit]]) and ids
+    * are atomically ordered, the labels come from a driver union-find
+    * instead — identical output (ExtSpec asserts both paths), none of
+    * the checkpoint machinery. Pass 0 to force the distributed loop.
     */
+  /** Edge-count cutoff below which [[connectedComponents]] solves on
+    * the driver: 100k canonical edges ≈ a few MB collected — firmly in
+    * the metadata-sized-collect regime (same budget class as the
+    * affected-partition and centroid collects), where ~10 distributed
+    * star rounds of 4 shuffles each are pure scheduling overhead. A
+    * 100 TB dedup pass whose pair set exceeds this stays on the
+    * distributed path automatically; the count that decides is
+    * computed on the CANONICAL DISTINCT edge set, which the loop needs
+    * anyway for its first fixpoint test.
+    */
+  val LocalEdgeLimit = 100000L
+
+  /** Driver union-find (path-halving + union-by-attachment, then
+    * per-component min labeling — the same (node → component-min)
+    * contract as the distributed fixpoint).
+    */
+  private def localComponents(edges: Array[(Any, Any)]): Seq[(Any, Any)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) {
+        parent(r) = parent(parent(r)) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    // label every component by its MINIMUM member (matches least())
+    val cmp = (x: Any, y: Any) =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      minOf.get(r) match {
+        case Some(m) => if (cmp(n, m)) minOf(r) = n
+        case None    => minOf(r) = n
+      }
+    }
+    parent.keys.map(n => n -> minOf(find(n))).toSeq
+  }
+
   def connectedComponents(pairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
+      maxIter: Int = 64, checkpointDir: Option[String] = None,
+      localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     val reliable = checkpointDir.isDefined
     // setCheckpointDir is session-global state: remember the previous
@@ -492,6 +545,32 @@ object Dedup {
         finally pairsCached.unpersist(blocking = false)
       var edges = edgesCp
 
+      // Small-graph fast path: the canonical edge count is needed for
+      // the first fixpoint test anyway; when it is metadata-sized and
+      // the id type is atomic (natural ordering == least()/greatest()),
+      // solve with a driver union-find instead of ~log2(n) rounds of
+      // 4 shuffles each. The distributed star loop below is byte-for-
+      // byte the same result (asserted in ExtSpec) and takes over
+      // automatically the moment a corpus's pair set outgrows the cap.
+      val initialCount = edges.count()
+      val idType = edges.schema("small").dataType
+      val localizable = initialCount <= localEdgeLimit && (idType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.StringType     => true
+        case _                                          => false
+      })
+      if (localizable) {
+        val collected = edges.collect().map(r => (r.get(0), r.get(1)))
+        if (!reliable) { releaseLocalCheckpoint(edgesCp); tracked -= edgesCp }
+        val labels = localComponents(collected)
+        val schema = StructType(Seq(
+          StructField("id", idType), StructField("comp", idType)))
+        import scala.jdk.CollectionConverters._
+        return pairs.sparkSession.createDataFrame(
+          labels.map { case (n, m) =>
+            org.apache.spark.sql.Row(n, m) }.asJava, schema)
+      }
+
       def largeStar(e: DataFrame): DataFrame = {
         val sym = e.select(col("big").as("u"), col("small").as("v"))
           .union(e.select(col("small").as("u"), col("big").as("v")))
@@ -516,8 +595,8 @@ object Dedup {
 
       var iter = 0
       var converged = false
-      var prevCount = -1L // carried across rounds: next.count() becomes
-                          // the following round's edges.count()
+      var prevCount = initialCount // carried across rounds: next.count()
+                                   // becomes the next edges.count()
       while (iter < maxIter && !converged) {
         val next = cp(smallStar(largeStar(edges)))
         // fixpoint test: equal cardinality + no edge outside the old

@@ -77,8 +77,10 @@ object ExtQueries {
     * [[Dedup.pruneDuplicates]].
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    // reliable checkpoints: the returned frame reads from checkpoint
-    // files (temp dir), so the query holds zero storage blocks
+    // reliable checkpoints when the DISTRIBUTED star loop runs (the
+    // returned frame then reads from checkpoint files, zero storage
+    // blocks); at test scale the metadata-sized edge set takes the
+    // driver union-find fast path and never touches the dir
     Dedup.connectedComponents(
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5),

@@ -99,23 +99,36 @@ class ExtSpec extends SparkSuite {
     graft.queries.ExtQueries.curationPipeline(spark, sfDir).collect()
     assert(spark.sparkContext.getPersistentRDDs.keySet === before,
       "curation must release every materialized stage")
-    // reliable-checkpoint mode: zero blocks at ANY point, files under dir
+    // reliable-checkpoint mode: zero blocks at ANY point, files under
+    // dir (localEdgeLimit = 0 forces the distributed star loop — the
+    // property under test is ITS checkpoint hygiene)
     val ccDir = tmpDir("graft-cc-test")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val comps = Dedup.connectedComponents(pairs,
-      checkpointDir = Some(ccDir)).as[(Long, Long)].collect().toMap
+      checkpointDir = Some(ccDir), localEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     assert(spark.sparkContext.getPersistentRDDs.keySet === before,
       "reliable CC must not register persistent RDDs")
     assert(java.nio.file.Files.list(java.nio.file.Paths.get(ccDir))
       .count() > 0, "reliable checkpoints must land under the given dir")
-    // local mode: only the returned frame's blocks may remain (released
-    // by the context cleaner once unreferenced); every intermediate
-    // round and the edge frame must already be gone
-    val local = Dedup.connectedComponents(pairs)
+    // localCheckpoint mode (still forced distributed): only the
+    // returned frame's blocks may remain (released by the context
+    // cleaner once unreferenced); every intermediate round and the
+    // edge frame must already be gone
+    val local = Dedup.connectedComponents(pairs, localEdgeLimit = 0)
     assert(local.as[(Long, Long)].collect().toMap === comps)
     assert(spark.sparkContext.getPersistentRDDs.keySet.size <= before.size + 1,
       "intermediate rounds must be unpersisted eagerly")
+    // small-graph fast path (the default at this size): same labels,
+    // and it adds NO storage blocks of its own (the one surviving
+    // block above belongs to the localCheckpoint-mode RETURNED frame,
+    // released by the context cleaner — documented behavior)
+    val afterLocal = spark.sparkContext.getPersistentRDDs.keySet
+    val fast = Dedup.connectedComponents(pairs)
+    assert(fast.as[(Long, Long)].collect().toMap === comps)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === afterLocal,
+      "fast-path CC must hold no storage blocks")
   }
 
   test("exact dedup survives a first-hash collision via the second hash") {
@@ -136,10 +149,15 @@ class ExtSpec extends SparkSuite {
   test("connected components: chains merge, singletons keep, representatives are min ids") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 3L))
       .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // both execution paths must produce identical labels
     val comps = graft.ext.Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    assert(comps === expected)
+    val dist = graft.ext.Dedup.connectedComponents(pairs,
+      localEdgeLimit = 0).as[(Long, Long)].collect().toMap
+    assert(dist === expected)
     // cluster pruning keeps the representative + unpaired docs
     val docs = (1L to 12L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val kept = graft.ext.Dedup.pruneDuplicates(docs, pairs, "doc_id")
@@ -151,8 +169,10 @@ class ExtSpec extends SparkSuite {
     // a diameter-500 chain would need 500 label-propagation rounds;
     // star contraction must finish inside the default 20-round budget
     val pairs = (1L until 501L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comps = graft.ext.Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect()
+    // localEdgeLimit = 0: the star loop's convergence behavior is the
+    // property under test, so the fast path must not short-circuit it
+    val comps = graft.ext.Dedup.connectedComponents(pairs,
+      localEdgeLimit = 0).as[(Long, Long)].collect()
     assert(comps.length === 501)
     assert(comps.forall(_._2 === 1L))
   }
@@ -180,9 +200,15 @@ class ExtSpec extends SparkSuite {
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(e => e._1 != e._2)
       val expected = unionFind(n, edges)
+      // exercise the DISTRIBUTED star loop against the independent
+      // ground truth, and the default fast path against both
       val got = graft.ext.Dedup.connectedComponents(
-        edges.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+        edges.toDF("id_a", "id_b"), localEdgeLimit = 0)
+        .as[(Long, Long)].collect().toMap
       assert(got === expected, s"trial $trial (n=$n, ${edges.size} edges)")
+      val fast = graft.ext.Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+      assert(fast === expected, s"fast trial $trial")
     }
   }
 
