@@ -57,6 +57,41 @@ class BucketsSpec extends SparkSuite {
     assert(plan.contains("SelectedBucketsCount"), plan)
   }
 
+  test("aggregation on the bucket key is exchange-free too") {
+    val dir = tmpDir("graft-buckets-agg")
+    Buckets.write(spark, ord, "bspec_agg", s"$dir/ord", Seq("o_custkey"), 4)
+    val agg = spark.table("bspec_agg")
+      .groupBy("o_custkey").agg(sum($"o_totalprice").as("v"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed distribution must satisfy the aggregate:\n$plan")
+    assert(agg.count() === ord.select("o_custkey").distinct().count())
+  }
+
+  test("two-key bucketing restores and self-joins exchange-free") {
+    val dir = tmpDir("graft-buckets-2k")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    Buckets.write(spark, li, "bspec_2k", s"$dir/li",
+      Seq("l_orderkey", "l_linenumber"), 4)
+    spark.sql("DROP TABLE bspec_2k")
+    Buckets.restore(spark, s"$dir/li")
+    val t = spark.table("bspec_2k")
+    val self = t.hint("merge").join(
+      t.select($"l_orderkey".as("k1"), $"l_linenumber".as("k2"),
+        $"l_quantity".as("q2")),
+      $"l_orderkey" === $"k1" && $"l_linenumber" === $"k2")
+    val plan = self.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"two-key layout lost:\n$plan")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+    // lineitem — compare against the plain (unbucketed) self-join
+    val plain = li.join(
+      li.select($"l_orderkey".as("k1"), $"l_linenumber".as("k2"),
+        $"l_quantity".as("q2")),
+      $"l_orderkey" === $"k1" && $"l_linenumber" === $"k2")
+    assert(self.count() === plain.count())
+  }
+
   test("restore fails loud on a dir with no spec") {
     val dir = tmpDir("graft-buckets-nospec")
     ord.limit(5).write.mode("overwrite").parquet(s"$dir/plain")
