@@ -80,6 +80,7 @@ object SparkEntry {
     "text_fingerprint"        -> (ExtQueries.textFingerprint _),
     "text_fingerprint_raw"    -> (ExtQueries.textFingerprintRaw _),
     "text_langid"             -> (ExtQueries.textLangid _),
+    "text_lm_score"           -> (ExtQueries.textLmScore _),
     "text_repetition"         -> (ExtQueries.textRepetition _),
     "pii_redact"              -> (ExtQueries.piiRedact _),
     "decontam_overlap"        -> (ExtQueries.decontamOverlap _),
@@ -131,7 +132,8 @@ object SparkEntry {
     "sample_quota", "sample_rates", "pack_sequences", "dq_expectations",
     "dq_profile",
     "text_stats", "text_quality", "text_token_counts",
-    "text_fingerprint_raw", "text_langid", "text_repetition",
+    "text_fingerprint_raw", "text_langid", "text_lm_score",
+    "text_repetition",
     "pii_redact", "decontam_overlap", "multimodal_stats",
     "multimodal_features_raw", "events_tumbling", "events_sliding",
     "events_sessions", "j_asof_join", "a_approx_agg_raw")
@@ -765,6 +767,30 @@ object SparkEntry {
       s"""WITH ${langidRankedCte("documents")}
         | SELECT doc_id, lang AS predicted_lang FROM ranked
         | WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // Bigram-LM recomputation: identical token split, exact counts,
+    // same Laplace smoothing (α=0.4); round(…,6) absorbs ln() ulp and
+    // summation-order drift between engines.
+    "text_lm_score" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | bg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM tok, UNNEST(range(1, len(w))) AS u(i)
+        |  WHERE len(w) >= 2),
+        | uni AS (
+        |  SELECT tk, count(*) AS n1
+        |  FROM (SELECT unnest(w) AS tk FROM tok) GROUP BY tk),
+        | v AS (SELECT count(*) AS vs FROM uni),
+        | bi AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2)
+        | SELECT doc_id,
+        |  round(avg(ln((n2 + 0.4) / (n1 + 0.4 * vs))), 6) AS lm_score,
+        |  count(*) AS n_bigrams
+        | FROM bg
+        | JOIN bi USING (w1, w2)
+        | JOIN uni ON uni.tk = bg.w1
+        | CROSS JOIN v
+        | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Gopher repetition signals recomputed the explode/group way (the
     // Spark side is a one-pass kernel): top-n-gram occupancy with
     // multiplicity, char-weighted duplicate-line fraction over the

@@ -190,6 +190,63 @@ object TextStats {
     * fingerprint surface carry a full value-level DuckDB oracle
     * (list_reduce over the same digits) instead of a rows-only check.
     */
+  /** Corpus-trained bigram language-model scoring — the CCNet/KenLM
+    * quality-signal shape, Spark-first: train the model ON the corpus
+    * with one shuffle, score every document with one equi-join.
+    *
+    *   score(d) = mean over d's bigrams of
+    *              ln( (c(w1,w2) + α) / (c(w1) + α·V) )
+    *
+    * — the Laplace-smoothed bigram log-likelihood per token (higher =
+    * more typical of the corpus; gibberish and boilerplate-free outlier
+    * text scores low). A curation pipeline thresholds low-percentile
+    * scores the way CCNet buckets wiki-LM perplexity.
+    *
+    * Scale shape (100 TB):
+    *   - TRAIN: bigram and unigram counts are two hash aggregates over
+    *     the exploded token stream — map-side combined, shuffle carries
+    *     O(distinct n-grams per mapper), exactly the exact-dedup
+    *     profile. V (vocab size) is one driver scalar.
+    *   - SCORE: each document bigram matches EXACTLY ONE model row, so
+    *     the join cannot blow up (unlike a pair self-join, there is no
+    *     f² term); hot bigrams skew partitions, which AQE skew-join
+    *     splits. With a frequency-pruned model (top-K n-grams) the
+    *     model side broadcasts and the score pass is map-only.
+    *   - Docs with fewer than 2 tokens have no bigram evidence and are
+    *     not scored (mirrored by the oracle).
+    *
+    * Bigram extraction is one HOF eval per document (like
+    * [[Dedup.shinglesDeclarative]] — per-doc, not per-pair, so the
+    * interpreted HOF is off every hot loop). Exact integer counts +
+    * one `ln` per distinct bigram; `round(…, 6)` absorbs cross-engine
+    * libm ulp drift, so the surface is value-level oracle-able.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    val t = toks(col(textCol))
+    // (id, w1, w2) with multiplicity, docs with ≥ 2 tokens only
+    val bg = docs.select(col(idCol).as("doc_id"), t.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = docs.select(explode(t).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("n1"))
+    // vocab size: one driver scalar (the model's only non-distributed
+    // piece — same budget class as the centroid/affected-file collects)
+    val vocab = uni.count()
+    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    bg
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("tk", "w1"), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(round(avg(log((col("n2") + lit(alpha)) /
+        (col("n1") + lit(alpha) * vocab))), 6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       aggregate(toks(col(textCol)), lit(0L),

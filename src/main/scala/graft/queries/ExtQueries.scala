@@ -595,6 +595,14 @@ object ExtQueries {
       .select("doc_id", "predicted_lang")
       .orderBy("doc_id")
 
+  /** Corpus-trained bigram LM score per doc (CCNet-style quality
+    * signal) — fully deterministic (exact counts, one ln per distinct
+    * bigram, round 6), recomputed value-for-value by the DuckDB oracle.
+    */
+  def textLmScore(s: SparkSession, dir: String): DataFrame =
+    TextStats.lmScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Gopher-style repetition signals per doc. The dup-line signal runs
     * on a line-ified view of the corpus (the single-line test docs have
     * no '\n'; replacing the ' table ' delimiter with newlines exercises

@@ -329,6 +329,36 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("bigram LM score: hand-computed values, coverage, typicality order") {
+    val tiny = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextStats.lmScore(tiny, "doc_id", "text")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // corpus model: uni a:3 b:3 c:1, V=3; bi (a,b):3 (b,a):1; α=0.4
+    def p(n2: Long, n1: Long) = math.log((n2 + 0.4) / (n1 + 0.4 * 3))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = r6((p(3, 3) + p(1, 3) + p(3, 3)) / 3)
+    val d2 = r6(p(3, 3))
+    assert(math.abs(got(1L)._1 - d1) < 1e-9, s"got ${got(1L)._1}, want $d1")
+    assert(math.abs(got(2L)._1 - d2) < 1e-9, s"got ${got(2L)._1}, want $d2")
+    assert(got(1L)._2 === 3L && got(2L)._2 === 1L)
+    // single-token doc has no bigram evidence — not scored
+    assert(!got.contains(3L))
+    // the doc made only of the corpus's most common bigram scores
+    // higher than the one that also contains the rare (b, a)
+    assert(got(2L)._1 > got(1L)._1)
+    // corpus-level coverage: every multi-token document is scored,
+    // n_bigrams = whitespace tokens − 1
+    val scored = graft.ext.TextStats.lmScore(docs, "doc_id", "text")
+    val toks = graft.ext.TextStats.tokenCounts(docs, "doc_id", "text")
+    val joined = scored.join(toks, "doc_id")
+    assert(joined.filter($"n_bigrams" =!= $"ws_tokens" - 1).count() === 0)
+    assert(scored.count() ===
+      toks.filter($"ws_tokens" >= 2).count())
+  }
+
   test("int8 quantization: error bound, exact integer dot, zero vector") {
     import graft.functions.VectorFunctions
     VectorFunctions.register(spark)
