@@ -72,6 +72,7 @@ object SparkEntry {
     "sample_quota"            -> (ExtQueries.sampleQuota _),
     "sample_rates"            -> (ExtQueries.sampleRates _),
     "pack_sequences"          -> (ExtQueries.packSequences _),
+    "pack_chunks"             -> (ExtQueries.packChunks _),
     "dq_expectations"         -> (ExtQueries.dqExpectations _),
     "dq_profile"              -> (ExtQueries.dqProfile _),
     "text_stats"              -> (ExtQueries.textStats _),
@@ -129,7 +130,8 @@ object SparkEntry {
     "dedup_minhash_incr", "dedup_simhash_pairs", "sim_cosine_topk",
     "sim_lsh_topk_raw", "sim_ivf_topk_raw", "sim_q8_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
-    "sample_quota", "sample_rates", "pack_sequences", "dq_expectations",
+    "sample_quota", "sample_rates", "pack_sequences", "pack_chunks",
+    "dq_expectations",
     "dq_profile",
     "text_stats", "text_quality", "text_token_counts",
     "text_fingerprint_raw", "text_langid", "text_lm_score",
@@ -738,6 +740,25 @@ object SparkEntry {
         | SELECT doc_id, bucket, CAST(prev // 256 AS BIGINT) AS seq_id,
         |  n_tokens
         | FROM c ORDER BY doc_id""".stripMargin,
+    // Sliding-window chunking (window 32, step 24): integer boundary
+    // arithmetic and the chunk text itself recomputed exactly.
+    "pack_chunks" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | ch AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |   CASE WHEN len(w) <= 32 THEN 1
+        |        ELSE CAST((len(w) - 32 + 23) // 24 AS INT) + 1 END AS nc
+        |  FROM tok)
+        | SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  CAST(i * 24 AS INT) AS tok_start,
+        |  CAST(least(i * 24 + 32, n) AS INT) AS tok_end,
+        |  array_to_string(
+        |    list_slice(w, i * 24 + 1, least(i * 24 + 32, n)), ' ')
+        |    AS chunk_text
+        | FROM ch, UNNEST(range(0, nc)) AS u(i)
+        | ORDER BY doc_id, chunk_id""".stripMargin,
     "text_fingerprint" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

@@ -66,4 +66,44 @@ object Packing {
   def packStats(assigned: DataFrame): DataFrame =
     assigned.groupBy("bucket", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+
+  /** Packing's dual — context-window CHUNKING of long documents:
+    * one output row per (doc, chunk), chunk i covering whitespace
+    * tokens `[i·step, min(i·step + window, n))` with `step = window −
+    * overlap` (each chunk re-reads the previous chunk's last `overlap`
+    * tokens — the standard sliding-window split used to fit documents
+    * into a model's context length for training or embedding).
+    *
+    * Map-only: token array, chunk count, and slices are all computed
+    * in the scan-side Project (one HOF pass per doc, like the shingle
+    * formulation); the explode multiplies rows, never a shuffle. All
+    * boundary arithmetic is INTEGER (no float ceil), so the output —
+    * including the chunk text itself — is bit-reproducible and
+    * value-level oracle-able cross-engine.
+    *
+    * Every token is covered (last chunk ends at n); a doc with ≤
+    * window tokens yields exactly one chunk; token positions are
+    * 0-based, `tok_end` exclusive.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      "need 0 <= overlap < window")
+    val step = window - overlap
+    val t = split(trim(lower(col(textCol))), "\\s+")
+    val n = size(col("w"))
+    // integer ceil((n - window) / step) + 1 for n > window, else 1
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(((n - window + step - 1) / step).cast("int") + 1)
+    docs.select(col(idCol).as("doc_id"), t.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * step).as("tok_start"),
+        least(col("chunk_id") * step + window, size(col("w")))
+          .as("tok_end"),
+        concat_ws(" ", slice(col("w"), col("chunk_id") * step + 1,
+          least(col("chunk_id") * step + window, size(col("w"))) -
+            col("chunk_id") * step)).as("chunk_text"))
+  }
 }

@@ -521,6 +521,14 @@ object ExtQueries {
       budget = 256, buckets = 8)
       .orderBy("doc_id")
 
+  /** Sliding-window chunking (window 32, overlap 8) — every chunk row
+    * including its text recomputed exactly by the DuckDB oracle.
+    */
+  def packChunks(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+      window = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+
   /** Data-quality expectation gate over lineitem: four single-scan
     * rules (one deliberately failing — `qty_under_25` — so nonzero
     * violation counting is exercised) plus the orders referential-

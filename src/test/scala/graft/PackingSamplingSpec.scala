@@ -121,6 +121,37 @@ class PackingSamplingSpec extends SparkSuite {
       .isEmpty)
   }
 
+  test("chunking: boundaries, coverage, overlap reconstruction") {
+    import graft.ext.Packing
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                     // ≤ window
+      (3L, "x1 x2 x3 x4 x5"))                            // window + 1
+      .toDF("doc_id", "text")
+    val ch = Packing.chunkDocs(docs, "doc_id", "text",
+      window = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, Int, String)].collect()
+    val byDoc = ch.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 10 tokens, window 4, step 3 → starts 0,3,6; last ends at n
+    assert(byDoc(1L).map(c => (c._3, c._4)).toSeq ===
+      Seq((0, 4), (3, 7), (6, 10)))
+    assert(byDoc(1L).head._5 === "t0 t1 t2 t3")
+    // short doc: exactly one chunk, full text
+    assert(byDoc(2L) === Array((2L, 0, 0, 3, "a b c")))
+    // n = window + 1: second chunk starts at step, ends at n
+    assert(byDoc(3L).map(c => (c._3, c._4)).toSeq === Seq((0, 4), (3, 5)))
+    // overlap reconstruction: chunk 0 whole + later chunks minus their
+    // first `overlap` tokens == the original token stream
+    byDoc.foreach { case (_, chunks) =>
+      val rebuilt = chunks.head._5.split(" ").toSeq ++
+        chunks.tail.toSeq.flatMap(_._5.split(" ").drop(1).toSeq)
+      val original = docs.filter($"doc_id" === chunks.head._1)
+        .select("text").as[String].head().split("\\s+").map(_.toLowerCase)
+      assert(rebuilt === original.toSeq)
+    }
+  }
+
   test("packing determinism: same (seed, budget, buckets) → same assignment") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Packing.assignSequencesByText(docs, "doc_id", "text", 128, 4)
