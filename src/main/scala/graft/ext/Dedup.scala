@@ -493,9 +493,18 @@ object Dedup {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(ra) = rb
     }
-    // label every component by its MINIMUM member (matches least())
-    val cmp = (x: Any, y: Any) =>
-      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    // label every component by its MINIMUM member, under the SAME
+    // ordering least()/min use: for strings that is UTF-8 BINARY
+    // order, which diverges from String.compareTo's UTF-16 code-unit
+    // order on supplementary characters — compare bytes, or the two
+    // execution paths could pick different representatives
+    val cmp = (x: Any, y: Any) => (x, y) match {
+      case (a: String, b: String) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
     val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
     parent.keys.foreach { n =>
       val r = find(n)

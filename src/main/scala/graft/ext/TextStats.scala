@@ -206,7 +206,8 @@ object TextStats {
     *   - TRAIN: bigram and unigram counts are two hash aggregates over
     *     the exploded token stream — map-side combined, shuffle carries
     *     O(distinct n-grams per mapper), exactly the exact-dedup
-    *     profile. V (vocab size) is one driver scalar.
+    *     profile. V (vocab size) is a lazy 1-row broadcast scalar, so
+    *     the whole operator is one plan with no eager driver job.
     *   - SCORE: each document bigram matches EXACTLY ONE model row, so
     *     the join cannot blow up (unlike a pair self-join, there is no
     *     f² term); hot bigrams skew partitions, which AQE skew-join
@@ -234,16 +235,21 @@ object TextStats {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uni = docs.select(explode(t).as("tk"))
       .groupBy("tk").agg(count(lit(1)).as("n1"))
-    // vocab size: one driver scalar (the model's only non-distributed
-    // piece — same budget class as the centroid/affected-file collects)
-    val vocab = uni.count()
+    // vocab size as a LAZY broadcast scalar (crossJoin of a 1-row
+    // aggregate) — an eager uni.count() here would run a separate
+    // tokenize+aggregate job before the plan even executes; this way
+    // the whole operator is ONE plan (callers can persist `docs` or
+    // let AQE's runtime stage reuse share the identical uni shuffle
+    // between the scalar and the n1 join)
+    val vocab = uni.agg(count(lit(1)).as("vs"))
     val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
     bg
       .join(bi, Seq("w1", "w2"))
       .join(uni.withColumnRenamed("tk", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(round(avg(log((col("n2") + lit(alpha)) /
-        (col("n1") + lit(alpha) * vocab))), 6).as("lm_score"),
+        (col("n1") + lit(alpha) * col("vs")))), 6).as("lm_score"),
         count(lit(1)).as("n_bigrams"))
   }
 

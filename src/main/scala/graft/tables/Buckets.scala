@@ -47,7 +47,14 @@ object Buckets {
       .option("path", path)
       .mode("overwrite")
       .saveAsTable(name)
-    val spec = s"""{"name":${json(name)},"keys":[${keys.map(json).mkString(",")}],"buckets":$buckets}"""
+    // json4s round-trip (same idiom as Catalog) — hand-rolled string
+    // parsing would misread names/keys containing JSON metacharacters
+    val spec = {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.compact(JsonMethods.render(
+        ("name" -> name) ~ ("keys" -> keys) ~ ("buckets" -> buckets)))
+    }
     val specPath = new org.apache.hadoop.fs.Path(path, SpecFile)
     val fs = specPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     AtomicFile.write(fs, specPath,
@@ -64,17 +71,19 @@ object Buckets {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
       throw new IllegalStateException(s"no $SpecFile under $path")
-    val in = fs.open(p)
-    val spec =
-      try new String(
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val j = {
+      val in = fs.open(p)
+      try JsonMethods.parse(new String(
         org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8)
+        java.nio.charset.StandardCharsets.UTF_8))
       finally in.close()
-    val name = field(spec, "name")
-    val buckets = field(spec, "buckets").toInt
-    val keys = "\"([^\"]+)\"".r.findAllMatchIn(
-      spec.substring(spec.indexOf("["), spec.indexOf("]")))
-      .map(_.group(1)).toSeq
+    }
+    val name = (j \ "name").extract[String]
+    val buckets = (j \ "buckets").extract[Int]
+    val keys = (j \ "keys").extract[Seq[String]]
     val schema = spark.read.parquet(path).schema.toDDL
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     spark.sql(
@@ -86,14 +95,4 @@ object Buckets {
     name
   }
 
-  private def json(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-
-  private def field(spec: String, key: String): String = {
-    val m = (json(key) + ":\\s*\"?([^,\"}]+)").r
-      .findFirstMatchIn(spec)
-      .getOrElse(throw new IllegalStateException(
-        s"malformed $SpecFile: missing $key in $spec"))
-    m.group(1)
-  }
 }
