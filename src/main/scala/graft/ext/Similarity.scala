@@ -354,6 +354,69 @@ object Similarity {
     ivfTopKWithIndex(queries, assignments, centDf, idCol, vecCol, k, nprobe)
   }
 
+  /** IVF × SQ8 composition (the FAISS `IVF…,SQ8` index shape): shard
+    * by nearest-centroid list AND store int8-quantized vectors in the
+    * shards, so a probe reads nprobe/nlist of a 4×-narrower index —
+    * the two scan-cost levers multiply. Probed candidates are scored
+    * with the integer-dot kernel, the per-query top `k × oversample`
+    * ids survive, and an id-join back to the FLOAT corpus re-scores
+    * them exactly (same retrieve-and-rerank contract as [[q8TopK]]).
+    * Recall is bounded by the IVF probe (the quantized index holds
+    * every sharded vector); the rerank emits exact cosines.
+    */
+  def ivfQ8TopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0,
+      oversample: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
+    val (assignments, centDf) =
+      ivfBuild(corpus, idCol, vecCol, nlist, trainIters, seed)
+    // the persistable IVF-SQ8 shard: (list, neighbor_id, qv, qn)
+    val qAssign = assignments.select(col("list"), col("neighbor_id"),
+      VectorFunctions.q8(col("cv")).as("qv"))
+      .withColumn("qn", VectorFunctions.normI8(col("qv")))
+    val rows = centDf.collect()
+      .map(r => (r.getAs[Int]("list"),
+        r.getAs[scala.collection.Seq[Double]]("centroid")))
+      .sortBy(_._1)
+    val listIds = rows.map(_._1)
+    val cents = rows.map(_._2.toSeq).toSeq
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv_f"))
+    val qProbe = q
+      .withColumn("q_qv", VectorFunctions.q8(col("qv_f")))
+      .withColumn("q_qn", VectorFunctions.normI8(col("q_qv")))
+      .withColumn("pos", explode(nearestLists(col("qv_f"), nprobe, cents)))
+      .withColumn("list", element_at(lit(listIds.toArray), col("pos") + 1))
+      .select("query_id", "q_qv", "q_qn", "list")
+    val coarse = qAssign.join(broadcast(qProbe), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos",
+        VectorFunctions.dotI8(col("q_qv"), col("qv")).cast("double") /
+          (col("q_qn") * col("qn")))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val cand = coarse.withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= k * oversample)
+      .select("query_id", "neighbor_id")
+    val cFloat = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+      .withColumn("cn", VectorFunctions.normF(col("cv")))
+    val qFloat = q.withColumn("qn_f", VectorFunctions.normF(col("qv_f")))
+    val rescored = cand
+      .join(cFloat, Seq("neighbor_id"))
+      .join(broadcast(qFloat), Seq("query_id"))
+      .withColumn("cos",
+        VectorFunctions.dotF(col("qv_f"), col("cv")) /
+          (col("qn_f") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥
     * threshold, found through multi-table LSH buckets (no corpus², same
     * contract as [[Dedup.minhashLsh]] but in embedding space).

@@ -288,6 +288,22 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF×SQ8 composed gate (FAISS `IVF,SQ8` shape): recall@5 ≥ 0.6 vs
+    * brute force — bounded by the IVF probe exactly like `sim_ivf_topk`
+    * (the quantized shard holds every vector; the 4× oversampled
+    * int8 coarse cut plus exact rerank does not measurably cost recall
+    * at this scale).
+    */
+  def simIvfQ8Topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    topkGate("ivf_q8_topk",
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5),
+      Similarity.ivfQ8TopK(q, emb, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 6, trainIters = 2),
+      Seq("query_id", "neighbor_id"), recallMin = 0.6)
+  }
+
   /** int8-quantized retrieve-and-rerank gate: recall@5 ≥ 0.9 vs brute
     * force (measured 1.0 at sf0.01 — the 4× oversampled coarse stage
     * has to mis-rank a true neighbor past rank 20 to lose it, far

@@ -322,6 +322,27 @@ class ExtSpec extends SparkSuite {
     assert(direct.nonEmpty)
   }
 
+  test("IVF×SQ8 composed top-k: recall holds, every query served k rows") {
+    val q = emb.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfQ8TopK(q, emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4, trainIters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect got).size.toDouble / bf.size
+    assert(recall >= 0.3, s"recall=$recall")
+    assert(got.size === bf.size)
+    // the composed path cannot beat its own IVF probe: every returned
+    // neighbor must live in a probed list, i.e. appear among plain
+    // IVF's candidates (same nlist/nprobe/seed; k wide enough to
+    // cover the whole probed candidate set at this corpus size)
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 1000,
+      nlist = 16, nprobe = 4, trainIters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((got -- ivf).isEmpty,
+      "IVF×SQ8 returned a neighbor outside its probed shards")
+  }
+
   test("LSH top-k recall ≥ 0.4 vs brute force (approximate by design)") {
     val q = emb.filter($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
