@@ -208,6 +208,27 @@ class CurationOpsSpec extends SparkSuite {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("chunking is streaming-parity: map-only split runs unchanged on a stream") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val srcDir = tmpDir("graft-chunk-stream")
+    docs.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val q = graft.ext.Packing.chunkDocs(stream, "doc_id", "text",
+      window = 32, overlap = 8)
+      .writeStream.format("memory").queryName("chunked")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("chunked")
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Int, String)].collect().toSet
+    val batch = graft.ext.Packing.chunkDocs(docs, "doc_id", "text",
+      window = 32, overlap = 8)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("repetition kernels match the declarative recomputation on corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // declarative top-2-gram frac: explode with multiplicity + 2 aggs
