@@ -108,6 +108,7 @@ object SparkEntry {
     "s_json_roundtrip"        -> (OpsQueries.sJsonRoundtrip _),
     "s_orc_roundtrip"         -> (OpsQueries.sOrcRoundtrip _),
     "s_delete_keys"           -> (OpsQueries.sDeleteKeys _),
+    "s_delete_where"          -> (OpsQueries.sDeleteWhere _),
     "s5_generator"            -> (OpsQueries.s5Generator _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
@@ -1152,6 +1153,13 @@ object SparkEntry {
     "s_delete_keys" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
         | WHERE o_orderpriority <> '1-URGENT'
+        | ORDER BY o_orderkey""".stripMargin,
+    // survivors = rows the predicate did NOT match; the IS NULL arm
+    // mirrors delete-side three-valued logic (a null price is not >= X,
+    // so it survives on both engines)
+    "s_delete_where" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | WHERE o_totalprice < 4000.0 OR o_totalprice IS NULL
         | ORDER BY o_orderkey""".stripMargin,
     "s4_inmemory_source" ->
       """SELECT id, state, CAST(amount AS DOUBLE) AS amount

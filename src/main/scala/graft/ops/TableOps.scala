@@ -224,10 +224,17 @@ object TableOps {
     * reconstruct a nonexistent `month=1` dir). Metadata-sized collect
     * (one row per affected partition dir).
     */
+  /** `fileCol`: a column already carrying `input_file_name()` values,
+    * for frames whose plan joins a SECOND file source (Spark rejects
+    * `input_file_name()` over multi-source plans) — the caller attaches
+    * the column on the single-source side BEFORE the join.
+    */
   private def backingRels(spark: SparkSession, t: KeyedTable,
-      fs: FileSystem, rows: DataFrame): Map[String, String] = {
+      fs: FileSystem, rows: DataFrame,
+      fileCol: Option[String] = None): Map[String, String] = {
     val dataQ = fs.makeQualified(new Path(t.dataPath))
-    rows.select(input_file_name().as("f")).distinct().collect()
+    fileCol.map(c => rows.select(col(c).as("f")))
+      .getOrElse(rows.select(input_file_name().as("f"))).distinct().collect()
       .map(r => new Path(new java.net.URI(r.getString(0))).getParent)
       .map { p =>
         val verRel = fs.makeQualified(p).toString
@@ -510,7 +517,11 @@ object TableOps {
         snap.filter(
           partitionPredicate(t.partitionBy, homes.schema, homes.collect()))
       } else snap
-    val matched = existing.join(delKeys, keyCols, "left_semi")
+    // file name attached BEFORE the key join: delKeys may itself be
+    // file-backed (deleteWhere's discovered keys, a keys-table read),
+    // and input_file_name() over the joined plan would be multi-source
+    val matched = existing.withColumn("_graft_file", input_file_name())
+      .join(delKeys, keyCols, "left_semi")
     if (matched.isEmpty) return ""
     val ts = CommitLog.newCommitTs()
     val conf = spark.sparkContext.hadoopConfiguration
@@ -524,7 +535,8 @@ object TableOps {
         writer(remaining, t, Nil, 4000000L).parquet(dest.toString)
         Map("" -> ts)
       } else {
-        val affected = backingRels(spark, t, fs, matched)
+        val affected = backingRels(spark, t, fs, matched,
+          fileCol = Some("_graft_file"))
         // Re-read ONLY the affected dirs (the same per-version grouped
         // read snapshot() uses) under the MANIFEST schema: footer
         // sampling could drop evolved columns from the rewrite, and
@@ -551,6 +563,38 @@ object TableOps {
       KeyIndex.markSynced(spark, t, ts)
     }
     ts
+  }
+
+  /** Predicate hard delete — the Delta `DELETE WHERE` / Hudi SQL
+    * DELETE analog, composed from the two primitives the engine
+    * already has: the keys to remove are DISCOVERED through
+    * [[snapshotWhere]] (on stats-carrying tables a selective predicate
+    * on a clustered column opens only files that can match — the
+    * discovery scan is file-skipped, not a full pass), then the keyed
+    * [[delete]] rewrite proceeds partition-scoped as usual. Returns
+    * the commit ts, or "" when nothing matched.
+    *
+    * The discovered key set is MATERIALIZED to a table-scoped scratch
+    * dir before the rewrite (removed in finally): (a) [[delete]]'s
+    * affected-partition discovery uses `input_file_name()`, which
+    * Spark only allows over a single file source — keys whose lineage
+    * is the same table would make that plan multi-source; (b) the
+    * (possibly expensive) discovery scan runs exactly once instead of
+    * once per reference inside the rewrite. Distributed write, no
+    * driver-side key collection — a GDPR-scale key set never funnels
+    * through the driver.
+    */
+  def deleteWhere(spark: SparkSession, t: KeyedTable,
+      pred: Column): String = {
+    if (!exists(spark, t)) return ""
+    val tmp = new Path(t.path,
+      s".tmp/deletewhere-${java.util.UUID.randomUUID()}")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      snapshotWhere(spark, t, pred).select(t.recordKey.map(col): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      delete(spark, t, spark.read.parquet(tmp.toString))
+    } finally fs.delete(tmp, true)
   }
 
   /** Soft delete: upsert the matching rows back with `_deleted = true`.

@@ -250,6 +250,25 @@ object OpsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Predicate hard delete (`DELETE WHERE` analog) as a materialized
+    * state: orders land clustered by `o_totalprice` with stats
+    * sidecars, so the delete's key-discovery scan is file-skipped;
+    * survivors returned (oracle: the complement).
+    */
+  def sDeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val table = KeyedTable("orders_dw",
+      s"${scratch("graft-delw")}/orders_dw", Seq("o_orderkey"),
+      "o_orderdate", statsColumns = Seq("o_totalprice"))
+    val perFile = math.max(orders.count() / 16L, 1L)
+    TableOps.upsert(s, table, orders, sortBy = Seq("o_totalprice"),
+      maxRecordsPerFile = perFile)
+    TableOps.deleteWhere(s, table, col("o_totalprice") >= 4000.0)
+    TableOps.snapshot(s, table)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** As-of join (beyond-reference operator): each purchase event is
     * enriched with the user's most recent prior-or-equal view event.
     * Oracle: DuckDB's native ASOF JOIN.

@@ -136,6 +136,21 @@ class TableOpsSpec extends SparkSuite {
       .select("id").as[String].collect().toSet === Set("a", "b", "c", "d"))
   }
 
+  test("deleteWhere: predicate delete removes matches, no-op otherwise") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t,
+      rows(("a", 1, "x", "p1"), ("b", 2, "y", "p2"), ("c", 3, "z", "p2"),
+        ("d", 4, "w", "p3")))
+    val ts = TableOps.deleteWhere(spark, t, col("ver") >= 3)
+    assert(ts.nonEmpty)
+    assert(TableOps.snapshot(spark, t)
+      .select("id").as[String].collect().toSet === Set("a", "b"))
+    // predicate matching nothing: no commit published
+    val commits = graft.tables.CommitLog(t, spark).listCommits().size
+    assert(TableOps.deleteWhere(spark, t, col("ver") > 1000) === "")
+    assert(graft.tables.CommitLog(t, spark).listCommits().size === commits)
+  }
+
   test("schema evolution: upsert with a new column widens the table") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
