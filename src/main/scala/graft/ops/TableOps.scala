@@ -597,6 +597,33 @@ object TableOps {
     } finally fs.delete(tmp, true)
   }
 
+  /** Predicate update — the Delta/Hudi SQL `UPDATE … SET … WHERE`
+    * analog: rows matching `pred` are read through the stats-pruned
+    * [[snapshotWhere]] discovery, the `set` expressions applied, and
+    * the result upserted back (COW rewrite of only the affected
+    * partitions; the rewritten rows carry the new commit ts, so
+    * incremental readers observe the update as a change record).
+    * Returns the commit ts, or "" when nothing matched.
+    *
+    * `set` must not modify record-key columns (that is an
+    * insert-plus-orphan, not an update); changing PARTITION column
+    * values moves rows between partitions and is only safe on
+    * GLOBAL-indexed tables (where upsert resolves old homes) — on
+    * partition-scoped tables the old-partition copy would survive.
+    */
+  def updateWhere(spark: SparkSession, t: KeyedTable, pred: Column,
+      set: Map[String, Column]): String = {
+    if (!exists(spark, t)) return ""
+    require(set.keySet.intersect(t.recordKey.toSet).isEmpty,
+      s"updateWhere must not modify record-key columns ${t.recordKey}")
+    val matched = snapshotWhere(spark, t, pred)
+      .drop(KeyedTable.CommitCol)
+    val updated = set.foldLeft(matched) {
+      case (df, (c, e)) => df.withColumn(c, e)
+    }
+    upsert(spark, t, updated)
+  }
+
   /** Soft delete: upsert the matching rows back with `_deleted = true`.
     * Unlike [[delete]], the tombstone IS a row version — incremental
     * readers observe it as a normal change record (CDC-style), and a

@@ -269,6 +269,23 @@ object OpsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Predicate update (`UPDATE … SET … WHERE` analog) as a
+    * materialized state: high-value orders get their priority
+    * rewritten in place; oracle recomputes with a CASE expression.
+    */
+  def sUpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val table = KeyedTable("orders_uw",
+      s"${scratch("graft-updw")}/orders_uw", Seq("o_orderkey"),
+      "o_orderdate", statsColumns = Seq("o_totalprice"))
+    TableOps.upsert(s, table, orders, sortBy = Seq("o_totalprice"))
+    TableOps.updateWhere(s, table, col("o_totalprice") >= 4000.0,
+      Map("o_orderpriority" -> lit("9-DONE")))
+    TableOps.snapshot(s, table)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** As-of join (beyond-reference operator): each purchase event is
     * enriched with the user's most recent prior-or-equal view event.
     * Oracle: DuckDB's native ASOF JOIN.

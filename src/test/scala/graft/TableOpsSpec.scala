@@ -151,6 +151,28 @@ class TableOpsSpec extends SparkSuite {
     assert(graft.tables.CommitLog(t, spark).listCommits().size === commits)
   }
 
+  test("updateWhere: predicate update rewrites matches, bumps their commit ts") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t,
+      rows(("a", 1, "x", "p1"), ("b", 2, "y", "p2"), ("c", 3, "z", "p2")))
+    val before = graft.tables.CommitLog(t, spark).latestCommit().get
+    val ts = TableOps.updateWhere(spark, t, col("ver") >= 2,
+      Map("payload" -> concat(col("payload"), lit("!"))))
+    assert(ts.nonEmpty)
+    val snap = TableOps.snapshot(spark, t)
+    assert(snap.select("id", "payload").as[(String, String)].collect().toSet
+      === Set(("a", "x"), ("b", "y!"), ("c", "z!")))
+    // updated rows are change records of the new commit; untouched not
+    val changed = TableOps.incremental(spark, t, before)
+      .select("id").as[String].collect().toSet
+    assert(changed === Set("b", "c"))
+    // record-key columns are off-limits
+    intercept[IllegalArgumentException] {
+      TableOps.updateWhere(spark, t, col("ver") >= 2,
+        Map("id" -> lit("nope")))
+    }
+  }
+
   test("schema evolution: upsert with a new column widens the table") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
