@@ -110,6 +110,7 @@ object SparkEntry {
     "s_delete_keys"           -> (OpsQueries.sDeleteKeys _),
     "s_delete_where"          -> (OpsQueries.sDeleteWhere _),
     "s_update_where"          -> (OpsQueries.sUpdateWhere _),
+    "s_apply_changes"         -> (OpsQueries.sApplyChanges _),
     "s5_generator"            -> (OpsQueries.s5Generator _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
@@ -1167,6 +1168,10 @@ object SparkEntry {
         | CASE WHEN o_totalprice >= 4000.0 THEN '9-DONE'
         |      ELSE o_orderpriority END AS o_orderpriority,
         | o_totalprice FROM orders
+        | ORDER BY o_orderkey""".stripMargin,
+    "s_apply_changes" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        | FROM orders WHERE o_orderpriority <> '1-URGENT'
         | ORDER BY o_orderkey""".stripMargin,
     "s4_inmemory_source" ->
       """SELECT id, state, CAST(amount AS DOUBLE) AS amount

@@ -597,6 +597,40 @@ object TableOps {
     } finally fs.delete(tmp, true)
   }
 
+  /** CDC merge — apply a change batch carrying an op column
+    * (`I`/`U` upserts, `D` deletes) in one call: the
+    * debezium-payload workflow the reference's Hudi jobs exist for
+    * (op-aware MERGE INTO). Per key, the LATEST change by
+    * `precombineKey` wins — a key updated then deleted inside one
+    * batch is deleted, never resurrected by its own earlier update
+    * (the same `max_by` discipline as upsert's batch dedup).
+    *
+    * Publishes up to TWO commits (upserts, then deletes) and returns
+    * their timestamps. The intermediate state (upserts applied,
+    * deletes pending) is itself consistent; a replay after a crash
+    * between the two re-applies both halves idempotently when
+    * `idempotencyKey` is set (the delete half is naturally idempotent
+    * — already-deleted keys match nothing). Change batches may be
+    * file-backed (a staged CDC table) — both halves tolerate a second
+    * file source.
+    */
+  def applyChanges(spark: SparkSession, t: KeyedTable, changes: DataFrame,
+      opCol: String = "_op",
+      idempotencyKey: Option[String] = None): Seq[String] = {
+    require(changes.columns.contains(opCol),
+      s"applyChanges needs the op column '$opCol' (I/U/D)")
+    // latest op per key decides the row's fate for this batch
+    val latest = Upsert.dedupBatch(changes, t.recordKey,
+      Seq(t.precombineKey))
+    val ups = latest.filter(col(opCol) =!= "D").drop(opCol)
+    val dels = latest.filter(col(opCol) === "D")
+      .select(t.recordKey.map(col): _*)
+    val upTs = upsert(spark, t, ups,
+      idempotencyKey = idempotencyKey.map(_ + ":up"))
+    val delTs = if (exists(spark, t)) delete(spark, t, dels) else ""
+    Seq(upTs, delTs).filter(_.nonEmpty)
+  }
+
   /** Predicate update — the Delta/Hudi SQL `UPDATE … SET … WHERE`
     * analog: rows matching `pred` are read through the stats-pruned
     * [[snapshotWhere]] discovery, the `set` expressions applied, and

@@ -286,6 +286,28 @@ object OpsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** CDC merge as a materialized state: a change batch derived from
+    * orders (urgent orders deleted, the rest updated with doubled
+    * totals) applies through [[TableOps.applyChanges]]; the oracle
+    * recomputes survivors + update arithmetic (×2 is FP-exact).
+    */
+  def sApplyChanges(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val table = KeyedTable("orders_cdc",
+      s"${scratch("graft-cdc")}/orders_cdc", Seq("o_orderkey"),
+      "o_orderdate")
+    TableOps.upsert(s, table, orders)
+    val changes = orders
+      .withColumn("_op", when(col("o_orderpriority") === "1-URGENT",
+        lit("D")).otherwise(lit("U")))
+      .withColumn("o_totalprice", when(col("_op") === "U",
+        col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+    TableOps.applyChanges(s, table, changes)
+    TableOps.snapshot(s, table)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** As-of join (beyond-reference operator): each purchase event is
     * enriched with the user's most recent prior-or-equal view event.
     * Oracle: DuckDB's native ASOF JOIN.

@@ -151,6 +151,34 @@ class TableOpsSpec extends SparkSuite {
     assert(graft.tables.CommitLog(t, spark).listCommits().size === commits)
   }
 
+  test("applyChanges: CDC batch applies, latest op per key wins, replay is idempotent") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t,
+      rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2"), ("c", 1, "z", "p2")))
+    // b updated; c deleted; d inserted; e updated THEN deleted (delete
+    // wins); f deleted THEN inserted (insert wins, f was never present)
+    val changes = Seq(
+      ("b", 2, "y2", "p2", "U"),
+      ("c", 2, "z", "p2", "D"),
+      ("d", 2, "w", "p3", "I"),
+      ("e", 2, "tmp", "p3", "U"), ("e", 3, "tmp", "p3", "D"),
+      ("f", 2, "dead", "p3", "D"), ("f", 3, "alive", "p3", "I"))
+      .toDF("id", "ver", "payload", "part", "_op")
+    val published = TableOps.applyChanges(spark, t, changes,
+      idempotencyKey = Some("cdc-batch-1"))
+    assert(published.size === 2, "one upsert + one delete commit")
+    val snap = TableOps.snapshot(spark, t)
+      .select("id", "payload").as[(String, String)].collect().toMap
+    assert(snap === Map("a" -> "x", "b" -> "y2", "d" -> "w",
+      "f" -> "alive"))
+    // replay with the same idempotency key: nothing new published
+    val commits = graft.tables.CommitLog(t, spark).listCommits().size
+    val replay = TableOps.applyChanges(spark, t, changes,
+      idempotencyKey = Some("cdc-batch-1"))
+    assert(replay.isEmpty)
+    assert(graft.tables.CommitLog(t, spark).listCommits().size === commits)
+  }
+
   test("updateWhere: predicate update rewrites matches, bumps their commit ts") {
     val t = table(partitioned = true)
     TableOps.upsert(spark, t,
