@@ -76,6 +76,33 @@ object StreamingEtl {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CDC-APPLY sink: each micro-batch is an I/U/D change
+    * batch routed through [[TableOps.applyChanges]] — the streaming
+    * face of op-aware MERGE INTO (a debezium-topic consumer's shape),
+    * covering the HARD-delete case [[tableToTable]]'s upsert sink
+    * cannot express. Batch-id idempotency keys keep the upsert half
+    * exactly-once under replay; the delete half is naturally
+    * idempotent.
+    */
+  def changesToTable(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      target: KeyedTable,
+      checkpointDir: String,
+      opCol: String = "_op"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TableOps.applyChanges(spark, target, batch, opCol,
+          idempotencyKey = Some(s"${target.name}-cdcapply-$batchId")): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact dedup with bounded state: first occurrence per key
     * wins; duplicates arriving within the watermark are dropped and the
     * per-key state expires with it (`dropDuplicatesWithinWatermark` —

@@ -858,4 +858,25 @@ class ExtSpec extends SparkSuite {
     q.awaitTermination(60000)
     assert(TableOps.snapshot(spark, target).count() === 200)
   }
+
+  test("streaming: CDC-apply sink routes I/U/D batches through applyChanges") {
+    import graft.tables.KeyedTable
+    import graft.ops.TableOps
+    val base = tmpDir("graft-stream-cdc")
+    val srcDir = s"$base/src"
+    val target = KeyedTable("cdct", s"$base/cdct", Seq("id"), "ver")
+    TableOps.upsert(spark, target,
+      Seq(("a", 1, "x"), ("b", 1, "y")).toDF("id", "ver", "payload"))
+    // the change stream: delete a, update b, insert c
+    Seq(("a", 2, "x", "D"), ("b", 2, "y2", "U"), ("c", 2, "z", "I"))
+      .toDF("id", "ver", "payload", "_op")
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = graft.streaming.StreamingEtl.changesToTable(
+      spark, srcDir, schema, target, s"$base/ckpt")
+    q.awaitTermination(60000)
+    assert(TableOps.snapshot(spark, target)
+      .select("id", "payload").as[(String, String)].collect().toSet
+      === Set(("b", "y2"), ("c", "z")))
+  }
 }
