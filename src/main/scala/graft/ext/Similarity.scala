@@ -157,26 +157,26 @@ object Similarity {
     * shape matches [[bruteForceTopK]]: (query_id, neighbor_id, cos,
     * rank) with the EXACT cosine.
     */
-  def q8TopKWithIndex(queries: DataFrame, qIndex: DataFrame,
-      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      oversample: Int = 4): DataFrame = {
+  /** Keep the per-query top `limit` by the int8 coarse score — only
+    * ids + the score ride the rank exchange.
+    */
+  private def coarseTopIds(scored: DataFrame, limit: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    VectorFunctions.register(corpus.sparkSession)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv_f"))
-    val qq = q.select(col("query_id"),
-      VectorFunctions.q8(col("qv_f")).as("q_qv"))
-      .withColumn("q_qn", VectorFunctions.normI8(col("q_qv")))
-    val coarse = qIndex.join(broadcast(qq),
-      col("query_id") =!= col("neighbor_id"))
-      .withColumn("qcos",
-        VectorFunctions.dotI8(col("q_qv"), col("qv")).cast("double") /
-          (col("q_qn") * col("qn")))
-    val wCoarse = Window.partitionBy(col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id").asc)
-    // candidate ids only — the float vectors never ride the coarse top-k
-    val cand = coarse.withColumn("crank", row_number().over(wCoarse))
-      .filter(col("crank") <= k * oversample)
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= limit)
       .select("query_id", "neighbor_id")
+  }
+
+  /** Exact-cosine rerank of `(query_id, neighbor_id)` candidates: join
+    * back to the FLOAT corpus (touches only candidate rows), broadcast
+    * the float queries, emit the exact-scored top k — the shared
+    * second stage of every retrieve-and-rerank path.
+    */
+  private def rerankExact(cand: DataFrame, q: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cFloat = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"))
       .withColumn("cn", VectorFunctions.normF(col("cv")))
@@ -192,6 +192,23 @@ object Similarity {
     rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  def q8TopKWithIndex(queries: DataFrame, qIndex: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      oversample: Int = 4): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv_f"))
+    val qq = q.select(col("query_id"),
+      VectorFunctions.q8(col("qv_f")).as("q_qv"))
+      .withColumn("q_qn", VectorFunctions.normI8(col("q_qv")))
+    val coarse = qIndex.join(broadcast(qq),
+      col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos",
+        VectorFunctions.dotI8(col("q_qv"), col("qv")).cast("double") /
+          (col("q_qn") * col("qn")))
+    rerankExact(coarseTopIds(coarse, k * oversample), q, corpus,
+      idCol, vecCol, k)
   }
 
   /** [[q8TopKWithIndex]] with the index built inline (one extra corpus
@@ -308,23 +325,29 @@ object Similarity {
     * list id — per-batch cost ≈ index/nlist × nprobe rows scored,
     * independent of how the corpus was built.
     */
+  /** Name-addressed, value-keyed centroid collect: a reloaded or
+    * reprojected centroid table may arrive with reordered columns or
+    * non-contiguous list ids (a compacted list, a SQL SELECT with
+    * another column order) — positional reads would then probe the
+    * WRONG shards silently. `nearestLists` ranks by POSITION in the
+    * collected seq; callers map positions back through the returned
+    * list ids before any join.
+    */
+  private def collectCentroids(
+      centroidTable: DataFrame): (Seq[Int], Seq[Seq[Double]]) = {
+    val rows = centroidTable.collect()
+      .map(r => (r.getAs[Int]("list"),
+        r.getAs[scala.collection.Seq[Double]]("centroid")))
+      .sortBy(_._1)
+    (rows.map(_._1).toSeq, rows.map(_._2.toSeq).toSeq)
+  }
+
   def ivfTopKWithIndex(queries: DataFrame, assignments: DataFrame,
       centroidTable: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorFunctions.register(queries.sparkSession)
-    // Name-addressed, value-keyed: a reloaded/reprojected centroid
-    // table may arrive with reordered columns or non-contiguous list
-    // ids (a compacted list, a SQL SELECT with another column order) —
-    // positional reads would then probe the WRONG shards silently.
-    // nearestLists ranks by POSITION in the collected seq; positions
-    // are mapped back to the actual list values before the join.
-    val rows = centroidTable.collect()
-      .map(r => (r.getAs[Int]("list"),
-        r.getAs[scala.collection.Seq[Double]]("centroid")))
-      .sortBy(_._1)
-    val listIds = rows.map(_._1)
-    val cents = rows.map(_._2.toSeq).toSeq
+    val (listIds, cents) = collectCentroids(centroidTable)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", VectorFunctions.normF(col("qv")))
       .withColumn("pos", explode(nearestLists(col("qv"), nprobe, cents)))
@@ -354,35 +377,45 @@ object Similarity {
     ivfTopKWithIndex(queries, assignments, centDf, idCol, vecCol, k, nprobe)
   }
 
-  /** IVF × SQ8 composition (the FAISS `IVF…,SQ8` index shape): shard
-    * by nearest-centroid list AND store int8-quantized vectors in the
-    * shards, so a probe reads nprobe/nlist of a 4×-narrower index —
-    * the two scan-cost levers multiply. Probed candidates are scored
-    * with the integer-dot kernel, the per-query top `k × oversample`
-    * ids survive, and an id-join back to the FLOAT corpus re-scores
-    * them exactly (same retrieve-and-rerank contract as [[q8TopK]]).
-    * Recall is bounded by the IVF probe (the quantized index holds
-    * every sharded vector); the rerank emits exact cosines.
+  // ——— IVF × SQ8 composition (the FAISS `IVF…,SQ8` index shape):
+  // shard by nearest-centroid list AND store int8-quantized vectors in
+  // the shards — a probe reads nprobe/nlist of a 4×-narrower index,
+  // the two scan-cost levers multiply. Recall is bounded by the IVF
+  // probe (the quantized index holds every sharded vector); the rerank
+  // emits exact cosines.
+
+  /** Build the PERSISTABLE IVF-SQ8 index: `(qAssignments, centroids)`
+    * where qAssignments = `(list, neighbor_id, qv: binary, qn)` — the
+    * IVF shard layout with int8 vectors (4× narrower than
+    * [[ivfBuild]]'s float shard), same parquet-roundtrip contract as
+    * every other index here. Build once per corpus version, probe per
+    * query batch with [[ivfQ8TopKWithIndex]].
     */
-  def ivfQ8TopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0,
-      oversample: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
-    VectorFunctions.register(spark)
+  def ivfQ8Build(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, trainIters: Int = 0,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    VectorFunctions.register(corpus.sparkSession)
     val (assignments, centDf) =
       ivfBuild(corpus, idCol, vecCol, nlist, trainIters, seed)
-    // the persistable IVF-SQ8 shard: (list, neighbor_id, qv, qn)
     val qAssign = assignments.select(col("list"), col("neighbor_id"),
       VectorFunctions.q8(col("cv")).as("qv"))
       .withColumn("qn", VectorFunctions.normI8(col("qv")))
-    val rows = centDf.collect()
-      .map(r => (r.getAs[Int]("list"),
-        r.getAs[scala.collection.Seq[Double]]("centroid")))
-      .sortBy(_._1)
-    val listIds = rows.map(_._1)
-    val cents = rows.map(_._2.toSeq).toSeq
+    (qAssign, centDf)
+  }
+
+  /** Probe a prebuilt IVF-SQ8 index: the query batch is quantized and
+    * assigned to its `nprobe` nearest lists, the quantized shards are
+    * int8-coarse-scored, and the per-query top `k × oversample` ids
+    * rerank against the FLOAT corpus ([[rerankExact]] — shared with
+    * [[q8TopKWithIndex]]). Per-batch cost ≈ index/nlist × nprobe rows
+    * int8-scored + k·oversample·|Q| float dots.
+    */
+  def ivfQ8TopKWithIndex(queries: DataFrame, qAssignments: DataFrame,
+      centroidTable: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 4,
+      oversample: Int = 4): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val (listIds, cents) = collectCentroids(centroidTable)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv_f"))
     val qProbe = q
       .withColumn("q_qv", VectorFunctions.q8(col("qv_f")))
@@ -390,31 +423,24 @@ object Similarity {
       .withColumn("pos", explode(nearestLists(col("qv_f"), nprobe, cents)))
       .withColumn("list", element_at(lit(listIds.toArray), col("pos") + 1))
       .select("query_id", "q_qv", "q_qn", "list")
-    val coarse = qAssign.join(broadcast(qProbe), Seq("list"))
+    val coarse = qAssignments.join(broadcast(qProbe), Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("qcos",
         VectorFunctions.dotI8(col("q_qv"), col("qv")).cast("double") /
           (col("q_qn") * col("qn")))
-    val wCoarse = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("neighbor_id").asc)
-    val cand = coarse.withColumn("crank", row_number().over(wCoarse))
-      .filter(col("crank") <= k * oversample)
-      .select("query_id", "neighbor_id")
-    val cFloat = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"))
-      .withColumn("cn", VectorFunctions.normF(col("cv")))
-    val qFloat = q.withColumn("qn_f", VectorFunctions.normF(col("qv_f")))
-    val rescored = cand
-      .join(cFloat, Seq("neighbor_id"))
-      .join(broadcast(qFloat), Seq("query_id"))
-      .withColumn("cos",
-        VectorFunctions.dotF(col("qv_f"), col("cv")) /
-          (col("qn_f") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    rescored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+    rerankExact(coarseTopIds(coarse, k * oversample), q, corpus,
+      idCol, vecCol, k)
+  }
+
+  /** [[ivfQ8TopKWithIndex]] with the index built inline. */
+  def ivfQ8TopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0,
+      oversample: Int = 4, seed: Long = 42L): DataFrame = {
+    val (qAssign, centDf) =
+      ivfQ8Build(corpus, idCol, vecCol, nlist, trainIters, seed)
+    ivfQ8TopKWithIndex(queries, qAssign, centDf, corpus, idCol, vecCol,
+      k, nprobe, oversample)
   }
 
   /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥

@@ -285,7 +285,14 @@ object TableOps {
     // create_hudi_tables.py:213); isEmpty touches one partition.
     if (incoming.isEmpty) return ""
     val ts = CommitLog.newCommitTs()
-    val deduped = Upsert.dedupBatch(incoming, t.recordKey,
+    // batch dedup under the same identity the MERGE uses: on a
+    // partition-scoped table the row identity is (key, partition) —
+    // deduping by bare key would silently collapse a batch that
+    // legitimately carries one row per partition for the same key
+    val dedupKeys =
+      if (t.globalIndex || t.partitionBy.isEmpty) t.recordKey
+      else (t.recordKey ++ t.partitionBy).distinct
+    val deduped = Upsert.dedupBatch(incoming, dedupKeys,
       Seq(t.precombineKey))
     val stamped = deduped.withColumn(KeyedTable.CommitCol, lit(ts))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -500,11 +507,21 @@ object TableOps {
     * the disappearance only via the commit log, not as delete records
     * (Hudi emits delete markers; callers needing CDC-style deletes
     * should soft-delete with a flag column instead).
+    *
+    * Partition scoping: on a partition-scoped (non-GLOBAL) table the
+    * same key may legitimately live in several partitions. When the
+    * `keys` frame ALSO carries the partition columns, matching is
+    * scoped to (key, partition) — exactly Hudi's delete-with-
+    * partition-path — so only the named copies die; a bare-key frame
+    * keeps the historical "this key, wherever it lives" semantics.
     */
   def delete(spark: SparkSession, t: KeyedTable, keys: DataFrame): String = {
     if (!exists(spark, t)) return ""
     val baseCommit = CommitLog(t, spark).latestCommit()
-    val keyCols = t.recordKey
+    val keyCols =
+      if (!t.globalIndex && t.partitionBy.forall(keys.columns.contains))
+        (t.recordKey ++ t.partitionBy).distinct
+      else t.recordKey
     val delKeys = keys.select(keyCols.map(col): _*).distinct()
     val preSchema = latestSchema(spark, t)
     val snap = snapshot(spark, t)
@@ -590,8 +607,14 @@ object TableOps {
     val tmp = new Path(t.path,
       s".tmp/deletewhere-${java.util.UUID.randomUUID()}")
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // partition columns ride along on partition-scoped tables so only
+    // the partition copies the predicate MATCHED are deleted — a bare
+    // key set would kill same-key rows in unrelated partitions
+    val discoverCols =
+      if (t.globalIndex) t.recordKey
+      else (t.recordKey ++ t.partitionBy).distinct
     try {
-      snapshotWhere(spark, t, pred).select(t.recordKey.map(col): _*)
+      snapshotWhere(spark, t, pred).select(discoverCols.map(col): _*)
         .write.mode("overwrite").parquet(tmp.toString)
       delete(spark, t, spark.read.parquet(tmp.toString))
     } finally fs.delete(tmp, true)
@@ -603,7 +626,19 @@ object TableOps {
     * (op-aware MERGE INTO). Per key, the LATEST change by
     * `precombineKey` wins — a key updated then deleted inside one
     * batch is deleted, never resurrected by its own earlier update
-    * (the same `max_by` discipline as upsert's batch dedup).
+    * (same `max_by` discipline as upsert's batch dedup, with `D`
+    * deterministically winning EQUAL-precombine ties: with a coarse
+    * precombine column, arrival order is unknowable and a tombstone
+    * resurrected by its own update would be silent data corruption —
+    * the safe side of the tie is staying deleted).
+    *
+    * Ops are validated row-level (codegen'd, no extra pass): anything
+    * other than `I`/`U`/`D` — including NULL and lowercase debezium
+    * codes — fails the job loudly instead of silently mis-routing.
+    * On partition-scoped tables the change row's PARTITION columns
+    * scope the op (per-(key, partition) dedup and delete — the same
+    * contract as [[delete]]/[[upsert]] there); on GLOBAL tables the
+    * key alone identifies the row.
     *
     * Publishes up to TWO commits (upserts, then deletes) and returns
     * their timestamps. The intermediate state (upserts applied,
@@ -619,12 +654,23 @@ object TableOps {
       idempotencyKey: Option[String] = None): Seq[String] = {
     require(changes.columns.contains(opCol),
       s"applyChanges needs the op column '$opCol' (I/U/D)")
-    // latest op per key decides the row's fate for this batch
-    val latest = Upsert.dedupBatch(changes, t.recordKey,
-      Seq(t.precombineKey))
+    val validated = changes.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(format_string(
+          s"applyChanges: invalid $opCol '%s' (need I/U/D)",
+          coalesce(col(opCol), lit("NULL"))))))
+    val dedupKeys =
+      if (t.globalIndex) t.recordKey
+      else (t.recordKey ++ t.partitionBy).distinct
+    // latest op per key decides the row's fate; D outranks same-
+    // precombine I/U
+    val latest = Upsert.dedupBatch(
+      validated.withColumn("_op_rank",
+        when(col(opCol) === "D", 1).otherwise(0)),
+      dedupKeys, Seq(t.precombineKey, "_op_rank")).drop("_op_rank")
     val ups = latest.filter(col(opCol) =!= "D").drop(opCol)
     val dels = latest.filter(col(opCol) === "D")
-      .select(t.recordKey.map(col): _*)
+      .select(dedupKeys.map(col): _*)
     val upTs = upsert(spark, t, ups,
       idempotencyKey = idempotencyKey.map(_ + ":up"))
     val delTs = if (exists(spark, t)) delete(spark, t, dels) else ""
@@ -641,20 +687,31 @@ object TableOps {
     *
     * `set` must not modify record-key columns (that is an
     * insert-plus-orphan, not an update); changing PARTITION column
-    * values moves rows between partitions and is only safe on
+    * values moves rows between partitions and is only allowed on
     * GLOBAL-indexed tables (where upsert resolves old homes) — on
-    * partition-scoped tables the old-partition copy would survive.
+    * partition-scoped tables the old-partition copy would survive, so
+    * the call is rejected.
+    *
+    * SQL semantics: every SET right-hand side is evaluated against the
+    * PRE-UPDATE row (one projection — `SET a = b, b = a` swaps), never
+    * against another clause's output, and clause order is immaterial.
     */
   def updateWhere(spark: SparkSession, t: KeyedTable, pred: Column,
       set: Map[String, Column]): String = {
     if (!exists(spark, t)) return ""
     require(set.keySet.intersect(t.recordKey.toSet).isEmpty,
       s"updateWhere must not modify record-key columns ${t.recordKey}")
+    if (!t.globalIndex)
+      require(set.keySet.intersect(t.partitionBy.toSet).isEmpty,
+        "updateWhere cannot move rows between partitions on a " +
+          s"partition-scoped table (partition columns ${t.partitionBy})")
     val matched = snapshotWhere(spark, t, pred)
       .drop(KeyedTable.CommitCol)
-    val updated = set.foldLeft(matched) {
-      case (df, (c, e)) => df.withColumn(c, e)
-    }
+    val unknown = set.keySet -- matched.columns
+    require(unknown.isEmpty, s"updateWhere SET of unknown columns $unknown")
+    // single projection: all RHS expressions see the original columns
+    val updated = matched.select(matched.columns.toSeq.map(c =>
+      set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     upsert(spark, t, updated)
   }
 
@@ -918,6 +975,11 @@ object TableOps {
     // table whose manifests carry no parts map (a round-1 layout), the
     // `.versions` dir IS its version archive — deleting it would destroy
     // time travel with no migration path. Warn and leave it instead.
+    // Crash-orphaned scratch (deleteWhere key materializations):
+    // normally removed in the operation's finally block; clean() runs
+    // under the single-writer discipline, so anything still here is an
+    // orphan — a retention concern for right-to-be-forgotten key sets.
+    fs.delete(new Path(s"${t.path}/.tmp"), true)
     if (partsMaps.nonEmpty) {
       fs.delete(new Path(s"${t.path}/.staging"), true)
       fs.delete(new Path(s"${t.path}/.versions"), true)

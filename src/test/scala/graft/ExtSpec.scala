@@ -343,6 +343,27 @@ class ExtSpec extends SparkSuite {
       "IVF×SQ8 returned a neighbor outside its probed shards")
   }
 
+  test("IVF-SQ8 index round-trips through parquet and probes identically") {
+    val q = emb.filter($"vec_id" < 20)
+    val (qAssign, cents) = Similarity.ivfQ8Build(emb, "vec_id",
+      "embedding", nlist = 16, trainIters = 2)
+    val direct = Similarity.ivfQ8TopKWithIndex(q, qAssign, cents, emb,
+      "vec_id", "embedding", 5, nprobe = 6)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val dir = tmpDir("graft-ivfq8")
+    qAssign.write.mode("overwrite").parquet(s"$dir/assign")
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    val probed = Similarity.ivfQ8TopKWithIndex(q,
+      spark.read.parquet(s"$dir/assign"),
+      spark.read.parquet(s"$dir/cents").select("centroid", "list"),
+      emb, "vec_id", "embedding", 5, nprobe = 6)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probed === direct)
+    assert(direct.nonEmpty)
+  }
+
   test("LSH top-k recall ≥ 0.4 vs brute force (approximate by design)") {
     val q = emb.filter($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)

@@ -179,6 +179,46 @@ class TableOpsSpec extends SparkSuite {
     assert(graft.tables.CommitLog(t, spark).listCommits().size === commits)
   }
 
+  test("partition-scoped: same key in two partitions survives predicate ops on the other") {
+    val t = table(partitioned = true)
+    // one batch carrying BOTH partition copies of key 'a' — the batch
+    // dedup must keep both (row identity is (key, partition) here)
+    TableOps.upsert(spark, t,
+      rows(("a", 1, "x", "p1"), ("a", 1, "y", "p2"), ("b", 1, "z", "p2")))
+    assert(TableOps.snapshot(spark, t).count() === 3)
+    // deleteWhere matching only p1's copy must not kill p2's
+    TableOps.deleteWhere(spark, t, col("payload") === "x")
+    val snap = TableOps.snapshot(spark, t)
+      .select("id", "payload", "part").as[(String, String, String)]
+      .collect().toSet
+    assert(snap === Set(("a", "y", "p2"), ("b", "z", "p2")))
+    // applyChanges: a D aimed at p2's copy deletes ONLY that copy
+    TableOps.upsert(spark, t, rows(("a", 2, "x2", "p1")))
+    TableOps.applyChanges(spark, t, Seq(("a", 3, "y", "p2", "D"))
+      .toDF("id", "ver", "payload", "part", "_op"))
+    assert(TableOps.snapshot(spark, t)
+      .select("id", "part").as[(String, String)].collect().toSet
+      === Set(("a", "p1"), ("b", "p2")))
+  }
+
+  test("applyChanges: D wins an equal-precombine tie; invalid op fails loud") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    // same key, same precombine value, U and D in one batch: the
+    // tombstone must win deterministically
+    TableOps.applyChanges(spark, t, Seq(
+      ("a", 2, "resurrected?", "p1", "U"), ("a", 2, "x", "p1", "D"))
+      .toDF("id", "ver", "payload", "part", "_op"))
+    assert(TableOps.snapshot(spark, t).count() === 0)
+    // invalid / null ops fail the job instead of mis-routing
+    val bad = Seq(("b", 1, "y", "p1", "d"))
+      .toDF("id", "ver", "payload", "part", "_op")
+    val e = intercept[Exception] {
+      TableOps.applyChanges(spark, t, bad)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("updateWhere: predicate update rewrites matches, bumps their commit ts") {
     val t = table(partitioned = true)
     TableOps.upsert(spark, t,
