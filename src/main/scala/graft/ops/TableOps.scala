@@ -285,14 +285,10 @@ object TableOps {
     // create_hudi_tables.py:213); isEmpty touches one partition.
     if (incoming.isEmpty) return ""
     val ts = CommitLog.newCommitTs()
-    // batch dedup under the same identity the MERGE uses: on a
-    // partition-scoped table the row identity is (key, partition) —
-    // deduping by bare key would silently collapse a batch that
-    // legitimately carries one row per partition for the same key
-    val dedupKeys =
-      if (t.globalIndex || t.partitionBy.isEmpty) t.recordKey
-      else (t.recordKey ++ t.partitionBy).distinct
-    val deduped = Upsert.dedupBatch(incoming, dedupKeys,
+    // batch dedup under the same identity the MERGE uses — deduping a
+    // partition-scoped batch by bare key would silently collapse a
+    // batch that legitimately carries one row per partition per key
+    val deduped = Upsert.dedupBatch(incoming, t.rowIdentity,
       Seq(t.precombineKey))
     val stamped = deduped.withColumn(KeyedTable.CommitCol, lit(ts))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -519,8 +515,7 @@ object TableOps {
     if (!exists(spark, t)) return ""
     val baseCommit = CommitLog(t, spark).latestCommit()
     val keyCols =
-      if (!t.globalIndex && t.partitionBy.forall(keys.columns.contains))
-        (t.recordKey ++ t.partitionBy).distinct
+      if (t.partitionBy.forall(keys.columns.contains)) t.rowIdentity
       else t.recordKey
     val delKeys = keys.select(keyCols.map(col): _*).distinct()
     val preSchema = latestSchema(spark, t)
@@ -534,11 +529,20 @@ object TableOps {
         snap.filter(
           partitionPredicate(t.partitionBy, homes.schema, homes.collect()))
       } else snap
+    // NULL-SAFE (<=>) matching: a row in the hive default partition
+    // carries a null partition value (supported throughout — see
+    // partitionPredicate's null-tuple arm); EqualTo would silently
+    // never match it, turning its deletion into a no-op. Aliased
+    // frames keep the refs unambiguous when delKeys derives from this
+    // same table's files.
+    val k = delKeys.alias("_gk")
+    def matchCond(left: String): Column = keyCols
+      .map(c => col(s"$left.$c") <=> col(s"_gk.$c")).reduce(_ && _)
     // file name attached BEFORE the key join: delKeys may itself be
     // file-backed (deleteWhere's discovered keys, a keys-table read),
     // and input_file_name() over the joined plan would be multi-source
     val matched = existing.withColumn("_graft_file", input_file_name())
-      .join(delKeys, keyCols, "left_semi")
+      .alias("_ge").join(k, matchCond("_ge"), "left_semi")
     if (matched.isEmpty) return ""
     val ts = CommitLog.newCommitTs()
     val conf = spark.sparkContext.hadoopConfiguration
@@ -548,7 +552,8 @@ object TableOps {
 
     val newParts: Map[String, String] =
       if (t.partitionBy.isEmpty) {
-        val remaining = existing.join(delKeys, keyCols, "left_anti")
+        val remaining = existing.alias("_ge")
+          .join(k, matchCond("_ge"), "left_anti")
         writer(remaining, t, Nil, 4000000L).parquet(dest.toString)
         Map("" -> ts)
       } else {
@@ -561,7 +566,8 @@ object TableOps {
         // partition value (month=01 read back as int 1) — both silent
         // data corruption (ADVICE r1).
         val affectedExisting = readParts(spark, t, affected, preSchema)
-        val remaining = affectedExisting.join(delKeys, keyCols, "left_anti")
+        val remaining = affectedExisting.alias("_ge")
+          .join(k, matchCond("_ge"), "left_anti")
         writer(remaining, t, Nil, 4000000L).parquet(dest.toString)
         val written = relsOf(fs, dest, t.partitionBy.length)
         oldParts -- affected.keySet ++ written.map(_ -> ts)
@@ -610,11 +616,8 @@ object TableOps {
     // partition columns ride along on partition-scoped tables so only
     // the partition copies the predicate MATCHED are deleted — a bare
     // key set would kill same-key rows in unrelated partitions
-    val discoverCols =
-      if (t.globalIndex) t.recordKey
-      else (t.recordKey ++ t.partitionBy).distinct
     try {
-      snapshotWhere(spark, t, pred).select(discoverCols.map(col): _*)
+      snapshotWhere(spark, t, pred).select(t.rowIdentity.map(col): _*)
         .write.mode("overwrite").parquet(tmp.toString)
       delete(spark, t, spark.read.parquet(tmp.toString))
     } finally fs.delete(tmp, true)
@@ -659,22 +662,30 @@ object TableOps {
         .otherwise(raise_error(format_string(
           s"applyChanges: invalid $opCol '%s' (need I/U/D)",
           coalesce(col(opCol), lit("NULL"))))))
-    val dedupKeys =
-      if (t.globalIndex) t.recordKey
-      else (t.recordKey ++ t.partitionBy).distinct
-    // latest op per key decides the row's fate; D outranks same-
-    // precombine I/U
+    // latest op per row identity decides its fate; D outranks same-
+    // precombine I/U. The dedup result is MATERIALIZED to table
+    // scratch once (same discipline as deleteWhere): the upsert and
+    // delete halves together reference it ~5 times, and an expensive
+    // change lineage (a decoded topic dump, a join) must not re-run
+    // per reference.
     val latest = Upsert.dedupBatch(
       validated.withColumn("_op_rank",
         when(col(opCol) === "D", 1).otherwise(0)),
-      dedupKeys, Seq(t.precombineKey, "_op_rank")).drop("_op_rank")
-    val ups = latest.filter(col(opCol) =!= "D").drop(opCol)
-    val dels = latest.filter(col(opCol) === "D")
-      .select(dedupKeys.map(col): _*)
-    val upTs = upsert(spark, t, ups,
-      idempotencyKey = idempotencyKey.map(_ + ":up"))
-    val delTs = if (exists(spark, t)) delete(spark, t, dels) else ""
-    Seq(upTs, delTs).filter(_.nonEmpty)
+      t.rowIdentity, Seq(t.precombineKey, "_op_rank")).drop("_op_rank")
+    val tmp = new Path(t.path,
+      s".tmp/applychanges-${java.util.UUID.randomUUID()}")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      latest.write.mode("overwrite").parquet(tmp.toString)
+      val staged = spark.read.parquet(tmp.toString)
+      val ups = staged.filter(col(opCol) =!= "D").drop(opCol)
+      val dels = staged.filter(col(opCol) === "D")
+        .select(t.rowIdentity.map(col): _*)
+      val upTs = upsert(spark, t, ups,
+        idempotencyKey = idempotencyKey.map(_ + ":up"))
+      val delTs = if (exists(spark, t)) delete(spark, t, dels) else ""
+      Seq(upTs, delTs).filter(_.nonEmpty)
+    } finally fs.delete(tmp, true)
   }
 
   /** Predicate update — the Delta/Hudi SQL `UPDATE … SET … WHERE`
@@ -705,6 +716,13 @@ object TableOps {
       require(set.keySet.intersect(t.partitionBy.toSet).isEmpty,
         "updateWhere cannot move rows between partitions on a " +
           s"partition-scoped table (partition columns ${t.partitionBy})")
+    // a SET that LOWERS the precombine value would lose the merge to
+    // the existing row — a published commit that silently applied
+    // nothing. Updates need not touch it: at equal precombine the
+    // newer _commit_ts wins, so the rewritten rows land regardless.
+    require(!set.contains(t.precombineKey),
+      s"updateWhere must not modify the precombine column " +
+        s"'${t.precombineKey}' (merge ordering would be ambiguous)")
     val matched = snapshotWhere(spark, t, pred)
       .drop(KeyedTable.CommitCol)
     val unknown = set.keySet -- matched.columns

@@ -53,6 +53,16 @@ final case class KeyedTable(
   require(statsColumns.forall(c => c.nonEmpty && !c.contains(".")),
     s"statsColumns must be top-level column names: $statsColumns")
   def dataPath: String = s"$path/data"
+
+  /** The columns that identify a ROW of this table — the load-bearing
+    * DML invariant: on a GLOBAL-indexed table the record key alone
+    * (unique table-wide); on a partition-scoped table (key, partition)
+    * — the same key may legitimately live in several partitions, so
+    * batch dedup, delete scoping, and CDC op routing must all use THIS
+    * list, never the bare record key.
+    */
+  def rowIdentity: Seq[String] =
+    if (globalIndex) recordKey else (recordKey ++ partitionBy).distinct
   def commitsPath: String = s"$path/.commits"
 }
 

@@ -201,6 +201,17 @@ class TableOpsSpec extends SparkSuite {
       === Set(("a", "p1"), ("b", "p2")))
   }
 
+  test("deleteWhere matches rows living in the null (hive default) partition") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", null), ("b", 1, "y", "p1")))
+    // EqualTo on a null partition key would silently never match —
+    // the scoped delete must use null-safe equality
+    val ts = TableOps.deleteWhere(spark, t, col("payload") === "x")
+    assert(ts.nonEmpty, "null-partition row must be matched, not skipped")
+    assert(TableOps.snapshot(spark, t)
+      .select("id").as[String].collect().toSet === Set("b"))
+  }
+
   test("applyChanges: D wins an equal-precombine tie; invalid op fails loud") {
     val t = table(partitioned = true)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
