@@ -17,9 +17,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   *     colliding docs are ever paired (the Broder MinHash / LSH banding
   *     scheme, as in Spark MLlib's MinHashLSH but with deterministic
   *     seeds and no ML pipeline dependency).
-  *   - [[simhashPairs]]: 64-bit SimHash + pigeonhole banding on 16-bit
-  *     chunks for hamming-distance ≤ 3 candidate pairs (Charikar
-  *     SimHash, the Google near-dup scheme).
+  *   - [[simhashPairs]]: 60-bit SimHash + Manku-style permuted-block
+  *     probing for the exact hamming-distance ≤ d pair set (Charikar
+  *     SimHash with the WWW'07 blocking, the Google near-dup scheme).
   *   - [[ngramJaccardPairs]]: EXACT word-n-gram Jaccard via an inverted
   *     shingle index self-join — the verification oracle for the
   *     approximate families.
@@ -326,35 +326,95 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** Candidate near-dup pairs with hamming(simhash) ≤ maxDist, via
-    * pigeonhole banding: split the signature bits into (maxDist+1)
-    * chunks — any pair within distance maxDist must agree on at least
-    * one full chunk, so an equi-join per chunk finds ALL of them (the
-    * output is the exact hamming-ball pair set) without a cross join.
-    * Returns `(id_a, id_b, hamming)`.
+  /** Cap on probe combinations per doc for the auto-chosen SimHash
+    * block count: bounds the explode fan-out (probe rows per doc) while
+    * the auto-chooser maximizes block count — and thereby join-key
+    * width — under it.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val chunks = maxDist + 1
-    val bitsPer = SimhashBits / chunks
-    val sh = simhash(docs, idCol, textCol)
-    val banded = sh.select(col("id"), col("simhash"),
-      posexplode(array((0 until chunks).map(cI =>
-        shiftright(col("simhash"), cI * bitsPer)
-          .bitwiseAND((1L << bitsPer) - 1)): _*)))
-      .withColumnRenamed("pos", "chunk_id")
-      .withColumnRenamed("col", "chunk_val")
-    val l = banded.select(col("chunk_id"), col("chunk_val"),
+  private val MaxProbeCombos = 20
+
+  private def choose(n: Int, k: Int): Long =
+    (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+
+  /** Auto block count for [[simhashPairs]]: the largest divisor m of
+    * [[SimhashBits]] with m > maxDist and C(m, m−maxDist) ≤
+    * [[MaxProbeCombos]]. For the default maxDist=3 this picks m=6
+    * (10-bit blocks, C(6,3)=20 probes, 30-bit join keys).
+    */
+  private[graft] def simhashBlockCount(maxDist: Int): Int = {
+    val fits = (1 to SimhashBits)
+      .filter(m => SimhashBits % m == 0 && m > maxDist &&
+        choose(m, m - maxDist) <= MaxProbeCombos)
+    require(fits.nonEmpty, s"no block count fits maxDist=$maxDist")
+    fits.max
+  }
+
+  /** Candidate pairs BEFORE dedup and the hamming filter — exposed so
+    * tests can assert the fan-out bound directly. `sig` is
+    * `(id, simhash)` as produced by [[simhash]]. One output row per
+    * (pair, colliding probe combination). See [[simhashPairs]] for the
+    * blocking scheme.
+    */
+  private[graft] def simhashCandidates(sig: DataFrame, maxDist: Int,
+      blocks: Int = 0): DataFrame = {
+    val m = if (blocks > 0) blocks else simhashBlockCount(maxDist)
+    require(SimhashBits % m == 0 && m > maxDist,
+      s"blocks=$m must divide $SimhashBits and exceed maxDist=$maxDist")
+    val bitsPer = SimhashBits / m
+    def block(i: Int): Column =
+      shiftright(col("simhash"), i * bitsPer).bitwiseAND((1L << bitsPer) - 1)
+    // One probe key per (m−maxDist)-subset of blocks: the subset's
+    // block values packed big-endian into one long (≤ 57 bits: the
+    // subset omits maxDist ≥ 1 blocks of SimhashBits/m ≥ 3 bits each).
+    val keys = (0 until m).combinations(m - maxDist).toSeq.map(s =>
+      s.map(block).reduce((acc, b) => shiftleft(acc, bitsPer).bitwiseOR(b)))
+    val banded = sig.select(col("id"), col("simhash"),
+      posexplode(array(keys: _*)))
+      .withColumnRenamed("pos", "probe_id")
+      .withColumnRenamed("col", "probe_key")
+    val l = banded.select(col("probe_id"), col("probe_key"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
-    val r = banded.select(col("chunk_id"), col("chunk_val"),
+    val r = banded.select(col("probe_id"), col("probe_key"),
       col("id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("chunk_id", "chunk_val"))
+    l.join(r, Seq("probe_id", "probe_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+  }
+
+  /** All pairs with hamming(simhash) ≤ maxDist — the EXACT hamming-ball
+    * pair set, `(id_a, id_b, hamming)` — via Manku-style permuted-block
+    * probing (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for
+    * Web Crawling", WWW'07): split the signature into m > maxDist
+    * blocks and equi-join once per (m−maxDist)-subset of blocks on the
+    * subset's concatenated value. A pair within distance maxDist has at
+    * most maxDist dirty blocks, hence at least one all-clean subset —
+    * so recall is total, without a cross join.
+    *
+    * Scale — why m > maxDist+1 blocks: the minimal pigeonhole
+    * (maxDist+1 chunks of 15 bits) joins on 15-bit keys, and candidate
+    * generation is Σ f² over key frequencies f ≈ docs/2^15 — quadratic
+    * in bucket occupancy, ~4×10⁸ pair-rows per bucket per chunk at 10⁹
+    * docs with no guard. The default here (m=6 for maxDist=3) joins on
+    * 30-bit keys instead: expected occupancy falls 2^15× (to ~docs/2^30
+    * per key), at the price of C(6,3)=20 probe rows per doc instead
+    * of 4 — fan-out linear and explicit, collision cost exponentially
+    * smaller. Residual hot keys are genuine near-duplicate clusters
+    * (docs agreeing on ≥30 signature bits), whose pair output is the
+    * answer itself, plus AQE-handled random skew. `blocks` overrides m
+    * (must divide [[SimhashBits]], exceed maxDist); larger m widens
+    * keys further at combinatorial probe cost.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, blocks: Int = 0): DataFrame =
+    simhashPairsFromSignatures(simhash(docs, idCol, textCol), maxDist, blocks)
+
+  /** [[simhashPairs]] over precomputed `(id, simhash)` signatures. */
+  def simhashPairsFromSignatures(sig: DataFrame, maxDist: Int = 3,
+      blocks: Int = 0): DataFrame =
+    simhashCandidates(sig, maxDist, blocks)
       .distinct()
       .filter(col("hamming") <= maxDist)
-  }
 
   /** EXACT word-n-gram Jaccard similarity for every pair sharing at
     * least one shingle, thresholded. Inverted-index self-join: explode

@@ -264,6 +264,45 @@ class ExtSpec extends SparkSuite {
     assert(sh.select("id").distinct().count() === docs.count())
   }
 
+  test("simhash blocking: exact hamming-ball pair set vs brute force") {
+    val rnd = new scala.util.Random(7)
+    val sig = (0L until 200L).map(i =>
+      (i, rnd.nextLong() & ((1L << Dedup.SimhashBits) - 1))).toDF("id", "simhash")
+    // plant some near pairs: ids 1000+i = id i with ≤3 bits flipped
+    val planted = (0 until 20).map { i =>
+      val base = sig.filter($"id" === i.toLong).head().getLong(1)
+      val flipped = (0 until 1 + rnd.nextInt(3)).foldLeft(base)((s, _) =>
+        s ^ (1L << rnd.nextInt(Dedup.SimhashBits)))
+      (1000L + i, flipped)
+    }.toDF("id", "simhash")
+    val all = sig.union(planted)
+    val got = Dedup.simhashPairsFromSignatures(all, maxDist = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val brute = all.as[(Long, Long)].collect()
+    val want = (for {
+      (a, sa) <- brute; (b, sb) <- brute if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("simhash blocking: hot 15-bit chunk does not explode candidates") {
+    // Adversary for the minimal (maxDist+1)-chunk pigeonhole: 600 sigs
+    // share the low 15 bits (one full old-scheme chunk ⇒ C(600,2) ≈
+    // 180k candidate rows there) but are random above ⇒ none is a real
+    // near-dup. The Manku blocking joins on 30-bit keys, so collisions
+    // need 2 more matching 10-bit blocks — candidates stay ~1e-3 of old.
+    val rnd = new scala.util.Random(11)
+    val hot = (0L until 600L).map(i =>
+      (i, (rnd.nextLong() << 15) & ((1L << Dedup.SimhashBits) - 1) | 0x5A5AL))
+      .toDF("id", "simhash")
+    val nCand = Dedup.simhashCandidates(hot, maxDist = 3).count()
+    assert(nCand < 2000, s"candidate fan-out not bounded: $nCand")
+    // sharing 15 bits is nowhere near hamming ≤ 3 on 60: no real pairs
+    assert(Dedup.simhashPairsFromSignatures(hot, maxDist = 3).count() <= 2)
+  }
+
   test("IVF top-k recall ≥ 0.3 vs brute force (approximate by design)") {
     val q = emb.filter($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
