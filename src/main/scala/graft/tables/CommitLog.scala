@@ -140,18 +140,24 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     * model markers complete in commit order, so every keyed commit
     * older than a marker-complete one has its marker too — the probe
     * key, had it ever committed there, would have hit the fast path.
-    * That bounds the scan to O(crash window) manifests (normally 1–2),
-    * never O(#commits). A found key is backfilled into the marker
-    * registry so subsequent probes are O(1) again.
+    * That bounds the FAST scan to O(crash window) manifests (normally
+    * 1–2). A found key is backfilled into the marker registry so
+    * subsequent probes are O(1) again.
     *
-    * HARD PRECONDITION (the Structured-Streaming foreachBatch contract
-    * this API targets): a sink must replay a crashed keyed batch BEFORE
-    * submitting any NEW keyed batch. If an out-of-order pipeline lands
-    * a fresh keyed commit (marker complete) on top of a crashed one
-    * whose marker was lost, the early-exit stops at the fresh commit
-    * and the later replay of the crashed batch re-applies. Interleaved
-    * UNKEYED commits (compact/clean/delete) are always safe — the scan
-    * walks past them.
+    * The in-commit-order marker invariant the early exit relies on can
+    * be violated by an out-of-order sink: a fresh keyed commit (marker
+    * complete) landing ON TOP of a crashed one whose marker was lost.
+    * So a fast-scan miss is not authoritative — it falls through to an
+    * exhaustive scan of the REMAINING retained manifests before
+    * declaring the key absent. That fallback is O(#retained) reads of
+    * kilobyte files, bounded by [[retain]]'s retention window, and only
+    * the marker-less probe pays it (steady-state replays hit the O(1)
+    * marker). Exactly-once therefore holds for any interleaving of
+    * keyed and unkeyed commits within the retention window — the only
+    * remaining (documented) assumption is that manifests for keyed
+    * commits are not [[retain]]-dropped before their markers exist,
+    * which the cleaner's keep-window makes true for any real retention
+    * setting.
     */
   def hasIdempotencyKey(key: String): Boolean =
     fs.exists(keyPath(key)) || {
@@ -161,14 +167,21 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     }
 
   private def scanForKey(key: String): Boolean = {
-    val it = listCommits().reverseIterator
+    val all = listCommits()
+    var walked = 0
+    val it = all.reverseIterator
     while (it.hasNext) {
+      walked += 1
       commitMeta(it.next()).flatMap(_.get("idempotency_key")) match {
         case Some(k) if k == key => return true
         case Some(k) if fs.exists(keyPath(k)) =>
-          // marker-complete keyed commit: all older keyed commits are
-          // marker-complete too — the probe key cannot be below here
-          return false
+          // Marker-complete keyed commit: IF markers completed in commit
+          // order the probe key cannot be below here — but an
+          // out-of-order sink can break that, so verify with an
+          // exhaustive scan of the remaining (older) retained manifests
+          // instead of trusting the early exit.
+          return all.dropRight(walked).reverseIterator.exists(ts =>
+            commitMeta(ts).flatMap(_.get("idempotency_key")).contains(key))
         case _ => () // unkeyed commit, or a keyed one inside the crash
                      // window — keep walking
       }

@@ -393,6 +393,28 @@ class TableOpsSpec extends SparkSuite {
       idempotencyKey = Some("b2")).nonEmpty)
   }
 
+  test("idempotency: out-of-order fresh keyed commit above a crashed one") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")),
+      idempotencyKey = Some("b1"))
+    // crash window: b1's manifest is published but its marker is lost
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${t.commitsPath}/keys"), true)
+    // an out-of-order sink lands a FRESH keyed batch (marker complete)
+    // on top of the crashed one — the early-exit scan alone would stop
+    // here and wrongly re-apply b1 on replay
+    assert(TableOps.upsert(spark, t, rows(("b", 1, "y", "p1")),
+      idempotencyKey = Some("b2")).nonEmpty)
+    // replay of the crashed batch: must be skipped via the exhaustive
+    // fallback scan, and applied exactly once overall
+    assert(TableOps.upsert(spark, t, rows(("a", 9, "x9", "p1")),
+      idempotencyKey = Some("b1")) === "", "crashed batch must not re-apply")
+    assert(TableOps.snapshot(spark, t).filter($"id" === "a")
+      .select("ver").as[Int].collect() === Array(1),
+      "the crashed batch must have applied exactly once")
+  }
+
   test("idempotency keys survive the cleaner") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")),
