@@ -65,12 +65,23 @@ object VectorOps {
     out
   }
 
-  /** The quantization scale [[quantizeI8]] uses: max|v_i| / 127. */
+  /** The quantization scale [[quantizeI8]] uses: max|v_i| / 127.
+    * Null elements are rejected loudly: `ArrayData.getFloat` would
+    * silently read one as 0.0, corrupting the quantized bytes (the
+    * declared type is usually `array<float>` with nullable elements —
+    * parquet's default — so this cannot be a static check). Covers
+    * [[quantizeI8]] too, which computes the scale first.
+    */
   def i8Scale(a: ArrayData): Float = {
     val n = a.numElements()
     var m = 0f
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_q8/graft_q8_scale: null element at index $i of the " +
+            "embedding vector — quantization would silently read it as " +
+            "0.0; filter or impute null elements first")
       val x = math.abs(a.getFloat(i))
       if (x > m) m = x
       i += 1

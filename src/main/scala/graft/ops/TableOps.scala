@@ -510,10 +510,23 @@ object TableOps {
     * scoped to (key, partition) — exactly Hudi's delete-with-
     * partition-path — so only the named copies die; a bare-key frame
     * keeps the historical "this key, wherever it lives" semantics.
+    *
+    * `idempotencyKey` gives the delete the same exactly-once replay
+    * contract as [[upsert]]: an already-applied key skips the whole
+    * operation, so replaying an old batch after a LATER batch
+    * re-inserted the same record keys cannot wrongly re-delete them.
+    * The key is consumed (marker recorded) even when nothing matched —
+    * a replayed no-op must stay a no-op regardless of what committed
+    * in between.
     */
-  def delete(spark: SparkSession, t: KeyedTable, keys: DataFrame): String = {
+  def delete(spark: SparkSession, t: KeyedTable, keys: DataFrame,
+      idempotencyKey: Option[String] = None): String = {
     if (!exists(spark, t)) return ""
-    val baseCommit = CommitLog(t, spark).latestCommit()
+    val log = CommitLog(t, spark)
+    val baseCommit = log.latestCommit()
+    idempotencyKey.foreach { key =>
+      if (log.hasIdempotencyKey(key)) return ""
+    }
     val keyCols =
       if (t.partitionBy.forall(keys.columns.contains)) t.rowIdentity
       else t.recordKey
@@ -543,7 +556,10 @@ object TableOps {
     // and input_file_name() over the joined plan would be multi-source
     val matched = existing.withColumn("_graft_file", input_file_name())
       .alias("_ge").join(k, matchCond("_ge"), "left_semi")
-    if (matched.isEmpty) return ""
+    if (matched.isEmpty) {
+      idempotencyKey.foreach(log.recordIdempotencyKey)
+      return ""
+    }
     val ts = CommitLog.newCommitTs()
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
@@ -574,11 +590,13 @@ object TableOps {
       }
     if (t.statsColumns.nonEmpty)
       ColumnStats.write(spark, t, ts, preSchema)
-    CommitLog(t, spark).logCommit(ts,
+    log.logCommit(ts,
       Map("table" -> t.name, "action" -> "delete",
         PartsKey -> partsJson(newParts)) ++
-        preSchema.map("schema" -> _.json),
+        preSchema.map("schema" -> _.json) ++
+        idempotencyKey.map("idempotency_key" -> _),
       expectedPrev = Some(baseCommit))
+    idempotencyKey.foreach(log.recordIdempotencyKey)
     // index maintenance after the publish — same recovery contract as
     // upsert (ensureFresh rebuilds on the next write if we crash here)
     if (t.globalIndex && t.partitionBy.nonEmpty && KeyIndex.exists(spark, t)) {
@@ -645,10 +663,11 @@ object TableOps {
     *
     * Publishes up to TWO commits (upserts, then deletes) and returns
     * their timestamps. The intermediate state (upserts applied,
-    * deletes pending) is itself consistent; a replay after a crash
-    * between the two re-applies both halves idempotently when
-    * `idempotencyKey` is set (the delete half is naturally idempotent
-    * — already-deleted keys match nothing). Change batches may be
+    * deletes pending) is itself consistent. With `idempotencyKey` set,
+    * BOTH halves carry derived keys (`:up` / `:del`), so any replay —
+    * in order or after later batches landed — re-applies each half at
+    * most once; in particular an old batch's delete half cannot
+    * re-delete a key a LATER batch re-inserted. Change batches may be
     * file-backed (a staged CDC table) — both halves tolerate a second
     * file source.
     */
@@ -657,6 +676,12 @@ object TableOps {
       idempotencyKey: Option[String] = None): Seq[String] = {
     require(changes.columns.contains(opCol),
       s"applyChanges needs the op column '$opCol' (I/U/D)")
+    val missingId = t.rowIdentity.filterNot(changes.columns.contains)
+    require(missingId.isEmpty,
+      s"applyChanges: changes frame is missing row-identity columns " +
+        s"${missingId.mkString(", ")} — on a partition-scoped table row " +
+        "identity is (key, partition), so the partition columns must " +
+        "ride along on every change row (same contract as delete/upsert)")
     val validated = changes.withColumn(opCol,
       when(col(opCol).isin("I", "U", "D"), col(opCol))
         .otherwise(raise_error(format_string(
@@ -683,7 +708,10 @@ object TableOps {
         .select(t.rowIdentity.map(col): _*)
       val upTs = upsert(spark, t, ups,
         idempotencyKey = idempotencyKey.map(_ + ":up"))
-      val delTs = if (exists(spark, t)) delete(spark, t, dels) else ""
+      val delTs =
+        if (exists(spark, t))
+          delete(spark, t, dels, idempotencyKey.map(_ + ":del"))
+        else ""
       Seq(upTs, delTs).filter(_.nonEmpty)
     } finally fs.delete(tmp, true)
   }
@@ -963,6 +991,11 @@ object TableOps {
     */
   private val CommitDirPattern = "[0-9]{17}".r
 
+  /** Minimum mtime age before [[clean]] GCs a `.tmp` scratch entry —
+    * old enough that no live operation still owns it.
+    */
+  private val TmpOrphanAgeMs = 60L * 60 * 1000
+
   def clean(spark: SparkSession, t: KeyedTable, retainCommits: Int): Seq[String] = {
     require(retainCommits >= 1, "retainCommits must be >= 1")
     val conf = spark.sparkContext.hadoopConfiguration
@@ -993,11 +1026,23 @@ object TableOps {
     // table whose manifests carry no parts map (a round-1 layout), the
     // `.versions` dir IS its version archive — deleting it would destroy
     // time travel with no migration path. Warn and leave it instead.
-    // Crash-orphaned scratch (deleteWhere key materializations):
-    // normally removed in the operation's finally block; clean() runs
-    // under the single-writer discipline, so anything still here is an
-    // orphan — a retention concern for right-to-be-forgotten key sets.
-    fs.delete(new Path(s"${t.path}/.tmp"), true)
+    // Crash-orphaned scratch (deleteWhere key materializations,
+    // applyChanges staging): normally removed in the operation's
+    // finally block, so anything old here is an orphan — a retention
+    // concern for right-to-be-forgotten key sets. Age-gated (mtime >
+    // 1h) rather than wholesale: clean() is a maintenance entry point
+    // that operators run out-of-band, and while concurrent writes
+    // violate the documented single-writer contract, deleting a LIVE
+    // in-flight staging dir would corrupt that writer mid-operation —
+    // an orphan is by definition old, so the age gate loses nothing.
+    val tmpRoot = new Path(s"${t.path}/.tmp")
+    if (fs.exists(tmpRoot)) {
+      val cutoff = System.currentTimeMillis() - TmpOrphanAgeMs
+      val entries = fs.listStatus(tmpRoot)
+      entries.filter(_.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, true))
+      if (entries.isEmpty) fs.delete(tmpRoot, false)
+    }
     if (partsMaps.nonEmpty) {
       fs.delete(new Path(s"${t.path}/.staging"), true)
       fs.delete(new Path(s"${t.path}/.versions"), true)

@@ -30,6 +30,23 @@ object Buckets {
 
   private val SpecFile = "_bucket_spec.json"
 
+  /** Table name / bucket-key pattern admitted into interpolated DDL.
+    * Strict by design: a backtick in a quoted identifier or a quote in
+    * the LOCATION clause would silently produce malformed or
+    * mis-addressed SQL — reject up front with a clear error instead.
+    */
+  private val IdentPattern = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  private def checkIdent(kind: String, s: String): Unit =
+    require(IdentPattern.matches(s),
+      s"$kind '$s' is not a plain identifier ([A-Za-z_][A-Za-z0-9_]*); " +
+        "bucketed-table DDL interpolates it into SQL")
+
+  private def checkPath(path: String): Unit =
+    require(!path.contains("'"),
+      s"path '$path' contains a single quote, which would break the " +
+        "CREATE TABLE LOCATION clause")
+
   /** Write `df` as an EXTERNAL bucketed (+ per-bucket sorted) parquet
     * table at `path`, registered as `name` in the session catalog, and
     * persist the bucket spec beside the data. Overwrites both table
@@ -40,6 +57,9 @@ object Buckets {
   def write(spark: SparkSession, df: DataFrame, name: String, path: String,
       keys: Seq[String], buckets: Int): Unit = {
     require(keys.nonEmpty && buckets > 0)
+    checkIdent("table name", name)
+    keys.foreach(checkIdent("bucket key", _))
+    checkPath(path)
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     df.write.format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
@@ -84,6 +104,9 @@ object Buckets {
     val name = (j \ "name").extract[String]
     val buckets = (j \ "buckets").extract[Int]
     val keys = (j \ "keys").extract[Seq[String]]
+    checkIdent("table name", name)
+    keys.foreach(checkIdent("bucket key", _))
+    checkPath(path)
     val schema = spark.read.parquet(path).schema.toDDL
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     spark.sql(

@@ -92,6 +92,22 @@ class BucketsSpec extends SparkSuite {
     assert(self.count() === plain.count())
   }
 
+  test("write rejects DDL-breaking names, keys, and paths up front") {
+    val dir = tmpDir("graft-buckets-ddl")
+    val df = Seq((1, "a")).toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Buckets.write(spark, df, "bad`name", s"$dir/t1", Seq("k"), 2)
+    }
+    assert(e1.getMessage.contains("identifier"))
+    intercept[IllegalArgumentException] {
+      Buckets.write(spark, df, "bspec_ok", s"$dir/t2", Seq("k`x"), 2)
+    }
+    val e3 = intercept[IllegalArgumentException] {
+      Buckets.write(spark, df, "bspec_ok", s"$dir/it's", Seq("k"), 2)
+    }
+    assert(e3.getMessage.contains("quote"))
+  }
+
   test("restore fails loud on a dir with no spec") {
     val dir = tmpDir("graft-buckets-nospec")
     ord.limit(5).write.mode("overwrite").parquet(s"$dir/plain")

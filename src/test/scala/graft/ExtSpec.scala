@@ -303,6 +303,21 @@ class ExtSpec extends SparkSuite {
     assert(Dedup.simhashPairsFromSignatures(hot, maxDist = 3).count() <= 2)
   }
 
+  test("int8 quantization rejects null vector elements loudly") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val withNull = new GenericArrayData(Array[Any](1.0f, null, 3.0f))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.VectorOps.i8Scale(withNull)
+    }
+    assert(e.getMessage.contains("null element"))
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorOps.quantizeI8(withNull)
+    }
+    // null-free vectors are unaffected
+    val ok = new GenericArrayData(Array[Any](1.0f, -2.0f, 3.0f))
+    assert(graft.functions.VectorOps.quantizeI8(ok).length === 3)
+  }
+
   test("IVF top-k recall ≥ 0.3 vs brute force (approximate by design)") {
     val q = emb.filter($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)

@@ -179,6 +179,38 @@ class TableOpsSpec extends SparkSuite {
     assert(graft.tables.CommitLog(t, spark).listCommits().size === commits)
   }
 
+  test("applyChanges: missing partition columns fail with a clear message") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val bare = Seq(("a", 2, "x2", "U")).toDF("id", "ver", "payload", "_op")
+    val e = intercept[IllegalArgumentException] {
+      TableOps.applyChanges(spark, t, bare)
+    }
+    assert(e.getMessage.contains("part"), e.getMessage)
+    assert(e.getMessage.contains("partition-scoped"), e.getMessage)
+  }
+
+  test("applyChanges: replayed old batch cannot re-delete a re-inserted key") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val b1 = Seq(("a", 2, "x", "p1", "D"))
+      .toDF("id", "ver", "payload", "part", "_op")
+    TableOps.applyChanges(spark, t, b1, idempotencyKey = Some("c1"))
+    assert(TableOps.snapshot(spark, t).filter($"id" === "a").count() === 0)
+    // a LATER batch re-inserts the key
+    TableOps.applyChanges(spark, t,
+      Seq(("a", 5, "back", "p1", "I"))
+        .toDF("id", "ver", "payload", "part", "_op"),
+      idempotencyKey = Some("c2"))
+    // out-of-order replay of the OLD batch: its delete half carries its
+    // own idempotency key, so the re-inserted row must survive
+    val replay = TableOps.applyChanges(spark, t, b1,
+      idempotencyKey = Some("c1"))
+    assert(replay.isEmpty, s"replay must publish nothing, got $replay")
+    assert(TableOps.snapshot(spark, t).filter($"id" === "a")
+      .select("payload").as[String].collect() === Array("back"))
+  }
+
   test("partition-scoped: same key in two partitions survives predicate ops on the other") {
     val t = table(partitioned = true)
     // one batch carrying BOTH partition copies of key 'a' — the batch
@@ -342,6 +374,22 @@ class TableOpsSpec extends SparkSuite {
     TableOps.upsert(spark, t, rows(("c", 1, "z", "p1")))
     assert(TableOps.snapshot(spark, t).select("id").as[String].collect()
       === Array("c"))
+  }
+
+  test("clean GCs only aged .tmp scratch entries") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = new org.apache.hadoop.fs.Path(s"${t.path}/.tmp/live-op")
+    val stale = new org.apache.hadoop.fs.Path(s"${t.path}/.tmp/orphan-op")
+    fs.mkdirs(fresh)
+    fs.mkdirs(stale)
+    fs.setTimes(stale, System.currentTimeMillis() - 2L * 60 * 60 * 1000, -1)
+    TableOps.clean(spark, t, retainCommits = 1)
+    assert(fs.exists(fresh),
+      "a recent scratch dir (possibly a live writer's) must survive clean()")
+    assert(!fs.exists(stale), "an aged orphan scratch dir must be GC'd")
   }
 
   test("clean input validation") {
