@@ -109,6 +109,23 @@ object Dedup {
       case None => sh
     }
 
+  /** Corpus-level shingle document frequencies `(g, df)` — the
+    * persistable companion of the band store ([[minhashBands]]):
+    * an ingest pipeline keeps it beside the bands and maintains it
+    * incrementally (union the batch's table, sum `df` per `g` — each
+    * doc contributes each shingle once, so the sums compose exactly).
+    * `filter(df > cap)` of this table is the CORPUS-level stop-shingle
+    * list [[minhashLshIncremental]] accepts, which pre-filters shingle
+    * streams against corpus-wide frequencies instead of recomputing
+    * `maxDf` over whatever restricted doc set a batch happens to touch.
+    */
+  def shingleDocFreq(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.shingleHashes(
+        docs.sparkSession, col(textCol), n)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+
   private val MersennePrime = 2147483647L // 2^31 - 1
 
   /** Deterministic minhash coefficient streams (seeded LCG, like the
@@ -200,17 +217,27 @@ object Dedup {
     *
     * `corpusDocs` supplies the text of corpus docs for verification —
     * only corpus docs sharing a band with the batch are ever shingled
-    * (the verification set restricts by id before any text work). Note
-    * the `maxDf` cap is therefore computed over the RESTRICTED doc set;
-    * at scale, corpora with hot boilerplate should precompute the
-    * corpus-level stop-shingle list and pre-filter instead.
+    * (the verification set restricts by id before any text work).
+    *
+    * Stop-shingle handling: without `stopShingles`, the `maxDf` cap is
+    * computed over the RESTRICTED doc set the batch happens to touch —
+    * a corpus-ubiquitous boilerplate shingle that appears only a few
+    * times WITHIN that set escapes the cap and inflates the verified
+    * Jaccard (the restricted-set df artifact). A production pipeline
+    * instead persists the corpus-level `(g, df)` table
+    * ([[shingleDocFreq]], maintained incrementally beside the band
+    * store) and passes `filter(df > cap)` of it here: batch and
+    * matched-corpus shingle streams are then pre-filtered against
+    * CORPUS frequencies (broadcast anti-join — the hot set is tiny by
+    * construction) and `maxDf` is not consulted at all.
     * Returns `(id_a, id_b, jaccard)`, `id_a < id_b`, jaccard ≥
     * threshold, with at least one side in the new batch.
     */
   def minhashLshIncremental(newDocs: DataFrame, corpusDocs: DataFrame,
       corpusBands: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, n: Int = 3, threshold: Double = 0.7,
-      seed: Long = 42L, maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+      seed: Long = 42L, maxDf: Option[Int] = Some(DefaultMaxDf),
+      stopShingles: Option[DataFrame] = None): DataFrame = {
     val newBands = minhashBands(newDocs, idCol, textCol, k, bands, n, seed)
     val l = newBands.select(col("band_id"), col("band_hash"),
       col("id").as("id_l"))
@@ -233,7 +260,7 @@ object Dedup {
     val verifyDocs = newDocs.select(col(idCol), col(textCol))
       .unionByName(corpusDocs.select(col(idCol), col(textCol))
         .join(matchedCorpusIds, Seq(idCol), "left_semi"))
-    verifiedJaccard(verifyDocs, idCol, textCol, n, cand, maxDf)
+    verifiedJaccard(verifyDocs, idCol, textCol, n, cand, maxDf, stopShingles)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -252,10 +279,18 @@ object Dedup {
     */
   private[graft] def verifiedJaccard(docs: DataFrame, idCol: String,
       textCol: String, n: Int, cand: DataFrame,
-      maxDf: Option[Int]): DataFrame = {
-    val sh = dropStopShingles(docs.select(col(idCol).as("id"),
+      maxDf: Option[Int],
+      stopShingles: Option[DataFrame] = None): DataFrame = {
+    val raw = docs.select(col(idCol).as("id"),
       explode(graft.functions.TextFunctions.shingleHashes(
-        docs.sparkSession, col(textCol), n)).as("g")), maxDf)
+        docs.sparkSession, col(textCol), n)).as("g"))
+    // A precomputed (corpus-level) stop list REPLACES the per-call df
+    // computation: the hot set is tiny by construction, broadcastable.
+    val sh = stopShingles match {
+      case Some(stop) =>
+        raw.join(broadcast(stop.select("g")), Seq("g"), "left_anti")
+      case None => dropStopShingles(raw, maxDf)
+    }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col("id").as("id_a"), col("g")), Seq("id_a"))

@@ -56,6 +56,33 @@ class ExtSpec extends SparkSuite {
     assert(incr.forall(p => p._1 >= cut || p._2 >= cut))
   }
 
+  test("corpus stop-shingle list removes the restricted-set df artifact") {
+    // Boilerplate "B" rides in EVERY corpus doc (df=20 > cap=5), but the
+    // verification set of this batch only holds the two batch docs — so
+    // the restricted-set maxDf path sees df(B)=2, keeps B, and B inflates
+    // the verified Jaccard. The persisted corpus-level list drops it.
+    val corpus = (0L until 20L)
+      .map(i => (i, s"B u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "B w1 w2 w3 w4 w5 w6 w7"),
+      (101L, "B w1 w2 w3 w4 w5 w6 w8")).toDF("doc_id", "text")
+    val bands = Dedup.minhashBands(corpus, "doc_id", "text", n = 1)
+    def run(stop: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.minhashLshIncremental(batch, corpus, bands, "doc_id", "text",
+        n = 1, threshold = 0.5, maxDf = Some(5), stopShingles = stop)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+    val artifact = run(None)
+    val stopList = Dedup.shingleDocFreq(corpus, "doc_id", "text", n = 1)
+      .filter($"df" > 5)
+    val clean = run(Some(stopList))
+    // restricted-set path: B survives ⇒ inter 7 of union 9
+    assert(artifact((100L, 101L)) === 7.0 / 9.0)
+    // corpus-level path: B dropped ⇒ inter 6 of union 8
+    assert(clean((100L, 101L)) === 6.0 / 8.0)
+  }
+
   test("minhash LSH filters signature-collision false positives via true Jaccard") {
     // ADVERSARIAL construction: docs 1/2 share one 1-gram shingle ("x");
     // with k=4, bands=4, rows=1 and seed 42 the shared shingle is the
