@@ -36,12 +36,87 @@ import java.nio.charset.StandardCharsets
   *
   * Object-store caveat (same one Hudi documents): S3's `create` is not
   * atomic-if-absent through s3a, so two racing acquirers can both
-  * think they won. On object stores, either run single-writer (the
-  * reference's actual deployment shape), point `.commits/` at an
-  * HDFS/NFS path while data stays on S3, or use an external lock
-  * service — the tripwire remains as the last-line detector in all
-  * cases.
+  * think they won. The acquisition PRIMITIVE is therefore pluggable
+  * ([[LockProvider]]): the default [[LeaseFileLockProvider]] covers
+  * POSIX/HDFS, and [[ConditionalPutLockProvider]] carries the
+  * precondition server-side for stores whose PUT supports if-absent
+  * (S3 `If-None-Match: *`, GCS generation-match 0, ABFS ETag) — the
+  * payload rides in one atomic request, so there is no create/write
+  * window at all. Deployments without either (or with doubts) keep the
+  * commit tripwire as the last-line detector in all cases.
   */
+/** The acquisition primitive a deployment plugs into [[TableLock]]:
+  * atomically publish `payload` at `p` IFF nothing exists there.
+  * Returning true means this caller owns the lock file; false means it
+  * lost the race (a normal, retryable outcome). Everything else —
+  * lease bookkeeping, expiry stealing, owner-checked release, the
+  * post-acquire confirm — is provider-independent and stays in
+  * [[TableLock]].
+  */
+trait LockProvider {
+  def putIfAbsent(fs: FileSystem, p: Path, payload: Array[Byte]): Boolean
+}
+
+/** Default provider: an atomic create-if-absent followed by the payload
+  * write. Correct wherever create-if-absent is truly atomic — POSIX
+  * (java.nio O_EXCL; Hadoop's local connector fakes
+  * `create(p, overwrite=false)` with a non-atomic exists()+truncate,
+  * so `file://` bypasses it) and HDFS (atomic namenode create). NOT
+  * correct on s3a-style object stores, where `create` only manifests
+  * at close() and two racing creators both succeed — use
+  * [[ConditionalPutLockProvider]] there.
+  */
+object LeaseFileLockProvider extends LockProvider {
+  def putIfAbsent(fs: FileSystem, p: Path, payload: Array[Byte]): Boolean = {
+    val created =
+      try {
+        if ("file" == fs.getUri.getScheme) {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(p.toUri.getPath))
+          true
+        } else {
+          fs.create(p, false).close() // atomic create-if-absent
+          true
+        }
+      } catch {
+        case _: java.io.IOException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          false // lost the race
+      }
+    if (!created) return false
+    // Write the payload into OUR file. A failure here (disk full,
+    // interrupt) must not leave an empty lock squatting the table:
+    // best-effort delete before reporting failure.
+    try {
+      val out = fs.create(p, true)
+      try out.write(payload) finally out.close()
+      true
+    } catch {
+      case e: Exception =>
+        try fs.delete(p, false) catch { case _: Exception => () }
+        throw e
+    }
+  }
+}
+
+/** Provider for object stores whose PUT carries an if-absent
+  * precondition server-side — S3 `If-None-Match: *`, GCS
+  * `ifGenerationMatch=0`, ABFS ETag `*` — where the whole
+  * publish-if-absent is ONE atomic request with the payload in it (no
+  * create/write window, no client-side exists() race). The Hadoop
+  * connectors do not surface the precondition through
+  * `FileSystem.create`, so the deployment supplies the store-client
+  * call: `put(p, payload)` must issue the conditional request and
+  * return false on a precondition failure (HTTP 412 / 409). The
+  * filesystem is still used for reads, expiry stealing, and release —
+  * only acquisition goes through the client.
+  */
+final class ConditionalPutLockProvider(
+    put: (Path, Array[Byte]) => Boolean) extends LockProvider {
+  def putIfAbsent(fs: FileSystem, p: Path, payload: Array[Byte]): Boolean =
+    put(p, payload)
+}
+
 object TableLock {
 
   final case class LockInfo(owner: String, acquiredMs: Long, leaseMs: Long) {
@@ -88,11 +163,12 @@ object TableLock {
   val DefaultLeaseMs: Long = 5 * 60 * 1000L
 
   /** One shot: acquire or return None. Steals an expired holder's lock
-    * (delete + re-race the atomic create — losing the re-race is a
-    * normal None).
+    * (delete + re-race the provider's atomic publish — losing the
+    * re-race is a normal None).
     */
   def tryAcquire(spark: SparkSession, t: KeyedTable,
-      leaseMs: Long = DefaultLeaseMs): Option[LockInfo] = {
+      leaseMs: Long = DefaultLeaseMs,
+      provider: LockProvider = LeaseFileLockProvider): Option[LockInfo] = {
     val fs = fsOf(spark, t)
     val p = lockPath(t)
     holder(spark, t) match {
@@ -115,38 +191,12 @@ object TableLock {
       System.currentTimeMillis(), leaseMs)
     val payload = s"${me.owner}|${me.acquiredMs}|${me.leaseMs}"
       .getBytes(StandardCharsets.UTF_8)
-    // Phase 1 — create-if-absent. Hadoop's LOCAL connector implements
-    // create(p, overwrite=false) as a non-atomic exists()+truncate, so
-    // for file:// go through java.nio O_EXCL instead (truly atomic on
-    // POSIX); other FSs (HDFS) get the connector's atomic create.
-    val created =
-      try {
-        fs.mkdirs(p.getParent)
-        if ("file" == fs.getUri.getScheme) {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(p.toUri.getPath))
-          true
-        } else {
-          fs.create(p, false).close() // atomic create-if-absent
-          true
-        }
-      } catch { case _: java.io.IOException | _: java.nio.file.FileAlreadyExistsException =>
-        false } // lost the race
-    if (!created) return None
-    // Phase 2 — write the payload into OUR file. A failure here (disk
-    // full, interrupt) must not leave an empty lock squatting the
-    // table: best-effort delete before reporting failure.
-    try {
-      val out = fs.create(p, true)
-      try out.write(payload) finally out.close()
-    } catch {
-      case e: Exception =>
-        try fs.delete(p, false) catch { case _: Exception => () }
-        throw e
-    }
-    // Phase 3 — confirm we still own it. Closes most of the double-
-    // steal window: a second stealer whose delete raced in between
-    // clobbered our file, and exactly one of us sees its own uuid.
+    fs.mkdirs(p.getParent)
+    if (!provider.putIfAbsent(fs, p, payload)) return None
+    // Confirm we still own it. Closes most of the double-steal window
+    // (a second stealer whose delete raced in between clobbered our
+    // file — exactly one of us sees its own uuid) and covers providers
+    // whose publish is two-phase.
     if (holder(spark, t).exists(_.owner == me.owner)) Some(me) else None
   }
 
@@ -170,14 +220,15 @@ object TableLock {
     * workload (the tripwire still catches the resulting race).
     */
   def withLock[A](spark: SparkSession, t: KeyedTable,
-      leaseMs: Long = DefaultLeaseMs, waitMs: Long = 60000L)(body: => A): A = {
+      leaseMs: Long = DefaultLeaseMs, waitMs: Long = 60000L,
+      provider: LockProvider = LeaseFileLockProvider)(body: => A): A = {
     val deadline = System.currentTimeMillis() + waitMs
     var backoff = 20L
-    var lock: Option[LockInfo] = tryAcquire(spark, t, leaseMs)
+    var lock: Option[LockInfo] = tryAcquire(spark, t, leaseMs, provider)
     while (lock.isEmpty && System.currentTimeMillis() < deadline) {
       Thread.sleep(backoff + scala.util.Random.nextLong(backoff))
       backoff = math.min(backoff * 2, 1000L)
-      lock = tryAcquire(spark, t, leaseMs)
+      lock = tryAcquire(spark, t, leaseMs, provider)
     }
     val l = lock.getOrElse(throw new IllegalStateException(
       s"table ${t.name}: could not acquire writer lock within ${waitMs}ms " +

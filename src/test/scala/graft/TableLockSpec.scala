@@ -1,7 +1,8 @@
 package graft
 
 import graft.ops.TableOps
-import graft.tables.{CommitLog, KeyedTable, TableLock}
+import graft.tables.{CommitLog, ConditionalPutLockProvider, KeyedTable,
+  LeaseFileLockProvider, TableLock}
 import org.apache.spark.sql.functions._
 
 /** Writer-lock semantics: mutual exclusion, lease expiry + steal,
@@ -87,4 +88,83 @@ class TableLockSpec extends SparkSuite {
     assert(ex.getMessage.contains("writer lock"))
     TableLock.release(spark, t, l)
   }
+
+  test("conditional-PUT provider: mutual exclusion where atomic create is unavailable") {
+    spark.sparkContext.hadoopConfiguration.set("fs.s3create.impl",
+      classOf[S3CreateFs].getName)
+    val base = tmpDir("graft-condput")
+    val t = KeyedTable("t", s"s3create:$base/t", Seq("id"), "ver")
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // First, the gap itself: on this store create-if-absent is NOT
+    // atomic (the s3a shape) — the lease-file primitive hands the lock
+    // to BOTH of two sequential "create-if-absent" publishers.
+    val probe = new org.apache.hadoop.fs.Path(s"$base/probe.lock")
+    assert(LeaseFileLockProvider.putIfAbsent(fs, probe, "a".getBytes))
+    assert(LeaseFileLockProvider.putIfAbsent(fs, probe, "b".getBytes),
+      "shim must reproduce the s3a non-atomic create (both creators win)")
+    // The conditional-PUT provider enforces the precondition at the
+    // (simulated) server: one atomic request carrying the payload.
+    val provider = new ConditionalPutLockProvider((p, payload) =>
+      S3CreateFs.serverSide.synchronized {
+        if (fs.exists(p)) false
+        else {
+          val o = fs.create(p, true)
+          try o.write(payload) finally o.close()
+          true
+        }
+      })
+    val locks =
+      new java.util.concurrent.ConcurrentLinkedQueue[TableLock.LockInfo]()
+    val threads = (0 until 8).map(_ => new Thread(() =>
+      TableLock.tryAcquire(spark, t, provider = provider)
+        .foreach(locks.add)))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(locks.size === 1,
+      s"exactly one of 8 racing acquirers must win, got ${locks.size}")
+    // full lifecycle through the provider: owner-checked release,
+    // re-acquire, expiry steal
+    assert(TableLock.release(spark, t, locks.peek()))
+    val stale =
+      TableLock.tryAcquire(spark, t, leaseMs = 1L, provider = provider).get
+    Thread.sleep(10)
+    val thief = TableLock.tryAcquire(spark, t, provider = provider)
+    assert(thief.isDefined,
+      "expired lease must be stealable through the provider")
+    assert(!TableLock.release(spark, t, stale))
+    assert(TableLock.release(spark, t, thief.get))
+  }
+}
+
+/** Local FS shim with OBJECT-STORE create semantics: `create(p,
+  * overwrite = false)` of an existing path SUCCEEDS (s3a's create only
+  * checks client-side and manifests at close — two racing creators
+  * both win), so the lease-file provider's primitive is unusable and
+  * conditional-PUT is the correct acquisition path. Registered under
+  * scheme `s3create`.
+  */
+class S3CreateFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "s3create"
+  override def getUri: java.net.URI = java.net.URI.create("s3create:///")
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, permission, true, bufferSize, replication, blockSize,
+      progress)
+  // FileSystem.create(p, overwrite) funnels through this permissionless
+  // overload, not the one above — force overwrite here too
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+}
+
+object S3CreateFs {
+  /** Stand-in for the store's server-side precondition serialization. */
+  val serverSide = new Object
 }
