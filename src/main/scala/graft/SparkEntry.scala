@@ -243,6 +243,34 @@ object SparkEntry {
          |       'at','by'))) AS DOUBLE) / len(w)) * 4.0) * 0.2, 6) AS quality
          |  FROM qtok)""".stripMargin
 
+  /** Formal waivers for the `queries` entries that CANNOT carry a
+    * DuckDB value oracle — the driver records these as rows-only; each
+    * entry states why no SQL oracle can exist and names the value-level
+    * check that covers the family instead. Every waived surface is
+    * additionally invariant-checked in-query where a per-row exactness
+    * property exists (the ANN raws fail loudly on any non-exact
+    * cosine — `ExtQueries.requireExactCosines`). Dumped by [[Verify]]
+    * as `waivers.json`; `tools/oracle_check.py` reports waived vs
+    * unexplained rows-only separately.
+    */
+  def rowsOnlyWaivers: Map[String, String] = Map(
+    "sim_lsh_topk_raw" ->
+      ("row SET depends on seeded random hyperplanes (sign-LSH bucketing) " +
+        "not expressible in SQL; every emitted cosine is invariant-checked " +
+        "in-query against exact recomputation from the base vectors, and " +
+        "the family's recall gate sim_lsh_topk is DuckDB value-oracled"),
+    "sim_ivf_topk_raw" ->
+      ("row SET depends on Lloyd-trained centroids (IVF shard probe) not " +
+        "expressible in SQL; every emitted cosine is invariant-checked " +
+        "in-query against exact recomputation from the base vectors, and " +
+        "the family's recall gate sim_ivf_topk is DuckDB value-oracled"),
+    "a_approx_agg_raw" ->
+      ("HLL++/percentile_approx sketch outputs are implementation-defined; " +
+        "DuckDB's approx_count_distinct/approx_quantile use different " +
+        "sketches, so no SQL reproduces the values cell-exact; the " +
+        "error-bound gate a_approx_agg (|approx-exact| within 10%/5%) is " +
+        "DuckDB value-oracled"))
+
   def oracleSql: Map[String, String] = Map(
     "p1_select_star" ->
       "SELECT * FROM nation ORDER BY n_nationkey",

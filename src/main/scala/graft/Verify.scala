@@ -37,6 +37,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Formal rows-only waivers (kept OUT of oracle_sql.json — the
+    // driver executes every entry there as SQL).
+    val waivers = SparkEntry.rowsOnlyWaivers
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/waivers.json"), waivers)
     spark.stop()
   }
 }

@@ -257,12 +257,41 @@ object ExtQueries {
       Seq("query_id", "neighbor_id"), recallMin = 0.8)
   }
 
-  /** Raw sign-LSH top-5 (bench surface). */
+  /** Per-row exactness invariant for the ANN raw surfaces: re-derives
+    * every emitted cosine from the base embeddings through an
+    * INDEPENDENT join (the same codegen'd kernel, fresh lineage) and
+    * fails the whole query loudly on any deviation. The row SET of an
+    * approximate index is not SQL-expressible (it depends on seeded
+    * hyperplanes / trained centroids), which is why these surfaces are
+    * formally waived from the DuckDB oracle ([[SparkEntry
+    * .rowsOnlyWaivers]]) — but each row's VALUE is exact and this
+    * check enforces that on every run, Verify and bench alike. The
+    * invariant joins broadcast the k×|queries|-row result, never the
+    * corpus.
+    */
+  private def requireExactCosines(emb: DataFrame, raw: DataFrame): DataFrame = {
+    val qv = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("_qv"))
+    val nv = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("_nv"))
+    val joined = qv.join(broadcast(raw), Seq("query_id"))
+    nv.join(broadcast(joined), Seq("neighbor_id"))
+      .withColumn("_exact", Similarity.cosine(col("_qv"), col("_nv")))
+      .filter(when(abs(col("cos") - col("_exact")) <= lit(1e-6), lit(true))
+        .otherwise(raise_error(format_string(
+          "ANN raw surface emitted a non-exact cosine for (%s, %s): %s != %s",
+          col("query_id"), col("neighbor_id"), col("cos"), col("_exact")))))
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Raw sign-LSH top-5 (bench surface; invariant-checked — see
+    * [[requireExactCosines]]).
+    */
   def simLshTopkRaw(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb,
-      "vec_id", "embedding", k = 5)
-      .select("query_id", "neighbor_id", "rank")
+    requireExactCosines(emb,
+      Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 5))
       .orderBy("query_id", "rank")
   }
 
@@ -279,12 +308,14 @@ object ExtQueries {
       Seq("query_id", "neighbor_id"), recallMin = 0.6)
   }
 
-  /** Raw IVF top-5 (bench surface; same tuned parameters as the gate). */
+  /** Raw IVF top-5 (bench surface; same tuned parameters as the gate;
+    * invariant-checked — see [[requireExactCosines]]).
+    */
   def simIvfTopkRaw(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
-      "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6, trainIters = 2)
-      .select("query_id", "neighbor_id", "rank")
+    requireExactCosines(emb,
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6, trainIters = 2))
       .orderBy("query_id", "rank")
   }
 

@@ -385,6 +385,11 @@ object OpsQueries {
 
   /** Raw sketch aggregates (bench surface of the gated family —
     * measures HLL/t-digest, not the exact counts the gate adds).
+    * No DuckDB value oracle CAN exist: sketch outputs are
+    * implementation-defined and DuckDB's approx functions use different
+    * sketches — formally waived in [[graft.SparkEntry.rowsOnlyWaivers]];
+    * the error-bound gate `a_approx_agg` is the value-oracled check of
+    * this family.
     */
   def aApproxAggRaw(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem").agg(

@@ -29,7 +29,10 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = n_noracle = 0
+    waivers = {}
+    if os.path.exists(f"{out_dir}/waivers.json"):
+        waivers = json.load(open(f"{out_dir}/waivers.json"))
+    n_pass = n_fail = n_waived = n_unexplained = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         files = glob.glob(f"{qdir}/*.parquet")
@@ -37,8 +40,14 @@ def main(sf_dir, out_dir):
             print(f"!! {name}: NO SPARK OUTPUT"); n_fail += 1; continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         if name not in oracle:
-            print(f"   {name}: rows-only ({len(got)} rows)")
-            n_noracle += 1
+            if name in waivers:
+                print(f"   {name}: rows-only ({len(got)} rows) — "
+                      f"WAIVED: {waivers[name]}")
+                n_waived += 1
+            else:
+                print(f"!! {name}: rows-only ({len(got)} rows) — UNEXPLAINED "
+                      "(no oracle SQL and no waiver)")
+                n_unexplained += 1
             continue
         try:
             want = con.execute(oracle[name]).df()
@@ -69,8 +78,9 @@ def main(sf_dir, out_dir):
             print(f"!! {name}: VALUE MISMATCH " + "; ".join(mismatch)); n_fail += 1
         else:
             print(f"ok {name} ({len(g)} rows)"); n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
-    return 1 if n_fail else 0
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_waived + n_unexplained} "
+          f"rows-only ({n_waived} waived, {n_unexplained} unexplained)")
+    return 1 if n_fail or n_unexplained else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
