@@ -594,12 +594,26 @@ object ExtQueries {
   }
 
   /** Single-scan column profile of orders (nulls, exact distincts,
-    * min/max as strings) — every cell recomputed by the oracle.
+    * min/max as strings) — every cell recomputed by the oracle. The
+    * query GATES on the plan: exactly ONE FileScan (the whole profile —
+    * all columns, all aggregates — is one pass over the table; a
+    * per-column scan would multiply the dominant cost at scale).
+    * Verification runs `exactDistinct=true` so the DuckDB oracle can
+    * recompute the cells; at 100 TB the default to run is
+    * `exactDistinct=false` (HLL partials — no Expand row replication,
+    * same single scan, gate-verified identically in ExpectationsSpec).
     */
-  def dqProfile(s: SparkSession, dir: String): DataFrame =
-    Expectations.profile(t(s, dir, "orders"),
+  def dqProfile(s: SparkSession, dir: String): DataFrame = {
+    val out = Expectations.profile(t(s, dir, "orders"),
       Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"))
       .orderBy("column")
+    val plan = out.queryExecution.executedPlan.toString
+    val nScans = "FileScan".r.findAllIn(plan).length
+    require(nScans == 1,
+      s"profile must be a single pass over the table, found $nScans " +
+        s"FileScans:\n$plan")
+    out
+  }
 
   // ———————————————————————————————————————— text analysis
 

@@ -70,6 +70,16 @@ class ExpectationsSpec extends SparkSuite {
       exactDistinct = false)
       .as[(String, Long, Long, Long, String, String)].head()
     assert(approx._4 >= 2L && approx._4 <= 4L)
+    // approx mode (the at-scale default): still ONE scan, and the
+    // Expand row replication of multi-column exact distincts is gone
+    val approxPlan = Expectations.profile(
+      spark.read.parquet(s"$sfDir/orders.parquet"),
+      Seq("o_orderkey", "o_custkey"), exactDistinct = false)
+      .queryExecution.executedPlan.toString
+    assert(approxPlan.split("FileScan").length - 1 === 1,
+      s"expected exactly one scan in:\n$approxPlan")
+    assert(!approxPlan.contains("Expand"),
+      s"approx-distinct profile must not plan through Expand:\n$approxPlan")
   }
 
   test("orphans: FK violations counted; null child keys are orphans") {
