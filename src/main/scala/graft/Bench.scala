@@ -54,7 +54,12 @@ object Bench {
       System.gc()
     }
 
+    // optional subset (comma-separated) — used by the sfN stress bench
+    // to run only the most expensive queries on generated data
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+      .filter(n => subset.forall(_.contains(n)))
     // warm-up pass at the small scale factor
     names.foreach { n =>
       try { execute(n, warmDir); resetCaches() }

@@ -1,0 +1,142 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, IntegerType, LongType}
+
+/** Deterministic large-scale test-data generator — produces an
+  * sfN-shaped dataset from an existing sf directory for stress
+  * benching (`BENCH_sf1.json`), fully distributed (`spark.range` +
+  * hash-derived columns, no driver-side data).
+  *
+  * Shapes are chosen so per-operator COST SCALES HONESTLY instead of
+  * measuring generator artifacts:
+  *
+  *   - `documents` is generated FRESH (never replicated from the
+  *     source): replicating text 10× would plant 10-doc near-identical
+  *     clusters for every source doc and grow dedup pair output
+  *     quadratically — a corpus 10× bigger has ~10× the dups, not 45×.
+  *     Dup structure mirrors the driver's corpus: ~5% near-dup pairs
+  *     (every 20th doc mutates its predecessor) and ~0.2% exact dups
+  *     (every 500th doc copies its predecessor), token streams drawn
+  *     from the same small OLAP-word vocabulary with lengths 10–100.
+  *   - `embeddings` are cluster + noise with FIXED cluster size (20),
+  *     so near-dup pair output grows linearly with the corpus — the
+  *     at-scale shape (dup clusters don't widen with corpus size).
+  *   - TPC-H fact tables replicate the source `factor`× with
+  *     per-replica key shifts (FK-consistent: the same shift applies
+  *     to both sides of every join key); dimension tables (`region`,
+  *     `nation`) copy once.
+  *
+  * Usage: `runMain graft.tools.StressGen <srcSfDir> <outDir> <factor>`
+  * then e.g. `SPARK_GRAFT_SF_DIR=<outDir> SPARK_GRAFT_BENCH_QUERIES=
+  * curation_full,... runMain graft.Bench`.
+  */
+object StressGen {
+
+  private val Vocab = Seq("batch", "part", "spark", "line", "column",
+    "order", "small", "sort", "fast", "value", "scan", "hash", "slow",
+    "group", "agg", "filter", "query", "big", "key", "window", "row",
+    "table", "stream", "merge", "data", "vector")
+
+  // key shifts per replica — far above each source table's max key
+  private val OrderShift = 10000000L
+  private val CustShift = 1000000L
+  private val PartShift = 1000000L
+  private val SuppShift = 100000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    writeDocuments(spark, srcDir, outDir, factor)
+    writeEmbeddings(spark, srcDir, outDir, factor)
+    replicate(spark, srcDir, outDir, "customer", factor,
+      Map("c_custkey" -> CustShift))
+    replicate(spark, srcDir, outDir, "orders", factor,
+      Map("o_orderkey" -> OrderShift, "o_custkey" -> CustShift))
+    replicate(spark, srcDir, outDir, "lineitem", factor,
+      Map("l_orderkey" -> OrderShift, "l_partkey" -> PartShift,
+        "l_suppkey" -> SuppShift))
+    replicate(spark, srcDir, outDir, "supplier", factor,
+      Map("s_suppkey" -> SuppShift))
+    replicate(spark, srcDir, outDir, "part", factor,
+      Map("p_partkey" -> PartShift))
+    replicate(spark, srcDir, outDir, "region", 1, Map.empty)
+    replicate(spark, srcDir, outDir, "nation", 1, Map.empty)
+    spark.stop()
+  }
+
+  private def writeDocuments(spark: SparkSession, srcDir: String,
+      outDir: String, factor: Int): Unit = {
+    val n = spark.read.parquet(s"$srcDir/documents.parquet").count() * factor
+    val vocab = array(Vocab.map(lit): _*)
+    val v = Vocab.size
+    val id = col("id")
+    // exact-dup rule wins over near-dup where both fire (i%500==499)
+    val isExact = pmod(id, lit(500)) === 499
+    val isNear = !isExact && pmod(id, lit(20)) === 19
+    val contentSeed = when(isExact || isNear, id - 1).otherwise(id)
+    val len = pmod(xxhash64(lit("len"), contentSeed), lit(91)) + 10
+    def tok(seedTag: String, seed: org.apache.spark.sql.Column,
+        j: org.apache.spark.sql.Column) =
+      element_at(vocab,
+        (pmod(xxhash64(lit(seedTag), seed, j), lit(v)) + 1).cast(IntegerType))
+    // near dups mutate every 17th token against their OWN id — high but
+    // sub-1.0 Jaccard vs the predecessor
+    val toks = transform(sequence(lit(0), (len - 1).cast(IntegerType)),
+      j => when(isNear && pmod(j, lit(17)) === 5, tok("mut", id, j))
+        .otherwise(tok("tok", contentSeed, j)))
+    val text = concat_ws(" ", toks)
+    val langBucket = pmod(xxhash64(lit("lang"), contentSeed), lit(20))
+    spark.range(n)
+      .select(
+        id.as("doc_id"),
+        text.as("text"),
+        when(langBucket < 8, "en").when(langBucket < 11, "zh")
+          .when(langBucket < 14, "es").when(langBucket < 17, "fr")
+          .otherwise("de").as("lang"),
+        concat(lit("src"), pmod(id, lit(20))).as("source"),
+        length(text).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def writeEmbeddings(spark: SparkSession, srcDir: String,
+      outDir: String, factor: Int): Unit = {
+    val n = spark.read.parquet(s"$srcDir/embeddings.parquet").count() * factor
+    val id = col("id")
+    val cluster = (id / 20).cast(LongType)
+    // per-dim value = cluster center (weight .15) + per-vector noise
+    // (weight .12) → within-cluster cosine ≈ 0.6, cross-cluster ≈ 0
+    def unit(tag: String, seed: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(lit(tag), seed, d), lit(2001)) - 1000) / lit(1000.0)
+    val vec = transform(sequence(lit(0), lit(63)), d =>
+      (unit("c", cluster, d) * 0.15 + unit("n", id, d) * 0.12)
+        .cast(FloatType))
+    spark.range(n)
+      .select(id.as("vec_id"), vec.as("embedding"),
+        pmod(cluster, lit(10)).cast(IntegerType).as("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def replicate(spark: SparkSession, srcDir: String, outDir: String,
+      name: String, factor: Int, shifts: Map[String, Long]): Unit = {
+    val src = spark.read.parquet(s"$srcDir/$name.parquet")
+    val out = (0 until factor).map { r =>
+      src.select(src.columns.toSeq.map { c =>
+        shifts.get(c).map(s => (col(c) + lit(r * s)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    }.reduce(_.unionByName(_))
+    out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+  }
+}
