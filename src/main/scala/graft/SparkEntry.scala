@@ -257,13 +257,15 @@ object SparkEntry {
     "sim_lsh_topk_raw" ->
       ("row SET depends on seeded random hyperplanes (sign-LSH bucketing) " +
         "not expressible in SQL; every emitted cosine is invariant-checked " +
-        "in-query against exact recomputation from the base vectors, and " +
-        "the family's recall gate sim_lsh_topk is DuckDB value-oracled"),
+        "in-query against exact recomputation from the base vectors on " +
+        "every correctness run (skipped only inside Bench's timed loop), " +
+        "and the family's recall gate sim_lsh_topk is DuckDB value-oracled"),
     "sim_ivf_topk_raw" ->
       ("row SET depends on Lloyd-trained centroids (IVF shard probe) not " +
         "expressible in SQL; every emitted cosine is invariant-checked " +
-        "in-query against exact recomputation from the base vectors, and " +
-        "the family's recall gate sim_ivf_topk is DuckDB value-oracled"),
+        "in-query against exact recomputation from the base vectors on " +
+        "every correctness run (skipped only inside Bench's timed loop), " +
+        "and the family's recall gate sim_ivf_topk is DuckDB value-oracled"),
     "a_approx_agg_raw" ->
       ("HLL++/percentile_approx sketch outputs are implementation-defined; " +
         "DuckDB's approx_count_distinct/approx_quantile use different " +

@@ -371,17 +371,23 @@ object Dedup {
   private def choose(n: Int, k: Int): Long =
     (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
 
-  /** Auto block count for [[simhashPairs]]: the largest divisor m of
+  /** Auto block count for [[simhashPairs]]: the largest m ≤
     * [[SimhashBits]] with m > maxDist and C(m, m−maxDist) ≤
-    * [[MaxProbeCombos]]. For the default maxDist=3 this picks m=6
-    * (10-bit blocks, C(6,3)=20 probes, 30-bit join keys).
+    * [[MaxProbeCombos]] (blocks need not divide the signature evenly —
+    * [[simhashCandidates]] splits 60 bits into m near-equal blocks).
+    * For the default maxDist=3 this picks m=6 (10-bit blocks,
+    * C(6,3)=20 probes, 30-bit join keys); maxDist=6 picks m=7. When
+    * even the minimal pigeonhole m = maxDist+1 exceeds the combo cap
+    * (maxDist ≥ [[MaxProbeCombos]]), fall back to it rather than
+    * reject: C(d+1, 1) = d+1 probes is linear and every maxDist <
+    * [[SimhashBits]] stays expressible, at minimal-key-width cost.
     */
   private[graft] def simhashBlockCount(maxDist: Int): Int = {
-    val fits = (1 to SimhashBits)
-      .filter(m => SimhashBits % m == 0 && m > maxDist &&
-        choose(m, m - maxDist) <= MaxProbeCombos)
-    require(fits.nonEmpty, s"no block count fits maxDist=$maxDist")
-    fits.max
+    require(maxDist >= 0 && maxDist < SimhashBits,
+      s"maxDist=$maxDist must be in [0, $SimhashBits)")
+    val fits = (maxDist + 1 to SimhashBits)
+      .filter(m => choose(m, m - maxDist) <= MaxProbeCombos)
+    if (fits.nonEmpty) fits.max else maxDist + 1
   }
 
   /** Candidate pairs BEFORE dedup and the hamming filter — exposed so
@@ -393,16 +399,25 @@ object Dedup {
   private[graft] def simhashCandidates(sig: DataFrame, maxDist: Int,
       blocks: Int = 0): DataFrame = {
     val m = if (blocks > 0) blocks else simhashBlockCount(maxDist)
-    require(SimhashBits % m == 0 && m > maxDist,
-      s"blocks=$m must divide $SimhashBits and exceed maxDist=$maxDist")
-    val bitsPer = SimhashBits / m
+    require(m > maxDist && m <= SimhashBits,
+      s"blocks=$m must exceed maxDist=$maxDist and not exceed $SimhashBits")
+    // m near-equal blocks (sizes differ by ≤1 — m need not divide 60:
+    // the pigeonhole argument only needs m disjoint blocks covering the
+    // signature). The first (60 mod m) blocks carry the extra bit.
+    val base = SimhashBits / m
+    val rem = SimhashBits % m
+    val sizes = Array.tabulate(m)(i => base + (if (i < rem) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
     def block(i: Int): Column =
-      shiftright(col("simhash"), i * bitsPer).bitwiseAND((1L << bitsPer) - 1)
+      shiftright(col("simhash"), offsets(i)).bitwiseAND((1L << sizes(i)) - 1)
     // One probe key per (m−maxDist)-subset of blocks: the subset's
-    // block values packed big-endian into one long (≤ 57 bits: the
-    // subset omits maxDist ≥ 1 blocks of SimhashBits/m ≥ 3 bits each).
+    // block values packed big-endian into one long (< 60 bits: the
+    // subset omits maxDist ≥ 1 blocks of ≥ 1 bit each; for maxDist=0
+    // the full 60-bit signature itself is the key).
     val keys = (0 until m).combinations(m - maxDist).toSeq.map(s =>
-      s.map(block).reduce((acc, b) => shiftleft(acc, bitsPer).bitwiseOR(b)))
+      s.map(i => (block(i), sizes(i))).reduce[(Column, Int)] {
+        case ((acc, _), (b, w)) => (shiftleft(acc, w).bitwiseOR(b), w)
+      }._1)
     val banded = sig.select(col("id"), col("simhash"),
       posexplode(array(keys: _*)))
       .withColumnRenamed("pos", "probe_id")
@@ -437,8 +452,9 @@ object Dedup {
     * smaller. Residual hot keys are genuine near-duplicate clusters
     * (docs agreeing on ≥30 signature bits), whose pair output is the
     * answer itself, plus AQE-handled random skew. `blocks` overrides m
-    * (must divide [[SimhashBits]], exceed maxDist); larger m widens
-    * keys further at combinatorial probe cost.
+    * (any value in (maxDist, [[SimhashBits]]] — blocks need not divide
+    * the signature evenly); larger m widens keys further at
+    * combinatorial probe cost.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, blocks: Int = 0): DataFrame =

@@ -628,17 +628,14 @@ object TableOps {
   def deleteWhere(spark: SparkSession, t: KeyedTable,
       pred: Column): String = {
     if (!exists(spark, t)) return ""
-    val tmp = new Path(t.path,
-      s".tmp/deletewhere-${java.util.UUID.randomUUID()}")
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // partition columns ride along on partition-scoped tables so only
     // the partition copies the predicate MATCHED are deleted — a bare
     // key set would kill same-key rows in unrelated partitions
-    try {
+    withScratch(spark, t, "deletewhere") { tmp =>
       snapshotWhere(spark, t, pred).select(t.rowIdentity.map(col): _*)
         .write.mode("overwrite").parquet(tmp.toString)
       delete(spark, t, spark.read.parquet(tmp.toString))
-    } finally fs.delete(tmp, true)
+    }
   }
 
   /** CDC merge — apply a change batch carrying an op column
@@ -697,10 +694,7 @@ object TableOps {
       validated.withColumn("_op_rank",
         when(col(opCol) === "D", 1).otherwise(0)),
       t.rowIdentity, Seq(t.precombineKey, "_op_rank")).drop("_op_rank")
-    val tmp = new Path(t.path,
-      s".tmp/applychanges-${java.util.UUID.randomUUID()}")
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
+    withScratch(spark, t, "applychanges") { tmp =>
       latest.write.mode("overwrite").parquet(tmp.toString)
       val staged = spark.read.parquet(tmp.toString)
       val ups = staged.filter(col(opCol) =!= "D").drop(opCol)
@@ -713,7 +707,7 @@ object TableOps {
           delete(spark, t, dels, idempotencyKey.map(_ + ":del"))
         else ""
       Seq(upTs, delTs).filter(_.nonEmpty)
-    } finally fs.delete(tmp, true)
+    }
   }
 
   /** Predicate update — the Delta/Hudi SQL `UPDATE … SET … WHERE`
@@ -991,10 +985,49 @@ object TableOps {
     */
   private val CommitDirPattern = "[0-9]{17}".r
 
-  /** Minimum mtime age before [[clean]] GCs a `.tmp` scratch entry —
-    * old enough that no live operation still owns it.
+  /** Minimum mtime age before [[clean]] GCs a `.tmp` scratch entry.
+    * Live staging dirs are heartbeated ([[withScratch]]) so their mtime
+    * never ages past this cutoff while the owning operation runs; an
+    * orphan's heartbeat died with its owner, so it ages out.
     */
   private val TmpOrphanAgeMs = 60L * 60 * 1000
+
+  /** Heartbeat period for live `.tmp` staging dirs — several beats fit
+    * inside [[TmpOrphanAgeMs]], so one missed beat (GC pause, slow
+    * store) cannot let a live dir age past the cutoff.
+    */
+  private val TmpHeartbeatMs: Long = TmpOrphanAgeMs / 6
+
+  /** Stage an operation's scratch dir under `.tmp` with a liveness
+    * heartbeat: a daemon timer refreshes the dir's mtime every
+    * `heartbeatMs` while `body` runs, so [[clean]]'s age-gated `.tmp`
+    * GC can never collect a LIVE staging dir regardless of how long
+    * the operation takes (a multi-hour GDPR rewrite included) — the
+    * age gate alone would, since a dir's mtime is otherwise set at
+    * creation and never touched again. Stores that reject mtime
+    * mutation (`setTimes` unsupported — some object-store connectors)
+    * degrade to the creation-age gate; the heartbeat failure is
+    * silent because the fallback posture is exactly the pre-heartbeat
+    * one. The dir is removed in `finally`.
+    */
+  private[graft] def withScratch[A](spark: SparkSession, t: KeyedTable,
+      prefix: String, heartbeatMs: Long = TmpHeartbeatMs)(body: Path => A): A = {
+    val tmp = new Path(t.path,
+      s".tmp/$prefix-${java.util.UUID.randomUUID()}")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(tmp)
+    val beat = new java.util.Timer(s"graft-tmp-heartbeat-$prefix", true)
+    beat.scheduleAtFixedRate(new java.util.TimerTask {
+      def run(): Unit =
+        try fs.setTimes(tmp, System.currentTimeMillis(), -1)
+        catch { case _: Exception => () } // unsupported store / racing rewrite
+    }, heartbeatMs, heartbeatMs)
+    try body(tmp)
+    finally {
+      beat.cancel()
+      fs.delete(tmp, true)
+    }
+  }
 
   def clean(spark: SparkSession, t: KeyedTable, retainCommits: Int): Seq[String] = {
     require(retainCommits >= 1, "retainCommits must be >= 1")
@@ -1028,13 +1061,16 @@ object TableOps {
     // time travel with no migration path. Warn and leave it instead.
     // Crash-orphaned scratch (deleteWhere key materializations,
     // applyChanges staging): normally removed in the operation's
-    // finally block, so anything old here is an orphan — a retention
+    // finally block, so anything aged here is an orphan — a retention
     // concern for right-to-be-forgotten key sets. Age-gated (mtime >
     // 1h) rather than wholesale: clean() is a maintenance entry point
-    // that operators run out-of-band, and while concurrent writes
-    // violate the documented single-writer contract, deleting a LIVE
-    // in-flight staging dir would corrupt that writer mid-operation —
-    // an orphan is by definition old, so the age gate loses nothing.
+    // that operators run out-of-band, and deleting a LIVE in-flight
+    // staging dir would corrupt that writer mid-operation. The age
+    // gate is sound against arbitrarily long operations because live
+    // dirs HEARTBEAT (withScratch refreshes mtime every 10 min) —
+    // only on stores that reject setTimes does it degrade to a
+    // creation-age gate, where a >1h single operation racing an
+    // out-of-band clean() remains exposed (documented in withScratch).
     val tmpRoot = new Path(s"${t.path}/.tmp")
     if (fs.exists(tmpRoot)) {
       val cutoff = System.currentTimeMillis() - TmpOrphanAgeMs

@@ -265,11 +265,18 @@ object ExtQueries {
     * hyperplanes / trained centroids), which is why these surfaces are
     * formally waived from the DuckDB oracle ([[SparkEntry
     * .rowsOnlyWaivers]]) — but each row's VALUE is exact and this
-    * check enforces that on every run, Verify and bench alike. The
-    * invariant joins broadcast the k×|queries|-row result, never the
-    * corpus.
+    * check enforces that on every run EXCEPT inside Bench's timed
+    * loop (`graft.bench.timing`): the verification joins rescan the
+    * embeddings corpus twice, a cost the historical bench artifacts
+    * never paid — leaving it on would make the "raw index probe"
+    * timing incomparable across rounds and mask real probe
+    * regressions behind fixed check cost. Verify — the correctness
+    * gate — always runs it. The invariant joins broadcast the
+    * k×|queries|-row result, never the corpus.
     */
   private def requireExactCosines(emb: DataFrame, raw: DataFrame): DataFrame = {
+    if (sys.props.get("graft.bench.timing").contains("true"))
+      return raw.select("query_id", "neighbor_id", "rank")
     val qv = emb.select(col("vec_id").as("query_id"),
       col("embedding").as("_qv"))
     val nv = emb.select(col("vec_id").as("neighbor_id"),

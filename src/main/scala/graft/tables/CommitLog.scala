@@ -144,49 +144,85 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     * 1–2). A found key is backfilled into the marker registry so
     * subsequent probes are O(1) again.
     *
-    * The in-commit-order marker invariant the early exit relies on can
-    * be violated by an out-of-order sink: a fresh keyed commit (marker
-    * complete) landing ON TOP of a crashed one whose marker was lost.
-    * So a fast-scan miss is not authoritative — it falls through to an
-    * exhaustive scan of the REMAINING retained manifests before
-    * declaring the key absent. That fallback is O(#retained) reads of
-    * kilobyte files, bounded by [[retain]]'s retention window, and only
-    * the marker-less probe pays it (steady-state replays hit the O(1)
-    * marker). Exactly-once therefore holds for any interleaving of
-    * keyed and unkeyed commits within the retention window — the only
-    * remaining (documented) assumption is that manifests for keyed
-    * commits are not [[retain]]-dropped before their markers exist,
-    * which the cleaner's keep-window makes true for any real retention
-    * setting.
+    * A fast-scan miss alone is not authoritative, because an
+    * out-of-order sink can land a fresh keyed commit (marker complete)
+    * ON TOP of a crashed one whose marker was lost. The scan therefore
+    * does not early-exit on another key's marker at all; instead it is
+    * bounded by a SEALED WATERMARK (`keys/_sealed`, holding a commit
+    * ts W): the invariant is that every keyed commit with ts ≤ W has
+    * its marker in the registry, so the registry miss that brought us
+    * here is authoritative for everything at or below W, and the scan
+    * only reads manifests ABOVE it. While walking, the scan BACKFILLS
+    * the missing marker of every keyed commit it passes (any such hole
+    * is a crash window — the manifest is published, so recording its
+    * marker is exactly the completion the crash lost), and when the
+    * walk reaches the old seal without finding the probe key it
+    * advances W to the newest commit. Steady state: each probe reads
+    * only the manifests landed since the previous probe (normally
+    * 1–2) — in particular a FRESH key, the dominant case for a
+    * streaming sink minting a new batch key per micro-batch, never
+    * pays an O(#retained) scan (only the very first probe of a
+    * pre-seal timeline does, once). The backfill also repairs the
+    * out-of-order case structurally: by the time any later batch
+    * probes, every crashed commit below it has been healed into the
+    * O(1) registry.
+    *
+    * Exactly-once therefore holds for any interleaving of keyed and
+    * unkeyed commits within the retention window. Remaining
+    * assumptions, both documented: (1) manifests for keyed commits are
+    * not [[retain]]-dropped before their markers exist — true for any
+    * real retention setting; (2) commit timestamps are monotonic
+    * ([[CommitLog.newCommitTs]]'s single-writer contract) — the same
+    * assumption the timeline's ordering itself rests on (a commit
+    * minted BELOW the seal after the seal was written would be
+    * invisible to every probe, but it would equally corrupt
+    * incremental reads and retention).
     */
   def hasIdempotencyKey(key: String): Boolean =
-    fs.exists(keyPath(key)) || {
-      val found = scanForKey(key)
-      if (found) recordIdempotencyKey(key) // heal the marker
-      found
+    fs.exists(keyPath(key)) || scanForKey(key)
+
+  private def sealedPath = new Path(dir, "keys/_sealed")
+
+  private def sealedTs: Option[String] =
+    if (!fs.exists(sealedPath)) None
+    else {
+      val in = fs.open(sealedPath)
+      val raw =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8).trim
+        finally in.close()
+      Option(raw).filter(_.nonEmpty)
     }
+
+  private def writeSealed(ts: String): Unit = {
+    fs.mkdirs(sealedPath.getParent)
+    val out = fs.create(sealedPath, true)
+    try out.write(ts.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
 
   private def scanForKey(key: String): Boolean = {
     val all = listCommits()
-    var walked = 0
+    val seal = sealedTs
+    var found = false
     val it = all.reverseIterator
-    while (it.hasNext) {
-      walked += 1
-      commitMeta(it.next()).flatMap(_.get("idempotency_key")) match {
-        case Some(k) if k == key => return true
-        case Some(k) if fs.exists(keyPath(k)) =>
-          // Marker-complete keyed commit: IF markers completed in commit
-          // order the probe key cannot be below here — but an
-          // out-of-order sink can break that, so verify with an
-          // exhaustive scan of the remaining (older) retained manifests
-          // instead of trusting the early exit.
-          return all.dropRight(walked).reverseIterator.exists(ts =>
-            commitMeta(ts).flatMap(_.get("idempotency_key")).contains(key))
-        case _ => () // unkeyed commit, or a keyed one inside the crash
-                     // window — keep walking
+    while (it.hasNext && !found) {
+      val ts = it.next()
+      if (seal.exists(ts <= _)) {
+        // registry authoritative at and below the seal; the probe
+        // already missed it, and everything above is now verified —
+        // advance the seal so the next probe stops even earlier
+        if (all.nonEmpty) writeSealed(all.last)
+        return false
+      }
+      commitMeta(ts).flatMap(_.get("idempotency_key")).foreach { k =>
+        if (!fs.exists(keyPath(k))) recordIdempotencyKey(k) // heal crash window
+        if (k == key) found = true
       }
     }
-    false
+    // walked the whole retained timeline: every keyed commit now has a
+    // marker, so the registry is complete through the newest commit
+    if (!found && all.nonEmpty) writeSealed(all.last)
+    found
   }
 
   def recordIdempotencyKey(key: String): Unit = {

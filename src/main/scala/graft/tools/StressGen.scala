@@ -131,6 +131,20 @@ object StressGen {
   private def replicate(spark: SparkSession, srcDir: String, outDir: String,
       name: String, factor: Int, shifts: Map[String, Long]): Unit = {
     val src = spark.read.parquet(s"$srcDir/$name.parquet")
+    // the per-replica shift must clear the source's actual key range, or
+    // replicas silently collide (duplicate keys, cross-replica joins) and
+    // the bench runs on corrupted data with no error — validate, don't trust
+    if (factor > 1 && shifts.nonEmpty) {
+      val maxes = src.agg(
+        max(col(shifts.keys.head)), shifts.keys.toSeq.tail.map(c => max(col(c))): _*)
+        .head()
+      shifts.keys.toSeq.zipWithIndex.foreach { case (c, i) =>
+        val m = maxes.getLong(i)
+        require(m < shifts(c),
+          s"$name.$c max $m >= replica shift ${shifts(c)} — shifted replicas " +
+            "would collide; raise the shift constant for this source scale")
+      }
+    }
     val out = (0 until factor).map { r =>
       src.select(src.columns.toSeq.map { c =>
         shifts.get(c).map(s => (col(c) + lit(r * s)).as(c))

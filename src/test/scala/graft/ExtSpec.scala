@@ -314,6 +314,33 @@ class ExtSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("simhash blocking: non-divisor block counts stay exact (maxDist=6)") {
+    // m=7 does not divide 60 — uneven blocks (4×9 bits + 3×8 bits)
+    assert(Dedup.simhashBlockCount(6) === 7)
+    // past the combo cap the chooser falls back to the minimal
+    // pigeonhole rather than rejecting the maxDist outright
+    assert(Dedup.simhashBlockCount(25) === 26)
+    val rnd = new scala.util.Random(13)
+    val sig = (0L until 150L).map(i =>
+      (i, rnd.nextLong() & ((1L << Dedup.SimhashBits) - 1))).toDF("id", "simhash")
+    val planted = (0 until 15).map { i =>
+      val base = sig.filter($"id" === i.toLong).head().getLong(1)
+      val flipped = (0 until 1 + rnd.nextInt(6)).foldLeft(base)((s, _) =>
+        s ^ (1L << rnd.nextInt(Dedup.SimhashBits)))
+      (1000L + i, flipped)
+    }.toDF("id", "simhash")
+    val all = sig.union(planted)
+    val got = Dedup.simhashPairsFromSignatures(all, maxDist = 6)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val brute = all.as[(Long, Long)].collect()
+    val want = (for {
+      (a, sa) <- brute; (b, sb) <- brute if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 6
+    } yield (a, b, h)).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("simhash blocking: hot 15-bit chunk does not explode candidates") {
     // Adversary for the minimal (maxDist+1)-chunk pigeonhole: 600 sigs
     // share the low 15 bits (one full old-scheme chunk ⇒ C(600,2) ≈

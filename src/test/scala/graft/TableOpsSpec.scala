@@ -441,6 +441,76 @@ class TableOpsSpec extends SparkSuite {
       idempotencyKey = Some("b2")).nonEmpty)
   }
 
+  test("idempotency: sealed watermark bounds the scan; walked commits are healed") {
+    val t = table(partitioned = false)
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def marker(key: String) = {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      new org.apache.hadoop.fs.Path(s"${t.commitsPath}/keys/$h.key")
+    }
+    val sealedPath = new org.apache.hadoop.fs.Path(
+      s"${t.commitsPath}/keys/_sealed")
+    def readSeal(): String = {
+      val in = fs.open(sealedPath)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8").trim
+      finally in.close()
+    }
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")),
+      idempotencyKey = Some("b1"))
+    TableOps.upsert(spark, t, rows(("b", 1, "y", "p1")),
+      idempotencyKey = Some("b2"))
+    val log = CommitLog(t, spark)
+    // b2's own pre-commit probe walked+verified the then-current
+    // timeline and sealed it
+    assert(fs.exists(sealedPath), "a completed probe must seal the timeline")
+    // crash b2's marker (its commit sits ABOVE the seal): a fresh-key
+    // probe walks past it, heals it, and advances the seal to the head
+    fs.delete(marker("b2"), false)
+    assert(!log.hasIdempotencyKey("fresh"))
+    assert(fs.exists(marker("b2")),
+      "a walked crash-window commit must have its marker healed")
+    assert(readSeal() === log.latestCommit().get,
+      "a completed probe must advance the seal to the newest commit")
+    // at/below the seal the registry is authoritative: a keyed manifest
+    // planted below the watermark (impossible under the monotonic
+    // commit-ts contract) is structurally invisible — direct proof the
+    // scan never re-reads sealed history
+    val ghost = new org.apache.hadoop.fs.Path(
+      s"${t.commitsPath}/00000000000000000.commit")
+    val out = fs.create(ghost, true)
+    try out.write("""{"idempotency_key":"ghost"}""".getBytes("UTF-8"))
+    finally out.close()
+    assert(!log.hasIdempotencyKey("ghost"),
+      "scan must not read manifests at or below the sealed watermark")
+  }
+
+  test("withScratch heartbeats a live staging dir past clean()'s age gate") {
+    val t = table(partitioned = false)
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var scratch: org.apache.hadoop.fs.Path = null
+    TableOps.withScratch(spark, t, "hbtest", heartbeatMs = 100L) { tmp =>
+      scratch = tmp
+      // age the dir far past the 1h orphan cutoff, as a multi-hour live
+      // operation's staging dir would be without the heartbeat
+      val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+      fs.setTimes(tmp, old, -1)
+      val deadline = System.currentTimeMillis() + 10000
+      var m = fs.getFileStatus(tmp).getModificationTime
+      while (m <= old && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        m = fs.getFileStatus(tmp).getModificationTime
+      }
+      assert(m > old,
+        "heartbeat must refresh a live staging dir's mtime so an " +
+          "out-of-band clean() cannot GC it mid-operation")
+    }
+    assert(!fs.exists(scratch), "scratch dir must be removed in finally")
+  }
+
   test("idempotency: out-of-order fresh keyed commit above a crashed one") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")),
