@@ -61,6 +61,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Corpus-adaptive index sizing, used wherever a caller leaves the
+    * knob at 0: a FIXED sizing parameter is a scale bug — bucket/shard
+    * occupancy would grow linearly with the corpus, and the candidate
+    * join quadratically in occupancy (measured: see
+    * [[cosineNearDupPairs]]). One cheap `count()` job per auto-sized
+    * build; pass the knob explicitly to skip it. The floors reproduce
+    * the verification-scale operating points exactly, so ≤2k-vector
+    * corpora (the oracle/test scale) behave identically to the
+    * historical fixed defaults.
+    */
+  private def autoPlanes(n: Long, floor: Int): Int =
+    math.max(floor,
+      math.ceil(math.log(math.max(1L, n) / 64.0) / math.log(2)).toInt)
+
+  /** FAISS guidance: nlist ≈ 4·√n (shard size ~√n/4 — both the shard
+    * scan and the centroid argmin stay sublinear). Centroid collect is
+    * O(nlist·dim) driver bytes — ~65 MB at 10⁹ vectors, still
+    * metadata-scale.
+    */
+  private def autoNlist(n: Long): Int =
+    math.max(16, math.ceil(4 * math.sqrt(math.max(1L, n).toDouble)).toInt)
+
+  /** nprobe companion to [[autoNlist]]: ~1/16 of the lists, floor 4 —
+    * keeps probe coverage (nprobe/nlist) constant as nlist scales.
+    */
+  private def autoNprobe(nlist: Int): Int =
+    math.max(4, math.ceil(nlist / 16.0).toInt)
+
   /** Deterministic random hyperplanes: `planes` × `dim` doubles. */
   private def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -81,19 +109,23 @@ object Similarity {
     * hamming-1 bucket per table). Same output shape as
     * [[bruteForceTopK]]; recall < 1 by construction (measured ≈0.7–0.9
     * on the test corpus — ExtSpec). `planes` bounds per-bucket candidate
-    * cost (n/2^planes corpus rows per bucket per table); raise it as the
-    * corpus grows, add tables to buy recall back.
+    * cost (n/2^planes corpus rows per bucket per table); the defaults
+    * are corpus-adaptive ([[autoPlanes]] with floor 6 — identical to
+    * the historical 6×8 point at ≤2k vectors; extra tables buy back
+    * the per-table recall each extra plane halves).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      planes: Int = 6, tables: Int = 8, dim: Int = 64,
+      planes: Int = 0, tables: Int = 0, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorFunctions.register(corpus.sparkSession)
-    val allPlanes = hyperplanes(planes * tables, dim, seed)
-    def buckets(v: Column): Column = array((0 until tables).map { tI =>
-      bucketOf(v, allPlanes.slice(tI * planes, (tI + 1) * planes))
-        .bitwiseOR(lit(tI << planes))
+    val p = if (planes > 0) planes else autoPlanes(corpus.count(), 6)
+    val t = if (tables > 0) tables else math.min(16, 8 + (p - 6))
+    val allPlanes = hyperplanes(p * t, dim, seed)
+    def buckets(v: Column): Column = array((0 until t).map { tI =>
+      bucketOf(v, allPlanes.slice(tI * p, (tI + 1) * p))
+        .bitwiseOR(lit(tI << p))
     }: _*)
     // Norms computed BEFORE the bucket explode — once per vector, not
     // once per (table × probe) replica.
@@ -106,8 +138,8 @@ object Similarity {
       .withColumn("qn", VectorFunctions.normF(col("qv")))
       .select(col("query_id"), col("qv"), col("qn"),
         explode(flatten(transform(buckets(col("qv")), b =>
-          array(b +: (0 until planes).map(p =>
-            b.bitwiseXOR(shiftleft(lit(1), p))): _*)))).as("bucket"))
+          array(b +: (0 until p).map(i =>
+            b.bitwiseXOR(shiftleft(lit(1), i))): _*)))).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
@@ -301,15 +333,16 @@ object Similarity {
     *     driver-metadata size.
     */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, trainIters: Int = 0,
+      nlist: Int = 0, trainIters: Int = 0,
       seed: Long = 42L): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     VectorFunctions.register(spark)
+    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
     val cents =
       if (trainIters > 0)
-        trainCentroids(corpus, idCol, vecCol, nlist, trainIters, seed)
-      else sampleCentroids(corpus, idCol, vecCol, nlist, seed)
+        trainCentroids(corpus, idCol, vecCol, nl, trainIters, seed)
+      else sampleCentroids(corpus, idCol, vecCol, nl, seed)
     val centDf = cents.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toDF("list", "centroid")
     val assignments = corpus
@@ -370,11 +403,13 @@ object Similarity {
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0,
+      nlist: Int = 0, nprobe: Int = 0, trainIters: Int = 0,
       seed: Long = 42L): DataFrame = {
+    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
     val (assignments, centDf) =
-      ivfBuild(corpus, idCol, vecCol, nlist, trainIters, seed)
-    ivfTopKWithIndex(queries, assignments, centDf, idCol, vecCol, k, nprobe)
+      ivfBuild(corpus, idCol, vecCol, nl, trainIters, seed)
+    ivfTopKWithIndex(queries, assignments, centDf, idCol, vecCol, k, np)
   }
 
   // ——— IVF × SQ8 composition (the FAISS `IVF…,SQ8` index shape):
@@ -392,7 +427,7 @@ object Similarity {
     * query batch with [[ivfQ8TopKWithIndex]].
     */
   def ivfQ8Build(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, trainIters: Int = 0,
+      nlist: Int = 0, trainIters: Int = 0,
       seed: Long = 42L): (DataFrame, DataFrame) = {
     VectorFunctions.register(corpus.sparkSession)
     val (assignments, centDf) =
@@ -435,12 +470,14 @@ object Similarity {
   /** [[ivfQ8TopKWithIndex]] with the index built inline. */
   def ivfQ8TopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0,
+      nlist: Int = 0, nprobe: Int = 0, trainIters: Int = 0,
       oversample: Int = 4, seed: Long = 42L): DataFrame = {
+    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
     val (qAssign, centDf) =
-      ivfQ8Build(corpus, idCol, vecCol, nlist, trainIters, seed)
+      ivfQ8Build(corpus, idCol, vecCol, nl, trainIters, seed)
     ivfQ8TopKWithIndex(queries, qAssign, centDf, corpus, idCol, vecCol,
-      k, nprobe, oversample)
+      k, np, oversample)
   }
 
   /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥
@@ -450,13 +487,22 @@ object Similarity {
     * Recall comes from `tables` independent hash tables (standard
     * multi-table LSH) plus hamming-1 multi-probe on the left side;
     * candidates are scored with the TRUE cosine, so false positives are
-    * impossible by construction. The defaults (5 planes × 10 tables)
-    * are a verification-scale operating point: measured recall 1.0 at
-    * sf0.01 — which is what lets the raw pair surface carry the full
-    * exact-pair DuckDB oracle. `planes` trades bucket occupancy
-    * (candidate-pair cost, ∝ tables·n²/2^planes) against recall —
-    * RAISE planes as the corpus grows (and add tables to buy recall
-    * back); at 10⁹ docs the right shape is ~16 planes × 8 tables.
+    * impossible by construction. `planes` trades bucket occupancy
+    * (candidate-pair cost, ∝ tables·n²/2^planes) against recall, so a
+    * FIXED plane count is a scale bug: occupancy — and with it the
+    * candidate join — grows linearly with the corpus (measured: 20k
+    * vectors at 5 planes = 625/bucket ⇒ ~750M candidate rows, 53 s;
+    * auto-scaled ⇒ 39/bucket). The defaults are therefore E2LSH-style
+    * corpus-adaptive (one cheap `count()` job; pass explicit values to
+    * skip it): planes = max(5, ⌈log2(n/64)⌉) targets ~64 rows/bucket,
+    * and tables = min(20, 10 + planes−5) buys back the per-table
+    * recall each extra plane halves. At ≤2k vectors that is the
+    * verification-scale 5×10 operating point — measured recall 1.0 at
+    * sf0.01, which is what lets the raw pair surface carry the full
+    * exact-pair DuckDB oracle — and at 10⁹ docs it lands at 24×20,
+    * where true near-dups (cos ≥ 0.9) keep ~0.9 recall; pairs barely
+    * over a LOW threshold lose recall first — raise `tables` if those
+    * matter.
     */
   /** EXACT cosine pair set — the quadratic reference the approximate
     * families are verified against. Deliberately all-pairs
@@ -477,13 +523,20 @@ object Similarity {
   }
 
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 5, tables: Int = 10, dim: Int = 64,
+      threshold: Double, planes: Int = 0, tables: Int = 0, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
-    val allPlanes = hyperplanes(planes * tables, dim, seed)
-    val bucketCols = (0 until tables).map { tI =>
-      bucketOf(col("v"), allPlanes.slice(tI * planes, (tI + 1) * planes))
-        .bitwiseOR(lit(tI << planes)) // disjoint key space per table
+    val p =
+      if (planes > 0) planes
+      else {
+        val n = math.max(1L, corpus.count())
+        math.max(5, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+      }
+    val t = if (tables > 0) tables else math.min(20, 10 + (p - 5))
+    val allPlanes = hyperplanes(p * t, dim, seed)
+    val bucketCols = (0 until t).map { tI =>
+      bucketOf(col("v"), allPlanes.slice(tI * p, (tI + 1) * p))
+        .bitwiseOR(lit(tI << p)) // disjoint key space per table
     }
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"), array(bucketCols: _*).as("buckets"))
@@ -492,8 +545,8 @@ object Similarity {
     // neighbors; right side sits in its exact buckets only.
     val probes = c.select(col("id"), col("v"), col("nrm"),
       explode(flatten(transform(col("buckets"), b =>
-        array(b +: (0 until planes).map(p =>
-          b.bitwiseXOR(shiftleft(lit(1), p))): _*)))).as("bucket"))
+        array(b +: (0 until p).map(i =>
+          b.bitwiseXOR(shiftleft(lit(1), i))): _*)))).as("bucket"))
     val exact = c.select(explode(col("buckets")).as("bucket"),
       col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     probes

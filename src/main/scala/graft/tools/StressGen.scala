@@ -18,8 +18,18 @@ import org.apache.spark.sql.types.{FloatType, IntegerType, LongType}
   *     quadratically — a corpus 10× bigger has ~10× the dups, not 45×.
   *     Dup structure mirrors the driver's corpus: ~5% near-dup pairs
   *     (every 20th doc mutates its predecessor) and ~0.2% exact dups
-  *     (every 500th doc copies its predecessor), token streams drawn
-  *     from the same small OLAP-word vocabulary with lengths 10–100.
+  *     (every 500th doc copies its predecessor), lengths 10–100.
+  *     Each doc opens with one of 4 shared 8-token boilerplate
+  *     headers (the web header/footer analog — their shingles have
+  *     df ≈ docs/4, far over the `maxDf` cap at sf1, so the
+  *     stop-shingle guard is EXERCISED at stress scale, not idle)
+  *     while the body draws from a 4096-token long-tail vocabulary
+  *     whose shingle df stays roughly flat as the corpus grows, the
+  *     way real vocabularies behave. (A fixed 26-word vocabulary —
+  *     the first cut — made every trigram's df grow linearly with
+  *     the corpus, turning the exact inverted-index Jaccard join
+  *     into a Σ df² quadratic that measured the generator, not the
+  *     operator.)
   *   - `embeddings` are cluster + noise with FIXED cluster size (20),
   *     so near-dup pair output grows linearly with the corpus — the
   *     at-scale shape (dup clusters don't widen with corpus size).
@@ -86,16 +96,26 @@ object StressGen {
     val isNear = !isExact && pmod(id, lit(20)) === 19
     val contentSeed = when(isExact || isNear, id - 1).otherwise(id)
     val len = pmod(xxhash64(lit("len"), contentSeed), lit(91)) + 10
+    // body tokens from a 4096-token long-tail vocabulary: content
+    // shingle df stays roughly flat as the corpus grows (see scaladoc)
     def tok(seedTag: String, seed: org.apache.spark.sql.Column,
         j: org.apache.spark.sql.Column) =
+      concat(lit("w"),
+        pmod(xxhash64(lit(seedTag), seed, j), lit(4096)))
+    // one of 4 shared 8-token boilerplate headers per doc (keyed on
+    // contentSeed, so exact/near dups keep their predecessor's header):
+    // header shingles have df ≈ docs/4 — the hot, over-maxDf-cap
+    // boilerplate real corpora carry
+    val hdrId = pmod(xxhash64(lit("hdr"), contentSeed), lit(4))
+    val hdr = transform(sequence(lit(0), lit(7)), j =>
       element_at(vocab,
-        (pmod(xxhash64(lit(seedTag), seed, j), lit(v)) + 1).cast(IntegerType))
-    // near dups mutate every 17th token against their OWN id — high but
-    // sub-1.0 Jaccard vs the predecessor
-    val toks = transform(sequence(lit(0), (len - 1).cast(IntegerType)),
+        (pmod(xxhash64(lit("h"), hdrId, j), lit(v)) + 1).cast(IntegerType)))
+    // near dups mutate every 17th body token against their OWN id —
+    // high but sub-1.0 Jaccard vs the predecessor
+    val body = transform(sequence(lit(0), (len - 1).cast(IntegerType)),
       j => when(isNear && pmod(j, lit(17)) === 5, tok("mut", id, j))
         .otherwise(tok("tok", contentSeed, j)))
-    val text = concat_ws(" ", toks)
+    val text = concat_ws(" ", concat(hdr, body))
     val langBucket = pmod(xxhash64(lit("lang"), contentSeed), lit(20))
     spark.range(n)
       .select(
