@@ -74,6 +74,11 @@ object SparkEntry {
     "sample_rates"            -> (ExtQueries.sampleRates _),
     "pack_sequences"          -> (ExtQueries.packSequences _),
     "pack_chunks"             -> (ExtQueries.packChunks _),
+    "pack_shards"             -> (ExtQueries.packShards _),
+    "domains_profile"         -> (ExtQueries.domainsProfile _),
+    "domains_filter"          -> (ExtQueries.domainsFilter _),
+    "dedup_spans"             -> (ExtQueries.dedupSpans _),
+    "dedup_strip_spans"       -> (ExtQueries.dedupStripSpans _),
     "dq_expectations"         -> (ExtQueries.dqExpectations _),
     "dq_profile"              -> (ExtQueries.dqProfile _),
     "text_stats"              -> (ExtQueries.textStats _),
@@ -135,6 +140,8 @@ object SparkEntry {
     "sim_lsh_topk_raw", "sim_ivf_topk_raw", "sim_q8_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
     "sample_quota", "sample_rates", "pack_sequences", "pack_chunks",
+    "pack_shards", "domains_profile", "domains_filter",
+    "dedup_spans", "dedup_strip_spans",
     "dq_expectations",
     "dq_profile",
     "text_stats", "text_quality", "text_token_counts",
@@ -793,6 +800,119 @@ object SparkEntry {
         |    AS chunk_text
         | FROM ch, UNNEST(range(0, nc)) AS u(i)
         | ORDER BY doc_id, chunk_id""".stripMargin,
+    // Global token-budget shard layout: ONE window cumsum over the
+    // (md5-60 hash, doc_id) total order — the oracle is allowed the
+    // global sort the Spark side decomposes into two phases.
+    "pack_shards" ->
+      raw"""WITH tc AS (
+        |  SELECT doc_id,
+        |   CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |     AS BIGINT) AS n_tokens,
+        |   ${h60Sql("shard", 42, "doc_id")} AS ord
+        |  FROM documents),
+        | c AS (SELECT doc_id, n_tokens,
+        |   sum(n_tokens) OVER (ORDER BY ord, doc_id
+        |     ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start FROM tc)
+        | SELECT doc_id, n_tokens, tok_start,
+        |  CAST(tok_start // 512 AS BIGINT) AS shard_id
+        | FROM c ORDER BY doc_id""".stripMargin,
+    "domains_profile" ->
+      raw"""SELECT source AS domain, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |    AS BIGINT) AS sum_tokens,
+        |  count(DISTINCT lower(trim(text))) AS n_distinct_texts,
+        |  count(DISTINCT lang) AS n_langs
+        | FROM documents GROUP BY source ORDER BY domain""".stripMargin,
+    "domains_filter" ->
+      raw"""WITH prof AS (
+        |  SELECT source, count(*) AS n_docs,
+        |   sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |     AS sum_tokens,
+        |   count(DISTINCT lower(trim(text))) AS n_distinct_texts
+        |  FROM documents GROUP BY source),
+        | kept AS (SELECT source FROM prof
+        |  WHERE n_docs >= 10
+        |   AND CAST(sum_tokens AS DOUBLE) / n_docs >= 53.0
+        |   AND 1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs <= 0.5)
+        | SELECT doc_id, source FROM documents
+        | WHERE source IN (SELECT source FROM kept)
+        |  AND source NOT IN ('src1', 'src11')
+        | ORDER BY doc_id""".stripMargin,
+    // Duplicated spans (window 15, df>=2): rolling windows -> df
+    // semi-join -> per-doc gaps-and-islands; the oracle keys windows
+    // by their TEXT (collision-free) where the Spark side uses the
+    // md5-60 hash — ExtSpec asserts both modes identical here.
+    "dedup_spans" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |   array_to_string(list_slice(w, CAST(i + 1 AS INT),
+        |     CAST(i + 15 AS INT)), ' ') AS k
+        |  FROM tok, UNNEST(range(0, len(w) - 15 + 1)) AS u(i)
+        |  WHERE len(w) >= 15),
+        | hit AS (SELECT doc_id, i FROM pos
+        |  WHERE k IN (SELECT k FROM pos GROUP BY k HAVING count(*) >= 2)),
+        | isl AS (
+        |  SELECT doc_id, i, CASE WHEN
+        |    max(i + 15) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR i > max(i + 15) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   THEN 1 ELSE 0 END AS nw FROM hit),
+        | grp AS (SELECT doc_id, i, sum(nw) OVER (PARTITION BY doc_id
+        |   ORDER BY i ROWS UNBOUNDED PRECEDING) AS g FROM isl)
+        | SELECT doc_id, min(i) AS span_start, max(i) + 15 AS span_end,
+        |  count(*) AS n_windows
+        | FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+    // Span-dedup applied: same window/df machinery, per-occurrence
+    // keep = non-duplicated OR global-first owner; a token is dropped
+    // iff covered by a redundant island and no kept island.
+    "dedup_strip_spans" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |   array_to_string(list_slice(w, CAST(i + 1 AS INT),
+        |     CAST(i + 15 AS INT)), ' ') AS k
+        |  FROM tok, UNNEST(range(0, len(w) - 15 + 1)) AS u(i)
+        |  WHERE len(w) >= 15),
+        | st AS (
+        |  SELECT doc_id, i,
+        |   (count(*) OVER (PARTITION BY k) < 2 OR
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id, i) = 1)
+        |     AS keep
+        |  FROM pos),
+        | isl AS (
+        |  SELECT doc_id, i, keep, CASE WHEN
+        |    max(i + 15) OVER (PARTITION BY doc_id, keep ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR i > max(i + 15) OVER (PARTITION BY doc_id, keep ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   THEN 1 ELSE 0 END AS nw FROM st),
+        | grp AS (SELECT doc_id, i, keep, sum(nw) OVER (
+        |   PARTITION BY doc_id, keep ORDER BY i
+        |   ROWS UNBOUNDED PRECEDING) AS g FROM isl),
+        | iv AS (SELECT doc_id, keep, min(i) AS s, max(i) + 15 AS e
+        |  FROM grp GROUP BY doc_id, keep, g),
+        | tj AS (SELECT doc_id, w, CAST(j AS BIGINT) - 1 AS j,
+        |   w[CAST(j AS INT)] AS tokw
+        |  FROM tok, UNNEST(range(1, len(w) + 1)) AS u(j)),
+        | kt AS (
+        |  SELECT t.doc_id, t.j, t.tokw,
+        |   NOT (EXISTS (SELECT 1 FROM iv r WHERE NOT r.keep
+        |         AND r.doc_id = t.doc_id AND t.j >= r.s AND t.j < r.e)
+        |    AND NOT EXISTS (SELECT 1 FROM iv p WHERE p.keep
+        |         AND p.doc_id = t.doc_id AND t.j >= p.s AND t.j < p.e))
+        |    AS kp
+        |  FROM tj t)
+        | SELECT doc_id,
+        |  coalesce(string_agg(tokw, ' ' ORDER BY j)
+        |    FILTER (WHERE kp), '') AS text,
+        |  count(*) - count(*) FILTER (WHERE kp) AS n_tokens_removed
+        | FROM kt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -572,6 +573,134 @@ object Dedup {
     * instead — identical output (ExtSpec asserts both paths), none of
     * the checkpoint machinery. Pass 0 to force the distributed loop.
     */
+  // —————————————————————————— duplicated spans (substring-level dedup)
+
+  /** Every `window`-token sliding window of every document, keyed for
+    * frequency counting: `(doc_id, i, k)` with `i` the 0-based token
+    * position and `k` either a 60-bit portable md5 hash of the window
+    * text (`hashed=true` — 8-byte shuffle keys, the at-scale default)
+    * or the window text itself (`hashed=false` — collision-free
+    * verification mode; asserted equivalent on the test corpus).
+    * Positions are NOT distinct-ed: self-repetition inside one
+    * document is duplication evidence too (Lee et al.'s definition).
+    */
+  private def windowKeys(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, hashed: Boolean): DataFrame = {
+    val pos = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= window)
+      .select(col("doc_id"), col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - window)).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("_toks"), col("i") + 1, lit(window))).as("_wt"))
+    pos
+      .withColumn("k",
+        if (hashed) graft.functions.PortableHash.h60("span", 0, col("_wt"))
+        else col("_wt"))
+      .select("doc_id", "i", "k")
+  }
+
+  /** Merge window START positions into maximal spans per document
+    * (gaps-and-islands over `[i, i+window)` intervals): input
+    * `(doc_id, i)`, output `(doc_id, span_start, span_end,
+    * n_windows)` with `span_end` exclusive. The window function is
+    * partitioned by document — never a global sort.
+    */
+  private def windowSpans(hits: DataFrame, window: Int): DataFrame = {
+    val ws = Window.partitionBy("doc_id").orderBy("i")
+    val prevEnd = max(col("i") + window)
+      .over(ws.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("_new",
+        when(prevEnd.isNull || col("i") > prevEnd, 1).otherwise(0))
+      .withColumn("_isl",
+        sum(col("_new")).over(ws.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min("i").as("span_start"),
+        (max(col("i")) + lit(window)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Duplicated-span inventory — the distributed analog of EXACT
+    * SUBSTRING deduplication (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better"): every maximal token span all
+    * of whose `window`-token substrings occur at least `minDf` times
+    * corpus-wide, as `(doc_id, span_start, span_end, n_windows)`
+    * (token positions, `span_end` exclusive). Spans of length ≥
+    * `window` tokens are found exactly; shorter repeats are invisible
+    * by construction (the paper's min-match-length parameter).
+    *
+    * Where the paper builds a monolithic suffix array, the distributed
+    * formulation is rolling windows + a frequency SEMI-join — strictly
+    * linear, no pair formation anywhere (contrast the pairwise dedup
+    * families above): window keys (≈ one per corpus token, 8-byte
+    * hashes) → hash-aggregate df counts → semi-join positions against
+    * the `df ≥ minDf` keys → per-document island merge. The heaviest
+    * stage shuffles O(corpus tokens) × 16 B, the same budget class as
+    * the shingle index; hot boilerplate windows cost their occurrence
+    * count, never occurrence². With `hashed=true` a 60-bit collision
+    * can only ADD a false duplicated window (~N²/2⁶¹ expected colliding
+    * pairs — ~0.4 at 10⁹ distinct windows); `hashed=false` removes
+    * even that at ~8× shuffle width.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 15, minDf: Int = 2,
+      hashed: Boolean = true): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(minDf >= 2, "minDf < 2 would mark every window duplicated")
+    val keyed = windowKeys(docs, idCol, textCol, window, hashed)
+    val dup = keyed.groupBy("k").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf).select("k")
+    windowSpans(keyed.join(dup, Seq("k"), "left_semi")
+      .select("doc_id", "i"), window)
+  }
+
+  /** Remove duplicated spans, keeping one canonical occurrence (Lee
+    * et al.'s dedup step): a window occurrence is REDUNDANT when its
+    * key is duplicated and its `(doc_id, i)` is not the key's global
+    * minimum; a token is dropped iff every window covering it is
+    * redundant (so canonical copies, unique text, and span borders
+    * covered by any kept window all survive). Output `(doc_id, text,
+    * n_tokens_removed)` with `text` rebuilt from surviving whitespace
+    * tokens (inner whitespace normalized to single spaces — the same
+    * normalization every hash in this module applies).
+    *
+    * Plan shape: the same linear window/df stages as
+    * [[duplicatedSpans]], plus per-document interval lists (bounded by
+    * document length) joined back and applied with a codegen'd
+    * higher-order `filter` over the token array — no explode of
+    * (token × window) pairs, no driver participation.
+    */
+  def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 15, minDf: Int = 2,
+      hashed: Boolean = true): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(minDf >= 2, "minDf < 2 would mark every window duplicated")
+    val keyed = windowKeys(docs, idCol, textCol, window, hashed)
+    val own = keyed.groupBy("k").agg(count(lit(1)).as("_df"),
+      min(struct(col("doc_id"), col("i"))).as("_o"))
+    val st = keyed.join(own, Seq("k"))
+      .withColumn("_keep", col("_df") < minDf ||
+        (col("_o.doc_id") === col("doc_id") && col("_o.i") === col("i")))
+    def ivs(d: DataFrame, name: String): DataFrame =
+      windowSpans(d.select("doc_id", "i"), window)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("span_start").as("s"),
+          col("span_end").as("e"))).as(name))
+    val red = ivs(st.filter(!col("_keep")), "_red")
+    val kep = ivs(st.filter(col("_keep")), "_kep")
+    val covers = (arr: Column, j: Column) =>
+      coalesce(exists(arr, iv => j >= iv("s") && j < iv("e")), lit(false))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_w"))
+      .join(red, Seq("doc_id"), "left")
+      .join(kep, Seq("doc_id"), "left")
+      .withColumn("_w2", filter(col("_w"), (_, j) =>
+        !(covers(col("_red"), j) && !covers(col("_kep"), j))))
+      .select(col("doc_id"), concat_ws(" ", col("_w2")).as("text"),
+        (size(col("_w")) - size(col("_w2"))).as("n_tokens_removed"))
+  }
+
   /** Edge-count cutoff below which [[connectedComponents]] solves on
     * the driver: 100k canonical edges ≈ a few MB collected — firmly in
     * the metadata-sized-collect regime (same budget class as the

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Domain-level corpus curation — the C4/RefinedWeb-style pass that
+  * profiles a corpus per origin domain (source site, crawl host,
+  * dataset shard) and drops whole domains that fail quality gates,
+  * before any per-document filtering runs. Operating at domain
+  * granularity first is the standard large-corpus move: a spam or
+  * boilerplate farm is cheaper to drop as ONE domain row than as
+  * millions of per-document quality scores.
+  *
+  * Reference scope: the reference pipelines carry a source tag per
+  * record (`incremental_etl_orders.py` partitions by a source-derived
+  * field) but have no corpus curation; this module is part of the
+  * SURVEY §2l training-data extension surface.
+  *
+  * Scale shape (100 TB): [[profile]] is one hash-aggregate shuffle
+  * whose output is domain-cardinality (≤ ~10⁸ rows for the full web —
+  * thousands of times smaller than the corpus). [[filterByStats]]
+  * applies the verdict back with a semi-join on the domain key; AQE
+  * plans it as a broadcast join whenever the surviving-domain list
+  * fits, and the explicit literal blocklist never joins at all — it
+  * is a map-side NOT IN filter evaluated inside the scan's codegen'd
+  * Filter. No step is quadratic and nothing domain-sized ever
+  * reaches the driver.
+  */
+object Domains {
+
+  private def toks(textCol: Column): Column =
+    split(trim(lower(textCol)), "\\s+")
+
+  /** Per-domain corpus profile: `(domain, n_docs, sum_tokens,
+    * n_distinct_texts, n_langs)` — document volume, whitespace-token
+    * volume, exact-dup pressure (distinct normalized texts vs docs),
+    * and language spread. All counters are exact integers so the
+    * result is value-level verifiable cross-engine; derived ratios
+    * (`avg tokens = sum_tokens / n_docs`, `dup rate = 1 −
+    * n_distinct_texts / n_docs`) are left to the consumer.
+    *
+    * One shuffle (hash aggregate on the domain key) with map-side
+    * partial aggregation; the single `count(DISTINCT …)` plans as a
+    * two-phase distinct aggregate, not an Expand.
+    */
+  def profile(docs: DataFrame, domainCol: String, textCol: String,
+      langCol: String): DataFrame =
+    docs.groupBy(col(domainCol).as("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks(col(textCol))).cast("long")).as("sum_tokens"),
+        countDistinct(lower(trim(col(textCol)))).as("n_distinct_texts"),
+        countDistinct(col(langCol)).as("n_langs"))
+
+  /** Documents surviving domain-level curation: a domain is kept when
+    * it has at least `minDocs` documents, a mean whitespace-token
+    * length of at least `minAvgTokens`, an exact-dup rate of at most
+    * `maxDupRate`, and is not on the literal `blocklist`.
+    *
+    * The blocklist is applied map-side (`NOT IN` over literals —
+    * never a join); the stats verdict comes back via a left-semi join
+    * on the domain key against the kept-domain frame (domain-
+    * cardinality; AQE broadcasts it when small).
+    */
+  def filterByStats(docs: DataFrame, domainCol: String, textCol: String,
+      langCol: String, minDocs: Long, minAvgTokens: Double,
+      maxDupRate: Double, blocklist: Seq[String] = Nil): DataFrame = {
+    require(minDocs >= 0 && minAvgTokens >= 0 && maxDupRate >= 0,
+      "thresholds must be non-negative")
+    val kept = profile(docs, domainCol, textCol, langCol)
+      .filter(col("n_docs") >= minDocs &&
+        col("sum_tokens").cast("double") / col("n_docs") >= minAvgTokens &&
+        (lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"))
+          <= maxDupRate)
+      .select(col("domain"))
+    val unblocked =
+      if (blocklist.isEmpty) docs
+      else docs.filter(!col(domainCol).isin(blocklist: _*))
+    unblocked.join(kept, unblocked(domainCol) === kept("domain"),
+      "left_semi")
+  }
+}

@@ -67,6 +67,91 @@ object Packing {
     assigned.groupBy("bucket", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
 
+  /** GLOBAL token-budget shard assignment — lay the corpus end-to-end
+    * in ONE deterministic total order `(orderKey, id)` and cut a shard
+    * boundary every `budget` tokens: `shard_id = floor(tok_start /
+    * budget)` where `tok_start` is the global running token sum of
+    * all earlier documents. This is the export layout for training
+    * shards that must be equal-token AND order-faithful (length-
+    * sorted batching, curriculum order, or — with a seeded
+    * [[graft.functions.PortableHash]] order key — a deterministic
+    * epoch shuffle), which [[assignSequences]]'s bucketed layout
+    * deliberately does not give.
+    *
+    * A global running sum is the textbook global-Window anti-pattern
+    * (one partition sorts the corpus), so this uses the two-phase
+    * distributed prefix sum instead:
+    *
+    *   1. sample `buckets − 1` approximate quantile cuts of the
+    *      (numeric) order key and BAKE them into the plan as
+    *      literals: `bucket = #cuts below my key` is then a pure,
+    *      re-computation-stable function of the row — no
+    *      `spark_partition_id()` capture, no persist needed for
+    *      determinism (sampled RangePartitioner boundaries would
+    *      change on recompute; baked literals cannot);
+    *   2. one tiny job collects per-bucket token totals (≤ `buckets`
+    *      rows) and prefix-sums them on the driver;
+    *   3. the final plan windows WITHIN each bucket (shuffle on the
+    *      bucket key, per-bucket sort) and adds the bucket's literal
+    *      offset — `tok_start` is exact and globally consistent
+    *      because bucket assignment is monotone in the order key, so
+    *      bucket-concatenated order IS the global order.
+    *
+    * Cuts being approximate skews only bucket BALANCE, never values.
+    * Cost: two narrow passes over `(id, orderKey, weight)` (quantile
+    * sample + totals) plus the windowed pass. At 100 TB size
+    * `buckets` ≈ a few × total cores so each per-bucket sort fits an
+    * executor; a hash order key (epoch shuffle) makes buckets
+    * near-equal by construction.
+    *
+    * The order key must be numeric (quantile cuts) and should be
+    * near-unique — ties share a bucket by construction (correct, but
+    * a single massively-repeated key value concentrates its rows in
+    * one bucket's sort). Output: `(id, n_tokens, tok_start,
+    * shard_id)`.
+    */
+  def assignShards(docs: DataFrame, idCol: String, tokenCol: Column,
+      budget: Long, orderKey: Column, buckets: Int = 64): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(buckets > 0 && buckets <= 4096,
+      "buckets must be in [1, 4096] (per-bucket totals are collected)")
+    val base = docs.select(col(idCol), orderKey.as("_ord"),
+      tokenCol.cast("long").as("n_tokens"))
+    // Phase 1: approximate quantile cuts, baked as literals. relativeError
+    // 0.001 keeps the sample summary small; precision only moves bucket
+    // boundaries. distinct+sorted guards degenerate key distributions.
+    val cuts: Seq[Double] =
+      if (buckets == 1) Nil
+      else base.stat.approxQuantile("_ord",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .toSeq.distinct.sorted
+    val bucketOf: Column =
+      if (cuts.isEmpty) lit(0)
+      else aggregate(array(cuts.map(lit): _*), lit(0),
+        (acc, c) => acc + when(col("_ord").cast("double") > c, 1)
+          .otherwise(0))
+    val withB = base.withColumn("_b", bucketOf)
+    // Phase 2: per-bucket totals -> driver prefix sums (metadata-sized).
+    val totals = withB.groupBy("_b").agg(sum("n_tokens").as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 to cuts.length).map { b =>
+        val o = b -> acc; acc += totals.getOrElse(b, 0L); o
+      }.toMap
+    }
+    // Phase 3: within-bucket cumsum + literal offset = exact global sum.
+    val w = Window.partitionBy(col("_b"))
+      .orderBy(col("_ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .withColumn("tok_start",
+        element_at(typedLit(offsets), col("_b")) +
+          sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("tok_start"),
+        floor(col("tok_start") / lit(budget)).cast("long").as("shard_id"))
+  }
+
   /** Packing's dual — context-window CHUNKING of long documents:
     * one output row per (doc, chunk), chunk i covering whitespace
     * tokens `[i·step, min(i·step + window, n))` with `step = window −

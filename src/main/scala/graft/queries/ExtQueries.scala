@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Decontaminate, Dedup, EventWindows, Expectations, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
+import graft.ext.{Decontaminate, Dedup, Domains, EventWindows, Expectations, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -784,6 +784,66 @@ object ExtQueries {
   def multimodalResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizeMeta(
       Multimodal.fromDocuments(t(s, dir, "documents")), maxSide = 512)
+      .orderBy("doc_id")
+
+  // ———————————————————————————————————————— domain curation
+
+  /** Per-source domain profile of the corpus — exact integer counters
+    * only (doc/token/distinct-text/language counts), every cell
+    * recomputed by the DuckDB oracle.
+    */
+  def domainsProfile(s: SparkSession, dir: String): DataFrame =
+    Domains.profile(t(s, dir, "documents"), "source", "text", "lang")
+      .orderBy("domain")
+
+  /** Domain-level curation verdict applied back to documents: sources
+    * need ≥10 docs, a mean whitespace-token length ≥53, an exact-dup
+    * rate ≤0.5, and must not be on the two-entry blocklist (both
+    * blocked sources pass the stats gates, so the literal path is
+    * genuinely exercised). Thresholds picked to split the sf corpus's
+    * 45–62 avg-token source spread roughly in half.
+    */
+  def domainsFilter(s: SparkSession, dir: String): DataFrame =
+    Domains.filterByStats(t(s, dir, "documents"), "source", "text", "lang",
+      minDocs = 10, minAvgTokens = 53.0, maxDupRate = 0.5,
+      blocklist = Seq("src1", "src11"))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  // ———————————————————————————————————————— global shard layout
+
+  /** Global token-budget shard assignment (budget 512 tokens) in a
+    * deterministic epoch-shuffle order (portable md5-60 hash of
+    * doc_id) — the two-phase distributed prefix sum; the oracle
+    * recomputes `tok_start` with one global window cumsum over the
+    * same `(hash, doc_id)` order.
+    */
+  def packShards(s: SparkSession, dir: String): DataFrame =
+    Packing.assignShards(t(s, dir, "documents"), "doc_id",
+      size(split(trim(lower(col("text"))), "\\s+")),
+      budget = 512,
+      orderKey = graft.functions.PortableHash.h60("shard", 42, col("doc_id")),
+      buckets = 8)
+      .orderBy("doc_id")
+
+  // ———————————————————————————————————————— duplicated spans
+
+  /** Exact duplicated-span inventory (window 15 tokens, df ≥ 2) —
+    * every maximal span all of whose 15-token windows repeat
+    * corpus-wide, positions and window counts value-oracled.
+    */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+      window = 15, minDf = 2)
+      .orderBy("doc_id", "span_start")
+
+  /** Span-level dedup applied: redundant duplicated spans removed
+    * keeping the global-first canonical occurrence, text rebuilt from
+    * surviving tokens — output text recomputed exactly by the oracle.
+    */
+  def dedupStripSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+      window = 15, minDf = 2)
       .orderBy("doc_id")
 
   // ———————————————————————————————————————— event-time windows

@@ -1,0 +1,216 @@
+package graft
+
+import graft.ext.{Dedup, Domains, Packing}
+import org.apache.spark.sql.functions._
+
+/** Duplicated-span dedup (Lee et al. 2021 substring semantics),
+  * global token-budget shard assignment, and domain-level curation —
+  * hand-computed expectations on constructed corpora plus the
+  * plan-shape guarantees the scale story rests on.
+  */
+class SpanPackDomainsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ———————————————————————————————————————— duplicated spans
+
+  test("duplicatedSpans finds maximal cross-document spans exactly") {
+    // doc 1 IS the 7-token run; doc 3 embeds it at token offset 3.
+    val docs = Seq(
+      (1L, "d1 d2 d3 d4 d5 d6 d7"),
+      (3L, "p q r d1 d2 d3 d4 d5 d6 d7 s")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      window = 3, minDf = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc1 windows 0..4 all shared; doc3 windows 3..7 shared.
+    assert(got === Set((1L, 0L, 7L, 5L), (3L, 3L, 10L, 5L)))
+  }
+
+  test("duplicatedSpans counts self-repetition inside one document") {
+    val docs = Seq((7L, "z z z z z z")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      window = 3, minDf = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // "z z z" occurs at starts 0..3 (df=4): one maximal span.
+    assert(got === Set((7L, 0L, 6L, 4L)))
+  }
+
+  test("duplicatedSpans hashed and text key modes agree on the corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val h = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      window = 15, minDf = 2, hashed = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val t = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      window = 15, minDf = 2, hashed = false)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(h === t)
+    assert(h.nonEmpty, "corpus should contain duplicated spans")
+  }
+
+  test("stripDuplicatedSpans keeps the canonical copy, strips the echo") {
+    val docs = Seq(
+      (1L, "d1 d2 d3 d4 d5 d6 d7"),
+      (3L, "p q r d1 d2 d3 d4 d5 d6 d7 s")).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedSpans(docs, "doc_id", "text",
+      window = 3, minDf = 2)
+      .as[(Long, String, Long)].collect().toMap2
+    // doc1 owns every duplicated window: untouched.
+    assert(got(1L) === ("d1 d2 d3 d4 d5 d6 d7", 0L))
+    // doc3: interior of the echoed run goes; tokens border-protected
+    // by a kept (unique) window survive — documented semantics.
+    assert(got(3L) === ("p q r d1 d2 d6 d7 s", 3L))
+  }
+
+  test("stripDuplicatedSpans collapses self-repetition to one window") {
+    val docs = Seq((7L, "z z z z z z")).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedSpans(docs, "doc_id", "text",
+      window = 3, minDf = 2)
+      .as[(Long, String, Long)].collect().toMap2
+    assert(got(7L) === ("z z z", 3L))
+  }
+
+  test("stripDuplicatedSpans leaves short and unique documents intact") {
+    val docs = Seq(
+      (1L, "only two"), // shorter than the window: no windows at all
+      (2L, "an entirely unique sentence with no repeats anywhere")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedSpans(docs, "doc_id", "text",
+      window = 3, minDf = 2)
+      .as[(Long, String, Long)].collect().toMap2
+    assert(got(1L) === ("only two", 0L))
+    assert(got(2L) ===
+      ("an entirely unique sentence with no repeats anywhere", 0L))
+  }
+
+  test("span window functions are document-partitioned, never global") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      window = 15, minDf = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global (single-partition) stage in span plan:\n$plan")
+  }
+
+  // ———————————————————————————————————————— global shard layout
+
+  test("assignShards computes the exact global running token sum") {
+    val docs = (1L to 100L).map(i => (i, "t " * (i % 7 + 1).toInt))
+      .toDF("id", "text")
+    val got = Packing.assignShards(docs, "id",
+      size(split(trim(col("text")), "\\s+")),
+      budget = 10, orderKey = col("id"), buckets = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // oracle: sequential cumsum in id order
+    var acc = 0L
+    val want = (1L to 100L).map { i =>
+      val n = i % 7 + 1
+      val r = (i, n, acc, acc / 10); acc += n; r
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("assignShards is bucket-count invariant (1 == 4 == 64)") {
+    val docs = (1L to 200L).map(i => (i, ((i * 31) % 13 + 1).toInt))
+      .toDF("id", "n")
+    def run(b: Int) = Packing.assignShards(docs, "id", col("n"),
+      budget = 50, orderKey = col("id"), buckets = b)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val base = run(1)
+    assert(run(4) === base)
+    assert(run(64) === base)
+  }
+
+  test("assignShards honors a hash order key as a deterministic shuffle") {
+    val docs = (1L to 50L).map(i => (i, 3)).toDF("id", "n")
+    val ord = graft.functions.PortableHash.h60("ep0", 1, col("id"))
+    val a = Packing.assignShards(docs, "id", col("n"), budget = 30,
+      orderKey = ord, buckets = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = Packing.assignShards(docs, "id", col("n"), budget = 30,
+      orderKey = ord, buckets = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a === b, "same epoch seed must reproduce the same layout")
+    // equal weights: tok_start values are exactly 0,3,6,... regardless
+    // of which permutation the hash picked
+    assert(a.map(_._3) === (0L until 50L).map(_ * 3).toSet)
+  }
+
+  test("assignShards plan has no single-partition global window") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = Packing.assignShards(docs, "doc_id",
+      size(split(trim(lower(col("text"))), "\\s+")),
+      budget = 512,
+      orderKey = graft.functions.PortableHash.h60("shard", 42,
+        col("doc_id")),
+      buckets = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global window leaked into shard plan:\n$plan")
+  }
+
+  // ———————————————————————————————————————— domain curation
+
+  private def corpus = Seq(
+    // good.com: 4 docs, 6 tokens each, all distinct
+    (1L, "good.com", "en", "alpha beta gamma delta epsilon zeta"),
+    (2L, "good.com", "en", "one two three four five six"),
+    (3L, "good.com", "fr", "un deux trois quatre cinq six"),
+    (4L, "good.com", "en", "red orange yellow green blue violet"),
+    // spam.com: 4 docs but only 2 tokens each (fails minAvgTokens 5)
+    (5L, "spam.com", "en", "buy now"),
+    (6L, "spam.com", "en", "click here"),
+    (7L, "spam.com", "en", "free money"),
+    (8L, "spam.com", "en", "act fast"),
+    // dup.com: 4 long docs, all the same text (dup rate 0.75 > 0.5)
+    (9L, "dup.com", "en", "same boilerplate text repeated every page x"),
+    (10L, "dup.com", "en", "same boilerplate text repeated every page x"),
+    (11L, "dup.com", "en", "same boilerplate text repeated every page x"),
+    (12L, "dup.com", "en", "same boilerplate text repeated every page x"),
+    // tiny.com: 2 docs (fails minDocs 3)
+    (13L, "tiny.com", "en", "perfectly fine long document body here"),
+    (14L, "tiny.com", "en", "another perfectly fine long document body"),
+    // blocked.com: passes every stats gate, dies on the blocklist
+    (15L, "blocked.com", "en", "statistically excellent but blocked a"),
+    (16L, "blocked.com", "en", "statistically excellent but blocked b"),
+    (17L, "blocked.com", "en", "statistically excellent but blocked c"),
+    (18L, "blocked.com", "en", "statistically excellent but blocked d")
+  ).toDF("doc_id", "domain", "lang", "text")
+
+  test("Domains.profile computes exact per-domain counters") {
+    val p = Domains.profile(corpus, "domain", "text", "lang")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(p("good.com") === ((4L, 24L, 4L, 2L)))
+    assert(p("spam.com") === ((4L, 8L, 4L, 1L)))
+    assert(p("dup.com") === ((4L, 28L, 1L, 1L)))
+    assert(p("tiny.com") === ((2L, 12L, 2L, 1L)))
+  }
+
+  test("Domains.filterByStats applies every gate and the blocklist") {
+    val kept = Domains.filterByStats(corpus, "domain", "text", "lang",
+      minDocs = 3, minAvgTokens = 5.0, maxDupRate = 0.5,
+      blocklist = Seq("blocked.com"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("Domains blocklist is a map-side filter, never a join") {
+    // parquet-backed corpus: over a LocalRelation the optimizer folds
+    // the literal filter into the relation itself, hiding the shape
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = Domains.filterByStats(docs, "source", "text", "lang",
+      minDocs = 0, minAvgTokens = 0.0, maxDupRate = 1.0,
+      blocklist = Seq("src1", "src11"))
+      .queryExecution.optimizedPlan.toString
+    // exactly one join (the kept-domain semi); the blocklist shows up
+    // as a literal predicate (NOT IN), not a second join
+    assert(plan.split("Join", -1).length - 1 === 1,
+      s"expected exactly one join:\n$plan")
+    assert(plan.contains("NOT") && plan.contains("src1"),
+      s"expected a literal blocklist filter:\n$plan")
+  }
+
+  /** collect().toMap for 3-tuples keyed on _1. */
+  implicit private class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}
