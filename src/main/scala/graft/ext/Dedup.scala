@@ -602,12 +602,15 @@ object Dedup {
 
   /** Merge window START positions into maximal spans per document
     * (gaps-and-islands over `[i, i+window)` intervals): input
-    * `(doc_id, i)`, output `(doc_id, span_start, span_end,
-    * n_windows)` with `span_end` exclusive. The window function is
-    * partitioned by document — never a global sort.
+    * `(doc_id, i)` plus any `extraKeys`, output `(doc_id,
+    * extraKeys…, span_start, span_end, n_windows)` with `span_end`
+    * exclusive. The window function is partitioned by `(doc_id,
+    * extraKeys…)` — never a global sort.
     */
-  private def windowSpans(hits: DataFrame, window: Int): DataFrame = {
-    val ws = Window.partitionBy("doc_id").orderBy("i")
+  private def windowSpans(hits: DataFrame, window: Int,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = "doc_id" +: extraKeys
+    val ws = Window.partitionBy(keys.map(col): _*).orderBy("i")
     val prevEnd = max(col("i") + window)
       .over(ws.rowsBetween(Window.unboundedPreceding, -1))
     hits
@@ -615,11 +618,12 @@ object Dedup {
         when(prevEnd.isNull || col("i") > prevEnd, 1).otherwise(0))
       .withColumn("_isl",
         sum(col("_new")).over(ws.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("_isl"))
+      .groupBy((keys :+ "_isl").map(col): _*)
       .agg(min("i").as("span_start"),
         (max(col("i")) + lit(window)).as("span_end"),
         count(lit(1)).as("n_windows"))
-      .select("doc_id", "span_start", "span_end", "n_windows")
+      .select((keys ++ Seq("span_start", "span_end", "n_windows"))
+        .map(col): _*)
   }
 
   /** Duplicated-span inventory — the distributed analog of EXACT
@@ -667,10 +671,13 @@ object Dedup {
     * normalization every hash in this module applies).
     *
     * Plan shape: the same linear window/df stages as
-    * [[duplicatedSpans]], plus per-document interval lists (bounded by
-    * document length) joined back and applied with a codegen'd
-    * higher-order `filter` over the token array — no explode of
-    * (token × window) pairs, no driver participation.
+    * [[duplicatedSpans]]; kept and redundant occurrences are
+    * island-merged in ONE `(doc_id, keep)`-partitioned window pass
+    * and pivoted into two per-document interval lists (bounded by
+    * document length) in ONE aggregation, joined back once and
+    * applied with a codegen'd higher-order `filter` over the token
+    * array — three source scans total, no explode of (token × window)
+    * pairs, no driver participation.
     */
   def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 15, minDf: Int = 2,
@@ -683,18 +690,19 @@ object Dedup {
     val st = keyed.join(own, Seq("k"))
       .withColumn("_keep", col("_df") < minDf ||
         (col("_o.doc_id") === col("doc_id") && col("_o.i") === col("i")))
-    def ivs(d: DataFrame, name: String): DataFrame =
-      windowSpans(d.select("doc_id", "i"), window)
-        .groupBy("doc_id")
-        .agg(collect_list(struct(col("span_start").as("s"),
-          col("span_end").as("e"))).as(name))
-    val red = ivs(st.filter(!col("_keep")), "_red")
-    val kep = ivs(st.filter(col("_keep")), "_kep")
+    // one island pass partitioned by (doc_id, _keep); collect_list
+    // skips the null branch of `when`, so one aggregation yields both
+    // interval lists
+    val se = struct(col("span_start").as("s"), col("span_end").as("e"))
+    val iv = windowSpans(st.select("doc_id", "i", "_keep"), window,
+        extraKeys = Seq("_keep"))
+      .groupBy("doc_id")
+      .agg(collect_list(when(!col("_keep"), se)).as("_red"),
+        collect_list(when(col("_keep"), se)).as("_kep"))
     val covers = (arr: Column, j: Column) =>
       coalesce(exists(arr, iv => j >= iv("s") && j < iv("e")), lit(false))
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_w"))
-      .join(red, Seq("doc_id"), "left")
-      .join(kep, Seq("doc_id"), "left")
+      .join(iv, Seq("doc_id"), "left")
       .withColumn("_w2", filter(col("_w"), (_, j) =>
         !(covers(col("_red"), j) && !covers(col("_kep"), j))))
       .select(col("doc_id"), concat_ws(" ", col("_w2")).as("text"),

@@ -34,23 +34,34 @@ object Domains {
   /** Per-domain corpus profile: `(domain, n_docs, sum_tokens,
     * n_distinct_texts, n_langs)` — document volume, whitespace-token
     * volume, exact-dup pressure (distinct normalized texts vs docs),
-    * and language spread. All counters are exact integers so the
-    * result is value-level verifiable cross-engine; derived ratios
-    * (`avg tokens = sum_tokens / n_docs`, `dup rate = 1 −
-    * n_distinct_texts / n_docs`) are left to the consumer.
+    * and language spread. With `exact=true` (default) all counters
+    * are exact integers so the result is value-level verifiable
+    * cross-engine; derived ratios (`avg tokens = sum_tokens /
+    * n_docs`, `dup rate = 1 − n_distinct_texts / n_docs`) are left
+    * to the consumer.
     *
     * One shuffle (hash aggregate on the domain key) with map-side
-    * partial aggregation; the single `count(DISTINCT …)` plans as a
-    * two-phase distinct aggregate, not an Expand.
+    * partial aggregation. The exact mode's TWO `count(DISTINCT …)`s
+    * make Spark plan the multi-distinct Expand rewrite (each input
+    * row replicated ×3 into the partial aggregate — CPU, not extra
+    * shuffle volume, since partials still combine map-side). At
+    * full-corpus scale pass `exact=false`: `approx_count_distinct`
+    * (HLL++, default 5% rsd) keeps the aggregate single-phase with
+    * no Expand, and domain-level curation gates only need the
+    * ratios' magnitude — the same trade `Expectations.profile`
+    * documents for `dq_profile`.
     */
   def profile(docs: DataFrame, domainCol: String, textCol: String,
-      langCol: String): DataFrame =
+      langCol: String, exact: Boolean = true): DataFrame = {
+    val nd: Column => Column =
+      if (exact) countDistinct(_) else approx_count_distinct(_)
     docs.groupBy(col(domainCol).as("domain"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(toks(col(textCol))).cast("long")).as("sum_tokens"),
-        countDistinct(lower(trim(col(textCol)))).as("n_distinct_texts"),
-        countDistinct(col(langCol)).as("n_langs"))
+        nd(lower(trim(col(textCol)))).as("n_distinct_texts"),
+        nd(col(langCol)).as("n_langs"))
+  }
 
   /** Documents surviving domain-level curation: a domain is kept when
     * it has at least `minDocs` documents, a mean whitespace-token
@@ -60,14 +71,18 @@ object Domains {
     * The blocklist is applied map-side (`NOT IN` over literals —
     * never a join); the stats verdict comes back via a left-semi join
     * on the domain key against the kept-domain frame (domain-
-    * cardinality; AQE broadcasts it when small).
+    * cardinality; AQE broadcasts it when small). `exact=false`
+    * switches the dup-rate counter to HLL++ (see [[profile]]) — the
+    * right default at full-corpus scale, where a ±5% dup-rate
+    * estimate moves no sensible threshold.
     */
   def filterByStats(docs: DataFrame, domainCol: String, textCol: String,
       langCol: String, minDocs: Long, minAvgTokens: Double,
-      maxDupRate: Double, blocklist: Seq[String] = Nil): DataFrame = {
+      maxDupRate: Double, blocklist: Seq[String] = Nil,
+      exact: Boolean = true): DataFrame = {
     require(minDocs >= 0 && minAvgTokens >= 0 && maxDupRate >= 0,
       "thresholds must be non-negative")
-    val kept = profile(docs, domainCol, textCol, langCol)
+    val kept = profile(docs, domainCol, textCol, langCol, exact)
       .filter(col("n_docs") >= minDocs &&
         col("sum_tokens").cast("double") / col("n_docs") >= minAvgTokens &&
         (lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"))

@@ -209,6 +209,38 @@ class SpanPackDomainsSpec extends SparkSuite {
       s"expected a literal blocklist filter:\n$plan")
   }
 
+  test("Domains approx mode plans without the multi-distinct Expand") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exactPlan = Domains.profile(docs, "source", "text", "lang")
+      .queryExecution.executedPlan.toString
+    val approxPlan = Domains.profile(docs, "source", "text", "lang",
+      exact = false).queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact multi-distinct is expected to plan through Expand")
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile must not Expand:\n$approxPlan")
+    // gates far from the thresholds: approx verdict matches exact
+    val e = Domains.filterByStats(corpus, "domain", "text", "lang",
+      minDocs = 3, minAvgTokens = 5.0, maxDupRate = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val a = Domains.filterByStats(corpus, "domain", "text", "lang",
+      minDocs = 3, minAvgTokens = 5.0, maxDupRate = 0.5, exact = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === e)
+  }
+
+  test("stripDuplicatedSpans plans a single island pass (3 scans)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = Dedup.stripDuplicatedSpans(docs, "doc_id", "text",
+      window = 15, minDf = 2)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 3,
+      s"expected ≤3 source scans (keyed, own, docs), got $scans:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"global stage leaked into strip plan:\n$plan")
+  }
+
   /** collect().toMap for 3-tuples keyed on _1. */
   implicit private class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
