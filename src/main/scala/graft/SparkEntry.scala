@@ -72,6 +72,8 @@ object SparkEntry {
     "sample_split"            -> (ExtQueries.sampleSplit _),
     "sample_quota"            -> (ExtQueries.sampleQuota _),
     "sample_rates"            -> (ExtQueries.sampleRates _),
+    "sample_temperature"      -> (ExtQueries.sampleTemperature _),
+    "sim_semdedup"            -> (ExtQueries.simSemdedup _),
     "pack_sequences"          -> (ExtQueries.packSequences _),
     "pack_chunks"             -> (ExtQueries.packChunks _),
     "pack_shards"             -> (ExtQueries.packShards _),
@@ -139,7 +141,8 @@ object SparkEntry {
     "dedup_minhash_incr", "dedup_simhash_pairs", "sim_cosine_topk",
     "sim_lsh_topk_raw", "sim_ivf_topk_raw", "sim_q8_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
-    "sample_quota", "sample_rates", "pack_sequences", "pack_chunks",
+    "sample_quota", "sample_rates", "sample_temperature",
+    "sim_semdedup", "pack_sequences", "pack_chunks",
     "pack_shards", "domains_profile", "domains_filter",
     "dedup_spans", "dedup_strip_spans",
     "dq_expectations",
@@ -765,6 +768,38 @@ object SparkEntry {
         |   WHEN 2 THEN 500000 WHEN 3 THEN 250000 WHEN 4 THEN 100000
         |   ELSE 50000 END
         | ORDER BY vec_id""".stripMargin,
+    // Temperature mixture at alpha=0.5: cut = round(sqrt(n_min/n)*1e6)
+    // is bit-exact cross-engine (division and sqrt are IEEE-correctly-
+    // rounded), and the draw is the identical md5-60 arithmetic.
+    "sample_temperature" ->
+      s"""WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents
+        |  GROUP BY source),
+        | m AS (SELECT min(n_docs) AS mn FROM c),
+        | r AS (SELECT source,
+        |   CAST(round(sqrt(CAST(mn AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |     * 1000000) AS BIGINT) AS cut
+        |  FROM c, m)
+        | SELECT d.doc_id, d.source, r.cut
+        | FROM documents d JOIN r USING (source)
+        | WHERE (${h60Sql("temp", 7, "doc_id")} % 1000000) < r.cut
+        | ORDER BY doc_id""".stripMargin,
+    // SemDeDup verdict: brute-force exact pairs at the recall-1.0
+    // operating point, recursive reachability, min-id canonicals,
+    // singletons via left join.
+    "sim_semdedup" ->
+      s"""WITH RECURSIVE ex AS (
+        |  SELECT q.vec_id AS id_a, c.vec_id AS id_b
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < c.vec_id
+        |   AND list_cosine_similarity(q.embedding, c.embedding) >= 0.35),
+        | $edgesReachCte,
+        | lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        | SELECT e.vec_id AS id,
+        |  coalesce(l.comp, e.vec_id) AS cluster,
+        |  coalesce(l.comp, e.vec_id) = e.vec_id AS is_canonical
+        | FROM embeddings e LEFT JOIN lab l ON l.id = e.vec_id
+        | ORDER BY id""".stripMargin,
     // Concat-then-chunk packing: same hash bucket, same (bucket, id)
     // layout order, same start-offset chunk assignment via window
     // cumsum.

@@ -109,4 +109,54 @@ object Sampling {
     }
     df.filter(draw < cut)
   }
+
+  /** Per-group integer draw cuts for temperature-flattened mixture
+    * sampling (the multilingual-pretraining resampling rule of
+    * XLM-R / mT5): target group shares `q_g ∝ p_g^α` with `α ∈ (0,1]`,
+    * realized by pure DOWNSAMPLING with keep rate `r_g =
+    * (n_min / n_g)^(1−α)` — the smallest group is kept whole, the
+    * flattening never upsamples, and `α = 1` keeps everything.
+    * Output `(groupCol, n_docs, cut)` with `cut = round(r_g · 10⁶)`,
+    * the same integer draw space [[sampleByRates]] uses.
+    *
+    * Cross-engine exactness: division and `sqrt` are IEEE-correctly-
+    * rounded, so `α = 0.5` (the common flattening) reproduces
+    * bit-identical cuts on any engine; other `α` go through `pow`,
+    * which Java only bounds to 1 ulp — a cut can differ by 1 in the
+    * last integer digit across engines, moving a ~10⁻⁶ sliver of
+    * draws. One shuffle to group cardinality plus a 1-row broadcast
+    * scalar for `n_min`.
+    */
+  def temperatureCuts(df: DataFrame, groupCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min("n_docs").as("_minN"))
+    val ratio = col("_minN").cast("double") / col("n_docs").cast("double")
+    val r =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, lit(1.0 - alpha))
+    counts.crossJoin(broadcast(minN))
+      .withColumn("cut", round(r * lit(Buckets)).cast("long"))
+      .select(col(groupCol), col("n_docs"), col("cut"))
+  }
+
+  /** Temperature-flattened mixture sample: every row of `df` whose
+    * md5-60 draw falls under its group's [[temperatureCuts]] cut,
+    * with the `cut` column retained for auditability. Deterministic
+    * (pure function of id, seed, and group counts) and replayable;
+    * the cut table is group-cardinality, applied with one equi-join
+    * (AQE broadcasts it when it fits — at web scale group counts are
+    * thousands of times smaller than the corpus).
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, seed: Long = 42L): DataFrame = {
+    val cuts = temperatureCuts(df, groupCol, alpha)
+      .select(col(groupCol), col("cut"))
+    val draw = pmod(graft.functions.PortableHash.h60("temp", seed,
+      col(idCol)), lit(Buckets.toLong))
+    df.join(cuts, Seq(groupCol)).filter(draw < col("cut"))
+  }
 }

@@ -564,4 +564,41 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .distinct()
   }
+
+  /** Embedding-level SEMANTIC dedup (the SemDeDup recipe, Abbas et
+    * al. 2023, arXiv:2303.09540): documents whose embeddings are
+    * near-duplicates — cosine ≥ `threshold`, transitively — collapse
+    * to one canonical representative. Output is a full-corpus verdict
+    * `(id, cluster, is_canonical)`: `cluster` is the component's
+    * minimum id, singletons are their own canonical cluster, and
+    * downstream keeps the `is_canonical` rows (or re-joins the
+    * verdict to route losers into an audit table).
+    *
+    * Composition, all previously-audited pieces: candidate pairs from
+    * the LSH-bucketed near-dup join ([[cosineNearDupPairs]] — true
+    * cosine scored, no pairwise corpus scan), components from
+    * [[Dedup.connectedComponents]] (driver union-find under the edge
+    * cap, star contraction above it — pass `checkpointDir` for
+    * reliable checkpoints at scale), then one left join back to the
+    * corpus for singletons. Where the paper k-means-clusters first
+    * and dedups within clusters, the LSH tables play the same
+    * candidate-restriction role with a deterministic, seed-replayable
+    * partition — which is what lets the whole verdict carry a
+    * value-level oracle (the paper's k-means assignment is
+    * init-order-dependent and cross-engine unverifiable).
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 0, tables: Int = 0, dim: Int = 64,
+      seed: Long = 42L, checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = cosineNearDupPairs(corpus, idCol, vecCol, threshold,
+      planes, tables, dim, seed).select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs,
+      checkpointDir = checkpointDir)
+    corpus.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("comp"), col("id")).as("cluster"),
+        (coalesce(col("comp"), col("id")) === col("id"))
+          .as("is_canonical"))
+  }
 }

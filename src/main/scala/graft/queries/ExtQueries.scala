@@ -393,6 +393,17 @@ object ExtQueries {
       .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup verdict over the embedding corpus: near-dup components
+    * (cosine ≥ 0.35 — the operating point where LSH recall is 1.0, so
+    * the pair set is exact) collapsed to min-id canonicals; singleton
+    * docs are their own cluster. Full verdict value-oracled against
+    * brute-force pairs + recursive reachability.
+    */
+  def simSemdedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+      "embedding", threshold = 0.35)
+      .orderBy("id")
+
   /** Per-dimension embedding statistics by label (posexplode over the
     * vector column + grouped aggregates — the feature-statistics pass an
     * embedding pipeline runs before normalization). Rounded to 6
@@ -565,6 +576,17 @@ object ExtQueries {
       rates = Seq(0 -> 1.0, 1 -> 0.75, 2 -> 0.5, 3 -> 0.25, 4 -> 0.1),
       defaultRate = 0.05)
       .orderBy("vec_id")
+
+  /** Temperature-flattened domain mixture at α=0.5 (the common
+    * multilingual flattening): per-source keep cuts r = √(n_min/n) in
+    * the md5-60 draw space — division and sqrt are IEEE-correctly-
+    * rounded, so the oracle reproduces cuts and kept set bit-exactly.
+    */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(t(s, dir, "documents"), "source",
+      "doc_id", alpha = 0.5, seed = 7)
+      .select("doc_id", "source", "cut")
+      .orderBy("doc_id")
 
   /** Concat-then-chunk sequence packing of the corpus (budget 256
     * whitespace tokens, 8 hash buckets); the full per-doc assignment
