@@ -79,6 +79,7 @@ object SparkEntry {
     "pack_shards"             -> (ExtQueries.packShards _),
     "domains_profile"         -> (ExtQueries.domainsProfile _),
     "domains_filter"          -> (ExtQueries.domainsFilter _),
+    "domains_bands"           -> (ExtQueries.domainsBands _),
     "dedup_spans"             -> (ExtQueries.dedupSpans _),
     "dedup_strip_spans"       -> (ExtQueries.dedupStripSpans _),
     "dq_expectations"         -> (ExtQueries.dqExpectations _),
@@ -90,6 +91,8 @@ object SparkEntry {
     "text_fingerprint_raw"    -> (ExtQueries.textFingerprintRaw _),
     "text_langid"             -> (ExtQueries.textLangid _),
     "text_lm_score"           -> (ExtQueries.textLmScore _),
+    "text_tfidf"              -> (ExtQueries.textTfidf _),
+    "text_vocab"              -> (ExtQueries.textVocab _),
     "text_repetition"         -> (ExtQueries.textRepetition _),
     "pii_redact"              -> (ExtQueries.piiRedact _),
     "decontam_overlap"        -> (ExtQueries.decontamOverlap _),
@@ -110,6 +113,8 @@ object SparkEntry {
     "f3_generators"           -> (OpsQueries.f3Generators _),
     "f5_regex_search"         -> (OpsQueries.f5RegexSearch _),
     "j_asof_join"             -> (OpsQueries.jAsofJoin _),
+    "j_salted_join"           -> (OpsQueries.jSaltedJoin _),
+    "a_salted_agg"            -> (OpsQueries.aSaltedAgg _),
     "s4_inmemory_source"      -> (OpsQueries.s4InMemorySource _),
     "s_csv_roundtrip"         -> (OpsQueries.sCsvRoundtrip _),
     "s_json_roundtrip"        -> (OpsQueries.sJsonRoundtrip _),
@@ -143,16 +148,17 @@ object SparkEntry {
     "sim_neardup_pairs", "sample_stratified", "sample_split",
     "sample_quota", "sample_rates", "sample_temperature",
     "sim_semdedup", "pack_sequences", "pack_chunks",
-    "pack_shards", "domains_profile", "domains_filter",
+    "pack_shards", "domains_profile", "domains_filter", "domains_bands",
     "dedup_spans", "dedup_strip_spans",
     "dq_expectations",
     "dq_profile",
     "text_stats", "text_quality", "text_token_counts",
     "text_fingerprint_raw", "text_langid", "text_lm_score",
-    "text_repetition",
+    "text_tfidf", "text_vocab", "text_repetition",
     "pii_redact", "decontam_overlap", "multimodal_stats",
     "multimodal_features_raw", "events_tumbling", "events_sliding",
-    "events_sessions", "j_asof_join", "a_approx_agg_raw")
+    "events_sessions", "j_asof_join", "j_salted_join", "a_salted_agg",
+    "a_approx_agg_raw")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -873,6 +879,25 @@ object SparkEntry {
         | WHERE source IN (SELECT source FROM kept)
         |  AND source NOT IN ('src1', 'src11')
         | ORDER BY doc_id""".stripMargin,
+    // Quartile banding: integer scores + quarter fractions ⇒ the
+    // type-7 interpolation (pos = p·(n−1)) is exact binary arithmetic
+    // in both engines; round(…, 6) on the cuts is then a no-op guard.
+    "domains_bands" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, source,
+        |   len(string_split_regex(trim(lower(text)), '\s+')) AS ws_tokens
+        |  FROM documents),
+        | b AS (
+        |  SELECT source,
+        |   quantile_cont(ws_tokens, [0.25, 0.5, 0.75]) AS cuts
+        |  FROM tok GROUP BY source)
+        | SELECT t.doc_id, t.source, t.ws_tokens,
+        |  ((CASE WHEN t.ws_tokens > round(cuts[1], 6) THEN 1 ELSE 0 END)
+        |  + (CASE WHEN t.ws_tokens > round(cuts[2], 6) THEN 1 ELSE 0 END)
+        |  + (CASE WHEN t.ws_tokens > round(cuts[3], 6) THEN 1 ELSE 0 END))
+        |    AS band
+        | FROM tok t JOIN b USING (source)
+        | ORDER BY doc_id""".stripMargin,
     // Duplicated spans (window 15, df>=2): rolling windows -> df
     // semi-join -> per-doc gaps-and-islands; the oracle keys windows
     // by their TEXT (collision-free) where the Spark side uses the
@@ -1001,6 +1026,49 @@ object SparkEntry {
         | JOIN uni ON uni.tk = bg.w1
         | CROSS JOIN v
         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // TF-IDF keywords: rank over the ROUNDED score with term tiebreak
+    // (cross-engine deterministic despite ln's libm ulp drift).
+    "text_tfidf" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | tf AS (
+        |  SELECT doc_id, tk AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS tk FROM tok)
+        |  GROUP BY doc_id, tk),
+        | dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+        |   round(tf.tf * ln(CAST(n_docs AS DOUBLE) /
+        |     CAST(df_docs AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        | rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS kw_rank FROM sc)
+        | SELECT doc_id, kw_rank, term, tf, df_docs, tfidf FROM rk
+        | WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""".stripMargin,
+    // Vocabulary head: top-20 terms by count; the cumulative share is
+    // an exact-integer cumsum over the 20 selected rows divided by the
+    // exact total (IEEE division + round 6 — bit-stable cross-engine).
+    "text_vocab" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | tc AS (
+        |  SELECT tk AS term, count(*) AS n_tokens
+        |  FROM (SELECT unnest(w) AS tk FROM tok) GROUP BY tk),
+        | tot AS (SELECT sum(n_tokens) AS total FROM tc),
+        | top AS (SELECT term, n_tokens FROM tc
+        |  ORDER BY n_tokens DESC, term ASC LIMIT 20)
+        | SELECT
+        |  row_number() OVER (ORDER BY n_tokens DESC, term ASC)
+        |    AS vocab_rank,
+        |  term, n_tokens,
+        |  round(CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, term ASC
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total AS DOUBLE),
+        |    6) AS cum_share
+        | FROM top CROSS JOIN tot ORDER BY vocab_rank""".stripMargin,
     // Gopher repetition signals recomputed the explode/group way (the
     // Spark side is a one-pass kernel): top-n-gram occupancy with
     // multiplicity, char-weighted duplicate-line fraction over the
@@ -1252,6 +1320,21 @@ object SparkEntry {
         | ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
         | ORDER BY p.event_id""".stripMargin,
+    // Salted join is row-identical to the plain join — the oracle IS
+    // the plain join.
+    "j_salted_join" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+        | c_name AS customer_name, c_mktsegment AS segment,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS order_value
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | ORDER BY order_id""".stripMargin,
+    // Two-phase salted aggregation merges to exactly the plain GROUP BY
+    // (decimal partials — associative, order-insensitive).
+    "a_salted_agg" ->
+      """SELECT o_custkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_orders
+        | FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "s_csv_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "s_json_roundtrip" ->

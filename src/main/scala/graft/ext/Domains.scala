@@ -94,4 +94,47 @@ object Domains {
     unblocked.join(kept, unblocked(domainCol) === kept("domain"),
       "left_semi")
   }
+
+  /** Per-domain percentile score banding — the CCNet head/middle/tail
+    * split (Wenzek et al. 2020, arXiv:1911.00359 §4.3, which buckets
+    * each language's corpus by wiki-LM perplexity percentiles): each
+    * row gets `band` = the number of its domain's percentile cuts
+    * strictly below its score (0 = lowest band, `cuts.length` =
+    * highest). Works over any numeric score column — token counts,
+    * [[TextStats.lmScore]], a classifier margin.
+    *
+    * Determinism: cut values are rounded to 6 dp before comparison
+    * (libm-drift discipline). With an INTEGER score column and
+    * quarter/half cut fractions the interpolated percentiles are
+    * exact binary arithmetic — bit-identical on any engine — which is
+    * the operating point the driver oracle pins.
+    *
+    * Scale shape (100 TB): one hash aggregate to domain-cardinality
+    * cut rows (`exact=true` uses Spark's exact `percentile`, whose
+    * per-group state is a value→count map — right when score
+    * cardinality is bounded, e.g. integer token counts; for unbounded
+    * float scores at full corpus scale pass `exact=false` →
+    * `approx_percentile` (GK summaries, bounded memory, documented
+    * accuracy knob) — the same truth-plus-switch trade
+    * [[Expectations.profile]] documents). Cuts join back on the
+    * domain key (domain-cardinality frame — AQE broadcasts it); the
+    * band arithmetic is a codegen'd higher-order fold, map-only.
+    */
+  def scoreBands(scored: DataFrame, domainCol: String, scoreCol: String,
+      cuts: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.distinct == cuts
+      && cuts.forall(c => c > 0 && c < 1),
+      "cuts must be strictly increasing, all in (0, 1)")
+    val cutsStr = cuts.mkString(", ")
+    val agg =
+      if (exact) expr(s"percentile(`$scoreCol`, array($cutsStr))")
+      else expr(s"approx_percentile(`$scoreCol`, array($cutsStr), $accuracy)")
+    val bounds = scored.groupBy(col(domainCol)).agg(agg.as("_cuts"))
+    scored.join(bounds, Seq(domainCol))
+      .withColumn("band",
+        aggregate(transform(col("_cuts"), c => round(c, 6)), lit(0),
+          (acc, c) => acc + when(col(scoreCol) > c, 1).otherwise(0)))
+      .drop("_cuts")
+  }
 }

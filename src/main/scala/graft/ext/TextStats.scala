@@ -260,4 +260,91 @@ object TextStats {
           pmod(conv(substring(md5(tk.cast("binary")), 1, 15), 16, 10)
             .cast(LongType), lit(2147483647L)),
           lit(2147483647L))).as("fingerprint"))
+
+  /** Per-document TF-IDF keyword extraction: the `topN` terms of each
+    * document by tf·idf with idf = ln(N / df) (raw document-frequency
+    * idf; terms present in every document score 0 and sink to the
+    * bottom). The standard cheap relevance signal a curation pipeline
+    * uses for topic tagging and domain-classifier features.
+    *
+    * Scale shape (100 TB):
+    *   - Per-(doc, term) counts are ONE exploded-token hash aggregate
+    *     (map-side combined — the exact-dedup shuffle profile).
+    *     Document frequency re-aggregates the same (doc, term) set; in
+    *     a one-shot plan Catalyst prunes the tf count out of the df
+    *     branch, so the two stages differ and the corpus is tokenized
+    *     TWICE (no exchange reuse) — at 100 TB persist the (doc, term)
+    *     aggregate before the fan-out (it is per-doc-vocab-sized,
+    *     orders of magnitude smaller than the corpus), which collapses
+    *     the operator to one corpus scan. Same honesty note as
+    *     [[lmScore]]'s shared uni shuffle.
+    *   - N is a lazy 1-row broadcast scalar over a COLUMNLESS count
+    *     scan (parquet metadata counting, ReadSchema struct<>); the
+    *     idf join keys on term, where the vocab side is
+    *     corpus-vocabulary-sized — AQE broadcasts it when it fits, and
+    *     hot terms (stopwords) are skew-split otherwise.
+    *   - The ranking window partitions by doc_id — never global — and
+    *     Spark's WindowGroupLimit pushes the `topN` cut below the full
+    *     window (partial group-limits before the shuffle).
+    *
+    * Ranking is over the ROUNDED (6 dp) score with the term string as
+    * tiebreak, so rank order is cross-engine deterministic despite
+    * `ln`'s 1-ulp libm drift (same discipline as [[lmScore]]).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (doc, term): its per-term row count IS
+    // the document frequency — reuses the shuffle, no count_distinct
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+    val nDocs = docs.agg(count(lit(1)).as("_n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        log(col("_n_docs").cast(DoubleType) / col("df_docs").cast(DoubleType)),
+        6))
+      .withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= topN)
+      .select("doc_id", "kw_rank", "term", "tf", "df_docs", "tfidf")
+  }
+
+  /** Corpus vocabulary head: the `topK` terms by total token count with
+    * cumulative coverage share — the profile a tokenizer-training or
+    * stopword-curation pass reads first (how much of the corpus do the
+    * top-K terms cover?).
+    *
+    * Scale shape (100 TB): one exploded-token hash aggregate (map-side
+    * combined) to term counts; top-K selects via TakeOrderedAndProject
+    * (never a global sort of the vocabulary); the total-token
+    * denominator is a lazy 1-row broadcast scalar computed as a
+    * MAP-ONLY sum of per-doc `size()` counts — it re-scans the text
+    * column but never re-runs the explode+aggregate. The ONLY
+    * unpartitioned window runs over the K already-selected rows —
+    * bounded by `topK`, not by the corpus, which is what makes a global
+    * cumulative sum admissible here.
+    */
+  def vocabulary(docs: DataFrame, textCol: String,
+      topK: Int = 100): DataFrame = {
+    val tc = docs.select(explode(toks(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_tokens"))
+    // total tokens WITHOUT re-running the vocab aggregate: a map-only
+    // sum of per-doc token counts (size() never explodes into rows)
+    val total = docs.agg(
+      sum(size(toks(col(textCol))).cast(LongType)).as("_total"))
+    def ord = Seq(col("n_tokens").desc, col("term").asc)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(ord: _*)
+    tc.orderBy(ord: _*).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(w).as("vocab_rank"),
+        col("term"), col("n_tokens"),
+        round(sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding,
+            W.currentRow)).cast(DoubleType) /
+          col("_total").cast(DoubleType), 6).as("cum_share"))
+  }
 }

@@ -701,6 +701,21 @@ object ExtQueries {
     TextStats.lmScore(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Top-3 TF-IDF keywords per document (rank over the rounded score
+    * with term tiebreak — cross-engine deterministic).
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    TextStats.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text",
+      topN = 3)
+      .orderBy("doc_id", "kw_rank")
+
+  /** Corpus vocabulary head: top-20 terms by token count with
+    * cumulative coverage share (tokenizer-prep profile).
+    */
+  def textVocab(s: SparkSession, dir: String): DataFrame =
+    TextStats.vocabulary(t(s, dir, "documents"), "text", topK = 20)
+      .orderBy("vocab_rank")
+
   /** Gopher-style repetition signals per doc. The dup-line signal runs
     * on a line-ified view of the corpus (the single-line test docs have
     * no '\n'; replacing the ' table ' delimiter with newlines exercises
@@ -830,6 +845,19 @@ object ExtQueries {
       minDocs = 10, minAvgTokens = 53.0, maxDupRate = 0.5,
       blocklist = Seq("src1", "src11"))
       .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** CCNet-style per-source quartile banding of the corpus by
+    * whitespace token count (band 0–3). Integer scores + quarter cut
+    * fractions make the interpolated percentiles exact binary
+    * arithmetic — the bit-exact cross-engine operating point.
+    */
+  def domainsBands(s: SparkSession, dir: String): DataFrame =
+    Domains.scoreBands(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("ws_tokens")),
+      "source", "ws_tokens")
+      .select("doc_id", "source", "ws_tokens", "band")
       .orderBy("doc_id")
 
   // ———————————————————————————————————————— global shard layout

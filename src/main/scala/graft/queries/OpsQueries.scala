@@ -327,6 +327,44 @@ object OpsQueries {
       .orderBy("event_id")
   }
 
+  /** Explicitly salted inner join ([[graft.ops.Skew.saltedJoin]]): the
+    * orders fact salted over 8 buckets against the replicated customer
+    * dim — the manual skew-spread for joins AQE can't fix (a single
+    * monster key against a broadcast-sized build side). Row-identical
+    * to the plain join, which is exactly what the oracle asserts.
+    */
+  def jSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"),
+        col("c_mktsegment"))
+    graft.ops.Skew.saltedJoin(o, c, "o_custkey", buckets = 8)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_custkey").as("customer_id"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("segment"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double")
+          .as("order_value"))
+      .orderBy("order_id")
+  }
+
+  /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAgg]]):
+    * revenue per customer via groupBy(key, salt) partials re-merged by
+    * key — the hot-group spread for extreme cardinality skew. Decimal
+    * sums per the float-parity discipline; result identical to the
+    * plain GROUP BY the oracle runs.
+    */
+  def aSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("price", col("o_totalprice").cast("decimal(18,2)"))
+    graft.ops.Skew.saltedAgg(o, "o_custkey", buckets = 8,
+      partial = Seq(sum("price").as("rev_p"),
+        count(lit(1)).as("n_p")),
+      merge = Seq(sum("rev_p").cast("double").as("revenue"),
+        sum("n_p").as("n_orders")))
+      .orderBy("o_custkey")
+  }
+
   /** S4 — in-memory source: DataFrame from driver-local rows with an
     * explicit schema (the reference's `spark.createDataFrame(data,
     * schema)`, create_hudi_tables.py:232-235 — but typed, not inferred).

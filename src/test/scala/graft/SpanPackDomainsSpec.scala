@@ -241,6 +241,56 @@ class SpanPackDomainsSpec extends SparkSuite {
       s"global stage leaked into strip plan:\n$plan")
   }
 
+  test("scoreBands: hand-computed quartile bands in one domain") {
+    // scores 10,20,30,40,50,60,70,80 → type-7 quartiles at
+    // pos p·7: q1=27.5, q2=45, q3=62.5
+    val scored = (1 to 8).map(i => (i.toLong, "d", i * 10)).toDF(
+      "id", "domain", "score")
+    val got = Domains.scoreBands(scored, "domain", "score")
+      .select("id", "band").as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 3, 8L -> 3))
+  }
+
+  test("scoreBands: a single-doc domain lands in band 0") {
+    val scored = Seq((1L, "solo", 42)).toDF("id", "domain", "score")
+    val got = Domains.scoreBands(scored, "domain", "score")
+      .select("band").as[Int].collect().toSeq
+    assert(got === Seq(0))
+  }
+
+  test("scoreBands exact and high-accuracy approx agree on nearly all docs") {
+    // approx_percentile returns MEMBER values (no interpolation), so a
+    // cut that interpolates between two adjacent member values can
+    // shift the boundary doc by one band — agreement is near-total,
+    // not guaranteed-total; the gate below pins the operating envelope
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("ws_tokens"))
+    def run(exact: Boolean) =
+      Domains.scoreBands(docs, "source", "ws_tokens", exact = exact,
+        accuracy = 100000)
+        .select("doc_id", "band").as[(Long, Int)].collect().toMap
+    val e = run(exact = true); val a = run(exact = false)
+    assert(e.keySet === a.keySet)
+    val agree = e.count { case (k, v) => a(k) == v }
+    assert(agree.toDouble / e.size >= 0.9,
+      s"approx bands diverged on ${e.size - agree} of ${e.size} docs")
+  }
+
+  test("scoreBands quartiles split each domain roughly into quarters") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("ws_tokens"))
+    val dist = Domains.scoreBands(docs, "source", "ws_tokens")
+      .groupBy("band").count().as[(Int, Long)].collect().toMap
+    val n = dist.values.sum.toDouble
+    assert(dist.keySet === Set(0, 1, 2, 3))
+    // integer score ties make bands uneven, but no band may collapse
+    dist.values.foreach(c => assert(c / n > 0.05 && c / n < 0.6,
+      s"degenerate band distribution: $dist"))
+  }
+
   /** collect().toMap for 3-tuples keyed on _1. */
   implicit private class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
