@@ -114,6 +114,7 @@ object SparkEntry {
     "f5_regex_search"         -> (OpsQueries.f5RegexSearch _),
     "j_asof_join"             -> (OpsQueries.jAsofJoin _),
     "j_salted_join"           -> (OpsQueries.jSaltedJoin _),
+    "j_range_join"            -> (OpsQueries.jRangeJoin _),
     "a_salted_agg"            -> (OpsQueries.aSaltedAgg _),
     "s4_inmemory_source"      -> (OpsQueries.s4InMemorySource _),
     "s_csv_roundtrip"         -> (OpsQueries.sCsvRoundtrip _),
@@ -157,8 +158,8 @@ object SparkEntry {
     "text_tfidf", "text_vocab", "text_repetition",
     "pii_redact", "decontam_overlap", "multimodal_stats",
     "multimodal_features_raw", "events_tumbling", "events_sliding",
-    "events_sessions", "j_asof_join", "j_salted_join", "a_salted_agg",
-    "a_approx_agg_raw")
+    "events_sessions", "j_asof_join", "j_salted_join", "j_range_join",
+    "a_salted_agg", "a_approx_agg_raw")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -1328,6 +1329,22 @@ object SparkEntry {
         | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS order_value
         | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         | ORDER BY order_id""".stripMargin,
+    // Bucketed range join is semantics-identical to the plain non-equi
+    // BETWEEN join — the oracle IS the non-equi join.
+    "j_range_join" -> {
+      val bands = ((0 until 10).map(i =>
+        s"('b$i', ${i * 50000.0}, ${(i + 1) * 50000.0})") :+
+        "('mid_market', 75000.0, 225000.0)").mkString(",\n        |  ")
+      s"""WITH bands(band, lo, hi) AS (VALUES
+        |  $bands)
+        | SELECT o_orderkey AS order_id,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS order_value,
+        |  band
+        | FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        | ORDER BY order_id, band""".stripMargin
+    },
     // Two-phase salted aggregation merges to exactly the plain GROUP BY
     // (decimal partials — associative, order-insensitive).
     "a_salted_agg" ->

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed point-in-interval join — the scale path for the non-equi
+  * join Spark would otherwise plan as a BroadcastNestedLoopJoin (fine
+  * only while the range side broadcasts; degenerate past that).
+  *
+  * Each interval `[lo, hi)` explodes into the fixed-width buckets it
+  * touches; each point maps to exactly ONE bucket; the match becomes a
+  * plain equi-join on the bucket id with the exact interval predicate
+  * as a residual filter. This is the classic IP→geo / price-band /
+  * histogram-assignment shape: shuffle volume is points + Σ
+  * ceil(span/width) per range — pick `bucketWidth` near the typical
+  * interval span so most ranges explode into O(1) buckets.
+  *
+  * Scale notes (100 TB): the equi-join shuffles on the bucket id, so
+  * hot buckets (value skew) are ordinary join skew — AQE's skew-join
+  * splitting applies, unlike the nested-loop plan it replaces. With a
+  * broadcastable range side Catalyst turns the equi-join into a
+  * BroadcastHashJoin and the whole operator is map-only. Overlapping
+  * intervals are allowed and produce one output row per covering
+  * interval (exactly the non-equi semantics).
+  */
+object RangeJoin {
+
+  /** Inner-join `points` rows to every `ranges` row whose
+    * `[loCol, hiCol)` interval contains `valueCol`. Bucket column
+    * names are internal and dropped; all other columns from both
+    * sides pass through (they must not collide).
+    */
+  def pointInRange(points: DataFrame, valueCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = "_rj_bucket"
+    val exploded = ranges.withColumn(b, explode(sequence(
+      floor(col(loCol) / bucketWidth).cast("long"),
+      floor(col(hiCol) / bucketWidth).cast("long"))))
+    points
+      .withColumn(b, floor(col(valueCol) / bucketWidth).cast("long"))
+      .join(exploded, Seq(b))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop(b)
+  }
+}

@@ -348,6 +348,27 @@ object OpsQueries {
       .orderBy("order_id")
   }
 
+  /** Bucketed point-in-interval join ([[graft.ops.RangeJoin]]): each
+    * order matched to every price band containing its total — ten
+    * disjoint 50k bands plus an overlapping mid-market band spanning
+    * six buckets, so multi-bucket explosion AND multi-match rows are
+    * both exercised. Oracle: the plain non-equi BETWEEN join.
+    */
+  def jRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = ((0 until 10).map(i =>
+      (s"b$i", i * 50000.0, (i + 1) * 50000.0)) :+
+      (("mid_market", 75000.0, 225000.0)))
+      .toDF("band", "lo", "hi")
+    graft.ops.RangeJoin.pointInRange(t(s, dir, "orders"), "o_totalprice",
+      bands, "lo", "hi", bucketWidth = 25000.0)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double")
+          .as("order_value"),
+        col("band"))
+      .orderBy("order_id", "band")
+  }
+
   /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAgg]]):
     * revenue per customer via groupBy(key, salt) partials re-merged by
     * key — the hot-group spread for extreme cardinality skew. Decimal

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Skew, TableOps}
+import graft.ops.{RangeJoin, Skew, TableOps}
 import graft.tables.KeyedTable
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,45 @@ class SkewSpec extends SparkSuite {
       merge = Seq(sum(col("pn")).as("n")))
       .as[(Long, Long)].collect().toSet
     assert(salted === plain)
+  }
+
+  test("bucketed range join == plain non-equi join, overlaps included") {
+    val ranges = Seq(("low", 0.0, 100.0), ("mid", 50.0, 250.0),
+      ("high", 200.0, 1000.0)).toDF("band", "lo", "hi")
+    val points = (1 to 500).map(i => (i.toLong, (i * 7 % 997).toDouble))
+      .toDF("id", "v")
+    val got = RangeJoin.pointInRange(points, "v", ranges, "lo", "hi",
+      bucketWidth = 30.0)
+      .select("id", "band").as[(Long, String)].collect().toSet
+    val want = points.join(ranges,
+      col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "band").as[(Long, String)].collect().toSet
+    assert(got === want)
+    assert(want.exists(_._2 == "mid"), "overlap band must match")
+  }
+
+  test("range join boundaries: lo inclusive, hi exclusive") {
+    val ranges = Seq(("r", 10.0, 20.0)).toDF("band", "lo", "hi")
+    val pts = Seq((1L, 10.0), (2L, 20.0), (3L, 19.999), (4L, 9.999))
+      .toDF("id", "v")
+    val got = RangeJoin.pointInRange(pts, "v", ranges, "lo", "hi",
+      bucketWidth = 5.0)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L))
+  }
+
+  test("range join plans an equi-join, never a nested loop") {
+    val ranges = Seq(("b", 0.0, 250000.0), ("t", 250000.0, 500000.0))
+      .toDF("band", "lo", "hi")
+    val plan = RangeJoin.pointInRange(orders, "o_totalprice", ranges,
+      "lo", "hi", bucketWidth = 50000.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"non-equi fallback leaked into the bucketed plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected an equi-join on the bucket id:\n$plan")
   }
 
   test("approximate aggregates land within sane bounds of exact") {
