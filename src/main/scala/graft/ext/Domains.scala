@@ -130,8 +130,14 @@ object Domains {
     val agg =
       if (exact) expr(s"percentile(`$scoreCol`, array($cutsStr))")
       else expr(s"approx_percentile(`$scoreCol`, array($cutsStr), $accuracy)")
-    val bounds = scored.groupBy(col(domainCol)).agg(agg.as("_cuts"))
-    scored.join(bounds, Seq(domainCol))
+    // NULL-SAFE join back: the aggregate computes cuts for a NULL
+    // domain like any other group, so the verdict must reach those
+    // rows too (`<=>` — a plain equi-join would silently drop them).
+    val bounds = scored.groupBy(col(domainCol))
+      .agg(agg.as("_cuts"))
+      .withColumnRenamed(domainCol, "_cut_dom")
+    scored.join(bounds, col(domainCol) <=> col("_cut_dom"))
+      .drop("_cut_dom")
       .withColumn("band",
         aggregate(transform(col("_cuts"), c => round(c, 6)), lit(0),
           (acc, c) => acc + when(col(scoreCol) > c, 1).otherwise(0)))

@@ -153,10 +153,17 @@ object Sampling {
     */
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
       alpha: Double, seed: Long = 42L): DataFrame = {
+    // NULL-SAFE cut application: groupBy counts a NULL group like any
+    // other, so the join back must match it too (`<=>`) — a plain
+    // equi-join would silently drop every NULL-key row AFTER letting
+    // that group's count drive n_min (the repo-wide null-safe-join
+    // rule, same as Upsert key matching).
     val cuts = temperatureCuts(df, groupCol, alpha)
-      .select(col(groupCol), col("cut"))
+      .select(col(groupCol).as("_cut_grp"), col("cut"))
     val draw = pmod(graft.functions.PortableHash.h60("temp", seed,
       col(idCol)), lit(Buckets.toLong))
-    df.join(cuts, Seq(groupCol)).filter(draw < col("cut"))
+    df.join(cuts, col(groupCol) <=> col("_cut_grp"))
+      .drop("_cut_grp")
+      .filter(draw < col("cut"))
   }
 }

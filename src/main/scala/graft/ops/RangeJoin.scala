@@ -35,9 +35,18 @@ object RangeJoin {
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val b = "_rj_bucket"
-    val exploded = ranges.withColumn(b, explode(sequence(
-      floor(col(loCol) / bucketWidth).cast("long"),
-      floor(col(hiCol) / bucketWidth).cast("long"))))
+    // hi is EXCLUSIVE: a bucket-aligned hi must not emit the dead
+    // [hi, hi+w) bucket (its points could never pass the residual —
+    // pure wasted shuffle/join rows, ~1 extra bucket per aligned
+    // range). Empty and inverted intervals match nothing under the
+    // residual, so they are dropped up front instead of fanning out
+    // through a descending sequence().
+    val hiBucket = floor(col(hiCol) / bucketWidth).cast("long") -
+      when(col(hiCol) % bucketWidth === 0.0, 1L).otherwise(0L)
+    val exploded = ranges
+      .filter(col(loCol) < col(hiCol))
+      .withColumn(b, explode(sequence(
+        floor(col(loCol) / bucketWidth).cast("long"), hiBucket)))
     points
       .withColumn(b, floor(col(valueCol) / bucketWidth).cast("long"))
       .join(exploded, Seq(b))

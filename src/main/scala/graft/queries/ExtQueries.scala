@@ -394,10 +394,12 @@ object ExtQueries {
       .orderBy("id_a", "id_b")
 
   /** SemDeDup verdict over the embedding corpus: near-dup components
-    * (cosine ≥ 0.35 — the operating point where LSH recall is 1.0, so
-    * the pair set is exact) collapsed to min-id canonicals; singleton
-    * docs are their own cluster. Full verdict value-oracled against
-    * brute-force pairs + recursive reachability.
+    * (cosine ≥ 0.35 — the operating point the sf0.01 driver oracle
+    * holds to recall 1.0 continuously; recall is corpus-dependent, not
+    * a property of the threshold — see MixtureSemDedupSpec, where the
+    * 500-vector corpus needs `tables=30`) collapsed to min-id
+    * canonicals; singleton docs are their own cluster. Full verdict
+    * value-oracled against brute-force pairs + recursive reachability.
     */
   def simSemdedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",

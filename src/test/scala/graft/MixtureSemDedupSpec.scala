@@ -51,6 +51,17 @@ class MixtureSemDedupSpec extends SparkSuite {
     assert(a.contains("a0"), "the n_min group has cut 1e6: always kept")
   }
 
+  test("temperatureSample keeps NULL-group rows (null-safe cut join)") {
+    val rows = Seq(("a0", Some("grp")), ("a1", Some("grp")),
+      ("n0", None), ("n1", None), ("n2", None))
+      .toDF("id", "grp")
+    val got = Sampling.temperatureSample(rows, "grp", "id", alpha = 1.0)
+    // α=1 keeps everything — INCLUDING the null-key group, which a
+    // non-null-safe join would silently drop
+    assert(got.count() === 5)
+    assert(got.filter(col("grp").isNull).count() === 3)
+  }
+
   test("temperatureSample flattens a skewed corpus toward the target shares") {
     // 10 vs 1000: α=0.5 keeps all 10 of the small group and ~√(10/1000)
     // = ~10% of the big one — expected kept ≈ 100, a 10:100 mix where

@@ -60,6 +60,23 @@ class SkewSpec extends SparkSuite {
     assert(got === Set(1L, 3L))
   }
 
+  test("range join drops empty and inverted intervals, prunes dead buckets") {
+    val ranges = Seq(("empty", 10.0, 10.0), ("inv", 30.0, 20.0),
+      ("ok", 0.0, 50.0)).toDF("band", "lo", "hi")
+    val pts = Seq((1L, 10.0), (2L, 25.0), (3L, 49.0)).toDF("id", "v")
+    val got = RangeJoin.pointInRange(pts, "v", ranges, "lo", "hi",
+      bucketWidth = 10.0)
+      .select("id", "band").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "ok"), (2L, "ok"), (3L, "ok")))
+    // bucket-aligned hi must not emit the dead [hi, hi+w) bucket: a
+    // point at v=50 sits exactly there and must not even reach the
+    // residual filter's join
+    val atHi = RangeJoin.pointInRange(Seq((9L, 50.0)).toDF("id", "v"),
+      "v", Seq(("ok", 0.0, 50.0)).toDF("band", "lo", "hi"),
+      "lo", "hi", bucketWidth = 10.0)
+    assert(atHi.isEmpty)
+  }
+
   test("range join plans an equi-join, never a nested loop") {
     val ranges = Seq(("b", 0.0, 250000.0), ("t", 250000.0, 500000.0))
       .toDF("band", "lo", "hi")

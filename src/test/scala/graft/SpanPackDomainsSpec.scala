@@ -252,6 +252,18 @@ class SpanPackDomainsSpec extends SparkSuite {
       5L -> 2, 6L -> 2, 7L -> 3, 8L -> 3))
   }
 
+  test("scoreBands bands NULL-domain rows instead of dropping them") {
+    val scored = Seq((1L, Some("d"), 10), (2L, Some("d"), 20),
+      (3L, None, 5), (4L, None, 50)).toDF("id", "domain", "score")
+    val got = Domains.scoreBands(scored, "domain", "score",
+      cuts = Seq(0.5))
+      .select("id", "band").as[(Long, Int)].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L),
+      "null-domain rows must survive the cut join")
+    // within the null domain: median 27.5 → 5 below, 50 above
+    assert(got(3L) === 0 && got(4L) === 1)
+  }
+
   test("scoreBands: a single-doc domain lands in band 0") {
     val scored = Seq((1L, "solo", 42)).toDF("id", "domain", "score")
     val got = Domains.scoreBands(scored, "domain", "score")
