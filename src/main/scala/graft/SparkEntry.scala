@@ -77,6 +77,7 @@ object SparkEntry {
     "pack_sequences"          -> (ExtQueries.packSequences _),
     "pack_chunks"             -> (ExtQueries.packChunks _),
     "pack_shards"             -> (ExtQueries.packShards _),
+    "mixture_pipeline"        -> (ExtQueries.mixturePipeline _),
     "domains_profile"         -> (ExtQueries.domainsProfile _),
     "domains_filter"          -> (ExtQueries.domainsFilter _),
     "domains_bands"           -> (ExtQueries.domainsBands _),
@@ -149,7 +150,8 @@ object SparkEntry {
     "sim_neardup_pairs", "sample_stratified", "sample_split",
     "sample_quota", "sample_rates", "sample_temperature",
     "sim_semdedup", "pack_sequences", "pack_chunks",
-    "pack_shards", "domains_profile", "domains_filter", "domains_bands",
+    "pack_shards", "mixture_pipeline",
+    "domains_profile", "domains_filter", "domains_bands",
     "dedup_spans", "dedup_strip_spans",
     "dq_expectations",
     "dq_profile",
@@ -880,6 +882,45 @@ object SparkEntry {
         | WHERE source IN (SELECT source FROM kept)
         |  AND source NOT IN ('src1', 'src11')
         | ORDER BY doc_id""".stripMargin,
+    // The whole mix-building funnel recomputed stage by stage: domain
+    // gates → min-id exact-dedup representatives → α=0.5 temperature
+    // cuts over the SURVIVING corpus → global token cumsum in the
+    // epoch-shuffle order → 512-token shards.
+    "mixture_pipeline" ->
+      raw"""WITH prof AS (
+        |  SELECT source, count(*) AS n_docs,
+        |   sum(len(string_split_regex(trim(lower(text)), '\s+')))
+        |     AS sum_tokens,
+        |   count(DISTINCT lower(trim(text))) AS n_distinct_texts
+        |  FROM documents GROUP BY source),
+        | kept AS (SELECT source FROM prof
+        |  WHERE n_docs >= 10
+        |   AND CAST(sum_tokens AS DOUBLE) / n_docs >= 53.0
+        |   AND 1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs <= 0.5),
+        | gated AS (SELECT doc_id, source, text FROM documents
+        |  WHERE source IN (SELECT source FROM kept)
+        |   AND source NOT IN ('src1', 'src11')),
+        | reps AS (SELECT min(doc_id) AS doc_id FROM gated
+        |  GROUP BY lower(trim(text))),
+        | dd AS (SELECT g.doc_id, g.source, g.text FROM gated g
+        |  JOIN reps USING (doc_id)),
+        | c AS (SELECT source, count(*) AS n_docs FROM dd GROUP BY source),
+        | m AS (SELECT min(n_docs) AS mn FROM c),
+        | r AS (SELECT source,
+        |   CAST(round(sqrt(CAST(mn AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |     * 1000000) AS BIGINT) AS cut FROM c, m),
+        | mixed AS (SELECT dd.doc_id, dd.text FROM dd JOIN r USING (source)
+        |  WHERE (${h60Sql("temp", 7, "doc_id")} % 1000000) < r.cut),
+        | tc AS (SELECT doc_id,
+        |   CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |     AS BIGINT) AS n_tokens,
+        |   ${h60Sql("shard", 42, "doc_id")} AS ord FROM mixed),
+        | cum AS (SELECT doc_id, n_tokens,
+        |   sum(n_tokens) OVER (ORDER BY ord, doc_id
+        |     ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start FROM tc)
+        | SELECT doc_id, n_tokens, tok_start,
+        |  CAST(tok_start // 512 AS BIGINT) AS shard_id
+        | FROM cum ORDER BY doc_id""".stripMargin,
     // Quartile banding: integer scores + quarter fractions ⇒ the
     // type-7 interpolation (pos = p·(n−1)) is exact binary arithmetic
     // in both engines; round(…, 6) on the cuts is then a no-op guard.

@@ -878,6 +878,43 @@ object ExtQueries {
       buckets = 8)
       .orderBy("doc_id")
 
+  /** End-to-end training-mix build — the funnel a mix-shaping pass
+    * runs after content curation: domain stats gates + blocklist →
+    * corpus-wide exact dedup (min-id representative per normalized
+    * text) → temperature-flattened source resampling (α = 0.5) →
+    * global token-budget shard layout. Every stage is an
+    * already-oracled operator; the oracle recomputes the whole funnel
+    * stage by stage in one SQL statement.
+    *
+    * The persist covers [[Packing.assignShards]]' two eager internal
+    * jobs (quantile-cut sample + bucket totals) so the funnel runs
+    * once for them, and is released before return — the final
+    * materialization recomputes the (cheap, shrink-first) funnel
+    * lineage once more rather than leaking a cached frame past the
+    * query boundary.
+    */
+  def mixturePipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val gated = Domains.filterByStats(docs, "source", "text", "lang",
+      minDocs = 10, minAvgTokens = 53.0, maxDupRate = 0.5,
+      blocklist = Seq("src1", "src11"))
+    val reps = gated.groupBy(lower(trim(col("text"))))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = gated.join(reps, Seq("doc_id"), "left_semi")
+    val mixed = Sampling.temperatureSample(deduped, "source", "doc_id",
+      alpha = 0.5, seed = 7).persist()
+    try {
+      Packing.assignShards(mixed, "doc_id",
+        size(split(trim(lower(col("text"))), "\\s+")),
+        budget = 512,
+        orderKey = graft.functions.PortableHash.h60("shard", 42,
+          col("doc_id")),
+        buckets = 8)
+        .orderBy("doc_id")
+    } finally mixed.unpersist(blocking = false)
+  }
+
   // ———————————————————————————————————————— duplicated spans
 
   /** Exact duplicated-span inventory (window 15 tokens, df ≥ 2) —

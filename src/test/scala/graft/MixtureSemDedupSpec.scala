@@ -77,6 +77,38 @@ class MixtureSemDedupSpec extends SparkSuite {
       s"expected ~100 kept, got ${kept("common")}")
   }
 
+  // ———————————————————————————————————— mix-building funnel
+
+  test("mixturePipeline: output survives every stage, tokens account exactly") {
+    import graft.ext.Domains
+    import graft.queries.ExtQueries
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = ExtQueries.mixturePipeline(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty, "funnel must not be vacuous on the spec corpus")
+    val ids = out.map(_._1).toSet
+    // stage 1: every output doc passed the domain gates
+    val gated = Domains.filterByStats(docs, "source", "text", "lang",
+      minDocs = 10, minAvgTokens = 53.0, maxDupRate = 0.5,
+      blocklist = Seq("src1", "src11"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(gated))
+    // stage 2: no two output docs share a normalized text
+    val texts = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(lower(trim(col("text")))).as[String].collect()
+    assert(texts.distinct.length === texts.length,
+      "exact dedup must leave one representative per normalized text")
+    // stage 4: global token accounting — sorted by tok_start, each doc
+    // starts exactly where the previous ended; shard = tok_start/512
+    val byStart = out.sortBy(_._3)
+    byStart.sliding(2).foreach {
+      case Array((_, n, s, _), (_, _, s2, _)) => assert(s2 === s + n)
+      case _ =>
+    }
+    assert(byStart.head._3 === 0L)
+    out.foreach { case (_, _, s, sh) => assert(sh === s / 512) }
+  }
+
   // ———————————————————————————————————— semantic dedup
 
   test("semanticDedup collapses transitive near-dup clusters to min id") {
