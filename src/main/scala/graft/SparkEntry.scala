@@ -92,6 +92,7 @@ object SparkEntry {
     "text_fingerprint_raw"    -> (ExtQueries.textFingerprintRaw _),
     "text_langid"             -> (ExtQueries.textLangid _),
     "text_lm_score"           -> (ExtQueries.textLmScore _),
+    "quality_mixture"         -> (ExtQueries.qualityMixture _),
     "text_tfidf"              -> (ExtQueries.textTfidf _),
     "text_vocab"              -> (ExtQueries.textVocab _),
     "text_repetition"         -> (ExtQueries.textRepetition _),
@@ -157,7 +158,7 @@ object SparkEntry {
     "dq_profile",
     "text_stats", "text_quality", "text_token_counts",
     "text_fingerprint_raw", "text_langid", "text_lm_score",
-    "text_tfidf", "text_vocab", "text_repetition",
+    "quality_mixture", "text_tfidf", "text_vocab", "text_repetition",
     "pii_redact", "decontam_overlap", "multimodal_stats",
     "multimodal_features_raw", "events_tumbling", "events_sliding",
     "events_sessions", "j_asof_join", "j_salted_join", "j_range_join",
@@ -199,6 +200,33 @@ object SparkEntry {
     * lang, rn)` with rn = 1 at the (score, lang)-max — replicates
     * [[graft.ext.TextStats.languageId]] verbatim.
     */
+  /** CTE chain ending in `lm(doc_id, lm_score, n_bigrams)` — the
+    * Laplace-smoothed corpus-bigram log-likelihood per doc (shared by
+    * `text_lm_score` and `quality_mixture`, one source of truth).
+    */
+  private def lmCte(src: String): String =
+    raw"""ltok AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM $src),
+         | lbg AS (
+         |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM ltok, UNNEST(range(1, len(w))) AS u(i)
+         |  WHERE len(w) >= 2),
+         | luni AS (
+         |  SELECT tk, count(*) AS n1
+         |  FROM (SELECT unnest(w) AS tk FROM ltok) GROUP BY tk),
+         | lv AS (SELECT count(*) AS vs FROM luni),
+         | lbi AS (SELECT w1, w2, count(*) AS n2 FROM lbg GROUP BY w1, w2),
+         | lm AS (
+         |  SELECT doc_id,
+         |   round(avg(ln((n2 + 0.4) / (n1 + 0.4 * vs))), 6) AS lm_score,
+         |   count(*) AS n_bigrams
+         |  FROM lbg
+         |  JOIN lbi USING (w1, w2)
+         |  JOIN luni ON luni.tk = lbg.w1
+         |  CROSS JOIN lv
+         |  GROUP BY doc_id)""".stripMargin
+
   private def langidRankedCte(src: String): String = {
     def score(markers: Seq[String]): String = markers.map { m =>
       s"CASE WHEN strpos(s, '$m') > 0 THEN (length(s) - length(replace(s, '$m', ''))) / ${m.length} ELSE 0 END"
@@ -1048,26 +1076,30 @@ object SparkEntry {
     // same Laplace smoothing (α=0.4); round(…,6) absorbs ln() ulp and
     // summation-order drift between engines.
     "text_lm_score" ->
-      raw"""WITH tok AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |  FROM documents),
-        | bg AS (
-        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-        |  FROM tok, UNNEST(range(1, len(w))) AS u(i)
-        |  WHERE len(w) >= 2),
-        | uni AS (
-        |  SELECT tk, count(*) AS n1
-        |  FROM (SELECT unnest(w) AS tk FROM tok) GROUP BY tk),
-        | v AS (SELECT count(*) AS vs FROM uni),
-        | bi AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2)
-        | SELECT doc_id,
-        |  round(avg(ln((n2 + 0.4) / (n1 + 0.4 * vs))), 6) AS lm_score,
-        |  count(*) AS n_bigrams
-        | FROM bg
-        | JOIN bi USING (w1, w2)
-        | JOIN uni ON uni.tk = bg.w1
-        | CROSS JOIN v
-        | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH ${lmCte("documents")}
+        | SELECT doc_id, lm_score, n_bigrams FROM lm
+        | ORDER BY doc_id""".stripMargin,
+    // CCNet end-to-end: LM score → per-language quartile bands (the
+    // head/middle/tail split) → band-rate thinning. Quartile fractions
+    // are exact binary, score comparisons are against 6dp-rounded cuts.
+    "quality_mixture" ->
+      s"""WITH ${lmCte("documents")},
+        | d AS (SELECT lm.doc_id, doc.lang, lm.lm_score
+        |  FROM lm JOIN documents doc ON doc.doc_id = lm.doc_id),
+        | b AS (SELECT lang,
+        |   quantile_cont(lm_score, [0.25, 0.5, 0.75]) AS cuts
+        |  FROM d GROUP BY lang),
+        | bd AS (SELECT d.doc_id, d.lang, d.lm_score,
+        |  ((CASE WHEN d.lm_score > round(cuts[1], 6) THEN 1 ELSE 0 END)
+        |  + (CASE WHEN d.lm_score > round(cuts[2], 6) THEN 1 ELSE 0 END)
+        |  + (CASE WHEN d.lm_score > round(cuts[3], 6) THEN 1 ELSE 0 END))
+        |    AS band
+        |  FROM d JOIN b USING (lang))
+        | SELECT doc_id, lang, lm_score, band FROM bd
+        | WHERE (${h60Sql("rate", 11, "doc_id")} % 1000000) <
+        |  CASE band WHEN 3 THEN 1000000 WHEN 2 THEN 500000
+        |   WHEN 1 THEN 200000 ELSE 100000 END
+        | ORDER BY doc_id""".stripMargin,
     // TF-IDF keywords: rank over the ROUNDED score with term tiebreak
     // (cross-engine deterministic despite ln's libm ulp drift).
     "text_tfidf" ->

@@ -109,6 +109,30 @@ class MixtureSemDedupSpec extends SparkSuite {
     out.foreach { case (_, _, s, sh) => assert(sh === s / 512) }
   }
 
+  test("qualityMixture keeps the whole head band and thins the tail") {
+    import graft.ext.{Domains, TextStats}
+    import graft.queries.ExtQueries
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = ExtQueries.qualityMixture(spark, sfDir)
+      .select("doc_id", "band").as[(Long, Int)].collect()
+    assert(out.nonEmpty)
+    // recompute the banded (pre-thinning) frame with the operators
+    val scored = TextStats.lmScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val banded = Domains.scoreBands(scored, "lang", "lm_score")
+      .select("doc_id", "band").as[(Long, Int)].collect()
+    val nBand = banded.groupBy(_._2).view.mapValues(_.length).toMap
+    val oBand = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // band 3 rate is 1.0: every head doc survives
+    assert(oBand.getOrElse(3, 0) === nBand(3))
+    // tail rate 0.1: kept fraction must actually thin (binomial slack)
+    assert(oBand.getOrElse(0, 0) < nBand(0) * 0.3,
+      s"tail barely thinned: ${oBand.getOrElse(0, 0)} of ${nBand(0)}")
+    // survivors are a subset of the banded frame with matching bands
+    val bmap = banded.toMap
+    out.foreach { case (id, b) => assert(bmap(id) === b) }
+  }
+
   // ———————————————————————————————————— semantic dedup
 
   test("semanticDedup collapses transitive near-dup clusters to min id") {
