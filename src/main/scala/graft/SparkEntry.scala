@@ -74,6 +74,7 @@ object SparkEntry {
     "sample_rates"            -> (ExtQueries.sampleRates _),
     "sample_temperature"      -> (ExtQueries.sampleTemperature _),
     "sim_semdedup"            -> (ExtQueries.simSemdedup _),
+    "sim_ivf_append"          -> (ExtQueries.simIvfAppend _),
     "pack_sequences"          -> (ExtQueries.packSequences _),
     "pack_chunks"             -> (ExtQueries.packChunks _),
     "pack_shards"             -> (ExtQueries.packShards _),
@@ -147,7 +148,8 @@ object SparkEntry {
     "dedup_clusters", "curation_pipeline", "curation_full",
     "dedup_minhash_pairs",
     "dedup_minhash_incr", "dedup_simhash_pairs", "sim_cosine_topk",
-    "sim_lsh_topk_raw", "sim_ivf_topk_raw", "sim_q8_topk_raw",
+    "sim_lsh_topk_raw", "sim_ivf_topk_raw", "sim_ivf_append",
+    "sim_q8_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
     "sample_quota", "sample_rates", "sample_temperature",
     "sim_semdedup", "pack_sequences", "pack_chunks",
@@ -703,6 +705,20 @@ object SparkEntry {
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
         | SELECT 'ivf_topk' AS family, (SELECT count(*) FROM ex) AS n_exact,
+        |  true AS recall_pass""".stripMargin,
+    // Same exact-side recompute as the ivf_topk gate — the appended
+    // index must reach the same brute-force reference over the FULL
+    // corpus (append-after-train retrievability).
+    "sim_ivf_append" ->
+      """WITH ex AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id ASC) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
+        | SELECT 'ivf_append' AS family, (SELECT count(*) FROM ex) AS n_exact,
         |  true AS recall_pass""".stripMargin,
     "sim_cosine_neardup" ->
       """WITH ex AS (

@@ -375,6 +375,35 @@ object Similarity {
     (rows.map(_._1).toSeq, rows.map(_._2.toSeq).toSeq)
   }
 
+  /** Append a batch to a prebuilt IVF index WITHOUT retraining —
+    * FAISS's add-after-train contract: each new vector routes to its
+    * nearest EXISTING centroid (metadata-sized centroid collect +
+    * map-only scoring of the batch) and the rows union onto the
+    * assignment table; the centroid table is untouched. This is the
+    * per-batch index maintenance an append-mostly embedding pipeline
+    * runs at 100 TB — no corpus re-assignment, no Lloyd job, one
+    * map-only pass over the batch. Centroids drift only if the
+    * DISTRIBUTION shifts; the cadence is FAISS's build-rarely /
+    * add-often: periodic [[ivfBuild]] on a corpus version bump,
+    * [[ivfAppend]] in between. Routing uses the same name-addressed
+    * position→list-id mapping as the probe path, so appends to a
+    * RELOADED index (reordered columns, compacted list ids) route
+    * identically to build-time assignment.
+    */
+  def ivfAppend(assignments: DataFrame, centroidTable: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    VectorFunctions.register(batch.sparkSession)
+    val (listIds, cents) = collectCentroids(centroidTable)
+    val assigned = batch
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", VectorFunctions.normF(col("cv")))
+      .withColumn("pos", element_at(nearestLists(col("cv"), 1, cents), 1))
+      .withColumn("list", element_at(lit(listIds.toArray), col("pos") + 1))
+      .drop("pos")
+    assignments.unionByName(
+      assigned.select(assignments.columns.map(col): _*))
+  }
+
   def ivfTopKWithIndex(queries: DataFrame, assignments: DataFrame,
       centroidTable: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 4): DataFrame = {

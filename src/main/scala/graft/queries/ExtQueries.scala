@@ -315,6 +315,29 @@ object ExtQueries {
       Seq("query_id", "neighbor_id"), recallMin = 0.6)
   }
 
+  /** Incremental index maintenance gate: the IVF index is built on
+    * 90% of the corpus, the held-out 10% is [[Similarity.ivfAppend]]ed
+    * without retraining, and the appended index must still hit
+    * recall@5 ≥ 0.6 against brute force over the FULL corpus — i.e.
+    * appended vectors are genuinely retrievable through the stale
+    * centroids (FAISS's add-after-train contract).
+    */
+  def simIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val (asg, cents) = Similarity.ivfBuild(base, "vec_id", "embedding",
+      nlist = 16, trainIters = 2)
+    val appended = Similarity.ivfAppend(asg, cents, batch,
+      "vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 20)
+    topkGate("ivf_append",
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5),
+      Similarity.ivfTopKWithIndex(q, appended, cents,
+        "vec_id", "embedding", k = 5, nprobe = 6),
+      Seq("query_id", "neighbor_id"), recallMin = 0.6)
+  }
+
   /** Raw IVF top-5 (bench surface; same tuned parameters as the gate;
     * invariant-checked — see [[requireExactCosines]]).
     */

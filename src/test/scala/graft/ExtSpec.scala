@@ -430,6 +430,41 @@ class ExtSpec extends SparkSuite {
     assert(direct.nonEmpty)
   }
 
+  test("ivfAppend routes like build-time assignment and retrieves the batch") {
+    val base = emb.filter(pmod($"vec_id", lit(10)) =!= 0)
+    val batch = emb.filter(pmod($"vec_id", lit(10)) === 0)
+    val (asg, cents) = Similarity.ivfBuild(base, "vec_id", "embedding",
+      nlist = 16, trainIters = 2)
+    val appended = Similarity.ivfAppend(asg, cents, batch,
+      "vec_id", "embedding")
+    // counts and schema preserved
+    assert(appended.count() === emb.count())
+    assert(appended.columns.sorted === asg.columns.sorted)
+    // appended rows landed in existing lists with non-null norms
+    val lists = cents.select("list").as[Int].collect().toSet
+    val got = appended.join(batch.select($"vec_id".as("neighbor_id")),
+      Seq("neighbor_id"))
+    assert(got.filter(!$"list".isin(lists.toSeq: _*)).isEmpty)
+    assert(got.filter($"cn".isNull || $"cn" <= 0).isEmpty)
+    // a probe IDENTICAL to an appended vector must retrieve it at
+    // rank 1 with cos ≈ 1 when probing every list
+    val probe = batch.limit(1)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val want = batch.limit(1).select("vec_id").as[Long].head()
+    val top = Similarity.ivfTopKWithIndex(probe, appended, cents,
+      "vec_id", "embedding", k = 1, nprobe = 16)
+      .select("neighbor_id", "cos").as[(Long, Double)].head()
+    assert(top._1 === want)
+    assert(math.abs(top._2 - 1.0) < 1e-6)
+    // append is deterministic: same batch twice → identical frames
+    val again = Similarity.ivfAppend(asg, cents, batch,
+      "vec_id", "embedding")
+    assert(again.select("neighbor_id", "list").as[(Long, Int)]
+      .collect().sorted.toSeq ===
+      appended.select("neighbor_id", "list").as[(Long, Int)]
+        .collect().sorted.toSeq)
+  }
+
   test("IVF×SQ8 composed top-k: recall holds, every query served k rows") {
     val q = emb.filter($"vec_id" < 20)
     val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
