@@ -148,8 +148,7 @@ object SparkEntry {
     "dedup_clusters", "curation_pipeline", "curation_full",
     "dedup_minhash_pairs",
     "dedup_minhash_incr", "dedup_simhash_pairs", "sim_cosine_topk",
-    "sim_lsh_topk_raw", "sim_ivf_topk_raw", "sim_ivf_append",
-    "sim_q8_topk_raw",
+    "sim_lsh_topk_raw", "sim_ivf_topk_raw", "sim_q8_topk_raw",
     "sim_neardup_pairs", "sample_stratified", "sample_split",
     "sample_quota", "sample_rates", "sample_temperature",
     "sim_semdedup", "pack_sequences", "pack_chunks",
@@ -198,10 +197,38 @@ object SparkEntry {
       |  UNION
       |  SELECT e.a, r.comp FROM edges e JOIN reach r ON r.id = e.b)""".stripMargin
 
-  /** Marker-count language scoring ranked per doc: `ranked(doc_id,
-    * lang, rn)` with rn = 1 at the (score, lang)-max — replicates
-    * [[graft.ext.TextStats.languageId]] verbatim.
+  /** Domain-gate CTE chain ending in `gated(doc_id, source, text)` —
+    * stats gates + blocklist, shared by `domains_filter` and
+    * `mixture_pipeline` so the thresholds live in ONE place.
     */
+  private def domainGateCte(src: String): String =
+    raw"""gprof AS (
+         |  SELECT source, count(*) AS n_docs,
+         |   sum(len(string_split_regex(trim(lower(text)), '\s+')))
+         |     AS sum_tokens,
+         |   count(DISTINCT lower(trim(text))) AS n_distinct_texts
+         |  FROM $src GROUP BY source),
+         | gkept AS (SELECT source FROM gprof
+         |  WHERE n_docs >= 10
+         |   AND CAST(sum_tokens AS DOUBLE) / n_docs >= 53.0
+         |   AND 1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs <= 0.5),
+         | gated AS (SELECT doc_id, source, text FROM $src
+         |  WHERE source IN (SELECT source FROM gkept)
+         |   AND source NOT IN ('src1', 'src11'))""".stripMargin
+
+  /** α=0.5 temperature-cut CTE chain over `$src` ending in
+    * `tcut(source, cut)` — shared by `sample_temperature` and
+    * `mixture_pipeline` (one source of truth for the cut rule).
+    */
+  private def tempCutCte(src: String): String =
+    raw"""tc0 AS (SELECT source, count(*) AS n_docs
+         |  FROM $src GROUP BY source),
+         | tm AS (SELECT min(n_docs) AS mn FROM tc0),
+         | tcut AS (SELECT source,
+         |   CAST(round(sqrt(CAST(mn AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |     * 1000000) AS BIGINT) AS cut
+         |  FROM tc0, tm)""".stripMargin
+
   /** CTE chain ending in `lm(doc_id, lm_score, n_bigrams)` — the
     * Laplace-smoothed corpus-bigram log-likelihood per doc (shared by
     * `text_lm_score` and `quality_mixture`, one source of truth).
@@ -229,6 +256,10 @@ object SparkEntry {
          |  CROSS JOIN lv
          |  GROUP BY doc_id)""".stripMargin
 
+  /** Marker-count language scoring ranked per doc: `ranked(doc_id,
+    * lang, rn)` with rn = 1 at the (score, lang)-max — replicates
+    * [[graft.ext.TextStats.languageId]] verbatim.
+    */
   private def langidRankedCte(src: String): String = {
     def score(markers: Seq[String]): String = markers.map { m =>
       s"CASE WHEN strpos(s, '$m') > 0 THEN (length(s) - length(replace(s, '$m', ''))) / ${m.length} ELSE 0 END"
@@ -823,19 +854,14 @@ object SparkEntry {
         | ORDER BY vec_id""".stripMargin,
     // Temperature mixture at alpha=0.5: cut = round(sqrt(n_min/n)*1e6)
     // is bit-exact cross-engine (division and sqrt are IEEE-correctly-
-    // rounded), and the draw is the identical md5-60 arithmetic.
+    // rounded), and the draw is the identical md5-60 arithmetic. The
+    // cut join is NULL-SAFE, mirroring temperatureSample's `<=>`.
     "sample_temperature" ->
-      s"""WITH c AS (
-        |  SELECT source, count(*) AS n_docs FROM documents
-        |  GROUP BY source),
-        | m AS (SELECT min(n_docs) AS mn FROM c),
-        | r AS (SELECT source,
-        |   CAST(round(sqrt(CAST(mn AS DOUBLE) / CAST(n_docs AS DOUBLE))
-        |     * 1000000) AS BIGINT) AS cut
-        |  FROM c, m)
-        | SELECT d.doc_id, d.source, r.cut
-        | FROM documents d JOIN r USING (source)
-        | WHERE (${h60Sql("temp", 7, "doc_id")} % 1000000) < r.cut
+      s"""WITH ${tempCutCte("documents")}
+        | SELECT d.doc_id, d.source, tcut.cut
+        | FROM documents d
+        | JOIN tcut ON d.source IS NOT DISTINCT FROM tcut.source
+        | WHERE (${h60Sql("temp", 7, "doc_id")} % 1000000) < tcut.cut
         | ORDER BY doc_id""".stripMargin,
     // SemDeDup verdict: brute-force exact pairs at the recall-1.0
     // operating point, recursive reachability, min-id canonicals,
@@ -912,51 +938,25 @@ object SparkEntry {
         |  count(DISTINCT lang) AS n_langs
         | FROM documents GROUP BY source ORDER BY domain""".stripMargin,
     "domains_filter" ->
-      raw"""WITH prof AS (
-        |  SELECT source, count(*) AS n_docs,
-        |   sum(len(string_split_regex(trim(lower(text)), '\s+')))
-        |     AS sum_tokens,
-        |   count(DISTINCT lower(trim(text))) AS n_distinct_texts
-        |  FROM documents GROUP BY source),
-        | kept AS (SELECT source FROM prof
-        |  WHERE n_docs >= 10
-        |   AND CAST(sum_tokens AS DOUBLE) / n_docs >= 53.0
-        |   AND 1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs <= 0.5)
-        | SELECT doc_id, source FROM documents
-        | WHERE source IN (SELECT source FROM kept)
-        |  AND source NOT IN ('src1', 'src11')
+      s"""WITH ${domainGateCte("documents")}
+        | SELECT doc_id, source FROM gated
         | ORDER BY doc_id""".stripMargin,
     // The whole mix-building funnel recomputed stage by stage: domain
     // gates → min-id exact-dedup representatives → α=0.5 temperature
     // cuts over the SURVIVING corpus → global token cumsum in the
     // epoch-shuffle order → 512-token shards.
     "mixture_pipeline" ->
-      raw"""WITH prof AS (
-        |  SELECT source, count(*) AS n_docs,
-        |   sum(len(string_split_regex(trim(lower(text)), '\s+')))
-        |     AS sum_tokens,
-        |   count(DISTINCT lower(trim(text))) AS n_distinct_texts
-        |  FROM documents GROUP BY source),
-        | kept AS (SELECT source FROM prof
-        |  WHERE n_docs >= 10
-        |   AND CAST(sum_tokens AS DOUBLE) / n_docs >= 53.0
-        |   AND 1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs <= 0.5),
-        | gated AS (SELECT doc_id, source, text FROM documents
-        |  WHERE source IN (SELECT source FROM kept)
-        |   AND source NOT IN ('src1', 'src11')),
+      s"""WITH ${domainGateCte("documents")},
         | reps AS (SELECT min(doc_id) AS doc_id FROM gated
         |  GROUP BY lower(trim(text))),
         | dd AS (SELECT g.doc_id, g.source, g.text FROM gated g
         |  JOIN reps USING (doc_id)),
-        | c AS (SELECT source, count(*) AS n_docs FROM dd GROUP BY source),
-        | m AS (SELECT min(n_docs) AS mn FROM c),
-        | r AS (SELECT source,
-        |   CAST(round(sqrt(CAST(mn AS DOUBLE) / CAST(n_docs AS DOUBLE))
-        |     * 1000000) AS BIGINT) AS cut FROM c, m),
-        | mixed AS (SELECT dd.doc_id, dd.text FROM dd JOIN r USING (source)
-        |  WHERE (${h60Sql("temp", 7, "doc_id")} % 1000000) < r.cut),
+        | ${tempCutCte("dd")},
+        | mixed AS (SELECT dd.doc_id, dd.text FROM dd
+        |  JOIN tcut ON dd.source IS NOT DISTINCT FROM tcut.source
+        |  WHERE (${h60Sql("temp", 7, "doc_id")} % 1000000) < tcut.cut),
         | tc AS (SELECT doc_id,
-        |   CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |   CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
         |     AS BIGINT) AS n_tokens,
         |   ${h60Sql("shard", 42, "doc_id")} AS ord FROM mixed),
         | cum AS (SELECT doc_id, n_tokens,
@@ -982,7 +982,7 @@ object SparkEntry {
         |  + (CASE WHEN t.ws_tokens > round(cuts[2], 6) THEN 1 ELSE 0 END)
         |  + (CASE WHEN t.ws_tokens > round(cuts[3], 6) THEN 1 ELSE 0 END))
         |    AS band
-        | FROM tok t JOIN b USING (source)
+        | FROM tok t JOIN b ON t.source IS NOT DISTINCT FROM b.source
         | ORDER BY doc_id""".stripMargin,
     // Duplicated spans (window 15, df>=2): rolling windows -> df
     // semi-join -> per-doc gaps-and-islands; the oracle keys windows
@@ -1095,22 +1095,18 @@ object SparkEntry {
       s"""WITH ${lmCte("documents")}
         | SELECT doc_id, lm_score, n_bigrams FROM lm
         | ORDER BY doc_id""".stripMargin,
-    // CCNet end-to-end: LM score → per-language quartile bands (the
-    // head/middle/tail split) → band-rate thinning. Quartile fractions
-    // are exact binary, score comparisons are against 6dp-rounded cuts.
+    // CCNet end-to-end: LM score → per-language quartile RANK bands
+    // (integer ntile under the (score, doc_id) total order — no float
+    // quantile interpolation anywhere, bit-exact on any corpus) →
+    // band-rate thinning.
     "quality_mixture" ->
       s"""WITH ${lmCte("documents")},
         | d AS (SELECT lm.doc_id, doc.lang, lm.lm_score
         |  FROM lm JOIN documents doc ON doc.doc_id = lm.doc_id),
-        | b AS (SELECT lang,
-        |   quantile_cont(lm_score, [0.25, 0.5, 0.75]) AS cuts
-        |  FROM d GROUP BY lang),
-        | bd AS (SELECT d.doc_id, d.lang, d.lm_score,
-        |  ((CASE WHEN d.lm_score > round(cuts[1], 6) THEN 1 ELSE 0 END)
-        |  + (CASE WHEN d.lm_score > round(cuts[2], 6) THEN 1 ELSE 0 END)
-        |  + (CASE WHEN d.lm_score > round(cuts[3], 6) THEN 1 ELSE 0 END))
-        |    AS band
-        |  FROM d JOIN b USING (lang))
+        | bd AS (SELECT doc_id, lang, lm_score,
+        |   ntile(4) OVER (PARTITION BY lang
+        |     ORDER BY lm_score ASC, doc_id ASC) - 1 AS band
+        |  FROM d)
         | SELECT doc_id, lang, lm_score, band FROM bd
         | WHERE (${h60Sql("rate", 11, "doc_id")} % 1000000) <
         |  CASE band WHEN 3 THEN 1000000 WHEN 2 THEN 500000

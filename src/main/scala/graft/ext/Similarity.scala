@@ -389,12 +389,28 @@ object Similarity {
     * position→list-id mapping as the probe path, so appends to a
     * RELOADED index (reordered columns, compacted list ids) route
     * identically to build-time assignment.
+    *
+    * Replay safety: [[ivfTopKWithIndex]] relies on each corpus row
+    * living in exactly ONE list (its join skips the dedup shuffle on
+    * that invariant), so a replayed batch must not duplicate ids.
+    * `dedupIds=true` (default) anti-joins the batch against the index
+    * on the id — a replayed append is then a no-op; the cost is one
+    * id-keyed anti-join (shuffle ∝ index ids, AQE broadcasts the
+    * batch side). Pass `dedupIds=false` to keep the append strictly
+    * map-only when the pipeline already guarantees fresh ids (e.g.
+    * ids minted from a commit sequence).
     */
   def ivfAppend(assignments: DataFrame, centroidTable: DataFrame,
-      batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      batch: DataFrame, idCol: String, vecCol: String,
+      dedupIds: Boolean = true): DataFrame = {
     VectorFunctions.register(batch.sparkSession)
     val (listIds, cents) = collectCentroids(centroidTable)
-    val assigned = batch
+    val fresh =
+      if (dedupIds)
+        batch.join(assignments.select(col("neighbor_id").as(idCol)),
+          Seq(idCol), "left_anti")
+      else batch
+    val assigned = fresh
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", VectorFunctions.normF(col("cv")))
       .withColumn("pos", element_at(nearestLists(col("cv"), 1, cents), 1))

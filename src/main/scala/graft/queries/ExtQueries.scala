@@ -727,17 +727,20 @@ object ExtQueries {
       .orderBy("doc_id")
 
   /** CCNet end-to-end quality mixture (Wenzek et al. 2020): corpus
-    * bigram-LM scoring → per-language quartile score bands
-    * (head/middle/tail) → band-rate thinning (head kept whole, middle
-    * 50%/20%, tail 10%). Every stage is an already-oracled operator;
-    * the oracle recomputes all three in one statement over the shared
-    * lm CTE fragment.
+    * bigram-LM scoring → per-language quartile RANK bands
+    * (head/middle/tail via [[Domains.rankBands]] — integer ntile
+    * arithmetic, no float quantile interpolation, so the float-score
+    * banding is bit-exact cross-engine on any corpus) → band-rate
+    * thinning (head kept whole, middle bands 50%/20%, tail 10%).
+    * Every stage is an already-oracled operator; the oracle
+    * recomputes all three in one statement over the shared lm CTE
+    * fragment.
     */
   def qualityMixture(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val scored = TextStats.lmScore(docs, "doc_id", "text")
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-    val banded = Domains.scoreBands(scored, "lang", "lm_score")
+    val banded = Domains.rankBands(scored, "lang", "lm_score", "doc_id")
     Sampling.sampleByRates(banded, "band", "doc_id",
       rates = Seq(3 -> 1.0, 2 -> 0.5, 1 -> 0.2), defaultRate = 0.1,
       seed = 11)

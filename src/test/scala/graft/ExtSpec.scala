@@ -447,10 +447,11 @@ class ExtSpec extends SparkSuite {
     assert(got.filter(!$"list".isin(lists.toSeq: _*)).isEmpty)
     assert(got.filter($"cn".isNull || $"cn" <= 0).isEmpty)
     // a probe IDENTICAL to an appended vector must retrieve it at
-    // rank 1 with cos ≈ 1 when probing every list
-    val probe = batch.limit(1)
+    // rank 1 with cos ≈ 1 when probing every list (fixed id — limit
+    // without orderBy is not deterministic across executions)
+    val want = batch.orderBy("vec_id").select("vec_id").as[Long].head()
+    val probe = batch.filter($"vec_id" === want)
       .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
-    val want = batch.limit(1).select("vec_id").as[Long].head()
     val top = Similarity.ivfTopKWithIndex(probe, appended, cents,
       "vec_id", "embedding", k = 1, nprobe = 16)
       .select("neighbor_id", "cos").as[(Long, Double)].head()
@@ -463,6 +464,13 @@ class ExtSpec extends SparkSuite {
       .collect().sorted.toSeq ===
       appended.select("neighbor_id", "list").as[(Long, Int)]
         .collect().sorted.toSeq)
+    // a REPLAYED append is a no-op under the default dedupIds guard —
+    // the one-list-per-row invariant the probe's no-distinct relies on
+    val replayed = Similarity.ivfAppend(appended, cents, batch,
+      "vec_id", "embedding")
+    assert(replayed.count() === appended.count())
+    assert(replayed.groupBy("neighbor_id").count()
+      .filter($"count" > 1).isEmpty, "no id may appear in two lists")
   }
 
   test("IVF×SQ8 composed top-k: recall holds, every query served k rows") {

@@ -119,7 +119,7 @@ class MixtureSemDedupSpec extends SparkSuite {
     // recompute the banded (pre-thinning) frame with the operators
     val scored = TextStats.lmScore(docs, "doc_id", "text")
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-    val banded = Domains.scoreBands(scored, "lang", "lm_score")
+    val banded = Domains.rankBands(scored, "lang", "lm_score", "doc_id")
       .select("doc_id", "band").as[(Long, Int)].collect()
     val nBand = banded.groupBy(_._2).view.mapValues(_.length).toMap
     val oBand = out.groupBy(_._2).view.mapValues(_.length).toMap

@@ -290,6 +290,19 @@ class SpanPackDomainsSpec extends SparkSuite {
       s"approx bands diverged on ${e.size - agree} of ${e.size} docs")
   }
 
+  test("rankBands: exact ntile quarters, null domains banded in place") {
+    // 8 rows in domain d → exactly 2 per band; 2 null-domain rows
+    // band within their own partition (ntile(4) of 2 rows → tiles 1,2)
+    val scored = ((1 to 8).map(i => (i.toLong, Some("d"), i * 1.5)) ++
+      Seq((9L, None, 1.0), (10L, None, 2.0)))
+      .toDF("id", "domain", "score")
+    val got = Domains.rankBands(scored, "domain", "score", "id")
+      .select("id", "band").as[(Long, Int)].collect().toMap
+    assert((1 to 8).map(i => got(i.toLong)) === Seq(0, 0, 1, 1, 2, 2, 3, 3))
+    assert(got(9L) === 0 && got(10L) === 1,
+      "null-domain rows must band within their own partition")
+  }
+
   test("scoreBands quartiles split each domain roughly into quarters") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("source"),
