@@ -60,7 +60,7 @@ object TableOps {
     * record key make the next upsert's key-matching join cheap to probe
     * (Hudi BLOOM index analog).
     */
-  private def writer(df: DataFrame, t: KeyedTable, sortBy: Seq[String],
+  private[ops] def writer(df: DataFrame, t: KeyedTable, sortBy: Seq[String],
       maxRecordsPerFile: Long) = {
     val clustered =
       if (sortBy.nonEmpty)
@@ -129,15 +129,38 @@ object TableOps {
   /** Key under which the partition→version map rides in the manifest;
     * rel "" denotes the whole (unpartitioned) table.
     */
-  private val PartsKey = "parts"
+  private[ops] val PartsKey = "parts"
 
-  private def partsJson(parts: Map[String, String]): String = {
+  /** Key under which a MERGE_ON_READ table's live delta-commit list
+    * rides in the manifest (JSON array of commit ts; absent/empty for
+    * pure-COW state). See [[Mor]].
+    */
+  private[ops] val DeltasKey = "deltas"
+
+  private[ops] def deltasJson(deltas: Seq[String]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(deltas))
+  }
+
+  private[ops] def deltasOf(meta: Map[String, String]): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    meta.get(DeltasKey).toSeq.flatMap { raw =>
+      try JsonMethods.parse(raw) match {
+        case JArray(items) => items.collect { case JString(v) => v }
+        case _ => Nil
+      } catch { case _: Exception => Nil }
+    }
+  }
+
+  private[ops] def partsJson(parts: Map[String, String]): String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     JsonMethods.compact(JsonMethods.render(parts))
   }
 
-  private def partsOf(meta: Map[String, String])
+  private[ops] def partsOf(meta: Map[String, String])
       : Option[Map[String, String]] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -153,13 +176,23 @@ object TableOps {
   /** The partition→version map as of `asOf` (latest when None): newest
     * manifest at or before `asOf` that parses and carries a map.
     */
-  private def currentParts(spark: SparkSession, t: KeyedTable,
-      asOf: Option[String]): Option[Map[String, String]] = {
+  private[ops] def currentParts(spark: SparkSession, t: KeyedTable,
+      asOf: Option[String]): Option[Map[String, String]] =
+    currentState(spark, t, asOf).map(_._1)
+
+  /** The full table state a manifest describes — base partition→version
+    * map plus the live MOR delta-commit list (empty for pure-COW state).
+    * Newest manifest at or before `asOf` that parses and carries a
+    * parts map.
+    */
+  private[ops] def currentState(spark: SparkSession, t: KeyedTable,
+      asOf: Option[String]): Option[(Map[String, String], Seq[String])] = {
     val log = CommitLog(t, spark)
     val commits = log.listCommits()
     val candidates = asOf.fold(commits)(s => commits.filter(_ <= s))
     candidates.reverseIterator
-      .flatMap(ts => log.commitMeta(ts).flatMap(partsOf))
+      .flatMap(ts => log.commitMeta(ts))
+      .flatMap(meta => partsOf(meta).map(_ -> deltasOf(meta)))
       .nextOption()
   }
 
@@ -200,7 +233,7 @@ object TableOps {
     * for unpartitioned). listStatus returns scheme-qualified paths;
     * qualify the prefix the same way or relativization silently fails.
     */
-  private def relsOf(fs: FileSystem, dir: Path, depth: Int): Seq[String] =
+  private[ops] def relsOf(fs: FileSystem, dir: Path, depth: Int): Seq[String] =
     if (depth == 0) Seq("")
     else {
       def walk(p: Path, level: Int): Seq[Path] =
@@ -443,10 +476,19 @@ object TableOps {
     * incremental_etl_orders.py:385-386). Resolves the newest manifest's
     * partition→version map and scans exactly the referenced dirs; COW
     * keeps them always-latest, so no dedup view is needed at read time.
+    *
+    * MERGE_ON_READ state (live [[Mor]] delta commits in the manifest):
+    * the snapshot is the base dirs merged with the delta dirs under the
+    * same latest-version-per-row-identity semantics a COW upsert applies
+    * at write time — Hudi's real-time (`_rt`) view.
     */
   def snapshot(spark: SparkSession, t: KeyedTable): DataFrame =
-    currentParts(spark, t, None) match {
-      case Some(parts) => readParts(spark, t, parts, latestSchema(spark, t))
+    currentState(spark, t, None) match {
+      case Some((parts, deltas)) =>
+        val sch = latestSchema(spark, t)
+        val base = readParts(spark, t, parts, sch)
+        if (deltas.isEmpty) base
+        else Mor.mergedView(base, Mor.readDeltas(spark, t, deltas, sch), t)
       case None =>
         // No published commit: surface the standard path error (callers
         // guard with exists()); tolerate a bare parquet dir for
@@ -983,7 +1025,7 @@ object TableOps {
     * the bare-dir snapshot fallback tolerates) and must never be
     * garbage-collected.
     */
-  private val CommitDirPattern = "[0-9]{17}".r
+  private[ops] val CommitDirPattern = "[0-9]{17}".r
 
   /** Minimum mtime age before [[clean]] GCs a `.tmp` scratch entry.
     * Live staging dirs are heartbeated ([[withScratch]]) so their mtime
