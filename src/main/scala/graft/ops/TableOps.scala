@@ -196,6 +196,13 @@ object TableOps {
       .nextOption()
   }
 
+  /** Delta commits live in the CURRENT manifest (empty = pure-COW
+    * state). COW-mutating entry points fold these first (see
+    * [[compactDeltas]]).
+    */
+  private def liveDeltas(spark: SparkSession, t: KeyedTable): Seq[String] =
+    currentState(spark, t, None).map(_._2).getOrElse(Nil)
+
   /** Read the table state a parts map describes. Reads are grouped per
     * owning commit dir so partition-column parsing gets a consistent
     * basePath; with a manifest schema the partition columns keep their
@@ -303,6 +310,12 @@ object TableOps {
       maxRecordsPerFile: Long = 4000000L,
       idempotencyKey: Option[String] = None): String = {
     val log = CommitLog(t, spark)
+    // Live MOR deltas fold into a COW commit FIRST: the partition-scoped
+    // rewrite below discovers affected files via input_file_name(), which
+    // yields nothing through the merged real-time view's aggregation —
+    // and the parts-map ownership update assumes base dirs are the whole
+    // table. Pure-COW tables skip this entirely.
+    if (liveDeltas(spark, t).nonEmpty) compactDeltas(spark, t)
     // Lost-update tripwire: the commit below is computed on top of THIS
     // timeline head (see CommitLog.logCommit expectedPrev).
     val baseCommit = log.latestCommit()
@@ -450,6 +463,132 @@ object TableOps {
     ts
   }
 
+  /** MOR delta commit — the fast write path of Hudi's MERGE_ON_READ
+    * table type (the half of the Hudi surface the reference's COW
+    * config leaves off; see [[Mor]]). Writes ONLY the deduped,
+    * stamped batch as a new `data/{ts}` dir and republishes the
+    * UNCHANGED base partition map with `ts` appended to the manifest's
+    * delta list — no base rewrite, O(batch) bytes per commit
+    * regardless of how many partitions the batch grazes. Readers
+    * ([[snapshot]], [[snapshotWhere]], [[incremental]]) merge live
+    * deltas on the fly (real-time view); [[compactDeltas]] folds them
+    * back to pure-COW state on a schedule.
+    *
+    * Same contracts as [[upsert]]: within-batch precombine dedup under
+    * the table's row identity, idempotency-key replay protection,
+    * additive schema evolution (the manifest records the union-coerced
+    * schema), lost-update tripwire. First commit on a fresh table
+    * delegates to [[upsert]] (the first file slice IS a base file).
+    *
+    * GLOBAL-indexed partitioned tables are rejected: global key moves
+    * need old-home resolution at write time, which is exactly the work
+    * a delta commit defers — use [[upsert]] there (Hudi similarly
+    * couples global index types to eager merge costs).
+    */
+  def deltaCommit(
+      spark: SparkSession,
+      t: KeyedTable,
+      incoming: DataFrame,
+      maxRecordsPerFile: Long = 4000000L,
+      idempotencyKey: Option[String] = None): String = {
+    require(!(t.globalIndex && t.partitionBy.nonEmpty),
+      s"table ${t.name}: MOR delta commits are partition-scoped; " +
+        "GLOBAL-indexed partitioned tables must upsert() (key moves " +
+        "need eager old-home resolution)")
+    if (!exists(spark, t))
+      return upsert(spark, t, incoming,
+        maxRecordsPerFile = maxRecordsPerFile,
+        idempotencyKey = idempotencyKey)
+    val log = CommitLog(t, spark)
+    val baseCommit = log.latestCommit()
+    idempotencyKey.foreach { key =>
+      if (log.hasIdempotencyKey(key)) return ""
+    }
+    if (incoming.isEmpty) return ""
+    val ts = CommitLog.newCommitTs()
+    val deduped = Upsert.dedupBatch(incoming, t.rowIdentity,
+      Seq(t.precombineKey))
+    val stamped = deduped.withColumn(KeyedTable.CommitCol, lit(ts))
+    val (parts, oldDeltas) = currentState(spark, t, None).get
+    val sch = latestSchema(spark, t)
+    // union coercion against the CURRENT table schema — the same
+    // widening a COW merge applies, so the recorded schema stays the
+    // running union across base + every delta (schema-only analysis,
+    // no job)
+    val mergedSchema: StructType =
+      if (parts.isEmpty && sch.isEmpty) stamped.schema
+      else readParts(spark, t, parts, sch)
+        .unionByName(stamped, allowMissingColumns = true).schema
+    val dest = new Path(s"${t.dataPath}/$ts")
+    writer(stamped, t, Nil, maxRecordsPerFile).parquet(dest.toString)
+    if (t.statsColumns.nonEmpty)
+      ColumnStats.write(spark, t, ts, Some(mergedSchema))
+    log.logCommit(ts, Map(
+      "table" -> t.name,
+      "action" -> "deltacommit",
+      "schema" -> mergedSchema.json,
+      PartsKey -> partsJson(parts),
+      DeltasKey -> deltasJson(oldDeltas :+ ts)) ++
+      idempotencyKey.map("idempotency_key" -> _),
+      expectedPrev = Some(baseCommit))
+    idempotencyKey.foreach(log.recordIdempotencyKey)
+    ts
+  }
+
+  /** Fold live MOR delta commits into a fresh COW commit — Hudi's
+    * compaction. Partition-scoped: the partitions a delta touched are
+    * discovered from the hive dirs under its commit dir (FS metadata,
+    * no data scan); only those base partitions are merged and
+    * rewritten, every other partition keeps its current dir. The new
+    * manifest carries no delta list, so subsequent reads are plain
+    * pruned scans again and [[clean]] collects the delta dirs once
+    * their manifests age past retention. Visible rows are unchanged by
+    * construction ([[Mor.mergedView]] uses the COW tie-break order);
+    * returns the commit ts, or "" when there is nothing to fold.
+    */
+  def compactDeltas(spark: SparkSession, t: KeyedTable,
+      maxRecordsPerFile: Long = 4000000L): String = {
+    val log = CommitLog(t, spark)
+    val baseCommit = log.latestCommit()
+    val (oldParts, deltas) = currentState(spark, t, None).getOrElse(return "")
+    if (deltas.isEmpty) return ""
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    val sch = latestSchema(spark, t)
+    val ts = CommitLog.newCommitTs()
+    val dest = new Path(s"${t.dataPath}/$ts")
+    val deltaRows = Mor.readDeltas(spark, t, deltas, sch)
+    var mergedSchema: StructType = null
+    val newParts: Map[String, String] =
+      if (t.partitionBy.isEmpty) {
+        val merged = Mor.mergedView(
+          readParts(spark, t, oldParts, sch), deltaRows, t)
+        mergedSchema = merged.schema
+        writer(merged, t, Nil, maxRecordsPerFile).parquet(dest.toString)
+        Map("" -> ts)
+      } else {
+        val deltaRels = deltas.flatMap(d =>
+          relsOf(fs, new Path(s"${t.dataPath}/$d"), t.partitionBy.length))
+          .toSet
+        val affected = oldParts.view.filterKeys(deltaRels.contains).toMap
+        val merged = Mor.mergedView(
+          readParts(spark, t, affected, sch), deltaRows, t)
+        mergedSchema = merged.schema
+        writer(merged, t, Nil, maxRecordsPerFile).parquet(dest.toString)
+        val written = relsOf(fs, dest, t.partitionBy.length)
+        oldParts -- affected.keySet ++ written.map(_ -> ts)
+      }
+    if (t.statsColumns.nonEmpty)
+      ColumnStats.write(spark, t, ts, Some(mergedSchema))
+    log.logCommit(ts, Map(
+      "table" -> t.name,
+      "action" -> "compact",
+      "schema" -> mergedSchema.json,
+      PartsKey -> partsJson(newParts)),
+      expectedPrev = Some(baseCommit))
+    ts
+  }
+
   /** Schema recorded by the latest commit (None for pre-schema tables —
     * falls back to footer inference).
     */
@@ -496,14 +635,27 @@ object TableOps {
         spark.read.parquet(t.dataPath)
     }
 
+  /** Read-optimized view (Hudi `_ro`): base files only, ignoring live
+    * MOR delta commits — stale by up to the un-compacted deltas, but a
+    * plain pruned columnar scan with no merge. Identical to
+    * [[snapshot]] on pure-COW state.
+    */
+  def snapshotReadOptimized(spark: SparkSession, t: KeyedTable): DataFrame =
+    currentParts(spark, t, None) match {
+      case Some(parts) => readParts(spark, t, parts, latestSchema(spark, t))
+      case None => spark.read.parquet(t.dataPath)
+    }
+
   /** Exact row count of the current snapshot. Tables carrying
     * column-stats sidecars answer from METADATA (Σ per-file `rows`
     * over live files — no scan job at all; the Delta count-from-stats
     * optimization); anything else falls back to `snapshot().count()`.
     */
   def countFast(spark: SparkSession, t: KeyedTable): Long =
-    currentParts(spark, t, None) match {
-      case Some(parts) if t.statsColumns.nonEmpty =>
+    currentState(spark, t, None) match {
+      // metadata counting needs pure-COW state: live deltas may
+      // supersede base rows, so the snapshot count is NOT Σ file rows
+      case Some((parts, deltas)) if t.statsColumns.nonEmpty && deltas.isEmpty =>
         ColumnStats.rowCount(spark, t, parts)
           .getOrElse(readParts(spark, t, parts, latestSchema(spark, t)).count())
       case _ => snapshot(spark, t).count()
@@ -521,9 +673,18 @@ object TableOps {
     */
   def snapshotWhere(spark: SparkSession, t: KeyedTable,
       pred: Column): DataFrame =
-    currentParts(spark, t, None) match {
+    currentState(spark, t, None) match {
       case None => spark.read.parquet(t.dataPath).filter(pred)
-      case Some(parts) =>
+      case Some((parts, deltas)) if deltas.nonEmpty =>
+        // MERGE_ON_READ state: the merge must run BEFORE the row filter
+        // (a pre-merge filter could drop the winning version of a key
+        // and resurrect a superseded one), so file skipping is off
+        // until compaction — Hudi's real-time-view trade. Compact to
+        // restore stats-pruned reads.
+        val sch = latestSchema(spark, t)
+        Mor.mergedView(readParts(spark, t, parts, sch),
+          Mor.readDeltas(spark, t, deltas, sch), t).filter(pred)
+      case Some((parts, _)) =>
         val sch = latestSchema(spark, t)
         val base =
           if (t.statsColumns.isEmpty) readParts(spark, t, parts, sch)
@@ -564,6 +725,9 @@ object TableOps {
   def delete(spark: SparkSession, t: KeyedTable, keys: DataFrame,
       idempotencyKey: Option[String] = None): String = {
     if (!exists(spark, t)) return ""
+    // same fold-first contract as upsert: the affected-file discovery
+    // below needs a file-backed snapshot, not a merged MOR view
+    if (liveDeltas(spark, t).nonEmpty) compactDeltas(spark, t)
     val log = CommitLog(t, spark)
     val baseCommit = log.latestCommit()
     idempotencyKey.foreach { key =>
@@ -834,8 +998,12 @@ object TableOps {
     * Requires those commits to still be retained (see [[clean]]).
     */
   def snapshotAsOf(spark: SparkSession, t: KeyedTable, asOf: String): DataFrame =
-    currentParts(spark, t, Some(asOf)) match {
-      case Some(parts) => readParts(spark, t, parts, schemaAt(spark, t, Some(asOf)))
+    currentState(spark, t, Some(asOf)) match {
+      case Some((parts, deltas)) =>
+        val sch = schemaAt(spark, t, Some(asOf))
+        val base = readParts(spark, t, parts, sch)
+        if (deltas.isEmpty) base
+        else Mor.mergedView(base, Mor.readDeltas(spark, t, deltas, sch), t)
       case None => throw new IllegalArgumentException(
         s"table ${t.name}: no commit at or before $asOf " +
           "(cleaned beyond retention, or before first commit)")
@@ -980,6 +1148,10 @@ object TableOps {
       maxRecordsPerFile: Long = 4000000L): String = {
     require(t.partitionBy.nonEmpty, "compactPartitions needs a partitioned table")
     if (rels.isEmpty) return ""
+    // fold live MOR deltas first: this rewrite republishes a manifest
+    // WITHOUT a deltas list, so un-folded delta rows would silently
+    // vanish from every subsequent read
+    if (liveDeltas(spark, t).nonEmpty) compactDeltas(spark, t)
     val oldParts = currentParts(spark, t, None).getOrElse(return "")
     val target = oldParts.view.filterKeys(rels.contains).toMap
     if (target.isEmpty) return ""
@@ -1077,9 +1249,13 @@ object TableOps {
     val fs = new Path(t.path).getFileSystem(conf)
     val log = CommitLog(t, spark)
     val dropped = log.retain(retainCommits)
-    val partsMaps = log.listCommits()
-      .flatMap(ts => log.commitMeta(ts).flatMap(partsOf))
-    val referenced = partsMaps.flatMap(_.values).toSet
+    val metas = log.listCommits().flatMap(ts => log.commitMeta(ts))
+    val partsMaps = metas.flatMap(partsOf)
+    // a commit dir is live if any retained manifest references it as a
+    // partition owner OR as a MOR delta commit — a delta dir is data,
+    // not history, until compaction folds it
+    val referenced = partsMaps.flatMap(_.values).toSet ++
+      metas.flatMap(deltasOf)
     val dataRoot = new Path(t.dataPath)
     // Two safety rails: (1) never collect anything unless at least one
     // retained manifest actually carries a parts map (a manifest-less

@@ -21,18 +21,30 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
-    * rejects by default; read it as a long and rebuild a microsecond
-    * timestamp (floor — consistent with what a ns→µs-truncating reader
-    * would produce).
+  /** The events table's on-disk timestamp layout has shipped in two
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects by default —
+    * read as int64 nanos and rebuild a µs timestamp, flooring) and
+    * plain timestamp[us] (surfacing as TIMESTAMP_NTZ — normalized to
+    * the session-zone TIMESTAMP the downstream window/session queries
+    * expect; the session runs UTC, so the wall-clock values are
+    * identical). Dispatch on the RESOLVED type, not the generation.
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    eventsRaw(s, dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = eventsRaw(s, dir)
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
 
-  /** The events scan BEFORE the µs rebuild (ts = raw int64 nanos) — the
-    * layer to apply range predicates at, so they reach the parquet scan
-    * (a filter on the computed timestamp pushes nothing). The legacy
-    * conf is scoped to schema resolution and restored.
+  /** The events scan BEFORE the µs rebuild (ts = raw int64 nanos on
+    * nanos-generation files, native timestamp otherwise) — the layer to
+    * apply range predicates at, so they reach the parquet scan (a
+    * filter on a computed timestamp pushes nothing). The legacy conf is
+    * scoped to schema resolution and restored; it is inert on µs files.
     */
   private def eventsRaw(s: SparkSession, dir: String): DataFrame = {
     val key  = "spark.sql.legacy.parquet.nanosAsLong"
@@ -365,10 +377,20 @@ object CoreQueries {
     // run UTC, and `Timestamp.valueOf` would parse in the JVM default
     // zone — correct on this container, silently shifted on any non-UTC
     // JVM.
-    val cutoffMicros = java.time.LocalDateTime.of(2024, 1, 25, 0, 0)
-      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
-    eventsRaw(s, dir)
-      .filter(col("ts") >= lit((cutoffMicros + 1L) * 1000L))
+    val cutoff = java.time.LocalDateTime.of(2024, 1, 25, 0, 0)
+    val cutoffMicros =
+      cutoff.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    val raw = eventsRaw(s, dir)
+    // the pushed predicate must speak the scan's native type: int64
+    // nanos on nanos-generation files, an NTZ/timestamp literal
+    // otherwise (a LocalDateTime literal resolves to TIMESTAMP_NTZ and
+    // coerces to TIMESTAMP when the column is session-zoned)
+    val pred = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") >= lit((cutoffMicros + 1L) * 1000L)
+      case _ => col("ts") > lit(cutoff)
+    }
+    raw.filter(pred)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
       .orderBy("event_id")

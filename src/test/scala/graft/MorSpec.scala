@@ -1,0 +1,204 @@
+package graft
+
+import graft.ops.{Mor, TableOps, Upsert}
+import graft.tables.{CommitLog, KeyedTable}
+import org.apache.spark.sql.functions._
+
+/** MERGE_ON_READ table state: delta commits, real-time merged view,
+  * compaction equivalence, cleaner safety, COW-path fold-first guards.
+  */
+class MorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def table(partitioned: Boolean, stats: Seq[String] = Nil) = {
+    val base = tmpDir("graft-mor")
+    KeyedTable("m", s"$base/m", Seq("id"), "ver",
+      if (partitioned) Seq("part") else Nil, statsColumns = stats)
+  }
+
+  private def rows(rs: (String, Int, String, String)*) =
+    rs.toDF("id", "ver", "payload", "part")
+
+  private def visible(t: KeyedTable) =
+    TableOps.snapshot(spark, t).select("id", "ver", "payload", "part")
+      .as[(String, Int, String, String)].collect().toSet
+
+  test("delta commit merges in the real-time view; base untouched") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2")))
+    val baseDirs = TableOps.partitionDirs(spark, t)
+    val ts = TableOps.deltaCommit(spark, t,
+      rows(("b", 2, "y2", "p2"), ("c", 1, "z", "p1")))
+    assert(ts.nonEmpty)
+    // base partition map unchanged — the delta wrote no base rewrite
+    assert(TableOps.partitionDirs(spark, t) === baseDirs)
+    assert(visible(t) === Set(
+      ("a", 1, "x", "p1"), ("b", 2, "y2", "p2"), ("c", 1, "z", "p1")))
+  }
+
+  test("precombine discipline matches COW: stale delta loses, ties to newer commit") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 5, "base", "p1")))
+    // lower precombine: the base row must win the merge
+    TableOps.deltaCommit(spark, t, rows(("a", 3, "stale", "p1")))
+    assert(visible(t) === Set(("a", 5, "base", "p1")))
+    // equal precombine: newer commit (the delta) wins — COW tie order
+    TableOps.deltaCommit(spark, t, rows(("a", 5, "tie", "p1")))
+    assert(visible(t) === Set(("a", 5, "tie", "p1")))
+  }
+
+  test("multiple deltas resolve among themselves by commit order") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "v0", "p1")))
+    TableOps.deltaCommit(spark, t, rows(("a", 2, "v1", "p1")))
+    TableOps.deltaCommit(spark, t, rows(("a", 2, "v2", "p1")))
+    TableOps.deltaCommit(spark, t, rows(("d", 1, "new", "p1")))
+    assert(visible(t) === Set(("a", 2, "v2", "p1"), ("d", 1, "new", "p1")))
+  }
+
+  test("compactDeltas folds to identical visible rows, clears deltas, rewrites only touched partitions") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t,
+      rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2"), ("c", 1, "z", "p3")))
+    val dirsBefore = TableOps.partitionDirs(spark, t)
+    TableOps.deltaCommit(spark, t,
+      rows(("a", 2, "x2", "p1"), ("n", 1, "new", "p4")))
+    val before = visible(t)
+    val ts = TableOps.compactDeltas(spark, t)
+    assert(ts.nonEmpty)
+    assert(visible(t) === before)
+    // pure-COW again: no deltas in the manifest, second fold is a no-op
+    assert(TableOps.compactDeltas(spark, t) === "")
+    val dirsAfter = TableOps.partitionDirs(spark, t)
+    // untouched partitions keep their original commit dirs
+    assert(dirsAfter("part=p2") === dirsBefore("part=p2"))
+    assert(dirsAfter("part=p3") === dirsBefore("part=p3"))
+    // touched + new partitions moved to the compaction commit
+    assert(dirsAfter("part=p1").endsWith(s"$ts/part=p1"))
+    assert(dirsAfter("part=p4").endsWith(s"$ts/part=p4"))
+  }
+
+  test("real-time view equals the COW table fed the same batches") {
+    val t = table(partitioned = true)
+    val cow = KeyedTable("c", s"${tmpDir("graft-mor-cow")}/c",
+      Seq("id"), "ver", Seq("part"))
+    val b0 = rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2"))
+    val b1 = rows(("a", 2, "x2", "p1"), ("c", 1, "z", "p2"))
+    val b2 = rows(("b", 1, "tie", "p2"), ("d", 4, "w", "p3"))
+    TableOps.upsert(spark, t, b0); TableOps.upsert(spark, cow, b0)
+    TableOps.deltaCommit(spark, t, b1); TableOps.upsert(spark, cow, b1)
+    TableOps.deltaCommit(spark, t, b2); TableOps.upsert(spark, cow, b2)
+    def proj(tt: KeyedTable) =
+      TableOps.snapshot(spark, tt).select("id", "ver", "payload", "part")
+        .as[(String, Int, String, String)].collect().toSet
+    assert(proj(t) === proj(cow))
+    TableOps.compactDeltas(spark, t)
+    assert(proj(t) === proj(cow))
+  }
+
+  test("clean() never collects delta dirs referenced by retained manifests") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val d1 = TableOps.deltaCommit(spark, t, rows(("b", 1, "y", "p1")))
+    val d2 = TableOps.deltaCommit(spark, t, rows(("c", 1, "z", "p1")))
+    TableOps.clean(spark, t, retainCommits = 3)
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${t.dataPath}/$d1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${t.dataPath}/$d2")))
+    assert(visible(t) === Set(
+      ("a", 1, "x", "p1"), ("b", 1, "y", "p1"), ("c", 1, "z", "p1")))
+    // after compaction + retention past the delta manifests, they fold away
+    TableOps.compactDeltas(spark, t)
+    TableOps.clean(spark, t, retainCommits = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${t.dataPath}/$d1")))
+    assert(visible(t) === Set(
+      ("a", 1, "x", "p1"), ("b", 1, "y", "p1"), ("c", 1, "z", "p1")))
+  }
+
+  test("COW entry points fold live deltas first and stay correct") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2")))
+    TableOps.deltaCommit(spark, t, rows(("a", 2, "x2", "p1")))
+    // upsert on MOR state: folds, then merges the new batch
+    TableOps.upsert(spark, t, rows(("b", 2, "y2", "p2")))
+    assert(visible(t) === Set(("a", 2, "x2", "p1"), ("b", 2, "y2", "p2")))
+    val log = CommitLog(t, spark)
+    assert(log.commitMeta(log.latestCommit().get).get
+      .get("deltas").forall(_ == "[]"))
+    // delete on MOR state
+    TableOps.deltaCommit(spark, t, rows(("c", 1, "z", "p1")))
+    TableOps.delete(spark, t, Seq("a").toDF("id"))
+    assert(visible(t) === Set(("b", 2, "y2", "p2"), ("c", 1, "z", "p1")))
+  }
+
+  test("snapshotWhere on MOR state merges before filtering") {
+    val t = table(partitioned = false, stats = Seq("ver"))
+    TableOps.upsert(spark, t, rows(("a", 9, "base-wins", "p1")))
+    // superseded delta row matches the predicate; the winning base row
+    // does not — a filter-before-merge would resurrect the loser
+    TableOps.deltaCommit(spark, t, rows(("a", 2, "loser", "p1")))
+    val got = TableOps.snapshotWhere(spark, t, col("ver") < 5)
+    assert(got.count() === 0)
+    assert(TableOps.snapshotWhere(spark, t, col("ver") > 5)
+      .select("payload").as[String].collect().toSeq === Seq("base-wins"))
+    // countFast must not answer from base-file stats while deltas live
+    TableOps.deltaCommit(spark, t, rows(("b", 1, "n", "p1")))
+    assert(TableOps.countFast(spark, t) === 2)
+  }
+
+  test("incremental read sees delta commits; time travel honors delta instants") {
+    val t = table(partitioned = false)
+    val t0 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val d1 = TableOps.deltaCommit(spark, t, rows(("a", 2, "x2", "p1")))
+    val d2 = TableOps.deltaCommit(spark, t, rows(("b", 1, "y", "p1")))
+    val inc = TableOps.incremental(spark, t, beginExclusive = t0)
+      .select("id", "ver").as[(String, Int)].collect().toSet
+    assert(inc === Set(("a", 2), ("b", 1)))
+    val asOf = TableOps.snapshotAsOf(spark, t, d1)
+      .select("id", "ver").as[(String, Int)].collect().toSet
+    assert(asOf === Set(("a", 2)))
+    assert(TableOps.snapshotAsOf(spark, t, d2).count() === 2)
+    // read-optimized view is the base only
+    assert(TableOps.snapshotReadOptimized(spark, t)
+      .select("ver").as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("delta commit contracts: replay skip, empty batch, fresh-table delegate, global rejection") {
+    val t = table(partitioned = false)
+    // fresh table: delegates to a COW first commit
+    val ts0 = TableOps.deltaCommit(spark, t, rows(("a", 1, "x", "p1")),
+      idempotencyKey = Some("b0"))
+    assert(ts0.nonEmpty)
+    assert(CommitLog(t, spark).commitMeta(ts0).get.get("deltas").isEmpty)
+    // replayed key: skipped
+    assert(TableOps.deltaCommit(spark, t, rows(("z", 1, "no", "p1")),
+      idempotencyKey = Some("b0")) === "")
+    // empty batch: no commit
+    assert(TableOps.deltaCommit(spark, t,
+      rows(("q", 1, "q", "p1")).filter(lit(false))) === "")
+    assert(visible(t) === Set(("a", 1, "x", "p1")))
+    val g = KeyedTable("g", s"${tmpDir("graft-mor-g")}/g", Seq("id"), "ver",
+      Seq("part"), globalIndex = true)
+    TableOps.upsert(spark, g, rows(("a", 1, "x", "p1")))
+    intercept[IllegalArgumentException] {
+      TableOps.deltaCommit(spark, g, rows(("a", 2, "x2", "p2")))
+    }
+  }
+
+  test("schema evolution rides the delta path: new column visible, old rows null") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val evolved = Seq(("b", 1, "y", "p1", "extra"))
+      .toDF("id", "ver", "payload", "part", "note")
+    TableOps.deltaCommit(spark, t, evolved)
+    val snap = TableOps.snapshot(spark, t)
+    assert(snap.columns.contains("note"))
+    val got = snap.select("id", "note").as[(String, Option[String])]
+      .collect().toMap
+    assert(got === Map("a" -> None, "b" -> Some("extra")))
+    // survives compaction
+    TableOps.compactDeltas(spark, t)
+    assert(TableOps.snapshot(spark, t).columns.contains("note"))
+  }
+}
