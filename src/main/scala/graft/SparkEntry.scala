@@ -128,6 +128,7 @@ object SparkEntry {
     "s_update_where"          -> (OpsQueries.sUpdateWhere _),
     "s_apply_changes"         -> (OpsQueries.sApplyChanges _),
     "s5_generator"            -> (OpsQueries.s5Generator _),
+    "s9_mor_snapshot"         -> (OpsQueries.s9MorSnapshot _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
   )
@@ -1486,6 +1487,24 @@ object SparkEntry {
         |  CAST(count(DISTINCT state) AS BIGINT) AS n_states,
         |  min(cid) AS min_id, max(cid) AS max_id
         | FROM c""".stripMargin,
+    // s9: the MOR real-time/compacted view is greatest-ver-per-key over
+    // the base batch and the two delta batches (ver breaks every tie, so
+    // the commit-ts tiebreak never fires and the SQL is exact).
+    "s9_mor_snapshot" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, 1 AS ver, o_totalprice, o_orderstatus
+        |   FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, o_totalprice * 2, o_orderstatus
+        |   FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, o_totalprice + 10, o_orderstatus
+        |   FROM orders WHERE o_orderkey % 5 = 0),
+        | r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY ver DESC) AS rn FROM u)
+        | SELECT o_orderkey, ver, o_totalprice, o_orderstatus
+        | FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
     "a_approx_agg" ->
       """SELECT 'approx_agg' AS family,
         | count(DISTINCT l_orderkey) AS n_orders,

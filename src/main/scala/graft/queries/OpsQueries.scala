@@ -501,4 +501,42 @@ object OpsQueries {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("u")).as("n_uuid"),
         countDistinct(col("mid")).as("n_mid"))
+
+  /** S9 — the MERGE_ON_READ lifecycle as a value-oracled roundtrip
+    * (Hudi's second table type; [[graft.ops.Mor]]): orders → COW base
+    * (ver=1) → two delta commits carrying higher-precombine updates
+    * (ver=2 doubles the price on keys ≡0 mod 3, ver=3 adds 10 to the
+    * ORIGINAL price on keys ≡0 mod 5) → real-time snapshot. The oracle
+    * recomputes greatest-ver-per-key over the union of the three
+    * batches in SQL. In-query gate: compacting the deltas must leave
+    * the visible rows IDENTICAL (symmetric anti-join empty — the
+    * fold-is-a-no-op contract) and a second fold must report nothing
+    * to do.
+    */
+  def s9MorSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val table = KeyedTable("orders_mor",
+      s"${scratch("graft-s9")}/orders_mor",
+      Seq("o_orderkey"), "ver", Seq("o_orderstatus"))
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    TableOps.deltaCommit(s, table,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(2)))
+    TableOps.deltaCommit(s, table,
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .withColumn("ver", lit(3)))
+    val cols = Seq("o_orderkey", "ver", "o_totalprice", "o_orderstatus")
+    val rt = TableOps.snapshot(s, table).select(cols.map(col): _*)
+    require(TableOps.compactDeltas(s, table).nonEmpty,
+      "s9: expected live deltas to fold")
+    val folded = TableOps.snapshot(s, table).select(cols.map(col): _*)
+    require(folded.exceptAll(rt).isEmpty && rt.exceptAll(folded).isEmpty,
+      "s9: compaction changed the visible rows")
+    require(TableOps.compactDeltas(s, table).isEmpty,
+      "s9: table not in pure-COW state after compaction")
+    folded.orderBy("o_orderkey")
+  }
 }
