@@ -203,6 +203,27 @@ object TableOps {
   private def liveDeltas(spark: SparkSession, t: KeyedTable): Seq[String] =
     currentState(spark, t, None).map(_._2).getOrElse(Nil)
 
+  /** The live (un-compacted) MOR delta commits, oldest first — empty in
+    * pure-COW state. Drives compaction scheduling (Hudi's
+    * `compact.inline.max.delta.commits` trigger shape) and test
+    * introspection; kilobyte manifest read, never a data scan.
+    */
+  def liveDeltaCommits(spark: SparkSession, t: KeyedTable): Seq[String] =
+    liveDeltas(spark, t)
+
+  /** Newest commit whose manifest describes pure-COW state (no live
+    * deltas) — the BASE state the [[graft.tables.KeyIndex]] keeps
+    * tracking while delta commits stack on top of it.
+    */
+  private def lastBaseCommit(spark: SparkSession,
+      t: KeyedTable): Option[String] = {
+    val log = CommitLog(t, spark)
+    log.listCommits().reverseIterator
+      .flatMap(ts => log.commitMeta(ts).map(ts -> _))
+      .collectFirst { case (ts, meta)
+          if partsOf(meta).isDefined && deltasOf(meta).isEmpty => ts }
+  }
+
   /** Read the table state a parts map describes. Reads are grouped per
     * owning commit dir so partition-column parsing gets a consistent
     * basePath; with a manifest schema the partition columns keep their
@@ -480,10 +501,12 @@ object TableOps {
     * schema), lost-update tripwire. First commit on a fresh table
     * delegates to [[upsert]] (the first file slice IS a base file).
     *
-    * GLOBAL-indexed partitioned tables are rejected: global key moves
-    * need old-home resolution at write time, which is exactly the work
-    * a delta commit defers — use [[upsert]] there (Hudi similarly
-    * couples global index types to eager merge costs).
+    * GLOBAL-indexed partitioned tables work too: the real-time view
+    * merges on the bare record key (table-wide uniqueness holds in
+    * every read), and old-home resolution — the work a delta commit
+    * defers — happens once at [[compactDeltas]] via the persisted
+    * [[KeyIndex]], which stays synced to the BASE state (delta commits
+    * never touch it).
     */
   def deltaCommit(
       spark: SparkSession,
@@ -491,10 +514,6 @@ object TableOps {
       incoming: DataFrame,
       maxRecordsPerFile: Long = 4000000L,
       idempotencyKey: Option[String] = None): String = {
-    require(!(t.globalIndex && t.partitionBy.nonEmpty),
-      s"table ${t.name}: MOR delta commits are partition-scoped; " +
-        "GLOBAL-indexed partitioned tables must upsert() (key moves " +
-        "need eager old-home resolution)")
     if (!exists(spark, t))
       return upsert(spark, t, incoming,
         maxRecordsPerFile = maxRecordsPerFile,
@@ -566,7 +585,7 @@ object TableOps {
         mergedSchema = merged.schema
         writer(merged, t, Nil, maxRecordsPerFile).parquet(dest.toString)
         Map("" -> ts)
-      } else {
+      } else if (!t.globalIndex) {
         val deltaRels = deltas.flatMap(d =>
           relsOf(fs, new Path(s"${t.dataPath}/$d"), t.partitionBy.length))
           .toSet
@@ -577,6 +596,29 @@ object TableOps {
         writer(merged, t, Nil, maxRecordsPerFile).parquet(dest.toString)
         val written = relsOf(fs, dest, t.partitionBy.length)
         oldParts -- affected.keySet ++ written.map(_ -> ts)
+      } else {
+        // GLOBAL semantics: a delta may move a key between partitions,
+        // so the fold must also rewrite the keys' OLD homes (the base
+        // copy dies there). Old homes come from the persisted KeyIndex,
+        // which delta commits deliberately never touch — it stays
+        // synced to the BASE state, exactly what the fold needs
+        // (ensureFresh heals a crashed/missing index from the
+        // read-optimized base, never the merged view).
+        val base = readParts(spark, t, oldParts, sch)
+        KeyIndex.ensureFresh(spark, t, lastBaseCommit(spark, t), base)
+        val affectedDf = deltaRows
+          .select(t.partitionBy.map(col): _*).distinct()
+          .union(KeyIndex.lookupPartitions(spark, t, deltaRows))
+          .distinct()
+        val affected = affectedDf.collect()
+        val affectedExisting = base.filter(
+          partitionPredicate(t.partitionBy, affectedDf.schema, affected))
+        val merged = Mor.mergedView(affectedExisting, deltaRows, t)
+        mergedSchema = merged.schema
+        writer(merged, t, Nil, maxRecordsPerFile).parquet(dest.toString)
+        val affectedRels = backingRels(spark, t, fs, affectedExisting).keySet
+        val written = relsOf(fs, dest, t.partitionBy.length)
+        oldParts -- affectedRels ++ written.map(_ -> ts)
       }
     if (t.statsColumns.nonEmpty)
       ColumnStats.write(spark, t, ts, Some(mergedSchema))
@@ -586,6 +628,19 @@ object TableOps {
       "schema" -> mergedSchema.json,
       PartsKey -> partsJson(newParts)),
       expectedPrev = Some(baseCommit))
+    // GLOBAL tables: the fold decided every delta key's final home —
+    // record it (same post-publish contract as upsert: a crash here
+    // costs the next writer one ensureFresh rebuild, never a wrong
+    // lookup). Winners keep their rows in the written dir, so the
+    // read-back restricted to the delta key set is exact.
+    if (t.globalIndex && t.partitionBy.nonEmpty) {
+      val written = spark.read.schema(mergedSchema)
+        .option("basePath", dest.toString).parquet(dest.toString)
+      val deltaKeys = deltaRows.select(t.recordKey.map(col): _*).distinct()
+      KeyIndex.update(spark, t,
+        written.join(deltaKeys, t.recordKey, "left_semi"))
+      KeyIndex.markSynced(spark, t, ts)
+    }
     ts
   }
 

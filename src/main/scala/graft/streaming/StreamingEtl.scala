@@ -45,6 +45,46 @@ object StreamingEtl {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming MOR ingest — the workload Hudi's MERGE_ON_READ table
+    * type exists for: each micro-batch lands as an O(batch)-byte delta
+    * commit ([[graft.ops.TableOps.deltaCommit]]) instead of a COW
+    * partition rewrite, and INLINE COMPACTION folds the deltas back to
+    * base files once `compactEvery` accumulate (Hudi's
+    * `hoodie.compact.inline.max.delta.commits` trigger). Between
+    * compactions readers get the merged real-time view; batch-id
+    * idempotency keys keep the sink exactly-once under replay, and a
+    * replayed batch that skips also skips the compaction probe (the
+    * delta count is unchanged).
+    *
+    * `maxFilesPerTrigger` bounds micro-batch size (admission control —
+    * a backlogged source must not fold into one giant batch).
+    */
+  def parquetToTableMor(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      target: KeyedTable,
+      checkpointDir: String,
+      compactEvery: Int = 4,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n): Unit)
+    reader.parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ts = TableOps.deltaCommit(spark, target, batch,
+          idempotencyKey = Some(s"${target.name}-mor-$batchId"))
+        if (ts.nonEmpty &&
+            TableOps.liveDeltaCommits(spark, target).size >= compactEvery)
+          TableOps.compactDeltas(spark, target): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Continuous silver→gold CDC: stream `source`'s change records
     * ([[IncrementalSource.changes]]) and key-merge each micro-batch
     * into `target` — the streaming form of the reference's polled

@@ -164,7 +164,42 @@ class MorSpec extends SparkSuite {
       .select("ver").as[Int].collect().toSeq === Seq(1))
   }
 
-  test("delta commit contracts: replay skip, empty batch, fresh-table delegate, global rejection") {
+  test("GLOBAL MOR: delta moves a key between partitions; fold kills the old copy") {
+    val g = KeyedTable("g", s"${tmpDir("graft-mor-g")}/g", Seq("id"), "ver",
+      Seq("part"), globalIndex = true)
+    TableOps.upsert(spark, g, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2")))
+    // key a moves p1 → p3 via the delta path
+    TableOps.deltaCommit(spark, g, rows(("a", 2, "x2", "p3")))
+    // real-time view: table-wide key uniqueness holds pre-compaction
+    assert(visible(g) === Set(("a", 2, "x2", "p3"), ("b", 1, "y", "p2")))
+    TableOps.compactDeltas(spark, g)
+    assert(visible(g) === Set(("a", 2, "x2", "p3"), ("b", 1, "y", "p2")))
+    // the old home was rewritten; emptied p1 left the parts map
+    val dirs = TableOps.partitionDirs(spark, g)
+    assert(!dirs.contains("part=p1") && dirs.contains("part=p3"))
+    // untouched partition kept its dir through the global fold
+    assert(dirs.contains("part=p2"))
+    // the index recorded the move: a follow-up COW upsert that trusts
+    // it for old-home discovery preserves uniqueness on another move
+    TableOps.upsert(spark, g, rows(("a", 3, "x3", "p2")))
+    assert(visible(g) === Set(("a", 3, "x3", "p2"), ("b", 1, "y", "p2")))
+  }
+
+  test("GLOBAL MOR: stale-delta key keeps its base home through the fold") {
+    val g = KeyedTable("g2", s"${tmpDir("graft-mor-g2")}/g2", Seq("id"), "ver",
+      Seq("part"), globalIndex = true)
+    TableOps.upsert(spark, g, rows(("a", 5, "keep", "p1")))
+    // lower-precombine delta targeting another partition must LOSE —
+    // the key stays in p1 with the base payload
+    TableOps.deltaCommit(spark, g, rows(("a", 2, "late", "p9")))
+    assert(visible(g) === Set(("a", 5, "keep", "p1")))
+    TableOps.compactDeltas(spark, g)
+    assert(visible(g) === Set(("a", 5, "keep", "p1")))
+    val dirs = TableOps.partitionDirs(spark, g)
+    assert(dirs.contains("part=p1") && !dirs.contains("part=p9"))
+  }
+
+  test("delta commit contracts: replay skip, empty batch, fresh-table delegate") {
     val t = table(partitioned = false)
     // fresh table: delegates to a COW first commit
     val ts0 = TableOps.deltaCommit(spark, t, rows(("a", 1, "x", "p1")),
@@ -178,12 +213,32 @@ class MorSpec extends SparkSuite {
     assert(TableOps.deltaCommit(spark, t,
       rows(("q", 1, "q", "p1")).filter(lit(false))) === "")
     assert(visible(t) === Set(("a", 1, "x", "p1")))
-    val g = KeyedTable("g", s"${tmpDir("graft-mor-g")}/g", Seq("id"), "ver",
-      Seq("part"), globalIndex = true)
-    TableOps.upsert(spark, g, rows(("a", 1, "x", "p1")))
-    intercept[IllegalArgumentException] {
-      TableOps.deltaCommit(spark, g, rows(("a", 2, "x2", "p2")))
+  }
+
+  test("streaming MOR ingest: per-batch delta commits + inline compaction") {
+    val base = tmpDir("graft-mor-stream")
+    val srcDir = s"$base/src"
+    val target = KeyedTable("ms", s"$base/ms", Seq("id"), "ver")
+    // 4 source files → 4 micro-batches at maxFilesPerTrigger=1;
+    // distinct keys per file so every batch commits
+    (0 until 4).foreach { i =>
+      Seq((s"k$i", 1, s"v$i", "p1")).toDF("id", "ver", "payload", "part")
+        .coalesce(1).write.mode("append").parquet(srcDir)
     }
+    val schema = spark.read.parquet(srcDir).schema
+    val q = graft.streaming.StreamingEtl.parquetToTableMor(
+      spark, srcDir, schema, target, s"$base/ckpt",
+      compactEvery = 2, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(60000)
+    assert(visible(target).map(r => (r._1, r._2)) ===
+      (0 until 4).map(i => (s"k$i", 1)).toSet)
+    // inline compaction kept the live-delta backlog under the trigger
+    assert(TableOps.liveDeltaCommits(spark, target).size < 2)
+    val log = CommitLog(target, spark)
+    val actions = log.listCommits()
+      .flatMap(ts => log.commitMeta(ts).flatMap(_.get("action")))
+    // at least one delta commit and at least one inline compaction ran
+    assert(actions.contains("deltacommit") && actions.contains("compact"))
   }
 
   test("schema evolution rides the delta path: new column visible, old rows null") {
