@@ -733,12 +733,46 @@ object TableOps {
       case Some((parts, deltas)) if deltas.nonEmpty =>
         // MERGE_ON_READ state: the merge must run BEFORE the row filter
         // (a pre-merge filter could drop the winning version of a key
-        // and resurrect a superseded one), so file skipping is off
-        // until compaction — Hudi's real-time-view trade. Compact to
-        // restore stats-pruned reads.
+        // and resurrect a superseded one) — but only for base files
+        // that CAN hold a delta-superseded row. When the record key is
+        // stats-tracked, one metadata-sized agg over the deltas yields
+        // per-key-column [lo, hi] bounds; base files range-disjoint
+        // from them on any key column are SAFE — merge-free and
+        // predicate-pruned exactly like pure COW (the recovered Hudi
+        // file-slice locality: with a key-clustered layout the merge
+        // working set is a handful of files, not the table).
         val sch = latestSchema(spark, t)
-        Mor.mergedView(readParts(spark, t, parts, sch),
-          Mor.readDeltas(spark, t, deltas, sch), t).filter(pred)
+        val deltaRows = Mor.readDeltas(spark, t, deltas, sch)
+        def fullMerge() =
+          Mor.mergedView(readParts(spark, t, parts, sch), deltaRows, t)
+            .filter(pred)
+        val trackable = sch.isDefined &&
+          t.recordKey.forall(ColumnStats.trackedColumns(t).contains) &&
+          parts.nonEmpty
+        if (!trackable) fullMerge()
+        else {
+          val aggs = t.recordKey.flatMap(k => Seq(
+            min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k"),
+            sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"n_$k")))
+          val r = deltaRows.agg(aggs.head, aggs.tail: _*).head()
+          val nullKeys = t.recordKey.exists(k =>
+            Option(r.getAs[Any](s"n_$k")).forall(_.asInstanceOf[Long] > 0L))
+          val ranges = t.recordKey.map(k =>
+            (k, r.getAs[Any](s"lo_$k"), r.getAs[Any](s"hi_$k")))
+          // null-keyed delta rows make range reasoning unsound — bail
+          if (nullKeys || ranges.exists(x => x._2 == null || x._3 == null))
+            fullMerge()
+          else {
+            val (safe, risky) =
+              ColumnStats.morSplitRead(spark, t, parts, sch.get, pred, ranges)
+            val riskyBase = risky.getOrElse(
+              readParts(spark, t, Map.empty[String, String], sch))
+            val merged = Mor.mergedView(riskyBase, deltaRows, t).filter(pred)
+            safe.map(_.filter(pred)
+              .unionByName(merged, allowMissingColumns = true))
+              .getOrElse(merged)
+          }
+        }
       case Some((parts, _)) =>
         val sch = latestSchema(spark, t)
         val base =

@@ -168,6 +168,70 @@ object ColumnStats {
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Split a MOR base read into (safe, risky) frames by the live
+    * deltas' record-key ranges — the refinement that restores file
+    * skipping under MERGE_ON_READ state (Hudi's file-slice idea
+    * recovered from kilobyte sidecars):
+    *
+    *   - a file whose min/max range on ANY record-key column is
+    *     disjoint from the deltas' [lo, hi] on that column cannot hold
+    *     a row any delta supersedes — it is SAFE: it skips the merge
+    *     entirely AND the scan predicate prunes it like a pure-COW
+    *     read;
+    *   - every other file is RISKY: its rows must flow through the
+    *     merge unfiltered (a pre-merge row filter could resurrect a
+    *     superseded version), so `pred` does NOT prune it.
+    *
+    * `deltaRanges` carries (keyCol, lo, hi) with non-null bounds; files
+    * with null-count > 0 on a key column stay risky only when the
+    * caller says deltas carry null keys (it bails to the full merge in
+    * that case), so here a missing/indeterminate verdict is simply
+    * risky. Commit dirs without a sidecar are wholly risky. Either
+    * side is None when it has no files.
+    */
+  private[graft] def morSplitRead(spark: SparkSession, t: KeyedTable,
+      parts: Map[String, String], sch: StructType, pred: Column,
+      deltaRanges: Seq[(String, Any, Any)])
+      : (Option[DataFrame], Option[DataFrame]) = {
+    val fs = new Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resolved = analyzedPredicate(spark, sch, pred)
+    var safes = List.empty[DataFrame]
+    var riskys = List.empty[DataFrame]
+    parts.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (ver, m) =>
+      val verDir = s"${t.dataPath}/$ver"
+      val reader = spark.read.schema(sch).option("basePath", verDir)
+      if (!fs.exists(new Path(statsPath(t, ver)))) {
+        riskys ::= graft.ops.TableOps.readParts(spark, t, m, Some(sch))
+      } else {
+        val statsDf = spark.read.parquet(statsPath(t, ver))
+        // intersects on EVERY key column ⇒ the file may hold a delta
+        // key; null stats (all-null or absent column) ⇒ indeterminate
+        // ⇒ risky
+        val intersects = deltaRanges.map { case (k, lo, hi) =>
+          col(s"min_$k") <= lit(hi) && col(s"max_$k") >= lit(lo)
+        }.reduce(_ && _)
+        val keepCol = translate(resolved, trackedColumns(t).toSet, statsDf)
+        val verdicts = statsDf.select(col("file"),
+            coalesce(intersects, lit(true)).as("risky"),
+            coalesce(keepCol, lit(false)).as("keep"))
+          .collect()
+          .map(r => qualifiedOf(fs, r.getString(0)).toString
+            -> (r.getBoolean(1), r.getBoolean(2)))
+          .toMap
+        val (riskyF, restF) = liveFiles(fs, t, ver, m.keys.toSeq.sorted)
+          .partition(p => verdicts.get(p.toString).forall(_._1))
+        val safeF = restF.filter(p => verdicts(p.toString)._2)
+        if (riskyF.nonEmpty)
+          riskys ::= reader.parquet(riskyF.map(_.toString): _*)
+        if (safeF.nonEmpty)
+          safes ::= reader.parquet(safeF.map(_.toString): _*)
+      }
+    }
+    (safes.reduceOption(_.unionByName(_, allowMissingColumns = true)),
+      riskys.reduceOption(_.unionByName(_, allowMissingColumns = true)))
+  }
+
   /** Global (lo, hi) double-embedded ranges of `cols`, folded from the
     * sidecars of the table's CURRENT commit dirs — the kilobyte
     * metadata path for z-order range discovery. Empty when any live

@@ -215,6 +215,60 @@ class MorSpec extends SparkSuite {
     assert(visible(t) === Set(("a", 1, "x", "p1")))
   }
 
+  test("MOR snapshotWhere skips base files disjoint from the delta key range") {
+    val base = tmpDir("graft-mor-skip")
+    val t0 = KeyedTable("sk", s"$base/sk", Seq("id"), "ver",
+      statsColumns = Seq("id"))
+    val rows0 = spark.range(1, 201)
+      .selectExpr("id", "1 as ver", "concat('p', id) as payload")
+    // key-clustered write → per-file id ranges are disjoint
+    val ts1 = TableOps.upsert(spark, t0, rows0, sortBy = Seq("id"),
+      maxRecordsPerFile = 60)
+    TableOps.deltaCommit(spark, t0,
+      Seq((150L, 2, "upd")).toDF("id", "ver", "payload"))
+    // correctness first: split read ≡ full merged view, several shapes
+    val full = TableOps.snapshot(spark, t0)
+    for (p <- Seq(col("id") <= 100, col("id") >= 101,
+        col("id") > 140 && col("id") < 160, col("payload") === "upd")) {
+      val got = TableOps.snapshotWhere(spark, t0, p)
+        .select("id", "ver", "payload").as[(Long, Int, String)]
+        .collect().toSet
+      val want = full.filter(p)
+        .select("id", "ver", "payload").as[(Long, Int, String)]
+        .collect().toSet
+      assert(got === want, s"pred $p")
+    }
+    // pruning: files range-disjoint from the delta key AND excluded by
+    // the predicate are not read — file skipping is live under MOR
+    val stats = spark.read.parquet(s"${t0.path}/.commits/stats/$ts1")
+      .select("file", "max_id").as[(String, Long)].collect()
+    assert(stats.length >= 3) // clustered write produced several files
+    val lowNames = stats.filter(_._2 < 101)
+      .map(f => new java.net.URI(f._1).getPath.split('/').last)
+    assert(lowNames.nonEmpty)
+    val hiRead = TableOps.snapshotWhere(spark, t0, col("id") >= 101)
+    assert(!hiRead.inputFiles.exists(f => lowNames.exists(f.endsWith)),
+      "low-range safe files must be pruned from a high-range read")
+    // sanity: the same safe files ARE read when the predicate wants them
+    val loRead = TableOps.snapshotWhere(spark, t0, col("id") <= 100)
+    assert(lowNames.forall(n => loRead.inputFiles.exists(_.endsWith(n))))
+
+    // partitioned variant: partition columns survive the split read
+    val tp = KeyedTable("skp", s"$base/skp", Seq("id"), "ver",
+      Seq("part"), statsColumns = Seq("id"))
+    TableOps.upsert(spark, tp, spark.range(1, 101).selectExpr("id",
+      "1 as ver", "if(id % 2 = 0, 'even', 'odd') as part"),
+      sortBy = Seq("id"))
+    TableOps.deltaCommit(spark, tp,
+      Seq((50L, 2, "even")).toDF("id", "ver", "part"))
+    val gotP = TableOps.snapshotWhere(spark, tp, col("id") >= 40)
+      .select("id", "ver", "part").as[(Long, Int, String)].collect().toSet
+    val wantP = TableOps.snapshot(spark, tp).filter(col("id") >= 40)
+      .select("id", "ver", "part").as[(Long, Int, String)].collect().toSet
+    assert(gotP === wantP)
+    assert(gotP.contains((50L, 2, "even")) && gotP.size === 61)
+  }
+
   test("streaming MOR ingest: per-batch delta commits + inline compaction") {
     val base = tmpDir("graft-mor-stream")
     val srcDir = s"$base/src"
