@@ -1098,6 +1098,75 @@ object TableOps {
           "(cleaned beyond retention, or before first commit)")
     }
 
+  /** Restore the table to its state as of commit `asOf` — the Hudi
+    * savepoint+restore / Delta RESTORE analog, expressed in the
+    * manifest-pointer protocol as a PURE METADATA commit: the
+    * historical state's partition→version map (and its live MOR delta
+    * list, if any) is republished as the new latest manifest. No data
+    * moves — the referenced dirs are immutable — so restore is
+    * O(manifest) at any table size, and the restore is itself a
+    * commit: time travel across it keeps working, and a later restore
+    * can undo it.
+    *
+    * Every referenced dir is verified present BEFORE publishing (a
+    * manifest pointing at cleaned dirs would brick every read), so
+    * restore reaches exactly as far back as [[clean]] retention.
+    *
+    * Incremental/CDC readers: restored rows carry their HISTORICAL
+    * `_commit_ts`, so a reader checkpointed past `asOf` observes no
+    * new change records from the restore — re-seed downstream
+    * consumers after restoring (Hudi's restore carries the same
+    * stream-restart caveat).
+    */
+  def restoreTo(spark: SparkSession, t: KeyedTable, asOf: String): String = {
+    val log = CommitLog(t, spark)
+    val baseCommit = log.latestCommit()
+    val (parts, deltas) = currentState(spark, t, Some(asOf)).getOrElse(
+      throw new IllegalArgumentException(
+        s"table ${t.name}: no commit at or before $asOf to restore to"))
+    val sch = schemaAt(spark, t, Some(asOf))
+    val fs = new Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val needed = (parts.values ++ deltas).toSeq.distinct.sorted
+    val gone = needed.filterNot(v => fs.exists(new Path(s"${t.dataPath}/$v")))
+    require(gone.isEmpty,
+      s"table ${t.name}: cannot restore to $asOf — commit dirs " +
+        s"${gone.mkString(", ")} were cleaned beyond retention")
+    val ts = CommitLog.newCommitTs()
+    log.logCommit(ts, Map(
+      "table" -> t.name,
+      "action" -> "restore",
+      "restored_to" -> asOf,
+      PartsKey -> partsJson(parts)) ++
+      (if (deltas.nonEmpty) Map(DeltasKey -> deltasJson(deltas)) else Map.empty) ++
+      sch.map("schema" -> _.json),
+      expectedPrev = Some(baseCommit))
+    // the KeyIndex (if any) now reflects a FUTURE state relative to the
+    // restored one; leave it — the next writer's ensureFresh probe sees
+    // syncedTs != latestCommit and rebuilds from the restored snapshot
+    ts
+  }
+
+  /** Pin the newest commit at or before `asOf` against retention — the
+    * Hudi savepoint analog: [[clean]] keeps the pinned manifest (and
+    * therefore every data dir it references) past the retention
+    * window, so [[restoreTo]] that instant stays possible until
+    * [[deleteSavepoint]]. Returns the pinned commit ts. Metadata-only:
+    * one marker file.
+    */
+  def savepoint(spark: SparkSession, t: KeyedTable, asOf: String): String = {
+    val log = CommitLog(t, spark)
+    val ts = log.listCommits().filter(_ <= asOf).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"table ${t.name}: no commit at or before $asOf to savepoint"))
+    log.savepoint(ts)
+    ts
+  }
+
+  def deleteSavepoint(spark: SparkSession, t: KeyedTable,
+      ts: String): Unit =
+    CommitLog(t, spark).deleteSavepoint(ts)
+
   /** Incremental read — records whose latest version was committed in
     * (`beginExclusive`, `endInclusive`] (S2; the reference's
     * `hoodie.datasource.query.type=incremental` +

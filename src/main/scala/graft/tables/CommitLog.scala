@@ -238,13 +238,49 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
   def commitMetas(): Seq[Map[String, String]] =
     listCommits().flatMap(commitMeta)
 
+  // ————————————————————————————————————————————————————— savepoints
+
+  /** Savepoint markers (`savepoints/{ts}.savepoint`) pin a commit
+    * against retention — the Hudi savepoint analog backing guaranteed
+    * [[graft.ops.TableOps.restoreTo]]: [[retain]] never drops a
+    * savepointed manifest, and the cleaner keeps every data dir a
+    * retained manifest references, so the pinned state stays fully
+    * restorable until [[deleteSavepoint]].
+    */
+  private def savepointPath(ts: String) =
+    new Path(dir, s"savepoints/$ts.savepoint")
+
+  def savepoint(ts: String): Unit = {
+    require(fs.exists(new Path(dir, s"$ts.commit")),
+      s"table ${table.name}: cannot savepoint $ts — no such commit " +
+        "manifest (already cleaned, or never existed)")
+    val p = savepointPath(ts)
+    fs.mkdirs(p.getParent)
+    fs.create(p, true).close()
+  }
+
+  def deleteSavepoint(ts: String): Unit =
+    fs.delete(savepointPath(ts), false): Unit
+
+  def savepoints(): Seq[String] = {
+    val root = new Path(dir, "savepoints")
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".savepoint")).map(_.stripSuffix(".savepoint"))
+      .toSeq.sorted
+  }
+
   /** Drop the oldest commit manifests, keeping `keep` (cleaner support —
     * reference: hoodie.cleaner KEEP_LATEST_FILE_VERSIONS,
-    * create_hudi_tables.py:141-148).
+    * create_hudi_tables.py:141-148). Savepointed manifests are never
+    * dropped — the retained timeline may therefore carry holes, which
+    * every reader already tolerates (state resolution walks
+    * newest→oldest over whatever manifests exist).
     */
   def retain(keep: Int): Seq[String] = {
     val all = listCommits()
-    val drop = all.dropRight(keep)
+    val pinned = savepoints().toSet
+    val drop = all.dropRight(keep).filterNot(pinned)
     drop.foreach(ts => fs.delete(new Path(dir, s"$ts.commit"), false))
     drop
   }

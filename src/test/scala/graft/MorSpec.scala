@@ -295,6 +295,78 @@ class MorSpec extends SparkSuite {
     assert(actions.contains("deltacommit") && actions.contains("compact"))
   }
 
+  test("restoreTo republishes a historical state as a metadata commit") {
+    val t = table(partitioned = true)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    TableOps.upsert(spark, t, rows(("a", 2, "x2", "p1"), ("b", 1, "y", "p2")))
+    TableOps.delete(spark, t, Seq("a").toDF("id"))
+    assert(visible(t) === Set(("b", 1, "y", "p2")))
+    val rts = TableOps.restoreTo(spark, t, ts1)
+    assert(rts.nonEmpty)
+    assert(visible(t) === Set(("a", 1, "x", "p1")))
+    // the restore is itself a commit: travel back across it still works
+    assert(TableOps.snapshotAsOf(spark, t, rts).count() === 1)
+    // writes continue normally on the restored state
+    TableOps.upsert(spark, t, rows(("c", 1, "z", "p1")))
+    assert(visible(t) === Set(("a", 1, "x", "p1"), ("c", 1, "z", "p1")))
+    // cleaner keeps the restored dirs (the latest manifest references
+    // them) even when the pre-restore commits age out
+    TableOps.clean(spark, t, retainCommits = 2)
+    assert(visible(t) === Set(("a", 1, "x", "p1"), ("c", 1, "z", "p1")))
+    // restoring past retention fails loudly instead of publishing a
+    // manifest over cleaned dirs
+    intercept[IllegalArgumentException] {
+      TableOps.restoreTo(spark, t, "00000000000000000")
+    }
+  }
+
+  test("savepoint pins a commit against retention; deleteSavepoint unpins") {
+    val t = table(partitioned = false)
+    val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    TableOps.upsert(spark, t, rows(("a", 2, "x2", "p1")))
+    TableOps.upsert(spark, t, rows(("a", 3, "x3", "p1")))
+    assert(TableOps.savepoint(spark, t, ts1) === ts1)
+    TableOps.clean(spark, t, retainCommits = 1)
+    // the pinned manifest and its dirs survived a retain-1 clean
+    assert(TableOps.snapshotAsOf(spark, t, ts1)
+      .select("ver").as[Int].collect().toSeq === Seq(1))
+    TableOps.restoreTo(spark, t, ts1)
+    assert(visible(t) === Set(("a", 1, "x", "p1")))
+    // unpin: the old manifest may now age out, but the restore commit
+    // itself references the dirs — state stays readable
+    TableOps.deleteSavepoint(spark, t, ts1)
+    TableOps.clean(spark, t, retainCommits = 1)
+    assert(visible(t) === Set(("a", 1, "x", "p1")))
+
+    // without a restore, unpinning releases the state for collection
+    val u = table(partitioned = false)
+    val uts = TableOps.upsert(spark, u, rows(("a", 1, "x", "p1")))
+    TableOps.upsert(spark, u, rows(("a", 2, "x2", "p1")))
+    TableOps.savepoint(spark, u, uts)
+    TableOps.clean(spark, u, retainCommits = 1)
+    TableOps.deleteSavepoint(spark, u, uts)
+    TableOps.clean(spark, u, retainCommits = 1)
+    intercept[IllegalArgumentException] {
+      TableOps.snapshotAsOf(spark, u, uts)
+    }
+  }
+
+  test("restoreTo preserves a MOR state's live deltas") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val d1 = TableOps.deltaCommit(spark, t, rows(("b", 1, "y", "p1")))
+    TableOps.compactDeltas(spark, t)
+    TableOps.delete(spark, t, Seq("b").toDF("id"))
+    assert(visible(t) === Set(("a", 1, "x", "p1")))
+    // restore to the MOR instant: base + live delta both come back
+    TableOps.restoreTo(spark, t, d1)
+    assert(TableOps.liveDeltaCommits(spark, t) === Seq(d1))
+    assert(visible(t) === Set(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
+    // and the restored delta still folds
+    TableOps.compactDeltas(spark, t)
+    assert(visible(t) === Set(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
+  }
+
   test("schema evolution rides the delta path: new column visible, old rows null") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
