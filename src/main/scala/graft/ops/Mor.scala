@@ -29,13 +29,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Mor {
 
-  /** Merge keys for the real-time view — the same identity an upsert
-    * merges under: partition-scoped tables match a key within its
-    * partition (Hudi BLOOM default), GLOBAL tables table-wide.
-    */
-  def mergeKeys(t: KeyedTable): Seq[String] =
-    if (t.globalIndex) t.recordKey else t.rowIdentity
-
   /** Union of the live delta commits' rows, newest schema enforced.
     * Each `data/{ts}` delta dir is hive-partitioned exactly like a base
     * commit dir; `basePath` restores the partition columns, and the
@@ -54,14 +47,17 @@ object Mor {
   }
 
   /** Real-time view: base ∪ deltas resolved to the latest version per
-    * row identity — precombine greatest wins, then `_commit_ts`, then
-    * the delta side (identical tie-break order to a COW upsert, so
-    * folding deltas via [[TableOps.compactDeltas]] is a no-op on the
-    * visible rows). Map-side partial `max_by` aggregation keeps the
-    * shuffle O(distinct keys), not O(rows) — see [[Upsert.merge]].
+    * ROW IDENTITY ([[KeyedTable.rowIdentity]] — (key, partition) on
+    * partition-scoped tables, bare key table-wide on GLOBAL ones; the
+    * same identity every COW write merges under) — precombine greatest
+    * wins, then `_commit_ts`, then the delta side (identical tie-break
+    * order to a COW upsert, so folding deltas via
+    * [[TableOps.compactDeltas]] is a no-op on the visible rows).
+    * Map-side partial `max_by` aggregation keeps the shuffle
+    * O(distinct identities), not O(rows) — see [[Upsert.merge]].
     */
   def mergedView(base: DataFrame, deltaRows: DataFrame,
       t: KeyedTable): DataFrame =
-    Upsert.merge(base, deltaRows, mergeKeys(t),
+    Upsert.merge(base, deltaRows, t.rowIdentity,
       Seq(t.precombineKey, KT.CommitCol))
 }

@@ -331,6 +331,18 @@ object TableOps {
       maxRecordsPerFile: Long = 4000000L,
       idempotencyKey: Option[String] = None): String = {
     val log = CommitLog(t, spark)
+    // Exactly-once upgrade of the at-least-once contract (SURVEY.md
+    // §2i I3): a caller-supplied idempotency key (e.g. the streaming
+    // micro-batch id) is recorded in the commit manifest; a replayed
+    // batch whose key already committed is skipped ENTIRELY — before
+    // any other work, including the MOR fold below (a replay storm
+    // must not burn a compaction per replay).
+    idempotencyKey.foreach { key =>
+      if (log.hasIdempotencyKey(key)) return ""
+    }
+    // Emptiness guard — reference used count()>0 (a full scan,
+    // create_hudi_tables.py:213); isEmpty touches one partition.
+    if (incoming.isEmpty) return ""
     // Live MOR deltas fold into a COW commit FIRST: the partition-scoped
     // rewrite below discovers affected files via input_file_name(), which
     // yields nothing through the merged real-time view's aggregation —
@@ -340,17 +352,6 @@ object TableOps {
     // Lost-update tripwire: the commit below is computed on top of THIS
     // timeline head (see CommitLog.logCommit expectedPrev).
     val baseCommit = log.latestCommit()
-    // Exactly-once upgrade of the at-least-once contract (SURVEY.md
-    // §2i I3): a caller-supplied idempotency key (e.g. the streaming
-    // micro-batch id) is recorded in the commit manifest; a replayed
-    // batch whose key already committed is skipped entirely — the
-    // foreachBatch + txn-manifest pattern.
-    idempotencyKey.foreach { key =>
-      if (log.hasIdempotencyKey(key)) return ""
-    }
-    // Emptiness guard — reference used count()>0 (a full scan,
-    // create_hudi_tables.py:213); isEmpty touches one partition.
-    if (incoming.isEmpty) return ""
     val ts = CommitLog.newCommitTs()
     // batch dedup under the same identity the MERGE uses — deduping a
     // partition-scoped batch by bare key would silently collapse a
@@ -532,12 +533,20 @@ object TableOps {
     val sch = latestSchema(spark, t)
     // union coercion against the CURRENT table schema — the same
     // widening a COW merge applies, so the recorded schema stays the
-    // running union across base + every delta (schema-only analysis,
-    // no job)
-    val mergedSchema: StructType =
-      if (parts.isEmpty && sch.isEmpty) stamped.schema
-      else readParts(spark, t, parts, sch)
+    // running union across base + every delta. Coerce against an EMPTY
+    // frame built from the manifest schema, never a readParts plan:
+    // DataFrameReader.parquet eagerly lists every referenced dir
+    // (InMemoryFileIndex), which would make this "O(batch)" write pay
+    // O(#partitions) object-store LISTs per kilobyte delta. Only
+    // legacy schema-less tables fall back to the footer-sampled read.
+    val mergedSchema: StructType = sch match {
+      case Some(s) => spark
+        .createDataFrame(spark.sparkContext.emptyRDD[Row], s)
         .unionByName(stamped, allowMissingColumns = true).schema
+      case None if parts.isEmpty => stamped.schema
+      case None => readParts(spark, t, parts, None)
+        .unionByName(stamped, allowMissingColumns = true).schema
+    }
     val dest = new Path(s"${t.dataPath}/$ts")
     writer(stamped, t, Nil, maxRecordsPerFile).parquet(dest.toString)
     if (t.statsColumns.nonEmpty)
@@ -814,14 +823,15 @@ object TableOps {
   def delete(spark: SparkSession, t: KeyedTable, keys: DataFrame,
       idempotencyKey: Option[String] = None): String = {
     if (!exists(spark, t)) return ""
-    // same fold-first contract as upsert: the affected-file discovery
-    // below needs a file-backed snapshot, not a merged MOR view
-    if (liveDeltas(spark, t).nonEmpty) compactDeltas(spark, t)
     val log = CommitLog(t, spark)
-    val baseCommit = log.latestCommit()
+    // replay skip BEFORE any work — same ordering rationale as upsert
     idempotencyKey.foreach { key =>
       if (log.hasIdempotencyKey(key)) return ""
     }
+    // same fold-first contract as upsert: the affected-file discovery
+    // below needs a file-backed snapshot, not a merged MOR view
+    if (liveDeltas(spark, t).nonEmpty) compactDeltas(spark, t)
+    val baseCommit = log.latestCommit()
     val keyCols =
       if (t.partitionBy.forall(keys.columns.contains)) t.rowIdentity
       else t.recordKey
@@ -1141,9 +1151,16 @@ object TableOps {
       (if (deltas.nonEmpty) Map(DeltasKey -> deltasJson(deltas)) else Map.empty) ++
       sch.map("schema" -> _.json),
       expectedPrev = Some(baseCommit))
-    // the KeyIndex (if any) now reflects a FUTURE state relative to the
-    // restored one; leave it — the next writer's ensureFresh probe sees
-    // syncedTs != latestCommit and rebuilds from the restored snapshot
+    // The KeyIndex (if any) now reflects a FUTURE state relative to the
+    // restored one — and a staleness probe can be FOOLED: compactDeltas
+    // compares syncedTs against lastBaseCommit (the newest delta-free
+    // manifest), which after a restore-to-MOR-state can still name the
+    // pre-restore compaction the index was stamped for, so the probe
+    // would trust old-home lookups that post-date the restored state
+    // and leave duplicate keys behind. Drop the stamp: every consumer
+    // rebuilds from the restored snapshot before trusting the index.
+    if (t.globalIndex && KeyIndex.exists(spark, t))
+      KeyIndex.invalidate(spark, t)
     ts
   }
 

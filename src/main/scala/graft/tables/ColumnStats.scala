@@ -201,10 +201,18 @@ object ColumnStats {
     parts.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (ver, m) =>
       val verDir = s"${t.dataPath}/$ver"
       val reader = spark.read.schema(sch).option("basePath", verDir)
-      if (!fs.exists(new Path(statsPath(t, ver)))) {
+      val haveSidecar = fs.exists(new Path(statsPath(t, ver)))
+      lazy val statsDf = spark.read.parquet(statsPath(t, ver))
+      // a sidecar written before the key columns were stats-tracked
+      // (descriptor re-declared to enable MOR skipping) has no
+      // min_/max_ columns to reason with — the whole commit is risky,
+      // same conservative posture as a missing sidecar (prunedRead
+      // guards per-column the same way)
+      if (!haveSidecar || deltaRanges.exists { case (k, _, _) =>
+            !statsDf.columns.contains(s"min_$k") ||
+              !statsDf.columns.contains(s"max_$k") }) {
         riskys ::= graft.ops.TableOps.readParts(spark, t, m, Some(sch))
       } else {
-        val statsDf = spark.read.parquet(statsPath(t, ver))
         // intersects on EVERY key column ⇒ the file may hold a delta
         // key; null stats (all-null or absent column) ⇒ indeterminate
         // ⇒ risky

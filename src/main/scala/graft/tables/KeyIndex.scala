@@ -109,6 +109,20 @@ object KeyIndex {
     }
   }
 
+  /** Drop the `_synced` stamp so every subsequent [[ensureFresh]] probe
+    * rebuilds before trusting the index — the invalidation hook for
+    * operations that change WHICH state the index should reflect
+    * without going through an index write ([[graft.ops.TableOps
+    * .restoreTo]]: after a restore the index describes a future state
+    * relative to the restored one, and a staleness probe that compares
+    * against a matching-but-wrong commit would trust it).
+    */
+  def invalidate(spark: SparkSession, t: KeyedTable): Unit = {
+    val p = syncedPath(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false): Unit
+  }
+
   /** Bucket routing must hash the LOGICAL key value, not its physical
     * type: `xxhash64` of int 5 differs from long 5, and type-widening
     * evolution is supported — a batch whose key column arrives wider

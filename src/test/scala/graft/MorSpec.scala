@@ -320,6 +320,55 @@ class MorSpec extends SparkSuite {
     }
   }
 
+  test("GLOBAL MOR: fold after a restore rebuilds the index — no duplicate keys") {
+    val g = KeyedTable("g3", s"${tmpDir("graft-mor-g3")}/g3", Seq("id"), "ver",
+      Seq("part"), globalIndex = true)
+    TableOps.upsert(spark, g, rows(("k", 1, "x", "p1")))
+    val c2 = TableOps.deltaCommit(spark, g, rows(("k", 2, "x2", "p2")))
+    // fold: index now maps k→p2, stamped for this delta-free commit
+    TableOps.compactDeltas(spark, g)
+    // restore to the MOR instant: base has k in p1 again, delta live
+    TableOps.restoreTo(spark, g, c2)
+    assert(TableOps.liveDeltaCommits(spark, g) === Seq(c2))
+    // the fold must NOT trust the pre-restore index (it post-dates the
+    // restored state yet can pass a naive staleness probe) — a stale
+    // lookup would skip p1 and leave k duplicated
+    TableOps.compactDeltas(spark, g)
+    assert(TableOps.snapshot(spark, g)
+      .filter(col("id") === "k").count() === 1)
+    assert(visible(g) === Set(("k", 2, "x2", "p2")))
+    assert(!TableOps.partitionDirs(spark, g).contains("part=p1"))
+  }
+
+  test("MOR split read treats pre-key-tracking sidecars as risky, not a crash") {
+    val base = tmpDir("graft-mor-legacy")
+    val v1 = KeyedTable("lg", s"$base/lg", Seq("id"), "ver",
+      statsColumns = Seq("ver"))
+    TableOps.upsert(spark, v1, spark.range(1, 51).selectExpr("id", "1 as ver"))
+    // descriptor re-declared with the key tracked (to enable MOR
+    // skipping); the OLD commit's sidecar has no min_id/max_id
+    val v2 = v1.copy(statsColumns = Seq("ver", "id"))
+    TableOps.deltaCommit(spark, v2, Seq((10L, 2)).toDF("id", "ver"))
+    val got = TableOps.snapshotWhere(spark, v2, col("id") <= 20)
+      .select("id", "ver").as[(Long, Int)].collect().toSet
+    assert(got === (1L to 20L).map(i => (i, if (i == 10L) 2 else 1)).toSet)
+  }
+
+  test("replayed idempotent writes on MOR state skip without folding") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")),
+      idempotencyKey = Some("b1"))
+    TableOps.deltaCommit(spark, t, rows(("b", 1, "y", "p1")))
+    val commitsBefore = CommitLog(t, spark).listCommits()
+    // a replayed batch publishes NOTHING — not even a compaction
+    assert(TableOps.upsert(spark, t, rows(("a", 9, "no", "p1")),
+      idempotencyKey = Some("b1")) === "")
+    assert(TableOps.delete(spark, t, Seq("zzz").toDF("id"),
+      idempotencyKey = Some("b1")) === "")
+    assert(CommitLog(t, spark).listCommits() === commitsBefore)
+    assert(TableOps.liveDeltaCommits(spark, t).size === 1)
+  }
+
   test("savepoint pins a commit against retention; deleteSavepoint unpins") {
     val t = table(partitioned = false)
     val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
