@@ -129,6 +129,7 @@ object SparkEntry {
     "s_apply_changes"         -> (OpsQueries.sApplyChanges _),
     "s5_generator"            -> (OpsQueries.s5Generator _),
     "s9_mor_snapshot"         -> (OpsQueries.s9MorSnapshot _),
+    "s9_mor_pruned_read"      -> (OpsQueries.s9MorPrunedRead _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
   )
@@ -1505,6 +1506,20 @@ object SparkEntry {
         |    ORDER BY ver DESC) AS rn FROM u)
         | SELECT o_orderkey, ver, o_totalprice, o_orderstatus
         | FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    // s9b: merge-then-filter over base + one delta; the file-skipping
+    // gate is in-query (require on inputFiles), the oracle checks values.
+    "s9_mor_pruned_read" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, 1 AS ver, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, o_totalprice * 2 FROM orders
+        |   WHERE o_orderkey < 1000),
+        | r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY ver DESC) AS rn FROM u)
+        | SELECT o_orderkey, ver, o_totalprice FROM r
+        | WHERE rn = 1 AND o_orderkey BETWEEN 500 AND 5000
+        | ORDER BY o_orderkey""".stripMargin,
     "a_approx_agg" ->
       """SELECT 'approx_agg' AS family,
         | count(DISTINCT l_orderkey) AS n_orders,

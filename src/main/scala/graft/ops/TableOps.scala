@@ -573,9 +573,15 @@ object TableOps {
     * their manifests age past retention. Visible rows are unchanged by
     * construction ([[Mor.mergedView]] uses the COW tie-break order);
     * returns the commit ts, or "" when there is nothing to fold.
+    *
+    * `sortBy` re-clusters the folded partitions (pass the record key
+    * to keep per-file key ranges disjoint — what the MOR split read's
+    * file skipping feeds on; see [[graft.tables.ColumnStats
+    * .morSplitRead]]).
     */
   def compactDeltas(spark: SparkSession, t: KeyedTable,
-      maxRecordsPerFile: Long = 4000000L): String = {
+      maxRecordsPerFile: Long = 4000000L,
+      sortBy: Seq[String] = Nil): String = {
     val log = CommitLog(t, spark)
     val baseCommit = log.latestCommit()
     val (oldParts, deltas) = currentState(spark, t, None).getOrElse(return "")
@@ -592,7 +598,7 @@ object TableOps {
         val merged = Mor.mergedView(
           readParts(spark, t, oldParts, sch), deltaRows, t)
         mergedSchema = merged.schema
-        writer(merged, t, Nil, maxRecordsPerFile).parquet(dest.toString)
+        writer(merged, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
         Map("" -> ts)
       } else if (!t.globalIndex) {
         val deltaRels = deltas.flatMap(d =>
@@ -602,7 +608,7 @@ object TableOps {
         val merged = Mor.mergedView(
           readParts(spark, t, affected, sch), deltaRows, t)
         mergedSchema = merged.schema
-        writer(merged, t, Nil, maxRecordsPerFile).parquet(dest.toString)
+        writer(merged, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
         val written = relsOf(fs, dest, t.partitionBy.length)
         oldParts -- affected.keySet ++ written.map(_ -> ts)
       } else {
@@ -624,7 +630,7 @@ object TableOps {
           partitionPredicate(t.partitionBy, affectedDf.schema, affected))
         val merged = Mor.mergedView(affectedExisting, deltaRows, t)
         mergedSchema = merged.schema
-        writer(merged, t, Nil, maxRecordsPerFile).parquet(dest.toString)
+        writer(merged, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
         val affectedRels = backingRels(spark, t, fs, affectedExisting).keySet
         val written = relsOf(fs, dest, t.partitionBy.length)
         oldParts -- affectedRels ++ written.map(_ -> ts)

@@ -539,4 +539,43 @@ object OpsQueries {
       "s9: table not in pure-COW state after compaction")
     folded.orderBy("o_orderkey")
   }
+
+  /** S9b — the MOR delta-aware split read, value-oracled AND
+    * plan-gated: a key-clustered, key-stats-tracked base gets a delta
+    * touching only low keys; a range read over MOR state must (a)
+    * return exactly the SQL merge-then-filter rows and (b) PRUNE base
+    * files — range-disjoint-from-delta files excluded by the predicate
+    * never enter the plan, even though live deltas force a merge for
+    * the overlapping files (`ColumnStats.morSplitRead`).
+    */
+  def s9MorPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val table = KeyedTable("orders_mor_pr",
+      s"${scratch("graft-s9b")}/orders_mor_pr",
+      Seq("o_orderkey"), "ver", statsColumns = Seq("o_orderkey"))
+    // maxRecordsPerFile (not partition count) forces several files:
+    // AQE coalesces a small clustered shuffle to one partition, but the
+    // within-task sort still splits into files with DISJOINT key ranges
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)),
+      sortBy = Seq("o_orderkey"), maxRecordsPerFile = 4000)
+    val deltaTs = TableOps.deltaCommit(s, table,
+      orders.filter(col("o_orderkey") < 1000)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(2)))
+    require(deltaTs.nonEmpty, "s9b: delta commit published nothing")
+    val result = TableOps.snapshotWhere(s, table,
+        col("o_orderkey").between(500, 5000))
+      .select("o_orderkey", "ver", "o_totalprice")
+    // plan gate: fewer base files than the read-optimized full scan —
+    // the high-key files are both delta-safe and predicate-excluded
+    val baseTotal = TableOps.snapshotReadOptimized(s, table)
+      .inputFiles.length
+    val baseRead = result.inputFiles
+      .count(f => !f.contains(s"/$deltaTs/") && !f.endsWith(deltaTs))
+    require(baseRead < baseTotal,
+      s"s9b: expected base-file pruning under MOR state " +
+        s"($baseRead read of $baseTotal)")
+    result.orderBy("o_orderkey")
+  }
 }

@@ -416,6 +416,33 @@ class MorSpec extends SparkSuite {
     assert(visible(t) === Set(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
   }
 
+  test("property: random batch schedule — MOR and COW snapshots stay identical") {
+    val rnd = new scala.util.Random(42)
+    val base = tmpDir("graft-mor-prop")
+    val cow = KeyedTable("pc", s"$base/pc", Seq("id"), "ver", Seq("part"))
+    val mor = KeyedTable("pm", s"$base/pm", Seq("id"), "ver", Seq("part"))
+    def proj(t: KeyedTable) = TableOps.snapshot(spark, t)
+      .select("id", "ver", "payload", "part")
+      .as[(String, Int, String, String)].collect().toSet
+    for (i <- 1 to 12) {
+      // distinct keys per batch ⇒ no within-batch precombine ties (those
+      // are documented arbitrary-deterministic; cross-batch ties resolve
+      // by commit ts identically on both paths)
+      val ks = rnd.shuffle((0 until 8).toList).take(1 + rnd.nextInt(5))
+      val batch = rows(ks.map(k =>
+        (s"k$k", rnd.nextInt(5), s"v$i-${rnd.nextInt(100)}",
+          s"p${rnd.nextInt(3)}")): _*)
+      TableOps.upsert(spark, cow, batch)
+      TableOps.deltaCommit(spark, mor, batch)
+      if (rnd.nextInt(3) == 0)
+        TableOps.compactDeltas(spark, mor,
+          sortBy = if (rnd.nextBoolean()) Seq("id") else Nil)
+      if (i % 4 == 0) assert(proj(cow) === proj(mor), s"diverged at batch $i")
+    }
+    TableOps.compactDeltas(spark, mor, sortBy = Seq("id"))
+    assert(proj(cow) === proj(mor))
+  }
+
   test("schema evolution rides the delta path: new column visible, old rows null") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
