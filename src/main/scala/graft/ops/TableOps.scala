@@ -430,13 +430,11 @@ object TableOps {
           partitionPredicate(t.partitionBy, affectedDf.schema, affected)
         // Partition pruning keeps this scan to the affected dirs.
         val affectedExisting = existing.filter(partFilter)
-        // Partition-scoped matching merges a key only against its own
-        // partition (the partition columns join the merge key — Hudi
-        // BLOOM default); GLOBAL matching merges table-wide.
-        val mergeKeys =
-          if (t.globalIndex) keyCols
-          else (t.partitionBy ++ keyCols).distinct
-        val merged = Upsert.merge(affectedExisting, stamped, mergeKeys,
+        // Merge under the table's ROW IDENTITY (rowIdentity: partition-
+        // scoped matching merges a key only against its own partition —
+        // Hudi BLOOM default; GLOBAL matches table-wide) — the single
+        // definition every other write path uses.
+        val merged = Upsert.merge(affectedExisting, stamped, t.rowIdentity,
           Seq(t.precombineKey, KeyedTable.CommitCol))
         mergedSchema = merged.schema
         writer(merged, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
@@ -1148,6 +1146,18 @@ object TableOps {
     require(gone.isEmpty,
       s"table ${t.name}: cannot restore to $asOf — commit dirs " +
         s"${gone.mkString(", ")} were cleaned beyond retention")
+    // The KeyIndex (if any) will reflect a FUTURE state relative to the
+    // restored one — and a staleness probe can be FOOLED: compactDeltas
+    // compares syncedTs against lastBaseCommit (the newest delta-free
+    // manifest), which after a restore-to-MOR-state can still name the
+    // pre-restore compaction the index was stamped for, so the probe
+    // would trust old-home lookups that post-date the restored state
+    // and leave duplicate keys behind. Drop the stamp BEFORE the
+    // manifest publishes: invalidate-then-crash costs one rebuild,
+    // publish-then-crash-before-invalidate would re-arm the fooled
+    // probe durably.
+    if (t.globalIndex && KeyIndex.exists(spark, t))
+      KeyIndex.invalidate(spark, t)
     val ts = CommitLog.newCommitTs()
     log.logCommit(ts, Map(
       "table" -> t.name,
@@ -1157,16 +1167,6 @@ object TableOps {
       (if (deltas.nonEmpty) Map(DeltasKey -> deltasJson(deltas)) else Map.empty) ++
       sch.map("schema" -> _.json),
       expectedPrev = Some(baseCommit))
-    // The KeyIndex (if any) now reflects a FUTURE state relative to the
-    // restored one — and a staleness probe can be FOOLED: compactDeltas
-    // compares syncedTs against lastBaseCommit (the newest delta-free
-    // manifest), which after a restore-to-MOR-state can still name the
-    // pre-restore compaction the index was stamped for, so the probe
-    // would trust old-home lookups that post-date the restored state
-    // and leave duplicate keys behind. Drop the stamp: every consumer
-    // rebuilds from the restored snapshot before trusting the index.
-    if (t.globalIndex && KeyIndex.exists(spark, t))
-      KeyIndex.invalidate(spark, t)
     ts
   }
 
