@@ -1393,17 +1393,24 @@ object TableOps {
     */
   private val TmpHeartbeatMs: Long = TmpOrphanAgeMs / 6
 
+  /** Liveness beacon file inside a scratch dir (see [[withScratch]]).
+    * Dot-prefixed: Spark readers of the staged parquet ignore it.
+    */
+  private[ops] val HeartbeatFile = ".hb"
+
   /** Stage an operation's scratch dir under `.tmp` with a liveness
     * heartbeat: a daemon timer refreshes the dir's mtime every
     * `heartbeatMs` while `body` runs, so [[clean]]'s age-gated `.tmp`
     * GC can never collect a LIVE staging dir regardless of how long
     * the operation takes (a multi-hour GDPR rewrite included) — the
     * age gate alone would, since a dir's mtime is otherwise set at
-    * creation and never touched again. Stores that reject mtime
-    * mutation (`setTimes` unsupported — some object-store connectors)
-    * degrade to the creation-age gate; the heartbeat failure is
-    * silent because the fallback posture is exactly the pre-heartbeat
-    * one. The dir is removed in `finally`.
+    * creation and never touched again. The beat lands on TWO channels:
+    * `setTimes` on the dir (cheap where supported) AND re-creation of
+    * a dot-prefixed `.hb` file inside it — file creation stamps a
+    * fresh mtime on EVERY store, so connectors that reject mtime
+    * mutation still heartbeat ([[clean]] ages an entry by the max of
+    * dir and `.hb` mtime; staged-parquet readers ignore dot files).
+    * The dir is removed in `finally`.
     */
   private[graft] def withScratch[A](spark: SparkSession, t: KeyedTable,
       prefix: String, heartbeatMs: Long = TmpHeartbeatMs)(body: Path => A): A = {
@@ -1413,9 +1420,15 @@ object TableOps {
     fs.mkdirs(tmp)
     val beat = new java.util.Timer(s"graft-tmp-heartbeat-$prefix", true)
     beat.scheduleAtFixedRate(new java.util.TimerTask {
-      def run(): Unit =
+      def run(): Unit = {
         try fs.setTimes(tmp, System.currentTimeMillis(), -1)
         catch { case _: Exception => () } // unsupported store / racing rewrite
+        // file-creation heartbeat — fresh mtime on stores without
+        // setTimes; an overwrite mid-beat (applyChanges re-staging the
+        // dir) just loses one beat, the next recreates it
+        try fs.create(new Path(tmp, HeartbeatFile), true).close()
+        catch { case _: Exception => () }
+      }
     }, heartbeatMs, heartbeatMs)
     try body(tmp)
     finally {
@@ -1474,7 +1487,20 @@ object TableOps {
     if (fs.exists(tmpRoot)) {
       val cutoff = System.currentTimeMillis() - TmpOrphanAgeMs
       val entries = fs.listStatus(tmpRoot)
-      entries.filter(_.getModificationTime < cutoff)
+      // liveness = the NEWER of the entry's own mtime and its `.hb`
+      // beacon's (withScratch's file-creation heartbeat — the channel
+      // that works on stores rejecting setTimes)
+      def lastBeat(st: org.apache.hadoop.fs.FileStatus): Long = {
+        val own = st.getModificationTime
+        if (!st.isDirectory) own
+        else try {
+          val hb = new Path(st.getPath, HeartbeatFile)
+          if (fs.exists(hb))
+            math.max(own, fs.getFileStatus(hb).getModificationTime)
+          else own
+        } catch { case _: Exception => own }
+      }
+      entries.filter(lastBeat(_) < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
       if (entries.isEmpty) fs.delete(tmpRoot, false)
     }

@@ -295,6 +295,26 @@ class MorSpec extends SparkSuite {
     assert(actions.contains("deltacommit") && actions.contains("compact"))
   }
 
+  test("crashed delta write: orphan dir invisible to reads, collected by clean") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    // a deltaCommit that died after writing data but BEFORE publishing
+    // its manifest leaves exactly this: a commit-shaped dir nothing
+    // references
+    val orphan = "20990101000000000"
+    rows(("z", 9, "ghost", "p1"))
+      .write.parquet(s"${t.dataPath}/$orphan")
+    assert(visible(t) === Set(("a", 1, "x", "p1")),
+      "an unpublished delta dir must be structurally invisible")
+    TableOps.clean(spark, t, retainCommits = 5)
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"${t.dataPath}/$orphan")),
+      "clean must collect a crashed delta write's orphan dir")
+    assert(visible(t) === Set(("a", 1, "x", "p1")))
+  }
+
   test("restoreTo republishes a historical state as a metadata commit") {
     val t = table(partitioned = true)
     val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))

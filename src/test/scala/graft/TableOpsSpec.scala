@@ -392,6 +392,32 @@ class TableOpsSpec extends SparkSuite {
     assert(!fs.exists(stale), "an aged orphan scratch dir must be GC'd")
   }
 
+  test("clean honors the .hb file beacon (the setTimes-free heartbeat channel)") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    // aged dir, FRESH beacon — a live multi-hour operation on a store
+    // that rejects setTimes looks exactly like this: must survive
+    val live = new org.apache.hadoop.fs.Path(s"${t.path}/.tmp/live-hb")
+    fs.mkdirs(live)
+    fs.create(new org.apache.hadoop.fs.Path(live, ".hb"), true).close()
+    fs.setTimes(live, old, -1)
+    // aged dir, aged beacon — a true orphan: must be collected
+    val dead = new org.apache.hadoop.fs.Path(s"${t.path}/.tmp/dead-hb")
+    fs.mkdirs(dead)
+    val deadHb = new org.apache.hadoop.fs.Path(dead, ".hb")
+    fs.create(deadHb, true).close()
+    fs.setTimes(deadHb, old, -1)
+    fs.setTimes(dead, old, -1)
+    TableOps.clean(spark, t, retainCommits = 1)
+    assert(fs.exists(live),
+      "a fresh .hb beacon must keep an aged live dir past the GC")
+    assert(!fs.exists(dead),
+      "an aged dir whose beacon also aged is an orphan and must be GC'd")
+  }
+
   test("clean input validation") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
@@ -507,6 +533,14 @@ class TableOpsSpec extends SparkSuite {
       assert(m > old,
         "heartbeat must refresh a live staging dir's mtime so an " +
           "out-of-band clean() cannot GC it mid-operation")
+      // the beat also lands on the setTimes-free channel
+      val hb = new org.apache.hadoop.fs.Path(tmp, ".hb")
+      val hbDeadline = System.currentTimeMillis() + 10000
+      while (!fs.exists(hb) && System.currentTimeMillis() < hbDeadline)
+        Thread.sleep(50)
+      assert(fs.exists(hb),
+        "heartbeat must maintain the .hb file beacon for stores " +
+          "that reject setTimes")
     }
     assert(!fs.exists(scratch), "scratch dir must be removed in finally")
   }
