@@ -1419,19 +1419,29 @@ object TableOps {
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(tmp)
     val beat = new java.util.Timer(s"graft-tmp-heartbeat-$prefix", true)
+    // cancel() does not wait for an in-flight task, and create() —
+    // unlike setTimes — would RESURRECT a just-deleted dir (parent
+    // mkdirs), leaving a zombie scratch entry; the stopped flag plus
+    // exists probe shrinks that race to a TOCTOU sliver, and a zombie
+    // that slips through ages out under clean()'s normal GC anyway
+    val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
     beat.scheduleAtFixedRate(new java.util.TimerTask {
       def run(): Unit = {
+        if (stopped.get) return
         try fs.setTimes(tmp, System.currentTimeMillis(), -1)
         catch { case _: Exception => () } // unsupported store / racing rewrite
         // file-creation heartbeat — fresh mtime on stores without
         // setTimes; an overwrite mid-beat (applyChanges re-staging the
         // dir) just loses one beat, the next recreates it
-        try fs.create(new Path(tmp, HeartbeatFile), true).close()
-        catch { case _: Exception => () }
+        try {
+          if (!stopped.get && fs.exists(tmp))
+            fs.create(new Path(tmp, HeartbeatFile), true).close()
+        } catch { case _: Exception => () }
       }
     }, heartbeatMs, heartbeatMs)
     try body(tmp)
     finally {
+      stopped.set(true)
       beat.cancel()
       fs.delete(tmp, true)
     }
