@@ -295,6 +295,27 @@ class MorSpec extends SparkSuite {
     assert(actions.contains("deltacommit") && actions.contains("compact"))
   }
 
+  test("delta commits stream as CDC change records; compaction emits nothing") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    TableOps.deltaCommit(spark, t, rows(("b", 1, "y", "p1")))
+    TableOps.deltaCommit(spark, t, rows(("a", 2, "x2", "p1")))
+    // fold: carried-over rows keep their historical _commit_ts, so the
+    // compaction commit must contribute NO change records
+    TableOps.compactDeltas(spark, t)
+    val q = graft.streaming.IncrementalSource.changes(spark, t)
+      .writeStream.format("memory").queryName("morcdc")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("morcdc").select("id", "ver")
+      .as[(String, Int)].collect().toSeq.sorted
+    // one record per logical change across base + both deltas — no
+    // duplicates from the fold
+    assert(got === Seq(("a", 1), ("a", 2), ("b", 1)))
+  }
+
   test("crashed delta write: orphan dir invisible to reads, collected by clean") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
