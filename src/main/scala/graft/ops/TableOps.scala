@@ -459,7 +459,8 @@ object TableOps {
       "table" -> t.name,
       "schema" -> mergedSchema.json,
       PartsKey -> partsJson(newParts)) ++
-      idempotencyKey.map("idempotency_key" -> _),
+      idempotencyKey.map("idempotency_key" -> _) ++
+      rowsWrittenMeta(spark, t, ts),
       expectedPrev = Some(baseCommit))
     idempotencyKey.foreach(log.recordIdempotencyKey)
     // GLOBAL tables: record the new home partition of every key this
@@ -555,7 +556,8 @@ object TableOps {
       "schema" -> mergedSchema.json,
       PartsKey -> partsJson(parts),
       DeltasKey -> deltasJson(oldDeltas :+ ts)) ++
-      idempotencyKey.map("idempotency_key" -> _),
+      idempotencyKey.map("idempotency_key" -> _) ++
+      rowsWrittenMeta(spark, t, ts),
       expectedPrev = Some(baseCommit))
     idempotencyKey.foreach(log.recordIdempotencyKey)
     ts
@@ -639,7 +641,8 @@ object TableOps {
       "table" -> t.name,
       "action" -> "compact",
       "schema" -> mergedSchema.json,
-      PartsKey -> partsJson(newParts)),
+      PartsKey -> partsJson(newParts)) ++
+      rowsWrittenMeta(spark, t, ts),
       expectedPrev = Some(baseCommit))
     // GLOBAL tables: the fold decided every delta key's final home —
     // record it (same post-publish contract as upsert: a crash here
@@ -903,7 +906,8 @@ object TableOps {
       Map("table" -> t.name, "action" -> "delete",
         PartsKey -> partsJson(newParts)) ++
         preSchema.map("schema" -> _.json) ++
-        idempotencyKey.map("idempotency_key" -> _),
+        idempotencyKey.map("idempotency_key" -> _) ++
+        rowsWrittenMeta(spark, t, ts),
       expectedPrev = Some(baseCommit))
     idempotencyKey.foreach(log.recordIdempotencyKey)
     // index maintenance after the publish — same recovery contract as
@@ -1170,6 +1174,36 @@ object TableOps {
     ts
   }
 
+  /** `rows_written` manifest field for stats-carrying tables — folded
+    * from the kilobyte sidecar the write just produced, never a count
+    * job (the Hudi commit-metadata `numWrites` analog). Empty for
+    * tables without sidecars.
+    */
+  private def rowsWrittenMeta(spark: SparkSession, t: KeyedTable,
+      ts: String): Map[String, String] =
+    if (t.statsColumns.isEmpty) Map.empty
+    else ColumnStats.commitRows(spark, t, ts)
+      .map(n => Map("rows_written" -> n.toString)).getOrElse(Map.empty)
+
+  /** The commit timeline as a DataFrame — the Hudi CLI `commits show`
+    * timeline-inspection analog: one row per RETAINED manifest with its
+    * action, recorded `rows_written` (stats-carrying tables), live
+    * MOR delta count, and idempotency key. Driver-side kilobyte
+    * manifest reads — an ops/SQL surface, never a data path (register
+    * with `.createOrReplaceTempView` to query the timeline in SQL).
+    */
+  def timeline(spark: SparkSession, t: KeyedTable): DataFrame = {
+    import spark.implicits._
+    val log = CommitLog(t, spark)
+    log.listCommits().map { ts =>
+      val m = log.commitMeta(ts).getOrElse(Map.empty[String, String])
+      (ts, m.getOrElse("action", "upsert"),
+        m.get("rows_written").map(_.toLong),
+        deltasOf(m).size, m.get("idempotency_key"))
+    }.toDF("commit_ts", "action", "rows_written", "live_deltas",
+      "idempotency_key")
+  }
+
   /** Pin the newest commit at or before `asOf` against retention — the
     * Hudi savepoint analog: [[clean]] keeps the pinned manifest (and
     * therefore every data dir it references) past the retention
@@ -1259,7 +1293,8 @@ object TableOps {
     CommitLog(t, spark).logCommit(ts,
       Map("table" -> t.name, "action" -> "compact",
         PartsKey -> partsJson(newParts)) ++
-        sch.map("schema" -> _.json),
+        sch.map("schema" -> _.json) ++
+        rowsWrittenMeta(spark, t, ts),
       expectedPrev = Some(baseCommit))
     // compaction moves files, not keys — the index stays valid for the
     // new commit, so re-stamp it, but ONLY if it was fresh for the
@@ -1359,7 +1394,8 @@ object TableOps {
     CommitLog(t, spark).logCommit(ts,
       Map("table" -> t.name, "action" -> "compact",
         PartsKey -> partsJson(newParts)) ++
-        sch.map("schema" -> _.json),
+        sch.map("schema" -> _.json) ++
+        rowsWrittenMeta(spark, t, ts),
       expectedPrev = Some(baseCommit))
     if (indexWasFresh) KeyIndex.markSynced(spark, t, ts)
     ts

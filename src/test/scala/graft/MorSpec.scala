@@ -316,6 +316,29 @@ class MorSpec extends SparkSuite {
     assert(got === Seq(("a", 1), ("a", 2), ("b", 1)))
   }
 
+  test("timeline surfaces actions, rows_written, and live delta counts") {
+    val base = tmpDir("graft-mor-tl")
+    val t = KeyedTable("tl", s"$base/tl", Seq("id"), "ver",
+      statsColumns = Seq("ver"))
+    TableOps.upsert(spark, t,
+      Seq((1L, 1), (2L, 1), (3L, 1)).toDF("id", "ver"))
+    TableOps.deltaCommit(spark, t, Seq((2L, 2)).toDF("id", "ver"),
+      idempotencyKey = Some("d1"))
+    TableOps.compactDeltas(spark, t)
+    val tl = TableOps.timeline(spark, t)
+      .select("action", "rows_written", "live_deltas", "idempotency_key")
+      .as[(String, Option[Long], Int, Option[String])].collect().toSeq
+    assert(tl === Seq(
+      ("upsert", Some(3L), 0, None),
+      ("deltacommit", Some(1L), 1, Some("d1")),
+      ("compact", Some(3L), 0, None)))
+    // SQL-visible ops surface
+    TableOps.timeline(spark, t).createOrReplaceTempView("tl_commits")
+    assert(spark.sql(
+      "SELECT sum(rows_written) FROM tl_commits WHERE action = 'compact'")
+      .head().getLong(0) === 3L)
+  }
+
   test("crashed delta write: orphan dir invisible to reads, collected by clean") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
