@@ -22,11 +22,38 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** max/min ratio across the 3 timed runs above which the median is
-    * untrustworthy (external load, paging, …). 5× is far beyond the run-to-run
-    * jitter of a quiet machine (<1.3×) while still catching the 5–10×
-    * phantom inflation seen under concurrent load. */
-  private val SuspectSpread = 5.0
+    * untrustworthy (external load, paging, …). Quiet-machine run-to-run
+    * jitter is <1.3×; 2.5× leaves headroom for GC variance while catching
+    * bursty concurrent load much earlier than the old 5× bound. */
+  private val SuspectSpread = 2.5
   private val TimedRuns = 3
+
+  /** Fixed-cost CPU sentinel (r7 lesson: a UNIFORM ~1.3× ambient-load
+    * inflation passes any per-query spread check — the artifact needs an
+    * absolute yardstick). The sentinel is a data-independent codegen'd
+    * hash fold over `spark.range` that saturates every core with the
+    * same work on every machine/round; its wall time is reported in the
+    * artifact (pre + post, bracketing the timed queries) so any round's
+    * numbers can be load-normalized against any other's, and the run
+    * self-flags when the sentinel drifts >1.25× above the quiet-machine
+    * nominal. */
+  private val SentinelRowsPerCore = 64000000L
+  /** Quiet-machine sentinel seconds, calibrated round 8 at the
+    * driver's local[32] config (measured 0.49–0.59 s quiet). Work is
+    * per-core-constant, and LOWER core counts run faster per core
+    * (less scheduler overhead), so at any smaller SPARK_GRAFT_CPUS the
+    * flag is strictly conservative — it can only under-fire, never
+    * false-flag a quiet machine. */
+  private val SentinelNominal = 0.55
+  private def sentinelSec(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val cpus = spark.sparkContext.defaultParallelism
+    val t0 = System.nanoTime()
+    spark.range(0L, SentinelRowsPerCore * cpus, 1L, cpus)
+      .agg(expr("bit_xor(xxhash64(id))"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,6 +106,11 @@ object Bench {
       try { execute(n, warmDir); resetCaches() }
       catch { case _: Throwable => resetCaches() }
     }
+    // ambient-load sentinel, pre-queries (first run warms the range/
+    // noop path; second is the measurement)
+    sentinelSec(spark)
+    val sentinelPre = sentinelSec(spark)
+    resetCaches()
     // A query with ANY failed run must NOT report a number (a partial
     // median has no spread protection, and a time-to-crash would read
     // as a speedup): it gets sentinel -1 and an entry in "errors".
@@ -102,12 +134,28 @@ object Bench {
         name -> sorted(sorted.size / 2)
       }
     }
+    val sentinelPost = sentinelSec(spark)
+    // optional per-query output row counts (one extra untimed execution
+    // each — opt-in): the pair-emitting dedup queries' sf1 scaling claim
+    // ("output-bound, not candidate-quadratic") needs emitted-pair
+    // counts next to wall time in the artifact to be checkable.
+    val rowsJson = if (!sys.env.get("SPARK_GRAFT_BENCH_ROWS").contains("true")) ""
+      else {
+        val counts = names.map { name =>
+          val n = try SparkEntry.queries(name)(spark, sfDir).count()
+            catch { case _: Throwable => -1L }
+          resetCaches()
+          "\"" + name + "\":" + n
+        }
+        ",\"rows\":" + counts.mkString("{", ",", "}")
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$sus,"runs_per_query":$TimedRuns,"sf":"$sfDir"}""")
+    val loaded = math.max(sentinelPre, sentinelPost) > SentinelNominal * 1.25
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$sus,"runs_per_query":$TimedRuns,"sentinel_pre_sec":$sentinelPre,"sentinel_post_sec":$sentinelPost,"sentinel_nominal_sec":$SentinelNominal,"ambient_load_suspected":$loaded$rowsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -585,4 +585,71 @@ object OpsQueries {
     }
     result.orderBy("o_orderkey")
   }
+
+  /** S10 — savepoint + restore (the Hudi `savepoint`/`restore` CLI
+    * surface, SURVEY §2a S10) as materialized state: three upsert
+    * commits, a savepoint pinning the second, restore to it — the
+    * final visible rows must be EXACTLY the commit-2 state (the
+    * commit-3 writes rolled back), which the oracle recomputes from
+    * the same input parquet. In-query gates: the savepoint resolves to
+    * the commit it was asked for, and the pinned instant stays
+    * time-travel-readable after a clean() that retains only the
+    * latest commit — the pin-against-retention contract.
+    */
+  def s10SavepointRestore(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val table = KeyedTable("orders_sp",
+      s"${scratch("graft-s10")}/orders_sp",
+      Seq("o_orderkey"), "ver")
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    val c2 = TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(2)))
+    val sp = TableOps.savepoint(s, table, c2)
+    require(sp == c2, s"s10: savepoint pinned $sp, expected $c2")
+    TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .withColumn("ver", lit(3)))
+    TableOps.restoreTo(s, table, sp)
+    TableOps.clean(s, table, retainCommits = 1)
+    require(!TableOps.snapshotAsOf(s, table, sp).isEmpty,
+      "s10: savepointed instant unreadable after clean")
+    TableOps.snapshot(s, table)
+      .select("o_orderkey", "ver", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Timeline inspection surface (Hudi CLI `commits show` analog) as a
+    * driver query: a stats-carrying table takes an upsert, a MOR delta
+    * commit, a compaction, and a restore; [[TableOps.timeline]] must
+    * report one row per commit with the right action, recorded
+    * `rows_written` (folded from the stats sidecar, never a count
+    * job; absent on the metadata-only restore), and live delta count.
+    * Only the deterministic columns are emitted — the oracle
+    * recomputes each expected row from the input parquet.
+    */
+  def sTimeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val table = KeyedTable("orders_tl",
+      s"${scratch("graft-tl")}/orders_tl",
+      Seq("o_orderkey"), "ver", statsColumns = Seq("o_orderkey"))
+    val c1 = TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    TableOps.deltaCommit(s, table,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(2)))
+    TableOps.compactDeltas(s, table)
+    TableOps.restoreTo(s, table, c1)
+    // 4-row metadata frame — the unpartitioned Window is fine here
+    TableOps.timeline(s, table)
+      .withColumn("ordinal",
+        row_number().over(Window.orderBy("commit_ts")))
+      .select("ordinal", "action", "rows_written", "live_deltas")
+      .orderBy("ordinal")
+  }
 }
