@@ -84,6 +84,8 @@ object SparkEntry {
     "domains_bands"           -> (ExtQueries.domainsBands _),
     "dedup_spans"             -> (ExtQueries.dedupSpans _),
     "dedup_strip_spans"       -> (ExtQueries.dedupStripSpans _),
+    "dedup_lines"             -> (ExtQueries.dedupLines _),
+    "dedup_strip_lines"       -> (ExtQueries.dedupStripLines _),
     "dq_expectations"         -> (ExtQueries.dqExpectations _),
     "dq_profile"              -> (ExtQueries.dqProfile _),
     "text_stats"              -> (ExtQueries.textStats _),
@@ -132,6 +134,10 @@ object SparkEntry {
     "s9_mor_pruned_read"      -> (OpsQueries.s9MorPrunedRead _),
     "s10_savepoint_restore"   -> (OpsQueries.s10SavepointRestore _),
     "s_timeline"              -> (OpsQueries.sTimeline _),
+    "s_insert_overwrite"      -> (OpsQueries.sInsertOverwrite _),
+    "s_delete_partition"      -> (OpsQueries.sDeletePartition _),
+    "s_cdc_batch"             -> (OpsQueries.sCdcBatch _),
+    "s_schema_evolution"      -> (OpsQueries.sSchemaEvolution _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
   )
@@ -162,7 +168,7 @@ object SparkEntry {
     "sim_semdedup", "pack_sequences", "pack_chunks",
     "pack_shards", "mixture_pipeline",
     "domains_profile", "domains_filter", "domains_bands",
-    "dedup_spans", "dedup_strip_spans",
+    "dedup_spans", "dedup_strip_spans", "dedup_strip_lines",
     "dq_expectations",
     "dq_profile",
     "text_stats", "text_quality", "text_token_counts",
@@ -1069,6 +1075,51 @@ object SparkEntry {
         |    FILTER (WHERE kp), '') AS text,
         |  count(*) - count(*) FILTER (WHERE kp) AS n_tokens_removed
         | FROM kt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Line-level dedup inventory over the 10-token line wrap: trimmed
+    // lines >=5 chars in >=2 distinct docs, with doc and occurrence
+    // counts.
+    "dedup_lines" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | lines AS (
+        |  SELECT doc_id,
+        |   trim(array_to_string(w[(i*10+1):(i*10+10)], ' ')) AS line
+        |  FROM tok, UNNEST(range(0, (len(w) - 1) // 10 + 1)) AS u(i))
+        | SELECT line, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occurrences
+        | FROM lines WHERE length(line) >= 5
+        | GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+        | ORDER BY line""".stripMargin,
+    // Line-dedup applied: EVERY occurrence of a duplicated line
+    // removed (boilerplate semantics), docs rebuilt from survivors in
+    // order; short lines never count and never drop.
+    "dedup_strip_lines" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | lines AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |   array_to_string(w[(i*10+1):(i*10+10)], ' ') AS line
+        |  FROM tok, UNNEST(range(0, (len(w) - 1) // 10 + 1)) AS u(i)),
+        | dup AS (
+        |  SELECT trim(line) AS tl FROM lines
+        |  WHERE length(trim(line)) >= 5
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        | kept AS (
+        |  SELECT l.doc_id, l.pos, l.line FROM lines l
+        |  LEFT JOIN dup d ON length(trim(l.line)) >= 5
+        |    AND trim(l.line) = d.tl
+        |  WHERE d.tl IS NULL),
+        | tot AS (SELECT doc_id, count(*) AS n_lines FROM lines
+        |  GROUP BY doc_id),
+        | reb AS (SELECT doc_id,
+        |   string_agg(line, chr(10) ORDER BY pos) AS text,
+        |   count(*) AS n_kept FROM kept GROUP BY doc_id)
+        | SELECT t.doc_id, coalesce(r.text, '') AS text,
+        |  t.n_lines - coalesce(r.n_kept, 0) AS n_lines_removed
+        | FROM tot t LEFT JOIN reb r USING (doc_id)
+        | ORDER BY t.doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
@@ -1551,6 +1602,47 @@ object SparkEntry {
         |   (SELECT count(*) FROM orders), 0
         |  UNION ALL SELECT 4, 'restore', CAST(NULL AS BIGINT), 0
         | ) ORDER BY ordinal""".stripMargin,
+    // insert_overwrite: non-urgent partitions keep batch-1 state; the
+    // urgent partition is exactly the refresh batch (even keys, ×2) —
+    // odd urgent keys die with the replaced partition version.
+    "s_insert_overwrite" ->
+      """SELECT o_orderkey, 1 AS ver, o_orderpriority, o_totalprice
+        | FROM orders WHERE o_orderpriority <> '1-URGENT'
+        | UNION ALL
+        | SELECT o_orderkey, 2, o_orderpriority, o_totalprice * 2
+        | FROM orders
+        | WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+        | ORDER BY o_orderkey""".stripMargin,
+    // delete_partition survivors: the partitions the predicate spared.
+    "s_delete_partition" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        | WHERE o_orderpriority >= '3'
+        | ORDER BY o_orderkey""".stripMargin,
+    // Batch CDC: every change record after the full load — the %3
+    // update batch (ordinal 1) plus the %7 soft-delete tombstones
+    // carrying their pre-delete values (ordinal 2); %21 keys appear in
+    // BOTH (the un-collapsed history the incremental read would merge).
+    "s_cdc_batch" ->
+      """SELECT o_orderkey, 2 AS ver, o_totalprice * 2 AS o_totalprice,
+        |  'upsert' AS "_change_type", 1 AS commit_ordinal
+        | FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END,
+        |  'delete', 2
+        | FROM orders WHERE o_orderkey % 7 = 0
+        | ORDER BY o_orderkey, commit_ordinal""".stripMargin,
+    // Additive evolution: batch-2 rows carry the new column, batch-1
+    // rows read back NULL-backfilled under the widened schema.
+    "s_schema_evolution" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS ver,
+        | o_totalprice,
+        | CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 100
+        |      ELSE NULL END AS bonus
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
     "a_approx_agg" ->
       """SELECT 'approx_agg' AS family,
         | count(DISTINCT l_orderkey) AS n_orders,

@@ -709,6 +709,84 @@ object Dedup {
         (size(col("_w")) - size(col("_w2"))).as("n_tokens_removed"))
   }
 
+  // ——————————————————————— line-level exact dedup (CCNet / RefinedWeb)
+
+  /** Line occurrences of a corpus: one row per physical line with its
+    * 0-based position and whitespace-trimmed form — shared plumbing of
+    * [[duplicatedLines]] / [[stripDuplicatedLines]].
+    */
+  private def lineOccurrences(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "_raw")))
+      .withColumn("line", trim(col("_raw")))
+
+  /** Corpus-duplicated line inventory — LINE-level exact deduplication
+    * (the boilerplate detector of CCNet's paragraph/line hashing and
+    * RefinedWeb's line-wise filtering): every trimmed line of at least
+    * `minChars` characters occurring in at least `minDf` DISTINCT
+    * documents, with its document frequency and total occurrence
+    * count. The line-structured complement of [[duplicatedSpans]]
+    * (which needs no line structure but pays a rolling window per
+    * token): the unit here is the physical line and the whole op is
+    * one explode + one two-phase hash aggregate — no window
+    * functions, no pair formation; the shuffle carries each line once
+    * per occurrence, the same budget class as writing the corpus.
+    */
+  def duplicatedLines(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2, minChars: Int = 5): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would mark every line duplicated")
+    lineOccurrences(docs, idCol, textCol)
+      .filter(length(col("line")) >= minChars)
+      .groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDf)
+  }
+
+  /** Line-level dedup applied — remove EVERY occurrence of each
+    * corpus-duplicated line (boilerplate semantics: a nav bar
+    * repeated across a site should vanish everywhere — deliberately
+    * unlike the keep-one-canonical contract of
+    * [[stripDuplicatedSpans]], whose unit is content, not chrome).
+    * Lines shorter than `minChars` after trimming never count toward
+    * duplication and never drop. Output `(doc_id, text,
+    * n_lines_removed)`, `text` rebuilt from surviving lines in order
+    * (intra-line whitespace preserved — only whole lines are
+    * removed).
+    *
+    * Plan: explode → distinct-doc df count on the 60-bit portable
+    * line hash (8-byte shuffle keys; `hashed=false` shuffles the full
+    * line text and removes even the ~N²/2⁶¹ false-drop chance) →
+    * semi-join occurrences against the duplicated key set → per-doc
+    * drop-position collect (bounded by lines-per-doc) → one codegen'd
+    * higher-order `filter` rebuild. Same linear budget class as the
+    * span strip.
+    */
+  def stripDuplicatedLines(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2, minChars: Int = 5,
+      hashed: Boolean = true): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would mark every line duplicated")
+    val occ = lineOccurrences(docs, idCol, textCol)
+      .filter(length(col("line")) >= minChars)
+      .withColumn("k",
+        if (hashed) graft.functions.PortableHash.h60("line", 0, col("line"))
+        else col("line"))
+    val dup = occ.groupBy("k")
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") >= minDf).select("k")
+    val drops = occ.join(dup, Seq("k"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("_drop"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .join(drops, Seq("doc_id"), "left")
+      .withColumn("_ls", split(col("_text"), "\n"))
+      .withColumn("_kept", filter(col("_ls"), (_, j) =>
+        !coalesce(array_contains(col("_drop"), j), lit(false))))
+      .select(col("doc_id"),
+        concat_ws("\n", col("_kept")).as("text"),
+        (size(col("_ls")) - size(col("_kept"))).as("n_lines_removed"))
+  }
+
   /** Edge-count cutoff below which [[connectedComponents]] solves on
     * the driver: 100k canonical edges ≈ a few MB collected — firmly in
     * the metadata-sized-collect regime (same budget class as the

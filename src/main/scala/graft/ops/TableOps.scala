@@ -1224,6 +1224,269 @@ object TableOps {
       ts: String): Unit =
     CommitLog(t, spark).deleteSavepoint(ts)
 
+  // ———————————————————————— replace commits (Hudi `replacecommit`) + CDC
+
+  /** INSERT OVERWRITE (partition-scoped) — Hudi's `insert_overwrite`
+    * write operation (another value of the same
+    * `hoodie.datasource.write.operation` option the reference pins to
+    * `upsert`, create_hudi_tables.py:124): REPLACE the partitions the
+    * batch touches with exactly the batch's rows; every other
+    * partition is untouched. Unlike [[upsert]] there is no merge
+    * against existing rows, so a full-partition refresh costs O(batch)
+    * no matter how large the partition currently is — the backfill
+    * pattern (recompute a day, swap it in).
+    *
+    * Expressed the way Hudi expresses it (a `replacecommit`): the new
+    * commit dir holds the batch and the new manifest points the
+    * batch's partition rels at it; the replaced dirs become
+    * unreferenced from those rels and age out via [[clean]]. Live MOR
+    * deltas fold first ([[compactDeltas]]) — a delta row in a replaced
+    * partition must not outlive the replacement.
+    *
+    * Not offered on partitioned `globalIndex` tables: the batch may
+    * carry keys whose old homes live in partitions this operation
+    * deliberately does not read or touch, which would break table-wide
+    * key uniqueness — use [[insertOverwriteTable]] or [[upsert]] there
+    * (Hudi's insert_overwrite bypasses the index the same way and
+    * carries the same caveat). Unpartitioned tables replace the whole
+    * table.
+    */
+  def insertOverwrite(
+      spark: SparkSession,
+      t: KeyedTable,
+      rows: DataFrame,
+      sortBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 4000000L,
+      idempotencyKey: Option[String] = None): String = {
+    require(!(t.globalIndex && t.partitionBy.nonEmpty),
+      s"table ${t.name}: partition-scoped insertOverwrite would break " +
+        "the GLOBAL key-uniqueness invariant (keys may have old homes " +
+        "in untouched partitions) — use insertOverwriteTable or upsert")
+    replaceCommit(spark, t, rows, sortBy, maxRecordsPerFile,
+      idempotencyKey, wholeTable = false)
+  }
+
+  /** INSERT OVERWRITE TABLE — Hudi's `insert_overwrite_table`: replace
+    * the WHOLE table with the batch in one `replacecommit`. The new
+    * manifest references only the batch's partitions, and — unlike
+    * every other write path — the recorded schema is the batch's own
+    * (a full replacement genuinely drops columns the batch no longer
+    * carries). The old state stays time-travel-readable until
+    * [[clean]] retention passes it.
+    */
+  def insertOverwriteTable(
+      spark: SparkSession,
+      t: KeyedTable,
+      rows: DataFrame,
+      sortBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 4000000L,
+      idempotencyKey: Option[String] = None): String =
+    replaceCommit(spark, t, rows, sortBy, maxRecordsPerFile,
+      idempotencyKey, wholeTable = true)
+
+  private def replaceCommit(spark: SparkSession, t: KeyedTable,
+      rows: DataFrame, sortBy: Seq[String], maxRecordsPerFile: Long,
+      idempotencyKey: Option[String], wholeTable: Boolean): String = {
+    if (!exists(spark, t))
+      return upsert(spark, t, rows, sortBy, maxRecordsPerFile,
+        idempotencyKey)
+    val log = CommitLog(t, spark)
+    idempotencyKey.foreach { key =>
+      if (log.hasIdempotencyKey(key)) return ""
+    }
+    if (rows.isEmpty) return ""
+    if (liveDeltas(spark, t).nonEmpty) compactDeltas(spark, t)
+    val baseCommit = log.latestCommit()
+    val ts = CommitLog.newCommitTs()
+    // Same within-batch identity discipline as upsert: the replaced
+    // partitions must come out key-unique under the table's row
+    // identity, newest precombine winning.
+    val deduped = Upsert.dedupBatch(rows, t.rowIdentity,
+      Seq(t.precombineKey))
+    val stamped = deduped.withColumn(KeyedTable.CommitCol, lit(ts))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    val dest = new Path(s"${t.dataPath}/$ts")
+    val oldParts = currentParts(spark, t, None).getOrElse(Map.empty)
+    // Partition-scoped overwrite keeps untouched partitions readable, so
+    // the manifest schema stays the running union (same coercion as
+    // deltaCommit — against an EMPTY manifest-schema frame, no dir
+    // listing). Whole-table replacement records the batch schema as-is.
+    val mergedSchema: StructType =
+      if (wholeTable) stamped.schema
+      else latestSchema(spark, t) match {
+        case Some(s) => spark
+          .createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+          .unionByName(stamped, allowMissingColumns = true).schema
+        case None => stamped.schema
+      }
+    writer(stamped, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
+    val written = relsOf(fs, dest, t.partitionBy.length)
+    val newParts: Map[String, String] =
+      if (wholeTable || t.partitionBy.isEmpty) written.map(_ -> ts).toMap
+      else oldParts ++ written.map(_ -> ts)
+    if (t.statsColumns.nonEmpty)
+      ColumnStats.write(spark, t, ts, Some(mergedSchema))
+    // A whole-table replacement invalidates every old-home the KeyIndex
+    // knows — drop the stamp BEFORE the publish (same crash ordering as
+    // restoreTo: invalidate-then-crash costs one rebuild, the reverse
+    // would durably re-arm a wrong index).
+    if (wholeTable && t.globalIndex && KeyIndex.exists(spark, t))
+      KeyIndex.invalidate(spark, t)
+    log.logCommit(ts, Map(
+      "table" -> t.name,
+      "action" -> "replacecommit",
+      "schema" -> mergedSchema.json,
+      PartsKey -> partsJson(newParts)) ++
+      idempotencyKey.map("idempotency_key" -> _) ++
+      rowsWrittenMeta(spark, t, ts),
+      expectedPrev = Some(baseCommit))
+    idempotencyKey.foreach(log.recordIdempotencyKey)
+    ts
+  }
+
+  /** DROP PARTITION — Hudi's `delete_partition` write operation: remove
+    * whole partitions from the table as a PURE METADATA commit. `pred`
+    * is evaluated over the table's partition VALUES (reference any
+    * non-partition column and analysis fails — the natural guard), the
+    * matching rels leave the partition→version map, and the new
+    * manifest publishes; no data file is read or written at ANY table
+    * size. The dropped dirs stay time-travel-readable until [[clean]]
+    * retention passes them.
+    *
+    * Partition values are recovered from the map's hive-style rel paths
+    * with Spark's own unescaping (the exact inverse of the writer's
+    * escaping) and cast to the manifest schema's declared types, so the
+    * predicate sees real typed columns, not strings.
+    *
+    * CDC caveat (same as Hudi's replacecommit family): rows removed by
+    * a partition drop emit no per-row change records — [[changeLog]]
+    * consumers must treat `delete_partition` commits as a re-seed
+    * point, like a restore.
+    */
+  def deletePartitions(spark: SparkSession, t: KeyedTable,
+      pred: Column): String = {
+    require(t.partitionBy.nonEmpty,
+      s"table ${t.name} is unpartitioned — nothing to drop " +
+        "(deleteWhere/delete cover row-level deletes)")
+    if (!exists(spark, t)) return ""
+    if (liveDeltas(spark, t).nonEmpty) compactDeltas(spark, t)
+    val log = CommitLog(t, spark)
+    val baseCommit = log.latestCommit()
+    val (parts, _) = currentState(spark, t, None).get
+    val sch = latestSchema(spark, t)
+    val doomed = matchingRels(spark, t, parts.keySet.toSeq.sorted, sch, pred)
+    if (doomed.isEmpty) return ""
+    // Dropped partitions take their keys' index entries with them —
+    // same pre-publish invalidation ordering as restoreTo.
+    if (t.globalIndex && KeyIndex.exists(spark, t))
+      KeyIndex.invalidate(spark, t)
+    val ts = CommitLog.newCommitTs()
+    log.logCommit(ts, Map(
+      "table" -> t.name,
+      "action" -> "delete_partition",
+      PartsKey -> partsJson(parts -- doomed)) ++
+      sch.map("schema" -> _.json),
+      expectedPrev = Some(baseCommit))
+    ts
+  }
+
+  /** Rels whose partition values satisfy `pred`. Driver-side
+    * metadata-sized work: one local row per partition rel, unescaped
+    * with Spark's own path codec and cast to the declared partition
+    * types before the predicate runs.
+    */
+  private def matchingRels(spark: SparkSession, t: KeyedTable,
+      rels: Seq[String], sch: Option[StructType],
+      pred: Column): Set[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val partCols = t.partitionBy
+    val rows = rels.map { rel =>
+      val segs = rel.split("/")
+      require(segs.length == partCols.length,
+        s"table ${t.name}: partition rel '$rel' does not match " +
+          s"partition columns $partCols")
+      val values = segs.zip(partCols).map { case (seg, c) =>
+        val (name, eqVal) = seg.span(_ != '=')
+        require(ExternalCatalogUtils.unescapePathName(name) == c,
+          s"table ${t.name}: rel segment '$seg' is not under column $c")
+        val raw = ExternalCatalogUtils.unescapePathName(
+          eqVal.stripPrefix("="))
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else raw
+      }
+      Row.fromSeq(rel +: values.toSeq)
+    }
+    val strType = org.apache.spark.sql.types.StringType
+    val schema = StructType(
+      org.apache.spark.sql.types.StructField("__rel", strType) +:
+        partCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, strType)))
+    val typed = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .select(col("__rel") +: partCols.map { c =>
+        sch.flatMap(_.fields.find(_.name == c))
+          .map(f => col(c).cast(f.dataType).as(c))
+          .getOrElse(col(c))
+      }: _*)
+    typed.filter(pred).select("__rel").collect()
+      .map(_.getString(0)).toSet
+  }
+
+  /** Batch change-record read — the CDC counterpart of [[incremental]]
+    * and the batch analog of the streaming
+    * [[graft.streaming.IncrementalSource.changes]]: EVERY change
+    * record published in (`beginExclusive`, `endInclusive`] — all
+    * intermediate versions of a key, one row per written change, each
+    * stamped with its own `_commit_ts` — where [[incremental]]
+    * collapses the range to latest-wins. `_change_type` classifies
+    * each record: `delete` for soft-delete tombstones
+    * ([[softDelete]]'s `_deleted` flag), `upsert` otherwise (I-vs-U
+    * disambiguation needs per-key history the write path deliberately
+    * does not persist; consumers key-merge either way — Hudi's
+    * `cdc.supplemental.logging=op_key_only` mode makes the same
+    * trade).
+    *
+    * Same contracts as the streaming source: a commit's change records
+    * are the rows stamped with ITS ts in ITS dir, so compaction /
+    * restore / replace commits contribute only the rows they newly
+    * wrote (a pure fold contributes nothing); records of commits
+    * cleaned beyond retention no longer exist individually and the
+    * commit is skipped; `delete_partition` removals emit nothing
+    * (re-seed downstream, as with any compacted CDC log).
+    */
+  def changeLog(
+      spark: SparkSession,
+      t: KeyedTable,
+      beginExclusive: String,
+      endInclusive: Option[String] = None): DataFrame = {
+    val log = CommitLog(t, spark)
+    val sch = latestSchema(spark, t).getOrElse(
+      throw new IllegalStateException(
+        s"table ${t.name} has no commit manifest — no change log"))
+    val fs = new Path(t.dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frames = log.listCommits()
+      .filter(ts => ts > beginExclusive &&
+        endInclusive.forall(ts <= _))
+      .flatMap { ts =>
+        val dir = new Path(s"${t.dataPath}/$ts")
+        if (!fs.exists(dir)) None // metadata-only or cleaned commit
+        else Some(
+          spark.read.schema(sch).option("basePath", dir.toString)
+            .parquet(dir.toString)
+            .filter(col(KeyedTable.CommitCol) === lit(ts)))
+      }
+    val unioned = frames.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch))
+    val changeType =
+      if (unioned.columns.contains(DeletedCol))
+        when(coalesce(col(DeletedCol), lit(false)), lit("delete"))
+          .otherwise(lit("upsert"))
+      else lit("upsert")
+    unioned.withColumn("_change_type", changeType)
+  }
+
   /** Incremental read — records whose latest version was committed in
     * (`beginExclusive`, `endInclusive`] (S2; the reference's
     * `hoodie.datasource.query.type=incremental` +

@@ -980,6 +980,40 @@ object ExtQueries {
       window = 15, minDf = 2)
       .orderBy("doc_id")
 
+  /** The documents corpus re-wrapped into 10-token physical lines —
+    * the line-structure fixture for the line-level dedup queries (the
+    * synthetic corpus is single-line; the wrap is deterministic and
+    * the oracle recomputes it identically). Duplicated token runs at
+    * aligned offsets become duplicated LINES, exercising the operator
+    * with real cross-document repetition.
+    */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("_w"))
+      .select(col("doc_id"), concat_ws("\n",
+        transform(
+          sequence(lit(0), ((size(col("_w")) - lit(1)) / lit(10)).cast("int")),
+          i => concat_ws(" ", slice(col("_w"), i * 10 + 1, lit(10)))))
+        .as("text"))
+
+  /** Corpus-duplicated line inventory over the lined corpus (CCNet /
+    * RefinedWeb line-level boilerplate detection).
+    */
+  def dedupLines(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedLines(linedDocs(s, dir), "doc_id", "text",
+      minDf = 2, minChars = 5)
+      .orderBy("line")
+
+  /** Line-level dedup applied: every occurrence of a corpus-duplicated
+    * line removed, docs rebuilt — output text recomputed exactly by
+    * the oracle.
+    */
+  def dedupStripLines(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripDuplicatedLines(linedDocs(s, dir), "doc_id", "text",
+      minDf = 2, minChars = 5)
+      .orderBy("doc_id")
+
   // ———————————————————————————————————————— event-time windows
 
   def eventsTumbling(s: SparkSession, dir: String): DataFrame =

@@ -652,4 +652,110 @@ object OpsQueries {
       .select("ordinal", "action", "rows_written", "live_deltas")
       .orderBy("ordinal")
   }
+
+  /** INSERT OVERWRITE (Hudi `insert_overwrite` / replacecommit) as
+    * materialized state: orders partitioned by priority; the urgent
+    * partition is recomputed (even keys only, doubled totals) and
+    * swapped in. Non-urgent partitions are untouched, and the odd
+    * urgent keys are GONE with the replaced partition version — the
+    * replace-not-merge semantics the oracle recomputes as a union.
+    */
+  def sInsertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val table = KeyedTable("orders_iow",
+      s"${scratch("graft-iow")}/orders_iow", Seq("o_orderkey"), "ver",
+      partitionBy = Seq("o_orderpriority"))
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    val refreshed = orders
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("ver", lit(2))
+    val ts = TableOps.insertOverwrite(s, table, refreshed)
+    require(ts.nonEmpty, "s_iow: replace commit published nothing")
+    TableOps.snapshot(s, table)
+      .select("o_orderkey", "ver", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** DROP PARTITION (Hudi `delete_partition`) as materialized state:
+    * orders partitioned by priority, the two most urgent partitions
+    * dropped by a typed predicate over partition VALUES. In-query
+    * gates pin the operational claims — the drop owns NO data dir
+    * (pure metadata commit at any table size) and the partition values
+    * roundtrip hive escaping (the '4-NOT SPECIFIED' partition carries
+    * a space). Oracle: the surviving complement.
+    */
+  def sDeletePartition(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val table = KeyedTable("orders_dp",
+      s"${scratch("graft-dp")}/orders_dp", Seq("o_orderkey"),
+      "o_orderkey", partitionBy = Seq("o_orderpriority"))
+    TableOps.upsert(s, table, orders)
+    val ts = TableOps.deletePartitions(s, table,
+      col("o_orderpriority") < "3")
+    require(ts.nonEmpty, "s_dp: partition drop published nothing")
+    val fs = new org.apache.hadoop.fs.Path(table.dataPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"${table.dataPath}/$ts")),
+      "s_dp: delete_partition must not write a data dir")
+    TableOps.snapshot(s, table)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  /** Batch CDC change log ([[TableOps.changeLog]]) as a driver query:
+    * after a full load, an update batch and a soft-delete batch, the
+    * change log from the first commit must contain EVERY intermediate
+    * change record — the updated rows (ordinal 1, upsert) and the
+    * tombstones carrying their pre-delete values (ordinal 2, delete) —
+    * none collapsed, unlike the incremental read. Commit timestamps
+    * are nondeterministic, so commits surface as dense-rank ordinals.
+    */
+  def sCdcBatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val table = KeyedTable("orders_cl",
+      s"${scratch("graft-cl")}/orders_cl", Seq("o_orderkey"), "ver")
+    val c1 = TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(2)))
+    TableOps.softDelete(s, table,
+      orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+    // change-record frame is increment-sized — unpartitioned Window ok
+    TableOps.changeLog(s, table, beginExclusive = c1)
+      .withColumn("commit_ordinal",
+        dense_rank().over(Window.orderBy(KeyedTable.CommitCol)))
+      .select("o_orderkey", "ver", "o_totalprice", "_change_type",
+        "commit_ordinal")
+      .orderBy("o_orderkey", "commit_ordinal")
+  }
+
+  /** Additive schema evolution through upsert as a driver query: the
+    * second batch arrives WIDER (a `bonus` column the table never
+    * had); the manifest schema widens by union coercion and old rows
+    * read back with NULL backfill — Hudi/Delta additive evolution.
+    * The in-query gate pins the widened physical schema; the oracle
+    * recomputes the NULL-backfilled state.
+    */
+  def sSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val table = KeyedTable("orders_se",
+      s"${scratch("graft-se")}/orders_se", Seq("o_orderkey"), "ver")
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("ver", lit(2))
+        .withColumn("bonus", col("o_orderkey") % 100))
+    val snap = TableOps.snapshot(s, table)
+    require(snap.columns.contains("bonus"),
+      "s_se: upsert did not widen the table schema")
+    snap.select("o_orderkey", "ver", "o_totalprice", "bonus")
+      .orderBy("o_orderkey")
+  }
 }
