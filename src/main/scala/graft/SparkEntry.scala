@@ -134,6 +134,7 @@ object SparkEntry {
     "s9_mor_pruned_read"      -> (OpsQueries.s9MorPrunedRead _),
     "s10_savepoint_restore"   -> (OpsQueries.s10SavepointRestore _),
     "s_timeline"              -> (OpsQueries.sTimeline _),
+    "o9_key_lookup"           -> (OpsQueries.o9KeyLookup _),
     "s_insert_overwrite"      -> (OpsQueries.sInsertOverwrite _),
     "s_delete_partition"      -> (OpsQueries.sDeletePartition _),
     "s_cdc_batch"             -> (OpsQueries.sCdcBatch _),
@@ -1602,6 +1603,16 @@ object SparkEntry {
         |   (SELECT count(*) FROM orders), 0
         |  UNION ALL SELECT 4, 'restore', CAST(NULL AS BIGINT), 0
         | ) ORDER BY ordinal""".stripMargin,
+    // Point lookup: rows of the probed keys (lowest key decile, every
+    // 50th) — the file-skipping gate is in-query, the oracle checks
+    // the values. Integer division: Scala Long `/` and DuckDB `//`
+    // both truncate toward zero on the nonnegative cut.
+    "o9_key_lookup" ->
+      """WITH b AS (SELECT min(o_orderkey) +
+        |  (max(o_orderkey) - min(o_orderkey)) // 10 AS cut FROM orders)
+        | SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
+        | WHERE o_orderkey <= cut AND o_orderkey % 50 = 0
+        | ORDER BY o_orderkey""".stripMargin,
     // insert_overwrite: non-urgent partitions keep batch-1 state; the
     // urgent partition is exactly the refresh batch (even keys, ×2) —
     // odd urgent keys die with the replaced partition version.

@@ -799,6 +799,40 @@ object TableOps {
         base.filter(pred)
     }
 
+  /** Indexed point lookup — the Hudi RECORD_INDEX / metadata
+    * bloom-filter point-read analog: the current rows of a set of
+    * record keys without scanning the table. Two pruning layers do
+    * the work on the small-probe path: the column-stats sidecar
+    * drops FILES whose per-key [min,max] range excludes every probe
+    * (a key-clustered layout reduces this to ~one file per probe),
+    * and the parquet bloom filters every write stamps on the record
+    * key ([[writer]]) drop ROW GROUPS inside the survivors at scan
+    * time. MOR live-delta state stays correct for free —
+    * [[snapshotWhere]]'s split read merges only range-overlapping
+    * base files.
+    *
+    * The probe set becomes a single O(1)-depth IN literal, so it must
+    * be driver-sized; a probe frame larger than `maxProbes` distinct
+    * keys falls back automatically to a semi-join against
+    * [[snapshot]] — the shuffle path a point-read API must not hide
+    * behind a silently-huge literal (an analyzer-breaking 10⁶-entry
+    * IN is the VERDICT-r1 partition-predicate lesson again).
+    */
+  def lookupKeys(spark: SparkSession, t: KeyedTable, keys: DataFrame,
+      maxProbes: Int = 10000): DataFrame = {
+    val probeCols = t.recordKey
+    val probes = keys.select(probeCols.map(col): _*).distinct()
+    // limit(n+1): decide the path without counting the probe frame
+    val collected = probes.limit(maxProbes + 1).collect()
+    if (collected.length > maxProbes)
+      snapshot(spark, t).join(probes, probeCols, "left_semi")
+    else if (collected.isEmpty)
+      snapshot(spark, t).filter(lit(false))
+    else
+      snapshotWhere(spark, t,
+        partitionPredicate(probeCols, probes.schema, collected))
+  }
+
   /** Keyed hard delete — the Hudi `hoodie.datasource.write.operation=
     * delete` analog (and the GDPR/right-to-be-forgotten primitive a
     * training-data lake needs). `keys` carries the record-key columns;

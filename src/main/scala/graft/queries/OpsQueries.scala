@@ -736,6 +736,42 @@ object OpsQueries {
       .orderBy("o_orderkey", "commit_ordinal")
   }
 
+  /** Indexed point lookup ([[TableOps.lookupKeys]], the Hudi
+    * RECORD_INDEX / bloom point-read analog) as a driver query: orders
+    * land key-clustered with key stats + parquet bloom filters; a
+    * sparse probe set (every 500th key) must return exactly those
+    * rows — and the plan gate pins the scale claim: the lookup reads
+    * FEWER files than the table holds (stats-range file skipping),
+    * at any table size. Oracle: the probe filter.
+    */
+  def o9KeyLookup(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val table = KeyedTable("orders_kl",
+      s"${scratch("graft-kl")}/orders_kl", Seq("o_orderkey"),
+      "o_orderkey", statsColumns = Seq("o_orderkey"))
+    val perFile = math.max(orders.count() / 16L, 1L)
+    TableOps.upsert(s, table, orders, sortBy = Seq("o_orderkey"),
+      maxRecordsPerFile = perFile)
+    // probe the lowest decile of the key space (sparse within it):
+    // clustered probes make the file-skipping claim falsifiable —
+    // uniform probes would legitimately touch every file
+    val kr = orders.agg(min("o_orderkey").as("lo"),
+      max("o_orderkey").as("hi")).head()
+    val cut = kr.getLong(0) + (kr.getLong(1) - kr.getLong(0)) / 10
+    val probes = orders
+      .filter(col("o_orderkey") <= cut && col("o_orderkey") % 50 === 0)
+      .select("o_orderkey")
+    val result = TableOps.lookupKeys(s, table, probes)
+    val totalFiles = TableOps.snapshot(s, table).inputFiles.length
+    if (totalFiles > 4)
+      require(result.inputFiles.length < totalFiles,
+        s"o9: point lookup read ${result.inputFiles.length} of " +
+          s"$totalFiles files — stats skipping did not engage")
+    result.select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** Additive schema evolution through upsert as a driver query: the
     * second batch arrives WIDER (a `bonus` column the table never
     * had); the manifest schema widens by union coercion and old rows

@@ -174,6 +174,38 @@ class ReplaceCdcSpec extends SparkSuite {
       .select("id").as[String].collect().toSet === Set("e"))
   }
 
+  test("lookupKeys returns exactly the probed keys' current rows") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(
+      ("a", 1, "x", "p1"), ("b", 1, "y", "p1"), ("c", 1, "z", "p1")))
+    TableOps.upsert(spark, t, rows(("b", 2, "y2", "p1")))
+    val out = TableOps.lookupKeys(spark, t, Seq("b", "c", "nope").toDF("id"))
+      .select("id", "ver").as[(String, Int)].collect().toSet
+    assert(out === Set(("b", 2), ("c", 1)))
+  }
+
+  test("lookupKeys over the semi-join fallback matches the IN path") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(
+      ("a", 1, "x", "p1"), ("b", 1, "y", "p1"), ("c", 1, "z", "p1")))
+    val probes = Seq("a", "c").toDF("id")
+    val small = TableOps.lookupKeys(spark, t, probes)
+      .select("id").as[String].collect().toSet
+    val big = TableOps.lookupKeys(spark, t, probes, maxProbes = 1)
+      .select("id").as[String].collect().toSet
+    assert(small === Set("a", "c"))
+    assert(big === small)
+  }
+
+  test("lookupKeys sees MOR live-delta state") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    TableOps.deltaCommit(spark, t, rows(("a", 2, "live", "p1")))
+    val out = TableOps.lookupKeys(spark, t, Seq("a").toDF("id"))
+      .select("ver").as[Int].collect().toSeq
+    assert(out === Seq(2))
+  }
+
   test("changeLog end bound is inclusive and begin exclusive") {
     val t = table(partitioned = false)
     val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
