@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_exact"             -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard"     -> (ExtQueries.dedupNgramJaccard _),
     "dedup_clusters"          -> (ExtQueries.dedupClusters _),
+    "dedup_keep_best"         -> (ExtQueries.dedupKeepBest _),
     "curation_pipeline"       -> (ExtQueries.curationPipeline _),
     "curation_full"           -> (ExtQueries.curationFull _),
     "dedup_minhash_lsh"       -> (ExtQueries.dedupMinhashLsh _),
@@ -646,6 +647,20 @@ object SparkEntry {
         | $edgesReachCte
         | SELECT id AS doc_id, min(comp) AS cluster_rep
         | FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Keep-best-per-cluster: same reachability components, then each
+    // component keeps its longest member (n_chars desc, id asc).
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE ${ngramExCte("documents")},
+        | $edgesReachCte,
+        | comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+        | scored AS (SELECT c.id, c.comp, d.n_chars FROM comps c
+        |  JOIN documents d ON d.doc_id = c.id),
+        | win AS (SELECT id, row_number() OVER (PARTITION BY comp
+        |   ORDER BY n_chars DESC, id ASC) AS rn FROM scored),
+        | losers AS (SELECT id FROM win WHERE rn <> 1)
+        | SELECT doc_id, n_chars FROM documents
+        | WHERE doc_id NOT IN (SELECT id FROM losers)
+        | ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH ${ngramExCte("documents")}
         | SELECT 'minhash_lsh' AS family, (SELECT count(*) FROM ex) AS n_exact,

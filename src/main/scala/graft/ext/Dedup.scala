@@ -994,4 +994,32 @@ object Dedup {
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware cluster pruning — keep each duplicate cluster's
+    * BEST member by `score` instead of [[pruneDuplicates]]'s arbitrary
+    * minimum id (the SlimPajama/FineWeb keep-one-per-cluster step with
+    * a selection function: longest document, highest quality score,
+    * freshest crawl…). Ties break on smallest id, so the survivor set
+    * is deterministic. Documents in no pair always survive.
+    *
+    * Plan shape: the same star-contraction components as every cluster
+    * consumer, one inner join to attach scores to CLUSTERED docs only
+    * (singletons — the overwhelming majority of a deduped corpus —
+    * never enter the shuffle), a per-component window (partitioned by
+    * cluster label, never global), and one anti-join back.
+    */
+  def pruneDuplicatesByScore(docs: DataFrame, pairs: DataFrame,
+      idCol: String, score: Column,
+      aCol: String = "id_a", bCol: String = "id_b",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol,
+      checkpointDir = checkpointDir)
+    val scored = docs.select(col(idCol), score.as("_score"))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol))
+    val w = Window.partitionBy("comp")
+      .orderBy(col("_score").desc, col(idCol).asc)
+    val losers = scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") =!= 1).select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

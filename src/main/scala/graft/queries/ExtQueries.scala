@@ -76,6 +76,23 @@ object ExtQueries {
     * oracle. The pruning step a training pipeline runs on top is
     * [[Dedup.pruneDuplicates]].
     */
+  /** Keep-best-per-cluster dedup ([[Dedup.pruneDuplicatesByScore]]):
+    * near-dup clusters from the exact Jaccard pairs, each keeping its
+    * LONGEST member (`n_chars`, id tiebreak) — quality-aware
+    * canonical selection, not min-id. Oracle: recursive reachability +
+    * per-component ranking.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.pruneDuplicatesByScore(docs,
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5),
+      "doc_id", col("n_chars"),
+      checkpointDir = Some(ccScratchDir().toString))
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     // reliable checkpoints when the DISTRIBUTED star loop runs (the
     // returned frame then reads from checkpoint files, zero storage

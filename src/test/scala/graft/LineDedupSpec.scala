@@ -63,6 +63,29 @@ class LineDedupSpec extends SparkSuite {
     assert(out(1) === ((2L, "body two", 1)))
   }
 
+  test("pruneDuplicatesByScore keeps the best-scoring cluster member") {
+    val docs = Seq(
+      (1L, "a", 10), (2L, "b", 30), (3L, "c", 30),
+      (4L, "d", 5), (5L, "solo", 1)).toDF("doc_id", "text", "quality")
+    // cluster {1,2,3} (2 and 3 tie on score -> smaller id wins), {4}, {5}
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.pruneDuplicatesByScore(docs, pairs, "doc_id",
+      col("quality")).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 5L))
+  }
+
+  test("pruneDuplicatesByScore equals pruneDuplicates when score is -id") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (3L, 2L)).toDF("id_a", "id_b")
+    val byScore = Dedup.pruneDuplicatesByScore(docs, pairs, "doc_id",
+      -col("doc_id")).select("doc_id").as[Long].collect().toSet
+    val byMin = Dedup.pruneDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(byScore === byMin)
+    assert(byMin === Set(1L, 9L))
+  }
+
   test("doc reduced to nothing rebuilds as empty text") {
     val d3 = Seq(
       (1L, "the shared banner"),
