@@ -85,6 +85,7 @@ object SparkEntry {
     "domains_bands"           -> (ExtQueries.domainsBands _),
     "dedup_spans"             -> (ExtQueries.dedupSpans _),
     "dedup_strip_spans"       -> (ExtQueries.dedupStripSpans _),
+    "text_classifier"         -> (ExtQueries.textClassifier _),
     "dedup_lines"             -> (ExtQueries.dedupLines _),
     "dedup_strip_lines"       -> (ExtQueries.dedupStripLines _),
     "dq_expectations"         -> (ExtQueries.dqExpectations _),
@@ -809,6 +810,14 @@ object SparkEntry {
       """SELECT 'hash_split' AS family, count(*) AS n_total,
         | true AS coverage_pass, true AS train_pass, true AS val_pass,
         | true AS test_pass
+        | FROM documents""".stripMargin,
+    // Classifier filter: the in-query gates (monotone training loss,
+    // holdout accuracy >= 0.85 on the weak long-doc label) are
+    // computed by the engine; the oracle pins the corpus size and the
+    // gates' expected values.
+    "text_classifier" ->
+      """SELECT 'text_classifier' AS family, count(*) AS n_docs,
+        | true AS loss_monotone, true AS holdout_acc_pass
         | FROM documents""".stripMargin,
     // Expectation gate: per-rule conditional sums (NULL predicate =
     // violation) + the FK orphan count, all recomputed.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Decontaminate, Dedup, Domains, EventWindows, Expectations, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
+import graft.ext.{Classifier, Decontaminate, Dedup, Domains, EventWindows, Expectations, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -996,6 +996,38 @@ object ExtQueries {
     Dedup.stripDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
       window = 15, minDf = 2)
       .orderBy("doc_id")
+
+  /** Model-based quality filtering ([[Classifier]], the
+    * fastText/FineWeb-Edu classifier-filter shape): a logistic
+    * regression over the [[TextStats.stats]] features learns a weak
+    * "long document" label on a hash-split train fold and is gated on
+    * the holdout — training loss must fall monotonically and holdout
+    * accuracy must clear 0.85. Deterministic (zero init, fixed lr and
+    * iterations, exact-moment standardization), so the emitted gate
+    * row is stable; weights themselves are float-summation-order
+    * sensitive and deliberately NOT emitted.
+    */
+  def textClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
+    val labeled = feats.withColumn("label",
+      (col("n_tokens") >= 64).cast("double"))
+    val split = Sampling.hashSplit(labeled, "doc_id",
+      Seq("train" -> 0.8, "eval" -> 0.2))
+    val trainFold = split.filter(col("split") === "train")
+    val evalFold = split.filter(col("split") === "eval")
+    val featureCols = Seq("n_tokens", "n_uniq_tokens", "uniq_ratio",
+      "stopword_ratio", "mean_token_len")
+    val m = Classifier.train(trainFold, featureCols, "label")
+    val lossMono = m.losses.sliding(2)
+      .forall(p => p.length < 2 || p(1) <= p(0) + 1e-12)
+    val acc = Classifier.score(evalFold, m)
+      .agg(avg(when((col("score") >= 0.5) === (col("label") === 1.0),
+        1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    Seq(("text_classifier", feats.count(), lossMono, acc >= 0.85))
+      .toDF("family", "n_docs", "loss_monotone", "holdout_acc_pass")
+  }
 
   /** The documents corpus re-wrapped into 10-token physical lines —
     * the line-structure fixture for the line-level dedup queries (the
