@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_spans"             -> (ExtQueries.dedupSpans _),
     "dedup_strip_spans"       -> (ExtQueries.dedupStripSpans _),
     "text_classifier"         -> (ExtQueries.textClassifier _),
+    "sample_shuffle"          -> (ExtQueries.sampleShuffle _),
     "dedup_lines"             -> (ExtQueries.dedupLines _),
     "dedup_strip_lines"       -> (ExtQueries.dedupStripLines _),
     "dq_expectations"         -> (ExtQueries.dqExpectations _),
@@ -811,6 +812,16 @@ object SparkEntry {
         | true AS coverage_pass, true AS train_pass, true AS val_pass,
         | true AS test_pass
         | FROM documents""".stripMargin,
+    // Seeded shuffle-to-shards: the oracle recomputes the md5-60 draw
+    // (shared h60 fragment) and the per-shard rank exactly.
+    "sample_shuffle" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, ${h60Sql("shuffle", 42, "doc_id")} AS hh
+        |  FROM documents)
+        | SELECT doc_id, CAST(hh % 16 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hh % 16
+        |    ORDER BY hh, doc_id) - 1 AS INT) AS pos
+        | FROM h ORDER BY shard, pos""".stripMargin,
     // Classifier filter: the in-query gates (monotone training loss,
     // holdout accuracy >= 0.85 on the weak long-doc label) are
     // computed by the engine; the oracle pins the corpus size and the

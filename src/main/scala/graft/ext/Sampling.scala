@@ -166,4 +166,31 @@ object Sampling {
       .drop("_cut_grp")
       .filter(draw < col("cut"))
   }
+
+  /** Deterministic seeded global shuffle into training shards — the
+    * data-ordering step of a training pipeline (examples must reach
+    * the trainer in a fixed pseudorandom order, reproducibly): every
+    * row draws the portable 60-bit hash of (seed, id), its shard is
+    * the draw mod `nShards`, and `pos` orders rows WITHIN the shard
+    * by the draw (id tiebreak for duplicate-hash safety). Together
+    * (shard, pos) is a replayable global permutation.
+    *
+    * Scale shape: NO global sort anywhere — shard assignment is
+    * map-only, and the within-shard ordering is a window partitioned
+    * by shard, so the permutation parallelizes across `nShards` tasks;
+    * pick `nShards` so a shard's rows fit a task sort (the same knob a
+    * trainer's shard reader wants anyway). Compare [[graft.ext.Packing
+    * .assignShards]], which packs CONTIGUOUS token-budget shards via
+    * prefix sums; this op is its order-randomizing complement.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val draw = graft.functions.PortableHash.h60("shuffle", seed, col(idCol))
+    val w = Window.partitionBy("shard").orderBy(col("_draw"), col(idCol))
+    df.withColumn("_draw", draw)
+      .withColumn("shard", pmod(col("_draw"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w) - 1)
+      .drop("_draw")
+  }
 }

@@ -1809,6 +1809,31 @@ object TableOps {
           .foreach(st => fs.delete(st.getPath, true))
     deleteUnreferenced(dataRoot)
     deleteUnreferenced(new Path(s"${t.commitsPath}/stats"))
+    // Partition-level GC inside LIVE commit dirs: a rel subdir is dead
+    // once NO retained parts map maps (rel → this ver) — the
+    // delete_partition / moved-ownership leftover case. Without this, a
+    // dropped partition's bytes survive as long as ANY sibling rel
+    // keeps the commit dir referenced (a retention /
+    // right-to-be-forgotten gap: the whole point of dropping the
+    // partition was for its data to age out). Time-travel-safe by the
+    // same argument as dir-level GC: any retained manifest that can
+    // resolve (rel → ver) keeps that subdir alive. MOR delta dirs are
+    // exempt — every row of a delta is live regardless of the parts
+    // map until compaction folds it.
+    if (t.partitionBy.nonEmpty && partsMaps.nonEmpty) {
+      // note the .toSeq: mapping a Map to swapped (ver, rel) tuples
+      // would collapse same-ver entries to one surviving rel
+      val liveRels = partsMaps
+        .flatMap(_.toSeq.map { case (rel, ver) => (ver, rel) }).toSet
+      val deltaSet = metas.flatMap(deltasOf).toSet
+      (referenced -- deltaSet).foreach { ver =>
+        val dir = new Path(s"${t.dataPath}/$ver")
+        if (CommitDirPattern.matches(ver) && fs.exists(dir))
+          relsOf(fs, dir, t.partitionBy.length)
+            .filterNot(rel => liveRels((ver, rel)))
+            .foreach(rel => fs.delete(new Path(dir, rel), true))
+      }
+    }
     // Legacy layout leftovers (pre-manifest-protocol tables) — but ONLY
     // once this table demonstrably speaks the manifest protocol: for a
     // table whose manifests carry no parts map (a round-1 layout), the

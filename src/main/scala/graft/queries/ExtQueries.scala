@@ -997,6 +997,18 @@ object ExtQueries {
       window = 15, minDf = 2)
       .orderBy("doc_id")
 
+  /** Seeded deterministic shuffle-to-shards ([[Sampling
+    * .shuffleShards]]): the replayable global permutation a trainer's
+    * data-ordering step needs — shard by portable hash mod 16, order
+    * within shards by the draw. Fully value-oracled (the oracle
+    * recomputes the md5-60 draw and the per-shard ranking).
+    */
+  def sampleShuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShards(t(s, dir, "documents"), "doc_id",
+      nShards = 16, seed = 42L)
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+
   /** Model-based quality filtering ([[Classifier]], the
     * fastText/FineWeb-Edu classifier-filter shape): a logistic
     * regression over the [[TextStats.stats]] features learns a weak

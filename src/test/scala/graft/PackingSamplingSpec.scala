@@ -158,4 +158,26 @@ class PackingSamplingSpec extends SparkSuite {
     val b = Packing.assignSequencesByText(docs, "doc_id", "text", 128, 4)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("shuffleShards is a replayable global permutation") {
+    val ids = (1L to 200L).toDF("id")
+    val a = Sampling.shuffleShards(ids, "id", nShards = 8, seed = 7L)
+    // every row exactly once, (shard,pos) unique, pos dense from 0
+    assert(a.count() === 200)
+    assert(a.select("shard", "pos").distinct().count() === 200)
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    perShard.foreach { r =>
+      assert(r.getAs[Number]("lo").longValue === 0L)
+      assert(r.getAs[Number]("hi").longValue ===
+        r.getAs[Long]("n") - 1)
+    }
+    // replayable: identical assignment on a rerun
+    val b = Sampling.shuffleShards(ids, "id", nShards = 8, seed = 7L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // a different seed is a different permutation
+    val c = Sampling.shuffleShards(ids, "id", nShards = 8, seed = 8L)
+    assert(a.exceptAll(c).count() > 0)
+  }
 }

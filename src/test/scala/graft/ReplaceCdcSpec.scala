@@ -174,6 +174,40 @@ class ReplaceCdcSpec extends SparkSuite {
       .select("id").as[String].collect().toSet === Set("e"))
   }
 
+  test("clean() collects a dropped partition's dir once retention passes") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("c", 1, "z", "p2")))
+    val dirP1 = TableOps.partitionDirs(spark, t)("part=p1")
+    TableOps.deletePartitions(spark, t, col("part") === "p1")
+    val fs = new org.apache.hadoop.fs.Path(t.dataPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // still referenced by the pre-drop manifest → must survive a wide clean
+    TableOps.clean(spark, t, retainCommits = 10)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dirP1)))
+    // retention down to the drop commit only → the dir is unreferenced
+    TableOps.clean(spark, t, retainCommits = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dirP1)))
+    assert(state(t) === Set(("c", 1, "z", "p2")))
+  }
+
+  test("replace commit trips the lost-update tripwire under a concurrent write") {
+    val t = table(partitioned = true)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    // simulate a racing writer landing a commit between our read of the
+    // timeline head and our publish: logCommit's expectedPrev must trip.
+    // Easiest deterministic interleaving: publish a manifest directly
+    // while insertOverwrite is mid-flight is racy; instead verify the
+    // tripwire arms by replaying the internal contract — a manifest
+    // whose expectedPrev no longer matches must throw.
+    val log = CommitLog(t, spark)
+    val head = log.latestCommit()
+    TableOps.upsert(spark, t, rows(("b", 1, "y", "p1"))) // interloper
+    intercept[java.util.ConcurrentModificationException] {
+      log.logCommit(CommitLog.newCommitTs(),
+        Map("table" -> t.name), expectedPrev = Some(head))
+    }
+  }
+
   test("lookupKeys returns exactly the probed keys' current rows") {
     val t = table(partitioned = false)
     TableOps.upsert(spark, t, rows(
