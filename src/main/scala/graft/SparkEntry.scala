@@ -181,7 +181,8 @@ object SparkEntry {
     "pii_redact", "decontam_overlap", "multimodal_stats",
     "multimodal_features_raw", "events_tumbling", "events_sliding",
     "events_sessions", "j_asof_join", "j_salted_join", "j_range_join",
-    "a_salted_agg", "a_approx_agg_raw", "s9_mor_snapshot")
+    "a_salted_agg", "a_approx_agg_raw", "s9_mor_snapshot",
+    "sample_shuffle", "o9_key_lookup", "text_classifier")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard

@@ -162,6 +162,35 @@ object StreamingEtl {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join — each left event matched to the
+    * right-side events of the same key whose time lies within
+    * `[leftTime − within, leftTime]` (the streaming face of the batch
+    * [[graft.ops.AsOfJoin]] enrichment: a purchase joined to the views
+    * that preceded it). Both sides carry watermarks and the join
+    * condition bounds the event-time distance, so Spark buffers each
+    * side only `within + watermark` of state and evicts rows whose
+    * join window has conclusively passed — an unconstrained
+    * stream-stream join would buffer both streams forever.
+    */
+  def intervalJoin(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      within: String,
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "interval join needs equi-join keys")
+    val l = leftDf.withWatermark(leftTime, watermark).alias("l")
+    val r = rightDf.withWatermark(rightTime, watermark).alias("r")
+    val keyCond = keyCols.map(k => col(s"l.$k") === col(s"r.$k"))
+      .reduce(_ && _)
+    val rangeCond = col(s"r.$rightTime") <= col(s"l.$leftTime") &&
+      col(s"r.$rightTime") >= col(s"l.$leftTime") - expr(s"INTERVAL $within")
+    l.join(r, keyCond && rangeCond, "inner")
+  }
+
   /** Streaming windowed aggregation with a watermark — the event-time
     * capability the reference lacks (SURVEY.md §2i: "no watermarks, no
     * event-time windows"). Tumbling count per (window, event_type);

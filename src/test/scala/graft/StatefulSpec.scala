@@ -33,6 +33,39 @@ class StatefulSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val events = CoreQueries.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+    val srcDir = tmpDir("graft-ssjoin")
+    events.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def side(tpe: String, idAs: String, tsAs: String) =
+      spark.readStream.schema(schema).parquet(srcDir)
+        .filter($"event_type" === tpe)
+        .select($"user_id", $"event_id".as(idAs), $"ts".as(tsAs))
+    val joined = graft.streaming.StreamingEtl.intervalJoin(
+      side("purchase", "p_id", "p_ts"),
+      side("view", "v_id", "v_ts"),
+      Seq("user_id"), "p_ts", "v_ts", within = "30 minutes")
+      .select($"l.user_id", $"p_id", $"v_id")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssjoin")
+      .as[(Long, Long, Long)].collect().toSet
+    val p = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), $"ts".as("p_ts"))
+    val v = events.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"event_id".as("v_id"),
+        $"ts".as("v_ts"))
+    val batch = p.join(v, $"user_id" === $"v_user" &&
+        $"v_ts" <= $"p_ts" &&
+        $"v_ts" >= $"p_ts" - expr("INTERVAL 30 minutes"))
+      .select($"user_id", $"p_id", $"v_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("bronze smoke job: static typed rows land in the medallion bronze path") {
     val base = tmpDir("graft-bronze")
     val t = Pipeline.bronzeSmoke(spark, base)
