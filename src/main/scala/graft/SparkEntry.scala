@@ -142,6 +142,10 @@ object SparkEntry {
     "s_delete_partition"      -> (OpsQueries.sDeletePartition _),
     "s_cdc_batch"             -> (OpsQueries.sCdcBatch _),
     "s_schema_evolution"      -> (OpsQueries.sSchemaEvolution _),
+    "s_time_travel"           -> (OpsQueries.sTimeTravel _),
+    "s_soft_delete"           -> (OpsQueries.sSoftDelete _),
+    "s_partial_update"        -> (OpsQueries.sPartialUpdate _),
+    "s_insert_nodedup"        -> (OpsQueries.sInsertNoDedup _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
   )
@@ -1681,6 +1685,43 @@ object SparkEntry {
         |  'delete', 2
         | FROM orders WHERE o_orderkey % 7 = 0
         | ORDER BY o_orderkey, commit_ordinal""".stripMargin,
+    // Time travel: the table as of commit 2 — the %3 doubled batch
+    // applied, the later %5 batch invisible (same expected state as
+    // the s10 restore, reached read-only).
+    "s_time_travel" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS ver,
+        | CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Soft delete: the active view is the untombstoned complement.
+    "s_soft_delete" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | WHERE o_orderkey % 7 <> 0
+        | ORDER BY o_orderkey""".stripMargin,
+    // Partial update: each column independently keeps its latest
+    // NON-NULL version — the %15 keys prove batch 3's null price did
+    // not erase batch 2's doubling.
+    "s_partial_update" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+        |      ELSE o_custkey END AS o_custkey,
+        | CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        | CASE WHEN o_orderkey % 5 = 0 THEN 3
+        |      WHEN o_orderkey % 3 = 0 THEN 2
+        |      ELSE 1 END AS ver
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+    // insert (no-dedup): base ∪ batch — the even urgent keys carry
+    // BOTH their ver-1 and ver-2 rows (added, never merged).
+    "s_insert_nodedup" ->
+      """SELECT o_orderkey, 1 AS ver, o_orderpriority, o_totalprice
+        | FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, 2, o_orderpriority, o_totalprice * 2
+        | FROM orders
+        | WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+        | ORDER BY o_orderkey, ver""".stripMargin,
     // Additive evolution: batch-2 rows carry the new column, batch-1
     // rows read back NULL-backfilled under the widened schema.
     "s_schema_evolution" ->

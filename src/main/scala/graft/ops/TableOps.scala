@@ -329,7 +329,18 @@ object TableOps {
       incoming: DataFrame,
       sortBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 4000000L,
-      idempotencyKey: Option[String] = None): String = {
+      idempotencyKey: Option[String] = None,
+      partial: Boolean = false): String = {
+    // Payload selection (Hudi hoodie.datasource.write.payload.class
+    // analog): default = whole-row overwrite-with-latest (the payload
+    // the reference config implies); partial = per-column latest-non-
+    // null (PartialUpdateAvroPayload) — sparse update batches merge
+    // into stored rows instead of erasing unmentioned columns. Same
+    // commit protocol either way; only the merge/combine fns differ.
+    val mergeFn: (DataFrame, DataFrame, Seq[String], Seq[String]) => DataFrame =
+      if (partial) Upsert.mergePartial else Upsert.merge
+    val combineFn: (DataFrame, Seq[String], Seq[String]) => DataFrame =
+      if (partial) Upsert.dedupBatchPartial else Upsert.dedupBatch
     val log = CommitLog(t, spark)
     // Exactly-once upgrade of the at-least-once contract (SURVEY.md
     // §2i I3): a caller-supplied idempotency key (e.g. the streaming
@@ -356,7 +367,7 @@ object TableOps {
     // batch dedup under the same identity the MERGE uses — deduping a
     // partition-scoped batch by bare key would silently collapse a
     // batch that legitimately carries one row per partition per key
-    val deduped = Upsert.dedupBatch(incoming, t.rowIdentity,
+    val deduped = combineFn(incoming, t.rowIdentity,
       Seq(t.precombineKey))
     val stamped = deduped.withColumn(KeyedTable.CommitCol, lit(ts))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -394,7 +405,7 @@ object TableOps {
         relsOf(fs, dest, t.partitionBy.length).map(_ -> ts).toMap
       case Some(_) if t.partitionBy.isEmpty =>
         val existing = snapshot(spark, t)
-        val merged = Upsert.merge(existing, stamped, t.recordKey,
+        val merged = mergeFn(existing, stamped, t.recordKey,
           Seq(t.precombineKey, KeyedTable.CommitCol))
         mergedSchema = merged.schema
         writer(merged, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
@@ -434,7 +445,7 @@ object TableOps {
         // scoped matching merges a key only against its own partition —
         // Hudi BLOOM default; GLOBAL matches table-wide) — the single
         // definition every other write path uses.
-        val merged = Upsert.merge(affectedExisting, stamped, t.rowIdentity,
+        val merged = mergeFn(affectedExisting, stamped, t.rowIdentity,
           Seq(t.precombineKey, KeyedTable.CommitCol))
         mergedSchema = merged.schema
         writer(merged, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
@@ -481,6 +492,106 @@ object TableOps {
           written.filter(col(KeyedTable.CommitCol) === lit(ts)))
       KeyIndex.markSynced(spark, t, ts)
     }
+    ts
+  }
+
+  /** INSERT (no-dedup) — Hudi's `insert` write operation (the third
+    * value of `hoodie.datasource.write.operation` next to the `upsert`
+    * the reference pins, create_hudi_tables.py:124, and the
+    * `insert_overwrite` family): rows are ADDED to the table with no
+    * key lookup, no precombine dedup and no replacement — a key
+    * already present ends up with MULTIPLE rows, exactly as Hudi
+    * documents for insert with combine-before-insert off. The bulk
+    * data-load path: first commit on a fresh table writes the batch
+    * as-is (Hudi's `bulk_insert` shape — zero reads); later commits
+    * rewrite only the touched partitions as existing ∪ batch (COW
+    * small-file handling — Hudi's insert also merges into existing
+    * file groups on COW).
+    *
+    * Duplicate keys are first-class in the snapshot read (no merge
+    * happens on a pure-COW read path); a LATER [[upsert]] collapses a
+    * duplicated key to its greatest-precombine version, matching
+    * Hudi's upsert-after-insert behavior. Refused for GLOBAL-indexed
+    * tables: a global key index presumes table-wide key uniqueness,
+    * which this operation exists to break.
+    *
+    * Shares upsert's commit protocol: idempotency-key replay
+    * protection, MOR-delta fold first, additive schema evolution,
+    * lost-update tripwire, stats sidecar before publish.
+    */
+  def insertInto(
+      spark: SparkSession,
+      t: KeyedTable,
+      incoming: DataFrame,
+      sortBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 4000000L,
+      idempotencyKey: Option[String] = None): String = {
+    require(!t.globalIndex,
+      s"table ${t.name}: insert (no-dedup) is undefined under a GLOBAL " +
+        "key index — use upsert, or a non-global table")
+    val log = CommitLog(t, spark)
+    idempotencyKey.foreach { key =>
+      if (log.hasIdempotencyKey(key)) return ""
+    }
+    if (incoming.isEmpty) return ""
+    if (liveDeltas(spark, t).nonEmpty) compactDeltas(spark, t)
+    val baseCommit = log.latestCommit()
+    val ts = CommitLog.newCommitTs()
+    val stamped = incoming.withColumn(KeyedTable.CommitCol, lit(ts))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    val dest = new Path(s"${t.dataPath}/$ts")
+    val oldParts = currentParts(spark, t, None)
+    var mergedSchema: StructType = stamped.schema
+    val newParts: Map[String, String] = oldParts match {
+      case None =>
+        // same foreign-data guard as the first upsert commit
+        if (fs.exists(new Path(t.dataPath))) {
+          val foreign = fs.listStatus(new Path(t.dataPath))
+            .filterNot(st => CommitDirPattern.matches(st.getPath.getName))
+          require(foreign.isEmpty,
+            s"table ${t.name}: ${t.dataPath} already holds non-graft data " +
+              s"(e.g. ${foreign.head.getPath.getName}); import it with an " +
+              "explicit upsert from a read of that dir into a fresh table")
+        }
+        writer(stamped, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
+        relsOf(fs, dest, t.partitionBy.length).map(_ -> ts).toMap
+      case Some(_) if t.partitionBy.isEmpty =>
+        val appended = snapshot(spark, t)
+          .unionByName(stamped, allowMissingColumns = true)
+        mergedSchema = appended.schema
+        writer(appended, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
+        Map("" -> ts)
+      case Some(old) =>
+        // Affected partitions are the batch's own — no key-moved-home
+        // resolution exists here (nothing is replaced), so the
+        // partition-scoped rewrite needs no index probe at any scale.
+        val existing = snapshot(spark, t)
+        val incomingParts =
+          stamped.select(t.partitionBy.map(col): _*).distinct()
+        val affected = incomingParts.collect()
+        val partFilter =
+          partitionPredicate(t.partitionBy, incomingParts.schema, affected)
+        val affectedExisting = existing.filter(partFilter)
+        val appended = affectedExisting
+          .unionByName(stamped, allowMissingColumns = true)
+        mergedSchema = appended.schema
+        writer(appended, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
+        val affectedRels = backingRels(spark, t, fs, affectedExisting).keySet
+        val written = relsOf(fs, dest, t.partitionBy.length)
+        old -- affectedRels ++ written.map(_ -> ts)
+    }
+    if (t.statsColumns.nonEmpty)
+      ColumnStats.write(spark, t, ts, Some(mergedSchema))
+    log.logCommit(ts, Map(
+      "table" -> t.name,
+      "action" -> "insert",
+      "schema" -> mergedSchema.json,
+      PartsKey -> partsJson(newParts)) ++
+      idempotencyKey.map("idempotency_key" -> _) ++
+      rowsWrittenMeta(spark, t, ts),
+      expectedPrev = Some(baseCommit))
+    idempotencyKey.foreach(log.recordIdempotencyKey)
     ts
   }
 

@@ -94,6 +94,68 @@ object Upsert {
       .select(cols.map(c => col(s"_row.`$c`").as(c)): _*)
   }
 
+  /** Per-column latest-non-null resolution — the partial-update merge
+    * core shared by [[mergePartial]] and [[dedupBatchPartial]]. For
+    * every non-key column independently: the value of the greatest-ord
+    * row IN WHICH THAT COLUMN IS NON-NULL (null only when the column is
+    * null in every row of the key). Expressed as `max` over a
+    * `(ord, value)` struct built only when the value is non-null —
+    * `max` skips null inputs by SQL semantics and compares structs
+    * lexicographically, so this needs no window sort, gets map-side
+    * partial aggregation like [[merge]], and shuffles O(distinct keys),
+    * not O(rows).
+    */
+  private def resolvePartial(u: DataFrame, keys: Seq[String],
+      ordCols: Seq[String], outCols: Seq[String]): DataFrame = {
+    val aggs = outCols.filterNot(keys.contains).map { c =>
+      max(when(col(s"`$c`").isNotNull,
+        struct((ordCols.map(col) :+ col(s"`$c`").as("v")): _*)))
+        .getField("v").as(c)
+    }
+    u.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(outCols.map(c => col(s"`$c`")): _*)
+  }
+
+  /** Partial-update merge — the Hudi `PartialUpdateAvroPayload` /
+    * `OverwriteNonDefaultsWithLatestAvroPayload` analog of [[merge]]:
+    * instead of the whole greatest-precombine row replacing the stored
+    * row, each column independently takes its latest NON-NULL value in
+    * precombine order (incoming wins ties, like [[merge]]). An update
+    * batch can therefore carry just the columns it changes, NULL
+    * elsewhere, without erasing stored values — the sparse-update
+    * shape CDC streams and feature-backfill pipelines emit.
+    *
+    * A column that is null in every version of a key stays null.
+    * Schema evolution matches [[merge]]: the output schema is the
+    * union, absent columns read as null (and so never win).
+    */
+  def mergePartial(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      precombine: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert requires at least one key column")
+    val cols = existing.columns.toSeq ++
+      incoming.columns.filterNot(existing.columns.contains)
+    val u = existing.withColumn("_src", lit(0))
+      .unionByName(incoming.withColumn("_src", lit(1)),
+        allowMissingColumns = true)
+    resolvePartial(u, keys, precombine :+ "_src", cols)
+  }
+
+  /** Within-batch combine under partial-update semantics: several
+    * sparse updates to one key in the same batch FOLD (each column's
+    * latest non-null wins) rather than collapse to the single
+    * greatest-precombine row — the batch-side half of the Hudi
+    * partial-payload contract ([[dedupBatch]]'s whole-row analog).
+    */
+  def dedupBatchPartial(
+      batch: DataFrame,
+      keys: Seq[String],
+      precombine: Seq[String]): DataFrame =
+    resolvePartial(batch, keys, precombine, batch.columns.toSeq)
+
   /** Rows of `existing` whose key does NOT appear in `incoming` — the
     * untouched side of an upsert (SURVEY.md §2c: upsert internally needs
     * anti-join semantics). Broadcast-friendly: when `incoming`'s key set

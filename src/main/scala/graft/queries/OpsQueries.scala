@@ -794,4 +794,125 @@ object OpsQueries {
     snap.select("o_orderkey", "ver", "o_totalprice", "bonus")
       .orderBy("o_orderkey")
   }
+
+  /** Time-travel read ([[TableOps.snapshotAsOf]], Hudi's
+    * `as.of.instant` query type) as a driver query: three upsert
+    * commits, then the table AS OF the second — the commit-3 writes
+    * must be invisible, with nothing restored or rolled back (the
+    * read-only half of the s10 surface). The in-query gate pins the
+    * mechanism: the as-of read touches no file of the later commit
+    * dir — manifest resolution, not data filtering.
+    */
+  def sTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val table = KeyedTable("orders_tt",
+      s"${scratch("graft-tt")}/orders_tt", Seq("o_orderkey"), "ver")
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    val c2 = TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(2)))
+    val c3 = TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .withColumn("ver", lit(3)))
+    val asOf = TableOps.snapshotAsOf(s, table, c2)
+    require(asOf.inputFiles.forall(f => !f.contains(s"/$c3/")),
+      "s_tt: as-of read touched a file of a later commit")
+    asOf.select("o_orderkey", "ver", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Soft delete ([[TableOps.softDelete]] / [[TableOps.snapshotActive]])
+    * as a driver query: tombstone-flag the %7 keys, then read the
+    * active view — the flagged rows must be gone from it while the raw
+    * snapshot still carries them as `_deleted = true` tombstones (the
+    * CDC-visibility contract the in-query gate pins; `changeLog`
+    * classifies exactly these as delete records, s_cdc_batch). Oracle:
+    * the surviving complement.
+    */
+  def sSoftDelete(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val table = KeyedTable("orders_sd",
+      s"${scratch("graft-sd")}/orders_sd", Seq("o_orderkey"),
+      "o_orderkey")
+    TableOps.upsert(s, table, orders)
+    val ts = TableOps.softDelete(s, table,
+      orders.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+    require(ts.nonEmpty, "s_sd: soft delete published nothing")
+    val tombstones = TableOps.snapshot(s, table)
+      .filter(coalesce(col(TableOps.DeletedCol), lit(false)))
+    require(!tombstones.isEmpty,
+      "s_sd: tombstones invisible in the raw snapshot")
+    TableOps.snapshotActive(s, table)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Partial-update payload ([[graft.ops.Upsert.mergePartial]], the
+    * Hudi `PartialUpdateAvroPayload` surface — the other value of the
+    * `hoodie.datasource.write.payload.class` option the reference
+    * leaves at overwrite-with-latest) as a driver query: two sparse
+    * update batches, each carrying ONLY the columns it changes and
+    * NULL elsewhere. Batch 2 doubles the %3 prices with a null
+    * custkey; batch 3 moves the %5 custkeys with a null price. Under
+    * the whole-row payload batch 3 would erase the %15 keys' doubled
+    * prices; under the partial payload every column keeps its latest
+    * NON-NULL version — exactly the state the oracle recomputes.
+    */
+  def sPartialUpdate(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val table = KeyedTable("orders_pu",
+      s"${scratch("graft-pu")}/orders_pu", Seq("o_orderkey"), "ver")
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_custkey", lit(null).cast("bigint"))
+        .withColumn("ver", lit(2)),
+      partial = true)
+    TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+        .withColumn("o_totalprice", lit(null).cast("double"))
+        .withColumn("ver", lit(3)),
+      partial = true)
+    TableOps.snapshot(s, table)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "ver")
+      .orderBy("o_orderkey")
+  }
+
+  /** INSERT, no-dedup ([[TableOps.insertInto]], Hudi's `insert` write
+    * operation) as a driver query: orders partitioned by priority take
+    * a full load, then an insert of the even urgent keys with doubled
+    * totals — those keys must end up with BOTH rows (added, not
+    * merged: the anti-upsert). The in-query gate pins the
+    * partition-scoped rewrite: untouched partitions keep their exact
+    * data dirs. Oracle: base ∪ batch.
+    */
+  def sInsertNoDedup(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val table = KeyedTable("orders_ins",
+      s"${scratch("graft-ins")}/orders_ins", Seq("o_orderkey"), "ver",
+      partitionBy = Seq("o_orderpriority"))
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    val before = TableOps.partitionDirs(s, table)
+    val ts = TableOps.insertInto(s, table,
+      orders.filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(2)))
+    require(ts.nonEmpty, "s_ins: insert published nothing")
+    val after = TableOps.partitionDirs(s, table)
+    val untouched = before.filterNot(_._1.contains("1-URGENT"))
+    require(untouched.forall { case (k, v) => after.get(k).contains(v) },
+      "s_ins: insert rewrote a partition its batch never touched")
+    TableOps.snapshot(s, table)
+      .select("o_orderkey", "ver", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey", "ver")
+  }
 }

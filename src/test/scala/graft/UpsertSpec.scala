@@ -93,4 +93,101 @@ class UpsertSpec extends SparkSuite {
       assert(toSet(once) === toSet(twice), s"seed=$seed")
     }
   }
+
+  // ---- partial-update payload (mergePartial / dedupBatchPartial) ----
+
+  private def dfN(rows: Seq[(String, Int, Option[String], Option[Int])])
+      : DataFrame = rows.toDF("id", "ver", "a", "b")
+
+  private def toSetN(d: DataFrame)
+      : Set[(String, Int, Option[String], Option[Int])] =
+    d.select("id", "ver", "a", "b")
+      .as[(String, Int, Option[String], Option[Int])].collect().toSet
+
+  test("partial: null columns do not erase stored values") {
+    val out = Upsert.mergePartial(
+      dfN(Seq(("k", 1, Some("keep"), Some(7)))),
+      dfN(Seq(("k", 2, None, Some(9)))),
+      Seq("id"), Seq("ver"))
+    assert(toSetN(out) === Set(("k", 2, Some("keep"), Some(9))))
+  }
+
+  test("partial: stale batch only fills columns null in newer state") {
+    // existing is NEWER (ver 5) with a null in column b: the stale
+    // incoming row must not override a or ver, but its non-null b is
+    // the latest non-null version of b.
+    val out = Upsert.mergePartial(
+      dfN(Seq(("k", 5, Some("new"), None))),
+      dfN(Seq(("k", 2, Some("old"), Some(3)))),
+      Seq("id"), Seq("ver"))
+    assert(toSetN(out) === Set(("k", 5, Some("new"), Some(3))))
+  }
+
+  test("partial: column null in every version stays null; inserts work") {
+    val out = Upsert.mergePartial(
+      dfN(Seq(("k", 1, None, None))),
+      dfN(Seq(("k", 2, None, Some(1)), ("j", 1, Some("x"), None))),
+      Seq("id"), Seq("ver"))
+    assert(toSetN(out) ===
+      Set(("k", 2, None, Some(1)), ("j", 1, Some("x"), None)))
+  }
+
+  test("partial: tie on precombine — incoming non-null wins") {
+    val out = Upsert.mergePartial(
+      dfN(Seq(("k", 1, Some("old"), Some(1)))),
+      dfN(Seq(("k", 1, Some("new"), None))),
+      Seq("id"), Seq("ver"))
+    assert(toSetN(out) === Set(("k", 1, Some("new"), Some(1))))
+  }
+
+  test("partial: within-batch sparse updates to one key FOLD") {
+    val out = Upsert.dedupBatchPartial(
+      dfN(Seq(("k", 1, Some("a1"), None), ("k", 2, None, Some(2)),
+        ("k", 3, None, None))),
+      Seq("id"), Seq("ver"))
+    assert(toSetN(out) === Set(("k", 3, Some("a1"), Some(2))))
+  }
+
+  test("partial: schema evolution — incoming-only column backfills null") {
+    val existing = Seq(("k", 1, "x")).toDF("id", "ver", "a")
+    val incoming = Seq(("k", 2, 42)).toDF("id", "ver", "extra")
+    val out = Upsert.mergePartial(existing, incoming, Seq("id"), Seq("ver"))
+    assert(out.columns.toSeq === Seq("id", "ver", "a", "extra"))
+    assert(out.as[(String, Int, Option[String], Option[Int])]
+      .collect().toSet === Set(("k", 2, Some("x"), Some(42))))
+  }
+
+  test("property: mergePartial == merge when no value is null, 10 seeds") {
+    for (seed <- 300 to 309) {
+      val rnd = new Random(seed)
+      val e = df(randomBatch(rnd)); val i = df(randomBatch(rnd))
+      assert(toSet(Upsert.mergePartial(e, i, Seq("id"), Seq("ver"))) ===
+        toSet(Upsert.merge(e, i, Seq("id"), Seq("ver"))), s"seed=$seed")
+    }
+  }
+
+  test("property: mergePartial == per-column Scala fold oracle, 10 seeds") {
+    def randomSparse(rnd: Random): Seq[(String, Int, Option[String], Option[Int])] =
+      Seq.fill(25)((s"k${rnd.nextInt(7)}", rnd.nextInt(9),
+        Option.when(rnd.nextBoolean())(s"a${rnd.nextInt(50)}"),
+        Option.when(rnd.nextBoolean())(rnd.nextInt(50))))
+        .distinctBy(r => (r._1, r._2))
+    for (seed <- 400 to 409) {
+      val rnd = new Random(seed)
+      val e = randomSparse(rnd); val i = randomSparse(rnd)
+      // oracle: per key, rows ordered by (ver, src) ascending; each
+      // column independently takes the last non-null; ver/src always
+      // non-null so the winner row defines them
+      val all = e.map(r => (r, 0)) ++ i.map(r => (r, 1))
+      val expected = all.groupBy(_._1._1).map { case (id, rows) =>
+        val sorted = rows.sortBy { case (r, src) => (r._2, src) }
+        val ver = sorted.last._1._2
+        val a = sorted.flatMap(_._1._3).lastOption
+        val b = sorted.flatMap(_._1._4).lastOption
+        (id, ver, a, b)
+      }.toSet
+      assert(toSetN(Upsert.mergePartial(dfN(e), dfN(i),
+        Seq("id"), Seq("ver"))) === expected, s"seed=$seed")
+    }
+  }
 }
