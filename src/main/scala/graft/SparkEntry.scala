@@ -67,6 +67,7 @@ object SparkEntry {
     "sim_q8_topk_raw"         -> (ExtQueries.simQ8TopkRaw _),
     "sim_ivf_q8_topk"         -> (ExtQueries.simIvfQ8Topk _),
     "sim_vector_dim_stats"    -> (ExtQueries.simVectorDimStats _),
+    "sim_rproj"               -> (ExtQueries.simRproj _),
     "sim_cosine_neardup"      -> (ExtQueries.simCosineNeardup _),
     "sim_neardup_pairs"       -> (ExtQueries.simNeardupPairs _),
     "sample_stratified"       -> (ExtQueries.sampleStratified _),
@@ -186,7 +187,7 @@ object SparkEntry {
     "multimodal_features_raw", "events_tumbling", "events_sliding",
     "events_sessions", "j_asof_join", "j_salted_join", "j_range_join",
     "a_salted_agg", "a_approx_agg_raw", "s9_mor_snapshot",
-    "sample_shuffle", "o9_key_lookup", "text_classifier")
+    "sample_shuffle", "o9_key_lookup", "text_classifier", "sim_rproj")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -1368,6 +1369,27 @@ object SparkEntry {
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Seeded JL random projection: the oracle reconstructs the SAME
+    // Achlioptas matrix (md5-60 of the flat index r*64+j, mod 6 →
+    // +1/0/−1) and refolds the SAME ascending-j double sum
+    // (list_sum over an ORDER BY j list ≡ the kernel's loop), scaled
+    // by sqrt(3/k); round(…,6) absorbs the last-ulp divergence class.
+    "sim_rproj" ->
+      s"""WITH rmat AS (
+        |  SELECT tk.k AS k, tj.j AS j,
+        |   CASE (${h60Sql("rproj", 42, "tk.k*64 + tj.j")}) % 6
+        |     WHEN 0 THEN 1 WHEN 5 THEN -1 ELSE 0 END AS r
+        |  FROM generate_series(0,15) tk(k), generate_series(0,63) tj(j)),
+        | ex AS (
+        |  SELECT vec_id,
+        |   unnest(list_zip(embedding, range(0, len(embedding), 1))) AS z
+        |  FROM embeddings),
+        | ej AS (SELECT vec_id, z[1] AS e, z[2] AS j FROM ex)
+        | SELECT vec_id, CAST(k AS INTEGER) AS k,
+        |  ROUND(list_sum(list(CAST(ej.e AS DOUBLE) * rmat.r ORDER BY ej.j))
+        |    * sqrt(3.0/16), 6) AS val
+        | FROM ej JOIN rmat USING (j)
+        | GROUP BY vec_id, k ORDER BY vec_id, k""".stripMargin,
     "sim_ivf_q8_topk" ->
       """WITH ex AS (
         | SELECT query_id, neighbor_id FROM (

@@ -646,4 +646,49 @@ object Similarity {
         (coalesce(col("comp"), col("id")) === col("id"))
           .as("is_canonical"))
   }
+
+  /** The seeded sparse Johnson–Lindenstrauss matrix (Achlioptas 2003):
+    * entries ∈ {+1, 0, −1} with probabilities 1/6, 2/3, 1/6, drawn
+    * from the md5-60 portable hash of the flat index `r*dim + j` — so
+    * executors (as a plan literal), unit tests, and the DuckDB oracle
+    * all reconstruct the identical matrix. Flattened row-major
+    * (k rows × dim), ±1 exact in double.
+    */
+  private[graft] def jlMatrix(dim: Int, k: Int, seed: Long): Array[Double] =
+    Array.tabulate(k * dim) { i =>
+      graft.functions.PortableHash.h60Jvm("rproj", seed, i) % 6 match {
+        case 0 => 1.0
+        case 5 => -1.0
+        case _ => 0.0
+      }
+    }
+
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    * with the sparse Achlioptas matrix): `vecCol` (dim floats) →
+    * `outCol` (k doubles), scaled by sqrt(3/k) so expected norms are
+    * preserved (the 1/6 density puts 2/3 zeros in the matrix — 3× the
+    * variance of dense Rademacher, hence the √3).
+    *
+    * The 100 TB shape: MAP-ONLY. The matrix rides the plan as an
+    * 8·k·dim-byte literal (no broadcast round-trip, no shuffle), the
+    * mat-vec is the codegen'd [[graft.functions.MatVecOps]] kernel
+    * inside whole-stage codegen, and downstream ANN/clustering/dedup
+    * runs on k dims instead of dim — the standard pre-shrink before
+    * sign-LSH or IVF on a trillion-embedding corpus (SemDeDup-style
+    * pipelines PCA/JL-reduce before clustering for exactly this
+    * reason). Deterministic by construction: same seed → same
+    * projection on any cluster layout, and the DuckDB oracle
+    * recomputes it value-for-value (driver query `sim_rproj`).
+    */
+  def randomProject(df: DataFrame, vecCol: String, dim: Int, k: Int,
+      seed: Long = 42L, outCol: String = "proj"): DataFrame = {
+    require(k > 0 && dim > 0, "randomProject: dim and k must be positive")
+    VectorFunctions.register(df.sparkSession)
+    val scale = math.sqrt(3.0 / k)
+    df.withColumn(outCol,
+      transform(
+        VectorFunctions.matVecFD(col(vecCol),
+          typedLit(jlMatrix(dim, k, seed).toSeq)),
+        x => x * lit(scale)))
+  }
 }

@@ -19,4 +19,17 @@ object PortableHash {
     conv(substring(md5(
       concat(lit(s"$tag:$seed:"), i.cast("string")).cast("binary")),
       1, 15), 16, 10).cast(LongType)
+
+  /** Driver-side JVM replica of [[h60]] — identical md5 / 15-hex-digit
+    * arithmetic, for constructing small derived artifacts (e.g. the
+    * seeded random-projection matrix) that both the executors (as a
+    * broadcast literal) and the DuckDB oracle (via `SparkEntry
+    * .h60Sql`) must reproduce bit-for-bit.
+    */
+  def h60Jvm(tag: String, seed: Long, i: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$seed:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
 }

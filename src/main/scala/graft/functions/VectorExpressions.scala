@@ -106,6 +106,58 @@ object VectorOps {
   }
 }
 
+/** `graft_matvec_fd(array<float>, array<double>) → array<double>`:
+  * flattened row-major matrix (rows×d doubles, rows derived as
+  * `mat.length / vec.length`) times a float vector. Accumulation is
+  * double, ascending j within each row — the summation ORDER is part
+  * of the cross-engine contract (the DuckDB oracle folds the same
+  * sequence via `list_sum(list(... ORDER BY j))`).
+  */
+object MatVecOps {
+  def matVecFD(vec: ArrayData, mat: ArrayData): ArrayData = {
+    val d = vec.numElements()
+    val rows = if (d == 0) 0 else mat.numElements() / d
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      var acc = 0.0
+      val base = r * d
+      var j = 0
+      while (j < d) {
+        acc += mat.getDouble(base + j) * vec.getFloat(j)
+        j += 1
+      }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class MatVecFD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_matvec_fd expects (array<float>, array<double>), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MatVecOps.matVecFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.MatVecOps.matVecFD($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_dot(array<float>, array<float>) → double`. */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -234,6 +286,7 @@ object VectorFunctions {
   private val FnNameQ8 = "graft_q8"
   private val FnNameQ8Scale = "graft_q8_scale"
   private val FnNameDotI8 = "graft_dot_i8"
+  private val FnNameMatVec = "graft_matvec_fd"
 
   /** Idempotently register the kernels in the session's function
     * registry (temp functions — visible to both the Column API via
@@ -252,9 +305,17 @@ object VectorFunctions {
       exprs => I8Scale(exprs.head))
     TextFunctions.registerOnce(spark, FnNameDotI8,
       exprs => DotProductI8(exprs.head, exprs(1)))
+    TextFunctions.registerOnce(spark, FnNameMatVec,
+      exprs => MatVecFD(exprs.head, exprs(1)))
   }
 
   def dotFD(a: Column, b: Column): Column = call_function(FnNameFD, a, b)
+
+  /** Flattened row-major matrix × float vector → array<double> (the
+    * codegen'd [[MatVecOps.matVecFD]] kernel).
+    */
+  def matVecFD(vec: Column, mat: Column): Column =
+    call_function(FnNameMatVec, vec, mat)
 
   def dotF(a: Column, b: Column): Column = call_function(FnName, a, b)
 

@@ -451,6 +451,26 @@ object ExtQueries {
     * embedding pipeline runs before normalization). Rounded to 6
     * decimals for cross-engine float parity.
     */
+  /** Seeded JL random projection ([[Similarity.randomProject]]) as a
+    * driver query: the 64-d float embeddings shrink to 16 dims via the
+    * Achlioptas ±1/0 matrix drawn from the md5-60 portable hash.
+    * Emitted EXPLODED — (vec_id, k, val rounded to 6) — so the oracle
+    * compares scalars; DuckDB rebuilds the identical matrix from the
+    * same hash arithmetic and refolds the same ascending-j double sum.
+    */
+  def simRproj(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // posexplode_OUTER: plain posexplode makes Spark guard the
+    // Generate with a `size(proj)>0 AND isnotnull(proj)` filter that
+    // re-evaluates the whole mat-vec a second time; proj is never
+    // null/empty by construction, so outer is row-identical and keeps
+    // the kernel single-shot in the plan.
+    Similarity.randomProject(emb, "embedding", dim = 64, k = 16)
+      .select(col("vec_id"), posexplode_outer(col("proj")).as(Seq("k", "val")))
+      .withColumn("val", round(col("val"), 6))
+      .orderBy("vec_id", "k")
+  }
+
   def simVectorDimStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))

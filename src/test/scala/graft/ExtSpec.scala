@@ -1051,4 +1051,54 @@ class ExtSpec extends SparkSuite {
       .select("id", "payload").as[(String, String)].collect().toSet
       === Set(("b", "y2"), ("c", "z")))
   }
+
+  // ---- random projection (JL) ----
+
+  test("h60Jvm replicates the Spark-column md5-60 hash") {
+    import graft.functions.PortableHash
+    val sparkSide = spark.range(100)
+      .select(PortableHash.h60("rproj", 42L, $"id").as("h"))
+      .as[Long].collect().toSeq
+    val jvmSide = (0L until 100L).map(PortableHash.h60Jvm("rproj", 42L, _))
+    assert(sparkSide === jvmSide)
+  }
+
+  test("matVecFD kernel == interpreted HOF reference on embeddings") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val mat = Similarity.jlMatrix(64, 8, seed = 7L)
+    val kernel = emb.limit(50).select($"vec_id",
+      VectorFunctions.matVecFD($"embedding", typedLit(mat.toSeq)).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // reference: per-row Scala loop over the collected floats
+    val ref = emb.limit(50).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+      .map { case (id, v) =>
+        id -> (0 until 8).map { r =>
+          (0 until 64).foldLeft(0.0)((acc, j) => acc + mat(r * 64 + j) * v(j))
+        }
+      }
+    assert(kernel === ref)
+  }
+
+  test("randomProject: deterministic, and JL preserves norms loosely") {
+    val a = Similarity.randomProject(emb, "embedding", 64, 32, seed = 42L)
+      .select($"vec_id", $"proj").as[(Long, Seq[Double])].collect().toMap
+    val b = Similarity.randomProject(emb, "embedding", 64, 32, seed = 42L)
+      .select($"vec_id", $"proj").as[(Long, Seq[Double])].collect().toMap
+    assert(a === b)
+    // E[||Rx||²] = ||x||² under the Achlioptas scaling; with k=32 the
+    // per-vector distortion is loose but the mean must be near 1
+    val orig = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    val ratios = a.toSeq.map { case (id, p) =>
+      val n2 = p.map(x => x * x).sum
+      val o2 = orig(id).map(x => x.toDouble * x).sum
+      n2 / o2
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean")
+    assert(ratios.count(r => r > 0.3 && r < 3.0) >= (ratios.size * 0.95).toInt,
+      "JL distortion tail too heavy")
+  }
 }
