@@ -68,6 +68,7 @@ object SparkEntry {
     "sim_ivf_q8_topk"         -> (ExtQueries.simIvfQ8Topk _),
     "sim_vector_dim_stats"    -> (ExtQueries.simVectorDimStats _),
     "sim_rproj"               -> (ExtQueries.simRproj _),
+    "sim_rproj_topk"          -> (ExtQueries.simRprojTopk _),
     "sim_cosine_neardup"      -> (ExtQueries.simCosineNeardup _),
     "sim_neardup_pairs"       -> (ExtQueries.simNeardupPairs _),
     "sample_stratified"       -> (ExtQueries.sampleStratified _),
@@ -763,6 +764,17 @@ object SparkEntry {
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
         | SELECT 'lsh_topk' AS family, (SELECT count(*) FROM ex) AS n_exact,
+        |  true AS recall_pass""".stripMargin,
+    "sim_rproj_topk" ->
+      """WITH ex AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id ASC) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
+        | SELECT 'rproj_topk' AS family, (SELECT count(*) FROM ex) AS n_exact,
         |  true AS recall_pass""".stripMargin,
     "sim_ivf_topk" ->
       """WITH ex AS (

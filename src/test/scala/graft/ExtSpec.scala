@@ -1081,6 +1081,30 @@ class ExtSpec extends SparkSuite {
     assert(kernel === ref)
   }
 
+  test("rprojTopK: exact cosines in output, recall ≥ 0.8 vs brute force") {
+    val q = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.rprojTopK(q, emb, "vec_id", "embedding", 5,
+      dim = 64)
+    val aPairs = approx.select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & aPairs).size.toDouble / exact.size
+    info(f"rproj recall@5 = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f")
+    // emitted cosines are EXACT (rerank on original floats): a caught
+    // pair's cos must equal the brute-force cos for that pair
+    val exactCos = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    approx.select($"query_id", $"neighbor_id", $"cos")
+      .as[(Long, Long, Double)].collect()
+      .filter(r => exactCos.contains((r._1, r._2)))
+      .foreach { r =>
+        assert(math.abs(r._3 - exactCos((r._1, r._2))) < 1e-12) }
+  }
+
   test("randomProject: deterministic, and JL preserves norms loosely") {
     val a = Similarity.randomProject(emb, "embedding", 64, 32, seed = 42L)
       .select($"vec_id", $"proj").as[(Long, Seq[Double])].collect().toMap
