@@ -69,6 +69,7 @@ object SparkEntry {
     "sim_vector_dim_stats"    -> (ExtQueries.simVectorDimStats _),
     "sim_rproj"               -> (ExtQueries.simRproj _),
     "sim_rproj_topk"          -> (ExtQueries.simRprojTopk _),
+    "sim_pca"                 -> (ExtQueries.simPca _),
     "sim_cosine_neardup"      -> (ExtQueries.simCosineNeardup _),
     "sim_neardup_pairs"       -> (ExtQueries.simNeardupPairs _),
     "sample_stratified"       -> (ExtQueries.sampleStratified _),
@@ -765,6 +766,15 @@ object SparkEntry {
         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
         | SELECT 'lsh_topk' AS family, (SELECT count(*) FROM ex) AS n_exact,
         |  true AS recall_pass""".stripMargin,
+    // PCA: the eigensolve has no SQL form — in-query invariant gates
+    // (orthonormality, eigenvalue order, variance share, projected-
+    // column variance == eigenvalue) verify it; the oracle pins the
+    // corpus size and the expected gate outcomes.
+    "sim_pca" ->
+      """SELECT 'pca' AS family, count(*) AS n_vecs,
+        | true AS orthonormal_pass, true AS eigs_sorted_pass,
+        | true AS var_explained_pass, true AS proj_var_pass
+        | FROM embeddings""".stripMargin,
     "sim_rproj_topk" ->
       """WITH ex AS (
         | SELECT query_id, neighbor_id FROM (

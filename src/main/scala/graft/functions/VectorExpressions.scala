@@ -114,6 +114,23 @@ object VectorOps {
   * sequence via `list_sum(list(... ORDER BY j))`).
   */
 object MatVecOps {
+  /** [[matVecFD]] minus a per-row bias: out[r] = Σⱼ mat[r,j]·vec[j] −
+    * bias[r] — the affine form a mean-centered projection needs
+    * ((x−μ)ᵀWᵀ = xᵀWᵀ − μᵀWᵀ, with μᵀWᵀ precomputed driver-side).
+    */
+  def matVecBiasFD(vec: ArrayData, mat: ArrayData,
+      bias: ArrayData): ArrayData = {
+    val raw = matVecFD(vec, mat)
+    val rows = raw.numElements()
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      out(r) = raw.getDouble(r) - bias.getDouble(r)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def matVecFD(vec: ArrayData, mat: ArrayData): ArrayData = {
     val d = vec.numElements()
     val rows = if (d == 0) 0 else mat.numElements() / d
@@ -156,6 +173,37 @@ case class MatVecFD(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_matvec_bias_fd(array<float>, array<double>, array<double>)
+  * → array<double>` — [[MatVecOps.matVecBiasFD]].
+  */
+case class MatVecBiasFD(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _),
+          ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_matvec_bias_fd expects (array<float>, array<double>, " +
+            s"array<double>), got (${a.catalogString}, ${b.catalogString}, " +
+            s"${c.catalogString})")
+    }
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    MatVecOps.matVecBiasFD(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.MatVecOps.matVecBiasFD($a, $b, $c)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `graft_dot(array<float>, array<float>) → double`. */
@@ -287,6 +335,7 @@ object VectorFunctions {
   private val FnNameQ8Scale = "graft_q8_scale"
   private val FnNameDotI8 = "graft_dot_i8"
   private val FnNameMatVec = "graft_matvec_fd"
+  private val FnNameMatVecBias = "graft_matvec_bias_fd"
 
   /** Idempotently register the kernels in the session's function
     * registry (temp functions — visible to both the Column API via
@@ -307,6 +356,8 @@ object VectorFunctions {
       exprs => DotProductI8(exprs.head, exprs(1)))
     TextFunctions.registerOnce(spark, FnNameMatVec,
       exprs => MatVecFD(exprs.head, exprs(1)))
+    TextFunctions.registerOnce(spark, FnNameMatVecBias,
+      exprs => MatVecBiasFD(exprs.head, exprs(1), exprs(2)))
   }
 
   def dotFD(a: Column, b: Column): Column = call_function(FnNameFD, a, b)
@@ -316,6 +367,12 @@ object VectorFunctions {
     */
   def matVecFD(vec: Column, mat: Column): Column =
     call_function(FnNameMatVec, vec, mat)
+
+  /** Affine projection: mat × vec − bias (the codegen'd
+    * [[MatVecOps.matVecBiasFD]] kernel; mean-centered PCA transform).
+    */
+  def matVecBiasFD(vec: Column, mat: Column, bias: Column): Column =
+    call_function(FnNameMatVecBias, vec, mat, bias)
 
   def dotF(a: Column, b: Column): Column = call_function(FnName, a, b)
 

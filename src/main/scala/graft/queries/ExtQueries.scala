@@ -488,6 +488,54 @@ object ExtQueries {
       Seq("query_id", "neighbor_id"), recallMin = 0.8)
   }
 
+  /** PCA over the embedding column ([[graft.ext.Pca]]) as a gate-style
+    * driver query (an eigendecomposition has no SQL oracle — the
+    * IN-QUERY invariants do the verifying, the oracle pins the corpus
+    * size and the expected gate outcomes): orthonormal components,
+    * sorted nonnegative eigenvalues, top-p variance ≥ the uniform
+    * share, and — the one that pins the DISTRIBUTED transform against
+    * the driver-side eigensolve — the per-component variance of the
+    * actual projected column equals its eigenvalue, with mean ≈ 0
+    * (centering worked).
+    */
+  def simPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val (dim, p) = (64, 8)
+    val m = graft.ext.Pca.fit(emb, "embedding", dim, p)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val orthoErr = (for (i <- 0 until p; j <- i until p) yield
+      math.abs(dot(m.components(i), m.components(j)) -
+        (if (i == j) 1.0 else 0.0))).max
+    val orthonormalPass = orthoErr < 1e-8
+    val eigsPass =
+      m.eigenvalues.sliding(2).forall(w => w(0) >= w(1) - 1e-12) &&
+        m.eigenvalues.last >= -1e-9
+    val varPass =
+      m.eigenvalues.sum >= m.totalVariance * p / dim - 1e-9
+    val proj = graft.ext.Pca.transform(emb, "embedding", m)
+    val stats = proj
+      .select(posexplode_outer(col("pc")).as(Seq("r", "x")))
+      .groupBy("r")
+      .agg(avg(col("x")).as("mu"), avg(col("x") * col("x")).as("m2"))
+      .collect()
+      .map(row => row.getInt(0) ->
+        (row.getDouble(1), row.getDouble(2) -
+          row.getDouble(1) * row.getDouble(1)))
+      .toMap
+    val projVarPass = (0 until p).forall { r =>
+      val (mu, v) = stats(r)
+      math.abs(mu) < 1e-6 &&
+        math.abs(v - m.eigenvalues(r)) <=
+          1e-6 * math.max(m.eigenvalues(r), 1e-9)
+    }
+    Seq(("pca", emb.count(), orthonormalPass, eigsPass, varPass,
+      projVarPass))
+      .toDF("family", "n_vecs", "orthonormal_pass", "eigs_sorted_pass",
+        "var_explained_pass", "proj_var_pass")
+  }
+
   def simVectorDimStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
