@@ -149,6 +149,7 @@ object SparkEntry {
     "s_soft_delete"           -> (OpsQueries.sSoftDelete _),
     "s_partial_update"        -> (OpsQueries.sPartialUpdate _),
     "s_insert_nodedup"        -> (OpsQueries.sInsertNoDedup _),
+    "s_files_view"            -> (OpsQueries.sFilesView _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
   )
@@ -1766,6 +1767,17 @@ object SparkEntry {
         | FROM orders
         | WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
         | ORDER BY o_orderkey, ver""".stripMargin,
+    // Files view: every status partition owned by the load commit
+    // (ordinal 1) except the replaced 'O' partition (ordinal 2), plus
+    // the live delta (ordinal 3, table-wide so rel '').
+    "s_files_view" ->
+      """SELECT * FROM (
+        |  SELECT concat('o_orderstatus=', o_orderstatus) AS rel,
+        |   CASE WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END AS commit_ordinal,
+        |   'base' AS role
+        |  FROM (SELECT DISTINCT o_orderstatus FROM orders)
+        |  UNION ALL SELECT '', 3, 'delta'
+        | ) ORDER BY rel, commit_ordinal""".stripMargin,
     // Additive evolution: batch-2 rows carry the new column, batch-1
     // rows read back NULL-backfilled under the widened schema.
     "s_schema_evolution" ->

@@ -88,13 +88,23 @@ object Pca {
   }
 
   /** Project onto the model's components: `outCol` = array<double> of
-    * length p. Map-only; W and μᵀWᵀ are plan literals.
+    * length p. Map-only; W and μᵀWᵀ are plan literals. With
+    * `whiten = true` each component is scaled by 1/√λ so every output
+    * coordinate has unit variance — the standard pre-step before
+    * sign-LSH / k-means on anisotropic embeddings (dominant directions
+    * stop dominating every hash bit). Components with λ ≤ 0 (numerical
+    * zeros) are left unscaled rather than exploded.
     */
   def transform(df: DataFrame, vecCol: String, model: Model,
-      outCol: String = "pc"): DataFrame = {
+      outCol: String = "pc", whiten: Boolean = false): DataFrame = {
     VectorFunctions.register(df.sparkSession)
-    val flat = model.components.flatten.toSeq
-    val bias = model.components
+    val comps =
+      if (!whiten) model.components
+      else model.components.zip(model.eigenvalues).map { case (w, lam) =>
+        if (lam > 1e-12) w.map(_ / math.sqrt(lam)) else w
+      }
+    val flat = comps.flatten.toSeq
+    val bias = comps
       .map(w => w.indices.foldLeft(0.0)((a, j) => a + w(j) * model.mean(j)))
       .toSeq
     df.withColumn(outCol,

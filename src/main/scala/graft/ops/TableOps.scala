@@ -1349,6 +1349,51 @@ object TableOps {
       "idempotency_key")
   }
 
+  /** File-system view — the Hudi CLI `show fsview all` analog next to
+    * [[timeline]]'s `commits show`: one row per (partition rel × owning
+    * BASE commit) from the current manifest, plus one row per live MOR
+    * delta commit, each with parquet file count and bytes folded from
+    * a recursive metadata listing. Driver-side kilobyte work (manifest
+    * read + per-dir listings — the dir set is the partition count, not
+    * the row count); register with `createOrReplaceTempView` to query
+    * storage layout in SQL, feed retention/clustering decisions, or
+    * gate small-file compaction ([[smallFilePartitions]] is the
+    * decision-side sibling).
+    */
+  def filesView(spark: SparkSession, t: KeyedTable): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    def stat(dir: Path): (Long, Long) =
+      if (!fs.exists(dir)) (0L, 0L)
+      else {
+        val it = fs.listFiles(dir, true)
+        var n = 0L
+        var b = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) {
+            n += 1; b += f.getLen
+          }
+        }
+        (n, b)
+      }
+    val (parts, deltas) = currentState(spark, t, None)
+      .getOrElse((Map.empty[String, String], Seq.empty[String]))
+    val baseRows = parts.toSeq.sortBy(_._1).map { case (rel, ver) =>
+      val dir = if (rel.isEmpty) new Path(s"${t.dataPath}/$ver")
+        else new Path(s"${t.dataPath}/$ver/$rel")
+      val (n, b) = stat(dir)
+      (rel, ver, "base", n, b)
+    }
+    val deltaRows = deltas.map { ts =>
+      val (n, b) = stat(new Path(s"${t.dataPath}/$ts"))
+      ("", ts, "delta", n, b)
+    }
+    (baseRows ++ deltaRows)
+      .toDF("rel", "commit_ts", "role", "n_files", "bytes")
+  }
+
   /** Pin the newest commit at or before `asOf` against retention — the
     * Hudi savepoint analog: [[clean]] keeps the pinned manifest (and
     * therefore every data dir it references) past the retention

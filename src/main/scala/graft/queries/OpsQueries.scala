@@ -885,6 +885,43 @@ object OpsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** File-system view ([[TableOps.filesView]], Hudi CLI `show fsview`
+    * analog) as a driver query: orders partitioned by status take a
+    * full load, an insert_overwrite of the 'O' partition, and a MOR
+    * delta commit — the view must show each partition owned by the
+    * right commit (the refreshed 'O' by the replace commit, the rest
+    * by the load) plus one live-delta row. File counts/bytes are
+    * layout-dependent, so the emission is the deterministic
+    * (rel, commit ordinal, role) triple with an in-query gate that
+    * every row holds ≥ 1 parquet file.
+    */
+  def sFilesView(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val table = KeyedTable("orders_fv",
+      s"${scratch("graft-fv")}/orders_fv", Seq("o_orderkey"), "ver",
+      partitionBy = Seq("o_orderstatus"))
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    val ts2 = TableOps.insertOverwrite(s, table,
+      orders.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(2)))
+    require(ts2.nonEmpty, "s_fv: replace commit published nothing")
+    val ts3 = TableOps.deltaCommit(s, table,
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("ver", lit(3)))
+    require(ts3.nonEmpty, "s_fv: delta commit published nothing")
+    val fv = TableOps.filesView(s, table)
+    require(fv.filter(col("n_files") < 1).head(1).isEmpty,
+      "s_fv: a files-view row holds no parquet file")
+    // handful of metadata rows — the unpartitioned Window is fine
+    fv.withColumn("commit_ordinal",
+        dense_rank().over(Window.orderBy("commit_ts")))
+      .select("rel", "commit_ordinal", "role")
+      .orderBy("rel", "commit_ordinal")
+  }
+
   /** INSERT, no-dedup ([[TableOps.insertInto]], Hudi's `insert` write
     * operation) as a driver query: orders partitioned by priority take
     * a full load, then an insert of the even urgent keys with doubled

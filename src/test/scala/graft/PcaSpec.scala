@@ -75,6 +75,21 @@ class PcaSpec extends SparkSuite {
     }
   }
 
+  test("whiten: every projected coordinate has unit variance") {
+    val m = Pca.fit(emb, "embedding", 64, p = 6)
+    val stats = Pca.transform(emb, "embedding", m, whiten = true)
+      .select(posexplode_outer($"pc").as(Seq("r", "x")))
+      .groupBy($"r")
+      .agg(avg($"x").as("mu"), avg($"x" * $"x").as("m2"))
+      .as[(Int, Double, Double)].collect()
+    assert(stats.length === 6)
+    stats.foreach { case (r, mu, m2) =>
+      assert(math.abs(mu) < 1e-9, s"component $r not centered")
+      assert(math.abs((m2 - mu * mu) - 1.0) < 1e-6,
+        s"component $r variance ${m2 - mu * mu}")
+    }
+  }
+
   test("fit is deterministic and eigenvalues are sorted nonnegative") {
     val m1 = Pca.fit(emb, "embedding", 64, p = 8)
     val m2 = Pca.fit(emb, "embedding", 64, p = 8)

@@ -763,6 +763,25 @@ class TableOpsSpec extends SparkSuite {
     }
   }
 
+  test("filesView: base ownership per partition, live deltas, cleaned-up after compaction") {
+    val t = table(partitioned = true)
+    val c1 = TableOps.upsert(spark, t,
+      rows(("a", 1, "x", "p1"), ("b", 1, "y", "p2")))
+    val c2 = TableOps.deltaCommit(spark, t, rows(("a", 2, "x2", "p1")))
+    val fv = TableOps.filesView(spark, t)
+      .select("rel", "commit_ts", "role", "n_files")
+      .as[(String, String, String, Long)].collect()
+    assert(fv.filter(_._3 == "base").map(r => (r._1, r._2)).toSet ===
+      Set(("part=p1", c1), ("part=p2", c1)))
+    assert(fv.filter(_._3 == "delta").map(_._2).toSeq === Seq(c2))
+    assert(fv.forall(_._4 >= 1))
+    // after compaction the delta row disappears and ownership moves
+    TableOps.compactDeltas(spark, t)
+    val fv2 = TableOps.filesView(spark, t)
+      .select("role").as[String].collect()
+    assert(!fv2.contains("delta"))
+  }
+
   test("commit timestamps are strictly monotonic") {
     val ts = (1 to 50).map(_ => CommitLog.newCommitTs())
     assert(ts === ts.sorted)
