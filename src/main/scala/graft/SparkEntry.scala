@@ -150,6 +150,7 @@ object SparkEntry {
     "s_partial_update"        -> (OpsQueries.sPartialUpdate _),
     "s_insert_nodedup"        -> (OpsQueries.sInsertNoDedup _),
     "s_files_view"            -> (OpsQueries.sFilesView _),
+    "s_bootstrap"             -> (OpsQueries.sBootstrap _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
   )
@@ -190,7 +191,8 @@ object SparkEntry {
     "multimodal_features_raw", "events_tumbling", "events_sliding",
     "events_sessions", "j_asof_join", "j_salted_join", "j_range_join",
     "a_salted_agg", "a_approx_agg_raw", "s9_mor_snapshot",
-    "sample_shuffle", "o9_key_lookup", "text_classifier", "sim_rproj")
+    "sample_shuffle", "o9_key_lookup", "text_classifier", "sim_rproj",
+    "sim_rproj_topk", "sim_pca")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -1767,6 +1769,13 @@ object SparkEntry {
         | FROM orders
         | WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
         | ORDER BY o_orderkey, ver""".stripMargin,
+    // Bootstrap: adopted rows all ver 1; the tied upsert wins against
+    // the null-stamped bootstrap rows, doubling the %3 prices.
+    "s_bootstrap" ->
+      """SELECT o_orderkey, 1 AS ver,
+        | CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
     // Files view: every status partition owned by the load commit
     // (ordinal 1) except the replaced 'O' partition (ordinal 2), plus
     // the live delta (ordinal 3, table-wide so rel '').

@@ -3,7 +3,7 @@ package graft.ops
 import graft.tables.{ColumnStats, CommitLog, KeyIndex, KeyedTable}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 
 /** Physical table lifecycle for a [[graft.tables.KeyedTable]]: COW upsert
@@ -492,6 +492,73 @@ object TableOps {
           written.filter(col(KeyedTable.CommitCol) === lit(ts)))
       KeyIndex.markSynced(spark, t, ts)
     }
+    ts
+  }
+
+  /** METADATA-ONLY bootstrap — Hudi's `bootstrap` operation
+    * (`METADATA_ONLY` mode): adopt an existing plain-parquet dataset
+    * as the table's first commit WITHOUT rewriting a byte. The source
+    * dir is RENAMED into the commit layout — an O(1) namespace move on
+    * any rename-capable store, independent of data size — and the
+    * manifest schema is the source footer schema widened with
+    * `_commit_ts`, so bootstrapped rows read back with a NULL commit
+    * stamp. Null is exactly right: every merge path orders the
+    * precombine struct with null-first, so a bootstrapped row loses
+    * precombine TIES to any stamped write (the same outcome a
+    * FULL_RECORD import would produce) while still winning on a
+    * genuinely greater precombine value. Incremental and CDC reads
+    * emit nothing for the bootstrap commit — no row carries its
+    * stamp — matching Hudi's documented behavior that downstream
+    * consumers begin FROM the bootstrap instant.
+    *
+    * Refused when the table already exists, when the source already
+    * carries a `_commit_ts` column, and for stats-carrying tables
+    * (column-stats sidecars would need the full scan this operation
+    * exists to avoid — use an upsert import, the FULL_RECORD analog,
+    * or declare the table without statsColumns and compact later).
+    * Partitioned tables expect the source laid out hive-style under
+    * matching partition dirs.
+    */
+  def bootstrap(spark: SparkSession, t: KeyedTable,
+      srcDir: String): String = {
+    require(!exists(spark, t),
+      s"table ${t.name} already exists — bootstrap adopts only a fresh table")
+    require(t.statsColumns.isEmpty,
+      s"table ${t.name}: metadata-only bootstrap cannot produce " +
+        "column-stats sidecars (that needs a scan) — import via upsert " +
+        "or drop statsColumns")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    val src = new Path(srcDir)
+    require(fs.exists(src), s"bootstrap source $srcDir does not exist")
+    val srcSchema = spark.read.parquet(srcDir).schema
+    require(!srcSchema.fieldNames.contains(KeyedTable.CommitCol),
+      s"bootstrap source already carries ${KeyedTable.CommitCol} — " +
+        "it looks like graft table data, not a foreign dataset")
+    (t.recordKey ++ t.partitionBy :+ t.precombineKey).distinct.foreach(c =>
+      require(srcSchema.fieldNames.contains(c),
+        s"bootstrap source lacks declared column '$c'"))
+    val log = CommitLog(t, spark)
+    val baseCommit = log.latestCommit()
+    require(baseCommit.isEmpty,
+      s"table ${t.name} has commits — bootstrap must be first")
+    val ts = CommitLog.newCommitTs()
+    val dest = new Path(s"${t.dataPath}/$ts")
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(src, dest),
+      s"bootstrap rename $src -> $dest failed")
+    val rels = relsOf(fs, dest, t.partitionBy.length)
+    require(rels.nonEmpty,
+      s"bootstrap source holds no partition dirs at depth " +
+        s"${t.partitionBy.length}")
+    val schema = StructType(srcSchema.fields :+
+      StructField(KeyedTable.CommitCol, StringType, nullable = true))
+    log.logCommit(ts, Map(
+      "table" -> t.name,
+      "action" -> "bootstrap",
+      "schema" -> schema.json,
+      PartsKey -> partsJson(rels.map(_ -> ts).toMap)),
+      expectedPrev = Some(baseCommit))
     ts
   }
 

@@ -922,6 +922,44 @@ object OpsQueries {
       .orderBy("rel", "commit_ordinal")
   }
 
+  /** Metadata-only bootstrap ([[TableOps.bootstrap]], Hudi's
+    * `bootstrap` METADATA_ONLY operation) as a driver query: a plain
+    * parquet copy of orders is ADOPTED by rename — the in-query gate
+    * pins "no rewrite": the commit dir holds exactly the original
+    * file names. A follow-up upsert with a TIED precombine then
+    * doubles the %3 prices — stamped writes must beat the
+    * null-stamped bootstrap rows on ties, giving exactly the state a
+    * full import would. Oracle: the merged expectation.
+    */
+  def sBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val base = scratch("graft-bs")
+    val srcDir = s"$base/src"
+    orders.withColumn("ver", lit(1)).write.parquet(srcDir)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val srcFiles = fs.listStatus(new org.apache.hadoop.fs.Path(srcDir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val table = KeyedTable("orders_bs", s"$base/orders_bs",
+      Seq("o_orderkey"), "ver")
+    val ts = TableOps.bootstrap(s, table, srcDir)
+    require(ts.nonEmpty, "s_bs: bootstrap published nothing")
+    val destFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"${table.dataPath}/$ts"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    require(destFiles == srcFiles,
+      "s_bs: bootstrap rewrote or copied files instead of renaming")
+    TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(1)))
+    TableOps.snapshot(s, table)
+      .select("o_orderkey", "ver", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** INSERT, no-dedup ([[TableOps.insertInto]], Hudi's `insert` write
     * operation) as a driver query: orders partitioned by priority take
     * a full load, then an insert of the even urgent keys with doubled

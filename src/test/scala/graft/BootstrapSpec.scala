@@ -1,0 +1,119 @@
+package graft
+
+import graft.ops.TableOps
+import graft.tables.{CommitLog, KeyedTable}
+import org.apache.spark.sql.functions._
+
+/** Metadata-only bootstrap ([[TableOps.bootstrap]], the Hudi
+  * `bootstrap` METADATA_ONLY surface): adoption by rename, the
+  * null-commit-stamp merge semantics, incremental/CDC visibility, and
+  * the refusal guards.
+  */
+class BootstrapSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshBase = tmpDir("graft-bootstrap")
+
+  private def writeSrc(base: String, partitioned: Boolean): String = {
+    val src = s"$base/src"
+    val df = Seq(("a", 1, "x", "p1"), ("b", 2, "y", "p2"),
+      ("c", 1, "z", "p1")).toDF("id", "ver", "payload", "part")
+    if (partitioned) df.write.partitionBy("part").parquet(src)
+    else df.write.parquet(src)
+    src
+  }
+
+  test("bootstrap: snapshot roundtrip with null commit stamps; no data copied") {
+    val base = freshBase
+    val src = writeSrc(base, partitioned = false)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcFiles = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val t = KeyedTable("bs", s"$base/bs", Seq("id"), "ver")
+    val ts = TableOps.bootstrap(spark, t, src)
+    // the commit dir holds EXACTLY the original files — rename, not copy
+    val destFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"${t.dataPath}/$ts"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    assert(destFiles === srcFiles)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(src)))
+    val snap = TableOps.snapshot(spark, t)
+    assert(snap.select("id", "ver", "payload")
+      .as[(String, Int, String)].collect().toSet ===
+      Set(("a", 1, "x"), ("b", 2, "y"), ("c", 1, "z")))
+    assert(snap.filter(col(KeyedTable.CommitCol).isNotNull).count() === 0)
+    assert(CommitLog(t, spark).commitMeta(ts)
+      .exists(_.get("action").contains("bootstrap")))
+  }
+
+  test("bootstrap rows lose precombine TIES to stamped writes, win on greater ver") {
+    val base = freshBase
+    val src = writeSrc(base, partitioned = false)
+    val t = KeyedTable("bs", s"$base/bs", Seq("id"), "ver")
+    TableOps.bootstrap(spark, t, src)
+    // a: tie on ver=1 → stamped incoming wins; b: stale ver=1 vs
+    // bootstrapped ver=2 → bootstrapped survives
+    TableOps.upsert(spark, t,
+      Seq(("a", 1, "x-new", "p1"), ("b", 1, "y-stale", "p2"))
+        .toDF("id", "ver", "payload", "part"))
+    assert(TableOps.snapshot(spark, t).select("id", "payload")
+      .as[(String, String)].collect().toSet ===
+      Set(("a", "x-new"), ("b", "y"), ("c", "z")))
+  }
+
+  test("bootstrap commit is invisible to incremental and CDC reads") {
+    val base = freshBase
+    val src = writeSrc(base, partitioned = false)
+    val t = KeyedTable("bs", s"$base/bs", Seq("id"), "ver")
+    val ts = TableOps.bootstrap(spark, t, src)
+    assert(TableOps.incremental(spark, t, beginExclusive = ts).isEmpty)
+    assert(TableOps.changeLog(spark, t, beginExclusive = "0").isEmpty)
+    TableOps.upsert(spark, t,
+      Seq(("d", 1, "w", "p1")).toDF("id", "ver", "payload", "part"))
+    assert(TableOps.incremental(spark, t, beginExclusive = ts)
+      .select("id").as[String].collect().toSeq === Seq("d"))
+  }
+
+  test("partitioned bootstrap: hive dirs adopted; later rewrite partition-scoped") {
+    val base = freshBase
+    val src = writeSrc(base, partitioned = true)
+    val t = KeyedTable("bs", s"$base/bs", Seq("id"), "ver",
+      partitionBy = Seq("part"))
+    val ts = TableOps.bootstrap(spark, t, src)
+    assert(TableOps.partitionDirs(spark, t).keySet ===
+      Set("part=p1", "part=p2"))
+    TableOps.upsert(spark, t,
+      Seq(("a", 3, "x3", "p1")).toDF("id", "ver", "payload", "part"))
+    // p2 still owned by the bootstrap commit — untouched
+    assert(TableOps.partitionDirs(spark, t)("part=p2")
+      .contains(s"/$ts"))
+    assert(TableOps.snapshot(spark, t).select("id", "payload")
+      .as[(String, String)].collect().toSet ===
+      Set(("a", "x3"), ("b", "y"), ("c", "z")))
+  }
+
+  test("bootstrap refusals: existing table, graft data, stats tables, bad columns") {
+    val base = freshBase
+    val src = writeSrc(base, partitioned = false)
+    val t = KeyedTable("bs", s"$base/bs", Seq("id"), "ver")
+    TableOps.upsert(spark, t,
+      Seq(("z", 1, "q", "p9")).toDF("id", "ver", "payload", "part"))
+    intercept[IllegalArgumentException] {
+      TableOps.bootstrap(spark, t, src) // table exists
+    }
+    val t2 = KeyedTable("bs2", s"$base/bs2", Seq("id"), "ver",
+      statsColumns = Seq("id"))
+    intercept[IllegalArgumentException] {
+      TableOps.bootstrap(spark, t2, src) // stats table
+    }
+    val t3 = KeyedTable("bs3", s"$base/bs3", Seq("missing_col"), "ver")
+    intercept[IllegalArgumentException] {
+      TableOps.bootstrap(spark, t3, src) // key column absent
+    }
+    // source still untouched after every refusal (rename never ran)
+    assert(spark.read.parquet(src).count() === 3)
+  }
+}
