@@ -69,6 +69,7 @@ object SparkEntry {
     "sim_vector_dim_stats"    -> (ExtQueries.simVectorDimStats _),
     "sim_rproj"               -> (ExtQueries.simRproj _),
     "sim_rproj_topk"          -> (ExtQueries.simRprojTopk _),
+    "sim_cluster_balanced"    -> (ExtQueries.simClusterBalanced _),
     "sim_pca"                 -> (ExtQueries.simPca _),
     "sim_cosine_neardup"      -> (ExtQueries.simCosineNeardup _),
     "sim_neardup_pairs"       -> (ExtQueries.simNeardupPairs _),
@@ -80,6 +81,8 @@ object SparkEntry {
     "sim_semdedup"            -> (ExtQueries.simSemdedup _),
     "sim_ivf_append"          -> (ExtQueries.simIvfAppend _),
     "pack_sequences"          -> (ExtQueries.packSequences _),
+    "pack_length_batches"     -> (ExtQueries.packLengthBatches _),
+    "text_bpe"                -> (ExtQueries.textBpe _),
     "pack_chunks"             -> (ExtQueries.packChunks _),
     "pack_shards"             -> (ExtQueries.packShards _),
     "mixture_pipeline"        -> (ExtQueries.mixturePipeline _),
@@ -192,7 +195,8 @@ object SparkEntry {
     "events_sessions", "j_asof_join", "j_salted_join", "j_range_join",
     "a_salted_agg", "a_approx_agg_raw", "s9_mor_snapshot",
     "sample_shuffle", "o9_key_lookup", "text_classifier", "sim_rproj",
-    "sim_rproj_topk", "sim_pca")
+    "sim_rproj_topk", "sim_pca", "text_bpe", "pack_length_batches",
+    "sim_cluster_balanced")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -976,6 +980,54 @@ object SparkEntry {
         | SELECT doc_id, bucket, CAST(prev // 256 AS BIGINT) AS seq_id,
         |  n_tokens
         | FROM c ORDER BY doc_id""".stripMargin,
+    // Length-bucketed batching: bucket = CASE-sum over the boundary
+    // list, shard = portable hash mod 4, rank/batch/batch-max windows
+    // recomputed with identical arithmetic.
+    "pack_length_batches" ->
+      s"""WITH tc AS (
+        |  SELECT doc_id,
+        |   CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+        |     AS BIGINT) AS n_tokens,
+        |   CAST(${h60Sql("lenbatch", 42, "doc_id")} % 4 AS INT) AS shard
+        |  FROM documents),
+        | b AS (SELECT doc_id, n_tokens,
+        |   (CASE WHEN n_tokens >= 16 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_tokens >= 32 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_tokens >= 64 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_tokens >= 128 THEN 1 ELSE 0 END) AS bucket,
+        |   shard FROM tc),
+        | r AS (SELECT doc_id, n_tokens, bucket, shard,
+        |   CAST((row_number() OVER (PARTITION BY bucket, shard
+        |     ORDER BY doc_id) - 1) // 8 AS BIGINT) AS batch_id FROM b)
+        | SELECT doc_id, n_tokens, bucket, shard, batch_id,
+        |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_id)
+        |    AS batch_max,
+        |  max(n_tokens) OVER (PARTITION BY bucket, shard, batch_id)
+        |    - n_tokens AS pad_waste
+        | FROM r ORDER BY doc_id""".stripMargin,
+    // BPE training summary: n_words and the FIRST merge are
+    // SQL-expressible (distinct-word histogram; adjacent-char-pair
+    // argmax with the same (count desc, pair asc) tiebreak); the
+    // merge-count monotonicity and cross-path symbol-conservation
+    // gates are computed in-query and pinned true here.
+    "text_bpe" ->
+      raw"""WITH words AS (
+        |  SELECT w AS word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |          AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        | pairs AS (
+        |  SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+        |   CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1,
+        |    length(word) - 1)) AS i) t
+        |  GROUP BY 1, 2)
+        | SELECT 'text_bpe' AS family,
+        |  (SELECT count(*) FROM words) AS n_words,
+        |  24 AS n_merges,
+        |  (SELECT l || ' ' || r FROM pairs ORDER BY c DESC, l, r LIMIT 1)
+        |    AS first_pair,
+        |  true AS merges_nonincreasing, true AS conservation_ok""".stripMargin,
     // Sliding-window chunking (window 32, step 24): integer boundary
     // arithmetic and the chunk text itself recomputed exactly.
     "pack_chunks" ->
@@ -1399,6 +1451,37 @@ object SparkEntry {
     // +1/0/−1) and refolds the SAME ascending-j double sum
     // (list_sum over an ORDER BY j list ≡ the kernel's loop), scaled
     // by sqrt(3/k); round(…,6) absorbs the last-ulp divergence class.
+    // Cluster-balanced sampling: the oracle rebuilds the 8-row JL
+    // matrix, refolds the same ascending-j double sums, derives the
+    // sign-bit cluster, and replays the per-cluster portable-hash
+    // lottery — every kept row value-exact.
+    "sim_cluster_balanced" ->
+      s"""WITH rmat AS (
+        |  SELECT tk.k AS k, tj.j AS j,
+        |   CASE (${h60Sql("rproj", 42, "tk.k*64 + tj.j")}) % 6
+        |     WHEN 0 THEN 1 WHEN 5 THEN -1 ELSE 0 END AS r
+        |  FROM generate_series(0,3) tk(k), generate_series(0,63) tj(j)),
+        | ex AS (
+        |  SELECT vec_id,
+        |   unnest(list_zip(embedding, range(0, len(embedding), 1))) AS z
+        |  FROM embeddings),
+        | ej AS (SELECT vec_id, z[1] AS e, z[2] AS j FROM ex),
+        | pr AS (
+        |  SELECT vec_id, k,
+        |   list_sum(list(CAST(ej.e AS DOUBLE) * rmat.r ORDER BY ej.j)) AS s
+        |  FROM ej JOIN rmat USING (j) GROUP BY vec_id, k),
+        | cl AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN (1 << k) ELSE 0 END)
+        |    AS INTEGER) AS cluster
+        |  FROM pr GROUP BY vec_id),
+        | rk AS (
+        |  SELECT vec_id, cluster,
+        |   CAST(row_number() OVER (PARTITION BY cluster
+        |     ORDER BY ${h60Sql("cbal", 42, "vec_id")}, vec_id)
+        |    AS INTEGER) AS c_rank
+        |  FROM cl)
+        | SELECT vec_id, cluster, c_rank FROM rk WHERE c_rank <= 12
+        | ORDER BY vec_id""".stripMargin,
     "sim_rproj" ->
       s"""WITH rmat AS (
         |  SELECT tk.k AS k, tj.j AS j,

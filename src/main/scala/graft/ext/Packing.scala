@@ -170,6 +170,55 @@ object Packing {
     * window tokens yields exactly one chunk; token positions are
     * 0-based, `tok_end` exclusive.
     */
+  /** Length-bucketed batching (padding-efficient batch layout): group
+    * documents of similar token length into fixed-size batches so the
+    * per-batch pad-to-max waste stays small — the standard
+    * dynamic-padding / length-grouped sampler used when variable-length
+    * sequences are batched without packing (HF `group_by_length`,
+    * fairseq's length-bucketed iterators).
+    *
+    * Layout is a pure function of `(id, seed, boundaries, batchSize,
+    * shards)` — deterministic, replayable, value-level verifiable
+    * cross-engine:
+    *   - `bucket` = number of `boundaries` ≤ the doc's token count (a
+    *     chain of CASE sums — identical arithmetic in SQL);
+    *   - `shard` = portable hash of the id mod `shards` — bounds the
+    *     per-window sort AND breaks length-bucket skew (a corpus where
+    *     90% of docs share one length bucket still sorts in
+    *     shards-many independent windows);
+    *   - within `(bucket, shard)`, docs order by id; `batch_id` =
+    *     0-based rank / batchSize; `batch_max` (the padded length) and
+    *     `pad_waste` come from a second window over the batch.
+    *
+    * One shuffle on `(bucket, shard)`; both windows share that
+    * partitioning, so the second window is sort-only, no re-exchange.
+    * At 100 TB size `shards` ≈ a few × total cores.
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, tokenCol: Column,
+      boundaries: Seq[Int], batchSize: Int, shards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      "boundaries must be non-empty and ascending")
+    require(batchSize > 0 && shards > 0, "batchSize and shards must be positive")
+    val bucket = boundaries.foldLeft(lit(0))((acc, b) =>
+      acc + when(col("n_tokens") >= b, 1).otherwise(0))
+    val shard = pmod(graft.functions.PortableHash.h60("lenbatch", seed,
+      col(idCol)), lit(shards.toLong)).cast("int")
+    val wRank = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col(idCol))
+    val base = docs
+      .select(col(idCol), tokenCol.cast("long").as("n_tokens"))
+      .withColumn("bucket", bucket).withColumn("shard", shard)
+      .withColumn("batch_id",
+        ((row_number().over(wRank) - lit(1)) / lit(batchSize))
+          .cast("long"))
+    val wBatch = Window.partitionBy(col("bucket"), col("shard"),
+      col("batch_id"))
+    base
+      .withColumn("batch_max", max(col("n_tokens")).over(wBatch))
+      .withColumn("pad_waste", col("batch_max") - col("n_tokens"))
+  }
+
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
       window: Int, overlap: Int): DataFrame = {
     require(window > 0 && overlap >= 0 && overlap < window,

@@ -735,4 +735,52 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv_f"))
     rerankExact(cand, q, corpus, idCol, vecCol, k)
   }
+
+  /** Cluster-balanced (diversity-preserving) sampling: cap the number
+    * of rows drawn from each region of embedding space, so a corpus
+    * dominated by one dense topic cannot crowd the sample — the
+    * cluster-then-quota selection step of diversity-aware curation
+    * (SemDeDup §5 / DiverseEvol-style pruning), with the cluster
+    * assignment made CHEAP and PORTABLE instead of a k-means job:
+    *
+    *   - cluster id = the `bits` sign bits of the seeded JL projection
+    *     ([[randomProject]] — the Achlioptas matrix both executors and
+    *     the DuckDB oracle rebuild from the md5-60 portable hash).
+    *     Sign-random-projection buckets are exactly the SimHash of the
+    *     embedding: nearby vectors share buckets with probability
+    *     1 − θ/π per bit, so capping per bucket caps per direction
+    *     cone. Both engines fold the SAME ascending-j double sum, so
+    *     the sign — hence the cluster, hence every output row — is
+    *     bit-exact cross-engine (no k-means raw-centroid waiver
+    *     needed);
+    *   - within a cluster, survivors are the `cap` lowest portable-
+    *     hash draws (tie-broken by id) — a seeded lottery, replayable
+    *     on any cluster layout.
+    *
+    * One shuffle (the per-cluster rank window). 2^bits clusters bound
+    * the window sorts at corpus/2^bits expected rows (sign bits of an
+    * isotropic projection are balanced by construction); at 100 TB
+    * raise `bits` — the projection is map-only and its cost is linear
+    * in `bits` — or pre-thin with [[Sampling.sampleByRates]] before
+    * the rank. Output: `(idCol, cluster, c_rank)` for the kept rows.
+    */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, cap: Int, bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(bits > 0 && bits <= 30, "bits must be in [1, 30]")
+    require(cap > 0, "cap must be positive")
+    val proj = randomProject(corpus.select(col(idCol), col(vecCol)),
+      vecCol, dim, bits, seed)
+    val cluster = (0 until bits).map(r =>
+      when(element_at(col("proj"), r + 1) >= 0, 1 << r).otherwise(0))
+      .reduce(_ + _)
+    val draw = graft.functions.PortableHash.h60("cbal", seed, col(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("_draw"), col(idCol))
+    proj.withColumn("cluster", cluster)
+      .withColumn("_draw", draw)
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") <= cap)
+      .select(col(idCol), col("cluster"), col("c_rank"))
+  }
 }

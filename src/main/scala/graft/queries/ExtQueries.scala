@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Classifier, Decontaminate, Dedup, Domains, EventWindows, Expectations, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
+import graft.ext.{Bpe, Classifier, Decontaminate, Dedup, Domains, EventWindows, Expectations, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -471,6 +471,21 @@ object ExtQueries {
       .orderBy("vec_id", "k")
   }
 
+  /** Cluster-balanced sampling: at most 12 vectors kept per sign-bit
+    * cluster of the seeded 4-d JL projection (16 SimHash-style
+    * direction cones — few enough that the per-cone cap BINDS at the
+    * test scales, so the lottery's drop path is exercised, not just
+    * the pass-through). Everything — the projection matrix, the sign
+    * folds, the per-cluster lottery ranks — is a pure portable-hash
+    * function of the data, so the DuckDB oracle recomputes EVERY kept
+    * row; no k-means/raw-centroid waiver.
+    */
+  def simClusterBalanced(s: SparkSession, dir: String): DataFrame = {
+    val out = Similarity.clusterBalancedSample(t(s, dir, "embeddings"),
+      "vec_id", "embedding", dim = 64, cap = 12, bits = 4)
+    out.orderBy("vec_id")
+  }
+
   /** JL retrieve-and-rerank gate: coarse candidates in 48-d projected
     * space, exact-cosine rerank; recall@5 ≥ 0.8 vs brute force over
     * the 20 query vectors (measured 0.91 at sf0.01 — the isotropic
@@ -723,6 +738,52 @@ object ExtQueries {
     Packing.assignSequencesByText(t(s, dir, "documents"), "doc_id", "text",
       budget = 256, buckets = 8)
       .orderBy("doc_id")
+
+  /** Length-bucketed batch layout (boundaries 16/32/64/128 whitespace
+    * tokens, batches of 8, 4 hash shards) — the padding-efficient
+    * batching next to [[packSequences]]'s packing; every row including
+    * the per-batch padded length recomputed by the oracle's identical
+    * window arithmetic.
+    */
+  def packLengthBatches(s: SparkSession, dir: String): DataFrame =
+    Packing.lengthBatches(t(s, dir, "documents"), "doc_id",
+      size(split(trim(lower(col("text"))), "\\s+")),
+      boundaries = Seq(16, 32, 64, 128), batchSize = 8, shards = 4)
+      .orderBy("doc_id")
+
+  /** BPE tokenizer training over the corpus (24 merges, Sennrich-style
+    * word-histogram loop). The summary row carries two value-oracled
+    * fields (`n_words`, `first_pair` — the first merge IS
+    * SQL-expressible as an adjacent-char-pair argmax) and two in-query
+    * gates: the selected pair count is non-increasing in rank
+    * (guaranteed by the merge algebra — a new symbol's pairs can't
+    * exceed the count that created it), and symbol conservation — the
+    * DISTRIBUTED re-segmentation of the histogram ([[Bpe.segmentWords]],
+    * the regex path) must shrink the corpus by exactly the driver-path
+    * trainer's Σ appliedFreq, cross-checking the two implementations.
+    */
+  def textBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Bpe.wordHistogram(t(s, dir, "documents"), "text").cache()
+    try {
+      val (merges, _) = Bpe.train(hist, numMerges = 24)
+      require(merges.nonEmpty, "text_bpe: no merges learned")
+      val nonIncreasing = merges.sliding(2)
+        .forall(p => p.length < 2 || p(1).pairCount <= p(0).pairCount)
+      val seg = Bpe.segmentWords(hist.select("word", "cnt"), merges)
+      val before = hist.agg(sum(col("cnt") * length(col("word"))))
+        .head().getLong(0)
+      val after = seg.agg(sum(col("cnt") * size(split(col("sym"), " "))))
+        .head().getLong(0)
+      val conservation =
+        before - after == merges.map(_.appliedFreq).sum
+      val nWords = hist.count()
+      Seq(("text_bpe", nWords, merges.length, merges.head.pair,
+        nonIncreasing, conservation))
+        .toDF("family", "n_words", "n_merges", "first_pair",
+          "merges_nonincreasing", "conservation_ok")
+    } finally hist.unpersist()
+  }
 
   /** Sliding-window chunking (window 32, overlap 8) — every chunk row
     * including its text recomputed exactly by the DuckDB oracle.

@@ -1125,4 +1125,32 @@ class ExtSpec extends SparkSuite {
     assert(ratios.count(r => r > 0.3 && r < 3.0) >= (ratios.size * 0.95).toInt,
       "JL distortion tail too heavy")
   }
+
+  test("cluster-balanced sample: cap binds, lottery is the lowest draws") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      dim = 64, cap = 5, bits = 3).cache()
+    // never more than cap per cluster; ranks are 1..n contiguous
+    val per = out.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), max("c_rank").as("mx")).collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      assert(r.getLong(1) <= 5L)
+      assert(r.getInt(2) === r.getLong(1).toInt, "ranks not contiguous")
+    }
+    // survivors are exactly the cap lowest portable-hash draws of each
+    // cluster: recompute draws for the full corpus and cross-check
+    val draws = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      dim = 64, cap = Int.MaxValue, bits = 3)
+    val keptIds = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    val expect = draws.collect().filter(_.getInt(2) <= 5)
+      .map(_.getLong(0)).toSet
+    assert(keptIds === expect)
+    // deterministic across runs
+    val again = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      dim = 64, cap = 5, bits = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === keptIds)
+    out.unpersist()
+  }
 }
