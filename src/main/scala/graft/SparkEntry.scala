@@ -78,6 +78,7 @@ object SparkEntry {
     "sample_quota"            -> (ExtQueries.sampleQuota _),
     "sample_rates"            -> (ExtQueries.sampleRates _),
     "sample_temperature"      -> (ExtQueries.sampleTemperature _),
+    "sample_epochs"           -> (ExtQueries.sampleEpochs _),
     "sim_semdedup"            -> (ExtQueries.simSemdedup _),
     "sim_ivf_append"          -> (ExtQueries.simIvfAppend _),
     "pack_sequences"          -> (ExtQueries.packSequences _),
@@ -196,7 +197,7 @@ object SparkEntry {
     "a_salted_agg", "a_approx_agg_raw", "s9_mor_snapshot",
     "sample_shuffle", "o9_key_lookup", "text_classifier", "sim_rproj",
     "sim_rproj_topk", "sim_pca", "text_bpe", "pack_length_batches",
-    "sim_cluster_balanced")
+    "sim_cluster_balanced", "sample_epochs")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -941,6 +942,27 @@ object SparkEntry {
     // is bit-exact cross-engine (division and sqrt are IEEE-correctly-
     // rounded), and the draw is the identical md5-60 arithmetic. The
     // cut join is NULL-SAFE, mirroring temperatureSample's `<=>`.
+    // Epoch upsampling: the same integer base/cut literals the engine
+    // baked driver-side (floor(w), round(frac(w)*1e6)) + the identical
+    // md5-60 lottery; generate_series replays the copy fan-out.
+    "sample_epochs" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, lang,
+        |   CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'es' THEN 2
+        |     WHEN 'fr' THEN 3 WHEN 'zh' THEN 2 ELSE 1 END AS base,
+        |   CASE lang WHEN 'en' THEN 800000 WHEN 'de' THEN 500000
+        |     WHEN 'es' THEN 250000 WHEN 'fr' THEN 0 WHEN 'zh' THEN 500000
+        |     ELSE 0 END AS cut
+        |  FROM documents),
+        | n AS (
+        |  SELECT doc_id, lang, base + CASE
+        |    WHEN (${h60Sql("epoch", 42, "doc_id")} % 1000000) < cut
+        |    THEN 1 ELSE 0 END AS ne
+        |  FROM w)
+        | SELECT doc_id, lang, CAST(t.e AS BIGINT) AS epoch
+        | FROM n, LATERAL (SELECT unnest(generate_series(0,
+        |   CAST(ne AS BIGINT) - 1)) AS e) t
+        | WHERE ne > 0 ORDER BY doc_id, epoch""".stripMargin,
     "sample_temperature" ->
       s"""WITH ${tempCutCte("documents")}
         | SELECT d.doc_id, d.source, tcut.cut

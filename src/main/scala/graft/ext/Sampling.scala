@@ -110,6 +110,50 @@ object Sampling {
     df.filter(draw < cut)
   }
 
+  /** Epoch-based upsampling: replicate each row `w_g` times in
+    * expectation, where `w_g` is its group's (possibly fractional)
+    * repeat factor — the mixture-amplification step of pretraining
+    * data recipes (LLaMA's per-source epoch counts, DoReMi domain
+    * reweighting): a row emits `floor(w)` guaranteed copies plus one
+    * more with probability `frac(w)`, decided by its portable-hash
+    * draw. Output = input columns + `epoch` (0-based copy index), so
+    * downstream packing/shuffling treats copies as distinct rows in a
+    * replayable order.
+    *
+    * Exactness discipline: `floor(w)` and `round(frac(w)·10⁶)` are
+    * computed HERE, driver-side, and baked as integer literals — the
+    * per-row plan never touches fractional doubles, so any engine
+    * (the DuckDB oracle included) reproduces the copy set exactly.
+    * Map-only + explode: no shuffle, no join; output size is the only
+    * cost (Σ w_g · n_g rows), which is the operator's purpose. A
+    * weight of 0 drops the group (explode of an empty sequence).
+    */
+  def upsampleEpochs(df: DataFrame, groupCol: String, idCol: String,
+      weights: Seq[(Any, Double)], defaultWeight: Double,
+      seed: Long = 42L): DataFrame = {
+    require((defaultWeight +: weights.map(_._2)).forall(_ >= 0),
+      "weights must be non-negative")
+    def baseOf(w: Double) = math.floor(w).toLong
+    def cutOf(w: Double) = math.round((w - math.floor(w)) * Buckets)
+    val base = weights.foldLeft(lit(baseOf(defaultWeight))) {
+      case (acc, (k, w)) =>
+        when(col(groupCol) === lit(k), lit(baseOf(w))).otherwise(acc)
+    }
+    val cut = weights.foldLeft(lit(cutOf(defaultWeight))) {
+      case (acc, (k, w)) =>
+        when(col(groupCol) === lit(k), lit(cutOf(w))).otherwise(acc)
+    }
+    val draw = pmod(graft.functions.PortableHash.h60("epoch", seed,
+      col(idCol)), lit(Buckets.toLong))
+    // filter BEFORE sequence: Spark's sequence(0, -1) counts DOWN
+    // ([0, -1]), it is not empty — zero-epoch rows must not reach it
+    df.withColumn("_ne", base + when(draw < cut, 1L).otherwise(0L))
+      .filter(col("_ne") > 0L)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("_ne") - lit(1L))))
+      .drop("_ne")
+  }
+
   /** Per-group integer draw cuts for temperature-flattened mixture
     * sampling (the multilingual-pretraining resampling rule of
     * XLM-R / mT5): target group shares `q_g ∝ p_g^α` with `α ∈ (0,1]`,

@@ -730,6 +730,21 @@ object ExtQueries {
       .select("doc_id", "source", "cut")
       .orderBy("doc_id")
 
+  /** Epoch upsampling with fractional per-language repeat factors
+    * (en 0.8 / de 1.5 / es 2.25 / fr 3.0 / zh 2.5): each doc emits
+    * floor(w) copies plus a hash-lottery extra — 20% of `en` docs
+    * drop entirely (the zero-epoch path), `fr` is a pure integer
+    * repeat. The oracle replays the same integer base/cut literals
+    * and lottery, so every (doc, epoch) row is recomputed exactly.
+    */
+  def sampleEpochs(s: SparkSession, dir: String): DataFrame =
+    Sampling.upsampleEpochs(
+      t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id",
+      weights = Seq("en" -> 0.8, "de" -> 1.5, "es" -> 2.25,
+        "fr" -> 3.0, "zh" -> 2.5),
+      defaultWeight = 1.0)
+      .orderBy("doc_id", "epoch")
+
   /** Concat-then-chunk sequence packing of the corpus (budget 256
     * whitespace tokens, 8 hash buckets); the full per-doc assignment
     * is recomputed by the oracle's window cumsum.

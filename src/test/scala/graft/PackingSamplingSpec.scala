@@ -180,4 +180,31 @@ class PackingSamplingSpec extends SparkSuite {
     val c = Sampling.shuffleShards(ids, "id", nShards = 8, seed = 8L)
     assert(a.exceptAll(c).count() > 0)
   }
+
+  test("upsampleEpochs: integer weights exact, fractional in tolerance, zero drops") {
+    import spark.implicits._
+    val rows = (0L until 600L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")).toDF("id", "g")
+    val out = Sampling.upsampleEpochs(rows, "g", "id",
+      weights = Seq("a" -> 2.0, "b" -> 0.5, "c" -> 0.0),
+      defaultWeight = 1.0).cache()
+    // integer weight: exactly 2 copies of every 'a' row, epochs 0 and 1
+    val aRows = out.filter($"g" === "a")
+    assert(aRows.count() === 400L)
+    assert(aRows.groupBy("id").count().filter($"count" =!= 2).count() === 0L)
+    assert(aRows.select("epoch").distinct().collect().map(_.getLong(0)).sorted
+      === Array(0L, 1L))
+    // weight 0: the group vanishes
+    assert(out.filter($"g" === "c").count() === 0L)
+    // fractional: 'b' keeps ~half, single epoch 0
+    val bN = out.filter($"g" === "b").count()
+    assert(bN > 60 && bN < 140, s"b kept $bN of 200")
+    assert(out.filter($"g" === "b" && $"epoch" =!= 0L).count() === 0L)
+    // deterministic replay
+    val again = Sampling.upsampleEpochs(rows, "g", "id",
+      weights = Seq("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), defaultWeight = 1.0)
+    assert(out.exceptAll(again).count() === 0L)
+    assert(again.exceptAll(out).count() === 0L)
+    out.unpersist()
+  }
 }
