@@ -483,6 +483,13 @@ object ExtQueries {
   def simClusterBalanced(s: SparkSession, dir: String): DataFrame = {
     val out = Similarity.clusterBalancedSample(t(s, dir, "embeddings"),
       "vec_id", "embedding", dim = 64, cap = 12, bits = 4)
+    // plan gate: projection + sign fold are map-side; the only data
+    // shuffle is the per-cluster rank window — no join, no k-means
+    val plan = out.queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllIn(plan).length
+    require(nEx == 1 && !plan.contains("Join"),
+      s"clusterBalancedSample must shuffle once on the cluster id, " +
+        s"found $nEx Exchanges:\n$plan")
     out.orderBy("vec_id")
   }
 
@@ -737,13 +744,18 @@ object ExtQueries {
     * repeat. The oracle replays the same integer base/cut literals
     * and lottery, so every (doc, epoch) row is recomputed exactly.
     */
-  def sampleEpochs(s: SparkSession, dir: String): DataFrame =
-    Sampling.upsampleEpochs(
+  def sampleEpochs(s: SparkSession, dir: String): DataFrame = {
+    val out = Sampling.upsampleEpochs(
       t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id",
       weights = Seq("en" -> 0.8, "de" -> 1.5, "es" -> 2.25,
         "fr" -> 3.0, "zh" -> 2.5),
       defaultWeight = 1.0)
-      .orderBy("doc_id", "epoch")
+    // plan gate: upsampling is map-only + Generate — no shuffle, no join
+    val plan = out.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"upsampleEpochs must be map-only + explode, got:\n$plan")
+    out.orderBy("doc_id", "epoch")
+  }
 
   /** Concat-then-chunk sequence packing of the corpus (budget 256
     * whitespace tokens, 8 hash buckets); the full per-doc assignment
@@ -760,11 +772,20 @@ object ExtQueries {
     * the per-batch padded length recomputed by the oracle's identical
     * window arithmetic.
     */
-  def packLengthBatches(s: SparkSession, dir: String): DataFrame =
-    Packing.lengthBatches(t(s, dir, "documents"), "doc_id",
+  def packLengthBatches(s: SparkSession, dir: String): DataFrame = {
+    val out = Packing.lengthBatches(t(s, dir, "documents"), "doc_id",
       size(split(trim(lower(col("text"))), "\\s+")),
       boundaries = Seq(16, 32, 64, 128), batchSize = 8, shards = 4)
-      .orderBy("doc_id")
+    // plan gate: ONE data shuffle — both windows must share the
+    // (bucket, shard) partitioning (the rank window's Exchange), with
+    // only a Sort between them
+    val plan = out.queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllIn(plan).length
+    require(nEx == 1,
+      s"lengthBatches must shuffle once on (bucket, shard), found " +
+        s"$nEx Exchanges:\n$plan")
+    out.orderBy("doc_id")
+  }
 
   /** BPE tokenizer training over the corpus (24 merges, Sennrich-style
     * word-histogram loop). The summary row carries two value-oracled
