@@ -101,6 +101,7 @@ object SparkEntry {
     "text_stats"              -> (ExtQueries.textStats _),
     "text_quality"            -> (ExtQueries.textQuality _),
     "text_token_counts"       -> (ExtQueries.textTokenCounts _),
+    "text_winnow"             -> (ExtQueries.textWinnow _),
     "text_fingerprint"        -> (ExtQueries.textFingerprint _),
     "text_fingerprint_raw"    -> (ExtQueries.textFingerprintRaw _),
     "text_langid"             -> (ExtQueries.textLangid _),
@@ -197,7 +198,7 @@ object SparkEntry {
     "a_salted_agg", "a_approx_agg_raw", "s9_mor_snapshot",
     "sample_shuffle", "o9_key_lookup", "text_classifier", "sim_rproj",
     "sim_rproj_topk", "sim_pca", "text_bpe", "pack_length_batches",
-    "sim_cluster_balanced", "sample_epochs")
+    "sim_cluster_balanced", "sample_epochs", "text_winnow")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -1261,6 +1262,38 @@ object SparkEntry {
         |  t.n_lines - coalesce(r.n_kept, 0) AS n_lines_removed
         | FROM tot t LEFT JOIN reb r USING (doc_id)
         | ORDER BY t.doc_id""".stripMargin,
+    // Winnowing: the oracle rebuilds the word 3-gram hash sequence and
+    // replays the same four aligned-frame (hash, -pos) minima — a row
+    // is selected iff it is the rightmost minimum of SOME 4-window.
+    "text_winnow" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |   string_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM documents),
+        | g AS (
+        |  SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+        |   array_to_string(tk[t.i + 1 : t.i + 3], ' ') AS gram
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(0,
+        |    len(tk) - 3)) AS i) t
+        |  WHERE len(tk) >= 3),
+        | kd AS (
+        |  SELECT doc_id, pos, ${h60Sql("wfp", 42, "gram")} AS fp,
+        |   CAST(-pos AS BIGINT) AS np
+        |  FROM g),
+        | m AS (
+        |  SELECT doc_id, pos, fp, {'h': fp, 'np': np} AS key,
+        |   min({'h': fp, 'np': np}) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN 0 PRECEDING AND 3 FOLLOWING) AS m0,
+        |   min({'h': fp, 'np': np}) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS m1,
+        |   min({'h': fp, 'np': np}) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS m2,
+        |   min({'h': fp, 'np': np}) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN 3 PRECEDING AND 0 FOLLOWING) AS m3
+        |  FROM kd)
+        | SELECT doc_id, pos, fp FROM m
+        | WHERE key = m0 OR key = m1 OR key = m2 OR key = m3
+        | ORDER BY doc_id, pos""".stripMargin,
     "text_fingerprint" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

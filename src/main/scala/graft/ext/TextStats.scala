@@ -261,6 +261,58 @@ object TextStats {
             .cast(LongType), lit(2147483647L)),
           lit(2147483647L))).as("fingerprint"))
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    * selection): from each document's word k-gram hash sequence, keep
+    * the rightmost-minimal hash of every length-`w` window — the
+    * fingerprint family's GUARANTEED selection (any shared run of
+    * ≥ w+k−1 words between two documents shares at least one selected
+    * fingerprint; expected density 2/(w+1)), next to [[fingerprint]]'s
+    * single whole-doc hash.
+    *
+    * Formulation chosen for the engine: position `p` is selected iff
+    * its (hash, −pos) key equals the key-minimum of SOME w-window
+    * containing it — tested directly as `w` bounded-frame window
+    * minima over the same (doc, pos) sort: ONE Exchange on the doc
+    * id, one sort, `w` frame passes, no self-join (the run-length
+    * formulation needs a band self-join; the aligned-frame OR is
+    * equivalent and stays in window land). Frames clamp at document
+    * edges, which degrades gracefully (a doc shorter than w+k−1
+    * words still yields its global minimum). Everything is md5-60
+    * integer arithmetic on the gram text — the DuckDB oracle replays
+    * every selected row exactly.
+    *
+    * Output: `(idCol, pos, fp)` for selected gram positions; docs
+    * with fewer than k words emit nothing.
+    */
+  def winnowing(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, seed: Long = 42L): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val tk = toks(col(textCol))
+    // guard BEFORE sequence: size<k would make sequence(0, size-k)
+    // count DOWN, not empty
+    val grams = docs
+      .filter(size(tk) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(tk) - lit(k)),
+          i => concat_ws(" ", slice(tk, i + 1, lit(k))))))
+      .withColumnRenamed("col", "gram")
+    val h = graft.functions.PortableHash.h60("wfp", seed, col("gram"))
+    val keyed = grams
+      .select(col(idCol), col("pos"), h.as("fp"),
+        (-col("pos")).cast("long").as("_np"))
+      .withColumn("_key", struct(col("fp").as("h"), col("_np").as("np")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val selected = (0 until w).map { a =>
+      col("_key") === min(col("_key")).over(
+        win.rowsBetween(-a.toLong, (w - 1 - a).toLong))
+    }.reduce(_ || _)
+    // window exprs must live in a projection, not the filter itself
+    keyed.withColumn("_sel", selected)
+      .filter(col("_sel"))
+      .select(col(idCol), col("pos"), col("fp"))
+  }
+
   /** Per-document TF-IDF keyword extraction: the `topN` terms of each
     * document by tf·idf with idf = ln(N / df) (raw document-frequency
     * idf; terms present in every document score 0 and sink to the

@@ -1240,6 +1240,15 @@ object ExtQueries {
           i => concat_ws(" ", slice(col("_w"), i * 10 + 1, lit(10)))))
         .as("text"))
 
+  /** Winnowing fingerprints over the corpus (word 3-grams, window 4):
+    * the MOSS guaranteed selection, every (doc, pos, fp) row replayed
+    * exactly by the oracle's identical frame minima.
+    */
+  def textWinnow(s: SparkSession, dir: String): DataFrame =
+    TextStats.winnowing(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, w = 4)
+      .orderBy("doc_id", "pos")
+
   /** Corpus-duplicated line inventory over the lined corpus (CCNet /
     * RefinedWeb line-level boilerplate detection).
     */

@@ -1153,4 +1153,47 @@ class ExtSpec extends SparkSuite {
     assert(again === keptIds)
     out.unpersist()
   }
+
+  test("winnowing: window guarantee, shared-run guarantee, density, replay") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (k, w) = (3, 4)
+    val fp = TextStats.winnowing(docs, "doc_id", "text", k, w).cache()
+    // THE winnowing guarantee: every window of w consecutive gram
+    // positions contains at least one selected fingerprint
+    val nGrams = docs.select(col("doc_id"),
+        (size(split(trim(lower(col("text"))), "\\s+")) - lit(k - 1)).as("n"))
+      .filter(col("n") >= w)
+    val sel = fp.groupBy("doc_id")
+      .agg(collect_list("pos").as("ps"))
+    val holes = nGrams.join(sel, "doc_id")
+      .select(col("doc_id"), col("n"), array_sort(col("ps")).as("ps"))
+      .as[(Long, Int, Seq[Int])].collect()
+      .flatMap { case (id, n, ps) =>
+        val set = ps.toSet
+        (0 to n - w).collectFirst {
+          case i if !(i until i + w).exists(set.contains) => (id, i)
+        }
+      }
+    assert(holes.isEmpty, s"uncovered windows: ${holes.take(5).toSeq}")
+    // density ~ 2/(w+1)
+    val total = nGrams.agg(sum("n")).head().getLong(0)
+    val dens = fp.count().toDouble / total
+    assert(dens > 0.25 && dens < 0.55, s"density $dens")
+    // shared-run guarantee: two docs sharing >= w+k-1 words share a hash
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"  // 6 = w+k-1
+    val pair = Seq((900001L, s"one two $shared x y"),
+      (900002L, s"$shared p q r s t u v")).toDF("doc_id", "text")
+    val pf = TextStats.winnowing(pair, "doc_id", "text", k, w)
+      .select("doc_id", "fp").as[(Long, Long)].collect()
+    val h1 = pf.filter(_._1 == 900001L).map(_._2).toSet
+    val h2 = pf.filter(_._1 == 900002L).map(_._2).toSet
+    assert((h1 & h2).nonEmpty, "shared run left no common fingerprint")
+    // deterministic replay
+    val again = TextStats.winnowing(docs, "doc_id", "text", k, w)
+    assert(fp.exceptAll(again).count() === 0L)
+    assert(again.exceptAll(fp).count() === 0L)
+    fp.unpersist()
+  }
 }
