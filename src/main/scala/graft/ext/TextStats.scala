@@ -288,10 +288,21 @@ object TextStats {
       k: Int = 3, w: Int = 4, seed: Long = 42L): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
     val tk = toks(col(textCol))
-    // guard BEFORE sequence: size<k would make sequence(0, size-k)
-    // count DOWN, not empty
+    // Shuffle BEFORE the explode, on the window's own key: the gram
+    // build + md5 dominate the query, and placing the doc_id exchange
+    // first (a) ships compact docs instead of exploded grams and
+    // (b) satisfies the window's partitioning, so the heavy projection
+    // runs post-shuffle on every core with NO second exchange. (Guard
+    // BEFORE sequence: size<k would make sequence(0, size-k) count
+    // DOWN, not empty.)
     val grams = docs
       .filter(size(tk) >= k)
+      .select(col(idCol), col(textCol))
+      // explicit count: a bare repartition(col) is AQE-coalesced back
+      // to one partition on a small doc table, single-tasking the
+      // dominant stage
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(tk) - lit(k)),
           i => concat_ws(" ", slice(tk, i + 1, lit(k))))))
