@@ -98,6 +98,28 @@ object Bpe {
     else trainDistributed(hist, numMerges, minCount, checkpointEvery)
   }
 
+  /** Merge list → DataFrame `(rank, left, right, pair_count,
+    * applied_freq)` — the persistable model form: write it (and the
+    * segment map [[train]] returns) to parquet next to the corpus, as
+    * with the IVF centroid table or the MinHash band store, and any
+    * later job reloads with [[mergesFromDf]].
+    */
+  def mergesToDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.pairCount, m.appliedFreq))
+      .toDF("rank", "left", "right", "pair_count", "applied_freq")
+  }
+
+  /** Reload a merge list persisted via [[mergesToDf]] (rank order
+    * restored; the collect is merge-list-sized — metadata, not data).
+    */
+  def mergesFromDf(df: DataFrame): Seq[Merge] =
+    df.select("rank", "left", "right", "pair_count", "applied_freq")
+      .orderBy("rank").collect().toSeq
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+
   /** Apply an ordered merge list to a space-joined symbol column —
     * the shared application kernel (greedy left-to-right via
     * zero-width word-boundary lookarounds, so consecutive matches

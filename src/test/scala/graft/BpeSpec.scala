@@ -106,6 +106,29 @@ class BpeSpec extends SparkSuite {
     assert(enc(2L) === Seq("low", "e", "r", "w", "i", "d", "est"))
   }
 
+  test("model persistence: merges and segment map round-trip via parquet") {
+    val (merges, seg) = Bpe.train(sennrich, numMerges = 4)
+    val dir = tmpDir("graft-bpe")
+    Bpe.mergesToDf(spark, merges).write.parquet(s"$dir/merges")
+    seg.write.parquet(s"$dir/segments")
+    val merges2 = Bpe.mergesFromDf(spark.read.parquet(s"$dir/merges"))
+    assert(merges2 === merges)
+    val seg2 = spark.read.parquet(s"$dir/segments")
+    val docs = Seq((1L, "newest low"), (2L, "lower widest"))
+      .toDF("doc_id", "text")
+    val a = Bpe.encode(docs, "doc_id", "text", seg)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = Bpe.encode(docs, "doc_id", "text", seg2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a === b)
+    // OOV on new data segments identically through the reloaded merges
+    val oov = Seq((3L, "lowest")).toDF("doc_id", "text")
+      .select(explode(split(col("text"), " ")).as("word")).distinct()
+    val segOov = Bpe.segmentWords(oov, merges2)
+    assert(segOov.collect().map(r => r.getString(0) -> r.getString(1))
+      .toMap === Map("lowest" -> "low est"))
+  }
+
   test("length batches: batch size cap, padded length, bucket law") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = Packing.lengthBatches(docs, "doc_id",
