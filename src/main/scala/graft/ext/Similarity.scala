@@ -417,7 +417,7 @@ object Similarity {
       .withColumn("list", element_at(lit(listIds.toArray), col("pos") + 1))
       .drop("pos")
     assignments.unionByName(
-      assigned.select(assignments.columns.map(col): _*))
+      assigned.select(assignments.columns.toIndexedSeq.map(col): _*))
   }
 
   def ivfTopKWithIndex(queries: DataFrame, assignments: DataFrame,

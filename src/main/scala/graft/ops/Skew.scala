@@ -29,7 +29,8 @@ object Skew {
     require(buckets > 0)
     val lCols = large.columns
     val salted = large.withColumn("_salt",
-      pmod(xxhash64(lCols.map(col): _*), lit(buckets.toLong)).cast("int"))
+      pmod(xxhash64(lCols.toIndexedSeq.map(col): _*),
+        lit(buckets.toLong)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "_salt"), "inner").drop("_salt")
@@ -46,7 +47,8 @@ object Skew {
   def saltedAgg(df: DataFrame, key: String, buckets: Int,
       partial: Seq[Column], merge: Seq[Column]): DataFrame =
     df.withColumn("_salt",
-        pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
+        pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*),
+          lit(buckets.toLong)))
       .groupBy(col(key), col("_salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))

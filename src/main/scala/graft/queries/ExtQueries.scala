@@ -208,7 +208,7 @@ object ExtQueries {
     // sf0.01 → 400 of 0..499); a fixed cutoff would degenerate to
     // batch≈corpus at larger SFs and stop measuring the incremental
     // shape
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val cutoff = (maxId + 1L) * 4L / 5L
     val corpus = docs.filter(col("doc_id") < cutoff)
     val fresh = docs.filter(col("doc_id") >= cutoff)
