@@ -145,6 +145,7 @@ object SparkEntry {
     "s9_mor_pruned_read"      -> (OpsQueries.s9MorPrunedRead _),
     "s10_savepoint_restore"   -> (OpsQueries.s10SavepointRestore _),
     "s_timeline"              -> (OpsQueries.sTimeline _),
+    "s_storage_audit"         -> (OpsQueries.sStorageAudit _),
     "o9_key_lookup"           -> (OpsQueries.o9KeyLookup _),
     "s_insert_overwrite"      -> (OpsQueries.sInsertOverwrite _),
     "s_delete_partition"      -> (OpsQueries.sDeletePartition _),
@@ -1828,6 +1829,13 @@ object SparkEntry {
         |   (SELECT count(*) FROM orders), 0
         |  UNION ALL SELECT 4, 'restore', CAST(NULL AS BIGINT), 0
         | ) ORDER BY ordinal""".stripMargin,
+    // Storage audit: healthy history reports nothing; the planted
+    // 64-byte crash debris is the single deterministic orphan row
+    // (clean-reclaims gate is in-query).
+    "s_storage_audit" ->
+      """SELECT 'data' AS root, '29990101000000000' AS commit_ts,
+        | 'orphan' AS status, CAST(1 AS BIGINT) AS parquet_files,
+        | CAST(64 AS BIGINT) AS bytes""".stripMargin,
     // Point lookup: rows of the probed keys (lowest key decile, every
     // 50th) — the file-skipping gate is in-query, the oracle checks
     // the values. Integer division: Scala Long `/` and DuckDB `//`

@@ -1427,6 +1427,54 @@ object TableOps {
     * gate small-file compaction ([[smallFilePartitions]] is the
     * decision-side sibling).
     */
+  /** Read-only storage audit — the inspection sibling of [[clean]]
+    * (Hudi CLI `cleans show` / orphan-file detection analog): every
+    * commit-shaped dir under the data root (and its column-stats
+    * sidecar root) that NO retained manifest references, classified
+    *
+    *   - `orphan`: the ts has no manifest at all — debris of a write
+    *     that crashed after data landed but before the commit
+    *     published (the dir was never visible to any reader);
+    *   - `unreferenced`: the ts is in the timeline but no retained
+    *     manifest resolves to it — history [[clean]] would collect.
+    *
+    * Same reachability rule as the cleaner (parts-map values ∪ live
+    * MOR deltas over ALL retained manifests), so this is exactly the
+    * set a `clean` call may delete — run it before/after retention
+    * changes or after a crashed ingest to see what is reclaimable.
+    * Driver-side metadata work only (dir listings).
+    */
+  def storageAudit(spark: SparkSession, t: KeyedTable): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(t.path).getFileSystem(conf)
+    val log = CommitLog(t, spark)
+    val commits = log.listCommits().toSet
+    val metas = log.listCommits().flatMap(ts => log.commitMeta(ts))
+    val referenced = metas.flatMap(partsOf).flatMap(_.values).toSet ++
+      metas.flatMap(deltasOf)
+    def scan(root: Path, kind: String): Seq[(String, String, String, Long, Long)] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => CommitDirPattern.matches(st.getPath.getName))
+        .filterNot(st => referenced.contains(st.getPath.getName))
+        .map { st =>
+          val ts = st.getPath.getName
+          val status = if (commits.contains(ts)) "unreferenced" else "orphan"
+          val it = fs.listFiles(st.getPath, true)
+          var n = 0L
+          var b = 0L
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) { n += 1; b += f.getLen }
+          }
+          (kind, ts, status, n, b)
+        }
+    (scan(new Path(t.dataPath), "data") ++
+      scan(new Path(s"${t.commitsPath}/stats"), "stats"))
+      .toDF("root", "commit_ts", "status", "parquet_files", "bytes")
+  }
+
   def filesView(spark: SparkSession, t: KeyedTable): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration

@@ -653,6 +653,40 @@ object OpsQueries {
       .orderBy("ordinal")
   }
 
+  /** Storage audit as a driver query: two healthy commits plus PLANTED
+    * crash debris (a commit-shaped data dir with no manifest holding
+    * one 64-byte parquet-named file). All referenced history must
+    * report nothing; the debris must surface as an `orphan` row with
+    * its exact size. The in-query gate then runs [[TableOps.clean]]
+    * and requires the audit to come back EMPTY — the audit is the
+    * cleaner's preview, so clean must collect exactly the audited set.
+    */
+  def sStorageAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val table = KeyedTable("orders_sa",
+      s"${scratch("graft-sa")}/orders_sa", Seq("o_orderkey"), "ver")
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 5 === 0).withColumn("ver", lit(2)))
+    val orphanTs = "29990101000000000"
+    val debris = new java.io.File(s"${table.dataPath}/$orphanTs")
+    debris.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(debris.toString, "part-0.parquet"),
+      Array.fill[Byte](64)(1))
+    val rows = TableOps.storageAudit(s, table)
+      .select("root", "commit_ts", "status", "parquet_files", "bytes")
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    TableOps.clean(s, table, retainCommits = 10)
+    require(TableOps.storageAudit(s, table).isEmpty,
+      "s_storage_audit: clean did not collect the audited set")
+    require(TableOps.snapshot(s, table).count() > 0,
+      "s_storage_audit: table unreadable after clean")
+    rows.toDF("root", "commit_ts", "status", "parquet_files", "bytes")
+      .orderBy("commit_ts")
+  }
+
   /** INSERT OVERWRITE (Hudi `insert_overwrite` / replacecommit) as
     * materialized state: orders partitioned by priority; the urgent
     * partition is recomputed (even keys only, doubled totals) and

@@ -31,6 +31,30 @@ class TableOpsSpec extends SparkSuite {
       === Array(ts))
   }
 
+  test("storageAudit: clean table silent, crash debris flagged, clean reclaims") {
+    val t = table(partitioned = false)
+    TableOps.upsert(spark, t, rows(("a", 1, "x", "p1")))
+    TableOps.upsert(spark, t, rows(("b", 1, "y", "p1")))
+    // every dir is referenced by SOME retained manifest: nothing to report
+    assert(TableOps.storageAudit(spark, t).count() === 0L)
+    // crash debris: a commit-shaped data dir with no manifest
+    val orphanTs = "29990101000000000"
+    val dir = new java.io.File(s"${t.dataPath}/$orphanTs")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir.toString, "part-0.parquet"),
+      Array.fill[Byte](64)(1))
+    val audit = TableOps.storageAudit(spark, t)
+      .as[(String, String, String, Long, Long)].collect()
+    assert(audit.toSeq === Seq(("data", orphanTs, "orphan", 1L, 64L)))
+    // the cleaner collects exactly the audited set
+    TableOps.clean(spark, t, retainCommits = 1)
+    assert(TableOps.storageAudit(spark, t).count() === 0L)
+    assert(!dir.exists())
+    // table still reads after GC
+    assert(TableOps.snapshot(spark, t).count() === 2L)
+  }
+
   test("upsert updates existing keys, keeps untouched, logs commits") {
     val t = table(partitioned = false)
     val ts1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
