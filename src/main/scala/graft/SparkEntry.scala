@@ -102,6 +102,7 @@ object SparkEntry {
     "text_quality"            -> (ExtQueries.textQuality _),
     "text_token_counts"       -> (ExtQueries.textTokenCounts _),
     "text_winnow"             -> (ExtQueries.textWinnow _),
+    "dedup_winnow_pairs"      -> (ExtQueries.dedupWinnowPairs _),
     "text_fingerprint"        -> (ExtQueries.textFingerprint _),
     "text_fingerprint_raw"    -> (ExtQueries.textFingerprintRaw _),
     "text_langid"             -> (ExtQueries.textLangid _),
@@ -199,7 +200,8 @@ object SparkEntry {
     "a_salted_agg", "a_approx_agg_raw", "s9_mor_snapshot",
     "sample_shuffle", "o9_key_lookup", "text_classifier", "sim_rproj",
     "sim_rproj_topk", "sim_pca", "text_bpe", "pack_length_batches",
-    "sim_cluster_balanced", "sample_epochs", "text_winnow")
+    "sim_cluster_balanced", "sample_epochs", "text_winnow",
+    "dedup_winnow_pairs")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -222,6 +224,41 @@ object SparkEntry {
          |  SELECT id_a, id_b FROM inter
          |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5)""".stripMargin
+
+  /** Winnowing selection CTE chain ending in `wsel(doc_id, pos, fp)` —
+    * word 3-grams, window 4, the (hash, −pos) aligned-frame minima —
+    * shared by `text_winnow` and `dedup_winnow_pairs` so the selection
+    * arithmetic lives in ONE place.
+    */
+  private def winnowCte(src: String): String =
+    s"""wtok AS (
+       |  SELECT doc_id,
+       |   string_split_regex(trim(lower(text)), '\\s+') AS tk
+       |  FROM $src),
+       | wg AS (
+       |  SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+       |   array_to_string(tk[t.i + 1 : t.i + 3], ' ') AS gram
+       |  FROM wtok, LATERAL (SELECT unnest(generate_series(0,
+       |    len(tk) - 3)) AS i) t
+       |  WHERE len(tk) >= 3),
+       | wkd AS (
+       |  SELECT doc_id, pos, ${h60Sql("wfp", 42, "gram")} AS fp,
+       |   CAST(-pos AS BIGINT) AS np
+       |  FROM wg),
+       | wm AS (
+       |  SELECT doc_id, pos, fp, {'h': fp, 'np': np} AS key,
+       |   min({'h': fp, 'np': np}) OVER (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN 0 PRECEDING AND 3 FOLLOWING) AS m0,
+       |   min({'h': fp, 'np': np}) OVER (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS m1,
+       |   min({'h': fp, 'np': np}) OVER (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS m2,
+       |   min({'h': fp, 'np': np}) OVER (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN 3 PRECEDING AND 0 FOLLOWING) AS m3
+       |  FROM wkd),
+       | wsel AS (
+       |  SELECT doc_id, pos, fp FROM wm
+       |  WHERE key = m0 OR key = m1 OR key = m2 OR key = m3)""".stripMargin
 
   /** Reachability components over `ex` (requires WITH RECURSIVE). */
   private val edgesReachCte: String =
@@ -1267,34 +1304,23 @@ object SparkEntry {
     // replays the same four aligned-frame (hash, -pos) minima — a row
     // is selected iff it is the rightmost minimum of SOME 4-window.
     "text_winnow" ->
-      s"""WITH tok AS (
-        |  SELECT doc_id,
-        |   string_split_regex(trim(lower(text)), '\\s+') AS tk
-        |  FROM documents),
-        | g AS (
-        |  SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
-        |   array_to_string(tk[t.i + 1 : t.i + 3], ' ') AS gram
-        |  FROM tok, LATERAL (SELECT unnest(generate_series(0,
-        |    len(tk) - 3)) AS i) t
-        |  WHERE len(tk) >= 3),
-        | kd AS (
-        |  SELECT doc_id, pos, ${h60Sql("wfp", 42, "gram")} AS fp,
-        |   CAST(-pos AS BIGINT) AS np
-        |  FROM g),
-        | m AS (
-        |  SELECT doc_id, pos, fp, {'h': fp, 'np': np} AS key,
-        |   min({'h': fp, 'np': np}) OVER (PARTITION BY doc_id ORDER BY pos
-        |     ROWS BETWEEN 0 PRECEDING AND 3 FOLLOWING) AS m0,
-        |   min({'h': fp, 'np': np}) OVER (PARTITION BY doc_id ORDER BY pos
-        |     ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS m1,
-        |   min({'h': fp, 'np': np}) OVER (PARTITION BY doc_id ORDER BY pos
-        |     ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS m2,
-        |   min({'h': fp, 'np': np}) OVER (PARTITION BY doc_id ORDER BY pos
-        |     ROWS BETWEEN 3 PRECEDING AND 0 FOLLOWING) AS m3
-        |  FROM kd)
-        | SELECT doc_id, pos, fp FROM m
-        | WHERE key = m0 OR key = m1 OR key = m2 OR key = m3
+      s"""WITH ${winnowCte("documents")}
+        | SELECT doc_id, pos, fp FROM wsel
         | ORDER BY doc_id, pos""".stripMargin,
+    // MOSS match step: distinct selected fingerprints per doc, the
+    // same df>1000 hot-fingerprint drop, inverted-index self-join,
+    // pairs sharing >= 2 fingerprints.
+    "dedup_winnow_pairs" ->
+      s"""WITH ${winnowCte("documents")},
+        | wfp AS (SELECT DISTINCT doc_id, fp FROM wsel),
+        | whot AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) > 1000),
+        | wk AS (SELECT doc_id, fp FROM wfp
+        |   WHERE fp NOT IN (SELECT fp FROM whot))
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared_fps
+        | FROM wk a JOIN wk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 HAVING count(*) >= 2
+        | ORDER BY id_a, id_b""".stripMargin,
     "text_fingerprint" ->
       """WITH d AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

@@ -519,6 +519,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MOSS match step over [[TextStats.winnowing]] fingerprints:
+    * candidate pairs sharing at least `minShared` DISTINCT selected
+    * fingerprints — the GUARANTEED near-dup candidate generator next
+    * to the probabilistic MinHash family: any two documents sharing a
+    * run of ≥ w+k−1 words share ≥ 1 fingerprint by construction, so
+    * `minShared = 1` has perfect recall above that run length, while
+    * the winnowing thinning (expected 2/(w+1) of gram positions)
+    * shrinks the inverted-index join ~(w+1)/2 × on BOTH sides vs the
+    * all-gram index of [[ngramJaccardPairs]]. `maxDf` drops
+    * corpus-ubiquitous fingerprints (boilerplate headers) exactly as
+    * the n-gram index does — same hot-key posture, same broadcast
+    * anti-join.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDf: Option[Int] = Some(DefaultMaxDf),
+      seed: Long = 42L): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    val fp = TextStats.winnowing(docs, idCol, textCol, k, w, seed)
+      .select(col(idCol).as("id"), col("fp").as("g"))
+      .distinct() // a fp selected at several positions counts once
+    val kept = dropStopShingles(fp, maxDf)
+    val a = kept.select(col("g"), col("id").as("id_a"))
+    val b = kept.select(col("g"), col("id").as("id_b"))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Connected components over a duplicate-pair set — the alternating
     * LARGE-STAR / SMALL-STAR algorithm (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): each round rewires

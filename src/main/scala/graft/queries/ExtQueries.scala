@@ -1249,6 +1249,16 @@ object ExtQueries {
       k = 3, w = 4)
       .orderBy("doc_id", "pos")
 
+  /** MOSS match step: pairs sharing ≥ 2 distinct winnowing
+    * fingerprints (word 3-grams, window 4, df>1000 hot drop) — the
+    * guaranteed-recall candidate generator next to the MinHash family;
+    * every (pair, shared count) replayed by the oracle.
+    */
+  def dedupWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, w = 4, minShared = 2)
+      .orderBy("id_a", "id_b")
+
   /** Corpus-duplicated line inventory over the lined corpus (CCNet /
     * RefinedWeb line-level boilerplate detection).
     */

@@ -1196,4 +1196,29 @@ class ExtSpec extends SparkSuite {
     assert(again.exceptAll(fp).count() === 0L)
     fp.unpersist()
   }
+
+  test("winnowPairs: shared-run pairs guaranteed, disjoint docs silent") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha bravo charlie $run delta echo"),
+      (2L, s"$run foxtrot golf hotel india juliet"),
+      (3L, "kilo lima mike november oscar papa quebec romeo sierra"),
+      (4L, "tango uniform victor whiskey xray yankee zulu able baker"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // docs 1,2 share a 10-word run (>= w+k-1=6): guaranteed candidates
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"shared-run pair missing from $pairs")
+    // fully-disjoint vocab docs never pair
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L
+      || p._2 == 4L), s"spurious pair in $pairs")
+    // shared count grows with minShared semantics: at minShared beyond
+    // the overlap, the pair disappears
+    val strict = Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 1000)
+    assert(strict.count() === 0L)
+  }
 }
