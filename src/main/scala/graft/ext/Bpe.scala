@@ -167,24 +167,57 @@ object Bpe {
         posexplode(split(trim(lower(col(textCol))), "\\s+")))
       .filter(col("col") =!= "")
       .withColumnRenamed("col", "word")
-    words
+    val encoded = words
       .join(broadcast(segments.select(col("word"),
         split(col("sym"), " ").as("_seg"))), Seq("word"), "left")
       .withColumn("_seg", coalesce(col("_seg"), charSyms(col("word"))))
       .groupBy(col(idCol))
       .agg(flatten(array_sort(collect_list(struct(col("pos"), col("_seg"))))
         .getField("_seg")).as("bpe_tokens"))
+    // empty / whitespace-only docs vanish in the explode — join back so
+    // every input doc gets a row (empty token array), not a silent drop
+    docs.select(col(idCol))
+      .join(encoded, Seq(idCol), "left")
+      .withColumn("bpe_tokens",
+        coalesce(col("bpe_tokens"),
+          array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, containsNull = false))))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
   }
 
   // ---------------------------------------------------------------- driver
 
+  /** UTF-8 byte-wise string ordering — matches Spark's UTF8String
+    * binary comparison, so the driver argmax tiebreak agrees with the
+    * distributed `orderBy` even on supplementary-plane symbols (plain
+    * Java `compareTo` is UTF-16 code-unit order and disagrees there).
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+  private val utf8Ordering: Ordering[String] = utf8Compare(_, _)
+
+  /** Code-POINT split (surrogate pairs stay whole) — the driver twin
+    * of [[charSyms]]'s regex split, which Java regex also performs at
+    * code-point granularity.
+    */
+  private def codePointSyms(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   private def trainDriver(spark: org.apache.spark.sql.SparkSession,
       rows: Array[org.apache.spark.sql.Row], numMerges: Int,
       minCount: Long): (Seq[Merge], DataFrame) = {
     // mutable word list: (symbols, cnt)
-    val words = rows.map(r =>
-      (r.getString(0).toCharArray.map(_.toString), r.getLong(1)))
+    val words = rows.map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
       .map { case (syms, cnt) => (scala.collection.mutable.ArrayBuffer(
         syms.toIndexedSeq: _*), cnt) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -201,6 +234,7 @@ object Bpe {
           i += 1
         }
       }
+      implicit val ord: Ordering[String] = utf8Ordering
       val best = counts.toSeq
         .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
       best match {
@@ -250,6 +284,11 @@ object Bpe {
     var words = hist.select(col("word"), col("cnt"),
       concat_ws(" ", charSyms(col("word"))).as("sym"))
       .localCheckpoint(eager = true)
+    // each iteration's merged frame is CACHED before its two consumers
+    // (the appliedFreq aggregate, then the next iteration's pair
+    // counts) — without this every iteration re-executes the whole
+    // uncheckpointed regex lineage once per consumer
+    var cached: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var done = false
@@ -264,16 +303,24 @@ object Bpe {
           val next = words.withColumn("_n0", size(split(col("sym"), " ")))
             .withColumn("sym", applyMergesCol(col("sym"), Seq(m)))
             .withColumn("_n1", size(split(col("sym"), " ")))
+            .persist()
           val applied = next
             .agg(sum(col("cnt") * (col("_n0") - col("_n1")))).head().getLong(0)
+          cached.foreach(_.unpersist()) // next is materialized; prior frame free
+          cached = Some(next)
           words = next.drop("_n0", "_n1")
-          if ((rank + 1) % checkpointEvery == 0)
+          if ((rank + 1) % checkpointEvery == 0) {
             words = words.localCheckpoint(eager = true)
+            cached.foreach(_.unpersist())
+            cached = None
+          }
           merges += m.copy(appliedFreq = applied)
           rank += 1
         case _ => done = true
       }
     }
-    (merges.toSeq, words.select("word", "cnt", "sym"))
+    val out = words.select("word", "cnt", "sym").localCheckpoint(eager = true)
+    cached.foreach(_.unpersist())
+    (merges.toSeq, out)
   }
 }

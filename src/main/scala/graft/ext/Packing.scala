@@ -152,24 +152,6 @@ object Packing {
         floor(col("tok_start") / lit(budget)).cast("long").as("shard_id"))
   }
 
-  /** Packing's dual — context-window CHUNKING of long documents:
-    * one output row per (doc, chunk), chunk i covering whitespace
-    * tokens `[i·step, min(i·step + window, n))` with `step = window −
-    * overlap` (each chunk re-reads the previous chunk's last `overlap`
-    * tokens — the standard sliding-window split used to fit documents
-    * into a model's context length for training or embedding).
-    *
-    * Map-only: token array, chunk count, and slices are all computed
-    * in the scan-side Project (one HOF pass per doc, like the shingle
-    * formulation); the explode multiplies rows, never a shuffle. All
-    * boundary arithmetic is INTEGER (no float ceil), so the output —
-    * including the chunk text itself — is bit-reproducible and
-    * value-level oracle-able cross-engine.
-    *
-    * Every token is covered (last chunk ends at n); a doc with ≤
-    * window tokens yields exactly one chunk; token positions are
-    * 0-based, `tok_end` exclusive.
-    */
   /** Length-bucketed batching (padding-efficient batch layout): group
     * documents of similar token length into fixed-size batches so the
     * per-batch pad-to-max waste stays small — the standard
@@ -219,6 +201,24 @@ object Packing {
       .withColumn("pad_waste", col("batch_max") - col("n_tokens"))
   }
 
+  /** Packing's dual — context-window CHUNKING of long documents:
+    * one output row per (doc, chunk), chunk i covering whitespace
+    * tokens `[i·step, min(i·step + window, n))` with `step = window −
+    * overlap` (each chunk re-reads the previous chunk's last `overlap`
+    * tokens — the standard sliding-window split used to fit documents
+    * into a model's context length for training or embedding).
+    *
+    * Map-only: token array, chunk count, and slices are all computed
+    * in the scan-side Project (one HOF pass per doc, like the shingle
+    * formulation); the explode multiplies rows, never a shuffle. All
+    * boundary arithmetic is INTEGER (no float ceil), so the output —
+    * including the chunk text itself — is bit-reproducible and
+    * value-level oracle-able cross-engine.
+    *
+    * Every token is covered (last chunk ends at n); a doc with ≤
+    * window tokens yields exactly one chunk; token positions are
+    * 0-based, `tok_end` exclusive.
+    */
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
       window: Int, overlap: Int): DataFrame = {
     require(window > 0 && overlap >= 0 && overlap < window,

@@ -1438,10 +1438,16 @@ object TableOps {
     *   - `unreferenced`: the ts is in the timeline but no retained
     *     manifest resolves to it — history [[clean]] would collect.
     *
-    * Same reachability rule as the cleaner (parts-map values ∪ live
-    * MOR deltas over ALL retained manifests), so this is exactly the
-    * set a `clean` call may delete — run it before/after retention
-    * changes or after a crashed ingest to see what is reclaimable.
+    * Same reachability rule AND same safety rail as the cleaner
+    * (parts-map values ∪ live MOR deltas over ALL retained manifests;
+    * if NO retained manifest carries a parts map, the dirs are not
+    * ours to classify and the audit reports nothing — exactly the
+    * case `clean` refuses to collect), so the dir-level report is
+    * exactly the set a `clean` call may delete. Dead partition
+    * SUBDIRS inside still-referenced commit dirs (clean's
+    * partition-level GC) are not itemized here — this is the
+    * commit-dir-granular view. Run it before/after retention changes
+    * or after a crashed ingest to see what is reclaimable.
     * Driver-side metadata work only (dir listings).
     */
   def storageAudit(spark: SparkSession, t: KeyedTable): DataFrame = {
@@ -1449,9 +1455,14 @@ object TableOps {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
     val log = CommitLog(t, spark)
-    val commits = log.listCommits().toSet
-    val metas = log.listCommits().flatMap(ts => log.commitMeta(ts))
-    val referenced = metas.flatMap(partsOf).flatMap(_.values).toSet ++
+    val commitList = log.listCommits()
+    val commits = commitList.toSet
+    val metas = commitList.flatMap(ts => log.commitMeta(ts))
+    val partsMaps = metas.flatMap(partsOf)
+    if (partsMaps.isEmpty)
+      return Seq.empty[(String, String, String, Long, Long)]
+        .toDF("root", "commit_ts", "status", "parquet_files", "bytes")
+    val referenced = partsMaps.flatMap(_.values).toSet ++
       metas.flatMap(deltasOf)
     def scan(root: Path, kind: String): Seq[(String, String, String, Long, Long)] =
       if (!fs.exists(root)) Seq.empty

@@ -161,4 +161,17 @@ class BpeSpec extends SparkSuite {
     assert(wB <= wN, s"bucketed padding waste $wB > naive $wN")
     out.unpersist()
   }
+
+  test("encode emits a row with empty tokens for whitespace-only docs") {
+    val (_, seg) = Bpe.train(sennrich, numMerges = 2)
+    val docs = Seq((1L, "low"), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, "doc_id", "text", seg)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getInt(2))).toMap
+    assert(enc.keySet === Set(1L, 2L, 3L))
+    assert(enc(2L) === (Seq.empty[String], 0))
+    assert(enc(3L) === (Seq.empty[String], 0))
+    assert(enc(1L)._2 > 0)
+  }
 }
