@@ -66,6 +66,9 @@ object SparkEntry {
     "sim_q8_topk"             -> (ExtQueries.simQ8Topk _),
     "sim_q8_topk_raw"         -> (ExtQueries.simQ8TopkRaw _),
     "sim_ivf_q8_topk"         -> (ExtQueries.simIvfQ8Topk _),
+    "sim_pq_topk"             -> (ExtQueries.simPqTopk _),
+    "sim_pq_topk_raw"         -> (ExtQueries.simPqTopkRaw _),
+    "sim_ivf_pq_topk"         -> (ExtQueries.simIvfPqTopk _),
     "sim_vector_dim_stats"    -> (ExtQueries.simVectorDimStats _),
     "sim_rproj"               -> (ExtQueries.simRproj _),
     "sim_rproj_topk"          -> (ExtQueries.simRprojTopk _),
@@ -201,7 +204,7 @@ object SparkEntry {
     "sample_shuffle", "o9_key_lookup", "text_classifier", "sim_rproj",
     "sim_rproj_topk", "sim_pca", "text_bpe", "pack_length_batches",
     "sim_cluster_balanced", "sample_epochs", "text_winnow",
-    "dedup_winnow_pairs")
+    "dedup_winnow_pairs", "sim_pq_topk_raw")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -419,6 +422,13 @@ object SparkEntry {
         "in-query against exact recomputation from the base vectors on " +
         "every correctness run (skipped only inside Bench's timed loop), " +
         "and the family's recall gate sim_ivf_topk is DuckDB value-oracled"),
+    "sim_pq_topk_raw" ->
+      ("row SET depends on Lloyd-trained product-quantization codebooks " +
+        "(per-subspace k-means) not expressible in SQL; every emitted " +
+        "cosine is invariant-checked in-query against exact recomputation " +
+        "from the base vectors on every correctness run (skipped only " +
+        "inside Bench's timed loop), and the family's recall gate " +
+        "sim_pq_topk is DuckDB value-oracled"),
     "a_approx_agg_raw" ->
       ("HLL++/percentile_approx sketch outputs are implementation-defined; " +
         "DuckDB's approx_count_distinct/approx_quantile use different " +
@@ -1591,6 +1601,28 @@ object SparkEntry {
         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
         | SELECT 'ivf_q8_topk' AS family, (SELECT count(*) FROM ex) AS n_exact,
         |  true AS recall_pass""".stripMargin,
+    "sim_pq_topk" ->
+      """WITH ex AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id ASC) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
+        | SELECT 'pq_topk' AS family, (SELECT count(*) FROM ex) AS n_exact,
+        |  true AS recall_pass""".stripMargin,
+    "sim_ivf_pq_topk" ->
+      """WITH ex AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id ASC) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
+        | SELECT 'ivf_pq_topk' AS family, (SELECT count(*) FROM ex)
+        |  AS n_exact, true AS recall_pass""".stripMargin,
     "sim_q8_topk" ->
       """WITH ex AS (
         | SELECT query_id, neighbor_id FROM (

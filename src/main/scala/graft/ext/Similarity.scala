@@ -525,6 +525,241 @@ object Similarity {
       k, np, oversample)
   }
 
+  // ——— Product quantization (the FAISS `PQ` / `IVF…,PQ` family;
+  // Jégou et al., TPAMI 2011). The vector is cut into `m` subspaces
+  // and each subspace is vector-quantized against its own `ksub`-entry
+  // codebook — a corpus vector compresses to `m` small codes (m bytes
+  // of information at ksub ≤ 256: 32× smaller than float32 at dim 64 /
+  // m 8) and coarse-scoring a candidate is `m` lookup-table reads
+  // (asymmetric distance, [[graft.functions.PqOps.adcDot]]) instead of
+  // a `d`-element dot product. This is the billion-scale memory shape:
+  // the SQ8 index above is 4× smaller than float, PQ is 32×.
+
+  /** Default subspace count: the largest divisor of `dim` that is ≤ 8
+    * (dsub ≥ 8 keeps per-subspace quantization error low; FAISS's
+    * common operating point for dim 64 is m=8 × dsub=8).
+    */
+  private def autoM(dim: Int): Int =
+    (math.min(8, dim) to 1 by -1).find(dim % _ == 0).getOrElse(1)
+
+  /** Default per-subspace codebook size: 256 (the byte-code classic),
+    * clamped to n/4 so k-means has ≥4 training points per code.
+    */
+  private def autoKsub(n: Long): Int =
+    math.min(256L, math.max(4L, n / 4)).toInt
+
+  /** Train the PQ codebook with distributed Lloyd iterations, jointly
+    * over all `m` subspaces: one [[graft.functions.PqOps.encode]] pass
+    * assigns every (row, subspace) to its nearest code, a single
+    * `groupBy(sub, code)` recomputes all m×ksub sub-centroid means
+    * ([[graft.functions.VectorMean]], map-side combined), repeat.
+    * Initialization slices `ksub` seeded-hash-sampled corpus vectors
+    * (the classic data-point init, shared across subspaces). Codes
+    * that attract no vectors keep their previous centroid. Per-iter
+    * driver traffic is m×ksub small arrays — metadata-sized.
+    *
+    * Returns `(m, ksub, codebook)` with `codebook(s·ksub + c)` the
+    * dsub-element sub-centroid — the layout the kernels flatten.
+    */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int,
+      seed: Long = 42L): (Int, Int, Seq[Seq[Double]]) = {
+    VectorFunctions.register(corpus.sparkSession)
+    val sample = sampleCentroids(corpus, idCol, vecCol, ksub, seed)
+    require(sample.nonEmpty, "pqCodebook: empty corpus")
+    val dim = sample.head.length
+    val mm = if (m > 0) m else autoM(dim)
+    require(dim % mm == 0, s"pqCodebook: dim $dim not divisible by m $mm")
+    val kk = math.min(ksub, sample.length)
+    val dsub = dim / mm
+    var cb: IndexedSeq[Seq[Double]] =
+      (0 until mm).flatMap { s =>
+        (0 until kk).map(c => sample(c).slice(s * dsub, (s + 1) * dsub))
+      }
+    if (iters > 0) {
+      val vmean = udaf(graft.functions.VectorMean,
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Array[Float]]())
+      val vecs = corpus.select(col(vecCol).as("v")).persist()
+      try for (_ <- 0 until iters) {
+        val means = vecs
+          .withColumn("codes", VectorFunctions.pqEncode(col("v"),
+            lit(cb.flatten.toArray), lit(mm)))
+          .select(col("v"), posexplode(col("codes")).as(Seq("sub", "code")))
+          .withColumn("sv",
+            slice(col("v"), col("sub") * lit(dsub) + lit(1), lit(dsub)))
+          .groupBy("sub", "code").agg(vmean(col("sv")).as("mvec"))
+          .collect()
+          .map(r => (r.getInt(0) * kk + r.getInt(1)) ->
+            r.getSeq[Float](2).map(_.toDouble).toSeq)
+          .toMap
+        cb = cb.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+      } finally vecs.unpersist()
+    }
+    (mm, kk, cb)
+  }
+
+  /** Build the PERSISTABLE PQ index: `(codes, codebook)` — both plain
+    * DataFrames, parquet-roundtrippable like every other index here.
+    *
+    *   - codes: `(neighbor_id, pq: array<int>, cn: double)` — m codes
+    *     per corpus vector plus the EXACT float norm (8 extra bytes
+    *     that anchor the ADC cosine's denominator; the numerator is
+    *     the reconstruction dot product);
+    *   - codebook: `(sub, code, centroid: array<double>)` — m×ksub
+    *     rows of driver-metadata size.
+    */
+  def pqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 0, ksub: Int = 0, trainIters: Int = 2,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val kk0 = if (ksub > 0) ksub else autoKsub(corpus.count())
+    val (mm, kk, cb) =
+      pqCodebook(corpus, idCol, vecCol, m, kk0, trainIters, seed)
+    val cbDf = cb.zipWithIndex
+      .map { case (c, i) => (i / kk, i % kk, c.toArray) }
+      .toDF("sub", "code", "centroid")
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("pq", VectorFunctions.pqEncode(col("cv"),
+        lit(cb.flatten.toArray), lit(mm)))
+      .withColumn("cn", VectorFunctions.normF(col("cv")))
+      .select("neighbor_id", "pq", "cn")
+    (codes, cbDf)
+  }
+
+  /** Name-addressed, value-keyed codebook collect (same reload
+    * contract as [[collectCentroids]]): rows are keyed by (sub, code),
+    * so a reloaded table with reordered rows or columns reconstructs
+    * the identical flat layout. Refuses a sparse grid loudly — a
+    * missing (sub, code) row would silently shift every later
+    * sub-centroid.
+    */
+  private def collectCodebook(
+      codebookDf: DataFrame): (Int, Int, Array[Double]) = {
+    val rows = codebookDf.collect()
+      .map(r => ((r.getAs[Int]("sub"), r.getAs[Int]("code")),
+        r.getAs[scala.collection.Seq[Double]]("centroid")))
+      .sortBy(_._1)
+    val m = rows.map(_._1._1).max + 1
+    val ksub = rows.map(_._1._2).max + 1
+    require(rows.length == m * ksub &&
+      rows.map(_._1).distinct.length == m * ksub,
+      s"collectCodebook: sparse or duplicated codebook grid " +
+        s"(${rows.length} rows for m=$m × ksub=$ksub)")
+    (m, ksub, rows.flatMap(_._2).map(d => d: Double))
+  }
+
+  /** Probe a prebuilt PQ index — retrieve-and-rerank like the SQ8
+    * path: per query, one [[graft.functions.PqOps.lut]] builds the
+    * m×ksub ADC table; the coarse stage scores every code row with `m`
+    * table reads and keeps the top `k × oversample`; survivors rerank
+    * against the FLOAT corpus with exact cosines ([[rerankExact]]).
+    * The broadcast side is |Q| × (m·ksub doubles) — e.g. 2k queries ×
+    * 16 KB at the 8×256 operating point, comfortably under the
+    * broadcast ceiling; batch larger query sets.
+    */
+  def pqTopKWithIndex(queries: DataFrame, codes: DataFrame,
+      codebookDf: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, oversample: Int = 4): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val (m, _, flat) = collectCodebook(codebookDf)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv_f"))
+    val qLut = q.select(col("query_id"),
+      VectorFunctions.pqLut(col("qv_f"), lit(flat), lit(m)).as("lut"),
+      VectorFunctions.normF(col("qv_f")).as("q_qn"))
+    val coarse = codes.join(broadcast(qLut),
+      col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos",
+        VectorFunctions.pqAdc(col("pq"), col("lut")) /
+          (col("q_qn") * col("cn")))
+    rerankExact(coarseTopIds(coarse, k * oversample), q, corpus,
+      idCol, vecCol, k)
+  }
+
+  /** [[pqTopKWithIndex]] with the index built inline (persist
+    * [[pqBuild]]'s output to amortize across query batches).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 0, ksub: Int = 0,
+      trainIters: Int = 2, oversample: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val (codes, cbDf) =
+      pqBuild(corpus, idCol, vecCol, m, ksub, trainIters, seed)
+    pqTopKWithIndex(queries, codes, cbDf, corpus, idCol, vecCol, k,
+      oversample)
+  }
+
+  /** Build the PERSISTABLE IVF-PQ index (the FAISS `IVF…,PQ` shape —
+    * the standard billion-scale index): corpus rows shard by nearest
+    * IVF centroid AND store PQ codes in the shards, so a probe reads
+    * `nprobe/nlist` of a 32×-narrower index. Encoding is DIRECT (no
+    * residual): codes quantize the vector itself, not `v − centroid` —
+    * one shared codebook, reconstruction error higher than residual
+    * PQ but the exact-cosine rerank absorbs it (measured: same recall
+    * gate as the flat PQ path at the verification scale).
+    * Returns `(pqAssignments, centroids, codebook)`:
+    * pqAssignments = `(list, neighbor_id, pq, cn)`.
+    */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 0, m: Int = 0, ksub: Int = 0, trainIters: Int = 2,
+      seed: Long = 42L): (DataFrame, DataFrame, DataFrame) = {
+    VectorFunctions.register(corpus.sparkSession)
+    val (assignments, centDf) =
+      ivfBuild(corpus, idCol, vecCol, nlist, trainIters, seed)
+    val (codes, cbDf) =
+      pqBuild(corpus, idCol, vecCol, m, ksub, trainIters, seed)
+    val pqAssign = assignments.select("list", "neighbor_id")
+      .join(codes, Seq("neighbor_id"))
+      .select("list", "neighbor_id", "pq", "cn")
+    (pqAssign, centDf, cbDf)
+  }
+
+  /** Probe a prebuilt IVF-PQ index: the query batch routes to its
+    * `nprobe` nearest lists, carries its ADC table into the shard
+    * join, coarse-scores with `m` lookups per candidate, and reranks
+    * survivors against the FLOAT corpus. The two scan-cost levers
+    * multiply: nprobe/nlist of the corpus × m lookups per row.
+    */
+  def ivfPqTopKWithIndex(queries: DataFrame, pqAssignments: DataFrame,
+      centroidTable: DataFrame, codebookDf: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+      oversample: Int = 4): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    val (listIds, cents) = collectCentroids(centroidTable)
+    val (m, _, flat) = collectCodebook(codebookDf)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv_f"))
+    val qProbe = q
+      .withColumn("lut", VectorFunctions.pqLut(col("qv_f"), lit(flat), lit(m)))
+      .withColumn("q_qn", VectorFunctions.normF(col("qv_f")))
+      .withColumn("pos", explode(nearestLists(col("qv_f"), nprobe, cents)))
+      .withColumn("list", element_at(lit(listIds.toArray), col("pos") + 1))
+      .select("query_id", "lut", "q_qn", "list")
+    val coarse = pqAssignments.join(broadcast(qProbe), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos",
+        VectorFunctions.pqAdc(col("pq"), col("lut")) /
+          (col("q_qn") * col("cn")))
+    rerankExact(coarseTopIds(coarse, k * oversample), q, corpus,
+      idCol, vecCol, k)
+  }
+
+  /** [[ivfPqTopKWithIndex]] with the index built inline. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 0, nprobe: Int = 0, m: Int = 0, ksub: Int = 0,
+      trainIters: Int = 2, oversample: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
+    val (pqAssign, centDf, cbDf) =
+      ivfPqBuild(corpus, idCol, vecCol, nl, m, ksub, trainIters, seed)
+    ivfPqTopKWithIndex(queries, pqAssign, centDf, cbDf, corpus,
+      idCol, vecCol, k, np, oversample)
+  }
+
   /** Embedding-cosine near-duplicate pairs: pairs with cosine ≥
     * threshold, found through multi-table LSH buckets (no corpus², same
     * contract as [[Dedup.minhashLsh]] but in embedding space).

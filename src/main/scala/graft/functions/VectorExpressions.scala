@@ -106,6 +106,107 @@ object VectorOps {
   }
 }
 
+/** Product-quantization kernels (Jégou, Douze, Schmid — "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS
+  * `PQ` index family). The codebook is a FLATTENED row-major
+  * `array<double>` of `m × ksub × dsub` sub-centroids (metadata-sized:
+  * 8·256·8 doubles ≈ 128 KB at dim 64 / m 8 / ksub 256), broadcast as
+  * a literal — every kernel below is a tight loop over it, codegen'd
+  * like the dot-product kernels above.
+  */
+object PqOps {
+  /** PQ-encode a float vector: for each of the `m` subspaces, the index
+    * of the L2-nearest sub-centroid. `dsub = d/m` and `ksub` are
+    * derived from the codebook length. argmin over
+    * `|c|² − 2·sv·c` (the `|sv|²` term is code-invariant); ties break
+    * to the LOWEST code (strict `<`), deterministically. Returned as
+    * `array<int>` rather than packed bytes so the codes stay
+    * explodable for the training loop and Spark-visible for debugging;
+    * parquet bit-packs small ints to ~1 byte on disk anyway, and the
+    * coarse ADC stage never shuffles codes (only ids + scores ride the
+    * rank exchange).
+    */
+  def encode(vec: ArrayData, codebook: ArrayData, m: Int): ArrayData = {
+    val d = vec.numElements()
+    val dsub = d / m
+    val ksub = if (dsub == 0) 0 else codebook.numElements() / (m * dsub)
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestScore = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * dsub
+        var cc = 0.0
+        var svc = 0.0
+        var j = 0
+        while (j < dsub) {
+          val cj = codebook.getDouble(base + j)
+          cc += cj * cj
+          svc += cj * vec.getFloat(s * dsub + j).toDouble
+          j += 1
+        }
+        val score = cc - 2.0 * svc
+        if (score < bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table: `lut[s·ksub + c] = q_s · cent_{s,c}`
+    * — `m × ksub` doubles per query row. The asymmetric-distance trick:
+    * the query stays EXACT (never quantized); scoring a corpus vector
+    * is then `m` table lookups ([[adcDot]]) instead of a `d`-element
+    * dot product.
+    */
+  def lut(qv: ArrayData, codebook: ArrayData, m: Int): ArrayData = {
+    val d = qv.numElements()
+    val dsub = d / m
+    val ksub = if (dsub == 0) 0 else codebook.numElements() / (m * dsub)
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * dsub
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) {
+          acc += codebook.getDouble(base + j) *
+            qv.getFloat(s * dsub + j).toDouble
+          j += 1
+        }
+        out(s * ksub + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC dot product: `Σ_s lut[s·ksub + codes_s]` ≈ q · v̂ where v̂ is
+    * the PQ reconstruction of the corpus vector (exact equality — the
+    * reconstruction's subspaces are the looked-up centroids, and
+    * cross-subspace terms don't exist in a concatenation). `ksub`
+    * derives as `lut.length / codes.length`.
+    */
+  def adcDot(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    val ksub = if (m == 0) 0 else lut.numElements() / m
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getDouble(s * ksub + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+}
+
 /** `graft_matvec_fd(array<float>, array<double>) → array<double>`:
   * flattened row-major matrix (rows×d doubles, rows derived as
   * `mat.length / vec.length`) times a float vector. Accumulation is
@@ -328,6 +429,92 @@ case class DotProductI8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_pq_encode(array<float>, array<double>, int) → array<int>` —
+  * [[PqOps.encode]] (vector, flattened codebook, m).
+  */
+case class PqEncodeF(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _),
+          org.apache.spark.sql.types.IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_encode expects (array<float>, array<double>, int), " +
+            s"got (${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    PqOps.encode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.PqOps.encode($a, $b, $c)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_pq_lut(array<float>, array<double>, int) → array<double>` —
+  * [[PqOps.lut]] (query vector, flattened codebook, m).
+  */
+case class PqLutF(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _),
+          org.apache.spark.sql.types.IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_lut expects (array<float>, array<double>, int), " +
+            s"got (${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    PqOps.lut(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.PqOps.lut($a, $b, $c)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_pq_adc(array<int>, array<double>) → double` —
+  * [[PqOps.adcDot]] (codes, per-query lookup table).
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+          ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_adc expects (array<int>, array<double>), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PqOps.adcDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.PqOps.adcDot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   private val FnName = "graft_dot"
   private val FnNameFD = "graft_dot_fd"
@@ -336,6 +523,9 @@ object VectorFunctions {
   private val FnNameDotI8 = "graft_dot_i8"
   private val FnNameMatVec = "graft_matvec_fd"
   private val FnNameMatVecBias = "graft_matvec_bias_fd"
+  private val FnNamePqEncode = "graft_pq_encode"
+  private val FnNamePqLut = "graft_pq_lut"
+  private val FnNamePqAdc = "graft_pq_adc"
 
   /** Idempotently register the kernels in the session's function
     * registry (temp functions — visible to both the Column API via
@@ -358,6 +548,12 @@ object VectorFunctions {
       exprs => MatVecFD(exprs.head, exprs(1)))
     TextFunctions.registerOnce(spark, FnNameMatVecBias,
       exprs => MatVecBiasFD(exprs.head, exprs(1), exprs(2)))
+    TextFunctions.registerOnce(spark, FnNamePqEncode,
+      exprs => PqEncodeF(exprs.head, exprs(1), exprs(2)))
+    TextFunctions.registerOnce(spark, FnNamePqLut,
+      exprs => PqLutF(exprs.head, exprs(1), exprs(2)))
+    TextFunctions.registerOnce(spark, FnNamePqAdc,
+      exprs => PqAdc(exprs.head, exprs(1)))
   }
 
   def dotFD(a: Column, b: Column): Column = call_function(FnNameFD, a, b)
@@ -399,4 +595,16 @@ object VectorFunctions {
     */
   def normI8(a: Column): Column =
     sqrt(call_function(FnNameDotI8, a, a).cast(DoubleType))
+
+  /** PQ-encode a float vector against a flattened codebook → array<int>. */
+  def pqEncode(vec: Column, codebook: Column, m: Column): Column =
+    call_function(FnNamePqEncode, vec, codebook, m)
+
+  /** Per-query ADC lookup table (m × ksub doubles). */
+  def pqLut(qv: Column, codebook: Column, m: Column): Column =
+    call_function(FnNamePqLut, qv, codebook, m)
+
+  /** ADC dot product: codes × lookup table → double. */
+  def pqAdc(codes: Column, lut: Column): Column =
+    call_function(FnNamePqAdc, codes, lut)
 }

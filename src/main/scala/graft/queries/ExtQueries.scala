@@ -410,6 +410,53 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ (product-quantization) retrieve-and-rerank gate: recall@5 ≥
+    * 0.7 vs brute force at the m=8 × ksub=64 × 8-oversample operating
+    * point (measured 0.85 at sf0.01 via `tools/PqProbe` — the driver's
+    * random synthetic embeddings are PQ's WORST case, no cluster
+    * structure for the codebooks to exploit; real embedding corpora
+    * sit well above). The codes are 32× narrower than float32.
+    */
+  def simPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    topkGate("pq_topk",
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5),
+      Similarity.pqTopK(q, emb, "vec_id", "embedding", k = 5,
+        m = 8, ksub = 64, trainIters = 2, oversample = 8),
+      Seq("query_id", "neighbor_id"), recallMin = 0.7)
+  }
+
+  /** Raw PQ top-5 (bench surface; same operating point as the gate;
+    * invariant-checked — see [[requireExactCosines]]).
+    */
+  def simPqTopkRaw(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    requireExactCosines(emb,
+      Similarity.pqTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 5, m = 8, ksub = 64, trainIters = 2,
+        oversample = 8))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ composed gate (FAISS `IVF,PQ` — the standard billion-scale
+    * index shape): recall@5 ≥ 0.5 vs brute force. Recall is bounded by
+    * the IVF probe (~0.7 at 16/6 on this corpus) and the DIRECT
+    * (non-residual) encoding gives a little more back than IVF×SQ8
+    * does (measured 0.66 at sf0.01, `tools/PqProbe`); the exact-cosine
+    * rerank keeps every emitted value exact.
+    */
+  def simIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    topkGate("ivf_pq_topk",
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5),
+      Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 6, m = 8, ksub = 64, trainIters = 2,
+        oversample = 8),
+      Seq("query_id", "neighbor_id"), recallMin = 0.5)
+  }
+
   /** Embedding near-dup gate: recall ≥ 0.7 vs the exact quadratic
     * cosine pair set (measured 1.0 at sf0.01 with the 5-plane ×
     * 10-table defaults) and zero false positives (the LSH variant

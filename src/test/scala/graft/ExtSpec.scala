@@ -494,6 +494,96 @@ class ExtSpec extends SparkSuite {
       "IVF×SQ8 returned a neighbor outside its probed shards")
   }
 
+  test("PQ kernels: encode picks nearest sub-centroids; ADC == exact " +
+      "dot against the reconstruction") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.PqOps
+    // m=2 subspaces × ksub=2 codes × dsub=2: sub0 centroids
+    // {[1,0],[0,1]}, sub1 centroids {[2,0],[0,2]} — flattened row-major
+    val cb = new GenericArrayData(
+      Array[Any](1.0, 0.0, 0.0, 1.0, 2.0, 0.0, 0.0, 2.0))
+    val v = new GenericArrayData(Array[Any](0.9f, 0.1f, 0.1f, 1.9f))
+    val codes = PqOps.encode(v, cb, 2)
+    assert((0 until 2).map(codes.getInt) === Seq(0, 1))
+    val q = new GenericArrayData(Array[Any](1.0f, 1.0f, 1.0f, 1.0f))
+    val lut = PqOps.lut(q, cb, 2)
+    assert((0 until 4).map(lut.getDouble) === Seq(1.0, 1.0, 2.0, 2.0))
+    // reconstruction of v is [1,0,0,2]; dot(q, v̂) = 3 — ADC must match
+    assert(PqOps.adcDot(codes, lut) === 3.0)
+    // ties break to the lowest code, deterministically
+    val mid = new GenericArrayData(Array[Any](0.5f, 0.5f, 1.0f, 1.0f))
+    assert(PqOps.encode(mid, cb, 2).getInt(0) === 0)
+    assert(PqOps.encode(mid, cb, 2).getInt(1) === 0)
+  }
+
+  test("PQ top-k: recall holds vs brute force; codes carry m small ints") {
+    val q = emb.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(q, emb, "vec_id", "embedding", 5,
+      m = 8, ksub = 32, trainIters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect pq).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall=$recall")
+    assert(pq.size === bf.size)
+    val (codes, cbDf) = Similarity.pqBuild(emb, "vec_id", "embedding",
+      m = 8, ksub = 32, trainIters = 0)
+    val row = codes.select("pq").head.getSeq[Int](0)
+    assert(row.length === 8)
+    assert(row.forall(c => c >= 0 && c < 32))
+    assert(cbDf.count() === 8L * 32)
+  }
+
+  test("PQ index round-trips through parquet; codebook collect is " +
+      "value-keyed, refuses a sparse grid") {
+    val q = emb.filter($"vec_id" < 20)
+    val (codes, cbDf) = Similarity.pqBuild(emb, "vec_id", "embedding",
+      m = 8, ksub = 32, trainIters = 2)
+    val direct = Similarity.pqTopKWithIndex(q, codes, cbDf, emb,
+      "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val dir = tmpDir("graft-pq")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    cbDf.write.mode("overwrite").parquet(s"$dir/codebook")
+    // reprojected column order + shuffled row order on reload: the
+    // collect must address by (sub, code) value, not position
+    val probed = Similarity.pqTopKWithIndex(q,
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/codebook")
+        .select("centroid", "code", "sub").orderBy($"code".desc),
+      emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probed === direct)
+    assert(direct.nonEmpty)
+    val sparse = cbDf.filter(!($"sub" === 3 && $"code" === 7))
+    val ex = intercept[Exception] {
+      Similarity.pqTopKWithIndex(q, codes, sparse, emb,
+        "vec_id", "embedding", 5).count()
+    }
+    assert(ex.getMessage.contains("sparse"))
+  }
+
+  test("IVF-PQ composed top-k: recall holds; neighbors stay inside " +
+      "probed shards") {
+    val q = emb.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 6, m = 8, ksub = 32, trainIters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect got).size.toDouble / bf.size
+    assert(recall >= 0.3, s"recall=$recall")
+    assert(got.size === bf.size)
+    // bounded by its own IVF probe, like IVF×SQ8
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 1000,
+      nlist = 16, nprobe = 6, trainIters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((got -- ivf).isEmpty,
+      "IVF-PQ returned a neighbor outside its probed shards")
+  }
+
   test("IVF-SQ8 index round-trips through parquet and probes identically") {
     val q = emb.filter($"vec_id" < 20)
     val (qAssign, cents) = Similarity.ivfQ8Build(emb, "vec_id",
