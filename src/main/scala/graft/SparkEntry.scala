@@ -105,6 +105,7 @@ object SparkEntry {
     "text_quality"            -> (ExtQueries.textQuality _),
     "text_token_counts"       -> (ExtQueries.textTokenCounts _),
     "text_winnow"             -> (ExtQueries.textWinnow _),
+    "text_c4_clean"           -> (ExtQueries.textC4Clean _),
     "dedup_winnow_pairs"      -> (ExtQueries.dedupWinnowPairs _),
     "text_fingerprint"        -> (ExtQueries.textFingerprint _),
     "text_fingerprint_raw"    -> (ExtQueries.textFingerprintRaw _),
@@ -204,7 +205,7 @@ object SparkEntry {
     "sample_shuffle", "o9_key_lookup", "text_classifier", "sim_rproj",
     "sim_rproj_topk", "sim_pca", "text_bpe", "pack_length_batches",
     "sim_cluster_balanced", "sample_epochs", "text_winnow",
-    "dedup_winnow_pairs", "sim_pq_topk_raw")
+    "dedup_winnow_pairs", "sim_pq_topk_raw", "text_c4_clean")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -1312,6 +1313,38 @@ object SparkEntry {
         | ORDER BY t.doc_id""".stripMargin,
     // Winnowing: the oracle rebuilds the word 3-gram hash sequence and
     // replays the same four aligned-frame (hash, -pos) minima — a row
+    // C4 heuristic cleaning over the SAME 10-token wrap as the
+    // line-dedup oracles: line gate (>= 6 words, no banned substring),
+    // doc gate (no lorem-ipsum/brace in the lined text, >= 3 surviving
+    // lines), clean_text rebuilt from the surviving lines in order.
+    // count(*) FILTER keeps n_kept BIGINT (a sum(CASE) would widen to
+    // HUGEINT — the pack_shards typing lesson).
+    "text_c4_clean" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | lines AS (
+        |  SELECT doc_id, i,
+        |   trim(array_to_string(w[(i*10+1):(i*10+10)], ' ')) AS line
+        |  FROM tok, UNNEST(range(0, (len(w) - 1) // 10 + 1)) AS u(i)),
+        | flag AS (
+        |  SELECT doc_id, i, line,
+        |   (len(string_split_regex(line, '\s+')) >= 6
+        |    AND length(line) > 0
+        |    AND NOT contains(lower(line), 'javascript')
+        |    AND NOT contains(lower(line), 'spark')) AS ok
+        |  FROM lines),
+        | agg AS (
+        |  SELECT doc_id, count(*) AS n_lines,
+        |   count(*) FILTER (WHERE ok) AS n_kept,
+        |   string_agg(line, chr(10) ORDER BY i) AS full_text,
+        |   string_agg(CASE WHEN ok THEN line END, chr(10) ORDER BY i)
+        |     AS clean_text
+        |  FROM flag GROUP BY doc_id)
+        | SELECT doc_id, n_lines, n_kept, clean_text FROM agg
+        | WHERE NOT contains(lower(full_text), 'lorem ipsum')
+        |  AND NOT contains(lower(full_text), '{') AND n_kept >= 3
+        | ORDER BY doc_id""".stripMargin,
     // is selected iff it is the rightmost minimum of SOME 4-window.
     "text_winnow" ->
       s"""WITH ${winnowCte("documents")}

@@ -410,4 +410,56 @@ object TextStats {
             W.currentRow)).cast(DoubleType) /
           col("_total").cast(DoubleType), 6).as("cum_share"))
   }
+
+  /** C4-style heuristic cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning…" §2.2 — the public rule set behind
+    * the C4 corpus), line level then document level:
+    *
+    *   - a LINE survives iff it has ≥ `minWordsPerLine` whitespace
+    *     words, (optionally) ends in terminal punctuation
+    *     (`. ! ? "`), and contains no banned substring
+    *     (case-insensitive; C4 drops lines with the word
+    *     "javascript");
+    *   - a DOCUMENT survives iff its full text contains none of
+    *     `bannedDocSubstrings` (C4: "lorem ipsum", a curly brace) and
+    *     ≥ `minLinesPerDoc` lines survived.
+    *
+    * Output: one row per SURVIVING doc — `(doc_id, n_lines, n_kept,
+    * clean_text)` with the surviving lines rejoined in order. Lines
+    * are `\n`-split and space-trimmed before any rule (the same
+    * convention as the line-dedup family, so the two compose).
+    *
+    * Scale: one map-only pass, no shuffle — the array lambdas are
+    * interpreted (Spark HOFs are CodegenFallback) but the work is
+    * O(chars) per row with no join; at 100 TB this is scan-bound like
+    * every other map-only text kernel here. C4's remaining rule —
+    * dropping any three-sentence span seen twice — is the span-dedup
+    * operator ([[Dedup.duplicatedSpans]]); run it downstream.
+    */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 3, minLinesPerDoc: Int = 3,
+      requireTerminalPunct: Boolean = true,
+      bannedLineWords: Seq[String] = Seq("javascript"),
+      bannedDocSubstrings: Seq[String] = Seq("lorem ipsum", "{"))
+      : DataFrame = {
+    def lineOk(l: Column): Column = {
+      val wc = size(split(l, "\\s+"))
+      val base = wc >= lit(minWordsPerLine) && length(l) > 0
+      val punct =
+        if (requireTerminalPunct) l.rlike("[.!?\"]$") else lit(true)
+      bannedLineWords.foldLeft(base && punct)((acc, w) =>
+        acc && !lower(l).contains(lit(w)))
+    }
+    val trimmedLines = transform(split(col(textCol), "\n"), l => trim(l))
+    val docOk = bannedDocSubstrings.foldLeft(lit(true))((acc, sub) =>
+      acc && !lower(col(textCol)).contains(lit(sub)))
+    docs
+      .withColumn("_lines", trimmedLines)
+      .withColumn("_kept", filter(col("_lines"), lineOk _))
+      .filter(docOk && size(col("_kept")) >= lit(minLinesPerDoc))
+      .select(col(idCol).as("doc_id"),
+        size(col("_lines")).cast(LongType).as("n_lines"),
+        size(col("_kept")).cast(LongType).as("n_kept"),
+        array_join(col("_kept"), "\n").as("clean_text"))
+  }
 }

@@ -1287,6 +1287,24 @@ object ExtQueries {
           i => concat_ws(" ", slice(col("_w"), i * 10 + 1, lit(10)))))
         .as("text"))
 
+  /** C4-style heuristic cleaning over the lined corpus ([[linedDocs]]
+    * — the same 10-token wrap the line-dedup family uses): min 6
+    * words per line, banned-substring line drops ("javascript" plus
+    * the corpus word "spark" so the rule genuinely bites here),
+    * doc-level "lorem ipsum"/brace gates, and a ≥3-surviving-lines
+    * doc gate. Terminal-punctuation is off for this corpus (the
+    * synthetic text carries no punctuation — the rule is exercised in
+    * ExtSpec on a hand fixture). Every surviving doc's rebuilt text
+    * is replayed exactly by the oracle.
+    */
+  def textC4Clean(s: SparkSession, dir: String): DataFrame =
+    TextStats.c4Clean(linedDocs(s, dir), "doc_id", "text",
+      minWordsPerLine = 6, minLinesPerDoc = 3,
+      requireTerminalPunct = false,
+      bannedLineWords = Seq("javascript", "spark"),
+      bannedDocSubstrings = Seq("lorem ipsum", "{"))
+      .orderBy("doc_id")
+
   /** Winnowing fingerprints over the corpus (word 3-grams, window 4):
     * the MOSS guaranteed selection, every (doc, pos, fp) row replayed
     * exactly by the oracle's identical frame minima.

@@ -1244,6 +1244,64 @@ class ExtSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("c4Clean: every line and doc rule fires; survivors rebuilt in order") {
+    val docs = Seq(
+      // doc 1: mixed lines — keeps exactly the two compliant ones
+      (1L, "This line has enough words here.\nshort one.\n" +
+        "No terminal punctuation at all\n" +
+        "Enable javascript to view this page.\n" +
+        "A second fully compliant line survives!\n" +
+        "Third compliant line keeps the doc alive?"),
+      // doc 2: lorem ipsum anywhere kills the whole doc
+      (2L, "A perfectly good long line stays here.\n" +
+        "But Lorem Ipsum dolor sits in this doc.\n" +
+        "Another good long line would survive."),
+      // doc 3: a curly brace kills the whole doc
+      (3L, "function() { return 1; } is code-like.\n" +
+        "Good long line one lives right here.\n" +
+        "Good long line two lives right here."),
+      // doc 4: lines pass but too few survive the line gate
+      (4L, "Only one line is long enough to survive this.\ntiny.\nnope.")
+    ).toDF("doc_id", "text")
+    val out = TextStats.c4Clean(docs, "doc_id", "text",
+      minWordsPerLine = 3, minLinesPerDoc = 3,
+      requireTerminalPunct = true)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L))
+    val (_, nLines, nKept, clean) = out.head
+    assert(nLines === 6 && nKept === 3)
+    assert(clean === "This line has enough words here.\n" +
+      "A second fully compliant line survives!\n" +
+      "Third compliant line keeps the doc alive?")
+    // punctuation off: the bare line is admitted, javascript still drops
+    val noPunct = TextStats.c4Clean(docs.filter($"doc_id" === 1), "doc_id",
+      "text", minWordsPerLine = 3, minLinesPerDoc = 1,
+      requireTerminalPunct = false)
+      .select("n_kept").as[Long].head()
+    assert(noPunct === 4)
+  }
+
+  test("c4Clean on the corpus: kept lines obey every gate") {
+    val lined = docs.select($"doc_id",
+      concat_ws("\n", transform(
+        sequence(lit(0),
+          ((size(split(trim(lower($"text")), "\\s+")) - lit(1)) / lit(10))
+            .cast("int")),
+        i => concat_ws(" ",
+          slice(split(trim(lower($"text")), "\\s+"), i * 10 + 1, lit(10)))))
+        .as("text"))
+    val out = TextStats.c4Clean(lined, "doc_id", "text",
+      minWordsPerLine = 6, minLinesPerDoc = 3,
+      requireTerminalPunct = false,
+      bannedLineWords = Seq("javascript", "spark"))
+    assert(out.count() > 0)
+    assert(out.filter($"n_kept" < 3 || $"n_kept" > $"n_lines").count() === 0)
+    val badLine = out.select(explode(split($"clean_text", "\n")).as("l"))
+      .filter(size(split($"l", "\\s+")) < 6 || lower($"l").contains("spark"))
+    assert(badLine.count() === 0)
+  }
+
   test("winnowing: window guarantee, shared-run guarantee, density, replay") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
