@@ -151,6 +151,7 @@ object SparkEntry {
     "s10_savepoint_restore"   -> (OpsQueries.s10SavepointRestore _),
     "s_timeline"              -> (OpsQueries.sTimeline _),
     "s_storage_audit"         -> (OpsQueries.sStorageAudit _),
+    "s_table_diff"            -> (OpsQueries.sTableDiff _),
     "o9_key_lookup"           -> (OpsQueries.o9KeyLookup _),
     "s_insert_overwrite"      -> (OpsQueries.sInsertOverwrite _),
     "s_delete_partition"      -> (OpsQueries.sDeletePartition _),
@@ -1920,6 +1921,27 @@ object SparkEntry {
         |   (SELECT count(*) FROM orders), 0
         |  UNION ALL SELECT 4, 'restore', CAST(NULL AS BIGINT), 0
         | ) ORDER BY ordinal""".stripMargin,
+    // Net version diff c1 -> c3: odd multiples of 3 were never in c1
+    // (insert, new payload), even multiples of 3 changed (update,
+    // doubled price) unless deleted, multiples of 10 left (delete,
+    // payload as of c1 — the intermediate c2 update of a later-deleted
+    // key must not leak through).
+    "s_table_diff" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 2 <> 0 THEN 'insert'
+        |      WHEN o_orderkey % 10 = 0 THEN 'delete'
+        |      ELSE 'update' END AS change,
+        | CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 10 = 0 THEN 1
+        |      ELSE 2 END AS ver,
+        | CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 10 = 0
+        |      THEN o_totalprice ELSE o_totalprice * 2
+        |      END AS o_totalprice
+        | FROM orders
+        | WHERE (o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0)
+        |    OR (o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+        |        AND o_orderkey % 10 <> 0)
+        |    OR (o_orderkey % 2 = 0 AND o_orderkey % 10 = 0)
+        | ORDER BY o_orderkey""".stripMargin,
     // Storage audit: healthy history reports nothing; the planted
     // 64-byte crash debris is the single deterministic orphan row
     // (clean-reclaims gate is in-query).

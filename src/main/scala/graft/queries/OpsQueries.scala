@@ -653,6 +653,34 @@ object OpsQueries {
       .orderBy("ordinal")
   }
 
+  /** Version-compare diff as a driver query ([[TableOps.diff]]): three
+    * commits — base insert of the even keys, an upsert that updates
+    * the even multiples of 3 and inserts the odd ones, a deleteWhere
+    * of the multiples of 10 — then the NET diff from the first commit
+    * to the latest. Inserts carry the new payload, updates the doubled
+    * price, deletes their last-visible state at the FROM instant (the
+    * intermediate update of a later-deleted key must NOT leak
+    * through). The oracle recomputes the classification from the same
+    * input parquet arithmetic.
+    */
+  def sTableDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val table = KeyedTable("orders_diff",
+      s"${scratch("graft-diff")}/orders_diff",
+      Seq("o_orderkey"), "ver")
+    val c1 = TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 2 === 0).withColumn("ver", lit(1)))
+    TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(2)))
+    val c3 = TableOps.deleteWhere(s, table, col("o_orderkey") % 10 === 0)
+    TableOps.diff(s, table, c1, c3)
+      .select("o_orderkey", "change", "ver", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** Storage audit as a driver query: two healthy commits plus PLANTED
     * crash debris (a commit-shaped data dir with no manifest holding
     * one 64-byte parquet-named file). All referenced history must

@@ -811,4 +811,41 @@ class TableOpsSpec extends SparkSuite {
     assert(ts === ts.sorted)
     assert(ts.distinct.size === ts.size)
   }
+
+  test("diff: classifies net insert/update/delete; rewrites are silent") {
+    val t = table(partitioned = false)
+    val c1 = TableOps.upsert(spark, t,
+      rows(("a", 1, "x", "p1"), ("b", 1, "y", "p1"), ("c", 1, "z", "p1")))
+    // b updated, d inserted; a merely rides along via compaction later
+    TableOps.upsert(spark, t, rows(("b", 2, "y2", "p1"), ("d", 1, "w", "p1")))
+    val c3 = TableOps.delete(spark, t, Seq("c").toDF("id"))
+    val d = TableOps.diff(spark, t, c1, c3)
+      .select("id", "change", "ver", "payload")
+      .as[(String, String, Int, String)].collect().sortBy(_._1)
+    assert(d === Array(
+      ("b", "update", 2, "y2"),
+      ("c", "delete", 1, "z"),
+      ("d", "insert", 1, "w")))
+    // a whole-table rewrite between the instants reports nothing:
+    // net state is identical even though every file moved
+    val c4 = TableOps.insertOverwriteTable(spark, t,
+      TableOps.snapshot(spark, t).drop(KeyedTable.CommitCol))
+    assert(TableOps.diff(spark, t, c3, c4).count() === 0)
+  }
+
+  test("diff: schema evolution null-backfills the older side; pred scopes") {
+    val t = table(partitioned = false)
+    val c1 = TableOps.upsert(spark, t, rows(("a", 1, "x", "p1"), ("b", 1, "y", "p1")))
+    // widened batch: extra column only on the newer side
+    val c2 = TableOps.upsert(spark, t,
+      Seq(("a", 2, "x", "p1", "ex")).toDF("id", "ver", "payload", "part", "extra"))
+    val d = TableOps.diff(spark, t, c1, c2)
+      .select("id", "change", "extra")
+      .as[(String, String, Option[String])].collect()
+    // only 'a' changed; 'b' widened to NULL extra on BOTH sides — silent
+    assert(d === Array(("a", "update", Some("ex"))))
+    val scoped = TableOps.diff(spark, t, c1, c2,
+      pred = Some($"id" === "b"))
+    assert(scoped.count() === 0)
+  }
 }
