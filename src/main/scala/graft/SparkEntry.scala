@@ -106,6 +106,7 @@ object SparkEntry {
     "text_token_counts"       -> (ExtQueries.textTokenCounts _),
     "text_winnow"             -> (ExtQueries.textWinnow _),
     "text_c4_clean"           -> (ExtQueries.textC4Clean _),
+    "text_lm_backoff"         -> (ExtQueries.textLmBackoff _),
     "dedup_winnow_pairs"      -> (ExtQueries.dedupWinnowPairs _),
     "text_fingerprint"        -> (ExtQueries.textFingerprint _),
     "text_fingerprint_raw"    -> (ExtQueries.textFingerprintRaw _),
@@ -206,7 +207,8 @@ object SparkEntry {
     "sample_shuffle", "o9_key_lookup", "text_classifier", "sim_rproj",
     "sim_rproj_topk", "sim_pca", "text_bpe", "pack_length_batches",
     "sim_cluster_balanced", "sample_epochs", "text_winnow",
-    "dedup_winnow_pairs", "sim_pq_topk_raw", "text_c4_clean")
+    "dedup_winnow_pairs", "sim_pq_topk_raw", "text_c4_clean",
+    "text_lm_backoff")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -1314,6 +1316,48 @@ object SparkEntry {
         | ORDER BY t.doc_id""".stripMargin,
     // Winnowing: the oracle rebuilds the word 3-gram hash sequence and
     // replays the same four aligned-frame (hash, -pos) minima — a row
+    // Stupid backoff (Brants 2007), trained on the even doc_ids,
+    // scored over all docs: trigram stage c3/c12, else 0.4*c23/c2,
+    // else 0.16*(c3+0.5)/(N+0.5) — operand order mirrors the Scala
+    // expression exactly so the doubles agree to the 6-decimal round.
+    "text_lm_backoff" ->
+      raw"""WITH tokall AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | tr AS (SELECT w FROM tokall WHERE doc_id % 2 = 0),
+        | tri AS (
+        |  SELECT w[i] AS g0, w[i+1] AS g1, w[i+2] AS g2, count(*) AS n3
+        |  FROM tr, UNNEST(range(1, len(w)-1)) AS u(i) GROUP BY 1, 2, 3),
+        | bi AS (
+        |  SELECT w[i] AS g0, w[i+1] AS g1, count(*) AS n2
+        |  FROM tr, UNNEST(range(1, len(w))) AS u(i) GROUP BY 1, 2),
+        | uni AS (
+        |  SELECT tk, count(*) AS n1 FROM tr, UNNEST(w) AS t(tk)
+        |  GROUP BY 1),
+        | tot AS (SELECT sum(n1) AS nn FROM uni),
+        | tg AS (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        |  FROM tokall, UNNEST(range(1, len(w)-1)) AS u(i)),
+        | sc AS (
+        |  SELECT tg.doc_id,
+        |   CASE WHEN tri.n3 IS NOT NULL
+        |        THEN ln(CAST(tri.n3 AS DOUBLE) / b12.n2)
+        |        WHEN b23.n2 IS NOT NULL THEN ln(0.4 * b23.n2 / u2.n1)
+        |        ELSE ln(0.16000000000000003 * (COALESCE(u3.n1, 0) + 0.5)
+        |                / (tot.nn + 0.5)) END AS s,
+        |   tri.n3 IS NULL AS bo, u3.n1 IS NULL AS oov
+        |  FROM tg
+        |  LEFT JOIN tri ON tri.g0 = w1 AND tri.g1 = w2 AND tri.g2 = w3
+        |  LEFT JOIN bi b12 ON b12.g0 = w1 AND b12.g1 = w2
+        |  LEFT JOIN bi b23 ON b23.g0 = w2 AND b23.g1 = w3
+        |  LEFT JOIN uni u2 ON u2.tk = w2
+        |  LEFT JOIN uni u3 ON u3.tk = w3
+        |  CROSS JOIN tot)
+        | SELECT doc_id, round(avg(s), 6) AS lm_score,
+        |  count(*) AS n_trigrams,
+        |  count(*) FILTER (WHERE bo) AS n_backoff,
+        |  count(*) FILTER (WHERE oov) AS n_oov
+        | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // C4 heuristic cleaning over the SAME 10-token wrap as the
     // line-dedup oracles: line gate (>= 6 words, no banned substring),
     // doc gate (no lorem-ipsum/brace in the lined text, >= 3 surviving

@@ -253,6 +253,87 @@ object TextStats {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Trigram stupid-backoff LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the deliberately
+    * unnormalized backoff score built FOR distributed count-based
+    * training, which is why it is the web-scale sibling of
+    * [[lmScore]]'s Laplace bigram):
+    *
+    *   S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)            if the trigram was seen
+    *              = λ · c(w₂w₃)/c(w₂)             else if the bigram was
+    *              = λ² · (c(w₃)+0.5)/(N+0.5)      else (unigram floor —
+    *                the +0.5 keeps an OOV token finite instead of ln 0)
+    *
+    * with λ = 0.4 (the paper's value). `score(d)` = mean ln S over the
+    * doc's trigram positions, `round(…, 6)` for cross-engine parity.
+    *
+    * TRAIN and SCORE are separate inputs — scoring a corpus with its
+    * own counts never backs off (every trigram is its own evidence);
+    * the CCNet-style use trains on a reference corpus and scores the
+    * crawl. Counts are three hash aggregates over the train stream
+    * (map-side combined); each scored position LEFT-joins its ≤1 model
+    * row per stage, so the join cannot blow up and hot n-grams are
+    * AQE-skew-split, exactly the [[lmScore]] scale shape. N rides as a
+    * lazy 1-row broadcast scalar. Docs with < 3 tokens emit nothing.
+    *
+    * Output: `(doc_id, lm_score, n_trigrams, n_backoff, n_oov)` —
+    * backoff = positions that left the trigram stage, oov = positions
+    * whose w₃ the train corpus never saw.
+    */
+  def lmBackoffScore(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, lambda: Double = 0.4): DataFrame = {
+    val tTr = toks(col(textCol))
+    def grams(src: DataFrame, n: Int): DataFrame =
+      src.select(tTr.as("w"))
+        .filter(size(col("w")) >= n)
+        .select(explode(transform(
+          sequence(lit(1), size(col("w")) - (n - 1)),
+          i => struct((0 until n).map(j =>
+            element_at(col("w"), i + j).as(s"g$j")): _*))).as("g"))
+        .select((0 until n).map(j => col(s"g.g$j").as(s"g$j")): _*)
+    val tri = grams(train, 3).groupBy("g0", "g1", "g2")
+      .agg(count(lit(1)).as("n3"))
+    val bi = grams(train, 2).groupBy("g0", "g1")
+      .agg(count(lit(1)).as("n2"))
+    val uni = train.select(explode(tTr).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("n1"))
+    val total = uni.agg(sum("n1").as("nn"))
+    val tg = docs.select(col(idCol).as("doc_id"), tTr.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2"),
+          element_at(col("w"), i + 2).as("w3")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"),
+        col("g.w2").as("w2"), col("g.w3").as("w3"))
+    val scored = tg
+      .join(tri.select(col("g0").as("w1"), col("g1").as("w2"),
+        col("g2").as("w3"), col("n3")), Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("g0").as("w1"), col("g1").as("w2"),
+        col("n2").as("n12")), Seq("w1", "w2"), "left")
+      .join(bi.select(col("g0").as("w2"), col("g1").as("w3"),
+        col("n2").as("n23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("tk").as("w2"), col("n1").as("n1w2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("tk").as("w3"), col("n1").as("n1w3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("s",
+        when(col("n3").isNotNull,
+          log(col("n3").cast(DoubleType) / col("n12")))
+          .when(col("n23").isNotNull,
+            log(lit(lambda) * col("n23") / col("n1w2")))
+          .otherwise(log(lit(lambda * lambda) *
+            (coalesce(col("n1w3"), lit(0L)) + lit(0.5)) /
+            (col("nn") + lit(0.5)))))
+    scored.groupBy("doc_id")
+      .agg(round(avg(col("s")), 6).as("lm_score"),
+        count(lit(1)).as("n_trigrams"),
+        count(when(col("n3").isNull, lit(1))).as("n_backoff"),
+        count(when(col("n1w3").isNull, lit(1))).as("n_oov"))
+  }
+
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       aggregate(toks(col(textCol)), lit(0L),

@@ -1287,6 +1287,19 @@ object ExtQueries {
           i => concat_ws(" ", slice(col("_w"), i * 10 + 1, lit(10)))))
         .as("text"))
 
+  /** Trigram stupid-backoff LM scoring: the model trains on the EVEN
+    * doc_ids and scores the whole corpus, so held-out odd docs
+    * genuinely exercise the bigram/unigram backoff stages (self-scored
+    * corpora never back off — every trigram is its own evidence).
+    * Every score, backoff count, and OOV count replayed by the oracle.
+    */
+  def textLmBackoff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextStats.lmBackoffScore(docs.filter(col("doc_id") % 2 === 0), docs,
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** C4-style heuristic cleaning over the lined corpus ([[linedDocs]]
     * — the same 10-token wrap the line-dedup family uses): min 6
     * words per line, banned-substring line drops ("javascript" plus

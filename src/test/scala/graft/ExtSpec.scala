@@ -645,6 +645,39 @@ class ExtSpec extends SparkSuite {
       toks.filter($"ws_tokens" >= 2).count())
   }
 
+  test("stupid-backoff LM: each stage fires with hand-computed values") {
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    // train counts: tri (a,b,c):2 (b,c,a):1 (c,a,b):1;
+    // bi (a,b):2 (b,c):2 (c,a):1; uni a:2 b:2 c:2; N=6
+    val score = Seq(
+      (1L, "a b c"),   // trigram stage: ln(2/2)
+      (2L, "b b c"),   // (b,b,c) unseen, (b,c) seen: ln(0.4*2/2)
+      (3L, "a a b"),   // (a,a,b) unseen, (a,b) seen: ln(0.4*2/2)
+      (4L, "a b z"),   // (b,z) unseen, z OOV: ln(0.16*(0+0.5)/6.5)
+      (5L, "c c b")    // (c,b) unseen, b known: ln(0.16*(2+0.5)/6.5)
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextStats.lmBackoffScore(train, score,
+      "doc_id", "text")
+      .as[(Long, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lam = 0.4
+    assert(got(1L)._2 === r6(math.log(2.0 / 2)))
+    assert(got(1L)._4 === 0L && got(1L)._5 === 0L)
+    assert(got(2L)._2 === r6(math.log(lam * 2 / 2)))
+    assert(got(2L)._4 === 1L)
+    assert(got(3L)._2 === r6(math.log(lam * 2 / 2)))
+    assert(got(4L)._2 === r6(math.log(lam * lam * 0.5 / 6.5)))
+    assert(got(4L)._5 === 1L)
+    assert(got(5L)._2 === r6(math.log(lam * lam * 2.5 / 6.5)))
+    assert(got(5L)._5 === 0L)
+    // self-scored train corpus never backs off
+    val self = graft.ext.TextStats.lmBackoffScore(train, train,
+      "doc_id", "text").select("n_backoff").as[Long].head()
+    assert(self === 0L)
+  }
+
   test("int8 quantization: error bound, exact integer dot, zero vector") {
     import graft.functions.VectorFunctions
     VectorFunctions.register(spark)
