@@ -153,6 +153,7 @@ object SparkEntry {
     "s_timeline"              -> (OpsQueries.sTimeline _),
     "s_storage_audit"         -> (OpsQueries.sStorageAudit _),
     "s_table_diff"            -> (OpsQueries.sTableDiff _),
+    "s_stats_view"            -> (OpsQueries.sStatsView _),
     "o9_key_lookup"           -> (OpsQueries.o9KeyLookup _),
     "s_insert_overwrite"      -> (OpsQueries.sInsertOverwrite _),
     "s_delete_partition"      -> (OpsQueries.sDeletePartition _),
@@ -1964,6 +1965,19 @@ object SparkEntry {
         |  UNION ALL SELECT 3, 'compact',
         |   (SELECT count(*) FROM orders), 0
         |  UNION ALL SELECT 4, 'restore', CAST(NULL AS BIGINT), 0
+        | ) ORDER BY ordinal""".stripMargin,
+    // Stats view: base = the full first upsert, delta = the %3 MOR
+    // batch — row sums and key ranges folded from the sidecars alone.
+    "s_stats_view" ->
+      """SELECT * FROM (
+        |  SELECT 1 AS ordinal, 'base' AS role,
+        |   (SELECT count(*) FROM orders) AS n_rows,
+        |   (SELECT min(o_orderkey) FROM orders) AS min_key,
+        |   (SELECT max(o_orderkey) FROM orders) AS max_key
+        |  UNION ALL SELECT 2, 'delta',
+        |   (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0),
+        |   (SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 3 = 0),
+        |   (SELECT max(o_orderkey) FROM orders WHERE o_orderkey % 3 = 0)
         | ) ORDER BY ordinal""".stripMargin,
     // Net version diff c1 -> c3: odd multiples of 3 were never in c1
     // (insert, new payload), even multiples of 3 changed (update,

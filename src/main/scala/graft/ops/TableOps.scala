@@ -1416,6 +1416,30 @@ object TableOps {
       "idempotency_key")
   }
 
+  /** Column-stats view — the Hudi metadata `col_stats` index / CLI
+    * `stats show` analog next to [[filesView]]: one row per LIVE data
+    * file with its exact row count and the tracked columns'
+    * min/max/null-count triples from the stats sidecars, tagged
+    * `commit_ts` + `role` (base/delta). This is the data the pruning
+    * reads consume ([[graft.tables.ColumnStats.prunedRead]]), exposed
+    * for humans and SQL: register as a temp view to audit clustering
+    * quality (overlapping ranges = poor layout), find skewed files,
+    * or explain why a predicate did/didn't skip. Driver-side
+    * metadata work; empty frame (not an error) when no commit carries
+    * a sidecar.
+    */
+  def statsView(spark: SparkSession, t: KeyedTable): DataFrame =
+    currentState(spark, t, None) match {
+      case Some((parts, deltas)) =>
+        ColumnStats.statsView(spark, t, parts, deltas).getOrElse {
+          import spark.implicits._
+          Seq.empty[(String, Long, String, String)]
+            .toDF("file", "rows", "commit_ts", "role")
+        }
+      case None => throw new IllegalArgumentException(
+        s"table ${t.name} does not exist at ${t.path}")
+    }
+
   /** Semantic NET diff between two instants — the version-compare
     * inspection surface next to [[timeline]] (what `changeLog` is to
     * every intermediate change, this is to the collapsed end-to-end

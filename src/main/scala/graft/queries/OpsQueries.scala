@@ -653,6 +653,36 @@ object OpsQueries {
       .orderBy("ordinal")
   }
 
+  /** Column-stats view as a driver query ([[TableOps.statsView]]): a
+    * stats-tracked table takes a full upsert then a MOR delta commit;
+    * the view must report both roles with exact per-role row sums and
+    * key ranges folded from the sidecars alone (no table scan — the
+    * frame is sidecar rows). Only deterministic aggregates are
+    * emitted (per-file splits vary with parallelism).
+    */
+  def sStatsView(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val table = KeyedTable("orders_sv",
+      s"${scratch("graft-sv")}/orders_sv",
+      Seq("o_orderkey"), "ver", statsColumns = Seq("o_orderkey"))
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    TableOps.deltaCommit(s, table,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(2)))
+    // 2-group metadata frame — the unpartitioned Window is fine here
+    TableOps.statsView(s, table)
+      .groupBy("commit_ts", "role")
+      .agg(sum("rows").as("n_rows"),
+        min("min_o_orderkey").as("min_key"),
+        max("max_o_orderkey").as("max_key"))
+      .withColumn("ordinal", row_number().over(Window.orderBy("commit_ts")))
+      .select("ordinal", "role", "n_rows", "min_key", "max_key")
+      .orderBy("ordinal")
+  }
+
   /** Version-compare diff as a driver query ([[TableOps.diff]]): three
     * commits — base insert of the even keys, an upsert that updates
     * the even multiples of 3 and inserts the odd ones, a deleteWhere

@@ -168,6 +168,54 @@ object ColumnStats {
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** The stats sidecars of the CURRENT table state as one DataFrame —
+    * the read side of [[write]] exposed for inspection (Hudi metadata
+    * `col_stats` index / CLI `stats show` analog): one row per live
+    * data file with `rows` and the tracked columns' `min_/max_/nulls_`
+    * triples, tagged with its owning `commit_ts` and `role`
+    * (`base`/`delta`). Files a sidecar records but the manifest no
+    * longer assigns (a partition re-owned by a later commit) are
+    * filtered out, so the view sums to the exact live table. Versions
+    * without a sidecar (legacy commits) contribute nothing — same
+    * contract as the pruning reads. Driver-side metadata work only
+    * (the per-file liveness filter walks the same kilobyte listings as
+    * [[prunedRead]]); None when no version carries a sidecar.
+    */
+  private[graft] def statsView(spark: SparkSession, t: KeyedTable,
+      parts: Map[String, String], deltas: Seq[String]): Option[DataFrame] = {
+    val fs = new Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a delta dir owns ALL its files (no partition re-ownership can
+    // strip a live delta), but a partitioned delta nests hive subdirs
+    // — walk recursively instead of the rel-scoped base listing
+    def deltaFiles(ver: String): Seq[Path] = {
+      def walk(p: Path): Seq[Path] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Nil
+          else if (st.isDirectory) walk(st.getPath)
+          else Seq(fs.makeQualified(st.getPath))
+        }
+      walk(new Path(s"${t.dataPath}/$ver"))
+    }
+    def frameOf(ver: String, live: => Seq[Path],
+        role: String): Option[DataFrame] = {
+      if (!fs.exists(new Path(statsPath(t, ver)))) return None
+      val liveSet = live.map(_.toString).toSet
+      val df = spark.read.parquet(statsPath(t, ver))
+      val keep = df.select("file").collect().map(_.getString(0))
+        .filter(u => liveSet.contains(qualifiedOf(fs, u).toString)).toSeq
+      Some(df.filter(col("file").isin(keep: _*))
+        .withColumn("commit_ts", lit(ver))
+        .withColumn("role", lit(role)))
+    }
+    val frames =
+      parts.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (ver, m) =>
+        frameOf(ver, liveFiles(fs, t, ver, m.keys.toSeq.sorted), "base")
+      } ++ deltas.sorted.flatMap(v => frameOf(v, deltaFiles(v), "delta"))
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Split a MOR base read into (safe, risky) frames by the live
     * deltas' record-key ranges — the refinement that restores file
     * skipping under MERGE_ON_READ state (Hudi's file-slice idea

@@ -238,4 +238,37 @@ class ColumnStatsSpec extends SparkSuite {
     val afterDelete = TableOps.snapshotWhere(spark, t, pred)
     assert(afterDelete.count() === 9)
   }
+
+  test("statsView: live files only, roles tagged, sums to the table") {
+    val t = statsTable(partitioned = true)
+    seed(t)
+    // rewrite part=0 — the view must DROP commit 1's part=0 stats rows
+    val upd = spark.range(10).select(
+      concat(lit("k"), col("id") * 2).as("id"),
+      lit(2).as("ver"),
+      (col("id") * 2).cast("long").as("v"),
+      lit("0").as("part"))
+    TableOps.upsert(spark, t, upd, sortBy = Seq("v"), maxRecordsPerFile = 25L)
+    val sv = TableOps.statsView(spark, t)
+    assert(sv.columns.toSet.intersect(
+      Set("file", "rows", "min_v", "max_v", "commit_ts", "role")).size === 6)
+    // sidecar row sums == exact live table count, per role
+    assert(sv.agg(sum("rows")).as[Long].head() ===
+      TableOps.snapshot(spark, t).count())
+    assert(sv.select("role").distinct().as[String].collect().toSet
+      === Set("base"))
+    // commit 1 contributes ONLY its still-owned partition (odd v):
+    // every commit-1 stats row must sit inside the odd-v range
+    val firstTs = sv.select("commit_ts").as[String].collect().min
+    val c1 = sv.filter($"commit_ts" === firstTs)
+    assert(c1.filter($"min_v" % 2 === 0).count() === 0)
+    // a MOR delta commit appears with role=delta and its own rows
+    TableOps.deltaCommit(spark, t, spark.range(5).select(
+      concat(lit("kd"), col("id")).as("id"), lit(3).as("ver"),
+      (col("id") + 1000L).as("v"), lit("1").as("part")))
+    val sv2 = TableOps.statsView(spark, t)
+    val delta = sv2.filter($"role" === "delta")
+    assert(delta.agg(sum("rows")).as[Long].head() === 5L)
+    assert(delta.agg(min("min_v")).as[Long].head() === 1000L)
+  }
 }
