@@ -101,6 +101,7 @@ object SparkEntry {
     "dedup_strip_lines"       -> (ExtQueries.dedupStripLines _),
     "dq_expectations"         -> (ExtQueries.dqExpectations _),
     "dq_profile"              -> (ExtQueries.dqProfile _),
+    "dq_outliers"             -> (ExtQueries.dqOutliers _),
     "text_stats"              -> (ExtQueries.textStats _),
     "text_quality"            -> (ExtQueries.textQuality _),
     "text_token_counts"       -> (ExtQueries.textTokenCounts _),
@@ -209,7 +210,7 @@ object SparkEntry {
     "sim_rproj_topk", "sim_pca", "text_bpe", "pack_length_batches",
     "sim_cluster_balanced", "sample_epochs", "text_winnow",
     "dedup_winnow_pairs", "sim_pq_topk_raw", "text_c4_clean",
-    "text_lm_backoff")
+    "text_lm_backoff", "dq_outliers")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -948,6 +949,33 @@ object SparkEntry {
     // recomputed per column. Both engines render BIGINT and DOUBLE
     // casts with shortest-roundtrip decimal below 1e7, so the string
     // forms agree.
+    // IQR outliers: rank-exact quartiles (value at ceil(p*n) of the
+    // ascending per-group sort — real data values, no interpolation)
+    // so fences and flags are bit-identical across engines; the fence
+    // arithmetic runs the same IEEE op sequence on both sides.
+    "dq_outliers" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |   row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY l_extendedprice) AS rn,
+        |   count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        | q AS (
+        |  SELECT l_returnflag,
+        |   max(CASE WHEN rn = ceil(n * 0.25) THEN v END) AS q1,
+        |   max(CASE WHEN rn = ceil(n * 0.75) THEN v END) AS q3
+        |  FROM r GROUP BY l_returnflag),
+        | f AS (
+        |  SELECT l_returnflag, q1, q3,
+        |   q1 - 1.5 * (q3 - q1) AS lo_fence,
+        |   q3 + 1.5 * (q3 - q1) AS hi_fence FROM q)
+        | SELECT r.l_returnflag, count(*) AS n_rows, q1, q3,
+        |  lo_fence, hi_fence,
+        |  count(*) FILTER (WHERE v < lo_fence OR v > hi_fence)
+        |    AS n_outliers
+        | FROM r JOIN f USING (l_returnflag)
+        | GROUP BY r.l_returnflag, q1, q3, lo_fence, hi_fence
+        | ORDER BY l_returnflag""".stripMargin,
     "dq_profile" ->
       """SELECT * FROM (
         |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,

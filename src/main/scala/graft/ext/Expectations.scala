@@ -86,6 +86,50 @@ object Expectations {
         col("p.min_value").as("min_value"), col("p.max_value").as("max_value"))
   }
 
+  /** Per-group IQR (Tukey-fence) outlier report over a numeric
+    * column: `(group…, n_rows, q1, q3, lo_fence, hi_fence,
+    * n_outliers)` with fences `q1 − k·IQR` / `q3 + k·IQR` (k = 1.5,
+    * the boxplot classic).
+    *
+    * Quartiles are RANK-EXACT, not interpolated: the value at row
+    * rank `⌈p·n⌉` of the group's ascending sort. Deliberate —
+    * interpolation formulas (`a + d(b−a)` vs `(1−d)a + db`) differ in
+    * final ulps across engines, and a fence that drifts one ulp can
+    * flip a boundary row's outlier flag; the rank-exact quartile is a
+    * REAL data value, so fences and flags are bit-identical on any
+    * engine running the same IEEE ops (ties in the value column are
+    * rank-ambiguous but value-unambiguous). One window shuffle+sort
+    * per group plus a broadcast fence join; at extreme scale swap the
+    * ranked window for `percentile_approx` the same way [[profile]]
+    * trades exact distinct counts for HLL — the fences lose
+    * exactness, the single-scan shape stays.
+    */
+  def iqrOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("_v"))
+    val cw = Window.partitionBy(gcols: _*)
+    val ranked = df.select(gcols :+ col(valueCol).as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cw))
+    val fences = ranked.groupBy(gcols: _*)
+      .agg(
+        max(when(col("_rn") === ceil(col("_n") * 0.25), col("_v"))).as("q1"),
+        max(when(col("_rn") === ceil(col("_n") * 0.75), col("_v"))).as("q3"))
+      .withColumn("lo_fence", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi_fence", col("q3") + lit(k) * (col("q3") - col("q1")))
+    ranked.join(broadcast(fences), groupCols)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        first("q1").as("q1"), first("q3").as("q3"),
+        first("lo_fence").as("lo_fence"), first("hi_fence").as("hi_fence"),
+        count(when(col("_v") < col("lo_fence") ||
+          col("_v") > col("hi_fence"), lit(1))).as("n_outliers"))
+  }
+
   /** Referential integrity: `(rule, n_rows, n_violations, pass)` for
     * child keys with no matching parent key (NULL child keys are
     * orphans — a null FK fails the expectation; relax with an

@@ -915,6 +915,16 @@ object ExtQueries {
     out
   }
 
+  /** IQR outlier report over lineitem prices per return flag — the
+    * numeric-anomaly sibling of the rule gate. Rank-exact quartiles
+    * (see [[Expectations.iqrOutliers]]) make every fence a real data
+    * value, so the DuckDB oracle replays fences AND flags bit-exact.
+    */
+  def dqOutliers(s: SparkSession, dir: String): DataFrame =
+    Expectations.iqrOutliers(t(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_extendedprice")
+      .orderBy("l_returnflag")
+
   // ———————————————————————————————————————— text analysis
 
   def textStats(s: SparkSession, dir: String): DataFrame =

@@ -94,4 +94,22 @@ class ExpectationsSpec extends SparkSuite {
       .as[(String, Long, Long, Boolean)].head()
     assert(clean._4 === true)
   }
+
+  test("iqrOutliers: rank-exact quartiles, fences, flags; nulls dropped") {
+    // group a: 1..8 plus a wild 100 — n=9, q1 at rank ceil(2.25)=3 → 3,
+    // q3 at rank ceil(6.75)=7 → 7; IQR 4, fences [-3, 13] → one outlier
+    val rows = ((1 to 8).map(v => ("a", Some(v.toDouble))) :+
+      ("a", Some(100.0)) :+ ("a", None) :+
+      ("b", Some(5.0)) :+ ("b", Some(6.0))).toDF("g", "v")
+    val out = Expectations.iqrOutliers(rows, Seq("g"), "v")
+      .orderBy("g")
+      .as[(String, Long, Double, Double, Double, Double, Long)]
+      .collect()
+    val a = out(0)
+    assert(a === (("a", 9L, 3.0, 7.0, -3.0, 13.0, 1L)))
+    // group b: n=2, q1 rank ceil(0.5)=1 → 5, q3 rank ceil(1.5)=2 → 6;
+    // fences [3.5, 7.5] → no outliers (null row in a was dropped)
+    val b = out(1)
+    assert(b === (("b", 2L, 5.0, 6.0, 3.5, 7.5, 0L)))
+  }
 }
