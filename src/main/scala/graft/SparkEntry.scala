@@ -49,6 +49,7 @@ object SparkEntry {
     "s3_upsert_merge"         -> (CoreQueries.s3UpsertMerge _),
     "dedup_exact"             -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard"     -> (ExtQueries.dedupNgramJaccard _),
+    "dedup_prefix_jaccard"    -> (ExtQueries.dedupPrefixJaccard _),
     "dedup_clusters"          -> (ExtQueries.dedupClusters _),
     "dedup_keep_best"         -> (ExtQueries.dedupKeepBest _),
     "curation_pipeline"       -> (ExtQueries.curationPipeline _),
@@ -59,6 +60,7 @@ object SparkEntry {
     "dedup_simhash"           -> (ExtQueries.dedupSimhash _),
     "dedup_simhash_pairs"     -> (ExtQueries.dedupSimhashPairs _),
     "sim_cosine_topk"         -> (ExtQueries.simCosineTopk _),
+    "sim_hard_negatives"      -> (ExtQueries.simHardNegatives _),
     "sim_lsh_topk"            -> (ExtQueries.simLshTopk _),
     "sim_lsh_topk_raw"        -> (ExtQueries.simLshTopkRaw _),
     "sim_ivf_topk"            -> (ExtQueries.simIvfTopk _),
@@ -97,6 +99,7 @@ object SparkEntry {
     "dedup_strip_spans"       -> (ExtQueries.dedupStripSpans _),
     "text_classifier"         -> (ExtQueries.textClassifier _),
     "sample_shuffle"          -> (ExtQueries.sampleShuffle _),
+    "sample_exact_n"          -> (ExtQueries.sampleExactN _),
     "dedup_lines"             -> (ExtQueries.dedupLines _),
     "dedup_strip_lines"       -> (ExtQueries.dedupStripLines _),
     "dq_expectations"         -> (ExtQueries.dqExpectations _),
@@ -210,7 +213,8 @@ object SparkEntry {
     "sim_rproj_topk", "sim_pca", "text_bpe", "pack_length_batches",
     "sim_cluster_balanced", "sample_epochs", "text_winnow",
     "dedup_winnow_pairs", "sim_pq_topk_raw", "text_c4_clean",
-    "text_lm_backoff", "dq_outliers")
+    "text_lm_backoff", "dq_outliers", "dedup_prefix_jaccard",
+    "sim_hard_negatives", "sample_exact_n")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -618,6 +622,28 @@ object SparkEntry {
         | JOIN sz sb ON sb.doc_id = id_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
         | ORDER BY id_a, id_b""".stripMargin,
+    // Same exact-Jaccard recompute at θ=0.4: the PPJoin prefix index
+    // must be output-invisible (recall 1.0 + exact verify), so the
+    // oracle is the UNPRUNED join, not a replay of the pruning.
+    "dedup_prefix_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        | inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        | SELECT id_a, id_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+        | FROM inter
+        | JOIN sz sa ON sa.doc_id = id_a
+        | JOIN sz sb ON sb.doc_id = id_b
+        | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.4
+        | ORDER BY id_a, id_b""".stripMargin,
     "curation_pipeline" ->
       s"""WITH RECURSIVE ${langidRankedCte("documents")},
         | lang AS (SELECT doc_id FROM ranked WHERE rn = 1 AND lang = 'en'),
@@ -913,6 +939,14 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY hh % 16
         |    ORDER BY hh, doc_id) - 1 AS INT) AS pos
         | FROM h ORDER BY shard, pos""".stripMargin,
+    // Exactly-n seeded sample: the oracle replays the portable draw
+    // and the top-100 cut literally — ORDER BY draw LIMIT n IS the
+    // operator's contract.
+    "sample_exact_n" ->
+      s"""SELECT doc_id, draw FROM (
+        |  SELECT doc_id, ${h60Sql("exactn", 42, "doc_id")} AS draw
+        |  FROM documents ORDER BY draw, doc_id LIMIT 100)
+        | ORDER BY doc_id""".stripMargin,
     // Classifier filter: the in-query gates (monotone training loss,
     // holdout accuracy >= 0.85 on the weak long-doc label) are
     // computed by the engine; the oracle pins the corpus size and the
@@ -1644,6 +1678,21 @@ object SparkEntry {
         |              c.vec_id ASC) AS rank
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // The same exact scorer restricted to the sub-0.5 cosine band:
+    // hard negatives are the top of what's left BELOW the positive
+    // threshold. Both engines fold the dot product in ascending index
+    // order over doubles, so the band membership test is bit-stable
+    // (the established posture of sim_neardup_pairs' threshold).
+    "sim_hard_negatives" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id ASC) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+        |    AND list_cosine_similarity(q.embedding, c.embedding) < 0.5)
         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // Seeded JL random projection: the oracle reconstructs the SAME
     // Achlioptas matrix (md5-60 of the flat index r*64+j, mod 6 →

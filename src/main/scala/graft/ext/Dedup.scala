@@ -519,6 +519,78 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Prefix-filtered exact Jaccard join — PPJoin-style (Xiao, Wang,
+    * Lin, Yu, "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW 2008). Same EXACT output as
+    * [[ngramJaccardPairs]], different candidate generator: instead of
+    * indexing every shingle of every doc, each doc indexes only its
+    * PREFIX — the first `|x| − ⌈θ·|x|⌉ + 1` shingles under a global
+    * rarest-first ordering (ascending corpus document frequency, hash
+    * tiebreak). The prefix-filtering principle guarantees recall 1.0:
+    * two sets with Jaccard ≥ θ must overlap in ≥ θ·max(|x|,|y|)
+    * elements, so they cannot BOTH push their entire shared region
+    * past a prefix of that length.
+    *
+    * Why this is the scale path next to the maxDf cap: the inverted
+    * index shrinks to a (1−θ) fraction of positions, and — because
+    * the ordering is rarest-first — the positions that survive are
+    * precisely the LOW-df shingles, so hot boilerplate shingles land
+    * at the back of every doc and almost never enter the index at
+    * all. Candidate volume per shingle is df_prefix², which the
+    * ordering drives toward 1, without changing the SEMANTICS the
+    * way a df cap does (capped docs lose hot shingles from the union
+    * too; here the final Jaccard is computed over the FULL sets).
+    * The length filter (θ·|x| ≤ |y| ≤ |x|/θ) prunes candidates at
+    * join time before the verify stage ever sees them.
+    *
+    * Verification joins candidates back to per-doc shingle-set
+    * arrays (`collect_set` — bounded by doc length, not corpus size)
+    * and scores `array_intersect` inside codegen; no second inverted
+    * index pass. Float guard: prefix length and length filter use a
+    * 1e-9 slack so an exact θ·|x| landing on an ulp never SHORTENS a
+    * prefix or drops a legal candidate (slack only ever admits an
+    * extra candidate, which verify then scores exactly).
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDf: Option[Int] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val sh = docs.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.shingleHashes(
+        docs.sparkSession, col(textCol), n)).as("g"))
+    val kept = dropStopShingles(sh, maxDf)
+    val dfs = kept.groupBy("g").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("id")
+    val ranked = kept.join(dfs, Seq("g"))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(
+        byDoc.orderBy(col("df").asc, col("g").asc)))
+    val prefix = ranked
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("g"), col("id"), col("sz"))
+    val a = prefix.toDF("g", "id_a", "sz_a")
+    val b = prefix.toDF("g", "id_b", "sz_b")
+    val cands = a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("sz_b") >= lit(threshold) * col("sz_a") - lit(1e-9) &&
+        col("sz_a") >= lit(threshold) * col("sz_b") - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    val sets = kept.groupBy("id")
+      .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("sz"))
+    cands
+      .join(sets.toDF("id_a", "gs_a", "sz_a"), Seq("id_a"))
+      .join(sets.toDF("id_b", "gs_b", "sz_b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b")))
+        .cast(LongType))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MOSS match step over [[TextStats.winnowing]] fingerprints:
     * candidate pairs sharing at least `minShared` DISTINCT selected
     * fingerprints — the GUARANTEED near-dup candidate generator next

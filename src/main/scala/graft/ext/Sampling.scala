@@ -237,4 +237,31 @@ object Sampling {
       .withColumn("pos", row_number().over(w) - 1)
       .drop("_draw")
   }
+
+  /** EXACTLY-n uniform sample without replacement, seeded — the
+    * reservoir-sampling contract ("give me exactly 100k eval docs")
+    * expressed as a deterministic top-n: every row gets the portable
+    * md5-60 draw of (seed, id) and the n smallest draws win (id
+    * tiebreak, so duplicate-free even under the 2^-60 draw collision).
+    * Unlike [[hashSplit]]/[[sampleByRates]] (fixed RATE, binomial
+    * count) the output size is exact; unlike `df.orderBy(rand())
+    * .limit(n)` it is replayable and grow-stable in distribution
+    * (each row's draw never changes; a grown corpus re-competes the
+    * SAME draws, which is precisely uniform-without-replacement over
+    * the new population).
+    *
+    * Scale shape: `orderBy(...).limit(n)` compiles to
+    * TakeOrderedAndProject — per-partition top-n heaps then a driver
+    * merge of n×partitions candidates, NO global sort. The plan gate
+    * in the driver query pins that. Keep n driver-sized (it is a
+    * SAMPLE — n ≫ 10⁷ wants [[hashSplit]] rates instead).
+    */
+  def sampleExactN(df: DataFrame, idCol: String, n: Int,
+      seed: Long = 42L): DataFrame = {
+    require(n > 0, "n must be positive")
+    val draw = graft.functions.PortableHash.h60("exactn", seed, col(idCol))
+    df.withColumn("draw", draw)
+      .orderBy(col("draw").asc, col(idCol).asc)
+      .limit(n)
+  }
 }

@@ -61,6 +61,40 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for
+    * each anchor, the k corpus vectors that are MOST similar while
+    * staying BELOW the positive threshold `maxCos` — the negatives
+    * that actually carry gradient (random negatives are trivially
+    * separable; near-dups above `maxCos` are false negatives that
+    * poison the loss). Exact brute-force band: same broadcast-anchors
+    * × corpus-scan shape as [[bruteForceTopK]] (anchors are a small
+    * curated set; the corpus is scanned once, map-only, then one
+    * per-anchor top-k window), with the band filter applied BEFORE
+    * the rank so the window never buffers the near-dup head. For
+    * corpus-scale anchor sets swap the scorer for [[ivfTopK]]
+    * oversampled then band-filtered; this exact form is the oracle
+    * of that path.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      maxCos: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", VectorFunctions.normF(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", VectorFunctions.normF(col("cv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        VectorFunctions.dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("cos") < maxCos)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Corpus-adaptive index sizing, used wherever a caller leaves the
     * knob at 0: a FIXED sizing parameter is a scale bug — bucket/shard
     * occupancy would grow linearly with the corpus, and the candidate

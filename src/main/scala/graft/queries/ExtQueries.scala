@@ -262,6 +262,21 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for each of
+    * the 20 anchor vectors, the 5 most-similar corpus vectors BELOW
+    * cosine 0.5 — the contrastive-training negatives that carry
+    * gradient without being false negatives. Exact band + rank; the
+    * oracle replays the cosine band and per-anchor ordering in DuckDB
+    * (`list_cosine_similarity` — both engines fold the dot ascending).
+    */
+  def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.hardNegatives(emb.filter(col("vec_id") < 20), emb,
+      "vec_id", "embedding", k = 5, maxCos = 0.5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Sign-LSH top-5 gate: recall@5 ≥ 0.8 vs brute force over the 20
     * query vectors (measured 0.95 at sf0.01).
     */
@@ -1248,6 +1263,24 @@ object ExtQueries {
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
 
+  /** EXACTLY-100 seeded uniform sample ([[Sampling.sampleExactN]]) —
+    * the reservoir-sampling contract as a deterministic top-n over
+    * the portable draw; every (doc_id, draw) row replayed by the
+    * oracle's ORDER BY + LIMIT. Plan-gated: the top-n must compile to
+    * TakeOrderedAndProject (per-partition heaps), NOT a global Sort.
+    */
+  def sampleExactN(s: SparkSession, dir: String): DataFrame = {
+    val out = Sampling.sampleExactN(t(s, dir, "documents"), "doc_id",
+      n = 100, seed = 42L)
+      .select("doc_id", "draw")
+    val physical = out.queryExecution.executedPlan.toString()
+    require(physical.contains("TakeOrderedAndProject"),
+      "sample_exact_n must plan as TakeOrderedAndProject, not a global sort")
+    require(!physical.contains("Sort ["),
+      s"sample_exact_n planned a full Sort:\n$physical")
+    out.orderBy("doc_id")
+  }
+
   /** Model-based quality filtering ([[Classifier]], the
     * fastText/FineWeb-Edu classifier-filter shape): a logistic
     * regression over the [[TextStats.stats]] features learns a weak
@@ -1345,6 +1378,20 @@ object ExtQueries {
   def dedupWinnowPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
       k = 3, w = 4, minShared = 2)
+      .orderBy("id_a", "id_b")
+
+  /** PPJoin-style prefix-filtered EXACT Jaccard pairs at θ=0.4
+    * ([[Dedup.prefixJaccardPairs]]): rarest-first prefix index +
+    * length filter + array-intersect verify. The oracle recomputes
+    * the full uncapped Jaccard join in SQL — candidate pruning must
+    * be invisible in the output (recall 1.0 by the prefix-filtering
+    * principle, zero FPs by the exact verify). θ differs from
+    * `dedup_ngram_jaccard`'s 0.5 so the two boards pin different
+    * result sets.
+    */
+  def dedupPrefixJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.4)
       .orderBy("id_a", "id_b")
 
   /** Corpus-duplicated line inventory over the lined corpus (CCNet /

@@ -1402,4 +1402,79 @@ class ExtSpec extends SparkSuite {
       k = 3, w = 4, minShared = 1000)
     assert(strict.count() === 0L)
   }
+
+  test("prefixJaccardPairs == ngramJaccardPairs at θ 0.5 and 0.4") {
+    for (theta <- Seq(0.5, 0.4)) {
+      val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = theta, maxDf = None)
+        .as[(Long, Long, Double)].collect().toSet
+      val pp = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = theta)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(full.nonEmpty, "corpus should contain near-dups")
+      assert(pp === full,
+        s"θ=$theta: prefix join diverged (pp=${pp.size} full=${full.size})")
+    }
+  }
+
+  test("prefixJaccardPairs: boilerplate shingle stays out of the index") {
+    import spark.implicits._
+    // 20 docs all sharing one hot 3-gram run; only 1,2 truly near-dup.
+    val boiler = "terms of service apply here"
+    val unique = (3 to 20).map(i =>
+      (i.toLong, s"$boiler w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    val dup = Seq(
+      (1L, s"$boiler same body text one two three four five six"),
+      (2L, s"$boiler same body text one two three four five seven"))
+    val corpus = (dup ++ unique).toDF("doc_id", "text")
+    val pairs = Dedup.prefixJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L)),
+      s"expected only (1,2), got $pairs")
+    // jaccard is over the FULL sets (boilerplate in the union too) —
+    // unlike the maxDf cap, prefix filtering never changes semantics
+    val expected = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = None)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs === expected)
+  }
+
+  test("sampleExactN: exact size, deterministic, draw-minimal") {
+    import graft.ext.Sampling
+    val s1 = Sampling.sampleExactN(docs, "doc_id", n = 37, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.sampleExactN(docs, "doc_id", n = 37, seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.size === 37 && s1 === s2)
+    // the winners are EXACTLY the n smallest draws
+    val manual = docs
+      .withColumn("d", graft.functions.PortableHash.h60("exactn", 7L, $"doc_id"))
+      .orderBy($"d", $"doc_id").select("doc_id")
+      .as[Long].collect().take(37).toSet
+    assert(s1 === manual)
+    // a different seed draws a different committee
+    val s3 = Sampling.sampleExactN(docs, "doc_id", n = 37, seed = 8L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 !== s1)
+  }
+
+  test("hardNegatives: band respected, equals filtered brute force") {
+    val anchors = emb.filter($"vec_id" < 10)
+    val hn = Similarity.hardNegatives(anchors, emb,
+      "vec_id", "embedding", k = 5, maxCos = 0.5)
+    val rows = hn.as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 < 0.5), "a negative crossed the cosine band")
+    assert(rows.groupBy(_._1).values.forall(_.length <= 5))
+    // equals the exact scorer band-filtered then re-ranked
+    val brute = Similarity.bruteForceTopK(anchors, emb,
+      "vec_id", "embedding", k = Int.MaxValue >> 1)
+      .filter($"cos" < 0.5)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"cos".desc, $"neighbor_id".asc)))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(rows.map(r => (r._1, r._2)).toSet === brute)
+  }
 }
