@@ -171,6 +171,7 @@ object SparkEntry {
     "s_bootstrap"             -> (OpsQueries.sBootstrap _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
+    "a_heavy_hitters"         -> (OpsQueries.aHeavyHitters _),
   )
 
   /** Headline bench set (graft.Bench): the analytically-representative
@@ -214,7 +215,7 @@ object SparkEntry {
     "sim_cluster_balanced", "sample_epochs", "text_winnow",
     "dedup_winnow_pairs", "sim_pq_topk_raw", "text_c4_clean",
     "text_lm_backoff", "dq_outliers", "dedup_prefix_jaccard",
-    "sim_hard_negatives", "sample_exact_n")
+    "sim_hard_negatives", "sample_exact_n", "a_heavy_hitters")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -2196,6 +2197,20 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_parts,
         | true AS orders_pass, true AS parts_pass, true AS median_pass
         | FROM lineitem""".stripMargin,
+    // Heavy hitters: n_items / n_hot are exact recomputes of the same
+    // skew-constructed stream; the gate booleans are the sketch's
+    // order-independent guarantees (integer-exact threshold c·33 > N).
+    "a_heavy_hitters" ->
+      """WITH it AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'hot_' || event_type
+        |   ELSE 'u' || CAST(user_id AS VARCHAR) || '_' || event_type END
+        |   AS item FROM events),
+        | c AS (SELECT item, count(*) AS c FROM it GROUP BY item),
+        | t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c)
+        | SELECT 'heavy_hitters' AS family, n AS n_items,
+        |  (SELECT count(*) FROM c WHERE c * 33 > t.n) AS n_hot,
+        |  true AS containment_pass, true AS error_pass, true AS size_pass
+        | FROM t""".stripMargin,
     "multimodal_features" ->
       """SELECT 'media_features' AS family, count(*) AS n_rows,
         | true AS dims_pass, true AS range_pass FROM documents""".stripMargin,

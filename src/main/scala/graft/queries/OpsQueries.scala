@@ -457,6 +457,50 @@ object OpsQueries {
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
         .as("approx_median_price"))
 
+  /** Misra–Gries heavy hitters ([[graft.ext.HeavyHitters]], m=32) over
+    * a deliberately skew-constructed item stream (the testdata is
+    * uniform everywhere, so the query folds half the events into 5
+    * "hot_<type>" items — deterministic and replayed by the oracle).
+    * Gate clauses are the sketch's order-independent guarantees, so
+    * the row is stable even though the summary's exact contents depend
+    * on partition layout (which is also why — unlike the HLL family —
+    * there is no value-oracled `_raw` surface):
+    *   - containment: every item with c·(m+1) > N is in the sketch;
+    *   - error: 0 ≤ c − ĉ and (c − ĉ)·(m+1) ≤ N (integer-exact, no
+    *     float threshold);
+    *   - size: ≤ m survivors.
+    * `n_items` / `n_hot` are exact and value-oracled.
+    */
+  def aHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val m = 32
+    val items = CoreQueries.events(s, dir).select(
+      when(col("user_id") % 2 === 0,
+        concat(lit("hot_"), col("event_type")))
+        .otherwise(concat(lit("u"), col("user_id"), lit("_"),
+          col("event_type"))).as("item"))
+    val sketch = graft.ext.HeavyHitters.frequentItems(items, col("item"), m)
+    val exact = items.groupBy("item").agg(count(lit(1)).as("c"))
+    val tot = exact.agg(sum(col("c")).as("n_items"))
+    exact.join(sketch, Seq("item"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .agg(
+        first(col("n_items")).as("n_items"),
+        sum(when(col("c") * (m + 1) > col("n_items"), 1L).otherwise(0L))
+          .as("n_hot"),
+        min(when(col("c") * (m + 1) > col("n_items"),
+          col("est_count").isNotNull).otherwise(lit(true)))
+          .as("containment_pass"),
+        min(when(col("est_count").isNotNull,
+          col("est_count") <= col("c") &&
+            (col("c") - col("est_count")) * (m + 1) <= col("n_items"))
+          .otherwise(lit(true))).as("error_pass"),
+        (sum(when(col("est_count").isNotNull, 1L).otherwise(0L)) <= m)
+          .as("size_pass"))
+      .select(lit("heavy_hitters").as("family"), col("n_items"),
+        col("n_hot"), col("containment_pass"), col("error_pass"),
+        col("size_pass"))
+  }
+
   /** F3 — generator functions (uuid(), monotonically_increasing_id():
     * the reference's declared-but-unused import surface plus its
     * uuid4 keys, create_hudi_tables.py:6,53): verified through

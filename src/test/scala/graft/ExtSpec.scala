@@ -1458,6 +1458,40 @@ class ExtSpec extends SparkSuite {
     assert(s3 !== s1)
   }
 
+  test("MisraGries: exact below capacity, MG guarantees above it") {
+    import graft.ext.HeavyHitters
+    import spark.implicits._
+    // distinct(8) < m(16): no eviction ever → sketch IS the count table
+    val small = Seq.tabulate(400)(i => s"w${i % 8}").toDF("item")
+    val smallSk = HeavyHitters.frequentItems(small, $"item", m = 16)
+      .as[(String, Long)].collect().toMap
+    assert(smallSk === (0 until 8).map(i => s"w$i" -> 50L).toMap)
+
+    // 2000 distinct cold + 3 hot items, m=16 (cap 64 ≪ distinct):
+    // compaction must fire, guarantees must hold on ANY layout
+    val rows = (1 to 3).flatMap(h => Seq.fill(500)(s"hot$h")) ++
+      (1 to 2000).map(i => s"cold$i")
+    val n = rows.size // 3500
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("item").repartition(parts)
+      val sk = HeavyHitters.frequentItems(df, $"item", m = 16)
+        .as[(String, Long)].collect().toMap
+      assert(sk.size <= 16, s"summary overflow: ${sk.size}")
+      val bound = n.toDouble / 17
+      for (h <- 1 to 3) { // 500 > 3500/17 ≈ 206: guaranteed present
+        val est = sk.getOrElse(s"hot$h",
+          fail(s"hot$h evicted at parts=$parts: $sk"))
+        assert(est <= 500L && 500L - est <= bound,
+          s"hot$h est=$est outside [${500 - bound}, 500]")
+      }
+      // undercount-only: no estimate exceeds its true count
+      sk.foreach { case (item, est) =>
+        val truth = if (item.startsWith("hot")) 500L else 1L
+        assert(est <= truth, s"$item overestimated: $est > $truth")
+      }
+    }
+  }
+
   test("hardNegatives: band respected, equals filtered brute force") {
     val anchors = emb.filter($"vec_id" < 10)
     val hn = Similarity.hardNegatives(anchors, emb,
