@@ -172,6 +172,7 @@ object SparkEntry {
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
     "a_heavy_hitters"         -> (OpsQueries.aHeavyHitters _),
+    "j_bloom_prune"           -> (OpsQueries.jBloomPrune _),
   )
 
   /** Headline bench set (graft.Bench): the analytically-representative
@@ -215,7 +216,8 @@ object SparkEntry {
     "sim_cluster_balanced", "sample_epochs", "text_winnow",
     "dedup_winnow_pairs", "sim_pq_topk_raw", "text_c4_clean",
     "text_lm_backoff", "dq_outliers", "dedup_prefix_jaccard",
-    "sim_hard_negatives", "sample_exact_n", "a_heavy_hitters")
+    "sim_hard_negatives", "sample_exact_n", "a_heavy_hitters",
+    "j_bloom_prune")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -2211,6 +2213,20 @@ object SparkEntry {
         |  (SELECT count(*) FROM c WHERE c * 33 > t.n) AS n_hot,
         |  true AS containment_pass, true AS error_pass, true AS size_pass
         | FROM t""".stripMargin,
+    // Bloom prune: n_members/n_probes/n_true are exact recomputes of
+    // the cohort split; the gate booleans are the filter's
+    // order-independent contracts (no false negatives; FP count under
+    // the sizing bound — the FP count itself is xxhash64-dependent and
+    // so inexpressible here).
+    "j_bloom_prune" ->
+      """WITH m AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1995-04-01')
+        | SELECT 'bloom_prune' AS family,
+        |  (SELECT count(*) FROM m) AS n_members,
+        |  (SELECT count(*) FROM customer) AS n_probes,
+        |  (SELECT count(*) FROM customer JOIN m ON c_custkey = m.k)
+        |    AS n_true,
+        |  true AS containment_pass, true AS fp_pass""".stripMargin,
     "multimodal_features" ->
       """SELECT 'media_features' AS family, count(*) AS n_rows,
         | true AS dims_pass, true AS range_pass FROM documents""".stripMargin,

@@ -501,6 +501,47 @@ object OpsQueries {
         col("size_pass"))
   }
 
+  /** Bloom-filter membership pruning ([[graft.ext.Bloom]]): build a
+    * filter over the "early cohort" custkeys (orders before
+    * 1995-04-01, ~31% of customers at every SF), probe EVERY customer
+    * with the map-only declarative predicate, and check the two Bloom
+    * contracts against the exact member set:
+    *   - containment (hard): every true member passes `mightContain` —
+    *     the no-false-negative guarantee that makes Bloom pruning
+    *     sound in front of an exact join;
+    *   - FP bound: false positives ≤ max(3, 5% of non-members) at the
+    *     1% design rate (deterministic under fixed seeds — the bit
+    *     array is an order-independent OR-fold, so this row is stable
+    *     across layouts).
+    * `n_members` / `n_probes` / `n_true` are exact and value-oracled;
+    * the FP COUNT itself is hash-dependent (inexpressible in the
+    * oracle), hence the gate form, like the HLL family.
+    */
+  def jBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val members = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select(col("o_custkey").as("k"))
+    // Exact distinct count for sizing: metadata-sized result; at corpus
+    // scale swap for approx_count_distinct (sizing tolerates ±10%).
+    val nMembers = members.distinct().count()
+    val model = graft.ext.Bloom.build(members, col("k"), nMembers, fpp = 0.01)
+    val probes = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    probes
+      .withColumn("might", graft.ext.Bloom.mightContain(model, col("k")))
+      .join(members.distinct().withColumn("is_m", lit(true)), Seq("k"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("is_m"), 1L).otherwise(0L)).as("n_true"),
+        min(when(col("is_m"), col("might")).otherwise(lit(true)))
+          .as("containment_pass"),
+        sum(when(col("might") && col("is_m").isNull, 1L).otherwise(0L))
+          .as("n_fp"))
+      .select(lit("bloom_prune").as("family"), lit(nMembers).as("n_members"),
+        col("n_probes"), col("n_true"), col("containment_pass"),
+        (col("n_fp") <= greatest(lit(3L),
+          ceil((col("n_probes") - col("n_true")) * 0.05))).as("fp_pass"))
+  }
+
   /** F3 — generator functions (uuid(), monotonically_increasing_id():
     * the reference's declared-but-unused import surface plus its
     * uuid4 keys, create_hudi_tables.py:6,53): verified through

@@ -1492,6 +1492,34 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("Bloom: no false negatives, bounded FPs, layout-independent bits") {
+    import graft.ext.Bloom
+    import spark.implicits._
+    val memberKeys = (0L until 2000L by 2).toSeq // evens
+    val members = memberKeys.toDF("k")
+    val m1 = Bloom.build(members.repartition(1), $"k", 1000, fpp = 0.01)
+    val m7 = Bloom.build(members.repartition(7), $"k", 1000, fpp = 0.01)
+    // OR-fold determinism: identical words regardless of layout
+    assert(m1.words.toSeq === m7.words.toSeq)
+    assert(m1.k >= 1 && m1.numBits >= 1000)
+
+    // hard guarantee: every inserted key passes the declarative probe
+    // (this is also the JVM-builder / codegen-probe bit-parity check)
+    val missed = members.filter(!Bloom.mightContain(m1, $"k")).count()
+    assert(missed === 0, s"$missed false negatives")
+
+    // disjoint probe set (odds): FP rate within 3x design
+    val odds = (1L until 2000L by 2).toDF("k")
+    val fps = odds.filter(Bloom.mightContain(m1, $"k")).count()
+    assert(fps <= 30, s"fp rate ${fps / 1000.0} > 3x design 0.01")
+
+    // prune: keeps all members, drops guaranteed non-members only
+    val mixed = (0L until 2000L).toDF("k")
+    val kept = Bloom.prune(mixed, $"k", m1).select("k").as[Long].collect().toSet
+    assert(memberKeys.forall(kept.contains))
+    assert((kept -- memberKeys).size.toLong === fps)
+  }
+
   test("hardNegatives: band respected, equals filtered brute force") {
     val anchors = emb.filter($"vec_id" < 10)
     val hn = Similarity.hardNegatives(anchors, emb,
