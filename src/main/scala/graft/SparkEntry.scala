@@ -173,6 +173,7 @@ object SparkEntry {
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
     "a_heavy_hitters"         -> (OpsQueries.aHeavyHitters _),
     "j_bloom_prune"           -> (OpsQueries.jBloomPrune _),
+    "a_countmin"              -> (OpsQueries.aCountMin _),
   )
 
   /** Headline bench set (graft.Bench): the analytically-representative
@@ -217,7 +218,7 @@ object SparkEntry {
     "dedup_winnow_pairs", "sim_pq_topk_raw", "text_c4_clean",
     "text_lm_backoff", "dq_outliers", "dedup_prefix_jaccard",
     "sim_hard_negatives", "sample_exact_n", "a_heavy_hitters",
-    "j_bloom_prune")
+    "j_bloom_prune", "a_countmin")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -2213,6 +2214,20 @@ object SparkEntry {
         |  (SELECT count(*) FROM c WHERE c * 33 > t.n) AS n_hot,
         |  true AS containment_pass, true AS error_pass, true AS size_pass
         | FROM t""".stripMargin,
+    // Count-Min: n_items/n_distinct are exact recomputes of the same
+    // skew-constructed stream as a_heavy_hitters; gate booleans are
+    // the sketch's order-independent contracts (grid cells are
+    // xxhash64-placed and so inexpressible here).
+    "a_countmin" ->
+      """WITH it AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'hot_' || event_type
+        |   ELSE 'u' || CAST(user_id AS VARCHAR) || '_' || event_type END
+        |   AS item FROM events),
+        | c AS (SELECT item, count(*) AS c FROM it GROUP BY item)
+        | SELECT 'countmin' AS family,
+        |  CAST(sum(c) AS BIGINT) AS n_items, count(*) AS n_distinct,
+        |  true AS over_pass, true AS err_bound_pass, true AS mass_pass
+        | FROM c""".stripMargin,
     // Bloom prune: n_members/n_probes/n_true are exact recomputes of
     // the cohort split; the gate booleans are the filter's
     // order-independent contracts (no false negatives; FP count under

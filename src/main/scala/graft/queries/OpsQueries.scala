@@ -501,6 +501,46 @@ object OpsQueries {
         col("size_pass"))
   }
 
+  /** Count-Min point-frequency estimates ([[graft.ext.CountMin]],
+    * w=1024 d=4) over the same skew-constructed item stream as
+    * [[aHeavyHitters]], probing EVERY distinct item against its exact
+    * count. Gates are the sketch's contracts (deterministic — the grid
+    * is an order-independent SUM-fold under fixed seeds):
+    *   - overestimate (hard): ĉ ≥ c for every probe;
+    *   - error bound: ≥ 1−2δ of probes within ε_eff·N (ε_eff = e/w,
+    *     the bound that w actually buys after power-of-two rounding);
+    *   - mass: any grid row sums to exactly N (ties the collected grid
+    *     to the value-oracled stream length).
+    * `n_items` / `n_distinct` are exact and value-oracled.
+    */
+  def aCountMin(s: SparkSession, dir: String): DataFrame = {
+    val delta = 0.02
+    val items = CoreQueries.events(s, dir).select(
+      when(col("user_id") % 2 === 0,
+        concat(lit("hot_"), col("event_type")))
+        .otherwise(concat(lit("u"), col("user_id"), lit("_"),
+          col("event_type"))).as("item"))
+    val model = graft.ext.CountMin.build(items, col("item"),
+      eps = 0.003, delta = delta)
+    val epsEff = math.E / model.width
+    val exact = items.groupBy("item").agg(count(lit(1)).as("c"))
+    val tot = exact.agg(sum(col("c")).as("n_items"))
+    exact
+      .withColumn("est", graft.ext.CountMin.estimate(model, col("item")))
+      .crossJoin(broadcast(tot))
+      .agg(
+        first(col("n_items")).as("n_items"),
+        count(lit(1)).as("n_distinct"),
+        min(col("est") >= col("c")).as("over_pass"),
+        sum(when(col("est") - col("c") <= lit(epsEff) * col("n_items"),
+          1L).otherwise(0L)).as("n_within"))
+      .select(lit("countmin").as("family"), col("n_items"),
+        col("n_distinct"), col("over_pass"),
+        (col("n_within") >= (lit(1.0) - 2 * delta) * col("n_distinct"))
+          .as("err_bound_pass"),
+        (lit(model.n) === col("n_items")).as("mass_pass"))
+  }
+
   /** Bloom-filter membership pruning ([[graft.ext.Bloom]]): build a
     * filter over the "early cohort" custkeys (orders before
     * 1995-04-01, ~31% of customers at every SF), probe EVERY customer

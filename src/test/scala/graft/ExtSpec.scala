@@ -1520,6 +1520,40 @@ class ExtSpec extends SparkSuite {
     assert((kept -- memberKeys).size.toLong === fps)
   }
 
+  test("CountMin: overestimate-only, error-bounded, layout-independent grid") {
+    import graft.ext.CountMin
+    import spark.implicits._
+    // 3 hot items (500 each) + 2000 singletons, like the MG spec
+    val rows = (1 to 3).flatMap(h => Seq.fill(500)(s"hot$h")) ++
+      (1 to 2000).map(i => s"cold$i")
+    val n = rows.size.toLong // 3500
+    val m1 = CountMin.build(rows.toDF("item").repartition(1), $"item",
+      eps = 0.01, delta = 0.05)
+    val m7 = CountMin.build(rows.toDF("item").repartition(7), $"item",
+      eps = 0.01, delta = 0.05)
+    // SUM-fold determinism: identical grid regardless of layout
+    assert(m1.grid.toSeq === m7.grid.toSeq)
+    assert(m1.n === n) // every row's mass is the stream length
+
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probed = rows.distinct.toDF("item")
+      .withColumn("est", CountMin.estimate(m1, $"item"))
+      .as[(String, Long)].collect()
+    val epsEff = math.E / m1.width
+    probed.foreach { case (item, est) =>
+      assert(est >= truth(item), s"$item underestimated: $est < ${truth(item)}")
+    }
+    val within = probed.count { case (item, est) =>
+      est - truth(item) <= epsEff * n }
+    assert(within >= 0.9 * probed.length,
+      s"only $within/${probed.length} probes within eps*N")
+    // hot items stand far above the noise floor
+    (1 to 3).foreach { h =>
+      val est = probed.find(_._1 == s"hot$h").get._2
+      assert(est >= 500L && est <= 500L + (epsEff * n).toLong * 3)
+    }
+  }
+
   test("hardNegatives: band respected, equals filtered brute force") {
     val anchors = emb.filter($"vec_id" < 10)
     val hn = Similarity.hardNegatives(anchors, emb,
