@@ -100,6 +100,8 @@ object SparkEntry {
     "text_classifier"         -> (ExtQueries.textClassifier _),
     "sample_shuffle"          -> (ExtQueries.sampleShuffle _),
     "sample_exact_n"          -> (ExtQueries.sampleExactN _),
+    "sample_leakage_safe"     -> (ExtQueries.sampleLeakageSafe _),
+    "sample_weighted"         -> (ExtQueries.sampleWeighted _),
     "dedup_lines"             -> (ExtQueries.dedupLines _),
     "dedup_strip_lines"       -> (ExtQueries.dedupStripLines _),
     "dq_expectations"         -> (ExtQueries.dqExpectations _),
@@ -218,7 +220,8 @@ object SparkEntry {
     "dedup_winnow_pairs", "sim_pq_topk_raw", "text_c4_clean",
     "text_lm_backoff", "dq_outliers", "dedup_prefix_jaccard",
     "sim_hard_negatives", "sample_exact_n", "a_heavy_hitters",
-    "j_bloom_prune", "a_countmin")
+    "j_bloom_prune", "a_countmin", "sample_leakage_safe",
+    "sample_weighted")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -950,6 +953,31 @@ object SparkEntry {
       s"""SELECT doc_id, draw FROM (
         |  SELECT doc_id, ${h60Sql("exactn", 42, "doc_id")} AS draw
         |  FROM documents ORDER BY draw, doc_id LIMIT 100)
+        | ORDER BY doc_id""".stripMargin,
+    // Leakage-safe split: clusters recomputed via the shared exact-
+    // Jaccard reachability CTEs, then the identical md5-60 draw on the
+    // cluster representative — every assignment replayed value-level.
+    "sample_leakage_safe" ->
+      s"""WITH RECURSIVE ${ngramExCte("documents")},
+        | $edgesReachCte,
+        | comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+        | k AS (SELECT doc_id, coalesce(c.comp, doc_id) AS split_key
+        |  FROM documents LEFT JOIN comps c ON c.id = doc_id)
+        | SELECT doc_id, split_key,
+        |  CASE WHEN ${h60Sql("lsplit", 42, "split_key")} % 1000000 < 800000
+        |   THEN 'train' ELSE 'test' END AS split
+        | FROM k ORDER BY doc_id""".stripMargin,
+    // Weighted sample: the oracle replays the Efraimidis–Spirakis
+    // −ln(u)/w key from the identical portable draw (u's 2^60 scaling
+    // is a power of two — exact; ln agrees to ≤1 ulp, far from any
+    // selection cutoff).
+    "sample_weighted" ->
+      s"""SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0
+        |  ORDER BY -ln((CAST(${h60Sql("wsample", 42, "doc_id")} AS DOUBLE) + 1)
+        |    / 1152921504606846976.0) / CAST(n_chars AS DOUBLE), doc_id
+        |  LIMIT 100)
         | ORDER BY doc_id""".stripMargin,
     // Classifier filter: the in-query gates (monotone training loss,
     // holdout accuracy >= 0.85 on the weak long-doc label) are

@@ -43,6 +43,45 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe train/test split: a near-duplicate CLUSTER never
+    * straddles splits. A plain per-doc [[hashSplit]] leaks — two
+    * near-identical documents can land in train and test, and the test
+    * metric silently measures memorization (the contamination problem
+    * benchmark-decontamination papers flag for eval sets applies to
+    * held-out splits too). Here every doc draws its split from its
+    * duplicate-cluster representative (`clusters` as produced by
+    * [[Dedup.connectedComponents]]: `(id, comp)`; docs absent from it
+    * are singletons and use their own id) — the whole cluster moves as
+    * one unit, by construction.
+    *
+    * Cost: one equi-join against the cluster map (pair-derived, orders
+    * of magnitude smaller than the corpus — AQE broadcasts it when it
+    * fits) plus the map-only draw. The draw is the portable md5-60
+    * hash, so the assignment is value-level replayable cross-engine,
+    * stable as the corpus grows (depends only on rep id and seed), and
+    * deterministic across layouts.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      weights: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cuts = weights.scanLeft(0.0)(_ + _._2 / total).tail
+      .map(f => math.round(f * Buckets))
+    val joined = df.join(
+      clusters.select(col("id").as("__cid"), col("comp")),
+      df(idCol) === col("__cid"), "left_outer")
+    val key = coalesce(col("comp"), df(idCol))
+    val draw = pmod(graft.functions.PortableHash.h60("lsplit", seed, key),
+      lit(Buckets.toLong))
+    val expr = weights.zip(cuts).reverse.tail.foldLeft(
+      lit(weights.last._1)) { case (acc, ((name, _), cut)) =>
+      when(draw < lit(cut), lit(name)).otherwise(acc)
+    }
+    joined.withColumn("split_key", key).withColumn("split", expr)
+      .drop("__cid", "comp")
+  }
+
   /** Exact-size stratified sample: from each stratum, the ⌈frac·n⌉ rows
     * with the smallest hashed ids (deterministic, unbiased w.r.t. any
     * column correlated with neither hash nor id). One shuffle on the
@@ -263,5 +302,35 @@ object Sampling {
     df.withColumn("draw", draw)
       .orderBy(col("draw").asc, col(idCol).asc)
       .limit(n)
+  }
+
+  /** Weighted sampling WITHOUT replacement, exactly n rows
+    * (Efraimidis–Spirakis 2006, exponential-jumps formulation): each
+    * row draws `key = −ln(u)/w` from its seeded uniform `u ∈ (0,1]`
+    * and the n SMALLEST keys win — provably equivalent to sequential
+    * weighted draws without replacement (the A-ES reservoir scheme),
+    * but expressed as a deterministic top-n: same
+    * TakeOrderedAndProject shape as [[sampleExactN]] (per-partition
+    * heaps + driver merge of n×partitions candidates, no global sort),
+    * map-only otherwise. Rows with non-positive or null weight are
+    * excluded.
+    *
+    * Cross-engine replay: `u` is the portable md5-60 draw scaled by
+    * 2⁶⁰ (a power of two — exact), so the oracle recomputes the
+    * identical key up to the ≤1-ulp `ln` libm difference; a selection
+    * flip would need two keys within 1 ulp OF THE CUTOFF — the same
+    * accepted risk class as the 6-decimal LM-score parity.
+    */
+  def sampleWeightedN(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, seed: Long = 42L): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = (graft.functions.PortableHash.h60("wsample", seed, col(idCol))
+      .cast("double") + lit(1.0)) / lit(math.pow(2, 60))
+    val key = -log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_wkey", key)
+      .orderBy(col("_wkey").asc, col(idCol).asc)
+      .limit(n)
+      .drop("_wkey")
   }
 }

@@ -93,6 +93,24 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe split over the near-dup clusters of the 3-gram
+    * Jaccard graph (θ=0.5): every doc's split is drawn from its
+    * cluster representative, so no near-dup pair straddles train/test.
+    * Fully value-oracled: the oracle recomputes the clusters
+    * (recursive reachability) and replays the identical md5-60 draw.
+    */
+  def sampleLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5),
+      checkpointDir = Some(ccScratchDir().toString))
+    Sampling.leakageSafeSplit(docs.select("doc_id"), "doc_id", clusters,
+      Seq("train" -> 0.8, "test" -> 0.2))
+      .select("doc_id", "split_key", "split")
+      .orderBy("doc_id")
+  }
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     // reliable checkpoints when the DISTRIBUTED star loop runs (the
     // returned frame then reads from checkpoint files, zero storage
@@ -1278,6 +1296,23 @@ object ExtQueries {
       "sample_exact_n must plan as TakeOrderedAndProject, not a global sort")
     require(!physical.contains("Sort ["),
       s"sample_exact_n planned a full Sort:\n$physical")
+    out.orderBy("doc_id")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis) with
+    * `n_chars` as the weight — longer docs proportionally likelier,
+    * never twice. Same TakeOrderedAndProject plan gate as
+    * [[sampleExactN]]; the oracle replays the −ln(u)/w key ordering.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val out = Sampling.sampleWeightedN(t(s, dir, "documents"), "doc_id",
+      "n_chars", n = 100, seed = 42L)
+      .select("doc_id", "n_chars")
+    val physical = out.queryExecution.executedPlan.toString()
+    require(physical.contains("TakeOrderedAndProject"),
+      "sample_weighted must plan as TakeOrderedAndProject, not a global sort")
+    require(!physical.contains("Sort ["),
+      s"sample_weighted planned a full Sort:\n$physical")
     out.orderBy("doc_id")
   }
 

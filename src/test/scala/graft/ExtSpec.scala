@@ -1492,6 +1492,72 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("sampleWeightedN: exact n, weight-monotone inclusion, deterministic") {
+    import graft.ext.Sampling
+    import spark.implicits._
+    // 200 light rows (w=1) + 10 heavy rows (w=1000)
+    val df = ((0L until 200L).map(i => (i, 1L)) ++
+      (1000L until 1010L).map(i => (i, 1000L))).toDF("id", "w")
+    val s1 = Sampling.sampleWeightedN(df, "id", "w", n = 50, seed = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(s1.size === 50) // exactly n, no replacement possible
+    // determinism across layouts
+    val s2 = Sampling.sampleWeightedN(df.repartition(7), "id", "w", n = 50,
+      seed = 7L).select("id").as[Long].collect().toSet
+    assert(s1 === s2)
+    // heavy rows are ~1000x likelier: all 10 must be in a 50-of-210
+    // draw (P(miss one) ~ exp(-1000*E[key cutoff]) ~ 0) across seeds
+    (1L to 5L).foreach { seed =>
+      val s = Sampling.sampleWeightedN(df, "id", "w", n = 50, seed = seed)
+        .select("id").as[Long].collect().toSet
+      assert((1000L until 1010L).forall(s.contains),
+        s"heavy row missing at seed=$seed")
+    }
+    // zero/null weights are excluded
+    val withZero = ((0L until 5L).map(i => (i, 0L)) ++
+      (5L until 10L).map(i => (i, 2L))).toDF("id", "w")
+    val s3 = Sampling.sampleWeightedN(withZero, "id", "w", n = 10, seed = 1L)
+      .select("id").as[Long].collect().toSet
+    assert(s3 === (5L until 10L).toSet)
+  }
+
+  test("leakageSafeSplit: clusters never straddle, singletons use own id") {
+    import graft.ext.{Dedup, Sampling}
+    import spark.implicits._
+    // 3 clusters of near-identical docs + singletons
+    val docs = (
+      (0 until 3).flatMap(c => (0 until 4).map(i =>
+        (c * 10 + i).toLong -> s"cluster $c shared shingle text body $i")) ++
+      (100 until 120).map(i => i.toLong ->
+        s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f") // zero shared shingles
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
+      threshold = 0.3)
+    val clusters = Dedup.connectedComponents(pairs)
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", clusters,
+      Seq("train" -> 0.8, "test" -> 0.2)).cache()
+    try {
+      // every doc assigned exactly once
+      assert(split.count() === docs.count())
+      // the leakage invariant: both ends of every near-dup pair share a split
+      val straddle = pairs
+        .join(split.select($"doc_id".as("id_a"), $"split".as("sa")), "id_a")
+        .join(split.select($"doc_id".as("id_b"), $"split".as("sb")), "id_b")
+        .filter($"sa" =!= $"sb").count()
+      assert(straddle === 0, s"$straddle near-dup pairs straddle splits")
+      // same invariant at cluster granularity
+      val perKey = split.groupBy("split_key")
+        .agg(countDistinct("split").as("n")).filter($"n" > 1).count()
+      assert(perKey === 0)
+      // singletons drew from their own id (split_key == doc_id)
+      val singles = split.filter($"doc_id" >= 100)
+      assert(singles.filter($"split_key" =!= $"doc_id").count() === 0)
+      // both splits non-empty on the singleton population (sanity that
+      // the cut actually splits)
+      assert(singles.select("split").distinct().count() === 2)
+    } finally split.unpersist()
+  }
+
   test("Bloom: no false negatives, bounded FPs, layout-independent bits") {
     import graft.ext.Bloom
     import spark.implicits._
