@@ -86,6 +86,7 @@ object SparkEntry {
     "sample_epochs"           -> (ExtQueries.sampleEpochs _),
     "sim_semdedup"            -> (ExtQueries.simSemdedup _),
     "sim_ivf_append"          -> (ExtQueries.simIvfAppend _),
+    "sim_knn_graph"           -> (ExtQueries.simKnnGraph _),
     "pack_sequences"          -> (ExtQueries.packSequences _),
     "pack_length_batches"     -> (ExtQueries.packLengthBatches _),
     "text_bpe"                -> (ExtQueries.textBpe _),
@@ -221,7 +222,7 @@ object SparkEntry {
     "text_lm_backoff", "dq_outliers", "dedup_prefix_jaccard",
     "sim_hard_negatives", "sample_exact_n", "a_heavy_hitters",
     "j_bloom_prune", "a_countmin", "sample_leakage_safe",
-    "sample_weighted")
+    "sample_weighted", "sim_knn_graph")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -906,6 +907,19 @@ object SparkEntry {
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
         | SELECT 'ivf_append' AS family, (SELECT count(*) FROM ex) AS n_exact,
+        |  true AS recall_pass""".stripMargin,
+    // kNN graph: the oracle recomputes the exact all-nodes top-5 edge
+    // count; recall is seed-deterministic, gate stated.
+    "sim_knn_graph" ->
+      """WITH ex AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |              c.vec_id ASC) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id <> c.vec_id) WHERE rank <= 5)
+        | SELECT 'knn_graph' AS family, (SELECT count(*) FROM ex) AS n_exact,
         |  true AS recall_pass""".stripMargin,
     "sim_cosine_neardup" ->
       """WITH ex AS (

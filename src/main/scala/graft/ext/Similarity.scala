@@ -879,6 +879,66 @@ object Similarity {
       .distinct()
   }
 
+  /** Approximate kNN GRAPH: for EVERY corpus vector, its k most
+    * similar neighbors by true cosine, candidates restricted to shared
+    * sign-LSH buckets (multi-probe, hamming-1, same table layout as
+    * [[cosineNearDupPairs]]) — the all-nodes generalization of top-k
+    * search that feeds HNSW/NSG index construction, label propagation,
+    * and graph-based dedup. Never a pairwise corpus scan: candidate
+    * cost is bucket-collision-bound, every candidate is scored with
+    * the exact cosine, and the per-node top-k is a `row_number ≤ k`
+    * window — Spark's `InferWindowGroupLimit` inserts a PARTIAL group
+    * limit before the exchange, so a hot node ships O(mappers × k)
+    * candidates, not its whole bucket neighborhood.
+    *
+    * Output `(src, dst, cos, rank)`, directed (dst ranked per src;
+    * edges are not symmetric — mutual-kNN is a self-join away).
+    * Deterministic: seeded hyperplanes, cosine-then-id ordering.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int = 0, tables: Int = 0, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    VectorFunctions.register(corpus.sparkSession)
+    val p =
+      if (planes > 0) planes
+      else {
+        val n = math.max(1L, corpus.count())
+        math.max(5, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+      }
+    val t = if (tables > 0) tables else math.min(20, 10 + (p - 5))
+    val allPlanes = hyperplanes(p * t, dim, seed)
+    val bucketCols = (0 until t).map { tI =>
+      bucketOf(col("v"), allPlanes.slice(tI * p, (tI + 1) * p))
+        .bitwiseOR(lit(tI << p))
+    }
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"), array(bucketCols: _*).as("buckets"))
+      .withColumn("nrm", VectorFunctions.normF(col("v")))
+    val probes = c.select(col("id"), col("v"), col("nrm"),
+      explode(flatten(transform(col("buckets"), b =>
+        array(b +: (0 until p).map(i =>
+          b.bitwiseXOR(shiftleft(lit(1), i))): _*)))).as("bucket"))
+    val exact = c.select(explode(col("buckets")).as("bucket"),
+      col("id").as("dst"), col("v").as("vb"), col("nrm").as("nb"))
+    val cand = probes
+      .select(col("bucket"), col("id").as("src"), col("v").as("va"),
+        col("nrm").as("na"))
+      .join(exact, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      // score before distinct, same rationale as cosineNearDupPairs:
+      // the multi-table dedup shuffle carries 3 scalars, not vectors
+      .select(col("src"), col("dst"),
+        (VectorFunctions.dotF(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-level SEMANTIC dedup (the SemDeDup recipe, Abbas et
     * al. 2023, arXiv:2303.09540): documents whose embeddings are
     * near-duplicates — cosine ≥ `threshold`, transitively — collapse

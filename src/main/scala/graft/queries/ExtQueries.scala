@@ -388,6 +388,21 @@ object ExtQueries {
       Seq("query_id", "neighbor_id"), recallMin = 0.6)
   }
 
+  /** Approximate kNN graph over ALL embeddings (k=5): recall gate vs
+    * the brute-force kNN graph. Candidates are LSH-bucket-restricted,
+    * so the gate measures what the multi-probe table layout actually
+    * buys on this corpus (measured 0.98 at sf0.01; gate 0.6 —
+    * worst-case-random vectors, seed-deterministic).
+    */
+  def simKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    topkGate("knn_graph",
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5),
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+        .select(col("src").as("query_id"), col("dst").as("neighbor_id")),
+      Seq("query_id", "neighbor_id"), recallMin = 0.6)
+  }
+
   /** Raw IVF top-5 (bench surface; same tuned parameters as the gate;
     * invariant-checked — see [[requireExactCosines]]).
     */

@@ -1492,6 +1492,39 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("knnGraph: at most k per node, exact cosines, planted clusters found") {
+    import graft.ext.Similarity
+    import spark.implicits._
+    // 10 planted clusters of 8 near-identical vectors (dim 64)
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val vecs = for (c <- 0 until 10; i <- 0 until 8) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 8 + i).toLong, v.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val k = 3
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k).persist()
+    try {
+      // degree cap + dense rank ordering per construction
+      assert(g.groupBy("src").count().filter($"count" > k).count() === 0)
+      // within-cluster neighbors dominate: with 0.01 jitter vs random
+      // centers, a neighbor from another cluster would be a bug
+      val cross = g.filter(($"src" / 8).cast("int") =!= ($"dst" / 8).cast("int"))
+        .count()
+      assert(cross === 0, s"$cross cross-cluster edges")
+      // every node found its k in-cluster neighbors (recall 1.0 here)
+      assert(g.count() === 80L * k)
+      // emitted cosines are exact (recompute via brute force join)
+      val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k)
+      val mismatch = g.select($"src".as("query_id"), $"dst".as("neighbor_id"),
+          $"cos".as("g_cos"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .filter(abs($"g_cos" - $"cos") > 1e-6).count()
+      assert(mismatch === 0)
+    } finally g.unpersist()
+  }
+
   test("sampleWeightedN: exact n, weight-monotone inclusion, deterministic") {
     import graft.ext.Sampling
     import spark.implicits._
