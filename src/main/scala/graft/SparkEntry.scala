@@ -177,6 +177,7 @@ object SparkEntry {
     "a_heavy_hitters"         -> (OpsQueries.aHeavyHitters _),
     "j_bloom_prune"           -> (OpsQueries.jBloomPrune _),
     "a_countmin"              -> (OpsQueries.aCountMin _),
+    "i_incremental_agg"       -> (OpsQueries.iIncrementalAgg _),
   )
 
   /** Headline bench set (graft.Bench): the analytically-representative
@@ -222,7 +223,7 @@ object SparkEntry {
     "text_lm_backoff", "dq_outliers", "dedup_prefix_jaccard",
     "sim_hard_negatives", "sample_exact_n", "a_heavy_hitters",
     "j_bloom_prune", "a_countmin", "sample_leakage_safe",
-    "sample_weighted", "sim_knn_graph")
+    "sample_weighted", "sim_knn_graph", "i_incremental_agg")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -2256,6 +2257,16 @@ object SparkEntry {
         |  (SELECT count(*) FROM c WHERE c * 33 > t.n) AS n_hot,
         |  true AS containment_pass, true AS error_pass, true AS size_pass
         | FROM t""".stripMargin,
+    // Incremental aggregate: the maintained state must equal the full
+    // GROUP BY over the union of all three source commits — i.e. the
+    // whole orders table, which the oracle recomputes directly.
+    "i_incremental_agg" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        | CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        | CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_v
+        | FROM orders GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin,
     // Count-Min: n_items/n_distinct are exact recomputes of the same
     // skew-constructed stream as a_heavy_hitters; gate booleans are
     // the sketch's order-independent contracts (grid cells are

@@ -501,6 +501,39 @@ object OpsQueries {
         col("size_pass"))
   }
 
+  /** Incrementally-maintained aggregate ([[graft.ops.IncrementalAgg]]):
+    * the orders table lands in an append-only source in 3 commits;
+    * after each, the per-priority (cnt, sum, min, max) state refreshes
+    * at O(increment) cost; a 4th refresh sees an empty increment and
+    * must be a no-op. The emitted state must equal the full GROUP BY
+    * over everything — which is exactly what the oracle recomputes
+    * (the DECIMAL(18,2) casts are the repo-wide float discipline).
+    */
+  def iIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-incagg")
+    val src = KeyedTable("iagg_src", s"$base/src",
+      Seq("o_orderkey"), "o_orderkey")
+    val state = graft.ops.IncrementalAgg.stateTable(
+      "iagg_state", s"$base/state", Seq("o_orderpriority"))
+    val store = CheckpointStore(s"$base/cp", s)
+    val orders = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === b))
+      graft.ops.IncrementalAgg.refresh(s, src, state, store,
+        Seq("o_orderpriority"), "o_totalprice")
+    }
+    graft.ops.IncrementalAgg.refresh(s, src, state, store,
+      Seq("o_orderpriority"), "o_totalprice")
+      .select(col("o_orderpriority"), col("cnt"),
+        col("sum_v").cast("double").as("sum_v"),
+        col("min_v").cast("double").as("min_v"),
+        col("max_v").cast("double").as("max_v"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Count-Min point-frequency estimates ([[graft.ext.CountMin]],
     * w=1024 d=4) over the same skew-constructed item stream as
     * [[aHeavyHitters]], probing EVERY distinct item against its exact

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.{IncrementalAgg, TableOps}
+import graft.tables.{Checkpoint, CheckpointStore, KeyedTable}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: state == full recompute after
+  * every refresh, empty increments are no-ops, and a crash-replay
+  * (checkpoint rolled back after the state write) must NOT double-count
+  * — the idempotency key is what makes aggregate merges exactly-once.
+  */
+class IncrementalAggSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fullAgg(rows: Seq[(Long, String, Long)]) =
+    rows.groupBy(_._2).map { case (g, rs) =>
+      (g, rs.size.toLong, rs.map(_._3).sum, rs.map(_._3).min, rs.map(_._3).max)
+    }.toSet
+
+  private def stateSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("g", "cnt", "sum_v", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+
+  test("refresh folds commits; state equals full recompute; empty no-op") {
+    val base = tmpDir("graft-iagg")
+    val src = KeyedTable("iaggs_src", s"$base/src", Seq("id"), "id")
+    val state = IncrementalAgg.stateTable("iaggs_state", s"$base/state", Seq("g"))
+    val store = CheckpointStore(s"$base/cp", spark)
+    val b1 = (1L to 40L).map(i => (i, s"g${i % 3}", i * 10))
+    val b2 = (41L to 60L).map(i => (i, s"g${i % 3}", i * 10))
+
+    TableOps.upsert(spark, src, b1.toDF("id", "g", "v"))
+    val s1 = IncrementalAgg.refresh(spark, src, state, store, Seq("g"), "v")
+    assert(stateSet(s1) === fullAgg(b1))
+
+    TableOps.upsert(spark, src, b2.toDF("id", "g", "v"))
+    val s2 = IncrementalAgg.refresh(spark, src, state, store, Seq("g"), "v")
+    assert(stateSet(s2) === fullAgg(b1 ++ b2))
+
+    // empty increment: no new commit, state unchanged, no extra state commit
+    val commitsBefore = graft.tables.CommitLog(state, spark).latestCommit()
+    val s3 = IncrementalAgg.refresh(spark, src, state, store, Seq("g"), "v")
+    assert(stateSet(s3) === fullAgg(b1 ++ b2))
+    assert(graft.tables.CommitLog(state, spark).latestCommit() === commitsBefore)
+  }
+
+  test("crash replay: rolled-back checkpoint does not double-count") {
+    val base = tmpDir("graft-iagg-replay")
+    val src = KeyedTable("iaggr_src", s"$base/src", Seq("id"), "id")
+    val state = IncrementalAgg.stateTable("iaggr_state", s"$base/state", Seq("g"))
+    val store = CheckpointStore(s"$base/cp", spark)
+    val b1 = (1L to 30L).map(i => (i, s"g${i % 2}", i))
+    val b2 = (31L to 50L).map(i => (i, s"g${i % 2}", i))
+
+    TableOps.upsert(spark, src, b1.toDF("id", "g", "v"))
+    IncrementalAgg.refresh(spark, src, state, store, Seq("g"), "v")
+    val cpAfterB1 = store.get(src.name).get
+
+    TableOps.upsert(spark, src, b2.toDF("id", "g", "v"))
+    val s2 = IncrementalAgg.refresh(spark, src, state, store, Seq("g"), "v")
+    assert(stateSet(s2) === fullAgg(b1 ++ b2))
+
+    // simulate the crash window: state write landed, checkpoint lost —
+    // roll the checkpoint back to the pre-b2 instant and refresh again
+    store.put(cpAfterB1)
+    val s3 = IncrementalAgg.refresh(spark, src, state, store, Seq("g"), "v")
+    assert(stateSet(s3) === fullAgg(b1 ++ b2),
+      "replayed increment was double-counted")
+    // and the checkpoint re-advanced to the source head
+    assert(store.get(src.name).get.lastProcessedCommit ===
+      graft.tables.CommitLog(src, spark).latestCommit().get)
+  }
+}
