@@ -133,6 +133,8 @@ object SparkEntry {
     "events_tumbling"         -> (ExtQueries.eventsTumbling _),
     "events_sliding"          -> (ExtQueries.eventsSliding _),
     "events_sessions"         -> (ExtQueries.eventsSessions _),
+    "events_funnel"           -> (ExtQueries.eventsFunnel _),
+    "events_retention"        -> (ExtQueries.eventsRetention _),
     "s1_snapshot_roundtrip"   -> (OpsQueries.s1SnapshotRoundtrip _),
     "o5_clustered_write"      -> (OpsQueries.o5ClusteredWrite _),
     "o6_stats_pruned_read"    -> (OpsQueries.o6StatsPrunedRead _),
@@ -178,6 +180,7 @@ object SparkEntry {
     "j_bloom_prune"           -> (OpsQueries.jBloomPrune _),
     "a_countmin"              -> (OpsQueries.aCountMin _),
     "i_incremental_agg"       -> (OpsQueries.iIncrementalAgg _),
+    "i_incremental_distinct"  -> (OpsQueries.iIncrementalDistinct _),
   )
 
   /** Headline bench set (graft.Bench): the analytically-representative
@@ -1906,6 +1909,37 @@ object SparkEntry {
         | SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
         |  count(*) AS n
         | FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Funnel: the oracle replays the greedy-earliest stage chain —
+    // first signup, first view strictly after it, first purchase
+    // strictly after that.
+    "events_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |   WHERE event_type = 'signup' GROUP BY user_id),
+        | t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |   JOIN t1 ON e.user_id = t1.user_id
+        |   WHERE e.event_type = 'view' AND e.ts > t1.t1
+        |   GROUP BY e.user_id),
+        | t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |   JOIN t2 ON e.user_id = t2.user_id
+        |   WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |   GROUP BY e.user_id)
+        | SELECT 'funnel' AS family,
+        |  (SELECT count(*) FROM t1) AS n_stage1,
+        |  (SELECT count(*) FROM t2) AS n_stage2,
+        |  (SELECT count(*) FROM t3) AS n_stage3""".stripMargin,
+    // Retention: integer epoch-week arithmetic on both sides (the
+    // fractional seconds DuckDB's epoch() keeps cannot move a
+    // 604800-second bucket).
+    "events_retention" ->
+      """WITH f AS (SELECT user_id,
+        |   CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+        |  FROM events GROUP BY user_id)
+        | SELECT f.cohort_week,
+        |  CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        | FROM events e JOIN f ON e.user_id = f.user_id
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_sessions" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,
@@ -2265,6 +2299,14 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         | CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
         | CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_v
+        | FROM orders GROUP BY o_orderpriority
+        | ORDER BY o_orderpriority""".stripMargin,
+    // Incremental distinct: per-group row counts are exact; the HLL
+    // estimate is gated in-query (sketch registers are
+    // implementation-defined, inexpressible here).
+    "i_incremental_distinct" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        | true AS distinct_pass
         | FROM orders GROUP BY o_orderpriority
         | ORDER BY o_orderpriority""".stripMargin,
     // Count-Min: n_items/n_distinct are exact recomputes of the same

@@ -49,4 +49,69 @@ object EventWindows {
           .as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n"), col("sum_value"))
+
+  /** Ordered-step funnel: per user, how far along `steps` an
+    * INCREASING-timestamp subsequence of their events reaches (the
+    * product-analytics conversion funnel: signup → view → purchase).
+    * Greedy-earliest matching — take the first occurrence of step 1,
+    * then the first occurrence of step 2 strictly after it, and so
+    * on — which is complete (an increasing match exists iff the greedy
+    * one does, by the standard exchange argument).
+    *
+    * Output: one row per user that reached stage ≥ 1, with
+    * `stage_reached` and the matched timestamp per step (`t1..tk`,
+    * null past the reached stage) — composable (the driver query
+    * aggregates it into per-stage counts).
+    *
+    * Shape at scale: k−1 equi-joins + k aggregations, ALL keyed on the
+    * user column — one partitioning reused across every stage, no
+    * explode, no per-user event collection (a whale user costs its
+    * event count in the per-stage filters, never a buffered array).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be nonempty")
+    val u = col(userCol)
+    // stage frames: (user, t_i) = earliest step-i event after t_{i-1}
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(u).agg(min(col(tsCol)).as("t1"))
+    val stages = steps.zipWithIndex.tail.scanLeft(first) {
+      case (prev, (step, i)) =>
+        events.filter(col(typeCol) === step)
+          .select(u, col(tsCol))
+          .join(prev.select(u, col(s"t$i")), Seq(userCol))
+          .filter(col(tsCol) > col(s"t$i"))
+          .groupBy(u).agg(min(col(tsCol)).as(s"t${i + 1}"))
+    }
+    // left-join the chain back together: stage_reached = #non-null t_i
+    val joined = stages.zipWithIndex.tail.foldLeft(stages.head) {
+      case (acc, (st, i)) => acc.join(st, Seq(userCol), "left_outer")
+    }
+    val tCols = steps.indices.map(i => col(s"t${i + 1}"))
+    joined.withColumn("stage_reached",
+      tCols.map(t => when(t.isNotNull, 1).otherwise(0)).reduce(_ + _))
+  }
+
+  /** Weekly cohort retention: users grouped by the epoch-week of their
+    * FIRST event (the cohort), counted distinct in each later week as
+    * `(cohort_week, week_offset, n_active)` — the classic retention
+    * triangle. Weeks are integer epoch arithmetic
+    * (`floor(unix_seconds / 604800)`), not calendar truncation, so the
+    * assignment is bit-exact cross-engine and timezone-free. Two
+    * shuffles: first-event per user, then the (cohort, offset)
+    * distinct count.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val week = (c: org.apache.spark.sql.Column) =>
+      floor(unix_timestamp(c) / 604800L)
+    val firsts = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("_first_ts"))
+      .select(col(userCol), week(col("_first_ts")).as("cohort_week"))
+    events.select(col(userCol), week(col(tsCol)).as("_w"))
+      .join(firsts, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (col("_w") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
 }

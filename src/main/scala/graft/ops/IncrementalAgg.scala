@@ -94,6 +94,63 @@ object IncrementalAgg {
     }
   }
 
+  /** Incrementally-maintained per-group DISTINCT count. Exact distinct
+    * is NOT incrementally mergeable (yesterday's count plus today's
+    * count double-counts returning keys) — the mergeable substitute is
+    * the HLL sketch: the state keeps one DataSketches HLL binary per
+    * group (`hll_sketch_agg`), each refresh unions the increment's
+    * sketch in (`hll_union` — a register-wise max, order- and
+    * layout-independent), and the estimate materializes on read
+    * (`hll_sketch_estimate`, ~1.6% relative error at the default
+    * lgConfigK=12). Same exactly-once refresh protocol as [[refresh]].
+    * This is the at-scale shape for "distinct users per segment, daily
+    * refreshed" over a 10¹²-row stream: state is group-cardinality ×
+    * ~1 KB, refresh cost is O(increment).
+    */
+  def refreshDistinct(spark: SparkSession, source: KeyedTable,
+      state: KeyedTable, store: CheckpointStore, groupCols: Seq[String],
+      keyCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be nonempty")
+    val reader = new IncrementalReader(store)
+    val inc = reader.read(spark, source)
+    inc.advanceTo match {
+      case None => distinctSnapshot(spark, state, groupCols)
+      case Some(cp) =>
+        val batch = inc.df.groupBy(groupCols.map(col): _*).agg(
+          count(lit(1)).as("cnt"),
+          hll_sketch_agg(col(keyCol)).as("hll"))
+        val merged =
+          if (!TableOps.exists(spark, state)) batch
+          else {
+            val cur = TableOps.snapshot(spark, state)
+              .select(groupCols.map(col) :+ col("cnt").as("_cur_cnt") :+
+                col("hll").as("_cur_hll"): _*)
+            cur.join(batch, groupCols, "right_outer")
+              .select(groupCols.map(col) ++ Seq(
+                (coalesce(col("_cur_cnt"), lit(0L)) + col("cnt")).as("cnt"),
+                when(col("_cur_hll").isNull, col("hll"))
+                  .otherwise(hll_union(col("_cur_hll"), col("hll")))
+                  .as("hll")): _*)
+          }
+        TableOps.upsert(spark, state, merged,
+          idempotencyKey =
+            Some(s"incdst:${source.name}:${cp.lastProcessedCommit}"))
+        reader.commit(cp)
+        distinctSnapshot(spark, state, groupCols)
+    }
+  }
+
+  private def distinctSnapshot(spark: SparkSession, state: KeyedTable,
+      groupCols: Seq[String]): DataFrame =
+    if (TableOps.exists(spark, state))
+      TableOps.snapshot(spark, state)
+        .select(groupCols.map(col) ++ Seq(col("cnt"),
+          hll_sketch_estimate(col("hll")).as("approx_distinct")): _*)
+    else {
+      import spark.implicits._
+      Seq.empty[String].toDF(groupCols.head).filter(lit(false))
+    }
+
   private def snapshot(spark: SparkSession, state: KeyedTable,
       groupCols: Seq[String]): DataFrame =
     if (TableOps.exists(spark, state))

@@ -1474,4 +1474,27 @@ object ExtQueries {
   def eventsSessions(s: SparkSession, dir: String): DataFrame =
     EventWindows.sessions(CoreQueries.events(s, dir), "30 minutes")
       .orderBy("user_id", "session_start")
+
+  /** Conversion funnel signup → view → purchase, per-stage user
+    * counts; the oracle replays the greedy-earliest chain stage by
+    * stage.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame =
+    EventWindows.funnel(CoreQueries.events(s, dir), "user_id",
+      "event_type", "ts", Seq("signup", "view", "purchase"))
+      .agg(
+        count(lit(1)).as("n_stage1"),
+        sum(when(col("stage_reached") >= 2, 1L).otherwise(0L))
+          .as("n_stage2"),
+        sum(when(col("stage_reached") >= 3, 1L).otherwise(0L))
+          .as("n_stage3"))
+      .select(lit("funnel").as("family"), col("n_stage1"),
+        col("n_stage2"), col("n_stage3"))
+
+  /** Weekly cohort retention triangle (integer epoch-week arithmetic —
+    * bit-exact cross-engine, no calendar truncation).
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame =
+    EventWindows.cohortRetention(CoreQueries.events(s, dir), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
 }

@@ -1492,6 +1492,48 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("funnel: order matters, greedy-earliest is complete; retention weeks") {
+    import graft.ext.EventWindows
+    import spark.implicits._
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 00:$min%02d:00")
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "signup", ts(1)), (1L, "view", ts(2)), (1L, "purchase", ts(3)),
+      // u2: purchase BEFORE view — must stop at stage 2
+      (2L, "signup", ts(1)), (2L, "purchase", ts(2)), (2L, "view", ts(3)),
+      // u3: never signed up — absent from output
+      (3L, "view", ts(1)), (3L, "purchase", ts(2)),
+      // u4: greedy trap — earliest view precedes signup, but a later
+      // view exists; greedy takes first view AFTER signup → stage 3
+      (4L, "view", ts(1)), (4L, "signup", ts(2)), (4L, "view", ts(3)),
+      (4L, "purchase", ts(4)),
+      // u5: simultaneous timestamps do not count (strictly after)
+      (5L, "signup", ts(1)), (5L, "view", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val f = EventWindows.funnel(ev, "user_id", "event_type", "ts",
+      Seq("signup", "view", "purchase"))
+      .select("user_id", "stage_reached").as[(Long, Int)].collect().toMap
+    assert(f === Map(1L -> 3, 2L -> 2, 4L -> 3, 5L -> 1))
+
+    // retention: cross-check the distributed impl against a plain-Scala
+    // replay of the integer epoch-week arithmetic
+    def wts(day: Int) = java.sql.Timestamp.valueOf(f"2020-01-$day%02d 12:00:00")
+    val rows = Seq((1L, wts(1)), (1L, wts(2)), (1L, wts(9)),
+      (2L, wts(9)), (2L, wts(23)))
+    val ev2 = rows.toDF("user_id", "ts")
+    def week(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime / 1000, 604800L)
+    val cohorts = rows.groupBy(_._1).view.mapValues(_.map(r => week(r._2)).min)
+    val expected = rows.map { case (u, t) =>
+      (cohorts(u), week(t) - cohorts(u), u) }
+      .groupBy(p => (p._1, p._2)).map { case ((c, o), ps) =>
+        (c, o, ps.map(_._3).distinct.size.toLong) }.toSet
+    val r = EventWindows.cohortRetention(ev2, "user_id", "ts")
+      .select("cohort_week", "week_offset", "n_active")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r === expected)
+  }
+
   test("knnGraph: at most k per node, exact cosines, planted clusters found") {
     import graft.ext.Similarity
     import spark.implicits._

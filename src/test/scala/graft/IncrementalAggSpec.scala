@@ -44,6 +44,32 @@ class IncrementalAggSpec extends SparkSuite {
     assert(graft.tables.CommitLog(state, spark).latestCommit() === commitsBefore)
   }
 
+  test("refreshDistinct: returning keys are not double-counted by the union") {
+    val base = tmpDir("graft-idst")
+    val src = KeyedTable("idsts_src", s"$base/src", Seq("id"), "id")
+    val state = IncrementalAgg.stateTable("idsts_state", s"$base/state", Seq("g"))
+    val store = CheckpointStore(s"$base/cp", spark)
+    // batch 1: users 1..50; batch 2: users 26..75 — 25 RETURN. Exact
+    // distinct is 75; naive cnt-addition would say 100.
+    val b1 = (1L to 50L).map(i => (i, "g0", i))
+    val b2 = (51L to 100L).map(i => (i, "g0", i - 25)) // user ids 26..75
+
+    TableOps.upsert(spark, src, b1.toDF("id", "g", "u"))
+    IncrementalAgg.refreshDistinct(spark, src, state, store, Seq("g"), "u")
+    TableOps.upsert(spark, src, b2.toDF("id", "g", "u"))
+    val fin = IncrementalAgg.refreshDistinct(spark, src, state, store,
+      Seq("g"), "u")
+    val (cnt, est) = fin.select("cnt", "approx_distinct")
+      .as[(Long, Long)].head()
+    assert(cnt === 100L) // row count still adds
+    assert(math.abs(est - 75L) <= 4, s"estimate $est far from exact 75")
+    // empty refresh: unchanged
+    val fin2 = IncrementalAgg.refreshDistinct(spark, src, state, store,
+      Seq("g"), "u")
+    assert(fin2.select("cnt", "approx_distinct").as[(Long, Long)].head() ===
+      ((cnt, est)))
+  }
+
   test("crash replay: rolled-back checkpoint does not double-count") {
     val base = tmpDir("graft-iagg-replay")
     val src = KeyedTable("iaggr_src", s"$base/src", Seq("id"), "id")
