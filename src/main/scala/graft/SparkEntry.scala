@@ -134,6 +134,7 @@ object SparkEntry {
     "events_sliding"          -> (ExtQueries.eventsSliding _),
     "events_sessions"         -> (ExtQueries.eventsSessions _),
     "events_funnel"           -> (ExtQueries.eventsFunnel _),
+    "text_bm25"               -> (ExtQueries.textBm25 _),
     "events_retention"        -> (ExtQueries.eventsRetention _),
     "s1_snapshot_roundtrip"   -> (OpsQueries.s1SnapshotRoundtrip _),
     "o5_clustered_write"      -> (OpsQueries.o5ClusteredWrite _),
@@ -226,7 +227,8 @@ object SparkEntry {
     "text_lm_backoff", "dq_outliers", "dedup_prefix_jaccard",
     "sim_hard_negatives", "sample_exact_n", "a_heavy_hitters",
     "j_bloom_prune", "a_countmin", "sample_leakage_safe",
-    "sample_weighted", "sim_knn_graph", "i_incremental_agg")
+    "sample_weighted", "sim_knn_graph", "i_incremental_agg",
+    "text_bm25")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -1909,6 +1911,41 @@ object SparkEntry {
         | SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
         |  count(*) AS n
         | FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // BM25: the oracle recomputes the whole pipeline — postings, df,
+    // doc lengths, the (1.2+1)/0.25/0.75 constant constructions kept
+    // IDENTICAL to the Scala side so both engines fold the same
+    // doubles, per-term contributions through DECIMAL(28,9) (order-
+    // independent sums), rank over the rounded score.
+    "text_bm25" ->
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        | post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        | st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dlen),
+        | dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        | qt AS (SELECT doc_id AS query_id,
+        |   unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+        |     AS term
+        |  FROM documents WHERE doc_id < 5),
+        | j AS (SELECT q.query_id, p.doc_id,
+        |   CAST(ln(1 + (CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+        |    * ((CAST(p.tf AS DOUBLE) * (1.2 + 1))
+        |       / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25
+        |          + (0.75 * CAST(dlen.dl AS DOUBLE))
+        |            / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+        |    AS DECIMAL(28,9)) AS c
+        |  FROM qt q JOIN dft d USING (term) JOIN post p USING (term)
+        |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN st
+        |  WHERE d.df <= st.n_docs * 1.0),
+        | sc AS (SELECT query_id, doc_id,
+        |   round(CAST(sum(c) AS DOUBLE), 6) AS score_r FROM j GROUP BY 1, 2),
+        | rk AS (SELECT query_id, doc_id, score_r,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score_r DESC, doc_id ASC) AS rank FROM sc)
+        | SELECT query_id, doc_id, score_r, rank FROM rk WHERE rank <= 10
+        | ORDER BY query_id, rank""".stripMargin,
     // Funnel: the oracle replays the greedy-earliest stage chain —
     // first signup, first view strictly after it, first purchase
     // strictly after that.

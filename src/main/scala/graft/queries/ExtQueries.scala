@@ -1491,6 +1491,25 @@ object ExtQueries {
       .select(lit("funnel").as("family"), col("n_stage1"),
         col("n_stage2"), col("n_stage3"))
 
+  /** BM25 top-10 retrieval with the first 5 docs' texts as queries —
+    * the term-side retrieval surface next to the ANN family. Fully
+    * value-oracled: per-term contributions go through DECIMAL(28,9)
+    * so the score sum is order-independent, and ranking is over the
+    * rounded score with doc-id tiebreak.
+    */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    // maxDfFrac = 1.0: the synthetic corpus has a ~31-term vocabulary
+    // where every term's df is ≥ 5% of docs — a stop-term cut keyed to
+    // web-text df shapes would empty it. The cap is exercised on
+    // constructed data in ExtSpec instead.
+    graft.ext.Bm25.topK(docs, "doc_id", "text", queries, "qid", "text",
+      k = 10, maxDfFrac = 1.0)
+      .orderBy("query_id", "rank")
+  }
+
   /** Weekly cohort retention triangle (integer epoch-week arithmetic —
     * bit-exact cross-engine, no calendar truncation).
     */

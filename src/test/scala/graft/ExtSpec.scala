@@ -1492,6 +1492,43 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("Bm25: rare terms outrank common, self-retrieval wins, maxDf cut") {
+    import graft.ext.Bm25
+    import spark.implicits._
+    // "zebra" appears in exactly one doc; "the" in all. A query for
+    // "zebra the" must rank the zebra doc first.
+    val docs = Seq(
+      (1L, "the zebra grazes quietly"),
+      (2L, "the cat sits on the mat"),
+      (3L, "the dog chases the cat"),
+      (4L, "the bird sings the song"),
+      (5L, "the fish swims the sea")
+    ).toDF("doc_id", "text")
+    val q = Seq((100L, "zebra the")).toDF("qid", "qtext")
+    val top = Bm25.topK(docs, "doc_id", "text", q, "qid", "qtext",
+      k = 5, maxDfFrac = 1.0)
+      .orderBy("rank").select("doc_id", "rank").as[(Long, Int)].collect()
+    assert(top.head._1 === 1L, s"zebra doc not first: ${top.toSeq}")
+
+    // self-retrieval: querying with a doc's own text ranks it first
+    val q2 = Seq((2L, "the cat sits on the mat")).toDF("qid", "qtext")
+    val self = Bm25.topK(docs, "doc_id", "text", q2, "qid", "qtext",
+      k = 3, maxDfFrac = 1.0).orderBy("rank")
+      .select("doc_id").as[Long].head()
+    assert(self === 2L)
+
+    // maxDf cut: at 0.5, "the" (df=5/5) is dropped — a the-only query
+    // returns nothing
+    val qThe = Seq((200L, "the")).toDF("qid", "qtext")
+    assert(Bm25.topK(docs, "doc_id", "text", qThe, "qid", "qtext",
+      k = 5, maxDfFrac = 0.5).count() === 0)
+    // ...while "zebra" (df=1) survives the same cut
+    val qZ = Seq((300L, "zebra")).toDF("qid", "qtext")
+    assert(Bm25.topK(docs, "doc_id", "text", qZ, "qid", "qtext",
+      k = 5, maxDfFrac = 0.5).select("doc_id").as[Long].collect().toSeq ===
+      Seq(1L))
+  }
+
   test("funnel: order matters, greedy-earliest is complete; retention weeks") {
     import graft.ext.EventWindows
     import spark.implicits._
