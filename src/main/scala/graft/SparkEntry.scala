@@ -924,7 +924,7 @@ object SparkEntry {
         |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
         |              c.vec_id ASC) AS rank
         |  FROM embeddings q CROSS JOIN embeddings c
-        |  WHERE q.vec_id <> c.vec_id) WHERE rank <= 5)
+        |  WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
         | SELECT 'knn_graph' AS family, (SELECT count(*) FROM ex) AS n_exact,
         |  true AS recall_pass""".stripMargin,
     "sim_cosine_neardup" ->

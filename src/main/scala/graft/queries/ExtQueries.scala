@@ -396,9 +396,15 @@ object ExtQueries {
     */
   def simKnnGraph(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    // The graph builds over ALL nodes (the operator under test); the
+    // exact side is sampled to 100 nodes so the gate's quadratic
+    // verification baseline doesn't dominate the measurement — the
+    // same queries-restricted shape as the other ANN gates.
     topkGate("knn_graph",
-      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5),
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", k = 5),
       Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+        .filter(col("src") < 100)
         .select(col("src").as("query_id"), col("dst").as("neighbor_id")),
       Seq("query_id", "neighbor_id"), recallMin = 0.6)
   }
