@@ -135,6 +135,8 @@ object SparkEntry {
     "events_sessions"         -> (ExtQueries.eventsSessions _),
     "events_funnel"           -> (ExtQueries.eventsFunnel _),
     "text_bm25"               -> (ExtQueries.textBm25 _),
+    "dq_group_quantiles"      -> (ExtQueries.dqGroupQuantiles _),
+    "sample_kfold"            -> (ExtQueries.sampleKfold _),
     "events_retention"        -> (ExtQueries.eventsRetention _),
     "s1_snapshot_roundtrip"   -> (OpsQueries.s1SnapshotRoundtrip _),
     "o5_clustered_write"      -> (OpsQueries.o5ClusteredWrite _),
@@ -1911,6 +1913,24 @@ object SparkEntry {
         | SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
         |  count(*) AS n
         | FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Group quantiles: the same rank-exact replay as dq_outliers —
+    // quantile p is the value at ceil(n·p) in the group sort order.
+    "dq_group_quantiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |   row_number() OVER (PARTITION BY l_returnflag
+        |     ORDER BY l_extendedprice) AS rn,
+        |   count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        | SELECT g AS l_returnflag, count(*) AS n_rows,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN v END) AS p50,
+        |  max(CASE WHEN rn = ceil(n * 0.9) THEN v END) AS p90,
+        |  max(CASE WHEN rn = ceil(n * 0.99) THEN v END) AS p99
+        | FROM r GROUP BY g ORDER BY g""".stripMargin,
+    // k-fold: the identical portable draw mod k.
+    "sample_kfold" ->
+      s"""SELECT doc_id, ${h60Sql("kfold", 42, "doc_id")} % 5 AS fold
+        | FROM documents ORDER BY doc_id""".stripMargin,
     // BM25: the oracle recomputes the whole pipeline — postings, df,
     // doc lengths, the (1.2+1)/0.25/0.75 constant constructions kept
     // IDENTICAL to the Scala side so both engines fold the same

@@ -130,6 +130,38 @@ object Expectations {
           col("_v") > col("hi_fence"), lit(1))).as("n_outliers"))
   }
 
+  /** Per-group quantile profile at arbitrary probabilities — the
+    * monitoring face of [[iqrOutliers]]' rank-exact trick: quantile p
+    * is the value at row_number `ceil(n·p)` in the group's sort order,
+    * a REAL data value with no interpolation, so the report is
+    * cross-engine bit-exact (the property the driver oracle checks;
+    * `percentile_approx` is the documented swap at extreme group
+    * sizes, same as the IQR scaladoc). One sort shuffle on the group
+    * key, one aggregation; each requested p is a conditional-max
+    * column, so the column count — not the row count — scales with
+    * `ps`.
+    */
+  def quantileReport(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "probabilities must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("_v"))
+    val cw = Window.partitionBy(gcols: _*)
+    val ranked = df.select(gcols :+ col(valueCol).as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cw))
+    val qCols = ps.map { p =>
+      max(when(col("_rn") === ceil(col("_n") * p), col("_v")))
+        .as(s"p${math.round(p * 100)}")
+    }
+    ranked.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_rows"), qCols: _*)
+  }
+
   /** Referential integrity: `(rule, n_rows, n_violations, pass)` for
     * child keys with no matching parent key (NULL child keys are
     * orphans — a null FK fails the expectation; relax with an

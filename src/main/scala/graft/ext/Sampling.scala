@@ -304,6 +304,20 @@ object Sampling {
       .limit(n)
   }
 
+  /** k-fold cross-validation assignment: every row gets a stable fold
+    * in [0, k) from its portable seeded draw — map-only, replayable,
+    * grow-stable (a row's fold never changes as the corpus grows), and
+    * value-level verifiable cross-engine. Train/eval split for fold f
+    * is then `fold =!= f` / `fold === f`.
+    */
+  def kfold(df: DataFrame, idCol: String, k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    df.withColumn("fold",
+      pmod(graft.functions.PortableHash.h60("kfold", seed, col(idCol)),
+        lit(k.toLong)))
+  }
+
   /** Weighted sampling WITHOUT replacement, exactly n rows
     * (Efraimidis–Spirakis 2006, exponential-jumps formulation): each
     * row draws `key = −ln(u)/w` from its seeded uniform `u ∈ (0,1]`

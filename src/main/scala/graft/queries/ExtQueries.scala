@@ -979,6 +979,23 @@ object ExtQueries {
       Seq("l_returnflag"), "l_extendedprice")
       .orderBy("l_returnflag")
 
+  /** Rank-exact per-group quantile profile (p50/p90/p99 of extended
+    * price per return flag) — real data values, no interpolation, so
+    * the oracle replays them bit-exact.
+    */
+  def dqGroupQuantiles(s: SparkSession, dir: String): DataFrame =
+    Expectations.quantileReport(t(s, dir, "lineitem"),
+      Seq("l_returnflag"), "l_extendedprice", Seq(0.5, 0.9, 0.99))
+      .orderBy("l_returnflag")
+
+  /** k-fold assignment over documents (k=5), every row's fold replayed
+    * by the oracle from the identical portable draw.
+    */
+  def sampleKfold(s: SparkSession, dir: String): DataFrame =
+    Sampling.kfold(t(s, dir, "documents"), "doc_id", k = 5)
+      .select("doc_id", "fold")
+      .orderBy("doc_id")
+
   // ———————————————————————————————————————— text analysis
 
   def textStats(s: SparkSession, dir: String): DataFrame =

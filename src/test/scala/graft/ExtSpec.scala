@@ -1492,6 +1492,35 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("quantileReport: rank-exact values; kfold: stable partition of rows") {
+    import graft.ext.{Expectations, Sampling}
+    import spark.implicits._
+    // 1..100 in one group: p50 = value at ceil(100*.5) = 50, p90 = 90,
+    // p99 = 99 — real data values
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val q = Expectations.quantileReport(df, Seq("g"), "v",
+      Seq(0.5, 0.9, 0.99))
+      .select("n_rows", "p50", "p90", "p99")
+      .as[(Long, Double, Double, Double)].head()
+    assert(q === ((100L, 50.0, 90.0, 99.0)))
+
+    val ids = (0L until 1000L).toDF("id")
+    val folds = Sampling.kfold(ids, "id", k = 5)
+    // total partition: every row exactly one fold in [0,5)
+    assert(folds.filter($"fold" < 0 || $"fold" > 4).count() === 0)
+    assert(folds.count() === 1000)
+    // roughly balanced (hash-uniform: each fold 200 ± wide margin)
+    val sizes = folds.groupBy("fold").count().select("count")
+      .as[Long].collect()
+    assert(sizes.length === 5 && sizes.forall(s => s > 120 && s < 280),
+      s"unbalanced folds: ${sizes.toSeq}")
+    // grow-stable: folds of the first 500 ids unchanged in a larger corpus
+    val small = Sampling.kfold((0L until 500L).toDF("id"), "id", k = 5)
+      .as[(Long, Long)].collect().toMap
+    val large = folds.as[(Long, Long)].collect().toMap
+    assert((0L until 500L).forall(i => small(i) === large(i)))
+  }
+
   test("Bm25: rare terms outrank common, self-retrieval wins, maxDf cut") {
     import graft.ext.Bm25
     import spark.implicits._
