@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_exact"             -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard"     -> (ExtQueries.dedupNgramJaccard _),
     "dedup_prefix_jaccard"    -> (ExtQueries.dedupPrefixJaccard _),
+    "dedup_edit_pairs"        -> (ExtQueries.dedupEditPairs _),
     "dedup_clusters"          -> (ExtQueries.dedupClusters _),
     "dedup_keep_best"         -> (ExtQueries.dedupKeepBest _),
     "curation_pipeline"       -> (ExtQueries.curationPipeline _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "sim_semdedup"            -> (ExtQueries.simSemdedup _),
     "sim_ivf_append"          -> (ExtQueries.simIvfAppend _),
     "sim_knn_graph"           -> (ExtQueries.simKnnGraph _),
+    "graph_pagerank"          -> (ExtQueries.graphPagerank _),
     "pack_sequences"          -> (ExtQueries.packSequences _),
     "pack_length_batches"     -> (ExtQueries.packLengthBatches _),
     "text_bpe"                -> (ExtQueries.textBpe _),
@@ -230,7 +232,7 @@ object SparkEntry {
     "sim_hard_negatives", "sample_exact_n", "a_heavy_hitters",
     "j_bloom_prune", "a_countmin", "sample_leakage_safe",
     "sample_weighted", "sim_knn_graph", "i_incremental_agg",
-    "text_bm25")
+    "text_bm25", "dedup_edit_pairs", "graph_pagerank")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -638,6 +640,51 @@ object SparkEntry {
         | JOIN sz sb ON sb.doc_id = id_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
         | ORDER BY id_a, id_b""".stripMargin,
+    // Ed-Join: recall 1.0 means the prefix-filtered plan must equal
+    // the brute-force levenshtein join — the oracle IS that brute
+    // force over the distinct name set.
+    "dedup_edit_pairs" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        | SELECT a.p_name AS s_a, b.p_name AS s_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        | FROM n a JOIN n b ON a.p_name < b.p_name
+        | WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        | ORDER BY s_a, s_b""".stripMargin,
+    // PageRank: 3 unrolled rounds over the symmetric supplier
+    // co-occurrence graph (no dangling mass by construction). Per-edge
+    // contributions are cast to DECIMAL(28,12) BEFORE the sum on both
+    // engines, so the only float ops are scalar IEEE doubles.
+    "graph_pagerank" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT e.t AS node,
+           |   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           |     / (SELECT n FROM nn)
+           |   + CAST(0.85 AS DOUBLE)
+           |     * CAST(sum(CAST(r.rank / d.od AS DECIMAL(28,12)))
+           |         AS DOUBLE) AS rank
+           |  FROM e JOIN $prev r ON e.s = r.node
+           |  JOIN deg d ON d.s = e.s GROUP BY e.t)""".stripMargin
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem),
+         | e AS (
+         |  SELECT DISTINCT a.sk AS s, b.sk AS t
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk <> b.sk),
+         | nodes AS (SELECT DISTINCT s AS node FROM e),
+         | deg AS (SELECT s, count(*) AS od FROM e GROUP BY s),
+         | nn AS (SELECT count(*) AS n FROM nodes),
+         | r0 AS (
+         |  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+         |  FROM nodes),
+         | ${round("r0", "r1")},
+         | ${round("r1", "r2")},
+         | ${round("r2", "r3")}
+         | SELECT node AS l_suppkey, CAST(rank AS DECIMAL(28,12)) AS rank
+         | FROM r3 ORDER BY l_suppkey""".stripMargin
+    },
     // Same exact-Jaccard recompute at θ=0.4: the PPJoin prefix index
     // must be output-invisible (recall 1.0 + exact verify), so the
     // oracle is the UNPRUNED join, not a replay of the pruning.

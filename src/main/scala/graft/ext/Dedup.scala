@@ -591,6 +591,77 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance similarity join — ALL pairs of distinct values of
+    * `strCol` within Levenshtein distance `maxDist`, EXACT (recall
+    * 1.0), via Ed-Join-style prefix filtering (Xiao, Wang, Lin,
+    * "Ed-Join: an efficient algorithm for similarity joins with edit
+    * distance constraints", VLDB 2008). The typo/near-spelling dedup
+    * for keys, names, and titles, next to the token-set families
+    * ([[ngramJaccardPairs]]) that can't see character-level edits.
+    *
+    * Why it scales: `ed(x,y) ≤ d` implies the q-gram multisets share
+    * ≥ max(|Gx|,|Gy|) − q·d entries (one edit destroys ≤ q grams), so
+    * under ANY common total order the first `q·d + 1` grams of each
+    * string must intersect (prefix-filtering principle). Each string
+    * therefore indexes only its `q·d + 1` RAREST grams (ascending
+    * corpus frequency, hash tiebreak) — a constant-width inverted
+    * index regardless of string length, with exactly the low-df grams
+    * surviving, so candidate volume per gram stays near 1. The length
+    * filter `||x|−|y|| ≤ d` prunes at join time; every candidate is
+    * verified with the banded `levenshtein(x, y, maxDist)` (O(len·d),
+    * −1 above the threshold — never the full DP matrix).
+    *
+    * Strings shorter than `q·(d+1)` can fall below the count bound
+    * (they may share ZERO grams with a legal partner of similar
+    * length), so short×short pairs route through a broadcast
+    * nested-loop over the short set instead — bounded by |Σ|^(q·(d+1))
+    * distinct values under a fixed alphabet, i.e. constant-sized, and
+    * still levenshtein-verified. Short×long pairs are safe in the
+    * index path: the length filter forces the short side to
+    * `≥ q(d+1) − d ≥ q`, where the bound gives ≥ 1 shared gram.
+    *
+    * @return (s_a, s_b, dist) with s_a < s_b and 1 ≤ dist ≤ maxDist.
+    */
+  def editDistancePairs(df: DataFrame, strCol: String, maxDist: Int = 2,
+      q: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be at least 1")
+    require(q >= 1, "q must be at least 1")
+    val strs = df.select(col(strCol).cast(StringType).as("s"))
+      .filter(col("s").isNotNull).distinct()
+      .withColumn("len", length(col("s")))
+    val shortBound = q * (maxDist + 1)
+    val short = strs.filter(col("len") < shortBound)
+    val shortPairs = short.toDF("s_a", "len_a")
+      .join(broadcast(short.toDF("s_b", "len_b")),
+        col("s_a") < col("s_b") &&
+          abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("s_a", "s_b")
+    // positional gram multiset (occurrences, not distinct — the q·d+1
+    // prefix is over multiset entries), hashed to 8-byte join keys
+    val grams = strs.filter(col("len") >= q)
+      .select(col("s"), col("len"), explode(expr(
+        s"transform(sequence(1, len - ${q - 1}), p -> substring(s, p, $q))"))
+        .as("gram"))
+      .select(col("s"), col("len"), xxhash64(col("gram")).as("g"))
+    val dfs = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val pref = grams.join(dfs, Seq("g"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("s").orderBy(col("df").asc, col("g").asc)))
+      .filter(col("rk") <= q * maxDist + 1)
+      .select("g", "s", "len")
+    val longPairs = pref.toDF("g", "s_a", "len_a")
+      .join(pref.toDF("g", "s_b", "len_b"), Seq("g"))
+      .filter(col("s_a") < col("s_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist &&
+        greatest(col("len_a"), col("len_b")) >= shortBound)
+      .select("s_a", "s_b").distinct()
+    // the two candidate sets are disjoint by the max-length split
+    shortPairs.union(longPairs)
+      .withColumn("dist",
+        levenshtein(col("s_a"), col("s_b"), maxDist).cast(IntegerType))
+      .filter(col("dist") >= 1)
+  }
+
   /** MOSS match step over [[TextStats.winnowing]] fingerprints:
     * candidate pairs sharing at least `minShared` DISTINCT selected
     * fingerprints — the GUARANTEED near-dup candidate generator next

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Bpe, Classifier, Decontaminate, Dedup, Domains, EventWindows, Expectations, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
+import graft.ext.{Bpe, Classifier, Decontaminate, Dedup, Domains, EventWindows, Expectations, Graph, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -995,6 +995,34 @@ object ExtQueries {
     Sampling.kfold(t(s, dir, "documents"), "doc_id", k = 5)
       .select("doc_id", "fold")
       .orderBy("doc_id")
+
+  /** Edit-distance pairs over distinct part names (Ed-Join prefix
+    * filtering + banded levenshtein verify); the oracle brute-forces
+    * the same pair set with DuckDB's levenshtein — recall 1.0 means
+    * the filtered plan must reproduce it exactly.
+    */
+  def dedupEditPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(t(s, dir, "part"), "p_name",
+      maxDist = 2, q = 2)
+      .orderBy("s_a", "s_b")
+
+  /** PageRank (3 fixed iterations, δ=0.85) over the supplier
+    * co-occurrence graph: suppliers sharing an order, both directions —
+    * symmetric, so the dangling term is exactly zero and the oracle
+    * replays the rounds with order-independent decimal sums.
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), Seq("ok"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+    Graph.pageRank(e, "src", "dst", iters = 3, damping = 0.85,
+      checkpointDir = Some(ccScratchDir().toString))
+      .select(col("node").as("l_suppkey"), col("rank"))
+      .orderBy("l_suppkey")
+  }
 
   // ———————————————————————————————————————— text analysis
 

@@ -1521,6 +1521,67 @@ class ExtSpec extends SparkSuite {
     assert((0L until 500L).forall(i => small(i) === large(i)))
   }
 
+  test("editDistancePairs: exact vs brute force incl. short strings") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // short strings (< q·(d+1) = 6 chars) exercise the nested-loop
+    // path; the rest the prefix index; cross pairs both
+    val names = Seq("ab", "ba", "abc", "abcd", "bcd", "a",
+      "red bolt", "red bolts", "hot bolt", "old bolt", "red gear",
+      "big widget", "big widgets", "bag widget", "small gizmo",
+      "entirely unrelated string", "red bol", "ed bolt")
+    val got = Dedup.editDistancePairs(names.toDF("s"), "s",
+      maxDist = 2, q = 2)
+      .as[(String, String, Int)].collect().toSet
+    val want = (for {
+      a <- names; b <- names if a < b
+      d = lev(a, b) if d >= 1 && d <= 2
+    } yield (a, b, d)).toSet
+    assert(got === want)
+    // duplicate input values collapse (distinct semantics)
+    val dup = Dedup.editDistancePairs(
+      (names ++ names).toDF("s"), "s", maxDist = 1, q = 2)
+      .as[(String, String, Int)].collect()
+    assert(dup.length === dup.distinct.length)
+  }
+
+  test("pageRank: matches scalar reference, handles dangling mass") {
+    import graft.ext.Graph
+    import spark.implicits._
+    // 4 has no out-edges: its mass redistributes uniformly
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 4L),
+      (1L, 1L), (2L, 1L)) // self-loop + duplicate edge must collapse
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+      iters = 3, damping = 0.85)
+      .as[(Long, BigDecimal)].collect().toMap.map { case (k, v) =>
+        (k, v.toDouble) }
+    val adj = Map(1L -> Seq(2L, 4L), 2L -> Seq(1L, 3L), 3L -> Seq(1L))
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    var r = nodes.map(_ -> 0.25).toMap
+    for (_ <- 1 to 3) {
+      val dang = r.keys.filterNot(adj.contains).map(r).sum
+      r = nodes.map { v =>
+        val in = adj.toSeq.flatMap { case (u, outs) =>
+          if (outs.contains(v)) Some(r(u) / outs.size) else None }.sum
+        v -> (0.15 / 4 + 0.85 * (in + dang / 4))
+      }.toMap
+    }
+    assert(got.keySet === nodes.toSet)
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-9,
+        s"node $v: got ${got(v)} want ${r(v)}") }
+    // stochastic: total mass stays 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("Bm25: rare terms outrank common, self-retrieval wins, maxDf cut") {
     import graft.ext.Bm25
     import spark.implicits._
