@@ -653,18 +653,23 @@ object SparkEntry {
         |  AND levenshtein(a.p_name, b.p_name) <= 2
         | ORDER BY s_a, s_b""".stripMargin,
     // PageRank: 3 unrolled rounds over the symmetric supplier
-    // co-occurrence graph (no dangling mass by construction). Per-edge
-    // contributions are cast to DECIMAL(28,12) BEFORE the sum on both
-    // engines, so the only float ops are scalar IEEE doubles.
+    // co-occurrence graph (no dangling mass by construction), in
+    // FIXED-POINT BIGINT micro-rank units (Graph.FixedScale = 1e12):
+    // every operation is exact integer arithmetic (`//` = Spark `div`;
+    // all values non-negative), so both engines compute the identical
+    // BIGINT — no float op anywhere until the final rank_u/1e12
+    // rendering, which divides the same integer by the same power of
+    // ten on both sides. DuckDB's sum(BIGINT) widens to HUGEINT →
+    // cast back before the scalar arithmetic (the r7 pack_shards
+    // lesson).
     "graph_pagerank" -> {
+      val scale = graft.ext.Graph.FixedScale
+      val teleport = 15L * scale / 100L
       def round(prev: String, cur: String): String =
         s"""$cur AS (
            |  SELECT e.t AS node,
-           |   (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-           |     / (SELECT n FROM nn)
-           |   + CAST(0.85 AS DOUBLE)
-           |     * CAST(sum(CAST(r.rank / d.od AS DECIMAL(28,12)))
-           |         AS DOUBLE) AS rank
+           |   CAST($teleport AS BIGINT) // (SELECT n FROM nn)
+           |   + (85 * CAST(sum(r.rank // d.od) AS BIGINT)) // 100 AS rank
            |  FROM e JOIN $prev r ON e.s = r.node
            |  JOIN deg d ON d.s = e.s GROUP BY e.t)""".stripMargin
       s"""WITH li AS (
@@ -677,12 +682,13 @@ object SparkEntry {
          | deg AS (SELECT s, count(*) AS od FROM e GROUP BY s),
          | nn AS (SELECT count(*) AS n FROM nodes),
          | r0 AS (
-         |  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+         |  SELECT node, CAST($scale AS BIGINT) // (SELECT n FROM nn) AS rank
          |  FROM nodes),
          | ${round("r0", "r1")},
          | ${round("r1", "r2")},
          | ${round("r2", "r3")}
-         | SELECT node AS l_suppkey, CAST(rank AS DECIMAL(28,12)) AS rank
+         | SELECT node AS l_suppkey, rank AS rank_u,
+         |  CAST(rank AS DOUBLE) / $scale.0 AS rank
          | FROM r3 ORDER BY l_suppkey""".stripMargin
     },
     // Same exact-Jaccard recompute at θ=0.4: the PPJoin prefix index

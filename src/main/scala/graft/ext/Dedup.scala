@@ -613,12 +613,13 @@ object Dedup {
     *
     * Strings shorter than `q·(d+1)` can fall below the count bound
     * (they may share ZERO grams with a legal partner of similar
-    * length), so short×short pairs route through a broadcast
-    * nested-loop over the short set instead — bounded by |Σ|^(q·(d+1))
-    * distinct values under a fixed alphabet, i.e. constant-sized, and
-    * still levenshtein-verified. Short×long pairs are safe in the
-    * index path: the length filter forces the short side to
-    * `≥ q(d+1) − d ≥ q`, where the bound gives ≥ 1 shared gram.
+    * length), so short×short pairs route through a length-banded
+    * equi-join instead (bands of width d+1; a legal pair's bands differ
+    * by ≤ 1) — shuffle-partitioned, never driver-broadcast, so millions
+    * of distinct short values cannot OOM the build side — and are still
+    * levenshtein-verified. Short×long pairs are safe in the index path:
+    * the length filter forces the short side to `≥ q(d+1) − d ≥ q`,
+    * where the bound gives ≥ 1 shared gram.
     *
     * @return (s_a, s_b, dist) with s_a < s_b and 1 ≤ dist ≤ maxDist.
     */
@@ -631,11 +632,27 @@ object Dedup {
       .withColumn("len", length(col("s")))
     val shortBound = q * (maxDist + 1)
     val short = strs.filter(col("len") < shortBound)
-    val shortPairs = short.toDF("s_a", "len_a")
-      .join(broadcast(short.toDF("s_b", "len_b")),
-        col("s_a") < col("s_b") &&
-          abs(col("len_a") - col("len_b")) <= maxDist)
-      .select("s_a", "s_b")
+    // short×short routes through a LENGTH-BANDED equi-join, not a
+    // broadcast nested loop: "constant-sized under a fixed alphabet"
+    // fails on real key/name columns (millions of distinct short values
+    // → broadcast OOM). Bands of width maxDist+1 mean a legal pair
+    // (||a|−|b|| ≤ maxDist) has band ids differing by ≤ 1; the right
+    // side indexes under band−1, band, AND band+1, so EITHER orientation
+    // of a pair meets on the left string's own band — required because
+    // the s_a < s_b normalization below keeps only one orientation and
+    // it is not always the one with the larger band. The residual cost
+    // is the true short×short candidate volume itself — irreducible at
+    // recall 1.0, since ed ≤ d guarantees no shared q-gram below
+    // q·(d+1).
+    val band = (col("len") / lit(maxDist + 1)).cast(LongType)
+    val shortA = short.select(col("s").as("s_a"), col("len").as("len_a"),
+      band.as("bk"))
+    val shortB = short.select(col("s").as("s_b"), col("len").as("len_b"),
+      explode(array(band - lit(1L), band, band + lit(1L))).as("bk"))
+    val shortPairs = shortA.join(shortB, Seq("bk"))
+      .filter(col("s_a") < col("s_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select("s_a", "s_b").distinct()
     // positional gram multiset (occurrences, not distinct — the q·d+1
     // prefix is over multiset entries), hashed to 8-byte join keys
     val grams = strs.filter(col("len") >= q)

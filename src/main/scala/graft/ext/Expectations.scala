@@ -154,9 +154,19 @@ object Expectations {
       .filter(col("_v").isNotNull)
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(cw))
-    val qCols = ps.map { p =>
-      max(when(col("_rn") === ceil(col("_n") * p), col("_v")))
-        .as(s"p${math.round(p * 100)}")
+    // label from the FULL decimal digits of 100·p (0.995 → p99_5,
+    // 0.005 → p0_5) — round-to-percent labels collide for distinct
+    // probabilities (0.005 and 0.01 would both emit "p1"), yielding
+    // duplicate output columns that break downstream selects
+    def label(p: Double): String = {
+      val d = BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      "p" + d.replace("-", "").replace(".", "_")
+    }
+    val labels = ps.map(label)
+    require(labels.distinct.size == labels.size,
+      s"quantile probabilities map to duplicate labels: ${labels.mkString(", ")}")
+    val qCols = ps.zip(labels).map { case (p, l) =>
+      max(when(col("_rn") === ceil(col("_n") * p), col("_v"))).as(l)
     }
     ranked.groupBy(gcols: _*)
       .agg(count(lit(1)).as("n_rows"), qCols: _*)

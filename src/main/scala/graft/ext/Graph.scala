@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Iterative graph analytics over an edge DataFrame — the ranking
   * sibling of [[Dedup.clusters]]' connected components. Scale posture:
@@ -97,6 +97,99 @@ object Graph {
       ranks = next
     }
     val out = ranks.select(col("node"), col("rank").cast(dec).as("rank"))
+    release(adj); release(nodes)
+    out
+  }
+
+  /** Rank mass scale of [[pageRankFixed]]: 1 rank unit = 10⁻¹² of the
+    * total mass. 85·Scale ≈ 8.5×10¹³ ≪ 2⁶³, so every intermediate fits
+    * BIGINT with 8 decimal orders of headroom.
+    */
+  val FixedScale: Long = 1000000000000L
+
+  /** [[pageRank]] in fixed-point BIGINT arithmetic — the CROSS-ENGINE
+    * BIT-EXACT variant. The double version is faithful to the textbook
+    * semantics but not replayable digit-for-digit by another engine:
+    * its per-edge double→DECIMAL(28,12) casts round through the
+    * double's SHORTEST decimal rendering on the JVM
+    * (`BigDecimal.valueOf`) and through the exact binary expansion in
+    * DuckDB — a 10⁻¹²-digit disagreement per cast that a hash compare
+    * sees. Here rank is a BIGINT in units of Scale⁻¹ = 10⁻¹² and every
+    * operation is exact integer arithmetic (`div` truncation; all
+    * quantities non-negative, so Spark's and DuckDB's `//` truncate-vs-
+    * floor difference cannot bite):
+    *
+    *   r₀(v)  = Scale div N
+    *   r'(v)  = ((100−d)·Scale div 100) div N
+    *          + d·(Σ_{u→v} r(u) div outdeg(u) + dangling div N) div 100
+    *
+    * with `damping = d/100`. Truncation loses ≤ 10⁻¹² mass per term —
+    * invisible at ranking granularity — in exchange for a result that
+    * is a pure function of the edge SET: independent of partition
+    * layout, aggregation order, engine, and platform. Same adjacency /
+    * per-round-shuffle / checkpoint posture as [[pageRank]].
+    *
+    * @param dampingPct damping factor in integer percent (85 ⇒ δ=0.85).
+    * @return (node, rank_u, rank): rank_u BIGINT in 10⁻¹² mass units,
+    *         rank its exact DOUBLE rendering (rank_u / 10¹² — below
+    *         2⁵³, so the division is one identical IEEE op everywhere).
+    */
+  def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, dampingPct: Int = 85,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Catalyst's IntegralDivide (SQL `div`): BIGINT in, BIGINT out
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    require(iters >= 1, "at least one iteration")
+    require(dampingPct > 0 && dampingPct < 100, "dampingPct must be in (0, 100)")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(_) => df.checkpoint()
+      case None    => df.localCheckpoint()
+    }
+    def release(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty) Dedup.releaseLocalCheckpoint(df)
+
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adj = pin(e.join(outdeg, Seq("src")))
+    val nodes = pin(adj.select(col("src").as("node"))
+      .union(adj.select(col("dst").as("node"))).distinct())
+    val nDf = broadcast(nodes.agg(count(lit(1)).as("_n")))
+    val sinks = nodes.join(adj.select(col("src").as("node")),
+      Seq("node"), "left_anti")
+    val teleport = lit((100L - dampingPct) * FixedScale / 100L)
+
+    var ranks = pin(nodes.crossJoin(nDf)
+      .select(col("node"),
+        idiv(lit(FixedScale), col("_n")).as("rank")))
+    for (_ <- 1 to iters) {
+      val dangling = broadcast(ranks
+        .join(sinks, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("_dm")))
+      val contribs = adj
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          idiv(col("rank"), col("outdeg")).as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("inflow"))
+      val next = pin(nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(nDf).crossJoin(dangling)
+        .select(col("node"),
+          (idiv(teleport, col("_n")) +
+            idiv(lit(dampingPct.toLong) *
+              (coalesce(col("inflow"), lit(0L)) +
+                idiv(col("_dm"), col("_n"))), lit(100L))).as("rank")))
+      release(ranks)
+      ranks = next
+    }
+    val out = ranks.select(col("node"), col("rank").as("rank_u"),
+      (col("rank").cast(DoubleType) / lit(FixedScale.toDouble)).as("rank"))
     release(adj); release(nodes)
     out
   }

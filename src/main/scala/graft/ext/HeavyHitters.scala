@@ -103,7 +103,11 @@ object HeavyHitters {
     */
   def frequentItems(df: DataFrame, itemCol: Column, m: Int): DataFrame = {
     val sketch = udaf(new MisraGries(m), Encoders.STRING)
+    // nulls carry no frequency semantics, and a null key would reach the
+    // MisraGries HashMap and blow up the Map output encoder at finish
+    // ("Cannot use null as map key") — drop them before aggregating
     df.select(itemCol.cast("string").as("item"))
+      .filter(col("item").isNotNull)
       .agg(sketch(col("item")).as("sk"))
       .select(explode(col("sk")).as(Seq("item", "est_count")))
   }

@@ -68,10 +68,13 @@ object Sampling {
     val total = weights.map(_._2).sum
     val cuts = weights.scanLeft(0.0)(_ + _._2 / total).tail
       .map(f => math.round(f * Buckets))
+    // the cluster map's columns join under RESERVED names — a caller df
+    // that already carries a `comp` column must neither make the
+    // coalesce ambiguous nor lose its column to the cleanup drop
     val joined = df.join(
-      clusters.select(col("id").as("__cid"), col("comp")),
+      clusters.select(col("id").as("__cid"), col("comp").as("__comp")),
       df(idCol) === col("__cid"), "left_outer")
-    val key = coalesce(col("comp"), df(idCol))
+    val key = coalesce(col("__comp"), df(idCol))
     val draw = pmod(graft.functions.PortableHash.h60("lsplit", seed, key),
       lit(Buckets.toLong))
     val expr = weights.zip(cuts).reverse.tail.foldLeft(
@@ -79,7 +82,7 @@ object Sampling {
       when(draw < lit(cut), lit(name)).otherwise(acc)
     }
     joined.withColumn("split_key", key).withColumn("split", expr)
-      .drop("__cid", "comp")
+      .drop("__cid", "__comp")
   }
 
   /** Exact-size stratified sample: from each stratum, the ⌈frac·n⌉ rows

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.tables.{CheckpointStore, KeyedTable}
+import graft.tables.{Checkpoint, CheckpointStore, KeyedTable}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -22,6 +22,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * at-least-once story in [[IncrementalReader]]'s scaladoc: row
   * upserts are naturally idempotent, aggregate MERGES are not — the
   * key is what restores exactly-once.)
+  *
+  * The key alone is not enough when NEW source commits land inside the
+  * crash window: a retry that re-reads to the new head would fold
+  * [checkpoint, newHead] under a DIFFERENT key and double-apply the
+  * already-merged commits. So each refresh first durably records an
+  * INTENT — the end commit it is about to fold — in the checkpoint
+  * store under `{state}__intent`, BEFORE the state upsert. A retry
+  * that finds an outstanding intent (> the source checkpoint) bounds
+  * its read to that same end commit: identical range ⇒ identical key ⇒
+  * the replay is a no-op, the checkpoint advances, and the newer
+  * commits are picked up by the NEXT refresh as their own increment.
+  * The intent is deleted once the checkpoint has advanced past it; a
+  * stale intent (≤ checkpoint) is ignored.
   *
   * APPEND-ONLY is a real precondition, not a formality: count/sum/min/
   * max are only incrementally mergeable when increments never revise
@@ -46,6 +59,35 @@ object IncrementalAgg {
       groupCols: Seq[String]): KeyedTable =
     KeyedTable(name, path, recordKey = groupCols, precombineKey = "cnt")
 
+  private def intentKey(state: KeyedTable): String = s"${state.name}__intent"
+
+  /** Read the increment to fold, honoring an outstanding intent record
+    * (crash replay → same commit range), and durably record the intent
+    * for a fresh increment BEFORE the caller's state upsert.
+    */
+  private def plannedIncrement(spark: SparkSession, source: KeyedTable,
+      state: KeyedTable, store: CheckpointStore): Increment = {
+    val begin = store.get(source.name).map(_.lastProcessedCommit).getOrElse("")
+    val pending = store.get(intentKey(state))
+      .map(_.lastProcessedCommit).filter(_ > begin)
+    val inc = new IncrementalReader(store).read(spark, source, pending)
+    if (pending.isEmpty) inc.advanceTo.foreach { cp =>
+      store.put(Checkpoint(cp.lastProcessedCommit, intentKey(state),
+        source.path, cp.insertedTime))
+    }
+    inc
+  }
+
+  /** Advance the checkpoint past the folded increment and retire its
+    * intent record (crash before the delete leaves a stale intent ≤
+    * checkpoint, which [[plannedIncrement]] ignores).
+    */
+  private def finish(store: CheckpointStore, state: KeyedTable,
+      cp: Checkpoint): Unit = {
+    store.put(cp)
+    store.delete(intentKey(state))
+  }
+
   /** Consume all commits since the checkpoint and fold them into the
     * state; returns the refreshed state snapshot (unchanged when the
     * increment is empty). One increment scan + one group-cardinality
@@ -56,8 +98,7 @@ object IncrementalAgg {
       store: CheckpointStore, groupCols: Seq[String],
       valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be nonempty")
-    val reader = new IncrementalReader(store)
-    val inc = reader.read(spark, source)
+    val inc = plannedIncrement(spark, source, state, store)
     inc.advanceTo match {
       case None => snapshot(spark, state, groupCols)
       case Some(cp) =>
@@ -89,7 +130,7 @@ object IncrementalAgg {
         TableOps.upsert(spark, state, merged,
           idempotencyKey =
             Some(s"incagg:${source.name}:${cp.lastProcessedCommit}"))
-        reader.commit(cp)
+        finish(store, state, cp)
         snapshot(spark, state, groupCols)
     }
   }
@@ -111,8 +152,7 @@ object IncrementalAgg {
       state: KeyedTable, store: CheckpointStore, groupCols: Seq[String],
       keyCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be nonempty")
-    val reader = new IncrementalReader(store)
-    val inc = reader.read(spark, source)
+    val inc = plannedIncrement(spark, source, state, store)
     inc.advanceTo match {
       case None => distinctSnapshot(spark, state, groupCols)
       case Some(cp) =>
@@ -135,7 +175,7 @@ object IncrementalAgg {
         TableOps.upsert(spark, state, merged,
           idempotencyKey =
             Some(s"incdst:${source.name}:${cp.lastProcessedCommit}"))
-        reader.commit(cp)
+        finish(store, state, cp)
         distinctSnapshot(spark, state, groupCols)
     }
   }

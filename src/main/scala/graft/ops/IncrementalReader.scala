@@ -37,9 +37,22 @@ final class IncrementalReader(store: CheckpointStore) {
 
   private val isoFmt = DateTimeFormatter.ISO_INSTANT
 
-  def read(spark: SparkSession, t: KeyedTable): Increment = {
+  def read(spark: SparkSession, t: KeyedTable): Increment =
+    read(spark, t, None)
+
+  /** [[read]] with an optional UPPER BOUND on the increment's end
+    * commit. A caller that durably recorded the end it intends to
+    * process (e.g. [[IncrementalAgg]]'s intent record) passes it here
+    * on replay, so a retry after a crash re-reads EXACTLY the original
+    * commit range even when newer source commits have landed in the
+    * crash window — the precondition for its idempotency key to match
+    * the partially-applied attempt.
+    */
+  def read(spark: SparkSession, t: KeyedTable,
+      endBound: Option[String]): Increment = {
     val begin = store.get(t.name).map(_.lastProcessedCommit).getOrElse("")
-    val latest = CommitLog(t, spark).latestCommit()
+    val latest = endBound.filter(_ > begin)
+      .orElse(CommitLog(t, spark).latestCommit())
     latest match {
       case Some(end) if end > begin =>
         val df = TableOps.incremental(spark, t, begin, Some(end))

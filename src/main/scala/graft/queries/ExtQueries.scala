@@ -1018,9 +1018,12 @@ object ExtQueries {
     val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), Seq("ok"))
       .filter(col("src") =!= col("dst"))
       .select("src", "dst")
-    Graph.pageRank(e, "src", "dst", iters = 3, damping = 0.85,
-      checkpointDir = Some(ccScratchDir().toString))
-      .select(col("node").as("l_suppkey"), col("rank"))
+    // the FIXED-POINT variant: BIGINT micro-rank units make the result
+    // a pure function of the edge set — bit-identical in any engine, so
+    // the DuckDB oracle replays it digit-for-digit (the double variant
+    // hash-diverged at the 1e-12 digit through double→decimal casts)
+    Graph.pageRankFixed(e, "src", "dst", iters = 3, dampingPct = 85)
+      .select(col("node").as("l_suppkey"), col("rank_u"), col("rank"))
       .orderBy("l_suppkey")
   }
 

@@ -1461,8 +1461,11 @@ class ExtSpec extends SparkSuite {
   test("MisraGries: exact below capacity, MG guarantees above it") {
     import graft.ext.HeavyHitters
     import spark.implicits._
-    // distinct(8) < m(16): no eviction ever → sketch IS the count table
-    val small = Seq.tabulate(400)(i => s"w${i % 8}").toDF("item")
+    // distinct(8) < m(16): no eviction ever → sketch IS the count table;
+    // null items (ADVICE r8: a null key kills the Map output encoder)
+    // carry no frequency semantics and are dropped
+    val small = (Seq.tabulate(400)(i => Option(s"w${i % 8}")) ++
+      Seq(None, None)).toDF("item")
     val smallSk = HeavyHitters.frequentItems(small, $"item", m = 16)
       .as[(String, Long)].collect().toMap
     assert(smallSk === (0 until 8).map(i => s"w$i" -> 50L).toMap)
@@ -1503,6 +1506,17 @@ class ExtSpec extends SparkSuite {
       .select("n_rows", "p50", "p90", "p99")
       .as[(Long, Double, Double, Double)].head()
     assert(q === ((100L, 50.0, 90.0, 99.0)))
+    // fractional probabilities get collision-free labels (ADVICE r8:
+    // round-to-percent made 0.005 and 0.01 both "p1")
+    val qf = Expectations.quantileReport(df, Seq("g"), "v",
+      Seq(0.005, 0.01, 0.995, 1.0))
+    assert(qf.columns.toSeq ===
+      Seq("g", "n_rows", "p0_5", "p1", "p99_5", "p100"))
+    assert(qf.select("p0_5", "p1", "p99_5", "p100")
+      .as[(Double, Double, Double, Double)].head() === ((1.0, 1.0, 100.0, 100.0)))
+    intercept[IllegalArgumentException] {
+      Expectations.quantileReport(df, Seq("g"), "v", Seq(0.5, 0.5))
+    }
 
     val ids = (0L until 1000L).toDF("id")
     val folds = Sampling.kfold(ids, "id", k = 5)
@@ -1580,6 +1594,42 @@ class ExtSpec extends SparkSuite {
         s"node $v: got ${got(v)} want ${r(v)}") }
     // stochastic: total mass stays 1
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRankFixed: exact integer replay of the scalar reference") {
+    import graft.ext.Graph
+    import spark.implicits._
+    val S = Graph.FixedScale
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 4L),
+      (1L, 1L), (2L, 1L)) // self-loop + duplicate edge must collapse
+    val got = Graph.pageRankFixed(edges.toDF("src", "dst"), "src", "dst",
+      iters = 3, dampingPct = 85)
+      .select("node", "rank_u", "rank")
+      .as[(Long, Long, Double)].collect()
+    // scalar reference: the exact same truncating-integer recurrence
+    val adj = Map(1L -> Seq(2L, 4L), 2L -> Seq(1L, 3L), 3L -> Seq(1L))
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to 3) {
+      val dang = r.keys.filterNot(adj.contains).map(r).sum
+      r = nodes.map { v =>
+        val in = adj.toSeq.flatMap { case (u, outs) =>
+          if (outs.contains(v)) Some(r(u) / outs.size) else None }.sum
+        v -> ((15L * S / 100L) / n + 85L * (in + dang / n) / 100L)
+      }.toMap
+    }
+    assert(got.map(t => t._1 -> t._2).toMap === r,
+      "fixed-point ranks must be BIT-IDENTICAL to the scalar replay")
+    // the double rendering is exactly rank_u / 1e12
+    got.foreach { case (_, u, d) => assert(d === u.toDouble / S.toDouble) }
+    // and it tracks the float pageRank semantics to ~1e-10
+    val float = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+      iters = 3, damping = 0.85)
+      .as[(Long, BigDecimal)].collect().toMap
+    got.foreach { case (k, _, d) =>
+      assert(math.abs(d - float(k).toDouble) < 1e-9,
+        s"node $k: fixed $d vs float ${float(k)}") }
   }
 
   test("Bm25: rare terms outrank common, self-retrieval wins, maxDf cut") {
@@ -1757,6 +1807,16 @@ class ExtSpec extends SparkSuite {
       // both splits non-empty on the singleton population (sanity that
       // the cut actually splits)
       assert(singles.select("split").distinct().count() === 2)
+      // a caller df that already carries a `comp` column must neither
+      // break the join (ambiguous reference) nor lose its column
+      // (ADVICE r8) — and the assignment is unchanged
+      val withComp = docs.withColumn("comp", lit("user-data"))
+      val split2 = Sampling.leakageSafeSplit(withComp, "doc_id", clusters,
+        Seq("train" -> 0.8, "test" -> 0.2))
+      assert(split2.columns.contains("comp"))
+      assert(split2.filter($"comp" =!= "user-data").count() === 0)
+      assert(split2.select("doc_id", "split").except(
+        split.select("doc_id", "split")).count() === 0)
     } finally split.unpersist()
   }
 

@@ -96,4 +96,43 @@ class IncrementalAggSpec extends SparkSuite {
     assert(store.get(src.name).get.lastProcessedCommit ===
       graft.tables.CommitLog(src, spark).latestCommit().get)
   }
+
+  test("crash replay with NEW commits in the crash window stays exactly-once") {
+    val base = tmpDir("graft-iagg-replay2")
+    val src = KeyedTable("iaggw_src", s"$base/src", Seq("id"), "id")
+    val state = IncrementalAgg.stateTable("iaggw_state", s"$base/state", Seq("g"))
+    val store = CheckpointStore(s"$base/cp", spark)
+    val b1 = (1L to 30L).map(i => (i, s"g${i % 2}", i))
+    val b2 = (31L to 50L).map(i => (i, s"g${i % 2}", i))
+    val b3 = (51L to 70L).map(i => (i, s"g${i % 2}", i))
+
+    TableOps.upsert(spark, src, b1.toDF("id", "g", "v"))
+    IncrementalAgg.refresh(spark, src, state, store, Seq("g"), "v")
+    val cpAfterB1 = store.get(src.name).get
+
+    TableOps.upsert(spark, src, b2.toDF("id", "g", "v"))
+    IncrementalAgg.refresh(spark, src, state, store, Seq("g"), "v")
+    val b2End = graft.tables.CommitLog(src, spark).latestCommit().get
+
+    // crash window: the b2 upsert landed, the checkpoint did not — and
+    // the crashed attempt's durable INTENT (end = b2's commit) is still
+    // on disk. Reproduce that state, then land a NEW commit (b3) before
+    // the retry. Without the intent bound, the retry would fold
+    // [cpAfterB1, b3Head] under a fresh idempotency key and re-apply b2
+    // (double-counting cnt/sum — the ADVICE r8 hole).
+    store.put(cpAfterB1)
+    store.put(Checkpoint(b2End, s"${state.name}__intent", src.path, "t"))
+    TableOps.upsert(spark, src, b3.toDF("id", "g", "v"))
+
+    // retry: replays exactly (cpAfterB1, b2End] → idempotent no-op
+    val s3 = IncrementalAgg.refresh(spark, src, state, store, Seq("g"), "v")
+    assert(stateSet(s3) === fullAgg(b1 ++ b2),
+      "bounded replay re-applied already-merged commits")
+    assert(store.get(src.name).get.lastProcessedCommit === b2End)
+    // next refresh picks up b3 as its own increment
+    val s4 = IncrementalAgg.refresh(spark, src, state, store, Seq("g"), "v")
+    assert(stateSet(s4) === fullAgg(b1 ++ b2 ++ b3))
+    assert(store.get(src.name).get.lastProcessedCommit ===
+      graft.tables.CommitLog(src, spark).latestCommit().get)
+  }
 }
