@@ -149,13 +149,17 @@ object Bench {
         }
         ",\"rows\":" + counts.mkString("{", ",", "}")
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the JSON line compact — the driver
+    // captures only the trailing ~2000 chars of output, and every byte
+    // of a 12-significant-digit double costs board visibility
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loaded = math.max(sentinelPre, sentinelPost) > SentinelNominal * 1.25
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"suspect":$sus,"runs_per_query":$TimedRuns,"sentinel_pre_sec":$sentinelPre,"sentinel_post_sec":$sentinelPost,"sentinel_nominal_sec":$SentinelNominal,"ambient_load_suspected":$loaded$rowsJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"suspect":$sus,"runs_per_query":$TimedRuns,"sentinel_pre_sec":${ms(sentinelPre)},"sentinel_post_sec":${ms(sentinelPost)},"sentinel_nominal_sec":$SentinelNominal,"ambient_load_suspected":$loaded$rowsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,6 +49,7 @@ object SparkEntry {
     "s3_upsert_merge"         -> (CoreQueries.s3UpsertMerge _),
     "dedup_exact"             -> (ExtQueries.dedupExact _),
     "dedup_ngram_jaccard"     -> (ExtQueries.dedupNgramJaccard _),
+    "dedup_containment"       -> (ExtQueries.dedupContainment _),
     "dedup_prefix_jaccard"    -> (ExtQueries.dedupPrefixJaccard _),
     "dedup_edit_pairs"        -> (ExtQueries.dedupEditPairs _),
     "dedup_clusters"          -> (ExtQueries.dedupClusters _),
@@ -184,6 +185,8 @@ object SparkEntry {
     "a_heavy_hitters"         -> (OpsQueries.aHeavyHitters _),
     "j_bloom_prune"           -> (OpsQueries.jBloomPrune _),
     "a_countmin"              -> (OpsQueries.aCountMin _),
+    "a_kmv_overlap"           -> (OpsQueries.aKmvOverlap _),
+    "s_scd2"                  -> (OpsQueries.sScd2 _),
     "i_incremental_agg"       -> (OpsQueries.iIncrementalAgg _),
     "i_incremental_distinct"  -> (OpsQueries.iIncrementalDistinct _),
   )
@@ -232,7 +235,8 @@ object SparkEntry {
     "sim_hard_negatives", "sample_exact_n", "a_heavy_hitters",
     "j_bloom_prune", "a_countmin", "sample_leakage_safe",
     "sample_weighted", "sim_knn_graph", "i_incremental_agg",
-    "text_bm25", "dedup_edit_pairs", "graph_pagerank")
+    "text_bm25", "dedup_edit_pairs", "graph_pagerank",
+    "dedup_containment", "a_kmv_overlap")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -639,6 +643,32 @@ object SparkEntry {
         | JOIN sz sa ON sa.doc_id = id_a
         | JOIN sz sb ON sb.doc_id = id_b
         | WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+        | ORDER BY id_a, id_b""".stripMargin,
+    // Containment: same trigram inverted-index recompute, asymmetric
+    // formula — integer counts until the two final divisions, so the
+    // doubles are bit-exact.
+    "dedup_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)),
+        | sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        | inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        | sc AS (
+        |  SELECT id_a, id_b,
+        |   CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a,
+        |   CAST(i AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b
+        |  FROM inter
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b)
+        | SELECT id_a, id_b, cont_a, cont_b,
+        |  greatest(cont_a, cont_b) AS containment
+        | FROM sc WHERE greatest(cont_a, cont_b) >= 0.6
         | ORDER BY id_a, id_b""".stripMargin,
     // Ed-Join: recall 1.0 means the prefix-filtered plan must equal
     // the brute-force levenshtein join — the oracle IS that brute
@@ -2433,6 +2463,58 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) AS n_items, count(*) AS n_distinct,
         |  true AS over_pass, true AS err_bound_pass, true AS mass_pass
         | FROM c""".stripMargin,
+    // KMV overlap: n_a/n_b/inter/union are exact recomputes of the
+    // custkey overlap; the gate booleans are the sketch's estimator
+    // contracts (k-min xxhash64 values are inexpressible here).
+    "a_kmv_overlap" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS v FROM orders),
+        | b AS (SELECT DISTINCT c_custkey AS v FROM customer)
+        | SELECT 'kmv_overlap' AS family,
+        |  (SELECT count(*) FROM a) AS n_a,
+        |  (SELECT count(*) FROM b) AS n_b,
+        |  (SELECT count(*) FROM a JOIN b USING (v)) AS inter_exact,
+        |  (SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+        |    - (SELECT count(*) FROM a JOIN b USING (v)) AS union_exact,
+        |  true AS union_pass, true AS jaccard_pass, true AS inter_pass""".stripMargin,
+    // SCD2: full window-SQL replay of the deterministic 4-commit write
+    // sequence — same value-collapse rule (no-op updates open no
+    // interval; a tombstone never collapses and closes the live
+    // interval), same lead() interval close, same tombstone exclusion.
+    "s_scd2" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        | v1 AS (SELECT k, 'created' AS status,
+        |   CAST(1 AS BIGINT) AS ord, 'u' AS ct FROM o),
+        | v2 AS (SELECT k, 'shipped' AS status,
+        |   CAST(2 AS BIGINT) AS ord, 'u' AS ct FROM o WHERE k % 2 = 0),
+        | v3 AS (SELECT k,
+        |   CASE WHEN k % 2 = 0 THEN 'shipped' ELSE 'expedited' END AS status,
+        |   CAST(3 AS BIGINT) AS ord, 'u' AS ct FROM o WHERE k % 3 = 0),
+        | up AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |   UNION ALL SELECT * FROM v3),
+        | last3 AS (
+        |  SELECT k, status FROM (
+        |   SELECT k, status,
+        |    row_number() OVER (PARTITION BY k ORDER BY ord DESC) AS rn
+        |   FROM up) WHERE rn = 1),
+        | v4 AS (SELECT k, status, CAST(4 AS BIGINT) AS ord, 'd' AS ct
+        |   FROM last3 WHERE k % 5 = 0),
+        | allv AS (SELECT * FROM up UNION ALL SELECT * FROM v4),
+        | coll AS (
+        |  SELECT k, status, ord, ct,
+        |   lag(status || '|' || ct) OVER (PARTITION BY k ORDER BY ord)
+        |     AS prev
+        |  FROM allv),
+        | kept AS (
+        |  SELECT k, status, ord, ct FROM coll
+        |  WHERE prev IS NULL OR prev <> status || '|' || ct),
+        | iv AS (
+        |  SELECT k, status, ord AS valid_from_ord, ct,
+        |   lead(ord) OVER (PARTITION BY k ORDER BY ord) AS valid_to_ord
+        |  FROM kept)
+        | SELECT k AS o_orderkey, status, valid_from_ord, valid_to_ord,
+        |  valid_to_ord IS NULL AS is_current
+        | FROM iv WHERE ct = 'u'
+        | ORDER BY o_orderkey, valid_from_ord""".stripMargin,
     // Bloom prune: n_members/n_probes/n_true are exact recomputes of
     // the cohort split; the gate booleans are the filter's
     // order-independent contracts (no false negatives; FP count under

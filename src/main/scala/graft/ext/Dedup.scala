@@ -519,6 +519,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT n-gram CONTAINMENT join — the asymmetric sibling of
+    * [[ngramJaccardPairs]]: `C(A→B) = |A∩B| / |A|`, thresholded on the
+    * LARGER direction. Containment is the measure for SUB-DOCUMENT
+    * duplication — a short document wholly quoted inside a long one
+    * scores C(short→long) ≈ 1 while its Jaccard (|A∩B|/|A∪B| ≈
+    * |A|/|B|) can sit far below any usable threshold, so Jaccard-only
+    * dedup ships the quote twice (the failure mode containment-based
+    * corpus dedup à la CCNet/Dolma targets). Same inverted-index
+    * self-join core, same hash-keyed shuffle, same `maxDf` stop-shingle
+    * posture and semantics caveat as [[ngramJaccardPairs]]; integer
+    * arithmetic until the final divisions, so bit-exact against a SQL
+    * oracle.
+    *
+    * @return (id_a, id_b, cont_a, cont_b, containment): containment =
+    *         max(cont_a, cont_b) ≥ threshold, id_a < id_b.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val sh = docs.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.shingleHashes(
+        docs.sparkSession, col(textCol), n)).as("g"))
+    val withDf = dropStopShingles(sh, maxDf)
+    val sizes = withDf.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = withDf.select(col("g"), col("id").as("id_a"))
+    val b = withDf.select(col("g"), col("id").as("id_b"))
+    val inter = a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast(DoubleType) / col("sz_a").cast(DoubleType))
+          .as("cont_a"),
+        (col("inter").cast(DoubleType) / col("sz_b").cast(DoubleType))
+          .as("cont_b"))
+      .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Prefix-filtered exact Jaccard join — PPJoin-style (Xiao, Wang,
     * Lin, Yu, "Efficient Similarity Joins for Near Duplicate
     * Detection", WWW 2008). Same EXACT output as

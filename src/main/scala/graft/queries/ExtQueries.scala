@@ -70,6 +70,16 @@ object ExtQueries {
       n = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** Asymmetric CONTAINMENT near-dup pairs ([[Dedup.containmentPairs]])
+    * — catches sub-document duplication (a short doc quoted inside a
+    * long one) that symmetric Jaccard under-scores. Fully value-oracled
+    * like the Jaccard twin.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
   /** Duplicate-cluster resolution: connected components over the exact
     * Jaccard pair set (A~B, B~C ⇒ one {A,B,C} cluster labeled by its
     * min member), verified against a DuckDB recursive-CTE reachability

@@ -609,6 +609,75 @@ object OpsQueries {
         (lit(model.n) === col("n_items")).as("mass_pass"))
   }
 
+  /** KMV set-overlap sketch ([[graft.ext.Kmv]]) — the join-free
+    * corpus-overlap screen: estimate the custkey overlap between the
+    * orders fact and the customer dimension from two 256-hash
+    * sketches, never joining the corpora, then gate the union /
+    * Jaccard / intersection estimates against the exact overlap
+    * recomputed in-query (5σ slack on each). n_a / n_b / inter /
+    * union are exact and value-oracled; the estimates are
+    * deterministic (k-min of xxhash64 — a pure function of the value
+    * sets) but inexpressible in SQL → gate booleans, like the
+    * Count-Min / Bloom / HLL families.
+    */
+  def aKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val a = t(s, dir, "orders").select(col("o_custkey").as("v")).distinct()
+    val b = t(s, dir, "customer").select(col("c_custkey").as("v")).distinct()
+    val est = graft.ext.Kmv.overlapEstimate(
+      graft.ext.Kmv.sketch(a, col("v"), k),
+      graft.ext.Kmv.sketch(b, col("v"), k), k)
+    val exact = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .crossJoin(a.join(b, Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("inter_exact")))
+      .withColumn("union_exact", col("n_a") + col("n_b") - col("inter_exact"))
+    val relSig = lit(5.0 / math.sqrt(k.toDouble)) // 5σ of the KMV error
+    broadcast(exact).crossJoin(est)
+      .withColumn("j_exact",
+        col("inter_exact").cast("double") / col("union_exact").cast("double"))
+      .select(lit("kmv_overlap").as("family"),
+        col("n_a"), col("n_b"), col("inter_exact"), col("union_exact"),
+        (abs(col("union_est") - col("union_exact")) <=
+          relSig * col("union_exact")).as("union_pass"),
+        // binomial noise on the k-sample + a 5/k floor for tiny J
+        (abs(col("jaccard_est") - col("j_exact")) <=
+          lit(5.0) * sqrt(col("j_exact") * (lit(1.0) - col("j_exact")) /
+            lit(k.toDouble)) + lit(5.0 / k)).as("jaccard_pass"),
+        (abs(col("intersection_est") - col("inter_exact")) <=
+          lit(2.0) * relSig * col("union_exact")).as("inter_pass"))
+  }
+
+  /** Type-2 SCD dimension build ([[graft.ops.Scd2]]) as a driver
+    * query: three deterministic upsert commits (create-all /
+    * ship-evens / third-batch where evens RE-WRITE the same status —
+    * exercising no-op collapse — and odds flip to expedited) plus a
+    * soft-delete tombstone commit closing every fifth key's interval.
+    * The oracle replays the version stream with window SQL: same
+    * collapse rule, same lead() interval close, same tombstone
+    * exclusion. Commit ORDINALS (not wall-clock ts) are emitted, so
+    * the result is a pure function of the write sequence.
+    */
+  def sScd2(s: SparkSession, dir: String): DataFrame = {
+    val table = KeyedTable("orders_scd2",
+      s"${scratch("graft-scd2")}/orders_scd2", Seq("o_orderkey"), "ver")
+    val keys = t(s, dir, "orders").select(col("o_orderkey"))
+    TableOps.upsert(s, table, keys
+      .withColumn("ver", lit(1)).withColumn("status", lit("created")))
+    TableOps.upsert(s, table, keys.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("ver", lit(2)).withColumn("status", lit("shipped")))
+    TableOps.upsert(s, table, keys.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("ver", lit(3))
+      .withColumn("status", when(col("o_orderkey") % 2 === 0, "shipped")
+        .otherwise(lit("expedited"))))
+    TableOps.softDelete(s, table,
+      keys.filter(col("o_orderkey") % 5 === 0))
+    graft.ops.Scd2.build(s, table, trackCols = Seq("status"))
+      .select(col("o_orderkey"), col("status"),
+        col("valid_from_ord"), col("valid_to_ord"), col("is_current"))
+      .orderBy("o_orderkey", "valid_from_ord")
+  }
+
   /** Bloom-filter membership pruning ([[graft.ext.Bloom]]): build a
     * filter over the "early cohort" custkeys (orders before
     * 1995-04-01, ~31% of customers at every SF), probe EVERY customer

@@ -1596,6 +1596,78 @@ class ExtSpec extends SparkSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("Kmv: layout-independent sketch, exact path, calibrated overlap") {
+    import graft.ext.Kmv
+    import spark.implicits._
+    val k = 256
+    // layout independence: same value set, different partitioning →
+    // identical sketch (it's the k smallest distinct hashes)
+    val vals = (0L until 10000L).toDF("v")
+    val s1 = Kmv.sketch(vals.repartition(1), $"v", k).as[Long].collect().toSeq
+    val s7 = Kmv.sketch(vals.repartition(7), $"v", k).as[Long].collect().toSeq
+    assert(s1 === s7 && s1.length === k && s1 === s1.sorted)
+    // duplicates don't perturb the sketch (distinct-value semantics)
+    val dup = vals.union(vals.filter($"v" % 3 === 0))
+    assert(Kmv.sketch(dup, $"v", k).as[Long].collect().toSeq === s1)
+    // non-full sketch = exact distinct count
+    val tiny = (0L until 40L).toDF("v")
+    val (nEst, nSk) = Kmv.distinctEstimate(Kmv.sketch(tiny, $"v", k), k)
+      .as[(Double, Long)].head()
+    assert(nSk === 40L && nEst === 40.0)
+    // full sketch: estimator within 5σ ≈ 31% at k=256 (deterministic,
+    // so this either always passes or the estimator is wrong)
+    val (bigEst, _) = Kmv.distinctEstimate(Kmv.sketch(vals, $"v", k), k)
+      .as[(Double, Long)].head()
+    assert(math.abs(bigEst - 10000.0) < 10000.0 * 5.0 / math.sqrt(k),
+      s"distinct estimate $bigEst far from 10000")
+    // overlap: A = 0..5999, B = 4000..9999 → union 10000, inter 2000,
+    // jaccard 0.2
+    val a = (0L until 6000L).toDF("v")
+    val b = (4000L until 10000L).toDF("v")
+    val (uEst, jEst, iEst) = Kmv.overlapEstimate(
+      Kmv.sketch(a, $"v", k), Kmv.sketch(b, $"v", k), k)
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(uEst - 10000.0) < 10000.0 * 5.0 / math.sqrt(k))
+    assert(math.abs(jEst - 0.2) < 5.0 * math.sqrt(0.2 * 0.8 / k),
+      s"jaccard estimate $jEst far from 0.2")
+    assert(math.abs(iEst - 2000.0) < 2000.0 * 0.5, s"intersection $iEst")
+    // disjoint sets estimate zero overlap exactly
+    val c = (100000L until 106000L).toDF("v")
+    val (_, jd, id) = Kmv.overlapEstimate(
+      Kmv.sketch(a, $"v", k), Kmv.sketch(c, $"v", k), k)
+      .as[(Double, Double, Double)].head()
+    assert(jd === 0.0 && id === 0.0)
+  }
+
+  test("containmentPairs: quoted sub-document scores 1.0 where Jaccard fails") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val filler = (1 to 40).map(i => s"filler$i word$i token$i").mkString(" ")
+    val docs = Seq(
+      1L -> quote,                    // short doc
+      2L -> s"$filler $quote",        // long doc quoting it wholly
+      3L -> filler,                   // the filler alone
+      4L -> "entirely different text about something else entirely here"
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // 1 ⊂ 2: every trigram of the quote appears in doc 2 → containment 1.0
+    assert(pairs.get((1L, 2L)).contains(1.0), s"pairs: $pairs")
+    // 3 ⊂ 2 likewise (the filler is the doc's prefix; id_a < id_b)
+    assert(pairs.get((2L, 3L)).contains(1.0))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // ...and Jaccard at the same θ misses the quote inclusion
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)),
+      "jaccard should under-score the sub-document pair")
+  }
+
   test("pageRankFixed: exact integer replay of the scalar reference") {
     import graft.ext.Graph
     import spark.implicits._
