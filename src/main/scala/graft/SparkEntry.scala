@@ -187,6 +187,8 @@ object SparkEntry {
     "a_countmin"              -> (OpsQueries.aCountMin _),
     "a_kmv_overlap"           -> (OpsQueries.aKmvOverlap _),
     "s_scd2"                  -> (OpsQueries.sScd2 _),
+    "dq_drift"                -> (ExtQueries.dqDrift _),
+    "text_hybrid_rrf"         -> (ExtQueries.textHybridRrf _),
     "i_incremental_agg"       -> (OpsQueries.iIncrementalAgg _),
     "i_incremental_distinct"  -> (OpsQueries.iIncrementalDistinct _),
   )
@@ -236,7 +238,7 @@ object SparkEntry {
     "j_bloom_prune", "a_countmin", "sample_leakage_safe",
     "sample_weighted", "sim_knn_graph", "i_incremental_agg",
     "text_bm25", "dedup_edit_pairs", "graph_pagerank",
-    "dedup_containment", "a_kmv_overlap")
+    "dedup_containment", "a_kmv_overlap", "dq_drift", "text_hybrid_rrf")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -259,6 +261,42 @@ object SparkEntry {
          |  SELECT id_a, id_b FROM inter
          |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5)""".stripMargin
+
+  /** BM25 ranking CTE chain ending in `bmrk(query_id, doc_id, score_r,
+    * rank)` — postings/df/dl + the identical double weight
+    * construction (per-term contributions through DECIMAL(28,9) so the
+    * score sum is order-independent; rank over the rounded score) —
+    * shared by `text_bm25` and the `text_hybrid_rrf` fusion so the
+    * retrieval arithmetic lives in ONE place.
+    */
+  private def bm25RankCte: String =
+    raw"""tok AS (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        | post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        | dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        | st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dlen),
+        | dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        | qt AS (SELECT doc_id AS query_id,
+        |   unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+        |     AS term
+        |  FROM documents WHERE doc_id < 5),
+        | j AS (SELECT q.query_id, p.doc_id,
+        |   CAST(ln(1 + (CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+        |    * ((CAST(p.tf AS DOUBLE) * (1.2 + 1))
+        |       / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25
+        |          + (0.75 * CAST(dlen.dl AS DOUBLE))
+        |            / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+        |    AS DECIMAL(28,9)) AS c
+        |  FROM qt q JOIN dft d USING (term) JOIN post p USING (term)
+        |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN st
+        |  WHERE d.df <= st.n_docs * 1.0),
+        | sc AS (SELECT query_id, doc_id,
+        |   round(CAST(sum(c) AS DOUBLE), 6) AS score_r FROM j GROUP BY 1, 2),
+        | bmrk AS (SELECT query_id, doc_id, score_r,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY score_r DESC, doc_id ASC) AS rank FROM sc)""".stripMargin
 
   /** Winnowing selection CTE chain ending in `wsel(doc_id, pos, fp)` —
     * word 3-grams, window 4, the (hash, −pos) aligned-frame minima —
@@ -2020,35 +2058,76 @@ object SparkEntry {
     // doubles, per-term contributions through DECIMAL(28,9) (order-
     // independent sums), rank over the rounded score.
     "text_bm25" ->
-      raw"""WITH tok AS (
-        |  SELECT doc_id,
-        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |  FROM documents),
-        | post AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        | dlen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-        | st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dlen),
-        | dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-        | qt AS (SELECT doc_id AS query_id,
-        |   unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
-        |     AS term
-        |  FROM documents WHERE doc_id < 5),
-        | j AS (SELECT q.query_id, p.doc_id,
-        |   CAST(ln(1 + (CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
-        |    * ((CAST(p.tf AS DOUBLE) * (1.2 + 1))
-        |       / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25
-        |          + (0.75 * CAST(dlen.dl AS DOUBLE))
-        |            / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
-        |    AS DECIMAL(28,9)) AS c
-        |  FROM qt q JOIN dft d USING (term) JOIN post p USING (term)
-        |  JOIN dlen ON dlen.doc_id = p.doc_id CROSS JOIN st
-        |  WHERE d.df <= st.n_docs * 1.0),
-        | sc AS (SELECT query_id, doc_id,
-        |   round(CAST(sum(c) AS DOUBLE), 6) AS score_r FROM j GROUP BY 1, 2),
-        | rk AS (SELECT query_id, doc_id, score_r,
-        |   row_number() OVER (PARTITION BY query_id
-        |     ORDER BY score_r DESC, doc_id ASC) AS rank FROM sc)
-        | SELECT query_id, doc_id, score_r, rank FROM rk WHERE rank <= 10
+      s"""WITH $bm25RankCte
+        | SELECT query_id, doc_id, score_r, rank FROM bmrk WHERE rank <= 10
         | ORDER BY query_id, rank""".stripMargin,
+    // Hybrid RRF: the oracle replays BOTH retrievers (the shared BM25
+    // CTE + the established cosine-rank recompute) and the fixed-point
+    // integer fusion — `//` ≡ Spark `div` on positives, sum cast back
+    // from HUGEINT.
+    "text_hybrid_rrf" ->
+      s"""WITH $bm25RankCte,
+        | ann AS (
+        |  SELECT query_id, item_id, rank FROM (
+        |   SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |               c.vec_id ASC) AS rank
+        |   FROM embeddings q CROSS JOIN embeddings c
+        |   WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 10),
+        | bml AS (SELECT query_id, doc_id AS item_id, rank FROM bmrk
+        |   WHERE rank <= 10),
+        | contrib AS (
+        |  SELECT query_id, item_id, 1000000000000000 // (60 + rank) AS c
+        |  FROM bml
+        |  UNION ALL
+        |  SELECT query_id, item_id, 1000000000000000 // (60 + rank) AS c
+        |  FROM ann),
+        | fused AS (
+        |  SELECT query_id, item_id, CAST(sum(c) AS BIGINT) AS rrf_score_u,
+        |   count(*) AS n_lists
+        |  FROM contrib GROUP BY query_id, item_id),
+        | frk AS (
+        |  SELECT query_id, item_id, rrf_score_u, n_lists,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY rrf_score_u DESC, item_id ASC) AS rank
+        |  FROM fused)
+        | SELECT query_id, item_id, rrf_score_u, n_lists, rank
+        | FROM frk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // PSI drift: exact per-bin counts; the term repeats the identical
+    // double construction with round(…,9) absorbing the ≤1-ulp libm ln
+    // divergence (the sim_rproj posture). Bin width 256 = 2^8 keeps
+    // the floor-division IEEE-exact on both engines.
+    "dq_drift" ->
+      """WITH r AS (
+        |  SELECT least(15, greatest(0,
+        |    CAST(floor(CAST(length(text) AS DOUBLE) / 256.0) AS INT)))
+        |    AS bin
+        |  FROM documents WHERE doc_id % 2 = 0),
+        | c AS (
+        |  SELECT least(15, greatest(0,
+        |    CAST(floor(CAST(length(text) AS DOUBLE) / 256.0) AS INT)))
+        |    AS bin
+        |  FROM documents WHERE doc_id % 2 = 1),
+        | rb AS (SELECT bin, count(*) AS n_ref FROM r GROUP BY bin),
+        | cb AS (SELECT bin, count(*) AS n_cur FROM c GROUP BY bin),
+        | tots AS (SELECT (SELECT count(*) FROM r) AS tr,
+        |   (SELECT count(*) FROM c) AS tc),
+        | bn AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS bin),
+        | f AS (
+        |  SELECT bn.bin,
+        |   CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+        |   CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur, tr, tc
+        |  FROM bn LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
+        |  CROSS JOIN tots)
+        | SELECT bin, n_ref, n_cur,
+        |  round((greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6)
+        |      - greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6))
+        |    * ln(greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6)
+        |      / greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6)), 9)
+        |    AS psi_term_r
+        | FROM f ORDER BY bin""".stripMargin,
     // Funnel: the oracle replays the greedy-earliest stage chain —
     // first signup, first view strictly after it, first purchase
     // strictly after that.

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Declarative data-quality expectations over a frame — the
@@ -170,6 +171,52 @@ object Expectations {
     }
     ranked.groupBy(gcols: _*)
       .agg(count(lit(1)).as("n_rows"), qCols: _*)
+  }
+
+  /** Population-stability-index drift report between a REFERENCE and a
+    * CURRENT corpus over equal-width bins of a numeric column — the
+    * distribution-drift monitor a continuously-ingesting training
+    * pipeline runs between snapshots (PSI is the standard industry
+    * gauge: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 drifted).
+    * Per-bin: exact counts from one aggregation per side (map-side
+    * combine, `bins`-sized results), the two proportions, and the PSI
+    * term `(p−q)·ln(p/q)` with both proportions floored at `eps` so
+    * empty bins contribute a finite penalty instead of ±∞. The total
+    * PSI is the sum of the term column — left to the caller/monitor so
+    * the report stays one grain.
+    *
+    * Cross-engine note: counts and bin ids are integer-exact; the term
+    * is rounded to 9 decimals, absorbing the ≤1-ulp `ln` divergence
+    * class between libm implementations (the sim_rproj rounding
+    * posture). Values outside [lo, hi) clamp into the edge bins, so
+    * the report always partitions both corpora.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, value: Column,
+      bins: Int, lo: Double, hi: Double,
+      eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, "at least two bins")
+    require(hi > lo, "hi must exceed lo")
+    def binned(df: DataFrame, out: String): DataFrame = df
+      .select(value.cast(DoubleType).as("_v"))
+      .filter(col("_v").isNotNull)
+      .select(least(lit(bins - 1), greatest(lit(0),
+        floor((col("_v") - lit(lo)) / lit((hi - lo) / bins))
+          .cast("int"))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val r = binned(ref, "n_ref")
+    val c = binned(cur, "n_cur")
+    val rt = broadcast(r.agg(sum(col("n_ref")).as("_tr")))
+    val ct = broadcast(c.agg(sum(col("n_cur")).as("_tc")))
+    val allBins = ref.sparkSession.range(0, bins)
+      .select(col("id").cast("int").as("bin"))
+    val p = greatest(col("n_ref").cast(DoubleType) / col("_tr"), lit(eps))
+    val q = greatest(col("n_cur").cast(DoubleType) / col("_tc"), lit(eps))
+    allBins
+      .join(r, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(rt).crossJoin(ct)
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((p - q) * log(p / q), 9).as("psi_term_r"))
   }
 
   /** Referential integrity: `(rule, n_rows, n_violations, pass)` for

@@ -998,6 +998,45 @@ object ExtQueries {
       Seq("l_returnflag"), "l_extendedprice", Seq(0.5, 0.9, 0.99))
       .orderBy("l_returnflag")
 
+  /** PSI distribution-drift report ([[Expectations.psiDrift]]) between
+    * the even- and odd-id document halves over text length, 16 bins of
+    * width 256: exact per-bin counts value-oracled; the PSI term
+    * rounded to 9 decimals (the sim_rproj posture for the ≤1-ulp libm
+    * `ln` divergence class). Integer-friendly bin params (width 256 =
+    * 2⁸) keep the binning arithmetic IEEE-exact on both engines.
+    */
+  def dqDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Expectations.psiDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      value = length(col("text")), bins = 16, lo = 0.0, hi = 4096.0)
+      .orderBy("bin")
+  }
+
+  /** Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    * ([[graft.ext.Hybrid.rrf]]): BM25 top-10 and exact-cosine ANN
+    * top-10 for the same 5 query ids, fused with k₀=60 in fixed-point
+    * integer reciprocals — the fused score is a pure function of the
+    * two rank lists, so the oracle replays BOTH retrievers and the
+    * fusion bit-exact.
+    */
+  def textHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    val bm = graft.ext.Bm25.topK(docs, "doc_id", "text", queries,
+      "qid", "text", k = 10, maxDfFrac = 1.0)
+      .select(col("query_id"), col("doc_id").as("item_id"), col("rank"))
+    val emb = t(s, dir, "embeddings")
+    val ann = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id").as("item_id"), col("rank"))
+    graft.ext.Hybrid.rrf(Seq(bm, ann), k0 = 60, topK = 10)
+      .select("query_id", "item_id", "rrf_score_u", "n_lists", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** k-fold assignment over documents (k=5), every row's fold replayed
     * by the oracle from the identical portable draw.
     */

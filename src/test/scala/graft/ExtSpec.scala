@@ -1596,6 +1596,60 @@ class ExtSpec extends SparkSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("Hybrid.rrf: exact fixed-point fusion, evidence counts, tiebreak") {
+    import graft.ext.Hybrid
+    import spark.implicits._
+    val S = Hybrid.RrfScale
+    val l1 = Seq((1L, "A", 1), (1L, "B", 2), (1L, "C", 3))
+      .toDF("query_id", "item_id", "rank")
+    val l2 = Seq((1L, "B", 1), (1L, "C", 2), (1L, "D", 3))
+      .toDF("query_id", "item_id", "rank")
+    val got = Hybrid.rrf(Seq(l1, l2), k0 = 1, topK = 10)
+      .select("item_id", "rrf_score_u", "n_lists", "rank")
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // k0=1: reciprocals are S/2, S/3, S/4 exactly (integer div)
+    assert(got("B") === ((S / 3 + S / 2, 2L, 1)))
+    assert(got("C") === ((S / 4 + S / 3, 2L, 2)))
+    assert(got("A") === ((S / 2, 1L, 3)))
+    assert(got("D") === ((S / 4, 1L, 4)))
+    // equal scores break ties on item_id ascending: two single-list
+    // rank-1 items tie exactly in fixed point
+    val t1 = Seq((9L, "z", 1)).toDF("query_id", "item_id", "rank")
+    val t2 = Seq((9L, "a", 1)).toDF("query_id", "item_id", "rank")
+    val tie = Hybrid.rrf(Seq(t1, t2), k0 = 60, topK = 2)
+      .orderBy("rank").select("item_id").as[String].collect().toSeq
+    assert(tie === Seq("a", "z"))
+    // topK cuts per query
+    assert(Hybrid.rrf(Seq(l1, l2), k0 = 1, topK = 2).count() === 2)
+  }
+
+  test("psiDrift: zero on identical, fires on shift, clamps and floors") {
+    import graft.ext.Expectations
+    import spark.implicits._
+    val ref = (0 until 1000).map(i => (i % 100).toDouble).toDF("v")
+    // identical distribution → every term 0.0
+    val same = Expectations.psiDrift(ref, ref, $"v", bins = 10,
+      lo = 0.0, hi = 100.0)
+      .select("n_ref", "n_cur", "psi_term_r")
+      .as[(Long, Long, Double)].collect()
+    assert(same.length === 10)
+    assert(same.forall { case (r, c, t) => r === c && t === 0.0 })
+    // shifted distribution → PSI well above the 0.25 drift bar, terms
+    // finite even where one side's bin is empty (eps floor)
+    val cur = (0 until 1000).map(i => 150.0 + (i % 100)).toDF("v")
+    val drift = Expectations.psiDrift(ref, cur, $"v", bins = 10,
+      lo = 0.0, hi = 100.0)
+      .select("psi_term_r").as[Double].collect()
+    assert(drift.forall(t => !t.isNaN && !t.isInfinite))
+    assert(drift.sum > 0.25, s"PSI ${drift.sum} did not flag the shift")
+    // out-of-range values clamp into the edge bin (cur is all ≥ hi)
+    val binned = Expectations.psiDrift(ref, cur, $"v", bins = 10,
+      lo = 0.0, hi = 100.0)
+      .filter($"bin" === 9).select("n_cur").as[Long].head()
+    assert(binned === 1000L)
+  }
+
   test("Kmv: layout-independent sketch, exact path, calibrated overlap") {
     import graft.ext.Kmv
     import spark.implicits._
