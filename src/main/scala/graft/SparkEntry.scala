@@ -170,6 +170,7 @@ object SparkEntry {
     "s_table_diff"            -> (OpsQueries.sTableDiff _),
     "s_stats_view"            -> (OpsQueries.sStatsView _),
     "o9_key_lookup"           -> (OpsQueries.o9KeyLookup _),
+    "o10_secondary_lookup"    -> (OpsQueries.o10SecondaryLookup _),
     "s_insert_overwrite"      -> (OpsQueries.sInsertOverwrite _),
     "s_delete_partition"      -> (OpsQueries.sDeletePartition _),
     "s_cdc_batch"             -> (OpsQueries.sCdcBatch _),
@@ -238,7 +239,8 @@ object SparkEntry {
     "j_bloom_prune", "a_countmin", "sample_leakage_safe",
     "sample_weighted", "sim_knn_graph", "i_incremental_agg",
     "text_bm25", "dedup_edit_pairs", "graph_pagerank",
-    "dedup_containment", "a_kmv_overlap", "dq_drift", "text_hybrid_rrf")
+    "dedup_containment", "a_kmv_overlap", "dq_drift", "text_hybrid_rrf",
+    "o10_secondary_lookup")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -2393,6 +2395,12 @@ object SparkEntry {
         |  (max(o_orderkey) - min(o_orderkey)) // 10 AS cut FROM orders)
         | SELECT o_orderkey, o_custkey, o_totalprice FROM orders, b
         | WHERE o_orderkey <= cut AND o_orderkey % 50 = 0
+        | ORDER BY o_orderkey""".stripMargin,
+    // Secondary-index lookup: the index path must be output-invisible —
+    // the result equals the plain filtered snapshot row-for-row.
+    "o10_secondary_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | WHERE o_custkey % 100 = 0
         | ORDER BY o_orderkey""".stripMargin,
     // insert_overwrite: non-urgent partitions keep batch-1 state; the
     // urgent partition is exactly the refresh batch (even keys, ×2) —

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.TableOps
 import graft.pipeline.{IncrementalEtl, SeedTables}
-import graft.tables.{CheckpointStore, KeyedTable}
+import graft.tables.{CheckpointStore, KeyedTable, SecondaryIndex}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -1123,6 +1123,33 @@ object OpsQueries {
         s"o9: point lookup read ${result.inputFiles.length} of " +
           s"$totalFiles files — stats skipping did not engage")
     result.select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Secondary-index point lookup ([[graft.tables.SecondaryIndex]],
+    * the Hudi 1.0 RFC-52 secondary-index analog): orders land keyed by
+    * o_orderkey; a sparse o_custkey probe set resolves through the
+    * persisted value→key index (probe-bucket dirs only — kilobytes) to
+    * record keys and then [[TableOps.lookupKeys]] point reads, never a
+    * full-scan-with-filter. Values fully oracled: the result must
+    * equal the plain filtered snapshot row-for-row. (File-level
+    * skipping on the second hop depends on key↔value correlation —
+    * uniform TPC-H custkeys scatter over the key space, so the
+    * demonstrable wins here are the index-bucket pruning and the
+    * bloom row-group skipping lookupKeys already carries; the
+    * key-clustered case is o9's.)
+    */
+  def o10SecondaryLookup(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val table = KeyedTable("orders_sx",
+      s"${scratch("graft-sx")}/orders_sx", Seq("o_orderkey"),
+      "o_orderkey", statsColumns = Seq("o_orderkey"))
+    TableOps.upsert(s, table, orders, sortBy = Seq("o_orderkey"))
+    val probes = orders.select(col("o_custkey"))
+      .filter(col("o_custkey") % 100 === 0).distinct()
+    SecondaryIndex.lookup(s, table, "o_custkey", probes)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
   }
 

@@ -1,0 +1,176 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, NumericType}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+
+/** Persisted secondary index: non-key column value → record keys — the
+  * engine's analog of Hudi 1.0's secondary index (RFC-52 record-level
+  * secondary indexes on the metadata table). [[graft.ops.TableOps
+  * .lookupKeys]] makes point reads on the RECORD KEY cheap (key-stats
+  * file skipping + parquet blooms); this extends the same economics to
+  * any frequently-probed payload column: "orders of customer 4242"
+  * touches the probe values' index buckets (kilobytes) and then only
+  * the files holding those orders — never a table scan with a filter.
+  *
+  * Layout mirrors [[KeyIndex]]: hive-bucketed parquet under
+  * `{table}/.commits/sidx/{column}/six_bucket=N/`, rows = (value,
+  * record-key columns), [[NumBuckets]] hash buckets of the VALUE so a
+  * probe set reads ≤ min(probes, buckets) bucket dirs.
+  *
+  * Maintenance: DERIVED and REBUILD-ON-STALE — every index write ends
+  * by stamping `_synced` with the commit it reflects; [[lookup]] calls
+  * [[ensureFresh]] first, which rebuilds from the current snapshot on
+  * any mismatch. A crashed write, a restore, or simply a new commit
+  * all read as out-of-sync and cost one rebuild scan on the next
+  * probe, never a wrong answer (the [[KeyIndex]] self-healing
+  * contract). Writers do NOT maintain it inline — the right trade for
+  * the read-mostly dimension/audit probes this serves; a pipeline with
+  * a hot write path and hot secondary probes should [[refresh]] on a
+  * schedule (or after its own commits) so readers never pay the
+  * rebuild, and an incremental changeLog-fed maintenance path is the
+  * documented upgrade if rebuild scans ever dominate.
+  */
+object SecondaryIndex {
+
+  val BucketCol = "six_bucket"
+  val NumBuckets = 64
+  private val HashVersion = "v1"
+
+  def indexPath(t: KeyedTable, valueCol: String): String =
+    s"${t.path}/.commits/sidx/$valueCol"
+
+  def exists(spark: SparkSession, t: KeyedTable, valueCol: String): Boolean = {
+    val p = new Path(indexPath(t, valueCol))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def syncedPath(t: KeyedTable, valueCol: String) =
+    new Path(indexPath(t, valueCol), "_synced")
+
+  def syncedTs(spark: SparkSession, t: KeyedTable,
+      valueCol: String): Option[String] = {
+    val p = syncedPath(t, valueCol)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val content =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      if (content.startsWith(s"$HashVersion:"))
+        Some(content.stripPrefix(s"$HashVersion:"))
+      else None
+    }
+  }
+
+  private def markSynced(spark: SparkSession, t: KeyedTable,
+      valueCol: String, ts: String): Unit = {
+    val p = syncedPath(t, valueCol)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    AtomicFile.write(fs, p, s"$HashVersion:$ts".getBytes("UTF-8"))
+  }
+
+  /** Type-canonical value hashing (the [[KeyIndex]] v2 lesson): numeric
+    * probe frames may arrive wider than the indexed column; hashing
+    * through DECIMAL(38,18) routes int/long/float/double 5 to the same
+    * bucket.
+    */
+  private def canonical(frame: DataFrame, c: String): Column =
+    frame.schema(c).dataType match {
+      case _: NumericType => col(c).cast(DecimalType(38, 18))
+      case _ => col(c)
+    }
+
+  private def bucketExpr(frame: DataFrame, c: String): Column =
+    pmod(xxhash64(canonical(frame, c)), lit(NumBuckets)).cast("int")
+
+  /** Rebuild the index from the table's current snapshot and stamp it
+    * with the table's latest commit. NULL values are not indexed (a
+    * point probe on NULL has no equality semantics).
+    */
+  def refresh(spark: SparkSession, t: KeyedTable, valueCol: String): Unit = {
+    val snap = graft.ops.TableOps.snapshot(spark, t)
+    require(snap.columns.contains(valueCol),
+      s"secondary index column $valueCol not in table ${t.name}")
+    val cols = (valueCol +: t.recordKey).distinct
+    val rows = snap.select(cols.map(col): _*)
+      .filter(col(valueCol).isNotNull).distinct()
+      .withColumn(BucketCol, bucketExpr(snap.select(cols.map(col): _*), valueCol))
+    val root = new Path(indexPath(t, valueCol))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"${t.path}/.commits/.sidx-staging-$valueCol")
+    fs.delete(staging, true)
+    rows.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(staging.toString)
+    // swap files, not directories (no atomic dir rename on object
+    // stores); _synced is deleted first so a crash mid-swap reads as
+    // never-synced and the next probe rebuilds
+    fs.delete(syncedPath(t, valueCol), false)
+    (0 until NumBuckets).foreach { b =>
+      val target = new Path(root, s"$BucketCol=$b")
+      val staged = new Path(staging, s"$BucketCol=$b")
+      fs.delete(target, true)
+      if (fs.exists(staged)) {
+        fs.mkdirs(target)
+        fs.listStatus(staged).filter(_.isFile).foreach { st =>
+          if (!fs.rename(st.getPath, new Path(target, st.getPath.getName)))
+            throw new java.io.IOException(
+              s"sidx bucket file move failed: ${st.getPath} → $target")
+        }
+      }
+    }
+    fs.delete(staging, true)
+    markSynced(spark, t, valueCol,
+      CommitLog(t, spark).latestCommit().getOrElse(""))
+  }
+
+  /** Make the index trustworthy for the CURRENT table state: O(1)
+    * staleness probe, rebuild on mismatch.
+    */
+  def ensureFresh(spark: SparkSession, t: KeyedTable,
+      valueCol: String): Unit = {
+    val latest = CommitLog(t, spark).latestCommit().getOrElse("")
+    if (!exists(spark, t, valueCol) ||
+        !syncedTs(spark, t, valueCol).contains(latest))
+      refresh(spark, t, valueCol)
+  }
+
+  /** Current rows whose `valueCol` is in `probes` (a 1-column frame),
+    * via the index: probe-bucket dirs → matching record keys →
+    * [[graft.ops.TableOps.lookupKeys]] point reads. The probe set must
+    * be driver-sized (same `maxProbes` contract as lookupKeys); larger
+    * frames fall back to the filtered-snapshot shuffle path a
+    * point-read API must not hide.
+    */
+  def lookup(spark: SparkSession, t: KeyedTable, valueCol: String,
+      probes: DataFrame, maxProbes: Int = 10000): DataFrame = {
+    val probe = probes.toDF(valueCol).filter(col(valueCol).isNotNull)
+      .distinct()
+    val collected = probe.limit(maxProbes + 1).collect()
+    val snapFilter = graft.ops.TableOps.snapshot(spark, t)
+      .join(probe, Seq(valueCol), "left_semi")
+    if (collected.length > maxProbes) return snapFilter
+    if (collected.isEmpty) return snapFilter.filter(lit(false))
+    ensureFresh(spark, t, valueCol)
+    val root = new Path(indexPath(t, valueCol))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = probe.select(bucketExpr(probe, valueCol).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val dirs = buckets.map(b => new Path(root, s"$BucketCol=$b"))
+      .filter(fs.exists(_))
+    if (dirs.isEmpty) return snapFilter.filter(lit(false))
+    val keys = spark.read.option("basePath", root.toString)
+      .parquet(dirs.map(_.toString): _*)
+      .join(probe, Seq(valueCol), "left_semi")
+      .select(t.recordKey.map(col): _*).distinct()
+    // the final value filter: on partition-scoped tables a record key
+    // may live in several partitions with DIFFERENT values — the index
+    // names the keys, the filter keeps exactly the probed copies
+    graft.ops.TableOps.lookupKeys(spark, t, keys)
+      .join(probe, Seq(valueCol), "left_semi")
+  }
+}
