@@ -19,18 +19,21 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   * record-key columns), [[NumBuckets]] hash buckets of the VALUE so a
   * probe set reads ≤ min(probes, buckets) bucket dirs.
   *
-  * Maintenance: DERIVED and REBUILD-ON-STALE — every index write ends
-  * by stamping `_synced` with the commit it reflects; [[lookup]] calls
-  * [[ensureFresh]] first, which rebuilds from the current snapshot on
-  * any mismatch. A crashed write, a restore, or simply a new commit
-  * all read as out-of-sync and cost one rebuild scan on the next
-  * probe, never a wrong answer (the [[KeyIndex]] self-healing
-  * contract). Writers do NOT maintain it inline — the right trade for
-  * the read-mostly dimension/audit probes this serves; a pipeline with
-  * a hot write path and hot secondary probes should [[refresh]] on a
-  * schedule (or after its own commits) so readers never pay the
-  * rebuild, and an incremental changeLog-fed maintenance path is the
-  * documented upgrade if rebuild scans ever dominate.
+  * Maintenance: DERIVED and SELF-HEALING — every index write ends by
+  * stamping `_synced` with the commit it reflects; [[lookup]] calls
+  * [[ensureFresh]] first. A previously-synced index catches up at
+  * O(increment) cost: [[applyIncrement]] folds the
+  * [[graft.ops.TableOps.changeLog]] records since the synced commit
+  * and APPENDS the changed keys' new (value, key) mappings into the
+  * new values' buckets only. Entries for a key's OLD value are left
+  * in place — they are provably harmless: a stale entry routes one
+  * extra key into [[graft.ops.TableOps.lookupKeys]], whose CURRENT
+  * row then fails the final value semi-join, so the answer is exact
+  * on every path; the cost of churn is extra point reads, compacted
+  * away by the next full [[refresh]]. A never-synced index, a crashed
+  * write, a restore (stamp deleted), or a cleaned-past-sync change
+  * log all fall back to the full snapshot rebuild — one scan, never a
+  * wrong answer (the [[KeyIndex]] contract).
   */
 object SecondaryIndex {
 
@@ -128,15 +131,88 @@ object SecondaryIndex {
       CommitLog(t, spark).latestCommit().getOrElse(""))
   }
 
+  /** Catch the index up from its synced commit to the table head by
+    * folding the changeLog increment: the changed keys' latest
+    * in-range records become fresh (value, key) mappings appended
+    * into ONLY the new values' buckets (deletes and no-op replays
+    * append nothing). Old-value entries stay behind as tolerated
+    * stale rows (see the class doc for why that is exact). Falls back
+    * to [[refresh]] when the increment cannot be read (never synced,
+    * commits cleaned past the sync point).
+    */
+  /** Commit actions whose visible effect is fully covered by the
+    * append-plus-tolerated-stale model: their NEW state is in their
+    * own change records (upsert/insert/deltacommit/replacecommit) or
+    * they only REMOVE rows (delete/delete_partition) or change nothing
+    * visible (compact). `restore` is NOT here — it republishes
+    * historical state with no records, so values a past [[refresh]]
+    * compacted away could go missing; it forces a rebuild.
+    */
+  private val IncrementSafeActions = Set("upsert", "insert", "delete",
+    "delete_partition", "compact", "deltacommit", "replacecommit")
+
+  /** Actions whose change RECORDS the increment actually needs — if
+    * such a commit's data dir was cleaned, the appends are lost and
+    * only a rebuild is sound.
+    */
+  private val RecordBearingActions = Set("upsert", "insert",
+    "deltacommit", "replacecommit")
+
+  def applyIncrement(spark: SparkSession, t: KeyedTable,
+      valueCol: String): Unit = {
+    val log = CommitLog(t, spark)
+    val synced = syncedTs(spark, t, valueCol)
+    val latest = log.latestCommit().getOrElse("")
+    if (synced.isEmpty || !exists(spark, t, valueCol)) {
+      refresh(spark, t, valueCol); return
+    }
+    if (synced.contains(latest)) return
+    // every in-range commit must be increment-safe, and the ones whose
+    // records we fold must still have their data dirs (driver-side
+    // kilobyte manifest reads; range is increment-sized)
+    val fs = new Path(t.dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inRange = log.listCommits().filter(ts => ts > synced.get && ts <= latest)
+    val unsafe = inRange.exists { ts =>
+      val action = log.commitMeta(ts)
+        .flatMap(_.get("action")).getOrElse("upsert")
+      !IncrementSafeActions.contains(action) ||
+        (RecordBearingActions.contains(action) &&
+          !fs.exists(new Path(s"${t.dataPath}/$ts")))
+    }
+    if (unsafe) { refresh(spark, t, valueCol); return }
+    val changes = graft.ops.TableOps.changeLog(spark, t, synced.get,
+      Some(latest))
+    val keyCols = t.recordKey
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(KeyedTable.CommitCol).desc)
+    val fresh = changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("_change_type") =!= lit("delete") &&
+        col(valueCol).isNotNull)
+      .select((valueCol +: keyCols).distinct.map(col): _*).distinct()
+    val frame = fresh.withColumn(BucketCol, bucketExpr(fresh, valueCol))
+    val root = new Path(indexPath(t, valueCol))
+    // append-only into the affected buckets: existing files stay; a
+    // crash mid-append leaves extra rows, which are either correct or
+    // tolerated-stale — _synced still names the OLD commit, so the
+    // next probe re-applies the (idempotent, distinct-on-read)
+    // increment
+    frame.write.mode(SaveMode.Append).partitionBy(BucketCol)
+      .parquet(root.toString)
+    markSynced(spark, t, valueCol, latest)
+  }
+
   /** Make the index trustworthy for the CURRENT table state: O(1)
-    * staleness probe, rebuild on mismatch.
+    * staleness probe; a synced index catches up at O(increment), an
+    * unsynced one rebuilds.
     */
   def ensureFresh(spark: SparkSession, t: KeyedTable,
       valueCol: String): Unit = {
     val latest = CommitLog(t, spark).latestCommit().getOrElse("")
-    if (!exists(spark, t, valueCol) ||
-        !syncedTs(spark, t, valueCol).contains(latest))
-      refresh(spark, t, valueCol)
+    if (!syncedTs(spark, t, valueCol).contains(latest))
+      applyIncrement(spark, t, valueCol)
   }
 
   /** Current rows whose `valueCol` is in `probes` (a 1-column frame),

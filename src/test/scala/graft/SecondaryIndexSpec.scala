@@ -64,6 +64,48 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(SecondaryIndex.syncedTs(spark, t, "grp") !== stamp1)
   }
 
+  test("catch-up is O(increment): appends, tolerated-stale, no rebuild") {
+    val t = mk(tmpDir("graft-sx4"))
+    assert(got(t, Seq(5L)) === want(t, Seq(5L))) // builds + syncs
+    TableOps.upsert(spark, t,
+      Seq((5L, 999L, "moved")).toDF("id", "grp", "payload"))
+    assert(got(t, Seq(999L)) === Set((5L, 999L, "moved")))
+    // the OLD mapping (grp 5 → key 5) must STILL be in the raw index —
+    // proof the catch-up appended instead of rebuilding — while lookup
+    // stays exact through the final value filter
+    val raw = spark.read
+      .parquet(graft.tables.SecondaryIndex.indexPath(t, "grp"))
+      .select("grp", "id").as[(Long, Long)].collect().toSet
+    assert(raw.contains((5L, 5L)), "stale entry compacted: increment path not used")
+    assert(raw.contains((999L, 5L)))
+    assert(!got(t, Seq(5L)).exists(_._1 === 5L))
+    // a full refresh compacts the stale entry away
+    graft.tables.SecondaryIndex.refresh(spark, t, "grp")
+    val compacted = spark.read
+      .parquet(graft.tables.SecondaryIndex.indexPath(t, "grp"))
+      .select("grp", "id").as[(Long, Long)].collect().toSet
+    assert(!compacted.contains((5L, 5L)) && compacted.contains((999L, 5L)))
+  }
+
+  test("restore forces a rebuild (no silent increment across it)") {
+    val base = tmpDir("graft-sx5")
+    val t = KeyedTable("sx_r", s"$base/t", Seq("id"), "ver")
+    TableOps.upsert(spark, t,
+      Seq((1L, 10L, 1), (2L, 10L, 1)).toDF("id", "grp", "ver"))
+    val c1 = graft.tables.CommitLog(t, spark).latestCommit().get
+    TableOps.upsert(spark, t, Seq((1L, 20L, 2)).toDF("id", "grp", "ver"))
+    // index synced at head (key 1 under 20), THEN refreshed so the
+    // (10, 1) mapping is compacted away — the dangerous precondition
+    SecondaryIndex.refresh(spark, t, "grp")
+    TableOps.restoreTo(spark, t, c1)
+    // after restore, key 1's visible grp is 10 again; an increment
+    // (restore has no change records) would miss it — ensureFresh must
+    // detect the restore action and rebuild
+    val out = SecondaryIndex.lookup(spark, t, "grp", Seq(10L).toDF("grp"))
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L), s"restore not re-indexed: $out")
+  }
+
   test("null values are not indexed and never probed") {
     val base = tmpDir("graft-sx3")
     val t = KeyedTable("sx_n", s"$base/t", Seq("id"), "id")
