@@ -171,6 +171,7 @@ object SparkEntry {
     "s_stats_view"            -> (OpsQueries.sStatsView _),
     "o9_key_lookup"           -> (OpsQueries.o9KeyLookup _),
     "o10_secondary_lookup"    -> (OpsQueries.o10SecondaryLookup _),
+    "j_interval_overlap"      -> (OpsQueries.jIntervalOverlap _),
     "s_insert_overwrite"      -> (OpsQueries.sInsertOverwrite _),
     "s_delete_partition"      -> (OpsQueries.sDeletePartition _),
     "s_cdc_batch"             -> (OpsQueries.sCdcBatch _),
@@ -240,7 +241,7 @@ object SparkEntry {
     "sample_weighted", "sim_knn_graph", "i_incremental_agg",
     "text_bm25", "dedup_edit_pairs", "graph_pagerank",
     "dedup_containment", "a_kmv_overlap", "dq_drift", "text_hybrid_rrf",
-    "o10_secondary_lookup")
+    "o10_secondary_lookup", "j_interval_overlap")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -2233,6 +2234,29 @@ object SparkEntry {
         | FROM orders JOIN bands
         |  ON o_totalprice >= lo AND o_totalprice < hi
         | ORDER BY order_id, band""".stripMargin
+    },
+    // Interval overlap: the oracle is the plain non-equi join over the
+    // same epoch-day integers — the grid decomposition and the
+    // first-shared-bucket dedup must be output-invisible.
+    "j_interval_overlap" -> {
+      """WITH w AS (
+        |  SELECT o_orderkey,
+        |   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |     AS w_lo
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        | wi AS (SELECT o_orderkey, w_lo, w_lo + 14 AS w_hi FROM w),
+        | m AS (
+        |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)
+        |    AS m FROM orders),
+        | mi AS (
+        |  SELECT strftime(m, '%Y-%m') AS month,
+        |   CAST(m - DATE '1970-01-01' AS BIGINT) AS m_lo,
+        |   CAST(CAST(m + INTERVAL 1 MONTH AS DATE) - DATE '1970-01-01'
+        |     AS BIGINT) AS m_hi
+        |  FROM m)
+        | SELECT o_orderkey, month, w_lo, w_hi
+        | FROM wi JOIN mi ON w_lo < m_hi AND m_lo < w_hi
+        | ORDER BY o_orderkey, month""".stripMargin
     },
     // Two-phase salted aggregation merges to exactly the plain GROUP BY
     // (decimal partials — associative, order-insensitive).

@@ -53,4 +53,39 @@ object RangeJoin {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop(b)
   }
+
+  /** Interval-OVERLAP join — both sides are intervals: inner-join every
+    * `left` row to every `right` row with `[lLo, lHi) ∩ [rLo, rHi) ≠ ∅`
+    * (half-open; i.e. `lLo < rHi AND rLo < lHi`). The
+    * temporal/IP-range workhorse ([[pointInRange]] can't express it —
+    * neither side is a point), and again the shape Spark would plan as
+    * a BroadcastNestedLoopJoin.
+    *
+    * Same grid decomposition, both sides exploded; a pair overlapping
+    * k shared buckets must be emitted ONCE, so instead of a wide-row
+    * `distinct` the pair is emitted only in its FIRST shared bucket —
+    * `bucket == max(firstBucket(l), firstBucket(r))`, which both sides
+    * provably occupy (it is the bucket of `max(lLo, rLo)`, a point
+    * inside both intervals whenever they overlap) — a pure filter, no
+    * second shuffle. Skew/broadcast/AQE notes as [[pointInRange]];
+    * shuffle volume is Σ ceil(span/width) over BOTH sides, so pick
+    * `bucketWidth` near the typical span of the DENSER side.
+    */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = "_rj_bucket"
+    def firstBucket(lo: String) = floor(col(lo) / bucketWidth).cast("long")
+    def lastBucket(hi: String) = floor(col(hi) / bucketWidth).cast("long") -
+      when(col(hi) % bucketWidth === 0.0, 1L).otherwise(0L)
+    def exploded(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(lo) < col(hi))
+      .withColumn(b, explode(sequence(firstBucket(lo), lastBucket(hi))))
+    exploded(left, lLo, lHi)
+      .join(exploded(right, rLo, rHi), Seq(b))
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi))
+      .filter(col(b) === greatest(firstBucket(lLo), firstBucket(rLo)))
+      .drop(b)
+  }
 }

@@ -369,6 +369,35 @@ object OpsQueries {
       .orderBy("order_id", "band")
   }
 
+  /** Interval-OVERLAP join ([[graft.ops.RangeJoin.intervalOverlap]]):
+    * every 50th order's 14-day fulfillment window against the calendar
+    * months it touches — interval×interval, the non-equi shape neither
+    * the point-in-range bucket join nor an equi-join expresses. Epoch-
+    * day integer arithmetic on both engines; the oracle is the plain
+    * UNPRUNED non-equi join, so grid decomposition + first-shared-
+    * bucket dedup must be output-invisible (recall 1.0, no duplicate
+    * pairs).
+    */
+  def jIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01")
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), epoch).cast("long").as("w_lo"))
+      .withColumn("w_hi", col("w_lo") + 14L)
+    val months = t(s, dir, "orders")
+      .select(trunc(to_date(col("o_orderdate")), "month").as("m")).distinct()
+      .select(col("m"),
+        datediff(col("m"), epoch).cast("long").as("m_lo"),
+        datediff(add_months(col("m"), 1), epoch).cast("long").as("m_hi"))
+      .select(date_format(col("m"), "yyyy-MM").as("month"),
+        col("m_lo"), col("m_hi"))
+    graft.ops.RangeJoin.intervalOverlap(orders, "w_lo", "w_hi",
+      months, "m_lo", "m_hi", bucketWidth = 30.0)
+      .select(col("o_orderkey"), col("month"), col("w_lo"), col("w_hi"))
+      .orderBy("o_orderkey", "month")
+  }
+
   /** Two-phase salted aggregation ([[graft.ops.Skew.saltedAgg]]):
     * revenue per customer via groupBy(key, salt) partials re-merged by
     * key — the hot-group spread for extreme cardinality skew. Decimal

@@ -206,4 +206,36 @@ class SkewSpec extends SparkSuite {
         "bloom filter must be written for the record key")
     } finally reader.close()
   }
+
+  test("interval overlap == plain non-equi join, exactly once per pair") {
+    // seeded pseudo-random intervals incl. bucket-aligned, contained,
+    // multi-bucket-shared, empty, and inverted cases
+    val left = (1 to 200).map { i =>
+      val lo = (i * 13 % 301).toDouble
+      (i.toLong, lo, lo + (i * 7 % 45).toDouble)
+    }.toDF("lid", "l_lo", "l_hi")
+    val right = (1 to 80).map { j =>
+      val lo = (j * 29 % 307).toDouble
+      (j.toLong, lo, lo + (j * 11 % 60).toDouble)
+    }.toDF("rid", "r_lo", "r_hi")
+    for (w <- Seq(10.0, 33.0, 500.0)) {
+      val got = RangeJoin.intervalOverlap(left, "l_lo", "l_hi",
+        right, "r_lo", "r_hi", bucketWidth = w)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      // exactly once: no duplicate pairs even when many buckets shared
+      assert(got.length === got.distinct.length,
+        s"duplicate pairs at width $w")
+      val want = left.join(right,
+        col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi") &&
+          col("l_lo") < col("l_hi") && col("r_lo") < col("r_hi"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(got.toSet === want, s"mismatch at width $w")
+      assert(want.nonEmpty)
+    }
+    // half-open: touching intervals do not overlap
+    val a = Seq((1L, 0.0, 10.0)).toDF("lid", "l_lo", "l_hi")
+    val b = Seq((2L, 10.0, 20.0)).toDF("rid", "r_lo", "r_hi")
+    assert(RangeJoin.intervalOverlap(a, "l_lo", "l_hi", b, "r_lo", "r_hi",
+      bucketWidth = 5.0).count() === 0)
+  }
 }
