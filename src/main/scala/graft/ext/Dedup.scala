@@ -490,13 +490,19 @@ object Dedup {
     */
   val DefaultMaxDf = 1000
 
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5,
-      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
-    // Join on the 64-bit shingle hash, not the shingle string: the
-    // self-join shuffle then carries 8-byte keys instead of ~n-word
-    // strings. A 2^-64 hash collision could overcount one intersection
-    // cell — immaterial against exact-set semantics at any real scale.
+  /** Shared inverted-index core of [[ngramJaccardPairs]] and
+    * [[containmentPairs]]: one row per doc pair sharing ≥ 1 surviving
+    * shingle — (id_a, id_b, inter, sz_a, sz_b), id_a < id_b. Any fix
+    * to the candidate generator (maxDf semantics, hash keying, the
+    * pair normalization) lands once, for both measures.
+    *
+    * Joins on the 64-bit shingle hash, not the shingle string: the
+    * self-join shuffle then carries 8-byte keys instead of ~n-word
+    * strings. A 2^-64 hash collision could overcount one intersection
+    * cell — immaterial against exact-set semantics at any real scale.
+    */
+  private def shingleIntersections(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDf: Option[Int]): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(graft.functions.TextFunctions.shingleHashes(
         docs.sparkSession, col(textCol), n)).as("g"))
@@ -504,14 +510,19 @@ object Dedup {
     val sizes = withDf.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = withDf.select(col("g"), col("id").as("id_a"))
     val b = withDf.select(col("g"), col("id").as("id_b"))
-    val inter = a.join(b, Seq("g"))
+    a.join(b, Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
+    shingleIntersections(docs, idCol, textCol, n, maxDf)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast(DoubleType) /
           (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType))
@@ -540,21 +551,7 @@ object Dedup {
       maxDf: Option[Int] = Some(DefaultMaxDf)): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
-    val sh = docs.select(col(idCol).as("id"),
-      explode(graft.functions.TextFunctions.shingleHashes(
-        docs.sparkSession, col(textCol), n)).as("g"))
-    val withDf = dropStopShingles(sh, maxDf)
-    val sizes = withDf.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = withDf.select(col("g"), col("id").as("id_a"))
-    val b = withDf.select(col("g"), col("id").as("id_b"))
-    val inter = a.join(b, Seq("g"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("sz", "sz_b"), Seq("id_b"))
+    shingleIntersections(docs, idCol, textCol, n, maxDf)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast(DoubleType) / col("sz_a").cast(DoubleType))
           .as("cont_a"),

@@ -160,7 +160,10 @@ object Expectations {
     // probabilities (0.005 and 0.01 would both emit "p1"), yielding
     // duplicate output columns that break downstream selects
     def label(p: Double): String = {
-      val d = BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+      // scale in BigDecimal, not double: 0.07 * 100 is the double
+      // 7.000000000000001, which would leak into the label; BigDecimal
+      // starts from the shortest decimal rendering so ×100 is exact
+      val d = (BigDecimal(p) * 100).underlying.stripTrailingZeros.toPlainString
       "p" + d.replace("-", "").replace(".", "_")
     }
     val labels = ps.map(label)
@@ -199,9 +202,12 @@ object Expectations {
     def binned(df: DataFrame, out: String): DataFrame = df
       .select(value.cast(DoubleType).as("_v"))
       .filter(col("_v").isNotNull)
-      .select(least(lit(bins - 1), greatest(lit(0),
-        floor((col("_v") - lit(lo)) / lit((hi - lo) / bins))
-          .cast("int"))).as("bin"))
+      // clamp on the LONG floor BEFORE narrowing: a non-ANSI long→int
+      // cast wraps (keeps the low 32 bits), so a far-out-of-range value
+      // could land in an interior bin instead of the edge
+      .select(least(lit((bins - 1).toLong), greatest(lit(0L),
+        floor((col("_v") - lit(lo)) / lit((hi - lo) / bins))))
+        .cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(out))
     val r = binned(ref, "n_ref")
     val c = binned(cur, "n_cur")

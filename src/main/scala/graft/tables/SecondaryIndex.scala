@@ -187,10 +187,15 @@ object SecondaryIndex {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(KeyedTable.CommitCol).desc)
+    // soft-deleted rows ARE indexed: they stay in the snapshot (the
+    // `_deleted` flag is payload, and [[refresh]] indexes the plain
+    // snapshot), so dropping their mappings here would make the
+    // increment-maintained index answer differently from a rebuilt
+    // one — the lookup contract is "equals the filtered snapshot" on
+    // every maintenance path
     val fresh = changes
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("_change_type") =!= lit("delete") &&
-        col(valueCol).isNotNull)
+      .filter(col("_rn") === 1 && col(valueCol).isNotNull)
       .select((valueCol +: keyCols).distinct.map(col): _*).distinct()
     val frame = fresh.withColumn(BucketCol, bucketExpr(fresh, valueCol))
     val root = new Path(indexPath(t, valueCol))
@@ -224,13 +229,20 @@ object SecondaryIndex {
     */
   def lookup(spark: SparkSession, t: KeyedTable, valueCol: String,
       probes: DataFrame, maxProbes: Int = 10000): DataFrame = {
-    val probe = probes.toDF(valueCol).filter(col(valueCol).isNotNull)
+    val probeSrc = probes.toDF(valueCol).filter(col(valueCol).isNotNull)
       .distinct()
-    val collected = probe.limit(maxProbes + 1).collect()
-    val snapFilter = graft.ops.TableOps.snapshot(spark, t)
-      .join(probe, Seq(valueCol), "left_semi")
-    if (collected.length > maxProbes) return snapFilter
-    if (collected.isEmpty) return snapFilter.filter(lit(false))
+    val collected = probeSrc.limit(maxProbes + 1).collect()
+    if (collected.length > maxProbes)
+      return graft.ops.TableOps.snapshot(spark, t)
+        .join(probeSrc, Seq(valueCol), "left_semi")
+    if (collected.isEmpty)
+      return graft.ops.TableOps.snapshot(spark, t).filter(lit(false))
+    // the probe rows are on the driver now — every further use goes
+    // through this LOCAL relation, so a probe frame derived from a
+    // corpus scan doesn't re-execute its plan for the bucket collect
+    // and the two semi-joins (three more corpus-sized jobs otherwise)
+    val probe = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), probeSrc.schema)
     ensureFresh(spark, t, valueCol)
     val root = new Path(indexPath(t, valueCol))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -238,7 +250,8 @@ object SecondaryIndex {
       .distinct().collect().map(_.getInt(0)).toSeq
     val dirs = buckets.map(b => new Path(root, s"$BucketCol=$b"))
       .filter(fs.exists(_))
-    if (dirs.isEmpty) return snapFilter.filter(lit(false))
+    if (dirs.isEmpty)
+      return graft.ops.TableOps.snapshot(spark, t).filter(lit(false))
     val keys = spark.read.option("basePath", root.toString)
       .parquet(dirs.map(_.toString): _*)
       .join(probe, Seq(valueCol), "left_semi")

@@ -1512,6 +1512,10 @@ class ExtSpec extends SparkSuite {
       Seq(0.005, 0.01, 0.995, 1.0))
     assert(qf.columns.toSeq ===
       Seq("g", "n_rows", "p0_5", "p1", "p99_5", "p100"))
+    // label scaling is decimal-exact: 0.07*100 in double arithmetic is
+    // 7.000000000000001, which must NOT leak into the column name
+    assert(Expectations.quantileReport(df, Seq("g"), "v", Seq(0.07, 0.57))
+      .columns.toSeq === Seq("g", "n_rows", "p7", "p57"))
     assert(qf.select("p0_5", "p1", "p99_5", "p100")
       .as[(Double, Double, Double, Double)].head() === ((1.0, 1.0, 100.0, 100.0)))
     intercept[IllegalArgumentException] {
@@ -1648,6 +1652,14 @@ class ExtSpec extends SparkSuite {
       lo = 0.0, hi = 100.0)
       .filter($"bin" === 9).select("n_cur").as[Long].head()
     assert(binned === 1000L)
+    // FAR out-of-range values clamp too: the long bin index 2^32+7
+    // would wrap to interior bin 7 under a narrowing int cast — it must
+    // land in edge bin 9, not bin 7
+    val far = Seq(10.0 * (math.pow(2, 32) + 7)).toDF("v")
+    val farBins = Expectations.psiDrift(ref, far, $"v", bins = 10,
+      lo = 0.0, hi = 100.0)
+      .filter($"n_cur" > 0).select("bin").as[Int].collect().toSeq
+    assert(farBins === Seq(9), s"far value mis-binned: $farBins")
   }
 
   test("Kmv: layout-independent sketch, exact path, calibrated overlap") {

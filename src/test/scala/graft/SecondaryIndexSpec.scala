@@ -87,6 +87,26 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(!compacted.contains((5L, 5L)) && compacted.contains((999L, 5L)))
   }
 
+  test("soft delete in the increment window: paths agree with snapshot") {
+    val t = mk(tmpDir("graft-sx6"))
+    assert(got(t, Seq(5L)) === want(t, Seq(5L))) // builds + syncs
+    // in one increment window: key 2000 arrives under grp 42, then is
+    // soft-deleted. Soft-deleted rows STAY in the snapshot (the flag
+    // is payload), so the increment-maintained index must answer the
+    // same as a rebuilt one: the row is found
+    TableOps.upsert(spark, t,
+      Seq((2000L, 42L, "x")).toDF("id", "grp", "payload"))
+    TableOps.softDelete(spark, t, Seq(2000L).toDF("id"))
+    val incr = SecondaryIndex.lookup(spark, t, "grp", Seq(42L).toDF("grp"))
+      .select("id").as[Long].collect().toSet
+    assert(incr.contains(2000L),
+      "increment path dropped the soft-deleted key's mapping")
+    SecondaryIndex.refresh(spark, t, "grp")
+    val rebuilt = SecondaryIndex.lookup(spark, t, "grp", Seq(42L).toDF("grp"))
+      .select("id").as[Long].collect().toSet
+    assert(incr === rebuilt)
+  }
+
   test("restore forces a rebuild (no silent increment across it)") {
     val base = tmpDir("graft-sx5")
     val t = KeyedTable("sx_r", s"$base/t", Seq("id"), "ver")
