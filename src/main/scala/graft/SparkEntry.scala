@@ -138,6 +138,9 @@ object SparkEntry {
     "events_sessions"         -> (ExtQueries.eventsSessions _),
     "events_funnel"           -> (ExtQueries.eventsFunnel _),
     "text_bm25"               -> (ExtQueries.textBm25 _),
+    "text_retrieval_eval"     -> (ExtQueries.textRetrievalEval _),
+    "labels_vote"             -> (ExtQueries.labelsVote _),
+    "labels_kappa"            -> (ExtQueries.labelsKappa _),
     "dq_group_quantiles"      -> (ExtQueries.dqGroupQuantiles _),
     "sample_kfold"            -> (ExtQueries.sampleKfold _),
     "events_retention"        -> (ExtQueries.eventsRetention _),
@@ -300,6 +303,21 @@ object SparkEntry {
         | bmrk AS (SELECT query_id, doc_id, score_r,
         |   row_number() OVER (PARTITION BY query_id
         |     ORDER BY score_r DESC, doc_id ASC) AS rank FROM sc)""".stripMargin
+
+  /** Fixed-point rank-weight table for `text_retrieval_eval` — the
+    * SAME driver-baked integers the Spark plan embeds
+    * ([[graft.ext.RetrievalEval]] weight tables: DCG gain, MRR
+    * reciprocal, IDCG prefix per rank 1..10), rendered as a VALUES
+    * CTE so the oracle's sums are bit-identical by construction.
+    */
+  private def retrievalWeightsCte: String = {
+    val wd = graft.ext.RetrievalEval.dcgWeightsU(10)
+    val wm = graft.ext.RetrievalEval.mrrWeightsU(10)
+    val wp = graft.ext.RetrievalEval.idcgPrefixU(10)
+    val rows = (1 to 10).map(r =>
+      s"(${r}, ${wd(r - 1)}, ${wm(r - 1)}, ${wp(r - 1)})").mkString(", ")
+    s"w(rnk, wd, wm, wp) AS (VALUES $rows)"
+  }
 
   /** Winnowing selection CTE chain ending in `wsel(doc_id, pos, fp)` —
     * word 3-grams, window 4, the (hash, −pos) aligned-frame minima —
@@ -2064,6 +2082,122 @@ object SparkEntry {
       s"""WITH $bm25RankCte
         | SELECT query_id, doc_id, score_r, rank FROM bmrk WHERE rank <= 10
         | ORDER BY query_id, rank""".stripMargin,
+    // Retrieval eval: the shared BM25 run + deterministic (source,
+    // lang)-cell qrels; every metric cell replays through the SAME
+    // baked integer weight table the Spark plan embeds — the only
+    // double is the final ratio of two exact < 2^53 integers.
+    "text_retrieval_eval" ->
+      s"""WITH $bm25RankCte,
+        | $retrievalWeightsCte,
+        | qr AS (
+        |  SELECT q.doc_id AS query_id, d.doc_id AS doc_id
+        |  FROM documents q JOIN documents d
+        |    ON d.source = q.source AND d.lang = q.lang
+        |     AND d.doc_id <> q.doc_id
+        |  WHERE q.doc_id < 5),
+        | rel AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY 1),
+        | topk AS (SELECT query_id, doc_id, CAST(rank AS INT) AS rnk
+        |   FROM bmrk WHERE rank <= 10),
+        | mk AS (
+        |  SELECT t.query_id, t.rnk,
+        |   CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS r
+        |  FROM topk t LEFT JOIN qr q
+        |    ON q.query_id = t.query_id AND q.doc_id = t.doc_id),
+        | pq AS (
+        |  SELECT m.query_id, count(*) AS n_ret,
+        |   CAST(sum(m.r) AS BIGINT) AS n_hit,
+        |   coalesce(min(CASE WHEN m.r = 1 THEN m.rnk END), 0)
+        |     AS first_rel_rank,
+        |   CAST(coalesce(sum(CASE WHEN m.r = 1 THEN w.wd END), 0) AS BIGINT)
+        |     AS dcg_u
+        |  FROM mk m JOIN w ON w.rnk = m.rnk
+        |  GROUP BY 1),
+        | j2 AS (
+        |  SELECT coalesce(p.query_id, rel.query_id) AS query_id,
+        |   coalesce(rel.n_rel, 0) AS n_rel,
+        |   coalesce(p.n_ret, 0) AS n_ret, coalesce(p.n_hit, 0) AS n_hit,
+        |   coalesce(p.first_rel_rank, 0) AS first_rel_rank,
+        |   coalesce(p.dcg_u, 0) AS dcg_u
+        |  FROM pq p FULL JOIN rel ON rel.query_id = p.query_id)
+        | SELECT j2.query_id, j2.n_rel, j2.n_ret, j2.n_hit,
+        |  j2.first_rel_rank,
+        |  CAST(coalesce(wm.wm, 0) AS BIGINT) AS mrr_u,
+        |  j2.dcg_u,
+        |  CAST(coalesce(wi.wp, 0) AS BIGINT) AS idcg_u,
+        |  CASE WHEN coalesce(wi.wp, 0) > 0
+        |    THEN round(CAST(j2.dcg_u AS DOUBLE) / CAST(wi.wp AS DOUBLE), 9)
+        |    ELSE 0.0 END AS ndcg_r
+        | FROM j2
+        | LEFT JOIN w wm ON wm.rnk = j2.first_rel_rank
+        | LEFT JOIN w wi ON wi.rnk = least(j2.n_rel, 10)
+        | ORDER BY query_id""".stripMargin,
+    // Label aggregation: the oracle rebuilds the 3-annotator synthetic
+    // labels via the identical md5-60 draw, then replays the collapse
+    // (min label per annotator), the vote window, and the integer pair
+    // arithmetic. `//` is exact (pair products are even).
+    "labels_vote" ->
+      s"""WITH ann AS (
+        |  SELECT d.doc_id, a.a AS annot,
+        |   CASE WHEN ${h60Sql("lab", 42, "d.doc_id * 3 + a.a")} % 10 < 8
+        |        THEN d.lang ELSE 'zz' END AS label
+        |  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) a(a)),
+        | pa AS (SELECT doc_id, annot, min(label) AS label
+        |   FROM ann GROUP BY 1, 2),
+        | v AS (SELECT doc_id, label, count(*) AS votes
+        |   FROM pa GROUP BY 1, 2),
+        | ag AS (SELECT doc_id, CAST(sum(votes) AS BIGINT) AS n_annot,
+        |    CAST(sum(votes * (votes - 1) // 2) AS BIGINT) AS agree_pairs
+        |   FROM v GROUP BY 1),
+        | rk AS (SELECT doc_id, label, votes,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY votes DESC, label ASC) AS rn FROM v)
+        | SELECT r.doc_id, r.label, r.votes, g.n_annot, g.agree_pairs,
+        |  g.n_annot * (g.n_annot - 1) // 2 AS total_pairs,
+        |  CASE WHEN g.n_annot >= 2 THEN
+        |    round(CAST(g.agree_pairs AS DOUBLE) /
+        |      CAST(g.n_annot * (g.n_annot - 1) // 2 AS DOUBLE), 9)
+        |  ELSE 1.0 END AS agreement_r
+        | FROM rk r JOIN ag g USING (doc_id) WHERE r.rn = 1
+        | ORDER BY r.doc_id""".stripMargin,
+    // Fleiss' kappa: per-item agreement and per-label chance terms go
+    // through DECIMAL(28,9) (order-independent folds); the final cells
+    // divide identical < 2^53 integers/decimals in the SAME operand
+    // order as the Spark plan, rounded to 9.
+    "labels_kappa" ->
+      s"""WITH ann AS (
+        |  SELECT d.doc_id, a.a AS annot,
+        |   CASE WHEN ${h60Sql("lab", 42, "d.doc_id * 3 + a.a")} % 10 < 8
+        |        THEN d.lang ELSE 'zz' END AS label
+        |  FROM documents d CROSS JOIN (VALUES (0), (1), (2)) a(a)),
+        | pa AS (SELECT doc_id, annot, min(label) AS label
+        |   FROM ann GROUP BY 1, 2),
+        | v AS (SELECT doc_id, label, count(*) AS votes
+        |   FROM pa GROUP BY 1, 2),
+        | it AS (SELECT doc_id, CAST(sum(votes) AS BIGINT) AS n,
+        |    CAST(sum(votes * (votes - 1)) AS BIGINT) AS a2
+        |   FROM v GROUP BY 1 HAVING CAST(sum(votes) AS BIGINT) >= 2),
+        | poi AS (SELECT doc_id, CAST(CAST(a2 AS DOUBLE) /
+        |     CAST(n * (n - 1) AS DOUBLE) AS DECIMAL(28,9)) AS po_i
+        |   FROM it),
+        | el AS (SELECT v.label, CAST(sum(v.votes) AS BIGINT) AS vj
+        |   FROM v JOIN it USING (doc_id) GROUP BY 1),
+        | tt AS (SELECT CAST(sum(vj) AS BIGINT) AS t,
+        |    count(*) AS n_labels FROM el),
+        | pos AS (SELECT count(*) AS n_items, sum(po_i) AS po_sum FROM poi),
+        | pes AS (SELECT t2.n_labels, t2.t,
+        |    sum(CAST((CAST(e.vj AS DOUBLE) / CAST(t2.t AS DOUBLE)) *
+        |        (CAST(e.vj AS DOUBLE) / CAST(t2.t AS DOUBLE))
+        |        AS DECIMAL(28,9))) AS pe
+        |   FROM el e CROSS JOIN tt t2 GROUP BY 1, 2)
+        | SELECT p.n_items, s.n_labels, s.t AS total_votes,
+        |  round(CAST(p.po_sum AS DOUBLE) / CAST(p.n_items AS DOUBLE), 9)
+        |    AS po_r,
+        |  round(CAST(s.pe AS DOUBLE), 9) AS pe_r,
+        |  CASE WHEN CAST(s.pe AS DOUBLE) < 1 THEN
+        |    round((CAST(p.po_sum AS DOUBLE) / CAST(p.n_items AS DOUBLE)
+        |      - CAST(s.pe AS DOUBLE)) / (1.0 - CAST(s.pe AS DOUBLE)), 9)
+        |  ELSE 0.0 END AS kappa_r
+        | FROM pos p CROSS JOIN pes s""".stripMargin,
     // Hybrid RRF: the oracle replays BOTH retrievers (the shared BM25
     // CTE + the established cosine-rank recompute) and the fixed-point
     // integer fusion — `//` ≡ Spark `div` on positives, sum cast back

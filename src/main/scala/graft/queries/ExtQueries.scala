@@ -1613,6 +1613,57 @@ object ExtQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Retrieval evaluation of the BM25 run (the `text_bm25` retriever
+    * verbatim) against deterministic qrels — a doc is relevant to a
+    * query doc iff it shares the query's (source, lang) cell. Per
+    * query: recall counts, fixed-point MRR and nDCG@10 with
+    * driver-baked integer weights, so every cell is oracle-replayable.
+    */
+  def textRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    val run = graft.ext.Bm25.topK(docs, "doc_id", "text", queries, "qid",
+      "text", k = 10, maxDfFrac = 1.0)
+    val qrels = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("source"), col("lang"))
+      .join(docs.select(col("doc_id"), col("source"), col("lang")),
+        Seq("source", "lang"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select("query_id", "doc_id")
+    graft.ext.RetrievalEval.evaluate(run, "query_id", "doc_id", "rank",
+      qrels, "query_id", "doc_id", k = 10)
+      .orderBy("query_id")
+  }
+
+  /** Synthesized 3-annotator labels over the documents: annotator a's
+    * label for doc d is the doc's lang with probability 0.8 and the
+    * noise label 'zz' otherwise, decided by the portable md5-60 draw
+    * of (3·doc_id + a) — digit-for-digit replayable by the oracle.
+    */
+  private def annotations(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .withColumn("annot", explode(array(lit(0L), lit(1L), lit(2L))))
+      .withColumn("label",
+        when(pmod(graft.functions.PortableHash.h60("lab", 42,
+          col("doc_id") * 3 + col("annot")), lit(10L)) < 8, col("lang"))
+          .otherwise(lit("zz")))
+      .select("doc_id", "annot", "label")
+
+  /** Majority verdict + per-item agreement over the synthesized
+    * 3-annotator labels.
+    */
+  def labelsVote(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Labels.majorityVote(annotations(s, dir),
+      "doc_id", "annot", "label").orderBy("doc_id")
+
+  /** Corpus Fleiss' kappa over the same synthesized labels — one-row
+    * reliability report.
+    */
+  def labelsKappa(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Labels.fleissKappa(annotations(s, dir),
+      "doc_id", "annot", "label")
+
   /** Weekly cohort retention triangle (integer epoch-week arithmetic —
     * bit-exact cross-engine, no calendar truncation).
     */
