@@ -244,7 +244,8 @@ object SparkEntry {
     "sample_weighted", "sim_knn_graph", "i_incremental_agg",
     "text_bm25", "dedup_edit_pairs", "graph_pagerank",
     "dedup_containment", "a_kmv_overlap", "dq_drift", "text_hybrid_rrf",
-    "o10_secondary_lookup", "j_interval_overlap")
+    "o10_secondary_lookup", "j_interval_overlap",
+    "text_retrieval_eval", "labels_vote", "labels_kappa")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
