@@ -141,6 +141,7 @@ object SparkEntry {
     "text_retrieval_eval"     -> (ExtQueries.textRetrievalEval _),
     "labels_vote"             -> (ExtQueries.labelsVote _),
     "labels_kappa"            -> (ExtQueries.labelsKappa _),
+    "sim_mmr_rerank"          -> (ExtQueries.simMmrRerank _),
     "dq_group_quantiles"      -> (ExtQueries.dqGroupQuantiles _),
     "sample_kfold"            -> (ExtQueries.sampleKfold _),
     "events_retention"        -> (ExtQueries.eventsRetention _),
@@ -245,7 +246,8 @@ object SparkEntry {
     "text_bm25", "dedup_edit_pairs", "graph_pagerank",
     "dedup_containment", "a_kmv_overlap", "dq_drift", "text_hybrid_rrf",
     "o10_secondary_lookup", "j_interval_overlap",
-    "text_retrieval_eval", "labels_vote", "labels_kappa")
+    "text_retrieval_eval", "labels_vote", "labels_kappa",
+    "sim_mmr_rerank")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -318,6 +320,64 @@ object SparkEntry {
     val rows = (1 to 10).map(r =>
       s"(${r}, ${wd(r - 1)}, ${wm(r - 1)}, ${wp(r - 1)})").mkString(", ")
     s"w(rnk, wd, wm, wp) AS (VALUES $rows)"
+  }
+
+  /** Unrolled greedy MMR oracle for `sim_mmr_rerank`: stage r's
+    * argmax CTE scores every not-yet-selected candidate as
+    * `λ·rel − (1−λ)·max cos(item, selected)` against the union of
+    * stages 1..r−1 — the same recurrence the Spark loop runs, with
+    * the SAME double constants (the Scala rendering of 1−λ, ulp
+    * included) and the same item-id tie-break. Rank-only output: the
+    * cosine ORDERING is the bit-stable cross-engine surface (the
+    * sim_cosine_topk posture); no score column is emitted. Every CTE
+    * is MATERIALIZED: the u-chain references each prior stage twice
+    * (join + NOT EXISTS), and DuckDB's default inlining re-derives
+    * the whole recurrence per reference — 278 s at sf0.01 inlined,
+    * 0.5 s materialized.
+    */
+  private def mmrOracleSql(k: Int, c: Int, nq: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val oneM = (1.0 - lambda).toString
+    val head =
+      s"""WITH cand AS MATERIALIZED (
+         |  SELECT query_id, item_id, rel FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+         |    list_cosine_similarity(q.embedding, c.embedding) AS rel,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+         |               c.vec_id ASC) AS rank
+         |   FROM embeddings q CROSS JOIN embeddings c
+         |   WHERE q.vec_id < $nq AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= $c),
+         | sel1 AS MATERIALIZED (
+         |  SELECT query_id, item_id, 1 AS mmr_rank FROM (
+         |   SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY rel DESC, item_id ASC) AS rn FROM cand)
+         |  WHERE rn = 1)""".stripMargin
+    val stages = (2 to k).map { r =>
+      val prevU = if (r == 2) "SELECT * FROM sel1"
+        else s"SELECT * FROM u${r - 2} UNION ALL SELECT * FROM sel${r - 1}"
+      s""" u${r - 1} AS MATERIALIZED ($prevU),
+         | sc$r AS MATERIALIZED (
+         |  SELECT cd.query_id, cd.item_id, cd.rel,
+         |   max(list_cosine_similarity(ei.embedding, es.embedding)) AS maxsim
+         |  FROM cand cd
+         |  JOIN u${r - 1} s ON s.query_id = cd.query_id
+         |  JOIN embeddings ei ON ei.vec_id = cd.item_id
+         |  JOIN embeddings es ON es.vec_id = s.item_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM u${r - 1} x
+         |    WHERE x.query_id = cd.query_id AND x.item_id = cd.item_id)
+         |  GROUP BY 1, 2, 3),
+         | sel$r AS MATERIALIZED (
+         |  SELECT query_id, item_id, $r AS mmr_rank FROM (
+         |   SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY $lam * rel - $oneM * maxsim DESC, item_id ASC) AS rn
+         |   FROM sc$r) WHERE rn = 1)""".stripMargin
+    }
+    val finalU = s" uF AS (SELECT * FROM u${k - 1} UNION ALL SELECT * FROM sel$k)"
+    (head +: stages).mkString(",\n") + ",\n" + finalU +
+      "\n SELECT query_id, item_id AS neighbor_id, mmr_rank FROM uF" +
+      "\n ORDER BY query_id, mmr_rank"
   }
 
   /** Winnowing selection CTE chain ending in `wsel(doc_id, pos, fp)` —
@@ -2132,6 +2192,7 @@ object SparkEntry {
         | LEFT JOIN w wm ON wm.rnk = j2.first_rel_rank
         | LEFT JOIN w wi ON wi.rnk = least(j2.n_rel, 10)
         | ORDER BY query_id""".stripMargin,
+    "sim_mmr_rerank" -> mmrOracleSql(k = 8, c = 20, nq = 8, lambda = 0.7),
     // Label aggregation: the oracle rebuilds the 3-annotator synthetic
     // labels via the identical md5-60 draw, then replays the collapse
     // (min label per annotator), the vote window, and the integer pair

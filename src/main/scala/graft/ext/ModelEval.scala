@@ -1,0 +1,164 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Binary-classifier evaluation: ROC-AUC, a thresholded confusion
+  * report, and a calibration (reliability) table — the measurement
+  * side of the model-based quality-filter loop ([[Classifier]] trains
+  * and scores; this module answers "is the score any good, and is it
+  * calibrated?" before the filter gates a 100 TB corpus on it).
+  *
+  * Everything is exact integer arithmetic until one final division:
+  *   - AUC is the tie-corrected Mann–Whitney statistic computed over
+  *     DISTINCT-SCORE groups, never row-level pairs: with pos_g/neg_g
+  *     the per-score class counts and cnb_g the negatives strictly
+  *     below score g,  2·U = Σ_g pos_g · (2·cnb_g + neg_g)  (ties
+  *     count half), and AUC = 2U / (2·n_pos·n_neg). The cells fold
+  *     through DECIMAL(38,0) so no count ever saturates BIGINT.
+  *   - confusion cells are plain conditional counts; precision /
+  *     recall / accuracy / F1 are each written as ONE division of two
+  *     exact integers (F1 = 2tp / (2tp+fp+fn), never 2pr/(p+r)), so
+  *     every emitted double is a single correctly-rounded IEEE op on
+  *     identical operands — bit-stable cross-engine with no rounding
+  *     shims.
+  *   - calibration reuses the [[Expectations.psiDrift]] fixed-grid
+  *     clamp (floor on the LONG bin before narrowing) over a
+  *     caller-fixed [lo, hi): per-bin n / n_pos exact, pos_rate one
+  *     division.
+  *
+  * Scale: rocAuc's only row-sized stage is the map-side-combinable
+  * groupBy(score); the prefix over distinct scores reuses the
+  * [[Packing.assignShards]] two-phase decomposition (approx-quantile
+  * bucket cuts on the GROUPED frame, per-bucket negative totals — a
+  * ≤4096-row driver collect — then a bucket-partitioned window), so
+  * no single-partition global window ever appears even when score
+  * cardinality approaches row count. Cut placement is value-invariant:
+  * buckets are score-monotone and equal scores always share a bucket
+  * (strict `>` against each cut), so cnb_g — negatives STRICTLY
+  * below g — is the same for any cut vector. confusionAt and
+  * calibration are one map-side-combinable aggregate each.
+  */
+object ModelEval {
+
+  /** (score, label) projection with the binary-label contract enforced
+    * inside the plan (raise_error — stays distributed, fails fast). */
+  private def scored(df: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val y = col(labelCol).cast("long")
+    df.select(col(scoreCol).cast(DoubleType).as("_s"),
+        when(y.isin(0L, 1L), y).otherwise(raise_error(concat(
+          lit(s"ModelEval: label '$labelCol' must be 0/1, got "),
+          y.cast("string")))).as("_y"))
+      .filter(col("_s").isNotNull && col("_y").isNotNull)
+  }
+
+  /** Tie-corrected ROC-AUC (Mann–Whitney). One row:
+    * `(n_pos, n_neg, u2, auc)` with `u2` = 2·U as DECIMAL(38,0) —
+    * the exact integer surface — and `auc` null when either class is
+    * empty. `buckets` bounds the per-bucket window sort; per-bucket
+    * totals are collected, so it is capped at 4096. */
+  def rocAuc(df: DataFrame, labelCol: String, scoreCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 1 && buckets <= 4096,
+      "buckets must be in [1, 4096] (per-bucket totals are collected)")
+    val g = scored(df, labelCol, scoreCol)
+      .groupBy("_s")
+      .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
+      .withColumn("neg_g", col("tot_g") - col("pos_g"))
+    // Phase 1: approximate quantile cuts over the DISTINCT-SCORE frame,
+    // baked as literals. Precision moves only bucket balance: cnb is
+    // cut-invariant (see object doc), so approxQuantile's partition-
+    // order sensitivity cannot reach the output values.
+    val cuts: Seq[Double] =
+      if (buckets == 1) Nil
+      else g.stat.approxQuantile("_s",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .toSeq.distinct.sorted
+    val bucketOf: Column =
+      if (cuts.isEmpty) lit(0)
+      else aggregate(array(cuts.map(lit): _*), lit(0),
+        (acc, c) => acc + when(col("_s") > c, 1).otherwise(0))
+    val gb = g.withColumn("_b", bucketOf)
+    // Phase 2: per-bucket negative totals -> driver prefix offsets
+    // (metadata-sized: ≤ buckets rows).
+    val totals = gb.groupBy("_b").agg(sum("neg_g").as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 to cuts.length).map { b =>
+        val o = b -> acc; acc += totals.getOrElse(b, 0L); o
+      }.toMap
+    }
+    // Phase 3: within-bucket strict-below prefix + literal offset.
+    val w = Window.partitionBy("_b").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cnb = (element_at(typedLit(offsets), col("_b")) +
+      coalesce(sum(col("neg_g")).over(w), lit(0L))).cast("decimal(38,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = gb
+      .select(col("pos_g"), col("neg_g"),
+        (dec(col("pos_g")) * (dec(lit(2)) * cnb + dec(col("neg_g"))))
+          .as("_u2g"))
+      .agg(sum(col("pos_g")).as("n_pos"), sum(col("neg_g")).as("n_neg"),
+        sum(col("_u2g")).cast("decimal(38,0)").as("u2"))
+    cells.select(col("n_pos"), col("n_neg"), col("u2"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        col("u2").cast(DoubleType) /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** Confusion report at `score >= threshold`. One row:
+    * `(tp, fp, fn, tn, precision, recall, accuracy, f1)` — each rate
+    * a single integer division (F1 = 2tp/(2tp+fp+fn)), null when its
+    * denominator is zero. */
+  def confusionAt(df: DataFrame, labelCol: String, scoreCol: String,
+      threshold: Double): DataFrame = {
+    val cell = (p: Column) => sum(when(p, 1L).otherwise(0L))
+    val pred = col("_s") >= threshold
+    val ratio = (num: Column, den: Column) =>
+      when(den > 0, num.cast(DoubleType) / den)
+    scored(df, labelCol, scoreCol)
+      .agg(cell(col("_y") === 1L && pred).as("tp"),
+        cell(col("_y") === 0L && pred).as("fp"),
+        cell(col("_y") === 1L && !pred).as("fn"),
+        cell(col("_y") === 0L && !pred).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy"),
+        ratio(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
+  }
+
+  /** Calibration (reliability) table over `bins` equal-width score
+    * bins on the caller-fixed [lo, hi): per-bin `(bin, n, n_pos,
+    * pos_rate)` with out-of-range scores clamped to the edge bins and
+    * empty bins kept visible (n = 0, pos_rate null) via a range spine
+    * — a calibrated score has pos_rate tracking the bin midpoint. */
+  def calibration(df: DataFrame, labelCol: String, scoreCol: String,
+      bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins >= 2, "at least two bins")
+    require(hi > lo, "hi must exceed lo")
+    // clamp on the LONG floor BEFORE narrowing (the psiDrift posture):
+    // a non-ANSI long->int cast wraps, so a far-out-of-range score
+    // could otherwise land in an interior bin
+    val bin = least(lit((bins - 1).toLong), greatest(lit(0L),
+      floor((col("_s") - lit(lo)) / lit((hi - lo) / bins))))
+      .cast("int").as("bin")
+    val counts = scored(df, labelCol, scoreCol)
+      .select(bin, col("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
+    df.sparkSession.range(0, bins)
+      .select(col("id").cast("int").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("n", "n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        when(col("n") > 0, col("n_pos").cast(DoubleType) / col("n"))
+          .as("pos_rate"))
+  }
+}

@@ -1664,6 +1664,23 @@ object ExtQueries {
     graft.ext.Labels.fleissKappa(annotations(s, dir),
       "doc_id", "annot", "label")
 
+  /** MMR diverse rerank of the exact-cosine top-20 candidates for the
+    * first 8 query vectors: k = 8 greedy picks at λ = 0.7. Rank-only
+    * output (the sim_cosine_topk posture); the oracle unrolls the
+    * same greedy recurrence stage by stage.
+    */
+  def simMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val cands = graft.ext.Similarity
+      .bruteForceTopK(queries, emb, "vec_id", "embedding", k = 20)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+    graft.ext.Mmr.rerank(cands, "query_id", "neighbor_id", "cos",
+      "embedding", k = 8, lambda = 0.7)
+      .orderBy("query_id", "mmr_rank")
+  }
+
   /** Weekly cohort retention triangle (integer epoch-week arithmetic —
     * bit-exact cross-engine, no calendar truncation).
     */
