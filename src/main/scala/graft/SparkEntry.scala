@@ -142,6 +142,9 @@ object SparkEntry {
     "labels_vote"             -> (ExtQueries.labelsVote _),
     "labels_kappa"            -> (ExtQueries.labelsKappa _),
     "sim_mmr_rerank"          -> (ExtQueries.simMmrRerank _),
+    "eval_auc"                -> (ExtQueries.evalAuc _),
+    "eval_confusion"          -> (ExtQueries.evalConfusion _),
+    "eval_calibration"        -> (ExtQueries.evalCalibration _),
     "dq_group_quantiles"      -> (ExtQueries.dqGroupQuantiles _),
     "sample_kfold"            -> (ExtQueries.sampleKfold _),
     "events_retention"        -> (ExtQueries.eventsRetention _),
@@ -247,7 +250,7 @@ object SparkEntry {
     "dedup_containment", "a_kmv_overlap", "dq_drift", "text_hybrid_rrf",
     "o10_secondary_lookup", "j_interval_overlap",
     "text_retrieval_eval", "labels_vote", "labels_kappa",
-    "sim_mmr_rerank")
+    "sim_mmr_rerank", "eval_auc")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -2193,6 +2196,85 @@ object SparkEntry {
         | LEFT JOIN w wi ON wi.rnk = least(j2.n_rel, 10)
         | ORDER BY query_id""".stripMargin,
     "sim_mmr_rerank" -> mmrOracleSql(k = 8, c = 20, nq = 8, lambda = 0.7),
+    // ROC-AUC via the tie-corrected Mann–Whitney identity over
+    // distinct-score groups: 2U = Σ_g pos_g·(2·cnb_g + neg_g). The
+    // oracle folds the summand through DECIMAL((18|19),0) operands
+    // (DuckDB's multiply adds operand widths and binds only ≤ 38,
+    // so a 38,0×38,0 product is a binder error there; Spark caps at
+    // 38) — the VALUES are exact integers either way, and the final
+    // u2 lands as DECIMAL(38,0) on both engines.
+    "eval_auc" ->
+      s"""WITH ${lmCte("documents")},
+         | lab AS (SELECT lm.doc_id, lm_score AS s,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM lm JOIN documents USING (doc_id)),
+         | g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos_g,
+         |   count(*) AS tot_g FROM lab GROUP BY s),
+         | c AS (SELECT s, pos_g, tot_g - pos_g AS neg_g,
+         |   coalesce(sum(tot_g - pos_g) OVER (ORDER BY s
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |     AS cnb
+         |  FROM g),
+         | cells AS (SELECT CAST(sum(pos_g) AS BIGINT) AS n_pos,
+         |   CAST(sum(neg_g) AS BIGINT) AS n_neg,
+         |   CAST(sum(CAST(pos_g AS DECIMAL(18,0)) *
+         |     CAST(2 * cnb + neg_g AS DECIMAL(19,0)))
+         |     AS DECIMAL(38,0)) AS u2
+         |  FROM c)
+         | SELECT n_pos, n_neg, u2,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |   THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
+         | FROM cells""".stripMargin,
+    "eval_confusion" ->
+      raw"""WITH tok AS (
+         |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM documents),
+         | sr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+         |     'of','to','in','is','it','for','on','with','as','at','by')))
+         |     AS DOUBLE) / len(w) AS s
+         |  FROM tok),
+         | cells AS (SELECT
+         |   CAST(sum(CASE WHEN y = 1 AND s >= 0.0625 THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS tp,
+         |   CAST(sum(CASE WHEN y = 0 AND s >= 0.0625 THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS fp,
+         |   CAST(sum(CASE WHEN y = 1 AND NOT (s >= 0.0625) THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS fn,
+         |   CAST(sum(CASE WHEN y = 0 AND NOT (s >= 0.0625) THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS tn
+         |  FROM sr)
+         | SELECT tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0
+         |   THEN CAST(tp AS DOUBLE) / (tp + fp) END AS "precision",
+         |  CASE WHEN tp + fn > 0
+         |   THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+         |  CASE WHEN tp + fp + fn + tn > 0
+         |   THEN CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) END AS accuracy,
+         |  CASE WHEN 2 * tp + fp + fn > 0
+         |   THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+         | FROM cells""".stripMargin,
+    "eval_calibration" ->
+      raw"""WITH tok AS (
+         |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM documents),
+         | sr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+         |     'of','to','in','is','it','for','on','with','as','at','by')))
+         |     AS DOUBLE) / len(w) AS s
+         |  FROM tok),
+         | b AS (SELECT CAST(least(9, greatest(0,
+         |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
+         |    AS INT) AS bin, y
+         |  FROM sr WHERE s IS NOT NULL),
+         | counts AS (SELECT bin, count(*) AS n,
+         |   CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY bin)
+         | SELECT CAST(r.range AS INT) AS bin, coalesce(n, 0) AS n,
+         |  coalesce(n_pos, 0) AS n_pos,
+         |  CASE WHEN coalesce(n, 0) > 0
+         |   THEN CAST(n_pos AS DOUBLE) / n END AS pos_rate
+         | FROM range(0, 10) r LEFT JOIN counts ON counts.bin = r.range
+         | ORDER BY bin""".stripMargin,
     // Label aggregation: the oracle rebuilds the 3-annotator synthetic
     // labels via the identical md5-60 draw, then replays the collapse
     // (min label per annotator), the vote window, and the integer pair

@@ -1664,6 +1664,46 @@ object ExtQueries {
     graft.ext.Labels.fleissKappa(annotations(s, dir),
       "doc_id", "annot", "label")
 
+  /** ROC-AUC of the corpus-bigram LM score as a predictor of
+    * `lang = 'en'` — the measurement half of the model-based
+    * quality-filter loop (how well does the score separate the
+    * dominant language the LM was implicitly trained toward?).
+    * Tie-corrected Mann–Whitney over distinct-score groups; the
+    * one-row report's u2 is an exact DECIMAL(38,0) integer.
+    */
+  def evalAuc(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scoredDocs = TextStats.lmScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.rocAuc(scoredDocs, "is_en", "lm_score")
+  }
+
+  /** Confusion report of `stopword_ratio >= 0.0625` predicting
+    * `lang = 'en'` — every rate one division of exact integer cells.
+    */
+  def evalConfusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val st = TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.confusionAt(st, "is_en", "stopword_ratio",
+      threshold = 0.0625)
+  }
+
+  /** Calibration (reliability) table of stopword_ratio vs the
+    * `lang = 'en'` label over 10 fixed-grid bins on [0, 0.25).
+    */
+  def evalCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val st = TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.calibration(st, "is_en", "stopword_ratio",
+      bins = 10, lo = 0.0, hi = 0.25)
+      .orderBy("bin")
+  }
+
   /** MMR diverse rerank of the exact-cosine top-20 candidates for the
     * first 8 query vectors: k = 8 greedy picks at λ = 0.7. Rank-only
     * output (the sim_cosine_topk posture); the oracle unrolls the

@@ -1,0 +1,91 @@
+package graft
+
+import graft.ext.ModelEval
+import org.apache.spark.sql.functions._
+
+/** ModelEval: AUC against hand-computed Mann–Whitney values (ties,
+  * perfect and inverted rankings, degenerate classes), confusion-cell
+  * arithmetic, calibration binning with clamps and empty bins, and
+  * the bucket-count invariance that justifies the two-phase prefix.
+  */
+class ModelEvalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Double, Int)], buckets: Int = 256): (Long, Long, BigDecimal, Option[Double]) = {
+    val df = rows.toDF("s", "y")
+    val r = ModelEval.rocAuc(df, "y", "s", buckets).head()
+    (r.getLong(0), r.getLong(1), BigDecimal(r.getDecimal(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+  }
+
+  test("perfect, inverted, and interleaved rankings") {
+    // perfect: all positives above all negatives
+    assert(auc(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)))._4 === Some(1.0))
+    // inverted
+    assert(auc(Seq((0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)))._4 === Some(0.0))
+    // interleaved: pairs won = {(.8>.7),(.8>.3),(.4>.3)} = 3 of 4 -> 0.75
+    val (np, nn, u2, a) = auc(Seq((0.8, 1), (0.7, 0), (0.4, 1), (0.3, 0)))
+    assert((np, nn) === (2L, 2L))
+    assert(u2 === BigDecimal(6)) // 2U = 2*3
+    assert(a === Some(0.75))
+  }
+
+  test("ties count half (tie-corrected U)") {
+    // one positive and one negative share score 0.5; the other positive
+    // is above everything: U = 1*2 (top pos beats both negs) + 1*(1/2 tie)
+    // + 1*1 (tied pos beats the 0.1 neg) = 3.5 -> 2U = 7, AUC = 7/8
+    val (_, _, u2, a) =
+      auc(Seq((0.9, 1), (0.5, 1), (0.5, 0), (0.1, 0)))
+    assert(u2 === BigDecimal(7))
+    assert(a === Some(0.875))
+  }
+
+  test("degenerate single-class input yields null auc, exact counts") {
+    val (np, nn, u2, a) = auc(Seq((0.9, 1), (0.8, 1)))
+    assert((np, nn, u2, a) === (2L, 0L, BigDecimal(0), None))
+  }
+
+  test("auc is invariant to the bucket count (cut-invariance)") {
+    val rows = (1 to 400).map { i =>
+      // heavy ties: only 13 distinct scores across 400 rows
+      (((i * 7919) % 13).toDouble / 13.0, (i * 2654435761L % 5 < 2).compare(false))
+    }.map { case (s, y) => (s, if (y > 0) 1 else 0) }
+    val one = auc(rows, buckets = 1)
+    assert(auc(rows, buckets = 4) === one)
+    assert(auc(rows, buckets = 256) === one)
+  }
+
+  test("non-binary label fails fast") {
+    val df = Seq((0.9, 2), (0.8, 0)).toDF("s", "y")
+    val e = intercept[Exception] {
+      ModelEval.rocAuc(df, "y", "s").collect()
+    }
+    assert(e.getMessage.contains("must be 0/1"))
+  }
+
+  test("confusion cells and single-division rates") {
+    val df = Seq((0.9, 1), (0.8, 0), (0.6, 1), (0.4, 1), (0.2, 0))
+      .toDF("s", "y")
+    val r = ModelEval.confusionAt(df, "y", "s", threshold = 0.5).head()
+    // tp=2 (0.9,0.6), fp=1 (0.8), fn=1 (0.4), tn=1 (0.2)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (2L, 1L, 1L, 1L))
+    assert(r.getDouble(4) === 2.0 / 3.0)       // precision
+    assert(r.getDouble(5) === 2.0 / 3.0)       // recall
+    assert(r.getDouble(6) === 3.0 / 5.0)       // accuracy
+    assert(r.getDouble(7) === 4.0 / 6.0)       // f1 = 2tp/(2tp+fp+fn)
+  }
+
+  test("calibration clamps out-of-range scores and keeps empty bins") {
+    val df = Seq((-0.5, 0), (0.05, 0), (0.05, 1), (0.95, 1), (1.7, 1))
+      .toDF("s", "y")
+    val out = ModelEval.calibration(df, "y", "s", bins = 4, lo = 0.0, hi = 1.0)
+      .orderBy("bin")
+      .as[(Int, Long, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (0, 3L, 1L, Some(1.0 / 3.0)), // -0.5 clamped down + the two 0.05s
+      (1, 0L, 0L, None),            // empty bin stays visible
+      (2, 0L, 0L, None),
+      (3, 2L, 2L, Some(1.0))))      // 0.95 + 1.7 clamped up
+  }
+}
