@@ -143,6 +143,8 @@ object SparkEntry {
     "labels_kappa"            -> (ExtQueries.labelsKappa _),
     "sim_mmr_rerank"          -> (ExtQueries.simMmrRerank _),
     "eval_auc"                -> (ExtQueries.evalAuc _),
+    "eval_auc_by"             -> (ExtQueries.evalAucBy _),
+    "eval_avg_precision"      -> (ExtQueries.evalAvgPrecision _),
     "eval_confusion"          -> (ExtQueries.evalConfusion _),
     "eval_calibration"        -> (ExtQueries.evalCalibration _),
     "dq_group_quantiles"      -> (ExtQueries.dqGroupQuantiles _),
@@ -2225,6 +2227,58 @@ object SparkEntry {
          |  CASE WHEN n_pos > 0 AND n_neg > 0
          |   THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
          | FROM cells""".stripMargin,
+    "eval_auc_by" ->
+      s"""WITH ${lmCte("documents")},
+         | lab AS (SELECT lm.doc_id, source, lm_score AS s,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM lm JOIN documents USING (doc_id)),
+         | g AS (SELECT source, s, CAST(sum(y) AS BIGINT) AS pos_g,
+         |   count(*) AS tot_g FROM lab GROUP BY 1, 2),
+         | c AS (SELECT source, pos_g, tot_g - pos_g AS neg_g,
+         |   coalesce(sum(tot_g - pos_g) OVER (PARTITION BY source
+         |     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |     0) AS cnb
+         |  FROM g),
+         | cells AS (SELECT source, CAST(sum(pos_g) AS BIGINT) AS n_pos,
+         |   CAST(sum(neg_g) AS BIGINT) AS n_neg,
+         |   CAST(sum(CAST(pos_g AS DECIMAL(18,0)) *
+         |     CAST(2 * cnb + neg_g AS DECIMAL(19,0)))
+         |     AS DECIMAL(38,0)) AS u2
+         |  FROM c GROUP BY source)
+         | SELECT source, n_pos, n_neg, u2,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |   THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
+         | FROM cells ORDER BY source""".stripMargin,
+    // AP with thresholds at distinct scores DESC: the oracle's
+    // inclusive descending prefixes equal the engine's (total − strictly-
+    // below) derivation value-for-value; each term is the same
+    // (pos/n_pos)·(cumPos/cumTot) three-op IEEE sequence, folded
+    // through DECIMAL(28,9) (the BM25 posture).
+    "eval_avg_precision" ->
+      s"""WITH ${lmCte("documents")},
+         | lab AS (SELECT lm_score AS s,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM lm JOIN documents USING (doc_id)),
+         | g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos_g,
+         |   count(*) AS tot_g FROM lab GROUP BY s),
+         | np AS (SELECT CAST(sum(pos_g) AS BIGINT) AS n_pos FROM g),
+         | c AS (SELECT pos_g, tot_g,
+         |   CAST(sum(pos_g) OVER (ORDER BY s DESC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     AS BIGINT) AS cpos,
+         |   CAST(sum(tot_g) OVER (ORDER BY s DESC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     AS BIGINT) AS ctot
+         |  FROM g),
+         | tm AS (SELECT pos_g, tot_g,
+         |   CAST((CAST(pos_g AS DOUBLE) / CAST(n_pos AS DOUBLE))
+         |     * (CAST(cpos AS DOUBLE) / CAST(ctot AS DOUBLE))
+         |     AS DECIMAL(28,9)) AS contrib
+         |  FROM c CROSS JOIN np)
+         | SELECT CAST(sum(pos_g) AS BIGINT) AS n_pos,
+         |  CAST(sum(tot_g - pos_g) AS BIGINT) AS n_neg,
+         |  round(CAST(sum(contrib) AS DOUBLE), 6) AS ap
+         | FROM tm""".stripMargin,
     "eval_confusion" ->
       raw"""WITH tok AS (
          |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w

@@ -110,6 +110,146 @@ object ModelEval {
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** Per-group ROC-AUC — the per-language / per-source slice audit of
+    * [[rocAuc]] (a score that looks calibrated on the pooled corpus
+    * can be anti-predictive inside one source; Simpson's reversal is
+    * exactly what the slice report exposes). Output one row per group:
+    * `(groupCol, n_pos, n_neg, u2, auc)`.
+    *
+    * Same two-phase shape as [[rocAuc]]: cuts are computed ONCE on the
+    * global distinct-score frame (cut placement is value-invariant, so
+    * sharing them across groups is free); the driver collect is the
+    * (group × occupied-bucket) totals frame — capped at 4096 rows, so
+    * this is the SLICE report (groups are languages/sources/folds, not
+    * user ids); per-group running offsets come back as one broadcast
+    * join; the window partitions by (group, bucket). */
+  def rocAucBy(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1 && buckets <= 4096,
+      "buckets must be in [1, 4096] (per-bucket totals are collected)")
+    val y = col(labelCol).cast("long")
+    val base = df.select(col(groupCol).as("_g"),
+        col(scoreCol).cast(DoubleType).as("_s"),
+        when(y.isin(0L, 1L), y).otherwise(raise_error(concat(
+          lit(s"ModelEval: label '$labelCol' must be 0/1, got "),
+          y.cast("string")))).as("_y"))
+      .filter(col("_s").isNotNull && col("_y").isNotNull)
+    val g = base.groupBy("_g", "_s")
+      .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
+      .withColumn("neg_g", col("tot_g") - col("pos_g"))
+    val cuts: Seq[Double] =
+      if (buckets == 1) Nil
+      else g.stat.approxQuantile("_s",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .toSeq.distinct.sorted
+    val bucketOf: Column =
+      if (cuts.isEmpty) lit(0)
+      else aggregate(array(cuts.map(lit): _*), lit(0),
+        (acc, c) => acc + when(col("_s") > c, 1).otherwise(0))
+    val gb = g.withColumn("_b", bucketOf)
+    val totals = gb.groupBy("_g", "_b").agg(sum("neg_g").as("_t"))
+    val tRows = totals.collect()
+    require(tRows.length <= 4096,
+      s"rocAucBy: groups × occupied buckets = ${tRows.length} exceeds " +
+        "the 4096 driver-collect cap — lower `buckets` or slice on a " +
+        "lower-cardinality group column")
+    val offRows = tRows.groupBy(_.get(0)).values.toSeq.flatMap { rs =>
+      var acc = 0L
+      rs.sortBy(_.getInt(1)).map { r =>
+        val o = org.apache.spark.sql.Row(r.get(0), r.getInt(1), acc)
+        acc += r.getLong(2); o
+      }
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      totals.schema.fields.take(2) :+
+        org.apache.spark.sql.types.StructField("_off",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    import scala.jdk.CollectionConverters._
+    val offDf = df.sparkSession.createDataFrame(offRows.asJava, offSchema)
+    val joined = gb.join(broadcast(offDf), Seq("_g", "_b"))
+    val w = Window.partitionBy("_g", "_b").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cnb = (col("_off") + coalesce(sum(col("neg_g")).over(w), lit(0L)))
+      .cast("decimal(38,0)")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    joined
+      .select(col("_g"), col("pos_g"), col("neg_g"),
+        (dec(col("pos_g")) * (dec(lit(2)) * cnb + dec(col("neg_g"))))
+          .as("_u2g"))
+      .groupBy("_g")
+      .agg(sum(col("pos_g")).as("n_pos"), sum(col("neg_g")).as("n_neg"),
+        sum(col("_u2g")).cast("decimal(38,0)").as("u2"))
+      .select(col("_g").as(groupCol), col("n_pos"), col("n_neg"),
+        col("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2").cast(DoubleType) /
+            (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** Average precision (PR-AUC, sklearn step convention): with
+    * thresholds at the distinct scores descending,
+    * AP = Σ_g (pos_g / n_pos) · (cumPos_thru_g / cumTot_thru_g).
+    * The descending prefixes derive from the SAME ascending two-phase
+    * machinery as [[rocAuc]] (thru = total − strictly-below, with the
+    * totals baked as literals from the offsets collect), so again no
+    * single-partition window. Each term is three IEEE ops on exact
+    * integer operands (two divisions, one multiply — identical
+    * operand order cross-engine), folded through DECIMAL(28,9) — the
+    * BM25 order-independence posture. One row:
+    * `(n_pos, n_neg, ap)` with ap = round(Σ, 6), null when no
+    * positives exist. */
+  def averagePrecision(df: DataFrame, labelCol: String, scoreCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 1 && buckets <= 4096,
+      "buckets must be in [1, 4096] (per-bucket totals are collected)")
+    val g = scored(df, labelCol, scoreCol)
+      .groupBy("_s")
+      .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
+    val cuts: Seq[Double] =
+      if (buckets == 1) Nil
+      else g.stat.approxQuantile("_s",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .toSeq.distinct.sorted
+    val bucketOf: Column =
+      if (cuts.isEmpty) lit(0)
+      else aggregate(array(cuts.map(lit): _*), lit(0),
+        (acc, c) => acc + when(col("_s") > c, 1).otherwise(0))
+    val gb = g.withColumn("_b", bucketOf)
+    val totals = gb.groupBy("_b")
+      .agg(sum("pos_g").as("_p"), sum("tot_g").as("_t"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    var accP = 0L; var accT = 0L
+    val offP = scala.collection.mutable.Map.empty[Int, Long]
+    val offT = scala.collection.mutable.Map.empty[Int, Long]
+    (0 to cuts.length).foreach { b =>
+      offP(b) = accP; offT(b) = accT
+      val (p, t) = totals.getOrElse(b, (0L, 0L))
+      accP += p; accT += t
+    }
+    val (nPos, nTot) = (accP, accT)
+    val w = Window.partitionBy("_b").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumPosThru = lit(nPos) -
+      (element_at(typedLit(offP.toMap), col("_b")) +
+        coalesce(sum(col("pos_g")).over(w), lit(0L)))
+    val cumTotThru = lit(nTot) -
+      (element_at(typedLit(offT.toMap), col("_b")) +
+        coalesce(sum(col("tot_g")).over(w), lit(0L)))
+    val term = (col("pos_g").cast(DoubleType) / lit(nPos.toDouble)) *
+      (cumPosThru.cast(DoubleType) / cumTotThru.cast(DoubleType))
+    // materialize the windowed term first (window and aggregate
+    // functions cannot share a stage), then fold
+    val perScore = gb.select(col("pos_g"), col("tot_g"),
+      term.cast("decimal(28,9)").as("_c"))
+    val apCol =
+      if (nPos == 0L) max(lit(null).cast(DoubleType))
+      else round(sum(col("_c")).cast(DoubleType), 6)
+    perScore.agg(sum(col("pos_g")).as("n_pos"),
+      sum(col("tot_g") - col("pos_g")).as("n_neg"),
+      apCol.as("ap"))
+  }
+
   /** Confusion report at `score >= threshold`. One row:
     * `(tp, fp, fn, tn, precision, recall, accuracy, f1)` — each rate
     * a single integer division (F1 = 2tp/(2tp+fp+fn)), null when its

@@ -1679,6 +1679,30 @@ object ExtQueries {
     graft.ext.ModelEval.rocAuc(scoredDocs, "is_en", "lm_score")
   }
 
+  /** Per-source slice AUC of the same score/label — the Simpson's-
+    * reversal audit (a pooled-corpus AUC can hide an anti-predictive
+    * slice). One row per source.
+    */
+  def evalAucBy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scoredDocs = TextStats.lmScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.rocAucBy(scoredDocs, "source", "is_en", "lm_score")
+      .orderBy("source")
+  }
+
+  /** Average precision (PR-AUC, sklearn step convention) of the LM
+    * score vs the `lang = 'en'` label.
+    */
+  def evalAvgPrecision(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scoredDocs = TextStats.lmScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.averagePrecision(scoredDocs, "is_en", "lm_score")
+  }
+
   /** Confusion report of `stopword_ratio >= 0.0625` predicting
     * `lang = 'en'` — every rate one division of exact integer cells.
     */

@@ -55,6 +55,57 @@ class ModelEvalSpec extends SparkSuite {
     assert(auc(rows, buckets = 256) === one)
   }
 
+  test("per-group auc matches per-group runs of the pooled auc") {
+    val gA = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)) // perfect
+    val gB = Seq((0.8, 1), (0.7, 0), (0.4, 1), (0.3, 0)) // 0.75
+    val df = (gA.map { case (s, y) => ("a", s, y) } ++
+      gB.map { case (s, y) => ("b", s, y) }).toDF("grp", "s", "y")
+    val out = ModelEval.rocAucBy(df, "grp", "y", "s", buckets = 4)
+      .orderBy("grp")
+      .select("grp", "n_pos", "n_neg", "auc")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("a", 2L, 2L, 1.0), ("b", 2L, 2L, 0.75)))
+    // identical scores across groups must not leak between prefixes
+    val dup = Seq(("a", 0.5, 1), ("a", 0.4, 0), ("b", 0.5, 0), ("b", 0.4, 1))
+      .toDF("grp", "s", "y")
+    val d = ModelEval.rocAucBy(dup, "grp", "y", "s", buckets = 2)
+      .orderBy("grp").select("grp", "auc")
+      .as[(String, Double)].collect().toSeq
+    assert(d === Seq(("a", 1.0), ("b", 0.0)))
+  }
+
+  test("average precision matches the hand-computed step sum") {
+    // desc order: .8(+) .7(-) .4(+) .3(-): thresholds at .8 -> P=1, R=.5;
+    // .4 -> P=2/3, R=1 => AP = .5*1 + .5*2/3 = 5/6
+    val df = Seq((0.8, 1), (0.7, 0), (0.4, 1), (0.3, 0)).toDF("s", "y")
+    val r = ModelEval.averagePrecision(df, "y", "s").head()
+    assert((r.getLong(0), r.getLong(1)) === (2L, 2L))
+    assert(r.getDouble(2) === 0.833333)
+    // perfect ranking -> AP = 1
+    val p = ModelEval.averagePrecision(
+      Seq((0.9, 1), (0.8, 1), (0.2, 0)).toDF("s", "y"), "y", "s").head()
+    assert(p.getDouble(2) === 1.0)
+    // no positives -> null ap
+    val z = ModelEval.averagePrecision(
+      Seq((0.9, 0), (0.8, 0)).toDF("s", "y"), "y", "s").head()
+    assert(z.isNullAt(2))
+    // tie block: both scores equal, one pos one neg -> single threshold,
+    // P = 1/2, R jumps 0 -> 1 => AP = 0.5
+    val t = ModelEval.averagePrecision(
+      Seq((0.5, 1), (0.5, 0)).toDF("s", "y"), "y", "s").head()
+    assert(t.getDouble(2) === 0.5)
+  }
+
+  test("averagePrecision is invariant to the bucket count") {
+    val rows = (1 to 300).map { i =>
+      (((i * 7919) % 17).toDouble / 17.0, if (i * 2654435761L % 3 == 0) 1 else 0)
+    }
+    val df = rows.toDF("s", "y")
+    val one = ModelEval.averagePrecision(df, "y", "s", buckets = 1).head()
+    val many = ModelEval.averagePrecision(df, "y", "s", buckets = 256).head()
+    assert(one.getDouble(2) === many.getDouble(2))
+  }
+
   test("non-binary label fails fast") {
     val df = Seq((0.9, 2), (0.8, 0)).toDF("s", "y")
     val e = intercept[Exception] {
