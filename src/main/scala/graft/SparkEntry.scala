@@ -137,6 +137,8 @@ object SparkEntry {
     "events_sliding"          -> (ExtQueries.eventsSliding _),
     "events_sessions"         -> (ExtQueries.eventsSessions _),
     "events_funnel"           -> (ExtQueries.eventsFunnel _),
+    "events_rolling"          -> (ExtQueries.eventsRolling _),
+    "events_gapfill"          -> (ExtQueries.eventsGapfill _),
     "text_bm25"               -> (ExtQueries.textBm25 _),
     "text_retrieval_eval"     -> (ExtQueries.textRetrievalEval _),
     "labels_vote"             -> (ExtQueries.labelsVote _),
@@ -252,7 +254,7 @@ object SparkEntry {
     "dedup_containment", "a_kmv_overlap", "dq_drift", "text_hybrid_rrf",
     "o10_secondary_lookup", "j_interval_overlap",
     "text_retrieval_eval", "labels_vote", "labels_kappa",
-    "sim_mmr_rerank", "eval_auc")
+    "sim_mmr_rerank", "eval_auc", "events_rolling")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -2113,6 +2115,41 @@ object SparkEntry {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Time-RANGE rolling window: both engines order on integer epoch
+    // micros with an inclusive [ts − 1h, ts] range frame (tie-safe by
+    // range semantics); the sum folds through DECIMAL(25,6) — the
+    // events_tumbling posture.
+    "events_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS roll_cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+        |    AS roll_sum
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id""".stripMargin,
+    // Gap-fill replay: integer floor slots, explicit (ts, value) DESC
+    // rank for the within-slot representative (no engine arg-max tie
+    // rule), generate_series spine (END-INCLUSIVE, unlike range()),
+    // IGNORE NULLS last_value for the LOCF.
+    "events_gapfill" ->
+      """WITH base AS (SELECT user_id AS k,
+        |   epoch_us(ts) - epoch_us(ts) % 86400000000 AS slot, ts, value
+        |  FROM events),
+        | rep AS (SELECT k, slot, value FROM (
+        |   SELECT k, slot, value, row_number() OVER (PARTITION BY k, slot
+        |     ORDER BY ts DESC, value DESC) AS rn FROM base) WHERE rn = 1),
+        | spine AS (SELECT k, unnest(generate_series(lo, hi, 86400000000))
+        |    AS slot
+        |  FROM (SELECT k, min(slot) AS lo, max(slot) AS hi
+        |   FROM base GROUP BY k)),
+        | j AS (SELECT s.k, s.slot, rep.value AS v
+        |  FROM spine s LEFT JOIN rep ON rep.k = s.k AND rep.slot = s.slot)
+        | SELECT k AS user_id, make_timestamp(slot) AS slot_ts,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  v IS NOT NULL AS is_observed
+        | FROM j ORDER BY user_id, slot_ts""".stripMargin,
     "events_sliding" ->
       """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b,
         |   event_type FROM events),

@@ -1578,6 +1578,24 @@ object ExtQueries {
     EventWindows.sessions(CoreQueries.events(s, dir), "30 minutes")
       .orderBy("user_id", "session_start")
 
+  /** Trailing 1-hour time-RANGE rolling count + sum per user — the
+    * feature-generation window a ROWS frame cannot express on a
+    * sparse stream.
+    */
+  def eventsRolling(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.rollingRange(CoreQueries.events(s, dir),
+      "user_id", "ts", "value", trailingMicros = 3600L * 1000000L)
+      .select("event_id", "user_id", "roll_cnt", "roll_sum")
+      .orderBy("event_id")
+
+  /** Daily gap-fill with LOCF per user: one row per day from each
+    * user's first to last event, latest value carried forward.
+    */
+  def eventsGapfill(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TimeSeries.gapFillLocf(CoreQueries.events(s, dir),
+      "user_id", "ts", "value", stepMicros = 86400L * 1000000L)
+      .orderBy("user_id", "slot_ts")
+
   /** Conversion funnel signup → view → purchase, per-stage user
     * counts; the oracle replays the greedy-earliest chain stage by
     * stage.
