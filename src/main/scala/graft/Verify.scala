@@ -25,7 +25,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // e.toString (never null) + top frames: a bare getMessage hid
+        // an NPE's origin entirely
+        System.err.println(s"[verify] $name failed: $e\n" +
+          e.getStackTrace.take(sys.env.get("GRAFT_VERIFY_STACK")
+            .map(_.toInt).getOrElse(6))
+            .map("[verify]   at " + _).mkString("\n"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

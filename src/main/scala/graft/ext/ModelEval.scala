@@ -64,10 +64,16 @@ object ModelEval {
       buckets: Int = 256): DataFrame = {
     require(buckets >= 1 && buckets <= 4096,
       "buckets must be in [1, 4096] (per-bucket totals are collected)")
+    // materialize the distinct-score frame ONCE: the quantile-cut job,
+    // the totals collect, and the final aggregate would otherwise each
+    // re-derive the caller's (possibly corpus-sized) score plan — 3
+    // scans instead of 1 (caught live: eval_auc re-ran the whole
+    // bigram-LM pipeline three times, 4.97 s -> LM-cost at sf0.1)
     val g = scored(df, labelCol, scoreCol)
       .groupBy("_s")
       .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
       .withColumn("neg_g", col("tot_g") - col("pos_g"))
+      .localCheckpoint()
     // Phase 1: approximate quantile cuts over the DISTINCT-SCORE frame,
     // baked as literals. Precision moves only bucket balance: cnb is
     // cut-invariant (see object doc), so approxQuantile's partition-
@@ -133,10 +139,15 @@ object ModelEval {
         when(y.isin(0L, 1L), y).otherwise(raise_error(concat(
           lit(s"ModelEval: label '$labelCol' must be 0/1, got "),
           y.cast("string")))).as("_y"))
-      .filter(col("_s").isNotNull && col("_y").isNotNull)
+      // a null group is not a slice — and the offsets equi-join would
+      // silently drop it anyway (null never equi-matches); exclude it
+      // explicitly so the contract is visible
+      .filter(col("_s").isNotNull && col("_y").isNotNull &&
+        col("_g").isNotNull)
     val g = base.groupBy("_g", "_s")
       .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
       .withColumn("neg_g", col("tot_g") - col("pos_g"))
+      .localCheckpoint() // see rocAuc: cuts + totals + final each re-read
     val cuts: Seq[Double] =
       if (buckets == 1) Nil
       else g.stat.approxQuantile("_s",
@@ -205,6 +216,7 @@ object ModelEval {
     val g = scored(df, labelCol, scoreCol)
       .groupBy("_s")
       .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
+      .localCheckpoint() // see rocAuc: cuts + totals + final each re-read
     val cuts: Seq[Double] =
       if (buckets == 1) Nil
       else g.stat.approxQuantile("_s",

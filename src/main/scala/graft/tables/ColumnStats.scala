@@ -459,8 +459,17 @@ object ColumnStats {
       case In(a, list) if attrName(a).exists(has) =>
         val hits = list.map(litOf)
         if (hits.exists(_.isEmpty)) lit(true)
-        else hits.flatten.map(v => pointHit(attrName(a).get, v))
-          .reduceOption(_ || _).getOrElse(lit(false))
+        else {
+          // CONSTANT-depth translation: an OR chain per list value
+          // built a Column tree one level deep per key and overflowed
+          // the converter stack at ~1500 probes (a key-index lookup at
+          // sf0.1) — one literal array + `exists` evaluates the same
+          // any-value-in-[min,max] test per stats row at depth O(1)
+          val c = attrName(a).get
+          if (hits.isEmpty) lit(false)
+          else exists(array(hits.flatten: _*),
+            v => minC(c) <= v && maxC(c) >= v)
+        }
       case IsNull(a) if attrName(a).exists(has) =>
         nullsC(attrName(a).get) > 0
       case IsNotNull(a) if attrName(a).exists(has) =>

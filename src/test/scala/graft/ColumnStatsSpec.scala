@@ -79,6 +79,21 @@ class ColumnStatsSpec extends SparkSuite {
     }
   }
 
+  test("a multi-thousand-value IN translates at constant depth") {
+    // regression: the stats translation used to build an OR chain one
+    // Column level deep per IN-list value — a ~1500-key index lookup
+    // overflowed the converter stack at sf0.1. The array+exists form
+    // must both survive a wide list and still prune.
+    val t = statsTable(partitioned = false)
+    seed(t)
+    val full = TableOps.snapshot(spark, t)
+    val vals = (0L until 3000L).map(_ + 10000L) :+ 42L // one real hit
+    val pred = col("v").isin(vals: _*)
+    val pruned = TableOps.snapshotWhere(spark, t, pred)
+    assert(pruned.select("v").as[Long].collect().toSeq === Seq(42L))
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+  }
+
   test("every file pruned returns an empty frame with the table schema") {
     val t = statsTable(partitioned = false)
     seed(t)
