@@ -82,7 +82,37 @@ object StressGen {
       Map("p_partkey" -> PartShift))
     replicate(spark, srcDir, outDir, "region", 1, Map.empty)
     replicate(spark, srcDir, outDir, "nation", 1, Map.empty)
+    writeEvents(spark, srcDir, outDir, factor)
     spark.stop()
+  }
+
+  private val EventShift = 100000000L
+  private val UserShift = 1000000L
+
+  /** `events` replicates with event/user id shifts and UNSHIFTED
+    * timestamps: factor× more users at the source's per-user event
+    * density over the same time span — the honest scaling shape for
+    * per-key windows (rolling, gap-fill, sessions, funnel, retention):
+    * their cost grows with users × per-user series, never with an
+    * artificially stretched timeline. Read through
+    * [[graft.queries.CoreQueries.events]] (the TIMESTAMP(NANOS)
+    * rebuild), written back as plain µs timestamps.
+    */
+  private def writeEvents(spark: SparkSession, srcDir: String,
+      outDir: String, factor: Int): Unit = {
+    val src = graft.queries.CoreQueries.events(spark, srcDir)
+    val maxes = src.agg(max(col("event_id")), max(col("user_id"))).head()
+    require(maxes.getLong(0) < EventShift && maxes.getLong(1) < UserShift,
+      s"events id range (${maxes.getLong(0)}, ${maxes.getLong(1)}) " +
+        "reaches the replica shifts — raise EventShift/UserShift")
+    val out = (0 until factor).map { r =>
+      src.select(
+        (col("event_id") + lit(r * EventShift)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(r * UserShift)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionByName(_))
+    out.write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   private def writeDocuments(spark: SparkSession, srcDir: String,
