@@ -138,6 +138,7 @@ object SparkEntry {
     "events_sessions"         -> (ExtQueries.eventsSessions _),
     "events_funnel"           -> (ExtQueries.eventsFunnel _),
     "events_rolling"          -> (ExtQueries.eventsRolling _),
+    "events_transitions"      -> (ExtQueries.eventsTransitions _),
     "events_gapfill"          -> (ExtQueries.eventsGapfill _),
     "text_bm25"               -> (ExtQueries.textBm25 _),
     "text_retrieval_eval"     -> (ExtQueries.textRetrievalEval _),
@@ -2128,6 +2129,20 @@ object SparkEntry {
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         | ORDER BY event_id""".stripMargin,
+    // Markov transitions: lead over a (ts, event_id) total order per
+    // user; p = n / row total, both exact counts (window sum cast back
+    // from DuckDB's HUGEINT).
+    "events_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type AS from_state,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        | c AS (SELECT from_state, to_state, count(*) AS n
+        |  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        | SELECT from_state, to_state, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_state)
+        |    AS BIGINT) AS p
+        | FROM c ORDER BY from_state, to_state""".stripMargin,
     // Gap-fill replay: integer floor slots, explicit (ts, value) DESC
     // rank for the within-slot representative (no engine arg-max tie
     // rule), generate_series spine (END-INCLUSIVE, unlike range()),

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -90,6 +91,41 @@ object EventWindows {
     val tCols = steps.indices.map(i => col(s"t${i + 1}"))
     joined.withColumn("stage_reached",
       tCols.map(t => when(t.isNotNull, 1).otherwise(0)).reduce(_ + _))
+  }
+
+  /** First-order Markov transition matrix over per-key event
+    * sequences: `(from_state, to_state, n, p)` with `n` the count of
+    * consecutive (from → to) pairs inside a key's `orderCols`-ordered
+    * stream and `p` the row-normalized probability — the
+    * next-event-model / session-flow summary funnels don't express
+    * (funnels test ONE named path; this measures every observed
+    * transition). Determinism: `orderCols` must be a total order
+    * within a key (pass a ts + id tiebreak — a bare tied timestamp
+    * would make `lead` order-dependent); `p` is ONE division of two
+    * exact counts, bit-stable cross-engine.
+    *
+    * Scale: one shuffle on the key for the `lead` window (single
+    * sorted pass, O(1) state/row), then a map-combinable count on
+    * (from, to) — a states²-sized frame — and the normalizing window
+    * runs on that frame, never the stream.
+    */
+  def transitions(events: DataFrame, keyCol: String,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      stateCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be nonempty")
+    // alias the order expressions into the projection so computed
+    // orderings (e.g. unix_micros(ts)) survive the column pruning
+    val named = orderCols.zipWithIndex.map { case (c, i) => c.as(s"_o$i") }
+    val w = Window.partitionBy(keyCol)
+      .orderBy(named.indices.map(i => col(s"_o$i")): _*)
+    val wf = Window.partitionBy("from_state")
+    events.select(col(keyCol) +: col(stateCol).as("from_state") +:
+        named: _*)
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast(DoubleType) / sum(col("n")).over(wf))
   }
 
   /** Weekly cohort retention: users grouped by the epoch-week of their

@@ -1578,6 +1578,14 @@ object ExtQueries {
     EventWindows.sessions(CoreQueries.events(s, dir), "30 minutes")
       .orderBy("user_id", "session_start")
 
+  /** First-order Markov transition matrix of event types per user —
+    * the every-path session-flow summary next to the one-path funnel.
+    */
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame =
+    EventWindows.transitions(CoreQueries.events(s, dir), "user_id",
+      Seq(col("ts"), col("event_id")), "event_type")
+      .orderBy("from_state", "to_state")
+
   /** Trailing 1-hour time-RANGE rolling count + sum per user — the
     * feature-generation window a ROWS frame cannot express on a
     * sparse stream.

@@ -1849,6 +1849,39 @@ class ExtSpec extends SparkSuite {
     assert(r === expected)
   }
 
+  test("transitions: per-key lead pairs, row-normalized, tie-safe order") {
+    import graft.ext.EventWindows
+    import spark.implicits._
+    // u1: a -> b -> a -> c ; u2: b -> a. Transitions: a->b, b->a (x2),
+    // a->c. Row a: {b: 1/2, c: 1/2}; row b: {a: 1}.
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 20L, "b"), (3L, 1L, 30L, "a"),
+      (4L, 1L, 40L, "c"), (5L, 2L, 10L, "b"), (6L, 2L, 20L, "a"))
+      .toDF("event_id", "user_id", "t", "event_type")
+    val out = EventWindows.transitions(ev, "user_id",
+      Seq(col("t"), col("event_id")), "event_type")
+      .orderBy("from_state", "to_state")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5), ("b", "a", 2L, 1.0)))
+    // tied timestamps: the event_id tiebreak makes the order total —
+    // both orderings of the input rows give the same matrix
+    val tied = Seq(
+      (1L, 1L, 10L, "a"), (2L, 1L, 10L, "b"), (3L, 1L, 10L, "c"))
+    val m1 = EventWindows.transitions(tied.toDF("event_id", "user_id", "t",
+        "event_type"), "user_id", Seq(col("t"), col("event_id")),
+        "event_type")
+      .orderBy("from_state").as[(String, String, Long, Double)]
+      .collect().toSeq
+    val m2 = EventWindows.transitions(tied.reverse.toDF("event_id",
+        "user_id", "t", "event_type"), "user_id",
+        Seq(col("t"), col("event_id")), "event_type")
+      .orderBy("from_state").as[(String, String, Long, Double)]
+      .collect().toSeq
+    assert(m1 === Seq(("a", "b", 1L, 1.0), ("b", "c", 1L, 1.0)))
+    assert(m1 === m2)
+  }
+
   test("knnGraph: at most k per node, exact cosines, planted clusters found") {
     import graft.ext.Similarity
     import spark.implicits._
