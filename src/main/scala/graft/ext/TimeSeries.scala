@@ -38,10 +38,14 @@ object TimeSeries {
     val w = Window.partitionBy(keyCol)
       .orderBy(unix_micros(col(tsCol)))
       .rangeBetween(-trailingMicros, 0)
-    df.withColumn("roll_cnt", count(lit(1)).over(w))
-      .withColumn("roll_sum",
-        sum(col(valueCol).cast("decimal(25,6)")).over(w)
-          .cast("double"))
+    // both frames in ONE projection: chained withColumn calls left an
+    // intermediate Project that blocked CollapseWindow — two Window
+    // execs and a redundant Sort for the same spec (caught in the
+    // formatted-plan audit)
+    df.select(col("*"),
+      count(lit(1)).over(w).as("roll_cnt"),
+      sum(col(valueCol).cast("decimal(25,6)")).over(w)
+        .cast("double").as("roll_sum"))
   }
 
   /** Fixed-step gap-fill with LOCF: per key, emit one row per
