@@ -286,6 +286,36 @@ object ModelEval {
           lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
   }
 
+  /** Expected calibration error over the same fixed grid as
+    * [[calibration]]: ECE = Σ_b (n_b/N) · |pos_rate_b − conf_b| with
+    * conf_b the bin's mean score (sum through DECIMAL(28,9) — exact).
+    * Each bin term is a fixed IEEE op sequence on exact operands,
+    * rounded to 9 decimals and folded through DECIMAL(28,9) (the BM25
+    * posture) so the bins-sized sum is order-independent. One row:
+    * `(n, ece)` with ece = round(Σ, 6). */
+  def ece(df: DataFrame, labelCol: String, scoreCol: String,
+      bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins >= 2, "at least two bins")
+    require(hi > lo, "hi must exceed lo")
+    val bin = least(lit((bins - 1).toLong), greatest(lit(0L),
+      floor((col("_s") - lit(lo)) / lit((hi - lo) / bins))))
+      .cast("int").as("bin")
+    val counts = scored(df, labelCol, scoreCol)
+      .select(bin, col("_y"), col("_s"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"),
+        sum(col("_s").cast("decimal(28,9)")).as("sum_s"))
+    val tot = broadcast(counts.agg(sum(col("n")).as("_N")))
+    val term = ((col("n").cast(DoubleType) / col("_N")) *
+      abs(col("n_pos").cast(DoubleType) / col("n") -
+        col("sum_s").cast(DoubleType) / col("n")))
+    counts.crossJoin(tot)
+      .select(col("_N"), round(term, 9).cast("decimal(28,9)").as("_t"))
+      .groupBy("_N")
+      .agg(round(sum(col("_t")).cast(DoubleType), 6).as("ece"))
+      .select(col("_N").as("n"), col("ece"))
+  }
+
   /** Calibration (reliability) table over `bins` equal-width score
     * bins on the caller-fixed [lo, hi): per-bin `(bin, n, n_pos,
     * pos_rate)` with out-of-range scores clamped to the edge bins and

@@ -1754,6 +1754,18 @@ object ExtQueries {
       .orderBy("bin")
   }
 
+  /** Expected calibration error of stopword_ratio vs `lang = 'en'`
+    * over the same 10-bin grid as `eval_calibration`.
+    */
+  def evalEce(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val st = TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.ece(st, "is_en", "stopword_ratio",
+      bins = 10, lo = 0.0, hi = 0.25)
+  }
+
   /** MMR diverse rerank of the exact-cosine top-20 candidates for the
     * first 8 query vectors: k = 8 greedy picks at λ = 0.7. Rank-only
     * output (the sim_cosine_topk posture); the oracle unrolls the

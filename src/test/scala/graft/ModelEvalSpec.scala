@@ -127,6 +127,16 @@ class ModelEvalSpec extends SparkSuite {
     assert(r.getDouble(7) === 4.0 / 6.0)       // f1 = 2tp/(2tp+fp+fn)
   }
 
+  test("ece matches the hand-computed bin sum") {
+    // bin 0 (scores .1, .2): conf = .15, pos_rate = .5, n=2
+    // bin 3 (scores .8, .9): conf = .85, pos_rate = 1.0, n=2
+    // ECE = .5*|.5-.15| + .5*|1-.85| = .175 + .075 = .25
+    val df = Seq((0.1, 0), (0.2, 1), (0.8, 1), (0.9, 1)).toDF("s", "y")
+    val r = ModelEval.ece(df, "y", "s", bins = 4, lo = 0.0, hi = 1.0).head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 0.25)
+  }
+
   test("calibration clamps out-of-range scores and keeps empty bins") {
     val df = Seq((-0.5, 0), (0.05, 0), (0.05, 1), (0.95, 1), (1.7, 1))
       .toDF("s", "y")
