@@ -116,4 +116,36 @@ object Classifier {
       LogRegModel(featureCols, means, stds, w, b, losses.result())
     } finally proj.unpersist(blocking = false)
   }
+
+  /** Model persistence (the [[Bpe.mergesToDf]] pattern): one row per
+    * feature carrying its standardization moments and weight, plus the
+    * scalar bias/losses replicated per row — parquet round-trips
+    * doubles bit-exact, so a reloaded model scores identically
+    * (train once, score many — the deployment surface for gating a
+    * corpus on a previously fitted filter). */
+  def modelToDf(spark: org.apache.spark.sql.SparkSession,
+      m: LogRegModel): DataFrame = {
+    import spark.implicits._
+    m.featureCols.indices.map { i =>
+      (i, m.featureCols(i), m.means(i), m.stds(i), m.weights(i),
+        m.bias, m.losses)
+    }.toDF("idx", "feature", "mean", "std", "weight", "bias", "losses")
+  }
+
+  /** Reload a model persisted via [[modelToDf]] (feature order
+    * restored by idx; the collect is feature-count-sized — metadata,
+    * not data). */
+  def modelFromDf(df: DataFrame): LogRegModel = {
+    val rows = df.select("idx", "feature", "mean", "std", "weight",
+        "bias", "losses")
+      .orderBy("idx").collect().toSeq
+    require(rows.nonEmpty, "empty model frame")
+    LogRegModel(
+      rows.map(_.getString(1)),
+      rows.map(_.getDouble(2)).toArray,
+      rows.map(_.getDouble(3)).toArray,
+      rows.map(_.getDouble(4)).toArray,
+      rows.head.getDouble(5),
+      rows.head.getSeq[Double](6))
+  }
 }

@@ -56,4 +56,24 @@ class ClassifierSpec extends SparkSuite {
     val rows = scored.select("score").as[Double].collect()
     assert(rows.length === 2 && rows.forall(s => s >= 0.0 && s <= 1.0))
   }
+
+  test("model round-trips through parquet bit-exact") {
+    val m = Classifier.train(toy, Seq("x", "noise"), "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lr").toString
+    Classifier.modelToDf(spark, m).write.mode("overwrite")
+      .parquet(s"$dir/model")
+    val m2 = Classifier.modelFromDf(spark.read.parquet(s"$dir/model"))
+    assert(m2.featureCols === m.featureCols)
+    assert(m2.means.toSeq === m.means.toSeq)
+    assert(m2.stds.toSeq === m.stds.toSeq)
+    assert(m2.weights.toSeq === m.weights.toSeq)
+    assert(m2.bias === m.bias)
+    assert(m2.losses === m.losses)
+    // and the reloaded model scores identically (raw doubles)
+    val a = Classifier.score(toy, m).select("score").as[Double]
+      .collect().toSeq
+    val b = Classifier.score(toy, m2).select("score").as[Double]
+      .collect().toSeq
+    assert(a === b)
+  }
 }
