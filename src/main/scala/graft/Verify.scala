@@ -29,7 +29,7 @@ object Verify {
         // an NPE's origin entirely
         System.err.println(s"[verify] $name failed: $e\n" +
           e.getStackTrace.take(sys.env.get("GRAFT_VERIFY_STACK")
-            .map(_.toInt).getOrElse(6))
+            .flatMap(_.toIntOption).getOrElse(6))
             .map("[verify]   at " + _).mkString("\n"))
       }
     }

@@ -50,8 +50,14 @@ object Mmr {
       val rem = base.join(sel.select("q", "i"), Seq("q", "i"), "left_anti")
       val maxSim = rem.select(col("q"), col("i"), col("v"))
         .join(sel.select(col("q"), col("v").as("sv")), Seq("q"))
-        .withColumn("sim", VectorFunctions.dotF(col("v"), col("sv")) /
-          (VectorFunctions.normF(col("v")) * VectorFunctions.normF(col("sv"))))
+        // zero-norm guard: 0/0 = NaN would otherwise WIN every argmax
+        // (Spark orders NaN above every double) — a degenerate vector's
+        // similarity is conventionally 0
+        .withColumn("_np", VectorFunctions.normF(col("v")) *
+          VectorFunctions.normF(col("sv")))
+        .withColumn("sim", when(col("_np") > 0.0,
+          VectorFunctions.dotF(col("v"), col("sv")) / col("_np"))
+          .otherwise(lit(0.0)))
         .groupBy("q", "i").agg(max(col("sim")).as("maxsim"))
       val wr = Window.partitionBy("q")
         .orderBy((lit(lambda) * col("rel") -

@@ -43,16 +43,41 @@ import org.apache.spark.sql.types.DoubleType
   */
 object ModelEval {
 
-  /** (score, label) projection with the binary-label contract enforced
-    * inside the plan (raise_error — stays distributed, fails fast). */
+  /** (score, label) projection: null scores/labels are DROPPED (they
+    * carry no ranking/label semantics — the null-group convention),
+    * then the binary-label contract is enforced inside the plan
+    * (raise_error — stays distributed, fails fast; nulls are filtered
+    * FIRST so the check never fires a null-valued message). */
   private def scored(df: DataFrame, labelCol: String,
       scoreCol: String): DataFrame = {
     val y = col(labelCol).cast("long")
-    df.select(col(scoreCol).cast(DoubleType).as("_s"),
-        when(y.isin(0L, 1L), y).otherwise(raise_error(concat(
-          lit(s"ModelEval: label '$labelCol' must be 0/1, got "),
-          y.cast("string")))).as("_y"))
+    df.select(col(scoreCol).cast(DoubleType).as("_s"), y.as("_y"))
       .filter(col("_s").isNotNull && col("_y").isNotNull)
+      .select(col("_s"),
+        when(col("_y").isin(0L, 1L), col("_y")).otherwise(raise_error(
+          concat(lit(s"ModelEval: label '$labelCol' must be 0/1, got "),
+            col("_y").cast("string")))).as("_y"))
+  }
+
+  /** Approximate quantile cuts + monotone bucket assignment over a
+    * distinct-score frame (`_s` column) — the shared phase 1 of every
+    * two-phase prefix here. Cut placement is value-invariant: buckets
+    * are score-monotone and equal scores always share a bucket
+    * (strict `>` against each cut), so approxQuantile's partition-
+    * order sensitivity can move bucket BALANCE but never an output
+    * value. Returns (cuts, bucket column); offsets loops run over
+    * `0 to cuts.length`. */
+  private def scoreBuckets(g: DataFrame, buckets: Int): (Seq[Double], Column) = {
+    val cuts: Seq[Double] =
+      if (buckets == 1) Nil
+      else g.stat.approxQuantile("_s",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .toSeq.distinct.sorted
+    val bucketOf: Column =
+      if (cuts.isEmpty) lit(0)
+      else aggregate(array(cuts.map(lit): _*), lit(0),
+        (acc, c) => acc + when(col("_s") > c, 1).otherwise(0))
+    (cuts, bucketOf)
   }
 
   /** Tie-corrected ROC-AUC (Mann–Whitney). One row:
@@ -74,19 +99,7 @@ object ModelEval {
       .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
       .withColumn("neg_g", col("tot_g") - col("pos_g"))
       .localCheckpoint()
-    // Phase 1: approximate quantile cuts over the DISTINCT-SCORE frame,
-    // baked as literals. Precision moves only bucket balance: cnb is
-    // cut-invariant (see object doc), so approxQuantile's partition-
-    // order sensitivity cannot reach the output values.
-    val cuts: Seq[Double] =
-      if (buckets == 1) Nil
-      else g.stat.approxQuantile("_s",
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-        .toSeq.distinct.sorted
-    val bucketOf: Column =
-      if (cuts.isEmpty) lit(0)
-      else aggregate(array(cuts.map(lit): _*), lit(0),
-        (acc, c) => acc + when(col("_s") > c, 1).otherwise(0))
+    val (cuts, bucketOf) = scoreBuckets(g, buckets)
     val gb = g.withColumn("_b", bucketOf)
     // Phase 2: per-bucket negative totals -> driver prefix offsets
     // (metadata-sized: ≤ buckets rows).
@@ -133,30 +146,24 @@ object ModelEval {
       scoreCol: String, buckets: Int = 64): DataFrame = {
     require(buckets >= 1 && buckets <= 4096,
       "buckets must be in [1, 4096] (per-bucket totals are collected)")
-    val y = col(labelCol).cast("long")
+    // a null group is not a slice — and the offsets equi-join would
+    // silently drop it anyway (null never equi-matches); exclude it
+    // explicitly so the contract is visible. Nulls filter BEFORE the
+    // binary check so the raise never fires a null-valued message.
     val base = df.select(col(groupCol).as("_g"),
         col(scoreCol).cast(DoubleType).as("_s"),
-        when(y.isin(0L, 1L), y).otherwise(raise_error(concat(
-          lit(s"ModelEval: label '$labelCol' must be 0/1, got "),
-          y.cast("string")))).as("_y"))
-      // a null group is not a slice — and the offsets equi-join would
-      // silently drop it anyway (null never equi-matches); exclude it
-      // explicitly so the contract is visible
+        col(labelCol).cast("long").as("_y"))
       .filter(col("_s").isNotNull && col("_y").isNotNull &&
         col("_g").isNotNull)
+      .select(col("_g"), col("_s"),
+        when(col("_y").isin(0L, 1L), col("_y")).otherwise(raise_error(
+          concat(lit(s"ModelEval: label '$labelCol' must be 0/1, got "),
+            col("_y").cast("string")))).as("_y"))
     val g = base.groupBy("_g", "_s")
       .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
       .withColumn("neg_g", col("tot_g") - col("pos_g"))
       .localCheckpoint() // see rocAuc: cuts + totals + final each re-read
-    val cuts: Seq[Double] =
-      if (buckets == 1) Nil
-      else g.stat.approxQuantile("_s",
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-        .toSeq.distinct.sorted
-    val bucketOf: Column =
-      if (cuts.isEmpty) lit(0)
-      else aggregate(array(cuts.map(lit): _*), lit(0),
-        (acc, c) => acc + when(col("_s") > c, 1).otherwise(0))
+    val (cuts, bucketOf) = scoreBuckets(g, buckets)
     val gb = g.withColumn("_b", bucketOf)
     val totals = gb.groupBy("_g", "_b").agg(sum("neg_g").as("_t"))
     val tRows = totals.collect()
@@ -217,15 +224,7 @@ object ModelEval {
       .groupBy("_s")
       .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
       .localCheckpoint() // see rocAuc: cuts + totals + final each re-read
-    val cuts: Seq[Double] =
-      if (buckets == 1) Nil
-      else g.stat.approxQuantile("_s",
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-        .toSeq.distinct.sorted
-    val bucketOf: Column =
-      if (cuts.isEmpty) lit(0)
-      else aggregate(array(cuts.map(lit): _*), lit(0),
-        (acc, c) => acc + when(col("_s") > c, 1).otherwise(0))
+    val (cuts, bucketOf) = scoreBuckets(g, buckets)
     val gb = g.withColumn("_b", bucketOf)
     val totals = gb.groupBy("_b")
       .agg(sum("pos_g").as("_p"), sum("tot_g").as("_t"))
@@ -309,11 +308,12 @@ object ModelEval {
     val term = ((col("n").cast(DoubleType) / col("_N")) *
       abs(col("n_pos").cast(DoubleType) / col("n") -
         col("sum_s").cast(DoubleType) / col("n")))
+    // plain agg (no groupBy): empty/all-null input still yields the
+    // documented ONE-row report (null cells) — the rocAuc convention
     counts.crossJoin(tot)
       .select(col("_N"), round(term, 9).cast("decimal(28,9)").as("_t"))
-      .groupBy("_N")
-      .agg(round(sum(col("_t")).cast(DoubleType), 6).as("ece"))
-      .select(col("_N").as("n"), col("ece"))
+      .agg(max(col("_N")).as("n"),
+        round(sum(col("_t")).cast(DoubleType), 6).as("ece"))
   }
 
   /** Calibration (reliability) table over `bins` equal-width score

@@ -19,13 +19,14 @@ import org.apache.spark.sql.functions._
   * within-slot representative is picked by an explicit (ts, value)
   * descending rank, never an engine-specific arg_max tie rule.
   *
-  * Scale: both operators shuffle ONCE on the key column and reuse
-  * that partitioning for every window. Rolling is a single
-  * per-key-sorted pass (Spark's sliding-range accumulation);
-  * gap-fill's spine explode is linear in OUTPUT slots
-  * (span/step per key — the caller's step bounds it), and the LOCF
-  * window is the same partitioning again. Hot-key skew is the
-  * caller's usual salting decision; per-key state is O(1).
+  * Scale: rolling shuffles ONCE on the key column — a single
+  * per-key-sorted pass (Spark's sliding-range accumulation).
+  * Gap-fill materializes its projection once (localCheckpoint), then
+  * runs the per-slot rank on (key, slot), the spine aggregate on the
+  * key, and the LOCF window on the key again; the spine explode is
+  * linear in OUTPUT slots (span/step per key — the caller's step
+  * bounds it). Hot-key skew is the caller's usual salting decision;
+  * per-key state is O(1).
   */
 object TimeSeries {
 
@@ -64,6 +65,9 @@ object TimeSeries {
       pmod(unix_micros(col(tsCol)), lit(stepMicros))).as("slot")
     val base = df.select(col(keyCol).as("_k"), slotOf,
       col(tsCol).as("_ts"), col(valueCol).as("_v"))
+      .localCheckpoint() // base feeds BOTH the per-slot rank and the
+                         // spine aggregate: materialize once, or an
+                         // expensive caller plan executes twice
     // one representative observation per (key, slot)
     val wRep = Window.partitionBy("_k", "slot")
       .orderBy(col("_ts").desc, col("_v").desc)

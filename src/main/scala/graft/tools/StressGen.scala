@@ -102,6 +102,8 @@ object StressGen {
       outDir: String, factor: Int): Unit = {
     val src = graft.queries.CoreQueries.events(spark, srcDir)
     val maxes = src.agg(max(col("event_id")), max(col("user_id"))).head()
+    require(!maxes.isNullAt(0) && !maxes.isNullAt(1),
+      "source events table is empty — nothing to replicate")
     require(maxes.getLong(0) < EventShift && maxes.getLong(1) < UserShift,
       s"events id range (${maxes.getLong(0)}, ${maxes.getLong(1)}) " +
         "reaches the replica shifts — raise EventShift/UserShift")

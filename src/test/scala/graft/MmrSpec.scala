@@ -35,6 +35,23 @@ class MmrSpec extends SparkSuite {
     assert(out === Seq(22L, 20L, 21L))
   }
 
+  test("a zero-norm candidate cannot hijack the argmax via NaN") {
+    // the zero vector's cosine to anything is undefined (0/0): without
+    // the guard its NaN MMR score outranks every real candidate (Spark
+    // orders NaN above all doubles — even 0·NaN at λ=1 poisons). With
+    // the guard its similarity is 0 and it competes on λ·rel honestly:
+    // 51 at cos 0.5 to the pick scores 0.5·0.8 − 0.5·0.5 = 0.15 > the
+    // zero vector's 0.5·0.1 = 0.05.
+    val cands = Seq(
+      (1L, 50L, 0.9, Array(1f, 0f)),
+      (1L, 51L, 0.8, Array(0.5f, 0.866f)),
+      (1L, 52L, 0.1, Array(0f, 0f)) // zero norm, weak relevance
+    ).toDF("q", "i", "rel", "v")
+    val out = Mmr.rerank(cands, "q", "i", "rel", "v", k = 2, lambda = 0.5)
+      .orderBy("mmr_rank").select("i").as[Long].collect().toSeq
+    assert(out === Seq(50L, 51L))
+  }
+
   test("short candidate lists stop early; queries stay independent") {
     val cands = Seq(
       (1L, 30L, 0.9, Array(1f, 0f)), // q1 has a single candidate

@@ -106,12 +106,27 @@ class ModelEvalSpec extends SparkSuite {
     assert(one.getDouble(2) === many.getDouble(2))
   }
 
-  test("non-binary label fails fast") {
+  test("non-binary label fails fast; null labels/scores are dropped") {
     val df = Seq((0.9, 2), (0.8, 0)).toDF("s", "y")
     val e = intercept[Exception] {
       ModelEval.rocAuc(df, "y", "s").collect()
     }
     assert(e.getMessage.contains("must be 0/1"))
+    // null labels and scores drop silently (never a null-message raise)
+    val withNulls = Seq(
+      (Some(0.9), Some(1)), (Some(0.8), None),
+      (None, Some(0)), (Some(0.2), Some(0)))
+      .toDF("s", "y")
+    val r = ModelEval.rocAuc(withNulls, "y", "s").head()
+    assert((r.getLong(0), r.getLong(1)) === (1L, 1L))
+    assert(r.getDouble(3) === 1.0)
+  }
+
+  test("ece on empty input still emits its one-row report") {
+    val empty = Seq.empty[(Double, Int)].toDF("s", "y")
+    val r = ModelEval.ece(empty, "y", "s", bins = 4, lo = 0.0, hi = 1.0)
+      .collect()
+    assert(r.length === 1 && r.head.isNullAt(0) && r.head.isNullAt(1))
   }
 
   test("confusion cells and single-division rates") {
