@@ -158,6 +158,7 @@ object SparkEntry {
     "o5_clustered_write"      -> (OpsQueries.o5ClusteredWrite _),
     "o6_stats_pruned_read"    -> (OpsQueries.o6StatsPrunedRead _),
     "o7_zorder_pruned_read"   -> (OpsQueries.o7ZorderPrunedRead _),
+    "o11_hilbert_pruned_read" -> (OpsQueries.o11HilbertPrunedRead _),
     "o8_bucketed_join"        -> (OpsQueries.o8BucketedJoin _),
     "i1_pipeline_roundtrip"   -> (OpsQueries.i1PipelineRoundtrip _),
     "f3_generators"           -> (OpsQueries.f3Generators _),
@@ -2603,6 +2604,12 @@ object SparkEntry {
     // o7: values = the plain filter; the z-order file skipping is
     // gated in-query (require on inputFiles after zorder compaction).
     "o7_zorder_pruned_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | WHERE o_custkey >= 100 AND o_custkey < 200
+        | ORDER BY o_orderkey""".stripMargin,
+    // the layout is output-invisible: the oracle is the plain filter,
+    // the file-skipping is gated inside the query via inputFiles
+    "o11_hilbert_pruned_read" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         | WHERE o_custkey >= 100 AND o_custkey < 200
         | ORDER BY o_orderkey""".stripMargin,

@@ -1926,9 +1926,10 @@ object TableOps {
       sortBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 4000000L,
       numFiles: Option[Int] = None,
-      zorderBy: Seq[String] = Nil): String = {
-    require(sortBy.isEmpty || zorderBy.isEmpty,
-      "pass sortBy (lexicographic) or zorderBy (multi-column), not both")
+      zorderBy: Seq[String] = Nil,
+      hilbertBy: Seq[String] = Nil): String = {
+    require(Seq(sortBy, zorderBy, hilbertBy).count(_.nonEmpty) <= 1,
+      "pass ONE of sortBy (lexicographic), zorderBy, hilbertBy")
     val ts = CommitLog.newCommitTs()
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
@@ -1943,12 +1944,19 @@ object TableOps {
     // repartition before it would just be re-shuffled away), and the
     // per-column ranges fold from the stats sidecars when available —
     // no extra data pass.
+    def sidecarRanges(cols: Seq[String]) = currentParts(spark, t, None)
+      .map(ColumnStats.columnRanges(spark, t, _, cols))
+      .getOrElse(Map.empty)
     val clustered =
       if (zorderBy.nonEmpty)
         ZOrder.cluster(snap, zorderBy, numPartitions = numFiles,
-          ranges = currentParts(spark, t, None)
-            .map(ColumnStats.columnRanges(spark, t, _, zorderBy))
-            .getOrElse(Map.empty))
+          ranges = sidecarRanges(zorderBy))
+      else if (hilbertBy.nonEmpty)
+        // Hilbert layout (Hudi 0.10 hilbert curve mode): strictly
+        // better locality than the Morton curve at the same bit
+        // budget — consecutive curve positions are always neighbors
+        Hilbert.cluster(snap, hilbertBy, numPartitions = numFiles,
+          ranges = sidecarRanges(hilbertBy))
       else numFiles.fold(snap)(n => snap.repartition(n))
     writer(clustered, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
     val newParts = relsOf(fs, dest, t.partitionBy.length).map(_ -> ts).toMap

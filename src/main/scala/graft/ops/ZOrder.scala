@@ -40,9 +40,9 @@ object ZOrder {
       case _ => col(c).cast(DoubleType)
     }
 
-  /** The interleaved z-value of `cols` as a LongType Column. Numeric,
-    * date, and timestamp columns only (values must linearly embed into
-    * a rank).
+  /** Per-column `bits`-wide linear ranks (steps 1–2 of the z-value
+    * construction) — shared with [[Hilbert]], which replaces only the
+    * bit-combination step.
     *
     * `ranges` supplies known per-column (lo, hi) embeddings (e.g.
     * folded from column-stats sidecars — kilobyte metadata); columns
@@ -50,16 +50,16 @@ object ZOrder {
     * A too-narrow supplied range only clamps outliers to the edge
     * ranks — clustering quality, never correctness.
     */
-  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 16,
-      ranges: Map[String, (Double, Double)] = Map.empty): Column = {
-    require(cols.size >= 2, "z-order needs at least 2 columns")
+  private[ops] def ranks(df: DataFrame, cols: Seq[String], bits: Int,
+      ranges: Map[String, (Double, Double)]): Seq[Column] = {
+    require(cols.size >= 2, "multi-column clustering needs at least 2 columns")
     require(cols.size * bits <= 60,
       s"cols.size * bits must be <= 60 (ANSI-safe long): ${cols.size} * $bits")
     cols.foreach { c =>
       val dt = df.schema(c).dataType
       require(dt.isInstanceOf[NumericType] || dt == DateType ||
         dt == TimestampType,
-        s"z-order column $c has non-embeddable type $dt")
+        s"clustering column $c has non-embeddable type $dt")
     }
     val missing = cols.filterNot(ranges.contains)
     val computed: Map[String, (Double, Double)] =
@@ -80,7 +80,7 @@ object ZOrder {
       }
     val bounds = ranges ++ computed
     val maxRank = (1L << bits) - 1
-    val ranks = cols.map { c =>
+    cols.map { c =>
       bounds.get(c) match {
         // degenerate ranges (all-null, constant, NaN/Inf endpoints —
         // max() surfaces a single NaN as the column max) → constant
@@ -99,10 +99,19 @@ object ZOrder {
         case _ => lit(0L)
       }
     }
+  }
+
+  /** The interleaved z-value of `cols` as a LongType Column. Numeric,
+    * date, and timestamp columns only (values must linearly embed into
+    * a rank); see [[ranks]] for the `ranges` contract.
+    */
+  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 16,
+      ranges: Map[String, (Double, Double)] = Map.empty): Column = {
+    val rk = ranks(df, cols, bits, ranges)
     // bit interleave: output bit (b * n + i) = bit b of rank i
     val n = cols.size
     (0 until bits).flatMap { b =>
-      ranks.zipWithIndex.map { case (r, i) =>
+      rk.zipWithIndex.map { case (r, i) =>
         shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * n + i)
       }
     }.reduce(_.bitwiseOR(_))

@@ -128,6 +128,32 @@ object OpsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** O11 — Hilbert-curve clustered layout + stats-pruned read (Hudi
+    * 0.10's `hoodie.layout.optimize.curve.build.method=hilbert`): the
+    * o7 roundtrip with the Morton curve swapped for the Hilbert curve
+    * (strictly better box-query locality at the same bit budget). The
+    * gate asserts real file-skipping on a NON-PREFIX clustered column;
+    * values are oracled against the plain filter.
+    */
+  def o11HilbertPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    val table = KeyedTable("orders_h",
+      s"${scratch("graft-o11")}/orders_h",
+      Seq("o_orderkey"), "o_orderkey",
+      statsColumns = Seq("o_custkey", "o_totalprice"))
+    val orders = t(s, dir, "orders")
+    val perFile = math.max(orders.count() / 16L, 1L)
+    TableOps.upsert(s, table, orders, maxRecordsPerFile = perFile)
+    TableOps.compact(s, table, maxRecordsPerFile = perFile,
+      hilbertBy = Seq("o_custkey", "o_totalprice"))
+    val pred = col("o_custkey") >= 100L && col("o_custkey") < 200L
+    val pruned = TableOps.snapshotWhere(s, table, pred)
+    require(pruned.inputFiles.length <
+      TableOps.snapshot(s, table).inputFiles.length,
+      "hilbert layout failed to skip files on a non-prefix column range")
+    pruned.select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** O8 — writer-side hash bucketing ([[graft.tables.Buckets]], the
     * Spark-native analog of the reference's Hudi BUCKET index layout):
     * customer and orders are bucketed on the join key with the same
