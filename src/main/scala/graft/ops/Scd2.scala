@@ -72,8 +72,12 @@ object Scd2 {
     collapsed
       .withColumn("valid_from", col(KeyedTable.CommitCol))
       .withColumn("valid_from_ord", col("_ord"))
-      .withColumn("valid_to", lead(col(KeyedTable.CommitCol), 1).over(w))
-      .withColumn("valid_to_ord", lead(col("_ord"), 1).over(w))
+      // both leads in ONE projection: chained withColumn leaves a
+      // Project between the Window nodes that blocks CollapseWindow
+      // (two Window execs + a redundant sort for the same spec)
+      .select(col("*"),
+        lead(col(KeyedTable.CommitCol), 1).over(w).as("valid_to"),
+        lead(col("_ord"), 1).over(w).as("valid_to_ord"))
       .filter(col("_change_type") =!= lit("delete"))
       .withColumn("is_current", col("valid_to_ord").isNull)
       .drop("_ord", "_change_type", KeyedTable.CommitCol)
