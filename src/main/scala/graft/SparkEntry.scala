@@ -147,6 +147,7 @@ object SparkEntry {
     "sim_mmr_rerank"          -> (ExtQueries.simMmrRerank _),
     "eval_auc"                -> (ExtQueries.evalAuc _),
     "eval_auc_by"             -> (ExtQueries.evalAucBy _),
+    "eval_auc_bootstrap"      -> (ExtQueries.evalAucBootstrap _),
     "eval_avg_precision"      -> (ExtQueries.evalAvgPrecision _),
     "eval_confusion"          -> (ExtQueries.evalConfusion _),
     "eval_calibration"        -> (ExtQueries.evalCalibration _),
@@ -2303,6 +2304,52 @@ object SparkEntry {
          |  CASE WHEN n_pos > 0 AND n_neg > 0
          |   THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
          | FROM cells ORDER BY source""".stripMargin,
+    // Poisson-bootstrap AUC CI: the oracle replays the per-(doc,
+    // replicate) md5-60 draw against the SAME baked 60-bit Poisson(1)
+    // CDF thresholds (integer compares, no float), the weighted
+    // Mann–Whitney per replicate, and the exact order statistics.
+    "eval_auc_bootstrap" -> {
+      val th = graft.ext.ModelEval.PoissonCdf60
+      val wCase = th.zipWithIndex
+        .map { case (t, k) => s"WHEN h < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH ${lmCte("documents")},
+         | lab AS (SELECT lm.doc_id, lm_score AS s,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM lm JOIN documents USING (doc_id)),
+         | reps AS (SELECT doc_id, s, y, r.range AS b
+         |  FROM lab CROSS JOIN range(0, 16) r),
+         | hw AS (SELECT b, s, y,
+         |   ${h60Sql("boot", 7, "(doc_id * 16 + b)")} AS h FROM reps),
+         | wts AS (SELECT b, s, y, $wCase AS w FROM hw),
+         | g AS (SELECT b, s, CAST(sum(w * y) AS BIGINT) AS pos_g,
+         |   CAST(sum(w) AS BIGINT) AS tot_g
+         |  FROM wts WHERE w > 0 GROUP BY 1, 2),
+         | c AS (SELECT b, pos_g, tot_g - pos_g AS neg_g,
+         |   coalesce(sum(tot_g - pos_g) OVER (PARTITION BY b
+         |     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |     0) AS cnb
+         |  FROM g),
+         | cells AS (SELECT b, CAST(sum(pos_g) AS BIGINT) AS n_pos,
+         |   CAST(sum(neg_g) AS BIGINT) AS n_neg,
+         |   CAST(sum(CAST(pos_g AS DECIMAL(18,0)) *
+         |     CAST(2 * cnb + neg_g AS DECIMAL(19,0)))
+         |     AS DECIMAL(38,0)) AS u2
+         |  FROM c GROUP BY b),
+         | aucs AS (SELECT CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg)
+         |    AS auc
+         |  FROM cells WHERE n_pos > 0 AND n_neg > 0),
+         | ranked AS (SELECT auc, row_number() OVER (ORDER BY auc) AS r,
+         |   count(*) OVER () AS nb FROM aucs)
+         | SELECT CAST(max(nb) AS BIGINT) AS n_replicates,
+         |  max(CASE WHEN r = greatest(1, CAST(ceil(0.025 * nb) AS BIGINT))
+         |    THEN auc END) AS auc_lo,
+         |  max(CASE WHEN r = greatest(1, CAST(ceil(0.5 * nb) AS BIGINT))
+         |    THEN auc END) AS auc_med,
+         |  max(CASE WHEN r = greatest(1, CAST(ceil(0.975 * nb) AS BIGINT))
+         |    THEN auc END) AS auc_hi
+         | FROM ranked""".stripMargin
+    },
     // AP with thresholds at distinct scores DESC: the oracle's
     // inclusive descending prefixes equal the engine's (total − strictly-
     // below) derivation value-for-value; each term is the same

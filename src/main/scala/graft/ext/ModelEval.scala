@@ -143,24 +143,31 @@ object ModelEval {
     * user ids); per-group running offsets come back as one broadcast
     * join; the window partitions by (group, bucket). */
   def rocAucBy(df: DataFrame, groupCol: String, labelCol: String,
-      scoreCol: String, buckets: Int = 64): DataFrame = {
+      scoreCol: String, buckets: Int = 64,
+      weightCol: Option[String] = None): DataFrame = {
     require(buckets >= 1 && buckets <= 4096,
       "buckets must be in [1, 4096] (per-bucket totals are collected)")
     // a null group is not a slice — and the offsets equi-join would
     // silently drop it anyway (null never equi-matches); exclude it
     // explicitly so the contract is visible. Nulls filter BEFORE the
     // binary check so the raise never fires a null-valued message.
+    // With a weight column (exact non-negative integers — resampling
+    // multiplicities, not float importance weights), every count
+    // becomes a weighted count: zero/null-weight rows carry nothing
+    // and drop.
+    val wExpr = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
     val base = df.select(col(groupCol).as("_g"),
         col(scoreCol).cast(DoubleType).as("_s"),
-        col(labelCol).cast("long").as("_y"))
+        col(labelCol).cast("long").as("_y"), wExpr.as("_w"))
       .filter(col("_s").isNotNull && col("_y").isNotNull &&
-        col("_g").isNotNull)
-      .select(col("_g"), col("_s"),
+        col("_g").isNotNull && col("_w").isNotNull && col("_w") > 0L)
+      .select(col("_g"), col("_s"), col("_w"),
         when(col("_y").isin(0L, 1L), col("_y")).otherwise(raise_error(
           concat(lit(s"ModelEval: label '$labelCol' must be 0/1, got "),
             col("_y").cast("string")))).as("_y"))
     val g = base.groupBy("_g", "_s")
-      .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
+      .agg(sum(col("_w") * col("_y")).as("pos_g"),
+        sum(col("_w")).as("tot_g"))
       .withColumn("neg_g", col("tot_g") - col("pos_g"))
       .localCheckpoint() // see rocAuc: cuts + totals + final each re-read
     val (cuts, bucketOf) = scoreBuckets(g, buckets)
@@ -202,6 +209,76 @@ object ModelEval {
         when(col("n_pos") > 0 && col("n_neg") > 0,
           col("u2").cast(DoubleType) /
             (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
+  /** Cumulative Poisson(1) thresholds in 60-bit hash space:
+    * a uniform draw h ∈ [0, 2^60) maps to multiplicity k where
+    * T(k−1) ≤ h < T(k), capped at 8 (P(X>8) ≈ 1e-6). Baked integer
+    * literals — the SAME longs interpolate into the DuckDB oracle, so
+    * the draw is cross-engine exact with no float compare. */
+  private[graft] val PoissonCdf60: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    (0 to 7)
+      .map(k => (0 to k).map(j => e1 / (1 to j).product).sum)
+      .map(c => (c * math.pow(2.0, 60)).toLong)
+  }
+
+  /** Poisson(1) multiplicity of `i` under `seed` — the bootstrap
+    * resampling weight (Chamandy et al., "Estimating uncertainty for
+    * massive data streams", Google TR 2012: the Poisson bootstrap
+    * replaces sampling-with-replacement, which needs global
+    * coordination, with an independent per-row draw). */
+  private def poissonWeight(tag: String, seed: Long,
+      i: Column): Column = {
+    val h = graft.functions.PortableHash.h60(tag, seed, i)
+    PoissonCdf60.zipWithIndex.foldRight(lit(8L): Column) {
+      case ((t, k), rest) => when(h < t, k.toLong).otherwise(rest)
+    }
+  }
+
+  /** Poisson-bootstrap confidence interval for [[rocAuc]]: each of
+    * `replicates` resamples draws every unit (row of `idCol`) with an
+    * independent Poisson(1) multiplicity — the coordination-free
+    * equivalent of sampling-with-replacement — and the weighted
+    * Mann–Whitney runs per replicate through the [[rocAucBy]]
+    * machinery (replicate = the group; weighted counts stay exact
+    * integers, so every per-replicate AUC is one division of exact
+    * operands). One row:
+    * `(n_replicates, auc_lo, auc_med, auc_hi)` — exact order
+    * statistics of the replicate AUCs at ranks
+    * max(1, ⌈0.025·B⌉) / ⌈0.5·B⌉ / ⌈0.975·B⌉ over the non-null
+    * replicates.
+    *
+    * Scale: the explode multiplies the (score, label, id) projection
+    * by B BEFORE the group-by — one pass, map-side combined into a
+    * B×distinct-scores frame; the final order-statistics window runs
+    * on ≤ B rows. */
+  def bootstrapAuc(df: DataFrame, labelCol: String, scoreCol: String,
+      idCol: String, replicates: Int = 32, seed: Long = 42L,
+      buckets: Int = 64): DataFrame = {
+    require(replicates >= 2 && replicates <= 256,
+      "replicates must be in [2, 256]")
+    val expanded = df.select(col(idCol).cast("long").as("_id"),
+        col(labelCol).as("_y0"), col(scoreCol).as("_s0"))
+      .withColumn("_b", explode(array(
+        (0 until replicates).map(b => lit(b.toLong)): _*)))
+      .withColumn("_w", poissonWeight("boot", seed,
+        col("_id") * replicates + col("_b")))
+    val per = rocAucBy(expanded, "_b", "_y0", "_s0", buckets,
+      weightCol = Some("_w"))
+    val wr = Window.orderBy(col("auc")) // ≤ B rows — bounded by contract
+    val ranked = per.filter(col("auc").isNotNull)
+      .select(col("auc"))
+      .withColumn("_r", row_number().over(wr))
+      .withColumn("_nb", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val rank = (p: Double) =>
+      greatest(lit(1L), ceil(lit(p) * col("_nb")).cast("long"))
+    ranked.agg(
+      max(col("_nb")).as("n_replicates"),
+      max(when(col("_r") === rank(0.025), col("auc"))).as("auc_lo"),
+      max(when(col("_r") === rank(0.5), col("auc"))).as("auc_med"),
+      max(when(col("_r") === rank(0.975), col("auc"))).as("auc_hi"))
   }
 
   /** Average precision (PR-AUC, sklearn step convention): with

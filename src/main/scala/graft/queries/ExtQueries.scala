@@ -1729,6 +1729,18 @@ object ExtQueries {
     graft.ext.ModelEval.averagePrecision(scoredDocs, "is_en", "lm_score")
   }
 
+  /** Poisson-bootstrap 95% CI for the LM-score AUC: 16 replicates,
+    * deterministic per-(doc, replicate) Poisson(1) multiplicities.
+    */
+  def evalAucBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scoredDocs = TextStats.lmScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.bootstrapAuc(scoredDocs, "is_en", "lm_score",
+      "doc_id", replicates = 16, seed = 7)
+  }
+
   /** Confusion report of `stopword_ratio >= 0.0625` predicting
     * `lang = 'en'` — every rate one division of exact integer cells.
     */

@@ -74,6 +74,46 @@ class ModelEvalSpec extends SparkSuite {
     assert(d === Seq(("a", 1.0), ("b", 0.0)))
   }
 
+  test("weighted auc equals the row-duplicated auc") {
+    val weighted = Seq(
+      ("g", 0.9, 1, 3L), ("g", 0.7, 0, 2L), ("g", 0.4, 1, 1L))
+      .toDF("grp", "s", "y", "w")
+    val duplicated = Seq.fill(3)(("g", 0.9, 1)) ++
+      Seq.fill(2)(("g", 0.7, 0)) ++ Seq(("g", 0.4, 1))
+    val a = ModelEval.rocAucBy(weighted, "grp", "y", "s", buckets = 2,
+      weightCol = Some("w")).select("n_pos", "n_neg", "auc")
+      .as[(Long, Long, Double)].head()
+    val b = ModelEval.rocAucBy(duplicated.toDF("grp", "s", "y"),
+      "grp", "y", "s", buckets = 2).select("n_pos", "n_neg", "auc")
+      .as[(Long, Long, Double)].head()
+    assert(a === b)
+    assert(a._1 === 4L && a._2 === 2L)
+  }
+
+  test("bootstrapAuc: deterministic, ordered bounds, replicate cap") {
+    val rows = (1L to 200L).map { i =>
+      (i, ((i * 7919) % 100).toDouble / 100.0,
+        if ((i * 2654435761L) % 3 == 0) 1 else 0)
+    }
+    val df = rows.toDF("id", "s", "y")
+    val r1 = ModelEval.bootstrapAuc(df, "y", "s", "id",
+      replicates = 16, seed = 7).head()
+    val r2 = ModelEval.bootstrapAuc(df, "y", "s", "id",
+      replicates = 16, seed = 7).head()
+    assert(r1 === r2) // same seed -> bit-identical report
+    val (nb, lo, med, hi) =
+      (r1.getLong(0), r1.getDouble(1), r1.getDouble(2), r1.getDouble(3))
+    assert(nb >= 2L && nb <= 16L)
+    assert(lo <= med && med <= hi)
+    // the point estimate sits inside the interval
+    val point = ModelEval.rocAuc(df, "y", "s").head().getDouble(3)
+    assert(lo <= point && point <= hi)
+    // a different seed moves the draw
+    val r3 = ModelEval.bootstrapAuc(df, "y", "s", "id",
+      replicates = 16, seed = 8).head()
+    assert(r3 !== r1)
+  }
+
   test("average precision matches the hand-computed step sum") {
     // desc order: .8(+) .7(-) .4(+) .3(-): thresholds at .8 -> P=1, R=.5;
     // .4 -> P=2/3, R=1 => AP = .5*1 + .5*2/3 = 5/6
