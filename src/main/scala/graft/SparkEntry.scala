@@ -258,7 +258,8 @@ object SparkEntry {
     "dedup_containment", "a_kmv_overlap", "dq_drift", "text_hybrid_rrf",
     "o10_secondary_lookup", "j_interval_overlap",
     "text_retrieval_eval", "labels_vote", "labels_kappa",
-    "sim_mmr_rerank", "eval_auc", "events_rolling")
+    "sim_mmr_rerank", "eval_auc", "events_rolling",
+    "events_gapfill", "events_transitions", "o11_hilbert_pruned_read")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
