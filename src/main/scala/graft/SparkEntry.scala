@@ -2279,7 +2279,7 @@ object SparkEntry {
          |     CAST(2 * cnb + neg_g AS DECIMAL(19,0)))
          |     AS DECIMAL(38,0)) AS u2
          |  FROM c)
-         | SELECT n_pos, n_neg, u2,
+         | SELECT n_pos, n_neg, CAST(u2 AS BIGINT) AS u2,
          |  CASE WHEN n_pos > 0 AND n_neg > 0
          |   THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
          | FROM cells""".stripMargin,
@@ -2301,7 +2301,7 @@ object SparkEntry {
          |     CAST(2 * cnb + neg_g AS DECIMAL(19,0)))
          |     AS DECIMAL(38,0)) AS u2
          |  FROM c GROUP BY source)
-         | SELECT source, n_pos, n_neg, u2,
+         | SELECT source, n_pos, n_neg, CAST(u2 AS BIGINT) AS u2,
          |  CASE WHEN n_pos > 0 AND n_neg > 0
          |   THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
          | FROM cells ORDER BY source""".stripMargin,

@@ -1694,15 +1694,20 @@ object ExtQueries {
     * `lang = 'en'` — the measurement half of the model-based
     * quality-filter loop (how well does the score separate the
     * dominant language the LM was implicitly trained toward?).
-    * Tie-corrected Mann–Whitney over distinct-score groups; the
-    * one-row report's u2 is an exact DECIMAL(38,0) integer.
+    * Tie-corrected Mann–Whitney over distinct-score groups; u2 is
+    * exact DECIMAL(38,0) internally, emitted as BIGINT.
     */
   def evalAuc(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val scoredDocs = TextStats.lmScore(docs, "doc_id", "text")
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .withColumn("is_en", (col("lang") === "en").cast("int"))
+    // u2 is DECIMAL(38,0) internally (exact at 100 TB class counts);
+    // the OUTPUT casts to BIGINT — exact up to ~10^8 rows/class, far
+    // beyond any verify scale — because decimal128 serialization
+    // trips the driver's hash compare (round-9 red).
     graft.ext.ModelEval.rocAuc(scoredDocs, "is_en", "lm_score")
+      .withColumn("u2", col("u2").cast("long"))
   }
 
   /** Per-source slice AUC of the same score/label — the Simpson's-
@@ -1714,7 +1719,9 @@ object ExtQueries {
     val scoredDocs = TextStats.lmScore(docs, "doc_id", "text")
       .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
       .withColumn("is_en", (col("lang") === "en").cast("int"))
+    // Same BIGINT output cast as evalAuc (decimal128 hash artifact).
     graft.ext.ModelEval.rocAucBy(scoredDocs, "source", "is_en", "lm_score")
+      .withColumn("u2", col("u2").cast("long"))
       .orderBy("source")
   }
 

@@ -59,6 +59,36 @@ assert not missing, f"queries declared but produced no output: {missing}"
 print(f"[preflight]   all {len(declared)} declared queries produced output")
 EOF
 
+# Output-dtype audit (r9 verdict #2): eval_auc/eval_auc_by were
+# cell-exact locally but hash-red on the driver board because their
+# OUTPUT carried a decimal128(38,0) column — the driver's hash compare
+# serializes decimals differently from DuckDB's. Queries may use any
+# type INTERNALLY, but result schemas must stay inside the proven-safe
+# set (every r9-green query emits only these). Anything else (decimal,
+# struct, list, binary, interval, ...) fails here unless allowlisted.
+echo "[preflight] 2b/3 output-dtype audit"
+python3 - "$OUT/verify" <<'EOF' || exit 1
+import sys, glob, os, re
+import pyarrow.parquet as pq
+out = sys.argv[1]
+SAFE = re.compile(r'^(bool|int8|int16|int32|int64|float|double|string'
+                  r'|large_string|date32\[day\]|timestamp\[[a-z]+\])$')
+ALLOW = {}  # (query, column) -> reason, for deliberate exceptions
+bad = []
+for d in sorted(glob.glob(f"{out}/*/")):
+    q = os.path.basename(d.rstrip('/'))
+    fs = glob.glob(d + "*.parquet")
+    if not fs:
+        continue
+    for f in pq.read_schema(fs[0]):
+        if not SAFE.match(str(f.type)) and (q, f.name) not in ALLOW:
+            bad.append(f"{q}.{f.name}: {f.type}")
+assert not bad, ("non-hash-safe output column types (cast them in the "
+                 "driver query, keep the wide type internal): "
+                 + ", ".join(bad))
+print("[preflight]   dtype audit ok: all result columns hash-safe")
+EOF
+
 echo "[preflight] 3/3 Bench smoke (1 query, $SF_SMOKE)"
 SPARK_GRAFT_SF_DIR="$SF_SMOKE" SPARK_GRAFT_CPUS=4 \
 SPARK_GRAFT_BENCH_QUERIES=q1_agg \
