@@ -152,6 +152,8 @@ object SparkEntry {
     "eval_confusion"          -> (ExtQueries.evalConfusion _),
     "eval_calibration"        -> (ExtQueries.evalCalibration _),
     "eval_ece"                -> (ExtQueries.evalEce _),
+    "eval_calibration_by"     -> (ExtQueries.evalCalibrationBy _),
+    "eval_ece_by"             -> (ExtQueries.evalEceBy _),
     "dq_group_quantiles"      -> (ExtQueries.dqGroupQuantiles _),
     "sample_kfold"            -> (ExtQueries.sampleKfold _),
     "events_retention"        -> (ExtQueries.eventsRetention _),
@@ -258,7 +260,7 @@ object SparkEntry {
     "dedup_containment", "a_kmv_overlap", "dq_drift", "text_hybrid_rrf",
     "o10_secondary_lookup", "j_interval_overlap",
     "text_retrieval_eval", "labels_vote", "labels_kappa",
-    "sim_mmr_rerank", "eval_auc", "events_rolling",
+    "sim_mmr_rerank", "eval_auc", "eval_auc_by", "events_rolling",
     "events_gapfill", "events_transitions", "o11_hilbert_pruned_read")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
@@ -2458,6 +2460,64 @@ object SparkEntry {
          |   THEN CAST(n_pos AS DOUBLE) / n END AS pos_rate
          | FROM range(0, 10) r LEFT JOIN counts ON counts.bin = r.range
          | ORDER BY bin""".stripMargin,
+    // Per-source slice variants: same grid, same term arithmetic, with
+    // source threaded through the group-bys. The per-source total is a
+    // window sum — DuckDB widens windowed sum(BIGINT) to HUGEINT, so
+    // it casts back (the pack_shards lesson).
+    "eval_calibration_by" ->
+      raw"""WITH tok AS (
+         |  SELECT source, lang,
+         |   string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM documents),
+         | sr AS (SELECT source,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+         |     'of','to','in','is','it','for','on','with','as','at','by')))
+         |     AS DOUBLE) / len(w) AS s
+         |  FROM tok),
+         | b AS (SELECT source, CAST(least(9, greatest(0,
+         |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
+         |    AS INT) AS bin, y
+         |  FROM sr WHERE s IS NOT NULL AND source IS NOT NULL),
+         | counts AS (SELECT source, bin, count(*) AS n,
+         |   CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1, 2),
+         | spine AS (SELECT DISTINCT source FROM counts)
+         | SELECT spine.source, CAST(r.range AS INT) AS bin,
+         |  coalesce(n, 0) AS n, coalesce(n_pos, 0) AS n_pos,
+         |  CASE WHEN coalesce(n, 0) > 0
+         |   THEN CAST(n_pos AS DOUBLE) / n END AS pos_rate
+         | FROM spine CROSS JOIN range(0, 10) r
+         | LEFT JOIN counts
+         |  ON counts.source = spine.source AND counts.bin = r.range
+         | ORDER BY 1, 2""".stripMargin,
+    "eval_ece_by" ->
+      raw"""WITH tok AS (
+         |  SELECT source, lang,
+         |   string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM documents),
+         | sr AS (SELECT source,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+         |     'of','to','in','is','it','for','on','with','as','at','by')))
+         |     AS DOUBLE) / len(w) AS s
+         |  FROM tok),
+         | b AS (SELECT source, CAST(least(9, greatest(0,
+         |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
+         |    AS INT) AS bin, y, s
+         |  FROM sr WHERE s IS NOT NULL AND source IS NOT NULL),
+         | counts AS (SELECT source, bin, count(*) AS n,
+         |   CAST(sum(y) AS BIGINT) AS n_pos,
+         |   sum(CAST(s AS DECIMAL(28,9))) AS sum_s FROM b GROUP BY 1, 2),
+         | tot AS (SELECT source, bin, n, n_pos, sum_s,
+         |   CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ntot
+         |  FROM counts),
+         | t AS (SELECT source, ntot, CAST(round((CAST(n AS DOUBLE) / ntot)
+         |     * abs(CAST(n_pos AS DOUBLE) / n - CAST(sum_s AS DOUBLE) / n),
+         |     9) AS DECIMAL(28,9)) AS term
+         |  FROM tot)
+         | SELECT source, ntot AS n, round(CAST(sum(term) AS DOUBLE), 6)
+         |   AS ece
+         | FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin,
     // Label aggregation: the oracle rebuilds the 3-annotator synthetic
     // labels via the identical md5-60 draw, then replays the collapse
     // (min label per annotator), the vote window, and the integer pair

@@ -373,11 +373,8 @@ object ModelEval {
       bins: Int, lo: Double, hi: Double): DataFrame = {
     require(bins >= 2, "at least two bins")
     require(hi > lo, "hi must exceed lo")
-    val bin = least(lit((bins - 1).toLong), greatest(lit(0L),
-      floor((col("_s") - lit(lo)) / lit((hi - lo) / bins))))
-      .cast("int").as("bin")
     val counts = scored(df, labelCol, scoreCol)
-      .select(bin, col("_y"), col("_s"))
+      .select(gridBin(bins, lo, hi), col("_y"), col("_s"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"),
         sum(col("_s").cast("decimal(28,9)")).as("sum_s"))
@@ -393,6 +390,94 @@ object ModelEval {
         round(sum(col("_t")).cast(DoubleType), 6).as("ece"))
   }
 
+  /** Per-group (group, score, label) projection with the same null /
+    * binary-label discipline as [[scored]]; a null group is not a
+    * slice (the [[rocAucBy]] convention). */
+  private def scoredBy(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val y = col(labelCol).cast("long")
+    df.select(col(groupCol).as("_g"),
+        col(scoreCol).cast(DoubleType).as("_s"), y.as("_y"))
+      .filter(col("_s").isNotNull && col("_y").isNotNull &&
+        col("_g").isNotNull)
+      .select(col("_g"), col("_s"),
+        when(col("_y").isin(0L, 1L), col("_y")).otherwise(raise_error(
+          concat(lit(s"ModelEval: label '$labelCol' must be 0/1, got "),
+            col("_y").cast("string")))).as("_y"))
+  }
+
+  /** Fixed-grid bin column shared by the calibration/ECE family:
+    * clamp on the LONG floor BEFORE narrowing (the psiDrift posture —
+    * a non-ANSI long->int cast wraps, so a far-out-of-range score
+    * could otherwise land in an interior bin). */
+  private def gridBin(bins: Int, lo: Double, hi: Double): Column =
+    least(lit((bins - 1).toLong), greatest(lit(0L),
+      floor((col("_s") - lit(lo)) / lit((hi - lo) / bins))))
+      .cast("int").as("bin")
+
+  /** Per-group [[ece]] — the slice audit of calibration drift. The
+    * same Simpson's-reversal argument as [[rocAucBy]] applies to
+    * calibration: a score calibrated on the pooled corpus can be
+    * systematically over-confident inside one source, and a
+    * pooled-calibrated threshold then gates that source wrong. One
+    * row per group: `(groupCol, n, ece)`.
+    *
+    * Scale: ONE map-side-combinable groupBy(group, bin) touches the
+    * rows; everything after runs on the groups × bins frame (per-group
+    * totals via a window partitioned by group over that small frame —
+    * no driver collect, no group-count cap). Term arithmetic is the
+    * pooled [[ece]] posture exactly (round(…,9) per term, DECIMAL(28,9)
+    * fold) so the per-group sums stay order-independent. */
+  def eceBy(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String, bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins >= 2, "at least two bins")
+    require(hi > lo, "hi must exceed lo")
+    val counts = scoredBy(df, groupCol, labelCol, scoreCol)
+      .select(col("_g"), gridBin(bins, lo, hi), col("_y"), col("_s"))
+      .groupBy("_g", "bin")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"),
+        sum(col("_s").cast("decimal(28,9)")).as("sum_s"))
+    val nTot = sum(col("n")).over(Window.partitionBy("_g"))
+    val term = ((col("n").cast(DoubleType) / col("_N")) *
+      abs(col("n_pos").cast(DoubleType) / col("n") -
+        col("sum_s").cast(DoubleType) / col("n")))
+    counts.withColumn("_N", nTot)
+      .select(col("_g"), col("_N"),
+        round(term, 9).cast("decimal(28,9)").as("_t"))
+      .groupBy("_g")
+      .agg(max(col("_N")).as("n"),
+        round(sum(col("_t")).cast(DoubleType), 6).as("ece"))
+      .select(col("_g").as(groupCol), col("n"), col("ece"))
+  }
+
+  /** Per-group [[calibration]] (reliability) table: one row per
+    * (group, bin) with empty bins kept visible per group via a
+    * distinct-groups × range spine — so a slice with NO mass in a
+    * score band shows up as n = 0 rather than silently missing, which
+    * is exactly the signature of a source the calibrator never saw. */
+  def calibrationBy(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String, bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins >= 2, "at least two bins")
+    require(hi > lo, "hi must exceed lo")
+    // materialize the groups × bins frame ONCE: the spine's distinct
+    // and the join probe would otherwise each re-run the corpus
+    // aggregation (measured: 4 parquet scans instead of 2 — Spark's
+    // ReuseExchange does not fire across the distinct branch)
+    val counts = scoredBy(df, groupCol, labelCol, scoreCol)
+      .select(col("_g"), gridBin(bins, lo, hi), col("_y"))
+      .groupBy("_g", "bin")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
+      .localCheckpoint()
+    val spine = counts.select("_g").distinct()
+      .crossJoin(broadcast(df.sparkSession.range(0, bins)
+        .select(col("id").cast("int").as("bin"))))
+    spine.join(counts, Seq("_g", "bin"), "left")
+      .na.fill(0L, Seq("n", "n_pos"))
+      .select(col("_g").as(groupCol), col("bin"), col("n"), col("n_pos"),
+        when(col("n") > 0, col("n_pos").cast(DoubleType) / col("n"))
+          .as("pos_rate"))
+  }
+
   /** Calibration (reliability) table over `bins` equal-width score
     * bins on the caller-fixed [lo, hi): per-bin `(bin, n, n_pos,
     * pos_rate)` with out-of-range scores clamped to the edge bins and
@@ -402,14 +487,8 @@ object ModelEval {
       bins: Int, lo: Double, hi: Double): DataFrame = {
     require(bins >= 2, "at least two bins")
     require(hi > lo, "hi must exceed lo")
-    // clamp on the LONG floor BEFORE narrowing (the psiDrift posture):
-    // a non-ANSI long->int cast wraps, so a far-out-of-range score
-    // could otherwise land in an interior bin
-    val bin = least(lit((bins - 1).toLong), greatest(lit(0L),
-      floor((col("_s") - lit(lo)) / lit((hi - lo) / bins))))
-      .cast("int").as("bin")
     val counts = scored(df, labelCol, scoreCol)
-      .select(bin, col("_y"))
+      .select(gridBin(bins, lo, hi), col("_y"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
     df.sparkSession.range(0, bins)

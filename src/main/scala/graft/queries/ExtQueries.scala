@@ -1785,6 +1785,34 @@ object ExtQueries {
       bins = 10, lo = 0.0, hi = 0.25)
   }
 
+  /** Per-source reliability table on the same grid — the slice view
+    * of `eval_calibration` (a source with zero mass in a score band
+    * surfaces as an n = 0 row, not a missing one).
+    */
+  def evalCalibrationBy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val st = TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.calibrationBy(st, "source", "is_en",
+      "stopword_ratio", bins = 10, lo = 0.0, hi = 0.25)
+      .orderBy("source", "bin")
+  }
+
+  /** Per-source ECE on the same grid — calibration drift by slice
+    * (the Simpson's-reversal audit applied to calibration: pooled ECE
+    * can look fine while one source is systematically over-confident).
+    */
+  def evalEceBy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val st = TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.eceBy(st, "source", "is_en", "stopword_ratio",
+      bins = 10, lo = 0.0, hi = 0.25)
+      .orderBy("source")
+  }
+
   /** MMR diverse rerank of the exact-cosine top-20 candidates for the
     * first 8 query vectors: k = 8 greedy picks at λ = 0.7. Rank-only
     * output (the sim_cosine_topk posture); the oracle unrolls the

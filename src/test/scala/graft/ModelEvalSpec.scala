@@ -204,4 +204,43 @@ class ModelEvalSpec extends SparkSuite {
       (2, 0L, 0L, None),
       (3, 2L, 2L, Some(1.0))))      // 0.95 + 1.7 clamped up
   }
+
+  test("eceBy matches per-group runs of the pooled ece") {
+    import spark.implicits._
+    val gA = Seq((0.1, 0), (0.2, 1), (0.8, 1), (0.9, 1))
+    val gB = Seq((0.3, 0), (0.4, 0), (0.6, 1), (0.7, 0), (0.95, 1))
+    val df = (gA.map { case (s, y) => ("a", s, y) } ++
+      gB.map { case (s, y) => ("b", s, y) }).toDF("grp", "s", "y")
+    val out = ModelEval.eceBy(df, "grp", "y", "s",
+        bins = 4, lo = 0.0, hi = 1.0)
+      .orderBy("grp").as[(String, Long, Double)].collect().toSeq
+    val pooledA = ModelEval.ece(gA.toDF("s", "y"), "y", "s",
+      bins = 4, lo = 0.0, hi = 1.0).head()
+    val pooledB = ModelEval.ece(gB.toDF("s", "y"), "y", "s",
+      bins = 4, lo = 0.0, hi = 1.0).head()
+    assert(out === Seq(
+      ("a", pooledA.getLong(0), pooledA.getDouble(1)),
+      ("b", pooledB.getLong(0), pooledB.getDouble(1))))
+    // null group is not a slice; empty input -> empty report
+    val withNull = df.union(Seq((null: String, 0.5, 1)).toDF("grp", "s", "y"))
+    assert(ModelEval.eceBy(withNull, "grp", "y", "s",
+      bins = 4, lo = 0.0, hi = 1.0).count() === 2L)
+    assert(ModelEval.eceBy(df.filter("false"), "grp", "y", "s",
+      bins = 4, lo = 0.0, hi = 1.0).count() === 0L)
+  }
+
+  test("calibrationBy keeps empty bins visible per group") {
+    import spark.implicits._
+    val df = Seq(("a", 0.05, 1), ("a", 0.95, 0),
+      ("b", 0.3, 1), ("b", 0.35, 1)).toDF("grp", "s", "y")
+    val out = ModelEval.calibrationBy(df, "grp", "y", "s",
+        bins = 4, lo = 0.0, hi = 1.0)
+      .orderBy("grp", "bin")
+      .as[(String, Int, Long, Long, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      ("a", 0, 1L, 1L, Some(1.0)), ("a", 1, 0L, 0L, None),
+      ("a", 2, 0L, 0L, None), ("a", 3, 1L, 0L, Some(0.0)),
+      ("b", 0, 0L, 0L, None), ("b", 1, 2L, 2L, Some(1.0)),
+      ("b", 2, 0L, 0L, None), ("b", 3, 0L, 0L, None)))
+  }
 }
