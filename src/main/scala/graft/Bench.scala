@@ -135,13 +135,21 @@ object Bench {
       }
     }
     val sentinelPost = sentinelSec(spark)
-    // optional per-query output row counts (one extra untimed execution
-    // each — opt-in): the pair-emitting dedup queries' sf1 scaling claim
-    // ("output-bound, not candidate-quadratic") needs emitted-pair
-    // counts next to wall time in the artifact to be checkable.
-    val rowsJson = if (!sys.env.get("SPARK_GRAFT_BENCH_ROWS").contains("true")) ""
+    // per-query output row counts (one extra untimed execution each):
+    // the pair/candidate-emitting queries' scaling claim ("output-
+    // bound, not candidate-quadratic") needs emitted counts next to
+    // wall time in the artifact to be self-proving, so those are
+    // ALWAYS counted; SPARK_GRAFT_BENCH_ROWS=true extends the count
+    // to every benched query (the sfN stress-bench mode).
+    val defaultRowCounted = Set("sim_hard_negatives",
+      "dedup_winnow_pairs", "dedup_prefix_jaccard",
+      "dedup_minhash_pairs", "dedup_simhash_pairs", "sim_knn_graph")
+    val rowNames =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ROWS").contains("true")) names
+      else names.filter(defaultRowCounted)
+    val rowsJson = if (rowNames.isEmpty) ""
       else {
-        val counts = names.map { name =>
+        val counts = rowNames.map { name =>
           val n = try SparkEntry.queries(name)(spark, sfDir).count()
             catch { case _: Throwable => -1L }
           resetCaches()

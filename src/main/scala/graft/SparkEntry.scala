@@ -139,6 +139,8 @@ object SparkEntry {
     "events_funnel"           -> (ExtQueries.eventsFunnel _),
     "events_rolling"          -> (ExtQueries.eventsRolling _),
     "events_transitions"      -> (ExtQueries.eventsTransitions _),
+    "stream_rolling_replay"   -> (ExtQueries.streamRollingReplay _),
+    "stream_transitions_replay" -> (ExtQueries.streamTransitionsReplay _),
     "events_gapfill"          -> (ExtQueries.eventsGapfill _),
     "text_bm25"               -> (ExtQueries.textBm25 _),
     "text_retrieval_eval"     -> (ExtQueries.textRetrievalEval _),
@@ -154,6 +156,7 @@ object SparkEntry {
     "eval_ece"                -> (ExtQueries.evalEce _),
     "eval_calibration_by"     -> (ExtQueries.evalCalibrationBy _),
     "eval_ece_by"             -> (ExtQueries.evalEceBy _),
+    "eval_isotonic"           -> (ExtQueries.evalIsotonic _),
     "dq_group_quantiles"      -> (ExtQueries.dqGroupQuantiles _),
     "sample_kfold"            -> (ExtQueries.sampleKfold _),
     "events_retention"        -> (ExtQueries.eventsRetention _),
@@ -601,6 +604,31 @@ object SparkEntry {
         "sketches, so no SQL reproduces the values cell-exact; the " +
         "error-bound gate a_approx_agg (|approx-exact| within 10%/5%) is " +
         "DuckDB value-oracled"))
+
+  private val eventsRollingSql =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS roll_cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+      |    AS roll_sum
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      | ORDER BY event_id""".stripMargin
+
+  // Markov transitions: lead over a (ts, event_id) total order per
+  // user; p = n / row total, both exact counts (window sum cast back
+  // from DuckDB's HUGEINT).
+  private val eventsTransitionsSql =
+    """WITH seq AS (SELECT user_id, event_type AS from_state,
+      |   lead(event_type) OVER (PARTITION BY user_id
+      |     ORDER BY ts, event_id) AS to_state
+      |  FROM events),
+      | c AS (SELECT from_state, to_state, count(*) AS n
+      |  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2)
+      | SELECT from_state, to_state, n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_state)
+      |    AS BIGINT) AS p
+      | FROM c ORDER BY from_state, to_state""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_select_star" ->
@@ -2126,29 +2154,12 @@ object SparkEntry {
     // micros with an inclusive [ts − 1h, ts] range frame (tie-safe by
     // range semantics); the sum folds through DECIMAL(25,6) — the
     // events_tumbling posture.
-    "events_rolling" ->
-      """SELECT event_id, user_id,
-        |  count(*) OVER w AS roll_cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
-        |    AS roll_sum
-        | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        | ORDER BY event_id""".stripMargin,
-    // Markov transitions: lead over a (ts, event_id) total order per
-    // user; p = n / row total, both exact counts (window sum cast back
-    // from DuckDB's HUGEINT).
-    "events_transitions" ->
-      """WITH seq AS (SELECT user_id, event_type AS from_state,
-        |   lead(event_type) OVER (PARTITION BY user_id
-        |     ORDER BY ts, event_id) AS to_state
-        |  FROM events),
-        | c AS (SELECT from_state, to_state, count(*) AS n
-        |  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2)
-        | SELECT from_state, to_state, n,
-        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_state)
-        |    AS BIGINT) AS p
-        | FROM c ORDER BY from_state, to_state""".stripMargin,
+    "events_rolling" -> eventsRollingSql,
+    // the streaming replays are row-equal to their batch twins by the
+    // finalize-on-watermark contract — same oracle, literally
+    "stream_rolling_replay" -> eventsRollingSql,
+    "stream_transitions_replay" -> eventsTransitionsSql,
+    "events_transitions" -> eventsTransitionsSql,
     // Gap-fill replay: integer floor slots, explicit (ts, value) DESC
     // rank for the within-slot representative (no engine arg-max tie
     // rule), generate_series spine (END-INCLUSIVE, unlike range()),
@@ -2490,6 +2501,42 @@ object SparkEntry {
          | LEFT JOIN counts
          |  ON counts.source = spine.source AND counts.bin = r.range
          | ORDER BY 1, 2""".stripMargin,
+    // Isotonic fit via the exact minimax closed form over observed
+    // bins: fit_k = max_{i<=k} min_{j>=k} (Σ n_pos)/(Σ n) — each
+    // interval average ONE division of two exact BIGINTs (prefix sums
+    // cast back from DuckDB's HUGEINT), max/min of bit-identical
+    // doubles.
+    "eval_isotonic" ->
+      raw"""WITH tok AS (
+         |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM documents),
+         | sr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+         |     'of','to','in','is','it','for','on','with','as','at','by')))
+         |     AS DOUBLE) / len(w) AS s
+         |  FROM tok),
+         | b AS (SELECT CAST(least(9, greatest(0,
+         |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
+         |    AS INT) AS bin, y
+         |  FROM sr WHERE s IS NOT NULL),
+         | counts AS (SELECT bin, count(*) AS n,
+         |   CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY bin),
+         | cum AS (SELECT bin, n, n_pos,
+         |   CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         |   CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+         |  FROM counts),
+         | pairs AS (SELECT li.bin AS i, rj.bin AS j,
+         |   CAST(rj.cp - (li.cp - li.n_pos) AS DOUBLE) /
+         |     (rj.cn - (li.cn - li.n)) AS a
+         |  FROM cum li JOIN cum rj ON li.bin <= rj.bin),
+         | sm AS (SELECT i, j AS bin, min(a) OVER (PARTITION BY i
+         |   ORDER BY j DESC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+         |  FROM pairs),
+         | fit AS (SELECT bin, max(sm) AS iso_rate FROM sm GROUP BY bin)
+         | SELECT c.bin, c.n, c.n_pos,
+         |  CAST(c.n_pos AS DOUBLE) / c.n AS pos_rate, iso_rate
+         | FROM counts c JOIN fit USING (bin) ORDER BY bin""".stripMargin,
     "eval_ece_by" ->
       raw"""WITH tok AS (
          |  SELECT source, lang,

@@ -478,6 +478,65 @@ object ModelEval {
           .as("pos_rate"))
   }
 
+  /** Isotonic (PAV) calibration over the fixed bin grid — the
+    * standard post-hoc calibrator next to the reliability table: the
+    * monotone-non-decreasing step function minimizing weighted squared
+    * error to the per-bin positive rates. Computed NOT by the
+    * sequential pool-adjacent-violators sweep but by its exact minimax
+    * closed form (Barlow–Bartholomew–Bremner–Brunk 1972; Robertson–
+    * Wright–Dykstra 1988, Thm 1.4.4):
+    *   fit_k = max_{i ≤ k} min_{j ≥ k} (Σ_{i..j} n_pos) / (Σ_{i..j} n)
+    * over the OBSERVED bins — which is order-free, distributable, and
+    * SQL-replayable, so the operator is value-oracled like the rest of
+    * the family instead of needing an iterative-algorithm waiver.
+    * Every interval average is ONE IEEE division of two exact BIGINT
+    * sums (bit-stable cross-engine); max/min over bit-identical
+    * doubles are bit-identical.
+    *
+    * Output: one row per observed bin,
+    * `(bin, n, n_pos, pos_rate, iso_rate)` with iso_rate monotone
+    * non-decreasing in bin.
+    *
+    * Scale: the only row-sized stage is the map-side-combinable
+    * groupBy(bin); everything after runs on the bins-sized frame
+    * (prefix window, an i ≤ j interval self-join of ≤ bins² ≤ 2^20
+    * rows, a suffix-min window, a max groupBy). `bins` is capped so
+    * the quadratic interval frame stays metadata-sized. */
+  def isotonicCalibration(df: DataFrame, labelCol: String,
+      scoreCol: String, bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins >= 2 && bins <= 1024,
+      "bins must be in [2, 1024] (the interval frame is bins²-sized)")
+    require(hi > lo, "hi must exceed lo")
+    val counts = scored(df, labelCol, scoreCol)
+      .select(gridBin(bins, lo, hi), col("_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
+      .localCheckpoint() // feeds the prefix frame AND the final join
+    // inclusive prefix sums over the observed bins — a ≤ bins-row
+    // frame, so the global-order window is bounded by contract
+    val wOrd = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = counts.select(col("bin"), col("n"), col("n_pos"),
+      sum("n").over(wOrd).as("cn"), sum("n_pos").over(wOrd).as("cp"))
+    val li = cum.select(col("bin").as("i"),
+      (col("cn") - col("n")).as("cn0"), (col("cp") - col("n_pos")).as("cp0"))
+    val rj = cum.select(col("bin").as("j"), col("cn").as("cnj"),
+      col("cp").as("cpj"))
+    val pairs = li.join(rj, col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        ((col("cpj") - col("cp0")).cast(DoubleType) /
+          (col("cnj") - col("cn0"))).as("a"))
+    val wSuf = Window.partitionBy("i").orderBy(col("j").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fit = pairs
+      .select(col("i"), col("j").as("bin"), min("a").over(wSuf).as("sm"))
+      .groupBy("bin").agg(max("sm").as("iso_rate"))
+    counts.join(fit, Seq("bin"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n")).as("pos_rate"),
+        col("iso_rate"))
+  }
+
   /** Calibration (reliability) table over `bins` equal-width score
     * bins on the caller-fixed [lo, hi): per-bin `(bin, n, n_pos,
     * pos_rate)` with out-of-range scores clamped to the edge bins and

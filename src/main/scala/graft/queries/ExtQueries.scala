@@ -1586,6 +1586,93 @@ object ExtQueries {
       Seq(col("ts"), col("event_id")), "event_type")
       .orderBy("from_state", "to_state")
 
+  /** Two-chunk streaming replay harness: write the events projection
+    * to a temp source dir, run the streaming query over it, then push
+    * the GLOBAL watermark twice with sentinel rows under a reserved
+    * key (first push advances the watermark past the real data, second
+    * fires the armed event-time timeouts) so every real event
+    * finalizes. Returns the memory-sink table, sentinel key filtered
+    * out. The finalize-on-watermark contract makes the result
+    * row-equal to the batch operator — so the streaming operators are
+    * value-oracled against the SAME DuckDB SQL as their batch twins.
+    */
+  private def replayEventsStream(s: SparkSession, proj: DataFrame,
+      tag: String)(start: (String, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft-replay-$tag").toString
+    val src = s"$tmp/src"; val chk = s"$tmp/chk"
+    val qname = tag + "_" + java.util.UUID.randomUUID.toString
+      .replace("-", "")
+    proj.write.mode("overwrite").parquet(src)
+    // sentinel timestamps on whole seconds beyond the real max — the
+    // sentinel rows themselves may or may not finalize (we never push
+    // a watermark past THEM); the reserved key keeps them out of the
+    // result either way
+    val maxSec = proj.agg(max(unix_micros(col("ts")))).head.getLong(0) /
+      1000000L + 1L
+    val q = start(src, chk, qname)
+    try {
+      q.processAllAvailable()
+      (1 to 2).foreach { i =>
+        s.range(1).select(proj.schema.fields.map(f => (f.name match {
+          case "user_id" => lit(-1L)
+          case "event_id" => lit(-i.toLong)
+          case "ts" => timestamp_micros(lit((maxSec + i * 3600L) * 1000000L))
+          case "value" => lit(0.0)
+          case "event_type" => lit("sentinel")
+        }).as(f.name)): _*).write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(qname).filter(col("user_id") =!= -1L)
+  }
+
+  /** Streaming replay of `events_rolling`: the live-feature-store face
+    * of the trailing 1-hour window, finalized at the watermark and
+    * value-oracled against the batch SQL (stream ≡ batch row
+    * equality).
+    */
+  def streamRollingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "value")
+    replayEventsStream(s, proj, "streamroll") { (src, chk, qname) =>
+      val in = s.readStream.schema(proj.schema).parquet(src)
+        .as[graft.streaming.StreamingFeatures.RollEvent]
+      graft.streaming.StreamingFeatures
+        .rollingRange(in, 3600L * 1000000L, "0 seconds")
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }.select("event_id", "user_id", "roll_cnt", "roll_sum")
+      .orderBy("event_id")
+  }
+
+  /** Streaming replay of `events_transitions`: finalized pair stream
+    * aggregated to the same (from_state, to_state, n, p) report and
+    * value-oracled against the batch SQL.
+    */
+  def streamTransitionsReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    val pairs = replayEventsStream(s, proj, "streamtrans") {
+      (src, chk, qname) =>
+        val in = s.readStream.schema(proj.schema).parquet(src)
+          .as[graft.streaming.StreamingFeatures.TransEvent]
+        graft.streaming.StreamingFeatures.transitions(in, "0 seconds")
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", chk)
+          .outputMode("append").start()
+    }
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_state")
+    pairs.groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(wf))
+      .orderBy("from_state", "to_state")
+  }
+
   /** Trailing 1-hour time-RANGE rolling count + sum per user — the
     * feature-generation window a ROWS frame cannot express on a
     * sparse stream.
@@ -1783,6 +1870,21 @@ object ExtQueries {
       .withColumn("is_en", (col("lang") === "en").cast("int"))
     graft.ext.ModelEval.ece(st, "is_en", "stopword_ratio",
       bins = 10, lo = 0.0, hi = 0.25)
+  }
+
+  /** Isotonic (PAV) calibration of stopword_ratio vs `lang = 'en'`
+    * over the same 10-bin grid — the monotone post-hoc calibrator next
+    * to the reliability table, computed via the exact minimax closed
+    * form so it is value-oracled rather than waived.
+    */
+  def evalIsotonic(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val st = TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.isotonicCalibration(st, "is_en",
+      "stopword_ratio", bins = 10, lo = 0.0, hi = 0.25)
+      .orderBy("bin")
   }
 
   /** Per-source reliability table on the same grid — the slice view

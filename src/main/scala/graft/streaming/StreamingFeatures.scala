@@ -1,0 +1,200 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Dataset
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.sql.Timestamp
+
+/** Streaming faces of the batch feature operators
+  * [[graft.ext.TimeSeries.rollingRange]] and
+  * [[graft.ext.EventWindows.transitions]] — the live-feature-store
+  * path: a user feeding trailing-window engagement features or a
+  * next-event transition model from a stream hits these first once
+  * the batch variants exist.
+  *
+  * Both use `flatMapGroupsWithState` with **finalize-on-watermark**
+  * semantics: an event's output row is emitted only once the event-
+  * time watermark has passed its timestamp, so every event that can
+  * still arrive and land inside the trailing window (or between two
+  * finalized events) has conclusively arrived. Within the watermark
+  * the streamed output is therefore ROW-EQUAL to the batch operator
+  * run over the same finalized prefix — pinned in
+  * StreamingFeaturesSpec and by the `stream_*_replay` driver queries
+  * against the batch oracles. Events older than the watermark at
+  * arrival are dropped BEFORE they reach the operator (Spark's
+  * stateful admission gate filters late rows), so the caller's
+  * `watermarkDelay` must bound the maximum arrival disorder — they
+  * are exactly the rows a batch replay would place inside
+  * already-finalized windows.
+  *
+  * State per key is bounded by the watermark horizon:
+  *   - rolling: the not-yet-finalized events plus the trailing-window
+  *     lookback behind the watermark — O(events in
+  *     `watermark delay + trailing`), evicted as the watermark moves;
+  *     an event-time timeout re-fires the key so finalization happens
+  *     even when no new events arrive for it.
+  *   - transitions: the not-yet-finalized events plus ONE finalized
+  *     event (the chain tail) — O(events in the delay) + O(1).
+  *
+  * At 1000-executor scale both are a single hash-partitioning of the
+  * stream by key (the same one shuffle as the batch variants), state
+  * store-backed, with no per-batch driver work.
+  */
+object StreamingFeatures {
+
+  // ---- rolling ----------------------------------------------------
+
+  /** Input row for [[rollingRange]] — mirrors the events-table
+    * projection the batch query uses. */
+  final case class RollEvent(user_id: Long, event_id: Long,
+      ts: Timestamp, value: Double)
+
+  /** Finalized output row: identical columns to the batch
+    * `events_rolling` projection. */
+  final case class RollEmit(event_id: Long, user_id: Long,
+      roll_cnt: Long, roll_sum: Double)
+
+  private[streaming] final case class BufEv(id: Long, tsUs: Long,
+      v: Double)
+
+  /** `frontierUs` = the watermark up to which this key has emitted;
+    * `buf` holds events above `frontier − trailing` (pending rows plus
+    * the lookback they still need). */
+  private[streaming] final case class RollState(frontierUs: Long,
+      buf: Seq[BufEv])
+
+  private def tsUs(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Batch-parity rounding: Spark's double→DECIMAL(25,6) cast is
+    * HALF_UP; summed exactly as decimals, one final double conversion
+    * — the events_tumbling posture. */
+  private def round6(v: Double): JBigDecimal =
+    JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP)
+
+  private def rollStep(trailingMicros: Long)(userId: Long,
+      it: Iterator[RollEvent], st: GroupState[RollState])
+      : Iterator[RollEmit] = {
+    val prev = st.getOption.getOrElse(RollState(Long.MinValue, Nil))
+    val wmUs = st.getCurrentWatermarkMs() * 1000L
+    // rows at or below the emitted frontier are conclusively late
+    // (batch replay would have placed them inside already-finalized
+    // windows) — dropped per the watermark contract
+    val incoming = it.map(e => BufEv(e.event_id, tsUs(e.ts), e.value))
+      .filter(_.tsUs > prev.frontierUs).toSeq
+    val buf = prev.buf ++ incoming
+    // one sort + exact-decimal prefix sums, frames found by binary
+    // search — O(n log n) per invocation even when a whole key
+    // finalizes at once (decimal subtraction is exact, so a prefix
+    // difference equals the direct frame sum bit-for-bit)
+    val sorted = buf.sortBy(e => (e.tsUs, e.id)).toIndexedSeq
+    val prefix = sorted.scanLeft(JBigDecimal.ZERO)((acc, e) =>
+      acc.add(round6(e.v)))
+    def bound(t: Long, inclusive: Boolean): Int = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (sorted(m).tsUs < t || (inclusive && sorted(m).tsUs == t))
+          lo = m + 1
+        else hi = m
+      }
+      lo
+    }
+    val out = sorted
+      .filter(e => e.tsUs > prev.frontierUs && e.tsUs <= wmUs)
+      .map { e =>
+        val lo = bound(e.tsUs - trailingMicros, inclusive = false)
+        val hi = bound(e.tsUs, inclusive = true)
+        RollEmit(e.id, userId, (hi - lo).toLong,
+          prefix(hi).subtract(prefix(lo)).doubleValue)
+      }
+    val frontier = math.max(prev.frontierUs, wmUs)
+    val kept = buf.filter(_.tsUs >= frontier - trailingMicros)
+    if (kept.isEmpty) st.remove()
+    else {
+      st.update(RollState(frontier, kept))
+      val pending = kept.filter(_.tsUs > frontier)
+      // re-fire when the watermark can finalize the earliest pending
+      // row; with none pending, fire once the lookback has aged out
+      // so dead keys do not pin state forever
+      val fireUs =
+        if (pending.nonEmpty) pending.map(_.tsUs).min
+        else kept.map(_.tsUs).max + trailingMicros
+      st.setTimeoutTimestamp(math.max(fireUs / 1000L,
+        st.getCurrentWatermarkMs() + 1L))
+    }
+    out.iterator
+  }
+
+  /** Streaming trailing time-range rolling count + sum per key over
+    * `[ts − trailingMicros, ts]`, finalized at the watermark. The
+    * caller's `watermarkDelay` is the disorder bound ("0 seconds" for
+    * an ordered replay). */
+  def rollingRange(events: Dataset[RollEvent], trailingMicros: Long,
+      watermarkDelay: String): Dataset[RollEmit] = {
+    require(trailingMicros > 0, "trailingMicros must be positive")
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(rollStep(trailingMicros))
+  }
+
+  // ---- transitions ------------------------------------------------
+
+  /** Input row for [[transitions]] — (ts, event_id) is the total
+    * order within a key, exactly the batch operator's orderCols. */
+  final case class TransEvent(user_id: Long, event_id: Long,
+      ts: Timestamp, event_type: String)
+
+  /** One finalized adjacent-pair observation; counts/probabilities
+    * are a downstream aggregation of this stream. */
+  final case class TransEmit(user_id: Long, from_state: String,
+      to_state: String)
+
+  private[streaming] final case class PendEv(tsUs: Long, id: Long,
+      state: String)
+
+  /** `last` is the chain tail — the single already-finalized event the
+    * next finalized event pairs with. */
+  private[streaming] final case class TransState(frontierUs: Long,
+      pending: Seq[PendEv], last: Option[PendEv])
+
+  private def transStep(userId: Long, it: Iterator[TransEvent],
+      st: GroupState[TransState]): Iterator[TransEmit] = {
+    val prev = st.getOption.getOrElse(TransState(Long.MinValue, Nil, None))
+    val wmUs = st.getCurrentWatermarkMs() * 1000L
+    val incoming = it.map(e => PendEv(tsUs(e.ts), e.event_id, e.event_type))
+      .filter(_.tsUs > prev.frontierUs).toSeq
+    val all = prev.pending ++ incoming
+    val (readyU, pending) = all.partition(_.tsUs <= wmUs)
+    val ready = readyU.sortBy(e => (e.tsUs, e.id))
+    val chain = prev.last.toSeq ++ ready
+    val out = chain.iterator.sliding(2).withPartial(false)
+      .map { case Seq(a, b) => TransEmit(userId, a.state, b.state) }
+      .toSeq
+    val frontier = math.max(prev.frontierUs, wmUs)
+    val last = ready.lastOption.orElse(prev.last)
+    st.update(TransState(frontier, pending, last))
+    if (pending.nonEmpty)
+      st.setTimeoutTimestamp(math.max(pending.map(_.tsUs).min / 1000L,
+        st.getCurrentWatermarkMs() + 1L))
+    // with nothing pending no timeout is armed: the remaining state is
+    // the O(1) chain tail, which must outlive any silence gap anyway
+    out.iterator
+  }
+
+  /** Streaming Markov-transition pair extraction per key, finalized at
+    * the watermark: emits one `(key, from_state, to_state)` row per
+    * adjacent pair in the (ts, event_id) order, exactly the pairs the
+    * batch `lead` produces. */
+  def transitions(events: Dataset[TransEvent], watermarkDelay: String)
+      : Dataset[TransEmit] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(transStep)
+  }
+}

@@ -205,6 +205,54 @@ class ModelEvalSpec extends SparkSuite {
       (3, 2L, 2L, Some(1.0))))      // 0.95 + 1.7 clamped up
   }
 
+  test("isotonicCalibration equals the sequential PAV fit") {
+    import spark.implicits._
+    // independent ground truth: the classic pool-adjacent-violators
+    // sweep (merge while the previous block's rate exceeds the
+    // current's; compare p1/n1 > p2/n2 by exact cross-multiplication)
+    def pav(binsNP: Seq[(Long, Long)]): Seq[Double] = {
+      val blocks = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Int)] // (n, n_pos, merged bin count)
+      binsNP.foreach { case (n, p) =>
+        var cur = (n, p, 1)
+        while (blocks.nonEmpty &&
+            blocks.last._2 * cur._1 > cur._2 * blocks.last._1) {
+          val l = blocks.remove(blocks.size - 1)
+          cur = (l._1 + cur._1, l._2 + cur._2, l._3 + cur._3)
+        }
+        blocks += cur
+      }
+      blocks.toSeq.flatMap { case (n, p, c) =>
+        Seq.fill(c)(p.toDouble / n) }
+    }
+    val rng = new scala.util.Random(1234)
+    (0 until 5).foreach { trial =>
+      // random per-bin (n, n_pos) with some empty bins
+      val binsNP = (0 until 10).flatMap { b =>
+        if (rng.nextInt(5) == 0) None
+        else {
+          val n = 1 + rng.nextInt(20)
+          Some((b, n.toLong, rng.nextInt(n + 1).toLong))
+        }
+      }
+      // materialize rows: score at the bin midpoint of a [0,1) 10-grid
+      val rows = binsNP.flatMap { case (b, n, p) =>
+        (0L until n).map(i => ((b + 0.5) / 10.0, if (i < p) 1 else 0))
+      }
+      val out = ModelEval.isotonicCalibration(rows.toDF("s", "y"),
+          "y", "s", bins = 10, lo = 0.0, hi = 1.0)
+        .orderBy("bin")
+        .as[(Int, Long, Long, Double, Double)].collect().toSeq
+      assert(out.map(r => (r._1, r._2, r._3)) ===
+        binsNP.map(t => (t._1, t._2, t._3)), s"counts, trial $trial")
+      val expected = pav(binsNP.map(t => (t._2, t._3)))
+      assert(out.map(_._5) === expected, s"fit, trial $trial")
+      // defining property: monotone non-decreasing
+      assert(out.map(_._5).sliding(2).forall(s =>
+        s.size < 2 || s(0) <= s(1)))
+    }
+  }
+
   test("eceBy matches per-group runs of the pooled ece") {
     import spark.implicits._
     val gA = Seq((0.1, 0), (0.2, 1), (0.8, 1), (0.9, 1))

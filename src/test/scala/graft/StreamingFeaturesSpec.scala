@@ -1,0 +1,153 @@
+package graft
+
+import graft.ext.{EventWindows, TimeSeries}
+import graft.streaming.StreamingFeatures
+import graft.streaming.StreamingFeatures.{RollEvent, TransEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Stream ≡ batch row-equality for the finalize-on-watermark feature
+  * operators, pinned under adversarial arrival order (events split
+  * into interleaved chunks, disorder inside the watermark delay) and
+  * for the late-drop contract (disorder beyond the delay).
+  */
+class StreamingFeaturesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val T0 = 1700000000L * 1000000L // µs epoch base
+  private def mkTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  // 3 users, events every ~3 minutes inside a 45-minute span, sub-ms
+  // µs parts and a same-timestamp tie pair to exercise range-frame tie
+  // semantics
+  private def syntheticRoll: Seq[RollEvent] =
+    (0 until 45).map { i =>
+      RollEvent(user_id = i % 3, event_id = i.toLong,
+        ts = mkTs(T0 + i.toLong * 180L * 1000000L + (i % 7) * 123L),
+        value = i * 1.2345678 - 11.1)
+    } :+ RollEvent(1L, 100L, // exact within-user ts tie with event 16:
+      mkTs(T0 + 16L * 180L * 1000000L + (16 % 7) * 123L), 9.87)
+  /** Sentinel instants that clear `max + delay` so the watermark
+    * passes every real event (first push) and then fires the armed
+    * timeouts (second push). */
+  private def sentinels(maxUs: Long, delayUs: Long): Seq[(Long, Long)] =
+    Seq((maxUs + delayUs + 3600L * 1000000L, -1L),
+      (maxUs + delayUs + 7200L * 1000000L, -2L))
+
+  test("streaming rollingRange equals batch under interleaved chunks") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = syntheticRoll
+    val maxUs = events.map(e => e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000L) % 1000L).max
+    val input = MemoryStream[RollEvent]
+    // the delay must bound the DISORDER: Spark's stateful admission
+    // gate drops any input row older than the current watermark, and
+    // the evens/odds split re-delivers rows up to the full 2.25 h span
+    // out of order
+    val out = StreamingFeatures.rollingRange(input.toDS(),
+      trailingMicros = 600L * 1000000L, watermarkDelay = "3 hours")
+    val q = out.writeStream.format("memory").queryName("roll_par")
+      .outputMode("append").start()
+    try {
+      // adversarial split: evens first, odds second — every second
+      // arrival is out of order, all inside the delay
+      val (a, b) = events.zipWithIndex.partition(_._2 % 2 == 0)
+      input.addData(a.map(_._1)); q.processAllAvailable()
+      input.addData(b.map(_._1)); q.processAllAvailable()
+      sentinels(maxUs, 3L * 3600L * 1000000L).foreach { case (us, id) =>
+        input.addData(RollEvent(-1L, id, mkTs(us), 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("roll_par").filter($"user_id" =!= -1L)
+      .select("event_id", "user_id", "roll_cnt", "roll_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = TimeSeries.rollingRange(events.toDF(), "user_id", "ts",
+        "value", trailingMicros = 600L * 1000000L)
+      .select("event_id", "user_id", "roll_cnt", "roll_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("streaming rollingRange drops disorder beyond the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[RollEvent]
+    val out = StreamingFeatures.rollingRange(input.toDS(),
+      trailingMicros = 600L * 1000000L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("roll_late")
+      .outputMode("append").start()
+    try {
+      input.addData(RollEvent(7L, 1L, mkTs(T0), 1.0))
+      q.processAllAvailable()
+      // arrives with ts BELOW the watermark (= T0) — conclusively late
+      input.addData(RollEvent(7L, 2L, mkTs(T0 - 60L * 1000000L), 5.0))
+      q.processAllAvailable()
+      sentinels(T0, 0L).foreach { case (us, id) =>
+        input.addData(RollEvent(-1L, id, mkTs(us), 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val ids = spark.table("roll_late").filter($"user_id" === 7L)
+      .select("event_id").as[Long].collect().toSet
+    assert(ids === Set(1L))
+  }
+
+  test("streaming transitions equals batch pairs and report") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val states = Seq("signup", "view", "view", "purchase", "view")
+    val events = (0 until 40).map { i =>
+      TransEvent(user_id = i % 4, event_id = i.toLong,
+        ts = mkTs(T0 + i.toLong * 240L * 1000000L + (i % 5) * 77L),
+        event_type = states(i % states.size))
+    } :+ TransEvent(2L, 200L, mkTs(T0 + 6L * 240L * 1000000L + 77L),
+      "tie_state") // exact-tie ts with event 6 — (ts, id) order decides
+    val maxUs = events.map(e => e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000L) % 1000L).max
+    val input = MemoryStream[TransEvent]
+    // 2.67 h span of disorder under the evens/odds split -> 3 h delay
+    val out = StreamingFeatures.transitions(input.toDS(), "3 hours")
+    val q = out.writeStream.format("memory").queryName("trans_par")
+      .outputMode("append").start()
+    try {
+      val (a, b) = events.zipWithIndex.partition(_._2 % 2 == 0)
+      input.addData(a.map(_._1)); q.processAllAvailable()
+      input.addData(b.map(_._1)); q.processAllAvailable()
+      sentinels(maxUs, 3L * 3600L * 1000000L).foreach { case (us, id) =>
+        input.addData(TransEvent(-1L, id, mkTs(us), "sentinel"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamedPairs = spark.table("trans_par")
+      .filter($"user_id" =!= -1L)
+      .groupBy("user_id", "from_state", "to_state").count()
+      .as[(Long, String, String, Long)].collect().toSet
+    val batchPairs = events.toDF()
+      .select($"user_id", $"event_type".as("from_state"),
+        lead($"event_type", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("ts", "event_id"))
+          .as("to_state"))
+      .filter($"to_state".isNotNull)
+      .groupBy("user_id", "from_state", "to_state").count()
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(streamedPairs.nonEmpty && streamedPairs === batchPairs)
+    // the aggregated report path equals the batch operator
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_state")
+    val streamedReport = spark.table("trans_par")
+      .filter($"user_id" =!= -1L)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+      .withColumn("p", $"n".cast("double") / sum($"n").over(wf))
+      .as[(String, String, Long, Double)].collect().toSet
+    val batchReport = EventWindows.transitions(events.toDF(), "user_id",
+        Seq(col("ts"), col("event_id")), "event_type")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamedReport === batchReport)
+  }
+}
