@@ -141,6 +141,7 @@ object SparkEntry {
     "events_transitions"      -> (ExtQueries.eventsTransitions _),
     "stream_rolling_replay"   -> (ExtQueries.streamRollingReplay _),
     "stream_transitions_replay" -> (ExtQueries.streamTransitionsReplay _),
+    "stream_gapfill_replay"   -> (ExtQueries.streamGapfillReplay _),
     "events_gapfill"          -> (ExtQueries.eventsGapfill _),
     "text_bm25"               -> (ExtQueries.textBm25 _),
     "text_retrieval_eval"     -> (ExtQueries.textRetrievalEval _),
@@ -157,6 +158,8 @@ object SparkEntry {
     "eval_calibration_by"     -> (ExtQueries.evalCalibrationBy _),
     "eval_ece_by"             -> (ExtQueries.evalEceBy _),
     "eval_isotonic"           -> (ExtQueries.evalIsotonic _),
+    "eval_roc_curve"          -> (ExtQueries.evalRocCurve _),
+    "eval_confusion_by"       -> (ExtQueries.evalConfusionBy _),
     "dq_group_quantiles"      -> (ExtQueries.dqGroupQuantiles _),
     "sample_kfold"            -> (ExtQueries.sampleKfold _),
     "events_retention"        -> (ExtQueries.eventsRetention _),
@@ -264,7 +267,8 @@ object SparkEntry {
     "o10_secondary_lookup", "j_interval_overlap",
     "text_retrieval_eval", "labels_vote", "labels_kappa",
     "sim_mmr_rerank", "eval_auc", "eval_auc_by", "events_rolling",
-    "events_gapfill", "events_transitions", "o11_hilbert_pruned_read")
+    "events_gapfill", "events_transitions", "o11_hilbert_pruned_read",
+    "eval_ece_by", "eval_isotonic")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -629,6 +633,28 @@ object SparkEntry {
       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_state)
       |    AS BIGINT) AS p
       | FROM c ORDER BY from_state, to_state""".stripMargin
+
+  // Gap-fill replay: integer floor slots, explicit (ts, value) DESC
+  // rank for the within-slot representative, generate_series spine
+  // (END-INCLUSIVE), IGNORE NULLS last_value for the LOCF.
+  private val eventsGapfillSql =
+    """WITH base AS (SELECT user_id AS k,
+      |   epoch_us(ts) - epoch_us(ts) % 86400000000 AS slot, ts, value
+      |  FROM events),
+      | rep AS (SELECT k, slot, value FROM (
+      |   SELECT k, slot, value, row_number() OVER (PARTITION BY k, slot
+      |     ORDER BY ts DESC, value DESC) AS rn FROM base) WHERE rn = 1),
+      | spine AS (SELECT k, unnest(generate_series(lo, hi, 86400000000))
+      |    AS slot
+      |  FROM (SELECT k, min(slot) AS lo, max(slot) AS hi
+      |   FROM base GROUP BY k)),
+      | j AS (SELECT s.k, s.slot, rep.value AS v
+      |  FROM spine s LEFT JOIN rep ON rep.k = s.k AND rep.slot = s.slot)
+      | SELECT k AS user_id, make_timestamp(slot) AS slot_ts,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY slot
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      |  v IS NOT NULL AS is_observed
+      | FROM j ORDER BY user_id, slot_ts""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_select_star" ->
@@ -2160,28 +2186,8 @@ object SparkEntry {
     "stream_rolling_replay" -> eventsRollingSql,
     "stream_transitions_replay" -> eventsTransitionsSql,
     "events_transitions" -> eventsTransitionsSql,
-    // Gap-fill replay: integer floor slots, explicit (ts, value) DESC
-    // rank for the within-slot representative (no engine arg-max tie
-    // rule), generate_series spine (END-INCLUSIVE, unlike range()),
-    // IGNORE NULLS last_value for the LOCF.
-    "events_gapfill" ->
-      """WITH base AS (SELECT user_id AS k,
-        |   epoch_us(ts) - epoch_us(ts) % 86400000000 AS slot, ts, value
-        |  FROM events),
-        | rep AS (SELECT k, slot, value FROM (
-        |   SELECT k, slot, value, row_number() OVER (PARTITION BY k, slot
-        |     ORDER BY ts DESC, value DESC) AS rn FROM base) WHERE rn = 1),
-        | spine AS (SELECT k, unnest(generate_series(lo, hi, 86400000000))
-        |    AS slot
-        |  FROM (SELECT k, min(slot) AS lo, max(slot) AS hi
-        |   FROM base GROUP BY k)),
-        | j AS (SELECT s.k, s.slot, rep.value AS v
-        |  FROM spine s LEFT JOIN rep ON rep.k = s.k AND rep.slot = s.slot)
-        | SELECT k AS user_id, make_timestamp(slot) AS slot_ts,
-        |  last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY slot
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
-        |  v IS NOT NULL AS is_observed
-        | FROM j ORDER BY user_id, slot_ts""".stripMargin,
+    "events_gapfill" -> eventsGapfillSql,
+    "stream_gapfill_replay" -> eventsGapfillSql,
     "events_sliding" ->
       """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b,
         |   event_type FROM events),
@@ -2296,6 +2302,37 @@ object SparkEntry {
          |  CASE WHEN n_pos > 0 AND n_neg > 0
          |   THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
          | FROM cells""".stripMargin,
+    // ROC curve points: descending at-or-above prefixes as
+    // total − strictly-below (the engine's derivation), downsample
+    // rule replayed verbatim (every step-th ascending rank + the top
+    // score; step = ⌈G/64⌉ via integer division).
+    "eval_roc_curve" ->
+      s"""WITH ${lmCte("documents")},
+         | lab AS (SELECT lm.doc_id, lm_score AS s,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM lm JOIN documents USING (doc_id)),
+         | g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos_g,
+         |   count(*) AS tot_g FROM lab GROUP BY s),
+         | tot AS (SELECT CAST(sum(pos_g) AS BIGINT) AS npos,
+         |   CAST(sum(tot_g) AS BIGINT) AS ntot,
+         |   count(*) AS gcnt FROM g),
+         | c AS (SELECT s, row_number() OVER (ORDER BY s) AS i,
+         |   CAST(coalesce(sum(pos_g) OVER (ORDER BY s
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |     AS BIGINT) AS pos_below,
+         |   CAST(coalesce(sum(tot_g) OVER (ORDER BY s
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |     AS BIGINT) AS tot_below
+         |  FROM g)
+         | SELECT s AS thr, ntot - tot_below AS n_at_or_above,
+         |  CASE WHEN ntot - npos > 0
+         |   THEN CAST((ntot - tot_below) - (npos - pos_below) AS DOUBLE)
+         |     / (ntot - npos) END AS fpr,
+         |  CASE WHEN npos > 0
+         |   THEN CAST(npos - pos_below AS DOUBLE) / npos END AS tpr
+         | FROM c CROSS JOIN tot
+         | WHERE i % greatest(1, (gcnt + 63) // 64) = 0 OR i = gcnt
+         | ORDER BY thr""".stripMargin,
     "eval_auc_by" ->
       s"""WITH ${lmCte("documents")},
          | lab AS (SELECT lm.doc_id, source, lm_score AS s,
@@ -2450,6 +2487,38 @@ object SparkEntry {
          |  CASE WHEN 2 * tp + fp + fn > 0
          |   THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
          | FROM cells""".stripMargin,
+    "eval_confusion_by" ->
+      raw"""WITH tok AS (
+         |  SELECT source, lang,
+         |   string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM documents),
+         | sr AS (SELECT source,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+         |     'of','to','in','is','it','for','on','with','as','at','by')))
+         |     AS DOUBLE) / len(w) AS s
+         |  FROM tok),
+         | cells AS (SELECT source,
+         |   CAST(sum(CASE WHEN y = 1 AND s >= 0.0625 THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS tp,
+         |   CAST(sum(CASE WHEN y = 0 AND s >= 0.0625 THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS fp,
+         |   CAST(sum(CASE WHEN y = 1 AND NOT (s >= 0.0625) THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS fn,
+         |   CAST(sum(CASE WHEN y = 0 AND NOT (s >= 0.0625) THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS tn
+         |  FROM sr WHERE s IS NOT NULL AND source IS NOT NULL
+         |  GROUP BY source)
+         | SELECT source, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0
+         |   THEN CAST(tp AS DOUBLE) / (tp + fp) END AS "precision",
+         |  CASE WHEN tp + fn > 0
+         |   THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+         |  CASE WHEN tp + fp + fn + tn > 0
+         |   THEN CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) END AS accuracy,
+         |  CASE WHEN 2 * tp + fp + fn > 0
+         |   THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+         | FROM cells ORDER BY source""".stripMargin,
     "eval_calibration" ->
       raw"""WITH tok AS (
          |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w

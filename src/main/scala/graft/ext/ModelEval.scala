@@ -338,6 +338,97 @@ object ModelEval {
       apCol.as("ap"))
   }
 
+  /** Downsampled ROC curve: one point per kept distinct-score
+    * threshold, `(thr, n_at_or_above, fpr, tpr)` with
+    * tpr = (pos at score ≥ thr)/n_pos and fpr likewise — the
+    * visualization/report face of [[rocAuc]]. Descending "at or
+    * above" prefixes derive from the SAME ascending two-phase
+    * machinery (total − strictly-below), so no single-partition
+    * window at any score cardinality; each rate is ONE division of
+    * exact integers. Downsampling keeps every `step`-th distinct
+    * score in ascending rank order (step = ⌈G/maxPoints⌉) plus the
+    * top score, a rule the oracle replays verbatim — deterministic,
+    * not a sample. */
+  def rocCurve(df: DataFrame, labelCol: String, scoreCol: String,
+      maxPoints: Int = 512, buckets: Int = 256): DataFrame = {
+    require(maxPoints >= 2, "at least two curve points")
+    require(buckets >= 1 && buckets <= 4096,
+      "buckets must be in [1, 4096] (per-bucket totals are collected)")
+    val g = scored(df, labelCol, scoreCol)
+      .groupBy("_s")
+      .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
+      .localCheckpoint() // cuts + totals + final each re-read (rocAuc)
+    val (cuts, bucketOf) = scoreBuckets(g, buckets)
+    val gb = g.withColumn("_b", bucketOf)
+    // per-bucket (pos, tot, distinct-score row count) -> driver
+    // prefix offsets; metadata-sized (≤ buckets rows)
+    val totals = gb.groupBy("_b")
+      .agg(sum("pos_g").as("_p"), sum("tot_g").as("_t"),
+        count(lit(1)).as("_r"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    var accP = 0L; var accT = 0L; var accR = 0L
+    val offP = scala.collection.mutable.Map.empty[Int, Long]
+    val offT = scala.collection.mutable.Map.empty[Int, Long]
+    val offR = scala.collection.mutable.Map.empty[Int, Long]
+    (0 to cuts.length).foreach { b =>
+      offP(b) = accP; offT(b) = accT; offR(b) = accR
+      val (p, t, r) = totals.getOrElse(b, (0L, 0L, 0L))
+      accP += p; accT += t; accR += r
+    }
+    val (nPos, nTot, nScores) = (accP, accT, accR)
+    val nNeg = nTot - nPos
+    val step = math.max(1L, (nScores + maxPoints - 1) / maxPoints)
+    val w = Window.partitionBy("_b").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val posBelow = element_at(typedLit(offP.toMap), col("_b")) +
+      coalesce(sum(col("pos_g")).over(w), lit(0L))
+    val totBelow = element_at(typedLit(offT.toMap), col("_b")) +
+      coalesce(sum(col("tot_g")).over(w), lit(0L))
+    val ascIdx = element_at(typedLit(offR.toMap), col("_b")) +
+      count(lit(1)).over(w) + lit(1L)
+    val curve = gb.select(col("_s").as("thr"),
+      (lit(nTot) - totBelow).as("n_at_or_above"),
+      (lit(nPos) - posBelow).as("_posAbove"),
+      ascIdx.as("_i"))
+    curve
+      .filter(col("_i") % step === 0L || col("_i") === nScores)
+      .select(col("thr"), col("n_at_or_above"),
+        when(lit(nNeg) > 0,
+          (col("n_at_or_above") - col("_posAbove")).cast(DoubleType) /
+            lit(nNeg.toDouble)).as("fpr"),
+        when(lit(nPos) > 0,
+          col("_posAbove").cast(DoubleType) / lit(nPos.toDouble))
+          .as("tpr"))
+  }
+
+  /** Per-group confusion report at `score >= threshold` — the slice
+    * view of [[confusionAt]] (one map-side-combinable groupBy; a
+    * pooled-acceptable threshold can have pathological per-source
+    * precision). One row per group. */
+  def confusionAtBy(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String, threshold: Double): DataFrame = {
+    val cell = (p: Column) => sum(when(p, 1L).otherwise(0L))
+    val pred = col("_s") >= threshold
+    val ratio = (num: Column, den: Column) =>
+      when(den > 0, num.cast(DoubleType) / den)
+    scoredBy(df, groupCol, labelCol, scoreCol)
+      .groupBy("_g")
+      .agg(cell(col("_y") === 1L && pred).as("tp"),
+        cell(col("_y") === 0L && pred).as("fp"),
+        cell(col("_y") === 1L && !pred).as("fn"),
+        cell(col("_y") === 0L && !pred).as("tn"))
+      .select(col("_g").as(groupCol), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy"),
+        ratio(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1"))
+  }
+
   /** Confusion report at `score >= threshold`. One row:
     * `(tp, fp, fn, tn, precision, recall, accuracy, f1)` — each rate
     * a single integer division (F1 = 2tp/(2tp+fp+fn)), null when its

@@ -1597,7 +1597,8 @@ object ExtQueries {
     * value-oracled against the SAME DuckDB SQL as their batch twins.
     */
   private def replayEventsStream(s: SparkSession, proj: DataFrame,
-      tag: String)(start: (String, String, String) =>
+      tag: String, marginSec: Long = 3600L)(
+      start: (String, String, String) =>
         org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     val tmp = java.nio.file.Files
       .createTempDirectory(s"graft-replay-$tag").toString
@@ -1618,7 +1619,7 @@ object ExtQueries {
         s.range(1).select(proj.schema.fields.map(f => (f.name match {
           case "user_id" => lit(-1L)
           case "event_id" => lit(-i.toLong)
-          case "ts" => timestamp_micros(lit((maxSec + i * 3600L) * 1000000L))
+          case "ts" => timestamp_micros(lit((maxSec + i * marginSec) * 1000000L))
           case "value" => lit(0.0)
           case "event_type" => lit("sentinel")
         }).as(f.name)): _*).write.mode("append").parquet(src)
@@ -1647,6 +1648,28 @@ object ExtQueries {
         .outputMode("append").start()
     }.select("event_id", "user_id", "roll_cnt", "roll_sum")
       .orderBy("event_id")
+  }
+
+  /** Streaming replay of `events_gapfill`: the daily LOCF spine
+    * emitted as slots close at the watermark; sentinel margin exceeds
+    * the slot step so the last real day-slot conclusively closes.
+    * Value-oracled against the batch SQL.
+    */
+  def streamGapfillReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "value")
+    replayEventsStream(s, proj, "streamgap",
+      marginSec = 2L * 86400L) { (src, chk, qname) =>
+      val in = s.readStream.schema(proj.schema).parquet(src)
+        .as[graft.streaming.StreamingFeatures.RollEvent]
+      graft.streaming.StreamingFeatures
+        .gapFillLocf(in, 86400L * 1000000L, "0 seconds")
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }.select("user_id", "slot_ts", "value", "is_observed")
+      .orderBy("user_id", "slot_ts")
   }
 
   /** Streaming replay of `events_transitions`: finalized pair stream
@@ -1870,6 +1893,34 @@ object ExtQueries {
       .withColumn("is_en", (col("lang") === "en").cast("int"))
     graft.ext.ModelEval.ece(st, "is_en", "stopword_ratio",
       bins = 10, lo = 0.0, hi = 0.25)
+  }
+
+  /** Downsampled ROC curve of the LM score vs `lang = 'en'` — ≤64
+    * deterministic threshold points over the full distinct-score set
+    * (every step-th ascending rank plus the top score).
+    */
+  def evalRocCurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scoredDocs = TextStats.lmScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.rocCurve(scoredDocs, "is_en", "lm_score",
+      maxPoints = 64)
+      .orderBy("thr")
+  }
+
+  /** Per-source confusion at the pooled threshold — the slice view of
+    * `eval_confusion` (a pooled-acceptable threshold can have
+    * pathological per-source precision).
+    */
+  def evalConfusionBy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val st = TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.confusionAtBy(st, "source", "is_en",
+      "stopword_ratio", threshold = 0.0625)
+      .orderBy("source")
   }
 
   /** Isotonic (PAV) calibration of stopword_ratio vs `lang = 'en'`

@@ -141,6 +141,105 @@ object StreamingFeatures {
         GroupStateTimeout.EventTimeTimeout)(rollStep(trailingMicros))
   }
 
+  // ---- gap-fill LOCF ----------------------------------------------
+
+  /** One gap-filled slot row — identical columns to the batch
+    * [[graft.ext.TimeSeries.gapFillLocf]] output. */
+  final case class GapEmit(user_id: Long, slot_ts: Timestamp,
+      value: Double, is_observed: Boolean)
+
+  private[streaming] final case class ObsEv(slot: Long, tsUs: Long,
+      v: Double)
+
+  /** `emittedUpTo` = last emitted slot (MinValue before the first);
+    * `lastVal` carries the LOCF value across the emission frontier;
+    * `obs` holds observations in not-yet-emitted slots. */
+  private[streaming] final case class GapState(emittedUpTo: Long,
+      lastVal: Double, hasLast: Boolean, obs: Seq[ObsEv])
+
+  private def gapStep(stepMicros: Long)(userId: Long,
+      it: Iterator[RollEvent], st: GroupState[GapState])
+      : Iterator[GapEmit] = {
+    val prev = st.getOption.getOrElse(
+      GapState(Long.MinValue, 0.0, hasLast = false, Nil))
+    val wmUs = st.getCurrentWatermarkMs() * 1000L
+    val incoming = it.map { e =>
+      val us = tsUs(e.ts)
+      ObsEv(us - math.floorMod(us, stepMicros), us, e.value)
+    }.toSeq
+    val obs = prev.obs ++ incoming
+    // a slot is conclusively closed once the watermark reaches its
+    // END: every admissible future event has ts >= wm >= slotEnd, so
+    // neither the slot's representative, nor the spine's lower end,
+    // nor any LOCF value at or below it can change. Largest aligned s
+    // with s + step <= wm is slotOf(wm) - step in both the boundary
+    // and interior cases.
+    val closedMax = (wmUs - math.floorMod(wmUs, stepMicros)) - stepMicros
+    // spine membership: batch emits [firstObsSlot, maxObsSlot]; any
+    // KNOWN observation (finalized or pending) already guarantees the
+    // spine reaches its slot, and future events can only extend it
+    val spineMax = if (obs.isEmpty) Long.MinValue else obs.map(_.slot).max
+    val from =
+      if (prev.emittedUpTo != Long.MinValue) prev.emittedUpTo + stepMicros
+      else if (obs.isEmpty) Long.MaxValue
+      else obs.map(_.slot).min
+    val to = math.min(closedMax, spineMax)
+    val bySlot = obs.groupBy(_.slot)
+    var lastVal = prev.lastVal; var hasLast = prev.hasLast
+    val out = scala.collection.mutable.ArrayBuffer.empty[GapEmit]
+    def slotTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    var s = from
+    while (s <= to) {
+      bySlot.get(s) match {
+        case Some(es) =>
+          val rep = es.maxBy(e => (e.tsUs, e.v))
+          lastVal = rep.v; hasLast = true
+          out += GapEmit(userId, slotTs(s), lastVal, is_observed = true)
+        case None =>
+          // from starts at the first OBSERVED slot, so a gap slot
+          // always has a carried value
+          out += GapEmit(userId, slotTs(s), lastVal, is_observed = false)
+      }
+      s += stepMicros
+    }
+    val emittedUpTo = if (to >= from) to else prev.emittedUpTo
+    val kept = obs.filter(_.slot > emittedUpTo)
+    if (kept.isEmpty && !hasLast) st.remove()
+    else {
+      st.update(GapState(emittedUpTo, lastVal, hasLast, kept))
+      if (kept.nonEmpty) {
+        // fire once the next unemitted slot CLOSES (its end passes
+        // the watermark) so long observation gaps still drain
+        val nextSlot =
+          if (emittedUpTo != Long.MinValue) emittedUpTo + stepMicros
+          else kept.map(_.slot).min
+        st.setTimeoutTimestamp(math.max((nextSlot + stepMicros) / 1000L,
+          st.getCurrentWatermarkMs() + 1L))
+      }
+    }
+    out.iterator
+  }
+
+  /** Streaming fixed-step gap-fill with LOCF, finalized at the
+    * watermark: per key, emits the dense slot spine from the first
+    * observation onward as slots close, carrying the latest observed
+    * value across empty slots — the streamed prefix of the batch
+    * [[graft.ext.TimeSeries.gapFillLocf]] output (row-equal once the
+    * watermark passes the last observation). */
+  def gapFillLocf(events: Dataset[RollEvent], stepMicros: Long,
+      watermarkDelay: String): Dataset[GapEmit] = {
+    require(stepMicros > 0, "stepMicros must be positive")
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(gapStep(stepMicros))
+  }
+
   // ---- transitions ------------------------------------------------
 
   /** Input row for [[transitions]] — (ts, event_id) is the total

@@ -205,6 +205,50 @@ class ModelEvalSpec extends SparkSuite {
       (3, 2L, 2L, Some(1.0))))      // 0.95 + 1.7 clamped up
   }
 
+  test("rocCurve points match hand-computed rates; downsample + buckets invariant") {
+    import spark.implicits._
+    // scores .9(+) .7(-) .4(+) .3(-): thresholds ascending
+    val df = Seq((0.9, 1), (0.7, 0), (0.4, 1), (0.3, 0)).toDF("s", "y")
+    val out = ModelEval.rocCurve(df, "y", "s", maxPoints = 512)
+      .orderBy("thr")
+      .as[(Double, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      (0.3, 4L, 1.0, 1.0), (0.4, 3L, 0.5, 1.0),
+      (0.7, 2L, 0.5, 0.5), (0.9, 1L, 0.0, 0.5)))
+    // bucket count cannot move values
+    val many = ModelEval.rocCurve(df, "y", "s", maxPoints = 512,
+      buckets = 3).orderBy("thr")
+      .as[(Double, Long, Double, Double)].collect().toSeq
+    assert(many === out)
+    // maxPoints = 2 -> step 2: ascending ranks 2 and 4 plus top (4)
+    val down = ModelEval.rocCurve(df, "y", "s", maxPoints = 2)
+      .orderBy("thr").as[(Double, Long, Double, Double)].collect().toSeq
+    assert(down.map(_._1) === Seq(0.4, 0.9))
+    // degenerate one-class input: the absent class's rate is null
+    val oneClass = ModelEval.rocCurve(
+      Seq((0.9, 1), (0.4, 1)).toDF("s", "y"), "y", "s")
+    assert(oneClass.collect().forall(_.isNullAt(2))) // fpr null
+  }
+
+  test("confusionAtBy matches per-group runs of the pooled confusion") {
+    import spark.implicits._
+    val gA = Seq((0.9, 1), (0.8, 0), (0.6, 1), (0.4, 1), (0.2, 0))
+    val gB = Seq((0.7, 0), (0.55, 1), (0.1, 1))
+    val df = (gA.map { case (s, y) => ("a", s, y) } ++
+      gB.map { case (s, y) => ("b", s, y) }).toDF("grp", "s", "y")
+    val out = ModelEval.confusionAtBy(df, "grp", "y", "s", 0.5)
+      .orderBy("grp").collect().toSeq
+    val pooledA = ModelEval.confusionAt(gA.toDF("s", "y"), "y", "s", 0.5)
+      .head()
+    val pooledB = ModelEval.confusionAt(gB.toDF("s", "y"), "y", "s", 0.5)
+      .head()
+    assert(out.size === 2)
+    (0 until pooledA.length).foreach { i =>
+      assert(out(0).get(i + 1) === pooledA.get(i), s"col $i group a")
+      assert(out(1).get(i + 1) === pooledB.get(i), s"col $i group b")
+    }
+  }
+
   test("isotonicCalibration equals the sequential PAV fit") {
     import spark.implicits._
     // independent ground truth: the classic pool-adjacent-violators

@@ -98,6 +98,93 @@ class StreamingFeaturesSpec extends SparkSuite {
     assert(ids === Set(1L))
   }
 
+  test("streaming gapFillLocf equals batch under interleaved chunks") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // sparse observations with multi-slot gaps: 2 users, 10-minute
+    // slots, observations at irregular slot offsets + a within-slot
+    // tie pair (same slot, distinct ts)
+    val step = 600L * 1000000L
+    val offs = Seq(0L, 1L, 5L, 6L, 11L) // slots observed (gaps of 4+)
+    val events = (for {
+      u <- 0L to 1L
+      (o, i) <- offs.zipWithIndex
+    } yield RollEvent(u, u * 100 + i,
+      mkTs(T0 + o * step + (i % 3) * 47L * 1000000L + u * 999L),
+      u * 10.0 + i * 1.5 - 2.0)) :+
+      RollEvent(0L, 50L, mkTs(T0 + 5L * step + 300L * 1000000L), 77.7)
+    val maxUs = events.map(e => e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000L) % 1000L).max
+    val input = MemoryStream[RollEvent]
+    val out = StreamingFeatures.gapFillLocf(input.toDS(), step, "3 hours")
+    val q = out.writeStream.format("memory").queryName("gap_par")
+      .outputMode("append").start()
+    try {
+      val (a, b) = events.zipWithIndex.partition(_._2 % 2 == 0)
+      input.addData(a.map(_._1)); q.processAllAvailable()
+      input.addData(b.map(_._1)); q.processAllAvailable()
+      // margin must clear delay + slot step so the last slot closes
+      sentinels(maxUs, 3L * 3600L * 1000000L + step).foreach {
+        case (us, id) =>
+          input.addData(RollEvent(-1L, id, mkTs(us), 0.0))
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("gap_par").filter($"user_id" =!= -1L)
+      .select("user_id", "slot_ts", "value", "is_observed")
+      .as[(Long, Timestamp, Double, Boolean)].collect().toSet
+    val batch = TimeSeries.gapFillLocf(events.toDF(), "user_id", "ts",
+        "value", stepMicros = step)
+      .select("user_id", "slot_ts", "value", "is_observed")
+      .as[(Long, Timestamp, Double, Boolean)].collect().toSet
+    assert(streamed.nonEmpty && streamed === batch)
+    // the spine is dense: one row per slot from first (0) to last (11)
+    assert(streamed.count(_._1 == 0L) === 12)
+    // gap slots carry the LOCF value and are flagged unobserved
+    assert(streamed.exists(r => r._1 == 0L && !r._4))
+  }
+
+  test("rolling features land in a keyed feature table via foreachBatch upsert") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the full live-feature-store composition: stream -> finalized
+    // rolling features -> per-batch exactly-once upsert into a keyed
+    // table; the final snapshot is row-equal to the batch operator
+    val table = graft.tables.KeyedTable("feat_roll",
+      tmpDir("graft-featstore"), Seq("event_id"),
+      precombineKey = "roll_cnt")
+    val events = syntheticRoll
+    val maxUs = events.map(e => e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000L) % 1000L).max
+    val input = MemoryStream[RollEvent]
+    val out = StreamingFeatures.rollingRange(input.toDS(),
+      trailingMicros = 600L * 1000000L, watermarkDelay = "3 hours")
+    val q = out.writeStream
+      .option("checkpointLocation", tmpDir("graft-featstore-chk"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          StreamingFeatures.RollEmit], batchId: Long) =>
+        graft.ops.TableOps.upsert(spark, table, batch.toDF(),
+          idempotencyKey = Some(s"feat-roll-$batchId")): Unit
+      }
+      .outputMode("append").start()
+    try {
+      val (a, b) = events.zipWithIndex.partition(_._2 % 2 == 0)
+      input.addData(a.map(_._1)); q.processAllAvailable()
+      input.addData(b.map(_._1)); q.processAllAvailable()
+      sentinels(maxUs, 3L * 3600L * 1000000L).foreach { case (us, id) =>
+        input.addData(RollEvent(-1L, id, mkTs(us), 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val snap = graft.ops.TableOps.snapshot(spark, table)
+      .filter($"user_id" =!= -1L)
+      .select("event_id", "user_id", "roll_cnt", "roll_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = TimeSeries.rollingRange(events.toDF(), "user_id", "ts",
+        "value", trailingMicros = 600L * 1000000L)
+      .select("event_id", "user_id", "roll_cnt", "roll_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(snap.nonEmpty && snap === batch)
+  }
+
   test("streaming transitions equals batch pairs and report") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val states = Seq("signup", "view", "view", "purchase", "view")
