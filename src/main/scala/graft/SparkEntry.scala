@@ -268,7 +268,7 @@ object SparkEntry {
     "text_retrieval_eval", "labels_vote", "labels_kappa",
     "sim_mmr_rerank", "eval_auc", "eval_auc_by", "events_rolling",
     "events_gapfill", "events_transitions", "o11_hilbert_pruned_read",
-    "eval_ece_by", "eval_isotonic")
+    "eval_ece_by", "eval_isotonic", "eval_roc_curve", "eval_confusion_by")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
