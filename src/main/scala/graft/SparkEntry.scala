@@ -158,6 +158,7 @@ object SparkEntry {
     "eval_calibration_by"     -> (ExtQueries.evalCalibrationBy _),
     "eval_ece_by"             -> (ExtQueries.evalEceBy _),
     "eval_isotonic"           -> (ExtQueries.evalIsotonic _),
+    "eval_calibrated"         -> (ExtQueries.evalCalibrated _),
     "eval_roc_curve"          -> (ExtQueries.evalRocCurve _),
     "eval_confusion_by"       -> (ExtQueries.evalConfusionBy _),
     "dq_group_quantiles"      -> (ExtQueries.dqGroupQuantiles _),
@@ -173,6 +174,7 @@ object SparkEntry {
     "f3_generators"           -> (OpsQueries.f3Generators _),
     "f5_regex_search"         -> (OpsQueries.f5RegexSearch _),
     "j_asof_join"             -> (OpsQueries.jAsofJoin _),
+    "j_asof_tolerance"        -> (OpsQueries.jAsofTolerance _),
     "j_salted_join"           -> (OpsQueries.jSaltedJoin _),
     "j_range_join"            -> (OpsQueries.jRangeJoin _),
     "a_salted_agg"            -> (OpsQueries.aSaltedAgg _),
@@ -2606,6 +2608,54 @@ object SparkEntry {
          | SELECT c.bin, c.n, c.n_pos,
          |  CAST(c.n_pos AS DOUBLE) / c.n AS pos_rate, iso_rate
          | FROM counts c JOIN fit USING (bin) ORDER BY bin""".stripMargin,
+    // Calibrate→apply: the isotonic fit CTEs + dense grid fill (LOCF
+    // across unobserved bins, first observed value extended below),
+    // then a per-document bin join. p_en is the fit value verbatim —
+    // no arithmetic, bit-stable.
+    "eval_calibrated" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |   string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM documents),
+         | sr AS (SELECT doc_id,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+         |     'of','to','in','is','it','for','on','with','as','at','by')))
+         |     AS DOUBLE) / len(w) AS s
+         |  FROM tok),
+         | b AS (SELECT doc_id, CAST(least(9, greatest(0,
+         |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
+         |    AS INT) AS bin, y
+         |  FROM sr WHERE s IS NOT NULL),
+         | counts AS (SELECT bin, count(*) AS n,
+         |   CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY bin),
+         | cum AS (SELECT bin, n, n_pos,
+         |   CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         |   CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+         |  FROM counts),
+         | pairs AS (SELECT li.bin AS i, rj.bin AS j,
+         |   CAST(rj.cp - (li.cp - li.n_pos) AS DOUBLE) /
+         |     (rj.cn - (li.cn - li.n)) AS a
+         |  FROM cum li JOIN cum rj ON li.bin <= rj.bin),
+         | sm AS (SELECT i, j AS bin, min(a) OVER (PARTITION BY i
+         |   ORDER BY j DESC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+         |  FROM pairs),
+         | fit AS (SELECT bin, max(sm) AS iso_rate FROM sm GROUP BY bin),
+         | dense AS (SELECT CAST(r.range AS INT) AS bin, coalesce(
+         |   last_value(iso_rate IGNORE NULLS) OVER (ORDER BY r.range
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   first_value(iso_rate IGNORE NULLS) OVER (ORDER BY r.range
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |   AS p_en
+         |  FROM range(0, 10) r LEFT JOIN fit ON fit.bin = r.range)
+         | SELECT sr2.doc_id, dense.p_en
+         | FROM (SELECT doc_id, CASE WHEN s IS NULL THEN NULL ELSE
+         |    CAST(least(9, greatest(0, CAST(floor((s - 0.0) /
+         |      ${(0.25 - 0.0) / 10}) AS BIGINT))) AS INT) END AS bin
+         |   FROM sr) sr2
+         | LEFT JOIN dense ON dense.bin = sr2.bin
+         | ORDER BY sr2.doc_id""".stripMargin,
     "eval_ece_by" ->
       raw"""WITH tok AS (
          |  SELECT source, lang,
@@ -2854,6 +2904,20 @@ object SparkEntry {
         | ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
         | ORDER BY p.event_id""".stripMargin,
+    // Tolerance = the same ASOF match (greatest rt <= lt) with stale
+    // matches nulled AFTER — exactly the engine's match-then-null
+    // plan, so the replay is structural, not a reformulation.
+    "j_asof_tolerance" ->
+      """SELECT event_id, user_id,
+        | CASE WHEN vts >= ts - INTERVAL '30 minutes'
+        |  THEN view_event_id END AS view_event_id
+        | FROM (
+        |  SELECT p.event_id, p.user_id, p.ts, v.ts AS vts,
+        |   v.event_id AS view_event_id
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |   ON p.user_id = v.user_id AND v.ts <= p.ts)
+        | ORDER BY event_id""".stripMargin,
     // Salted join is row-identical to the plain join — the oracle IS
     // the plain join.
     "j_salted_join" ->

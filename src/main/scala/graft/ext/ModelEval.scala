@@ -628,6 +628,41 @@ object ModelEval {
         col("iso_rate"))
   }
 
+  /** Apply an [[isotonicCalibration]] fit: map each row's score
+    * through the fitted monotone step function, appending `outCol` —
+    * the serving half of the calibrate→apply loop (threshold in
+    * PROBABILITY space, not raw-score space, when gating a corpus).
+    * The fit is first densified over the full grid (LOCF across
+    * unobserved interior bins, first observed value extended to bins
+    * below — the standard step-function extension), then applied as
+    * one broadcast join on the bin: zero shuffles over the scored
+    * rows. A null score yields a null `outCol`. */
+  def applyIsotonic(df: DataFrame, fit: DataFrame, scoreCol: String,
+      bins: Int, lo: Double, hi: Double,
+      outCol: String = "calibrated"): DataFrame = {
+    require(bins >= 2 && bins <= 1024, "bins must be in [2, 1024]")
+    require(hi > lo, "hi must exceed lo")
+    val wLocf = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // bins-sized frame: the global-order windows are bounded by the cap
+    val dense = df.sparkSession.range(0, bins)
+      .select(col("id").cast("int").as("bin"))
+      .join(broadcast(fit.select("bin", "iso_rate")), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(last("iso_rate", ignoreNulls = true).over(wLocf),
+          first("iso_rate", ignoreNulls = true).over(wAll)).as(outCol))
+    // guard BEFORE binning: Spark's greatest/least SKIP nulls, so an
+    // unguarded gridBin would clamp a null score into bin 0 instead of
+    // propagating the null (every other caller filters nulls first)
+    df.withColumn("_s", col(scoreCol).cast(DoubleType))
+      .withColumn("bin",
+        when(col("_s").isNotNull, gridBin(bins, lo, hi)))
+      .join(broadcast(dense), Seq("bin"), "left")
+      .drop("bin", "_s")
+  }
+
   /** Calibration (reliability) table over `bins` equal-width score
     * bins on the caller-fixed [lo, hi): per-bin `(bin, n, n_pos,
     * pos_rate)` with out-of-range scores clamped to the edge bins and

@@ -30,10 +30,23 @@ object AsOfJoin {
     *                   payload in sort order)
     * @param payload    right-side columns to carry (must not collide
     *                   with left column names)
+    * @param toleranceMicros max staleness: a match older than
+    *                   `leftTime − tolerance` is DISCARDED (payload
+    *                   null, left row survives) — the feature-store
+    *                   "point-in-time with TTL" contract (a
+    *                   week-stale feature must not label today's
+    *                   event). Requires TIMESTAMP time columns. The
+    *                   plan is unchanged: the window still carries the
+    *                   single greatest rt ≤ lt match, and staleness is
+    *                   one null-out projection after it — never a
+    *                   range-condition join.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    toleranceMicros.foreach(t =>
+      require(t > 0, "toleranceMicros must be positive"))
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     val leftCols = left.columns.toSeq
     val leftNonKey = leftCols.filterNot(keys.contains)
@@ -64,8 +77,16 @@ object AsOfJoin {
     // when a right payload column is legitimately null).
     val carried = u
       .withColumn("_pay", when(col("_side") === 0,
-        struct(payload.map(col): _*)))
+        struct((payload.map(col) :+ col("_t").as("_rt")): _*)))
       .withColumn("_pay", last(col("_pay"), ignoreNulls = true).over(w))
+      // staleness nulls the whole struct, so every payload column of a
+      // too-old match drops together (same single-row discipline as
+      // the struct carry itself)
+      .withColumn("_pay", toleranceMicros match {
+        case Some(t) => when(unix_micros(col("_t")) -
+          unix_micros(col("_pay._rt")) <= t, col("_pay"))
+        case None => col("_pay")
+      })
     val expanded = payload.foldLeft(carried) { (d, p) =>
       d.withColumn(p, col(s"_pay.`$p`"))
     }

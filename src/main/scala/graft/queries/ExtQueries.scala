@@ -1938,6 +1938,25 @@ object ExtQueries {
       .orderBy("bin")
   }
 
+  /** The calibrate→apply loop closed: fit isotonic on the corpus, map
+    * every document's stopword_ratio through the fitted step function
+    * (unobserved interior bins LOCF-filled, the first observed value
+    * extended below). One corpus pass materializes the tiny fit; the
+    * apply is a broadcast join — zero shuffles over the scored rows.
+    */
+  def evalCalibrated(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val st = TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    val fit = graft.ext.ModelEval.isotonicCalibration(st, "is_en",
+      "stopword_ratio", bins = 10, lo = 0.0, hi = 0.25)
+    graft.ext.ModelEval.applyIsotonic(st, fit, "stopword_ratio",
+      bins = 10, lo = 0.0, hi = 0.25, outCol = "p_en")
+      .select("doc_id", "p_en")
+      .orderBy("doc_id")
+  }
+
   /** Per-source reliability table on the same grid — the slice view
     * of `eval_calibration` (a source with zero mass in a score band
     * surfaces as an n = 0 row, not a missing one).

@@ -353,6 +353,28 @@ object OpsQueries {
       .orderBy("event_id")
   }
 
+  /** As-of join with a 30-minute staleness tolerance — the
+    * feature-store point-in-time-with-TTL contract: a view older than
+    * 30 minutes must not enrich the purchase (payload nulls, the
+    * purchase row survives). Same single-shuffle plan as `j_asof_join`
+    * plus one null-out projection.
+    */
+  def jAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val events = CoreQueries.events(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"),
+        col("event_id").as("view_event_id"))
+    graft.ops.AsOfJoin.asOf(purchases, views, Seq("user_id"),
+      leftTime = "ts", rightTime = "vts",
+      payload = Seq("view_event_id"),
+      toleranceMicros = Some(1800L * 1000000L))
+      .select(col("event_id"), col("user_id"), col("view_event_id"))
+      .orderBy("event_id")
+  }
+
   /** Explicitly salted inner join ([[graft.ops.Skew.saltedJoin]]): the
     * orders fact salted over 8 buckets against the replicated customer
     * dim — the manual skew-spread for joins AQE can't fix (a single

@@ -26,6 +26,30 @@ class AsOfJoinSpec extends SparkSuite {
       "p3" -> None))        // u2 has no right rows; u3's must not leak
   }
 
+  test("tolerance nulls stale matches, keeps fresh ones and left rows") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq(
+      ("u1", ts(1000), "p_fresh"),  // match at 950: 50 s old -> kept
+      ("u1", ts(2000), "p_stale"),  // match at 950: 1050 s old -> null
+      ("u1", ts(950), "p_exact"),   // rt == lt: 0 s old -> kept
+      ("u2", ts(100), "p_none")     // no right rows at all
+    ).toDF("user", "lt", "pid")
+    val right = Seq(("u1", ts(950), "v950"))
+      .toDF("user", "rt", "vid")
+    val out = AsOfJoin.asOf(left, right, Seq("user"), "lt", "rt",
+        Seq("vid"), toleranceMicros = Some(100L * 1000000L))
+      .select("pid", "vid").as[(String, Option[String])].collect().toMap
+    assert(out === Map(
+      "p_fresh" -> Some("v950"), "p_stale" -> None,
+      "p_exact" -> Some("v950"), "p_none" -> None))
+    // boundary: staleness EXACTLY the tolerance is still fresh (<=)
+    val b = AsOfJoin.asOf(Seq(("u1", ts(1050), "pb"))
+        .toDF("user", "lt", "pid"), right, Seq("user"), "lt", "rt",
+        Seq("vid"), toleranceMicros = Some(100L * 1000000L))
+      .select("vid").as[Option[String]].head()
+    assert(b === Some("v950"))
+  }
+
   test("null right timestamps never match (SQL comparison semantics)") {
     val left = Seq(("k", 5L, "p")).toDF("key", "lt", "pid")
     val right = Seq(

@@ -297,6 +297,53 @@ class ModelEvalSpec extends SparkSuite {
     }
   }
 
+  test("slice-eval plans touch the corpus exactly once") {
+    import spark.implicits._
+    val dir = tmpDir("graft-evalplan")
+    (1 to 500).map(i => (("s" + i % 7), i / 500.0, i % 2))
+      .toDF("src", "s", "y").write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // eceBy: ONE corpus scan feeding the (group, bin) aggregate;
+    // totals window + final agg run on the groups×bins frame
+    assert(scans(ModelEval.eceBy(corpus, "src", "y", "s",
+      bins = 8, lo = 0.0, hi = 1.0)) === 1)
+    // confusionAtBy: one scan, one map-combinable aggregate
+    assert(scans(ModelEval.confusionAtBy(corpus, "src", "y", "s",
+      0.5)) === 1)
+    // calibrationBy / isotonic localCheckpoint the bins frame: the
+    // executed plan reads the checkpoint, not the corpus — the single
+    // corpus pass happened at checkpoint materialization
+    assert(scans(ModelEval.calibrationBy(corpus, "src", "y", "s",
+      bins = 8, lo = 0.0, hi = 1.0)) === 0)
+    assert(scans(ModelEval.isotonicCalibration(corpus, "y", "s",
+      bins = 8, lo = 0.0, hi = 1.0)) === 0)
+  }
+
+  test("applyIsotonic: step extension across unobserved bins, null score") {
+    import spark.implicits._
+    // observed bins 1 and 3 only (of 4): bin 0 takes bin 1's value
+    // (below-first extension), bin 2 carries bin 1 (LOCF)
+    val train = Seq((0.3, 0), (0.35, 1), (0.9, 1), (0.95, 1))
+      .toDF("s", "y")
+    val fit = ModelEval.isotonicCalibration(train, "y", "s",
+      bins = 4, lo = 0.0, hi = 1.0)
+    val apply = Seq((Some(0.1), "b0"), (Some(0.3), "b1"),
+      (Some(0.6), "b2"), (Some(0.9), "b3"), (None, "null_s"))
+      .toDF("s", "tag")
+    val out = ModelEval.applyIsotonic(apply, fit, "s",
+        bins = 4, lo = 0.0, hi = 1.0)
+      .select("tag", "calibrated")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out("b1") === Some(0.5))    // observed bin 1: rate 1/2
+    assert(out("b0") === out("b1"))    // extended below first observed
+    assert(out("b2") === out("b1"))    // LOCF across the gap
+    assert(out("b3") === Some(1.0))    // observed bin 3
+    assert(out("null_s") === None)     // null score -> null calibration
+  }
+
   test("eceBy matches per-group runs of the pooled ece") {
     import spark.implicits._
     val gA = Seq((0.1, 0), (0.2, 1), (0.8, 1), (0.9, 1))
