@@ -218,6 +218,8 @@ object SparkEntry {
     "text_hybrid_rrf"         -> (ExtQueries.textHybridRrf _),
     "i_incremental_agg"       -> (OpsQueries.iIncrementalAgg _),
     "i_incremental_distinct"  -> (OpsQueries.iIncrementalDistinct _),
+    "i_incremental_auc"       -> (OpsQueries.iIncrementalAuc _),
+    "i_incremental_auc_by"    -> (OpsQueries.iIncrementalAucBy _),
   )
 
   /** Headline bench set (graft.Bench): the analytically-representative
@@ -3259,6 +3261,65 @@ object SparkEntry {
         | CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_v
         | FROM orders GROUP BY o_orderpriority
         | ORDER BY o_orderpriority""".stripMargin,
+    // Incremental AUC: the oracle is the FULL-corpus tie-corrected
+    // Mann–Whitney over the stopword score — the driver compare IS the
+    // incremental ≡ full-recompute proof.
+    "i_incremental_auc" ->
+      raw"""WITH tok AS (
+         |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM documents),
+         | sr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+         |     'of','to','in','is','it','for','on','with','as','at','by')))
+         |     AS DOUBLE) / len(w) AS s
+         |  FROM tok),
+         | g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos_g,
+         |   count(*) AS tot_g FROM sr WHERE s IS NOT NULL GROUP BY s),
+         | c AS (SELECT s, pos_g, tot_g - pos_g AS neg_g,
+         |   coalesce(sum(tot_g - pos_g) OVER (ORDER BY s
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |     AS cnb
+         |  FROM g),
+         | cells AS (SELECT CAST(sum(pos_g) AS BIGINT) AS n_pos,
+         |   CAST(sum(neg_g) AS BIGINT) AS n_neg,
+         |   CAST(sum(CAST(pos_g AS DECIMAL(18,0)) *
+         |     CAST(2 * cnb + neg_g AS DECIMAL(19,0)))
+         |     AS DECIMAL(38,0)) AS u2
+         |  FROM c)
+         | SELECT n_pos, n_neg, CAST(u2 AS BIGINT) AS u2,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |   THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
+         | FROM cells""".stripMargin,
+    "i_incremental_auc_by" ->
+      raw"""WITH tok AS (
+         |  SELECT source, lang,
+         |   string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM documents),
+         | sr AS (SELECT source,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+         |     'of','to','in','is','it','for','on','with','as','at','by')))
+         |     AS DOUBLE) / len(w) AS s
+         |  FROM tok),
+         | g AS (SELECT source, s, CAST(sum(y) AS BIGINT) AS pos_g,
+         |   count(*) AS tot_g
+         |  FROM sr WHERE s IS NOT NULL AND source IS NOT NULL
+         |  GROUP BY 1, 2),
+         | c AS (SELECT source, pos_g, tot_g - pos_g AS neg_g,
+         |   coalesce(sum(tot_g - pos_g) OVER (PARTITION BY source
+         |     ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |     0) AS cnb
+         |  FROM g),
+         | cells AS (SELECT source, CAST(sum(pos_g) AS BIGINT) AS n_pos,
+         |   CAST(sum(neg_g) AS BIGINT) AS n_neg,
+         |   CAST(sum(CAST(pos_g AS DECIMAL(18,0)) *
+         |     CAST(2 * cnb + neg_g AS DECIMAL(19,0)))
+         |     AS DECIMAL(38,0)) AS u2
+         |  FROM c GROUP BY source)
+         | SELECT source, n_pos, n_neg, CAST(u2 AS BIGINT) AS u2,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |   THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
+         | FROM cells ORDER BY source""".stripMargin,
     // Incremental distinct: per-group row counts are exact; the HLL
     // estimate is gated in-query (sketch registers are
     // implementation-defined, inexpressible here).

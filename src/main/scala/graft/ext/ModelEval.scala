@@ -86,6 +86,21 @@ object ModelEval {
     * empty. `buckets` bounds the per-bucket window sort; per-bucket
     * totals are collected, so it is capped at 4096. */
   def rocAuc(df: DataFrame, labelCol: String, scoreCol: String,
+      buckets: Int = 256): DataFrame =
+    rocAucFromCounts(
+      scored(df, labelCol, scoreCol)
+        .groupBy("_s")
+        .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g")),
+      buckets)
+
+  /** [[rocAuc]] from a PRE-AGGREGATED distinct-score frame
+    * `(_s, pos_g, tot_g)` — the entry point for incrementally
+    * maintained counts (an [[graft.ops.IncrementalAgg]] state table
+    * grouped by score IS this frame: cnt = tot_g, sum of the 0/1
+    * label = pos_g), so model-quality monitoring refreshes at
+    * O(increment) and the AUC is recomputed from the
+    * distinct-score-sized state — never by rescanning the corpus. */
+  def rocAucFromCounts(counts: DataFrame,
       buckets: Int = 256): DataFrame = {
     require(buckets >= 1 && buckets <= 4096,
       "buckets must be in [1, 4096] (per-bucket totals are collected)")
@@ -94,9 +109,9 @@ object ModelEval {
     // re-derive the caller's (possibly corpus-sized) score plan — 3
     // scans instead of 1 (caught live: eval_auc re-ran the whole
     // bigram-LM pipeline three times, 4.97 s -> LM-cost at sf0.1)
-    val g = scored(df, labelCol, scoreCol)
-      .groupBy("_s")
-      .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
+    val g = counts
+      .select(col("_s"), col("pos_g").cast("long").as("pos_g"),
+        col("tot_g").cast("long").as("tot_g"))
       .withColumn("neg_g", col("tot_g") - col("pos_g"))
       .localCheckpoint()
     val (cuts, bucketOf) = scoreBuckets(g, buckets)

@@ -611,6 +611,81 @@ object OpsQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Incrementally-maintained ROC-AUC — model-quality monitoring at
+    * O(increment): the distinct-score class counts live in an
+    * [[graft.ops.IncrementalAgg]] state table (group = score,
+    * cnt = tot_g, sum of the 0/1 label = pos_g), each source commit
+    * folds in at increment cost, and the AUC recomputes from the
+    * distinct-score-sized STATE — the corpus is never rescanned. The
+    * oracle is the full-corpus Mann–Whitney, so the driver compare IS
+    * the incremental ≡ full-recompute proof.
+    */
+  def iIncrementalAuc(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-incauc")
+    val src = KeyedTable("iauc_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val state = graft.ops.IncrementalAgg.stateTable(
+      "iauc_state", s"$base/state", Seq("score"))
+    val store = CheckpointStore(s"$base/cp", s)
+    val docs = t(s, dir, "documents")
+    val scoredDocs = graft.ext.TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("stopword_ratio").as("score"),
+        (col("lang") === "en").cast("int").as("is_en"))
+      .filter(col("score").isNotNull)
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
+      graft.ops.IncrementalAgg.refresh(s, src, state, store,
+        Seq("score"), "is_en")
+    }
+    val counts = TableOps.snapshot(s, state)
+      .select(col("score").as("_s"), col("sum_v").cast("long").as("pos_g"),
+        col("cnt").as("tot_g"))
+    graft.ext.ModelEval.rocAucFromCounts(counts)
+      .withColumn("u2", col("u2").cast("long"))
+  }
+
+  /** Incrementally-maintained PER-SLICE ROC-AUC: the same state-table
+    * pattern grouped by (source, score); the snapshot unfolds into
+    * weighted label rows (y = 1 with weight pos_g, y = 0 with weight
+    * neg_g) that feed [[graft.ext.ModelEval.rocAucBy]]'s exact
+    * integer-weight path — incremental slice monitoring with ZERO new
+    * AUC machinery. Oracle = full-corpus slice Mann–Whitney.
+    */
+  def iIncrementalAucBy(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-incaucby")
+    val src = KeyedTable("iaucby_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val state = graft.ops.IncrementalAgg.stateTable(
+      "iaucby_state", s"$base/state", Seq("source", "score"))
+    val store = CheckpointStore(s"$base/cp", s)
+    val docs = t(s, dir, "documents")
+    val scoredDocs = graft.ext.TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("stopword_ratio").as("score"),
+        (col("lang") === "en").cast("int").as("is_en"))
+      .filter(col("score").isNotNull && col("source").isNotNull)
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
+      graft.ops.IncrementalAgg.refresh(s, src, state, store,
+        Seq("source", "score"), "is_en")
+    }
+    val st = TableOps.snapshot(s, state)
+      .select(col("source"), col("score"),
+        col("cnt"), col("sum_v").cast("long").as("posg"))
+    val weighted = st.select(col("source"), col("score"),
+        lit(1).as("y"), col("posg").as("w"))
+      .unionByName(st.select(col("source"), col("score"),
+        lit(0).as("y"), (col("cnt") - col("posg")).as("w")))
+    graft.ext.ModelEval.rocAucBy(weighted, "source", "y", "score",
+        weightCol = Some("w"))
+      .withColumn("u2", col("u2").cast("long"))
+      .orderBy("source")
+  }
+
   /** Incrementally-maintained DISTINCT count
     * ([[graft.ops.IncrementalAgg.refreshDistinct]]): per-priority
     * distinct-customer counts maintained as mergeable HLL sketches

@@ -55,6 +55,21 @@ class ModelEvalSpec extends SparkSuite {
     assert(auc(rows, buckets = 256) === one)
   }
 
+  test("rocAucFromCounts over merged batch counts equals the pooled auc") {
+    import spark.implicits._
+    val b1 = Seq((0.9, 1), (0.7, 0), (0.4, 1))
+    val b2 = Seq((0.9, 0), (0.4, 1), (0.3, 0), (0.7, 1))
+    // incrementally merged distinct-score counts (what an
+    // IncrementalAgg state table holds after folding both batches)
+    val counts = (b1 ++ b2).groupBy(_._1).map { case (s, rs) =>
+      (s, rs.map(_._2.toLong).sum, rs.size.toLong)
+    }.toSeq.toDF("_s", "pos_g", "tot_g")
+    val fromCounts = ModelEval.rocAucFromCounts(counts).head()
+    val full = ModelEval.rocAuc((b1 ++ b2).toDF("s", "y"), "y", "s")
+      .head()
+    assert(fromCounts === full)
+  }
+
   test("per-group auc matches per-group runs of the pooled auc") {
     val gA = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)) // perfect
     val gB = Seq((0.8, 1), (0.7, 0), (0.4, 1), (0.3, 0)) // 0.75
