@@ -142,6 +142,8 @@ object SparkEntry {
     "stream_rolling_replay"   -> (ExtQueries.streamRollingReplay _),
     "stream_transitions_replay" -> (ExtQueries.streamTransitionsReplay _),
     "stream_gapfill_replay"   -> (ExtQueries.streamGapfillReplay _),
+    "stream_funnel_replay"    -> (ExtQueries.streamFunnelReplay _),
+    "stream_retention_replay" -> (ExtQueries.streamRetentionReplay _),
     "events_gapfill"          -> (ExtQueries.eventsGapfill _),
     "text_bm25"               -> (ExtQueries.textBm25 _),
     "text_retrieval_eval"     -> (ExtQueries.textRetrievalEval _),
@@ -659,6 +661,36 @@ object SparkEntry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
       |  v IS NOT NULL AS is_observed
       | FROM j ORDER BY user_id, slot_ts""".stripMargin
+
+  private val eventsFunnelSql =
+    """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |   WHERE event_type = 'signup' GROUP BY user_id),
+      | t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |   JOIN t1 ON e.user_id = t1.user_id
+      |   WHERE e.event_type = 'view' AND e.ts > t1.t1
+      |   GROUP BY e.user_id),
+      | t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |   JOIN t2 ON e.user_id = t2.user_id
+      |   WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      |   GROUP BY e.user_id)
+      | SELECT 'funnel' AS family,
+      |  (SELECT count(*) FROM t1) AS n_stage1,
+      |  (SELECT count(*) FROM t2) AS n_stage2,
+      |  (SELECT count(*) FROM t3) AS n_stage3""".stripMargin
+
+  // Retention: integer epoch-week arithmetic on both sides (the
+  // fractional seconds DuckDB's epoch() keeps cannot move a
+  // 604800-second bucket).
+  private val eventsRetentionSql =
+    """WITH f AS (SELECT user_id,
+      |   CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+      |  FROM events GROUP BY user_id)
+      | SELECT f.cohort_week,
+      |  CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week
+      |    AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_active
+      | FROM events e JOIN f ON e.user_id = f.user_id
+      | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_select_star" ->
@@ -2823,34 +2855,10 @@ object SparkEntry {
     // Funnel: the oracle replays the greedy-earliest stage chain —
     // first signup, first view strictly after it, first purchase
     // strictly after that.
-    "events_funnel" ->
-      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        |   WHERE event_type = 'signup' GROUP BY user_id),
-        | t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-        |   JOIN t1 ON e.user_id = t1.user_id
-        |   WHERE e.event_type = 'view' AND e.ts > t1.t1
-        |   GROUP BY e.user_id),
-        | t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-        |   JOIN t2 ON e.user_id = t2.user_id
-        |   WHERE e.event_type = 'purchase' AND e.ts > t2.t2
-        |   GROUP BY e.user_id)
-        | SELECT 'funnel' AS family,
-        |  (SELECT count(*) FROM t1) AS n_stage1,
-        |  (SELECT count(*) FROM t2) AS n_stage2,
-        |  (SELECT count(*) FROM t3) AS n_stage3""".stripMargin,
-    // Retention: integer epoch-week arithmetic on both sides (the
-    // fractional seconds DuckDB's epoch() keeps cannot move a
-    // 604800-second bucket).
-    "events_retention" ->
-      """WITH f AS (SELECT user_id,
-        |   CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
-        |  FROM events GROUP BY user_id)
-        | SELECT f.cohort_week,
-        |  CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week
-        |    AS week_offset,
-        |  count(DISTINCT e.user_id) AS n_active
-        | FROM events e JOIN f ON e.user_id = f.user_id
-        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_funnel" -> eventsFunnelSql,
+    "stream_funnel_replay" -> eventsFunnelSql,
+    "events_retention" -> eventsRetentionSql,
+    "stream_retention_replay" -> eventsRetentionSql,
     "events_sessions" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,

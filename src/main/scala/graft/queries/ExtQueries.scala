@@ -1672,6 +1672,57 @@ object ExtQueries {
       .orderBy("user_id", "slot_ts")
   }
 
+  /** Streaming replay of `events_funnel`: greedy-earliest chain
+    * advances emitted append-only as the watermark finalizes events
+    * (each (user, stage) at most once, ever), aggregated to the same
+    * per-stage counts report and value-oracled against the batch SQL.
+    */
+  def streamFunnelReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    val adv = replayEventsStream(s, proj, "streamfunnel") {
+      (src, chk, qname) =>
+        val in = s.readStream.schema(proj.schema).parquet(src)
+          .as[graft.streaming.StreamingFeatures.TransEvent]
+        graft.streaming.StreamingFeatures
+          .funnel(in, Seq("signup", "view", "purchase"), "0 seconds")
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", chk)
+          .outputMode("append").start()
+    }
+    adv.agg(
+      sum(when(col("stage") === 1, 1L).otherwise(0L)).as("n_stage1"),
+      sum(when(col("stage") === 2, 1L).otherwise(0L)).as("n_stage2"),
+      sum(when(col("stage") === 3, 1L).otherwise(0L)).as("n_stage3"))
+      .select(lit("funnel").as("family"), col("n_stage1"),
+        col("n_stage2"), col("n_stage3"))
+  }
+
+  /** Streaming replay of `events_retention`: emit-once (user, active
+    * week) observations tagged with the user's cohort, aggregated to
+    * the retention triangle (pairs are unique, so count(*) IS the
+    * distinct-user count) and value-oracled against the batch SQL.
+    */
+  def streamRetentionReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    val obs = replayEventsStream(s, proj, "streamret") {
+      (src, chk, qname) =>
+        val in = s.readStream.schema(proj.schema).parquet(src)
+          .as[graft.streaming.StreamingFeatures.TransEvent]
+        graft.streaming.StreamingFeatures
+          .cohortRetention(in, "0 seconds")
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", chk)
+          .outputMode("append").start()
+    }
+    obs.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Streaming replay of `events_transitions`: finalized pair stream
     * aggregated to the same (from_state, to_state, n, p) report and
     * value-oracled against the batch SQL.

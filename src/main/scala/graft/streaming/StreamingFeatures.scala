@@ -296,4 +296,127 @@ object StreamingFeatures {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(transStep)
   }
+
+  // ---- funnel -----------------------------------------------------
+
+  /** One funnel advance: the key reached `stage` (1-based) at
+    * `stage_ts`. Advances are MONOTONE per key — each (key, stage)
+    * emits at most once, ever — which is what makes the funnel
+    * append-mode clean; per-stage user counts are a downstream
+    * aggregation of this stream. */
+  final case class FunnelAdvance(user_id: Long, stage: Int,
+      stage_ts: Timestamp)
+
+  /** `stage`/`stageTs` = the greedy-earliest chain position reached
+    * over all finalized events. */
+  private[streaming] final case class FunnelState(frontierUs: Long,
+      pending: Seq[PendEv], stage: Int, stageTs: Long)
+
+  private def funnelStep(steps: Seq[String])(userId: Long,
+      it: Iterator[TransEvent], st: GroupState[FunnelState])
+      : Iterator[FunnelAdvance] = {
+    val prev = st.getOption.getOrElse(
+      FunnelState(Long.MinValue, Nil, 0, Long.MinValue))
+    val wmUs = st.getCurrentWatermarkMs() * 1000L
+    val incoming = it.map(e => PendEv(tsUs(e.ts), e.event_id, e.event_type))
+      .filter(_.tsUs > prev.frontierUs).toSeq
+    val all = prev.pending ++ incoming
+    val (readyU, pending) = all.partition(_.tsUs <= wmUs)
+    // one ascending pass IS the greedy-earliest chain: the first
+    // next-step event strictly after the current stage time advances
+    // (batch semantics: t_{i+1} = min step ts > t_i, strict)
+    var stage = prev.stage; var stageTs = prev.stageTs
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+    readyU.sortBy(e => (e.tsUs, e.id)).foreach { e =>
+      if (stage < steps.length && e.state == steps(stage) &&
+          (stage == 0 || e.tsUs > stageTs)) {
+        stage += 1; stageTs = e.tsUs
+        val t = new Timestamp(e.tsUs / 1000L)
+        t.setNanos((math.floorMod(e.tsUs, 1000000L) * 1000L).toInt)
+        out += FunnelAdvance(userId, stage, t)
+      }
+    }
+    val frontier = math.max(prev.frontierUs, wmUs)
+    st.update(FunnelState(frontier, pending, stage, stageTs))
+    if (pending.nonEmpty)
+      st.setTimeoutTimestamp(math.max(pending.map(_.tsUs).min / 1000L,
+        st.getCurrentWatermarkMs() + 1L))
+    out.iterator
+  }
+
+  /** One retention observation: the key (user) whose FIRST event fell
+    * in `cohort_week` was active in `cohort_week + week_offset`.
+    * (user, week) pairs are emit-once monotone, so the stream is
+    * append-clean; the retention triangle `(cohort_week, week_offset,
+    * n_active)` is a downstream count of this stream (pairs are
+    * unique, so count(*) IS countDistinct(user)). */
+  final case class RetentionEmit(user_id: Long, cohort_week: Long,
+      week_offset: Long)
+
+  /** `cohortWeek` = epoch-week of the first finalized event
+    * (MinValue before it); `weeksSeen` = active weeks already
+    * emitted — bounded by the observation span in weeks. */
+  private[streaming] final case class RetentionState(frontierUs: Long,
+      pending: Seq[PendEv], cohortWeek: Long, weeksSeen: Seq[Long])
+
+  private def retentionStep(userId: Long, it: Iterator[TransEvent],
+      st: GroupState[RetentionState]): Iterator[RetentionEmit] = {
+    val prev = st.getOption.getOrElse(
+      RetentionState(Long.MinValue, Nil, Long.MinValue, Nil))
+    val wmUs = st.getCurrentWatermarkMs() * 1000L
+    val incoming = it.map(e => PendEv(tsUs(e.ts), e.event_id, e.event_type))
+      .filter(_.tsUs > prev.frontierUs).toSeq
+    val all = prev.pending ++ incoming
+    val (readyU, pending) = all.partition(_.tsUs <= wmUs)
+    // ascending finalization order makes the first finalized event the
+    // user's true first event (anything earlier would be beyond the
+    // watermark contract) — integer epoch-week arithmetic, timezone-free
+    var cohort = prev.cohortWeek
+    var seen = prev.weeksSeen
+    val out = scala.collection.mutable.ArrayBuffer.empty[RetentionEmit]
+    readyU.sortBy(e => (e.tsUs, e.id)).foreach { e =>
+      val week = Math.floorDiv(Math.floorDiv(e.tsUs, 1000000L), 604800L)
+      if (cohort == Long.MinValue) cohort = week
+      if (!seen.contains(week)) {
+        seen = seen :+ week
+        out += RetentionEmit(userId, cohort, week - cohort)
+      }
+    }
+    val frontier = math.max(prev.frontierUs, wmUs)
+    st.update(RetentionState(frontier, pending, cohort, seen))
+    if (pending.nonEmpty)
+      st.setTimeoutTimestamp(math.max(pending.map(_.tsUs).min / 1000L,
+        st.getCurrentWatermarkMs() + 1L))
+    out.iterator
+  }
+
+  /** Streaming weekly cohort retention, finalized at the watermark:
+    * per key, emits one row per newly observed active week, tagged
+    * with the key's cohort (the epoch-week of its first event) — the
+    * streamed prefix of the batch
+    * [[graft.ext.EventWindows.cohortRetention]] triangle. */
+  def cohortRetention(events: Dataset[TransEvent],
+      watermarkDelay: String): Dataset[RetentionEmit] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(retentionStep)
+  }
+
+  /** Streaming conversion funnel, finalized at the watermark: per key,
+    * emits one row per GREEDY-EARLIEST chain advance through `steps`
+    * (stage i+1 = the first step-(i+1) event strictly after the stage-i
+    * time — the batch [[graft.ext.EventWindows.funnel]] chain). Per-key
+    * state after quiescence is O(1): the chain position plus the
+    * pending-within-delay events. */
+  def funnel(events: Dataset[TransEvent], steps: Seq[String],
+      watermarkDelay: String): Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "steps must be nonempty")
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(funnelStep(steps))
+  }
 }

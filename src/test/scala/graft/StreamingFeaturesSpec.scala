@@ -143,6 +143,92 @@ class StreamingFeaturesSpec extends SparkSuite {
     assert(streamed.exists(r => r._1 == 0L && !r._4))
   }
 
+  test("streaming funnel advances equal the batch greedy-earliest chain") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val steps = Seq("signup", "view", "purchase")
+    // user 0: full chain; user 1: purchase BEFORE signup (must not
+    // count), then view only; user 2: signup+view at the SAME ts
+    // (strict >: view must not advance), later view does; user 3:
+    // views only (stage 0)
+    val events = Seq(
+      TransEvent(0L, 1L, mkTs(T0), "signup"),
+      TransEvent(0L, 2L, mkTs(T0 + 60L * 1000000L), "view"),
+      TransEvent(0L, 3L, mkTs(T0 + 120L * 1000000L), "purchase"),
+      TransEvent(1L, 4L, mkTs(T0), "purchase"),
+      TransEvent(1L, 5L, mkTs(T0 + 30L * 1000000L), "signup"),
+      TransEvent(1L, 6L, mkTs(T0 + 90L * 1000000L), "view"),
+      TransEvent(2L, 7L, mkTs(T0), "signup"),
+      TransEvent(2L, 8L, mkTs(T0), "view"),
+      TransEvent(2L, 9L, mkTs(T0 + 45L * 1000000L), "view"),
+      TransEvent(3L, 10L, mkTs(T0 + 10L * 1000000L), "view"))
+    val maxUs = events.map(e => e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000L) % 1000L).max
+    val input = MemoryStream[TransEvent]
+    val out = StreamingFeatures.funnel(input.toDS(), steps, "1 hour")
+    val q = out.writeStream.format("memory").queryName("funnel_par")
+      .outputMode("append").start()
+    try {
+      val (a, b) = events.zipWithIndex.partition(_._2 % 2 == 0)
+      input.addData(a.map(_._1)); q.processAllAvailable()
+      input.addData(b.map(_._1)); q.processAllAvailable()
+      sentinels(maxUs, 3600L * 1000000L).foreach { case (us, id) =>
+        input.addData(TransEvent(-1L, id, mkTs(us), "sentinel"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val advances = spark.table("funnel_par").filter($"user_id" =!= -1L)
+      .select("user_id", "stage").as[(Long, Int)].collect().toSet
+    assert(advances === Set((0L, 1), (0L, 2), (0L, 3),
+      (1L, 1), (1L, 2), (2L, 1), (2L, 2)))
+    // and the per-user max stage equals the batch operator
+    val batch = EventWindows.funnel(events.toDF(), "user_id",
+        "event_type", "ts", steps)
+      .select("user_id", "stage_reached").as[(Long, Int)].collect().toMap
+    val streamedMax = advances.groupBy(_._1).view
+      .mapValues(_.map(_._2).max).toMap
+    assert(batch.filter(_._2 > 0) === streamedMax)
+  }
+
+  test("streaming cohort retention equals the batch triangle") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val week = 604800L * 1000000L
+    // 3 users across 3 weeks; repeat activity inside a week must not
+    // double-count; user 2 starts a week later (different cohort)
+    val events = Seq(
+      TransEvent(0L, 1L, mkTs(T0), "view"),
+      TransEvent(0L, 2L, mkTs(T0 + 3600L * 1000000L), "view"), // same wk
+      TransEvent(0L, 3L, mkTs(T0 + week + 100L), "view"),
+      TransEvent(1L, 4L, mkTs(T0 + 50L), "view"),
+      TransEvent(1L, 5L, mkTs(T0 + 2L * week), "view"),
+      TransEvent(2L, 6L, mkTs(T0 + week), "view"),
+      TransEvent(2L, 7L, mkTs(T0 + 2L * week + 5L), "view"))
+    val maxUs = events.map(e => e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000L) % 1000L).max
+    val input = MemoryStream[TransEvent]
+    // the evens/odds split re-delivers events up to the full 2-week
+    // span out of order, so the delay must cover it (admission gate)
+    val out = StreamingFeatures.cohortRetention(input.toDS(), "15 days")
+    val q = out.writeStream.format("memory").queryName("ret_par")
+      .outputMode("append").start()
+    try {
+      val (a, b) = events.zipWithIndex.partition(_._2 % 2 == 0)
+      input.addData(a.map(_._1)); q.processAllAvailable()
+      input.addData(b.map(_._1)); q.processAllAvailable()
+      sentinels(maxUs, 15L * 86400L * 1000000L).foreach { case (us, id) =>
+        input.addData(TransEvent(-1L, id, mkTs(us), "sentinel"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("ret_par").filter($"user_id" =!= -1L)
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = EventWindows.cohortRetention(events.toDF(), "user_id",
+        "ts")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("rolling features land in a keyed feature table via foreachBatch upsert") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // the full live-feature-store composition: stream -> finalized
