@@ -1600,8 +1600,12 @@ object ExtQueries {
       tag: String, marginSec: Long = 3600L)(
       start: (String, String, String) =>
         org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory(s"graft-replay-$tag").toString
+    val tmpPath = java.nio.file.Files
+      .createTempDirectory(s"graft-replay-$tag")
+    ccScratchDirs.add(tmpPath) // the JVM shutdown hook reclaims it;
+                               // the memory sink holds the rows, so
+                               // the files are not read after return
+    val tmp = tmpPath.toString
     val src = s"$tmp/src"; val chk = s"$tmp/chk"
     val qname = tag + "_" + java.util.UUID.randomUUID.toString
       .replace("-", "")
