@@ -271,6 +271,126 @@ class StreamingFeaturesSpec extends SparkSuite {
     assert(snap.nonEmpty && snap === batch)
   }
 
+  test("rolling state survives stop/restart from checkpoint, exactly-once") {
+    // file source + real checkpoint: q1 processes and EMITS a first
+    // tranche, stops; q2 restarts from the checkpoint (state + the
+    // persisted watermark), finalizes the rest. The two sinks must
+    // partition the batch output — together complete, no row twice.
+    val events = syntheticRoll
+    val maxUs = events.map(e => e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000L) % 1000L).max
+    val src = tmpDir("graft-restart-src")
+    val chk = tmpDir("graft-restart-chk")
+    val outDir = tmpDir("graft-restart-out")
+    // TIME-ordered split: the mid-stream watermark push finalizes (part
+    // of) chunk A, and chunk B — which arrives after the restart — must
+    // lie strictly ABOVE that watermark or it would be conclusively
+    // late by contract (which is exactly what the late-drop test pins)
+    def usOf(e: RollEvent): Long = e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000L) % 1000L
+    val ordered = events.sortBy(e => (usOf(e), e.event_id))
+    val (a, b) = ordered.splitAt(30)
+    val maxAUs = a.map(usOf).max
+    import org.apache.spark.sql.functions.{lit, timestamp_micros}
+    a.toDF().write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    // a FILE sink (unlike memory) supports checkpoint recovery and is
+    // exactly-once across restarts via its output manifest
+    def start() = StreamingFeatures.rollingRange(
+        spark.readStream.schema(schema).parquet(src)
+          .as[RollEvent],
+        trailingMicros = 600L * 1000000L, watermarkDelay = "3 hours")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", chk)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // batch 1: watermark 0, all buffered
+      // mid-stream push: watermark lands at maxA + 1 s — finalizes
+      // chunk A, stays strictly below every chunk-B timestamp
+      Seq((-5L, maxAUs + 3L * 3600L * 1000000L + 1000000L))
+        .toDF("event_id", "us")
+        .select(lit(-1L).as("user_id"), $"event_id",
+          timestamp_micros($"us").as("ts"), lit(0.0).as("value"))
+        .write.mode("append").parquet(src)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val firstTranche = spark.read.parquet(outDir)
+      .filter($"user_id" =!= -1L)
+      .select("event_id").as[Long].collect().toSet
+    assert(firstTranche.nonEmpty, "q1 must have emitted before the stop")
+    // rest of the data + two finalization pushes land while no query
+    // runs; q2 restarts from the checkpoint and drains everything
+    b.toDF().write.mode("append").parquet(src)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      sentinels(maxUs, 3L * 3600L * 1000000L).foreach { case (us, id) =>
+        Seq((id, us)).toDF("event_id", "us")
+          .select(lit(-1L).as("user_id"), $"event_id",
+            timestamp_micros($"us").as("ts"), lit(0.0).as("value"))
+          .write.mode("append").parquet(src)
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+    val finalRows = spark.read.parquet(outDir).filter($"user_id" =!= -1L)
+      .select("event_id").as[Long].collect().toSeq
+    assert(finalRows.size === finalRows.distinct.size,
+      "a row emitted before the restart must not re-emit after it")
+    val streamed = spark.read.parquet(outDir)
+      .filter($"user_id" =!= -1L)
+      .select("event_id", "user_id", "roll_cnt", "roll_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = TimeSeries.rollingRange(events.toDF(), "user_id", "ts",
+        "value", trailingMicros = 600L * 1000000L)
+      .select("event_id", "user_id", "roll_cnt", "roll_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("rolling parity holds under the RocksDB state store provider") {
+    // the 100 TB state path: HDFS-backed stores hold per-key state on
+    // the executor heap; RocksDB spills to local disk. The operators
+    // must be provider-agnostic.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val events = syntheticRoll
+      val maxUs = events.map(e => e.ts.getTime * 1000L +
+        (e.ts.getNanos / 1000L) % 1000L).max
+      val input = MemoryStream[RollEvent]
+      val out = StreamingFeatures.rollingRange(input.toDS(),
+        trailingMicros = 600L * 1000000L, watermarkDelay = "3 hours")
+      val q = out.writeStream.format("memory").queryName("roll_rocks")
+        .outputMode("append").start()
+      try {
+        val (a, b) = events.zipWithIndex.partition(_._2 % 2 == 0)
+        input.addData(a.map(_._1)); q.processAllAvailable()
+        input.addData(b.map(_._1)); q.processAllAvailable()
+        sentinels(maxUs, 3L * 3600L * 1000000L).foreach { case (us, id) =>
+          input.addData(RollEvent(-1L, id, mkTs(us), 0.0))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.table("roll_rocks").filter($"user_id" =!= -1L)
+        .select("event_id", "user_id", "roll_cnt", "roll_sum")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = TimeSeries.rollingRange(events.toDF(), "user_id", "ts",
+          "value", trailingMicros = 600L * 1000000L)
+        .select("event_id", "user_id", "roll_cnt", "roll_sum")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed.nonEmpty && streamed === batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming transitions equals batch pairs and report") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val states = Seq("signup", "view", "view", "purchase", "view")
