@@ -222,6 +222,7 @@ object SparkEntry {
     "i_incremental_distinct"  -> (OpsQueries.iIncrementalDistinct _),
     "i_incremental_auc"       -> (OpsQueries.iIncrementalAuc _),
     "i_incremental_auc_by"    -> (OpsQueries.iIncrementalAucBy _),
+    "i_incremental_ece"       -> (OpsQueries.iIncrementalEce _),
   )
 
   /** Headline bench set (graft.Bench): the analytically-representative
@@ -691,6 +692,34 @@ object SparkEntry {
       |  count(DISTINCT e.user_id) AS n_active
       | FROM events e JOIN f ON e.user_id = f.user_id
       | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ECE: per-bin terms (n_b/N)·|pos_rate − mean score| with the bin
+  // score sum through DECIMAL(28,9); each term round(…,9) then a
+  // decimal fold (the BM25 posture) so the bins-sized sum is
+  // order-independent.
+  private val evalEceSql =
+    raw"""WITH tok AS (
+       |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
+       |  FROM documents),
+       | sr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+       |     'of','to','in','is','it','for','on','with','as','at','by')))
+       |     AS DOUBLE) / len(w) AS s
+       |  FROM tok),
+       | b AS (SELECT CAST(least(9, greatest(0,
+       |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
+       |    AS INT) AS bin, y, s
+       |  FROM sr WHERE s IS NOT NULL),
+       | counts AS (SELECT bin, count(*) AS n,
+       |   CAST(sum(y) AS BIGINT) AS n_pos,
+       |   sum(CAST(s AS DECIMAL(28,9))) AS sum_s FROM b GROUP BY bin),
+       | tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM counts),
+       | t AS (SELECT ntot, CAST(round((CAST(n AS DOUBLE) / ntot)
+       |     * abs(CAST(n_pos AS DOUBLE) / n - CAST(sum_s AS DOUBLE) / n),
+       |     9) AS DECIMAL(28,9)) AS term
+       |  FROM counts CROSS JOIN tot)
+       | SELECT ntot AS n, round(CAST(sum(term) AS DOUBLE), 6) AS ece
+       | FROM t GROUP BY ntot""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_select_star" ->
@@ -2467,33 +2496,10 @@ object SparkEntry {
          |  CAST(sum(tot_g - pos_g) AS BIGINT) AS n_neg,
          |  round(CAST(sum(contrib) AS DOUBLE), 6) AS ap
          | FROM tm""".stripMargin,
-    // ECE: per-bin terms (n_b/N)·|pos_rate − mean score| with the bin
-    // score sum through DECIMAL(28,9); each term round(…,9) then a
-    // decimal fold (the BM25 posture) so the bins-sized sum is
-    // order-independent.
-    "eval_ece" ->
-      raw"""WITH tok AS (
-         |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
-         |  FROM documents),
-         | sr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
-         |     'of','to','in','is','it','for','on','with','as','at','by')))
-         |     AS DOUBLE) / len(w) AS s
-         |  FROM tok),
-         | b AS (SELECT CAST(least(9, greatest(0,
-         |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
-         |    AS INT) AS bin, y, s
-         |  FROM sr WHERE s IS NOT NULL),
-         | counts AS (SELECT bin, count(*) AS n,
-         |   CAST(sum(y) AS BIGINT) AS n_pos,
-         |   sum(CAST(s AS DECIMAL(28,9))) AS sum_s FROM b GROUP BY bin),
-         | tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM counts),
-         | t AS (SELECT ntot, CAST(round((CAST(n AS DOUBLE) / ntot)
-         |     * abs(CAST(n_pos AS DOUBLE) / n - CAST(sum_s AS DOUBLE) / n),
-         |     9) AS DECIMAL(28,9)) AS term
-         |  FROM counts CROSS JOIN tot)
-         | SELECT ntot AS n, round(CAST(sum(term) AS DOUBLE), 6) AS ece
-         | FROM t GROUP BY ntot""".stripMargin,
+    "eval_ece" -> evalEceSql,
+    // incremental ECE's oracle IS the full-corpus pooled ECE — the
+    // driver compare is itself the incremental ≡ full proof
+    "i_incremental_ece" -> evalEceSql,
     "eval_confusion" ->
       raw"""WITH tok AS (
          |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w

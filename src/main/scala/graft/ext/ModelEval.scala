@@ -479,11 +479,21 @@ object ModelEval {
       bins: Int, lo: Double, hi: Double): DataFrame = {
     require(bins >= 2, "at least two bins")
     require(hi > lo, "hi must exceed lo")
-    val counts = scored(df, labelCol, scoreCol)
+    eceFromCounts(scored(df, labelCol, scoreCol)
       .select(gridBin(bins, lo, hi), col("_y"), col("_s"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"),
-        sum(col("_s").cast("decimal(28,9)")).as("sum_s"))
+        sum(col("_s").cast("decimal(28,9)")).as("sum_s")))
+  }
+
+  /** [[ece]] from a PRE-AGGREGATED per-bin frame
+    * `(bin, n, n_pos, sum_s)` — the entry point for incrementally
+    * maintained calibration counts (two [[graft.ops.IncrementalAgg]]
+    * state tables grouped by bin — label sums and DECIMAL(28,9) score
+    * sums, both exactly mergeable — ARE this frame), so calibration
+    * drift monitoring refreshes at O(increment) with the report
+    * recomputed from the bins-sized state. */
+  def eceFromCounts(counts: DataFrame): DataFrame = {
     val tot = broadcast(counts.agg(sum(col("n")).as("_N")))
     val term = ((col("n").cast(DoubleType) / col("_N")) *
       abs(col("n_pos").cast(DoubleType) / col("n") -
@@ -512,14 +522,20 @@ object ModelEval {
             col("_y").cast("string")))).as("_y"))
   }
 
-  /** Fixed-grid bin column shared by the calibration/ECE family:
-    * clamp on the LONG floor BEFORE narrowing (the psiDrift posture —
-    * a non-ANSI long->int cast wraps, so a far-out-of-range score
-    * could otherwise land in an interior bin). */
-  private def gridBin(bins: Int, lo: Double, hi: Double): Column =
+  /** Fixed-grid bin of a NON-NULL score column: clamp on the LONG
+    * floor BEFORE narrowing (the psiDrift posture — a non-ANSI
+    * long->int cast wraps, so a far-out-of-range score could
+    * otherwise land in an interior bin). Public so ingest paths that
+    * maintain per-bin state (incremental ECE) bin with the exact same
+    * arithmetic. NOTE Spark's greatest/least SKIP nulls — guard null
+    * scores before calling. */
+  def binOf(score: Column, bins: Int, lo: Double, hi: Double): Column =
     least(lit((bins - 1).toLong), greatest(lit(0L),
-      floor((col("_s") - lit(lo)) / lit((hi - lo) / bins))))
-      .cast("int").as("bin")
+      floor((score - lit(lo)) / lit((hi - lo) / bins))))
+      .cast("int")
+
+  private def gridBin(bins: Int, lo: Double, hi: Double): Column =
+    binOf(col("_s"), bins, lo, hi).as("bin")
 
   /** Per-group [[ece]] — the slice audit of calibration drift. The
     * same Simpson's-reversal argument as [[rocAucBy]] applies to

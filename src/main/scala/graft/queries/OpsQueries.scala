@@ -686,6 +686,53 @@ object OpsQueries {
       .orderBy("source")
   }
 
+  /** Incrementally-maintained expected calibration error — the drift
+    * monitor next to [[iIncrementalAuc]]: two state tables grouped by
+    * the fixed calibration bin (label sums; DECIMAL(28,9) score sums —
+    * both exactly mergeable, so cross-batch addition order cannot move
+    * a cell), each source commit folds in at O(increment), and the ECE
+    * report recomputes from the bins-sized state. Oracle = the
+    * full-corpus pooled ECE.
+    */
+  def iIncrementalEce(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-incece")
+    val src = KeyedTable("iece_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val stateN = graft.ops.IncrementalAgg.stateTable(
+      "iece_labels", s"$base/labels", Seq("bin"))
+    val stateS = graft.ops.IncrementalAgg.stateTable(
+      "iece_scores", s"$base/scores", Seq("bin"))
+    // one checkpoint store PER maintained state: the source-progress
+    // checkpoint is keyed by source name inside a store, so two states
+    // over the same source must not share one (the first refresh would
+    // consume the increment the second still needs)
+    val storeN = CheckpointStore(s"$base/cpN", s)
+    val storeS = CheckpointStore(s"$base/cpS", s)
+    val docs = t(s, dir, "documents")
+    val scoredDocs = graft.ext.TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .filter(col("stopword_ratio").isNotNull)
+      .select(col("doc_id"),
+        graft.ext.ModelEval.binOf(col("stopword_ratio"),
+          bins = 10, lo = 0.0, hi = 0.25).as("bin"),
+        (col("lang") === "en").cast("int").as("is_en"),
+        col("stopword_ratio").cast("decimal(28,9)").as("score_dec"))
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
+      graft.ops.IncrementalAgg.refresh(s, src, stateN, storeN,
+        Seq("bin"), "is_en")
+      graft.ops.IncrementalAgg.refresh(s, src, stateS, storeS,
+        Seq("bin"), "score_dec")
+    }
+    val n = TableOps.snapshot(s, stateN)
+      .select(col("bin"), col("cnt").as("n"),
+        col("sum_v").cast("long").as("n_pos"))
+    val sums = TableOps.snapshot(s, stateS)
+      .select(col("bin"), col("sum_v").as("sum_s"))
+    graft.ext.ModelEval.eceFromCounts(n.join(sums, Seq("bin")))
+  }
+
   /** Incrementally-maintained DISTINCT count
     * ([[graft.ops.IncrementalAgg.refreshDistinct]]): per-priority
     * distinct-customer counts maintained as mergeable HLL sketches
