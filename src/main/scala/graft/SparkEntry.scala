@@ -223,6 +223,7 @@ object SparkEntry {
     "i_incremental_auc"       -> (OpsQueries.iIncrementalAuc _),
     "i_incremental_auc_by"    -> (OpsQueries.iIncrementalAucBy _),
     "i_incremental_ece"       -> (OpsQueries.iIncrementalEce _),
+    "i_incremental_ap"        -> (OpsQueries.iIncrementalAp _),
   )
 
   /** Headline bench set (graft.Bench): the analytically-representative
@@ -2500,6 +2501,36 @@ object SparkEntry {
     // incremental ECE's oracle IS the full-corpus pooled ECE — the
     // driver compare is itself the incremental ≡ full proof
     "i_incremental_ece" -> evalEceSql,
+    // incremental AP: full-corpus step-sum over the stopword score
+    "i_incremental_ap" ->
+      raw"""WITH tok AS (
+         |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM documents),
+         | sr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+         |     'of','to','in','is','it','for','on','with','as','at','by')))
+         |     AS DOUBLE) / len(w) AS s
+         |  FROM tok),
+         | g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos_g,
+         |   count(*) AS tot_g FROM sr WHERE s IS NOT NULL GROUP BY s),
+         | np AS (SELECT CAST(sum(pos_g) AS BIGINT) AS n_pos FROM g),
+         | c AS (SELECT pos_g, tot_g,
+         |   CAST(sum(pos_g) OVER (ORDER BY s DESC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     AS BIGINT) AS cpos,
+         |   CAST(sum(tot_g) OVER (ORDER BY s DESC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     AS BIGINT) AS ctot
+         |  FROM g),
+         | tm AS (SELECT pos_g, tot_g,
+         |   CAST((CAST(pos_g AS DOUBLE) / CAST(n_pos AS DOUBLE))
+         |     * (CAST(cpos AS DOUBLE) / CAST(ctot AS DOUBLE))
+         |     AS DECIMAL(28,9)) AS contrib
+         |  FROM c CROSS JOIN np)
+         | SELECT CAST(sum(pos_g) AS BIGINT) AS n_pos,
+         |  CAST(sum(tot_g - pos_g) AS BIGINT) AS n_neg,
+         |  round(CAST(sum(contrib) AS DOUBLE), 6) AS ap
+         | FROM tm""".stripMargin,
     "eval_confusion" ->
       raw"""WITH tok AS (
          |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w

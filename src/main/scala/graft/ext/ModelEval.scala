@@ -309,12 +309,24 @@ object ModelEval {
     * `(n_pos, n_neg, ap)` with ap = round(Σ, 6), null when no
     * positives exist. */
   def averagePrecision(df: DataFrame, labelCol: String, scoreCol: String,
+      buckets: Int = 256): DataFrame =
+    averagePrecisionFromCounts(
+      scored(df, labelCol, scoreCol)
+        .groupBy("_s")
+        .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g")),
+      buckets)
+
+  /** [[averagePrecision]] from a pre-aggregated distinct-score frame
+    * `(_s, pos_g, tot_g)` — the incremental-monitoring entry point
+    * (the SAME score-grouped [[graft.ops.IncrementalAgg]] state that
+    * feeds [[rocAucFromCounts]] feeds this). */
+  def averagePrecisionFromCounts(counts: DataFrame,
       buckets: Int = 256): DataFrame = {
     require(buckets >= 1 && buckets <= 4096,
       "buckets must be in [1, 4096] (per-bucket totals are collected)")
-    val g = scored(df, labelCol, scoreCol)
-      .groupBy("_s")
-      .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
+    val g = counts
+      .select(col("_s"), col("pos_g").cast("long").as("pos_g"),
+        col("tot_g").cast("long").as("tot_g"))
       .localCheckpoint() // see rocAuc: cuts + totals + final each re-read
     val (cuts, bucketOf) = scoreBuckets(g, buckets)
     val gb = g.withColumn("_b", bucketOf)

@@ -686,6 +686,36 @@ object OpsQueries {
       .orderBy("source")
   }
 
+  /** Incrementally-maintained average precision — the THIRD report off
+    * the same score-grouped state as [[iIncrementalAuc]]: one state
+    * maintenance cost serves the whole threshold-free eval family
+    * (AUC, AP, and any other distinct-score-counts statistic).
+    */
+  def iIncrementalAp(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-incap")
+    val src = KeyedTable("iap_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val state = graft.ops.IncrementalAgg.stateTable(
+      "iap_state", s"$base/state", Seq("score"))
+    val store = CheckpointStore(s"$base/cp", s)
+    val docs = t(s, dir, "documents")
+    val scoredDocs = graft.ext.TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("stopword_ratio").as("score"),
+        (col("lang") === "en").cast("int").as("is_en"))
+      .filter(col("score").isNotNull)
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
+      graft.ops.IncrementalAgg.refresh(s, src, state, store,
+        Seq("score"), "is_en")
+    }
+    val counts = TableOps.snapshot(s, state)
+      .select(col("score").as("_s"), col("sum_v").cast("long").as("pos_g"),
+        col("cnt").as("tot_g"))
+    graft.ext.ModelEval.averagePrecisionFromCounts(counts)
+  }
+
   /** Incrementally-maintained expected calibration error — the drift
     * monitor next to [[iIncrementalAuc]]: two state tables grouped by
     * the fixed calibration bin (label sums; DECIMAL(28,9) score sums —
