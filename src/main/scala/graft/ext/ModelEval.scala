@@ -109,9 +109,18 @@ object ModelEval {
     // re-derive the caller's (possibly corpus-sized) score plan — 3
     // scans instead of 1 (caught live: eval_auc re-ran the whole
     // bigram-LM pipeline three times, 4.97 s -> LM-cost at sf0.1)
+    // The re-aggregation by _s also makes duplicate-score rows (e.g.
+    // unmerged per-batch counts) safe: the strict-below prefix treats
+    // a tie partner as below, so unmerged ties would corrupt the
+    // tie-corrected U — merge them here instead of requiring callers
+    // to. On an already-distinct frame this is one no-op-shaped
+    // shuffle of a distinct-score-sized frame, absorbed by the
+    // localCheckpoint that had to happen anyway.
     val g = counts
       .select(col("_s"), col("pos_g").cast("long").as("pos_g"),
         col("tot_g").cast("long").as("tot_g"))
+      .groupBy("_s")
+      .agg(sum("pos_g").as("pos_g"), sum("tot_g").as("tot_g"))
       .withColumn("neg_g", col("tot_g") - col("pos_g"))
       .localCheckpoint()
     val (cuts, bucketOf) = scoreBuckets(g, buckets)
@@ -327,6 +336,9 @@ object ModelEval {
     val g = counts
       .select(col("_s"), col("pos_g").cast("long").as("pos_g"),
         col("tot_g").cast("long").as("tot_g"))
+      // defensive merge of duplicate-score rows (see rocAucFromCounts)
+      .groupBy("_s")
+      .agg(sum("pos_g").as("pos_g"), sum("tot_g").as("tot_g"))
       .localCheckpoint() // see rocAuc: cuts + totals + final each re-read
     val (cuts, bucketOf) = scoreBuckets(g, buckets)
     val gb = g.withColumn("_b", bucketOf)

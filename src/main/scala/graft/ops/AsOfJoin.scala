@@ -48,6 +48,10 @@ object AsOfJoin {
     toleranceMicros.foreach(t =>
       require(t > 0, "toleranceMicros must be positive"))
     require(payload.nonEmpty, "as-of join needs at least one payload column")
+    // the carried struct appends an internal `_rt` field for the
+    // staleness check; a payload column of that name would shadow it
+    require(!payload.contains("_rt"),
+      "payload column name '_rt' is reserved by the as-of carry")
     val leftCols = left.columns.toSeq
     val leftNonKey = leftCols.filterNot(keys.contains)
     // Keys are REAL on both sides (they are the window partition); every

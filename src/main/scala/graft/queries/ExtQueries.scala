@@ -1614,8 +1614,11 @@ object ExtQueries {
     // sentinel rows themselves may or may not finalize (we never push
     // a watermark past THEM); the reserved key keeps them out of the
     // result either way
-    val maxSec = proj.agg(max(unix_micros(col("ts")))).head.getLong(0) /
-      1000000L + 1L
+    val maxRow = proj.agg(max(unix_micros(col("ts")))).head
+    require(!maxRow.isNullAt(0),
+      s"replayEventsStream($tag): events projection is empty or all-null" +
+        " ts — cannot derive sentinel watermark timestamps")
+    val maxSec = maxRow.getLong(0) / 1000000L + 1L
     val q = start(src, chk, qname)
     try {
       q.processAllAvailable()

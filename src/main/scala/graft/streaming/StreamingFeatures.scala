@@ -15,9 +15,19 @@ import java.sql.Timestamp
   *
   * Both use `flatMapGroupsWithState` with **finalize-on-watermark**
   * semantics: an event's output row is emitted only once the event-
-  * time watermark has passed its timestamp, so every event that can
-  * still arrive and land inside the trailing window (or between two
-  * finalized events) has conclusively arrived. Within the watermark
+  * time watermark has passed STRICTLY above its timestamp, so every
+  * event that can still arrive and land inside the trailing window
+  * (or between two finalized events) has conclusively arrived. The
+  * strict inequality is deliberate: the exact boundary convention of
+  * Spark's stateful admission gate is an implementation detail (the
+  * 4.1.2 `WatermarkSupport.watermarkExpression` drops `ts <= wm`,
+  * while the documented guarantee only promises rows strictly below
+  * the watermark are "too late" — verified against the shipped
+  * bytecode), so finalizing strictly below and admitting `ts >=
+  * frontier` keeps the operators correct under EITHER convention: a
+  * row the gate admits is never silently lost here, and a boundary
+  * row is merely deferred one watermark advance, which the
+  * sentinel-push replay protocol always provides. Within the watermark
   * the streamed output is therefore ROW-EQUAL to the batch operator
   * run over the same finalized prefix — pinned in
   * StreamingFeaturesSpec and by the `stream_*_replay` driver queries
@@ -58,9 +68,10 @@ object StreamingFeatures {
   private[streaming] final case class BufEv(id: Long, tsUs: Long,
       v: Double)
 
-  /** `frontierUs` = the watermark up to which this key has emitted;
-    * `buf` holds events above `frontier − trailing` (pending rows plus
-    * the lookback they still need). */
+  /** `frontierUs` = the watermark this key has emitted strictly below
+    * (rows at `frontier` are still admissible and pending); `buf`
+    * holds events above `frontier − trailing` (pending rows plus the
+    * lookback they still need). */
   private[streaming] final case class RollState(frontierUs: Long,
       buf: Seq[BufEv])
 
@@ -73,16 +84,18 @@ object StreamingFeatures {
   private def round6(v: Double): JBigDecimal =
     JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP)
 
-  private def rollStep(trailingMicros: Long)(userId: Long,
+  private[streaming] def rollStep(trailingMicros: Long)(userId: Long,
       it: Iterator[RollEvent], st: GroupState[RollState])
       : Iterator[RollEmit] = {
     val prev = st.getOption.getOrElse(RollState(Long.MinValue, Nil))
     val wmUs = st.getCurrentWatermarkMs() * 1000L
-    // rows at or below the emitted frontier are conclusively late
+    // rows strictly below the emitted frontier are conclusively late
     // (batch replay would have placed them inside already-finalized
-    // windows) — dropped per the watermark contract
+    // windows) — dropped per the watermark contract; a row AT the
+    // frontier was never finalized (strict-below emission), so it is
+    // kept regardless of which boundary convention the gate uses
     val incoming = it.map(e => BufEv(e.event_id, tsUs(e.ts), e.value))
-      .filter(_.tsUs > prev.frontierUs).toSeq
+      .filter(_.tsUs >= prev.frontierUs).toSeq
     val buf = prev.buf ++ incoming
     // one sort + exact-decimal prefix sums, frames found by binary
     // search — O(n log n) per invocation even when a whole key
@@ -102,7 +115,7 @@ object StreamingFeatures {
       lo
     }
     val out = sorted
-      .filter(e => e.tsUs > prev.frontierUs && e.tsUs <= wmUs)
+      .filter(e => e.tsUs >= prev.frontierUs && e.tsUs < wmUs)
       .map { e =>
         val lo = bound(e.tsUs - trailingMicros, inclusive = false)
         val hi = bound(e.tsUs, inclusive = true)
@@ -114,7 +127,7 @@ object StreamingFeatures {
     if (kept.isEmpty) st.remove()
     else {
       st.update(RollState(frontier, kept))
-      val pending = kept.filter(_.tsUs > frontier)
+      val pending = kept.filter(_.tsUs >= frontier)
       // re-fire when the watermark can finalize the earliest pending
       // row; with none pending, fire once the lookback has aged out
       // so dead keys do not pin state forever
@@ -260,14 +273,17 @@ object StreamingFeatures {
   private[streaming] final case class TransState(frontierUs: Long,
       pending: Seq[PendEv], last: Option[PendEv])
 
-  private def transStep(userId: Long, it: Iterator[TransEvent],
+  private[streaming] def transStep(userId: Long, it: Iterator[TransEvent],
       st: GroupState[TransState]): Iterator[TransEmit] = {
     val prev = st.getOption.getOrElse(TransState(Long.MinValue, Nil, None))
     val wmUs = st.getCurrentWatermarkMs() * 1000L
     val incoming = it.map(e => PendEv(tsUs(e.ts), e.event_id, e.event_type))
-      .filter(_.tsUs > prev.frontierUs).toSeq
+      .filter(_.tsUs >= prev.frontierUs).toSeq
     val all = prev.pending ++ incoming
-    val (readyU, pending) = all.partition(_.tsUs <= wmUs)
+    // strictly below the watermark: a row AT the watermark may still
+    // arrive (Spark's gate drops only strictly-below), so it is not
+    // yet final — see the object scaladoc
+    val (readyU, pending) = all.partition(_.tsUs < wmUs)
     val ready = readyU.sortBy(e => (e.tsUs, e.id))
     val chain = prev.last.toSeq ++ ready
     val out = chain.iterator.sliding(2).withPartial(false)
@@ -319,9 +335,9 @@ object StreamingFeatures {
       FunnelState(Long.MinValue, Nil, 0, Long.MinValue))
     val wmUs = st.getCurrentWatermarkMs() * 1000L
     val incoming = it.map(e => PendEv(tsUs(e.ts), e.event_id, e.event_type))
-      .filter(_.tsUs > prev.frontierUs).toSeq
+      .filter(_.tsUs >= prev.frontierUs).toSeq
     val all = prev.pending ++ incoming
-    val (readyU, pending) = all.partition(_.tsUs <= wmUs)
+    val (readyU, pending) = all.partition(_.tsUs < wmUs)
     // one ascending pass IS the greedy-earliest chain: the first
     // next-step event strictly after the current stage time advances
     // (batch semantics: t_{i+1} = min step ts > t_i, strict)
@@ -365,9 +381,9 @@ object StreamingFeatures {
       RetentionState(Long.MinValue, Nil, Long.MinValue, Nil))
     val wmUs = st.getCurrentWatermarkMs() * 1000L
     val incoming = it.map(e => PendEv(tsUs(e.ts), e.event_id, e.event_type))
-      .filter(_.tsUs > prev.frontierUs).toSeq
+      .filter(_.tsUs >= prev.frontierUs).toSeq
     val all = prev.pending ++ incoming
-    val (readyU, pending) = all.partition(_.tsUs <= wmUs)
+    val (readyU, pending) = all.partition(_.tsUs < wmUs)
     // ascending finalization order makes the first finalized event the
     // user's true first event (anything earlier would be beyond the
     // watermark contract) — integer epoch-week arithmetic, timezone-free
