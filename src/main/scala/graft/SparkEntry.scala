@@ -144,6 +144,9 @@ object SparkEntry {
     "stream_gapfill_replay"   -> (ExtQueries.streamGapfillReplay _),
     "stream_funnel_replay"    -> (ExtQueries.streamFunnelReplay _),
     "stream_retention_replay" -> (ExtQueries.streamRetentionReplay _),
+    "stream_asof_replay"      -> (ExtQueries.streamAsofReplay _),
+    "stream_asof_tolerance_replay" -> (ExtQueries.streamAsofToleranceReplay _),
+    "stream_feature_store_replay" -> (ExtQueries.streamFeatureStoreReplay _),
     "events_gapfill"          -> (ExtQueries.eventsGapfill _),
     "text_bm25"               -> (ExtQueries.textBm25 _),
     "text_retrieval_eval"     -> (ExtQueries.textRetrievalEval _),
@@ -161,6 +164,7 @@ object SparkEntry {
     "eval_ece_by"             -> (ExtQueries.evalEceBy _),
     "eval_isotonic"           -> (ExtQueries.evalIsotonic _),
     "eval_calibrated"         -> (ExtQueries.evalCalibrated _),
+    "eval_calibrated_by"      -> (ExtQueries.evalCalibratedBy _),
     "eval_roc_curve"          -> (ExtQueries.evalRocCurve _),
     "eval_confusion_by"       -> (ExtQueries.evalConfusionBy _),
     "dq_group_quantiles"      -> (ExtQueries.dqGroupQuantiles _),
@@ -223,6 +227,7 @@ object SparkEntry {
     "i_incremental_auc"       -> (OpsQueries.iIncrementalAuc _),
     "i_incremental_auc_by"    -> (OpsQueries.iIncrementalAucBy _),
     "i_incremental_ece"       -> (OpsQueries.iIncrementalEce _),
+    "i_incremental_ece_by"    -> (OpsQueries.iIncrementalEceBy _),
     "i_incremental_ap"        -> (OpsQueries.iIncrementalAp _),
   )
 
@@ -276,7 +281,12 @@ object SparkEntry {
     "text_retrieval_eval", "labels_vote", "labels_kappa",
     "sim_mmr_rerank", "eval_auc", "eval_auc_by", "events_rolling",
     "events_gapfill", "events_transitions", "o11_hilbert_pruned_read",
-    "eval_ece_by", "eval_isotonic", "eval_roc_curve", "eval_confusion_by")
+    "eval_ece_by", "eval_isotonic", "eval_roc_curve", "eval_confusion_by",
+    // streaming replays on the recurring board: a regression in the
+    // FMGWS state path must move a round-over-round number, not wait
+    // for the next one-off SCALE.md re-measure
+    "stream_rolling_replay", "stream_gapfill_replay",
+    "stream_asof_replay", "eval_calibrated_by", "i_incremental_ece_by")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -596,13 +606,28 @@ object SparkEntry {
         "not expressible in SQL; every emitted cosine is invariant-checked " +
         "in-query against exact recomputation from the base vectors on " +
         "every correctness run (skipped only inside Bench's timed loop), " +
-        "and the family's recall gate sim_lsh_topk is DuckDB value-oracled"),
+        "and the family's recall gate sim_lsh_topk is DuckDB value-oracled. " +
+        "r11 graduation check: the sim_q8 portable-hash argument does NOT " +
+        "extend — q8 graduated because quantization collapses scores to " +
+        "exact INTEGER dot products (ordering is integer-arithmetic-" +
+        "portable), while LSH bucket membership is the SIGN of a 64-term " +
+        "IEEE double dot against Gaussian literals; DuckDB's " +
+        "list_inner_product association/FMA behavior is not contractual, " +
+        "and ONE boundary flip changes the emitted row SET, so a SQL " +
+        "replay would be float-boundary-fragile (the exact local-green/" +
+        "driver-red class the r10 dtype audit closed). Waiver retained " +
+        "deliberately."),
     "sim_ivf_topk_raw" ->
       ("row SET depends on Lloyd-trained centroids (IVF shard probe) not " +
         "expressible in SQL; every emitted cosine is invariant-checked " +
         "in-query against exact recomputation from the base vectors on " +
         "every correctness run (skipped only inside Bench's timed loop), " +
-        "and the family's recall gate sim_ivf_topk is DuckDB value-oracled"),
+        "and the family's recall gate sim_ivf_topk is DuckDB value-oracled. " +
+        "r11 graduation check: strictly harder than the LSH case — the " +
+        "probe set depends on iterated Lloyd MEANS (corpus-wide float " +
+        "sums whose grouping changes per iteration), so cross-engine " +
+        "bit-parity of the trained centroids has no portable-arithmetic " +
+        "argument at all. Waiver retained deliberately."),
     "sim_pq_topk_raw" ->
       ("row SET depends on Lloyd-trained product-quantization codebooks " +
         "(per-subspace k-means) not expressible in SQL; every emitted " +
@@ -616,6 +641,62 @@ object SparkEntry {
         "sketches, so no SQL reproduces the values cell-exact; the " +
         "error-bound gate a_approx_agg (|approx-exact| within 10%/5%) is " +
         "DuckDB value-oracled"))
+
+  // Per-slice ECE: shared by the batch query and its incremental
+  // twin (the full-corpus recompute IS the incremental ≡ full proof).
+  private val evalEceBySql =
+    raw"""WITH tok AS (
+       |  SELECT source, lang,
+       |   string_split_regex(trim(lower(text)), '\s+') AS w
+       |  FROM documents),
+       | sr AS (SELECT source,
+       |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+       |     'of','to','in','is','it','for','on','with','as','at','by')))
+       |     AS DOUBLE) / len(w) AS s
+       |  FROM tok),
+       | b AS (SELECT source, CAST(least(9, greatest(0,
+       |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
+       |    AS INT) AS bin, y, s
+       |  FROM sr WHERE s IS NOT NULL AND source IS NOT NULL),
+       | counts AS (SELECT source, bin, count(*) AS n,
+       |   CAST(sum(y) AS BIGINT) AS n_pos,
+       |   sum(CAST(s AS DECIMAL(28,9))) AS sum_s FROM b GROUP BY 1, 2),
+       | tot AS (SELECT source, bin, n, n_pos, sum_s,
+       |   CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ntot
+       |  FROM counts),
+       | t AS (SELECT source, ntot, CAST(round((CAST(n AS DOUBLE) / ntot)
+       |     * abs(CAST(n_pos AS DOUBLE) / n - CAST(sum_s AS DOUBLE) / n),
+       |     9) AS DECIMAL(28,9)) AS term
+       |  FROM tot)
+       | SELECT source, ntot AS n, round(CAST(sum(term) AS DOUBLE), 6)
+       |   AS ece
+       | FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin
+
+  // As-of enrichment: shared by the batch queries and their streaming
+  // replays (the finalize-on-watermark contract makes the streamed
+  // pairs row-equal to the batch operator — same oracle, literally).
+  private val asofJoinSql =
+    """SELECT p.event_id, p.user_id, v.event_id AS view_event_id
+      | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      | ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      | ORDER BY p.event_id""".stripMargin
+
+  // Tolerance = the same ASOF match (greatest rt <= lt) with stale
+  // matches nulled AFTER — exactly the engine's match-then-null
+  // plan, so the replay is structural, not a reformulation.
+  private val asofToleranceSql =
+    """SELECT event_id, user_id,
+      | CASE WHEN vts >= ts - INTERVAL '30 minutes'
+      |  THEN view_event_id END AS view_event_id
+      | FROM (
+      |  SELECT p.event_id, p.user_id, p.ts, v.ts AS vts,
+      |   v.event_id AS view_event_id
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |   ON p.user_id = v.user_id AND v.ts <= p.ts)
+      | ORDER BY event_id""".stripMargin
 
   private val eventsRollingSql =
     """SELECT event_id, user_id,
@@ -2250,6 +2331,9 @@ object SparkEntry {
     // the streaming replays are row-equal to their batch twins by the
     // finalize-on-watermark contract — same oracle, literally
     "stream_rolling_replay" -> eventsRollingSql,
+    // …and the feature-store landing (foreachBatch exactly-once upsert
+    // -> snapshot) preserves that row-equality end to end
+    "stream_feature_store_replay" -> eventsRollingSql,
     "stream_transitions_replay" -> eventsTransitionsSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_gapfill" -> eventsGapfillSql,
@@ -2727,12 +2811,23 @@ object SparkEntry {
          |   FROM sr) sr2
          | LEFT JOIN dense ON dense.bin = sr2.bin
          | ORDER BY sr2.doc_id""".stripMargin,
-    "eval_ece_by" ->
+    "eval_ece_by" -> evalEceBySql,
+    // incremental ≡ full: the state-recomputed slice report must match
+    // the full-corpus eceBy recompute cell-exact — same oracle
+    "i_incremental_ece_by" -> evalEceBySql,
+    // Per-source isotonic calibrate->apply: the oracle replays the
+    // per-group minimax closed form (windows and the interval join
+    // partitioned by source), densifies each group's step function
+    // over the full grid, and maps every document through ITS
+    // source's fit; docs with a null score or null source get NULL.
+    // Multiply-referenced CTEs are MATERIALIZED (DuckDB inlines per
+    // reference — the MMR lesson).
+    "eval_calibrated_by" ->
       raw"""WITH tok AS (
-         |  SELECT source, lang,
+         |  SELECT doc_id, lang, source,
          |   string_split_regex(trim(lower(text)), '\s+') AS w
          |  FROM documents),
-         | sr AS (SELECT source,
+         | sr AS MATERIALIZED (SELECT doc_id, source,
          |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
          |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
          |     'of','to','in','is','it','for','on','with','as','at','by')))
@@ -2740,21 +2835,47 @@ object SparkEntry {
          |  FROM tok),
          | b AS (SELECT source, CAST(least(9, greatest(0,
          |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
-         |    AS INT) AS bin, y, s
+         |    AS INT) AS bin, y
          |  FROM sr WHERE s IS NOT NULL AND source IS NOT NULL),
          | counts AS (SELECT source, bin, count(*) AS n,
-         |   CAST(sum(y) AS BIGINT) AS n_pos,
-         |   sum(CAST(s AS DECIMAL(28,9))) AS sum_s FROM b GROUP BY 1, 2),
-         | tot AS (SELECT source, bin, n, n_pos, sum_s,
-         |   CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ntot
+         |   CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1, 2),
+         | cum AS MATERIALIZED (SELECT source, bin, n, n_pos,
+         |   CAST(sum(n) OVER (PARTITION BY source ORDER BY bin)
+         |     AS BIGINT) AS cn,
+         |   CAST(sum(n_pos) OVER (PARTITION BY source ORDER BY bin)
+         |     AS BIGINT) AS cp
          |  FROM counts),
-         | t AS (SELECT source, ntot, CAST(round((CAST(n AS DOUBLE) / ntot)
-         |     * abs(CAST(n_pos AS DOUBLE) / n - CAST(sum_s AS DOUBLE) / n),
-         |     9) AS DECIMAL(28,9)) AS term
-         |  FROM tot)
-         | SELECT source, ntot AS n, round(CAST(sum(term) AS DOUBLE), 6)
-         |   AS ece
-         | FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin,
+         | pairs AS (SELECT li.source, li.bin AS i, rj.bin AS j,
+         |   CAST(rj.cp - (li.cp - li.n_pos) AS DOUBLE) /
+         |     (rj.cn - (li.cn - li.n)) AS a
+         |  FROM cum li JOIN cum rj
+         |   ON li.source = rj.source AND li.bin <= rj.bin),
+         | sm AS (SELECT source, i, j AS bin, min(a) OVER (
+         |   PARTITION BY source, i ORDER BY j DESC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+         |  FROM pairs),
+         | fit AS MATERIALIZED (SELECT source, bin, max(sm) AS iso_rate
+         |  FROM sm GROUP BY 1, 2),
+         | dense AS (SELECT g.source, CAST(r.range AS INT) AS bin,
+         |   coalesce(
+         |    last_value(iso_rate IGNORE NULLS) OVER (PARTITION BY g.source
+         |     ORDER BY r.range
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    first_value(iso_rate IGNORE NULLS) OVER (PARTITION BY g.source
+         |     ORDER BY r.range
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |   AS p_en
+         |  FROM (SELECT DISTINCT source FROM fit) g
+         |  CROSS JOIN range(0, 10) r
+         |  LEFT JOIN fit ON fit.source = g.source AND fit.bin = r.range)
+         | SELECT sr2.doc_id, dense.p_en
+         | FROM (SELECT doc_id, source, CASE WHEN s IS NULL THEN NULL ELSE
+         |    CAST(least(9, greatest(0, CAST(floor((s - 0.0) /
+         |      ${(0.25 - 0.0) / 10}) AS BIGINT))) AS INT) END AS bin
+         |   FROM sr) sr2
+         | LEFT JOIN dense
+         |  ON dense.source = sr2.source AND dense.bin = sr2.bin
+         | ORDER BY sr2.doc_id""".stripMargin,
     // Label aggregation: the oracle rebuilds the 3-annotator synthetic
     // labels via the identical md5-60 draw, then replays the collapse
     // (min label per annotator), the vote window, and the integer pair
@@ -2945,26 +3066,12 @@ object SparkEntry {
         | WHERE regexp_matches('etl_' || lower(n_name) || '.json',
         |   '_1[0-9][.]json$')
         | ORDER BY key""".stripMargin,
-    "j_asof_join" ->
-      """SELECT p.event_id, p.user_id, v.event_id AS view_event_id
-        | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        | ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |  ON p.user_id = v.user_id AND v.ts <= p.ts
-        | ORDER BY p.event_id""".stripMargin,
-    // Tolerance = the same ASOF match (greatest rt <= lt) with stale
-    // matches nulled AFTER — exactly the engine's match-then-null
-    // plan, so the replay is structural, not a reformulation.
-    "j_asof_tolerance" ->
-      """SELECT event_id, user_id,
-        | CASE WHEN vts >= ts - INTERVAL '30 minutes'
-        |  THEN view_event_id END AS view_event_id
-        | FROM (
-        |  SELECT p.event_id, p.user_id, p.ts, v.ts AS vts,
-        |   v.event_id AS view_event_id
-        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        |   ON p.user_id = v.user_id AND v.ts <= p.ts)
-        | ORDER BY event_id""".stripMargin,
+    "j_asof_join" -> asofJoinSql,
+    "j_asof_tolerance" -> asofToleranceSql,
+    // the streaming as-of replays are row-equal to the batch operator
+    // by the finalize-on-watermark contract — same oracles, literally
+    "stream_asof_replay" -> asofJoinSql,
+    "stream_asof_tolerance_replay" -> asofToleranceSql,
     // Salted join is row-identical to the plain join — the oracle IS
     // the plain join.
     "j_salted_join" ->

@@ -579,21 +579,35 @@ object ModelEval {
     require(bins >= 2, "at least two bins")
     require(hi > lo, "hi must exceed lo")
     val counts = scoredBy(df, groupCol, labelCol, scoreCol)
-      .select(col("_g"), gridBin(bins, lo, hi), col("_y"), col("_s"))
-      .groupBy("_g", "bin")
+      .select(col("_g").as(groupCol), gridBin(bins, lo, hi),
+        col("_y"), col("_s"))
+      .groupBy(groupCol, "bin")
       .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"),
         sum(col("_s").cast("decimal(28,9)")).as("sum_s"))
-    val nTot = sum(col("n")).over(Window.partitionBy("_g"))
+    eceByFromCounts(counts, groupCol)
+  }
+
+  /** [[eceBy]] from a pre-aggregated per-(group, bin) frame
+    * `(groupCol, bin, n, n_pos, sum_s)` — the incremental-monitoring
+    * entry point (two [[graft.ops.IncrementalAgg]] states keyed by
+    * (group, bin) — label sums and DECIMAL(28,9) score sums — ARE
+    * this frame), so per-source calibration drift refreshes at
+    * O(increment) and the slice report is recomputed from the
+    * groups × bins-sized state, never by rescanning the corpus.
+    * Term arithmetic is byte-identical to [[eceBy]] (round(…,9) per
+    * term, DECIMAL(28,9) fold, per-group totals via one window over
+    * the small frame — no driver collect, no group cap). */
+  def eceByFromCounts(counts: DataFrame, groupCol: String): DataFrame = {
+    val nTot = sum(col("n")).over(Window.partitionBy(groupCol))
     val term = ((col("n").cast(DoubleType) / col("_N")) *
       abs(col("n_pos").cast(DoubleType) / col("n") -
         col("sum_s").cast(DoubleType) / col("n")))
     counts.withColumn("_N", nTot)
-      .select(col("_g"), col("_N"),
+      .select(col(groupCol), col("_N"),
         round(term, 9).cast("decimal(28,9)").as("_t"))
-      .groupBy("_g")
+      .groupBy(groupCol)
       .agg(max(col("_N")).as("n"),
         round(sum(col("_t")).cast(DoubleType), 6).as("ece"))
-      .select(col("_g").as(groupCol), col("n"), col("ece"))
   }
 
   /** Per-group [[calibration]] (reliability) table: one row per
@@ -715,6 +729,93 @@ object ModelEval {
       .withColumn("bin",
         when(col("_s").isNotNull, gridBin(bins, lo, hi)))
       .join(broadcast(dense), Seq("bin"), "left")
+      .drop("bin", "_s")
+  }
+
+  /** Per-group [[isotonicCalibration]]: an independent PAV fit inside
+    * every slice, via the same exact minimax closed form
+    * (iso(k) = max_{i≤k} min_{j≥k} rate(i..j), Robertson–Wright–
+    * Dykstra) with every window and the interval join partitioned by
+    * the group — the calibration answer to the same Simpson's-
+    * reversal argument as [[rocAucBy]]/[[eceBy]]: a pooled fit is
+    * systematically wrong inside a source whose score distribution
+    * the calibrator never saw (exactly the sources [[calibrationBy]]
+    * surfaces with empty-bin rows). Output one row per observed
+    * (group, bin): `(groupCol, bin, n, n_pos, pos_rate, iso_rate)`.
+    *
+    * Scale: ONE map-side-combinable groupBy(group, bin) touches the
+    * rows; the interval frame is groups × bins² and every window
+    * partitions by group (no global-order window at any group
+    * count), so the fit is metadata-sized end to end. */
+  def isotonicCalibrationBy(df: DataFrame, groupCol: String,
+      labelCol: String, scoreCol: String, bins: Int, lo: Double,
+      hi: Double): DataFrame = {
+    require(bins >= 2 && bins <= 1024,
+      "bins must be in [2, 1024] (the interval frame is bins²-sized)")
+    require(hi > lo, "hi must exceed lo")
+    val counts = scoredBy(df, groupCol, labelCol, scoreCol)
+      .select(col("_g"), gridBin(bins, lo, hi), col("_y"))
+      .groupBy("_g", "bin")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
+      .localCheckpoint() // feeds the prefix frame AND the final join
+    val wOrd = Window.partitionBy("_g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = counts.select(col("_g"), col("bin"), col("n"), col("n_pos"),
+      sum("n").over(wOrd).as("cn"), sum("n_pos").over(wOrd).as("cp"))
+    val li = cum.select(col("_g"), col("bin").as("i"),
+      (col("cn") - col("n")).as("cn0"), (col("cp") - col("n_pos")).as("cp0"))
+    val rj = cum.select(col("_g").as("_g2"), col("bin").as("j"),
+      col("cn").as("cnj"), col("cp").as("cpj"))
+    val pairs = li.join(rj, col("_g") === col("_g2") && col("i") <= col("j"))
+      .select(col("_g"), col("i"), col("j"),
+        ((col("cpj") - col("cp0")).cast(DoubleType) /
+          (col("cnj") - col("cn0"))).as("a"))
+    val wSuf = Window.partitionBy("_g", "i").orderBy(col("j").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fit = pairs
+      .select(col("_g"), col("i"), col("j").as("bin"),
+        min("a").over(wSuf).as("sm"))
+      .groupBy("_g", "bin").agg(max("sm").as("iso_rate"))
+    counts.join(fit, Seq("_g", "bin"))
+      .select(col("_g").as(groupCol), col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n")).as("pos_rate"),
+        col("iso_rate"))
+  }
+
+  /** Apply a per-group [[isotonicCalibrationBy]] fit: each row's
+    * score maps through ITS group's fitted step function. The fit is
+    * densified per group (groups × bins spine, LOCF within the group,
+    * first observed value extended below — [[applyIsotonic]]'s
+    * extension, partitioned by group) and applied as one broadcast
+    * join on (group, bin): zero shuffles over the scored rows. Rows
+    * with a null score, a null group, or a group the fit never saw
+    * (every score null inside it) get a null `outCol` — the honest
+    * answer, not a silent pooled fallback. */
+  def applyIsotonicBy(df: DataFrame, fit: DataFrame, groupCol: String,
+      scoreCol: String, bins: Int, lo: Double, hi: Double,
+      outCol: String = "calibrated"): DataFrame = {
+    require(bins >= 2 && bins <= 1024, "bins must be in [2, 1024]")
+    require(hi > lo, "hi must exceed lo")
+    val wLocf = Window.partitionBy(groupCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(groupCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // groups × bins frame, windows partitioned by group — bounded by
+    // the fit's own group count (a slice report, not a per-key fit)
+    val dense = fit.select(col(groupCol)).distinct()
+      .crossJoin(df.sparkSession.range(0, bins)
+        .select(col("id").cast("int").as("bin")))
+      .join(fit.select(groupCol, "bin", "iso_rate"),
+        Seq(groupCol, "bin"), "left")
+      .select(col(groupCol), col("bin"),
+        coalesce(last("iso_rate", ignoreNulls = true).over(wLocf),
+          first("iso_rate", ignoreNulls = true).over(wAll)).as(outCol))
+    // null-score guard before binning (greatest/least skip nulls); a
+    // null group joins nothing, so its outCol is null by the left join
+    df.withColumn("_s", col(scoreCol).cast(DoubleType))
+      .withColumn("bin",
+        when(col("_s").isNotNull, gridBin(bins, lo, hi)))
+      .join(broadcast(dense), Seq(groupCol, "bin"), "left")
       .drop("bin", "_s")
   }
 

@@ -1597,7 +1597,8 @@ object ExtQueries {
     * value-oracled against the SAME DuckDB SQL as their batch twins.
     */
   private def replayEventsStream(s: SparkSession, proj: DataFrame,
-      tag: String, marginSec: Long = 3600L)(
+      tag: String, marginSec: Long = 3600L,
+      fetch: Option[() => DataFrame] = None)(
       start: (String, String, String) =>
         org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     val tmpPath = java.nio.file.Files
@@ -1633,7 +1634,10 @@ object ExtQueries {
         q.processAllAvailable()
       }
     } finally q.stop()
-    s.table(qname).filter(col("user_id") =!= -1L)
+    // default result = the memory sink; a caller whose sink is a side
+    // effect (foreachBatch into a keyed table) supplies its own fetch
+    fetch.map(_.apply()).getOrElse(s.table(qname))
+      .filter(col("user_id") =!= -1L)
   }
 
   /** Streaming replay of `events_rolling`: the live-feature-store face
@@ -1653,6 +1657,40 @@ object ExtQueries {
         .writeStream.format("memory").queryName(qname)
         .option("checkpointLocation", chk)
         .outputMode("append").start()
+    }.select("event_id", "user_id", "roll_cnt", "roll_sum")
+      .orderBy("event_id")
+  }
+
+  /** The full feature-store composition, driver-visible: stream →
+    * finalized rolling features → per-batch EXACTLY-ONCE upsert into
+    * a keyed table (batch-id idempotency keys) → snapshot. The
+    * snapshot is value-oracled against the batch rolling SQL — the
+    * end-to-end contract a live feature store depends on (generation
+    * ≡ batch AND landing ≡ generation), previously pinned spec-only
+    * in StreamingFeaturesSpec.
+    */
+  def streamFeatureStoreReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "value")
+    val base = ccScratchDir().toString
+    val table = graft.tables.KeyedTable("featstore_replay",
+      s"$base/table", Seq("event_id"), precombineKey = "roll_cnt")
+    replayEventsStream(s, proj, "streamfeat",
+      fetch = Some(() => graft.ops.TableOps.snapshot(s, table))) {
+      (src, chk, qname) =>
+        val in = s.readStream.schema(proj.schema).parquet(src)
+          .as[graft.streaming.StreamingFeatures.RollEvent]
+        graft.streaming.StreamingFeatures
+          .rollingRange(in, 3600L * 1000000L, "0 seconds")
+          .writeStream.queryName(qname)
+          .option("checkpointLocation", chk)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              graft.streaming.StreamingFeatures.RollEmit], batchId: Long) =>
+            graft.ops.TableOps.upsert(s, table, batch.toDF(),
+              idempotencyKey = Some(s"featstore-replay-$batchId")): Unit
+          }
+          .outputMode("append").start()
     }.select("event_id", "user_id", "roll_cnt", "roll_sum")
       .orderBy("event_id")
   }
@@ -1728,6 +1766,54 @@ object ExtQueries {
     obs.groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_active"))
       .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Streaming replay of `j_asof_join`: purchases enriched with the
+    * most recent prior view per user by the streaming as-of operator
+    * ([[graft.streaming.StreamingAsOf.asOfEnrich]]), finalized at the
+    * watermark and value-oracled against the SAME DuckDB ASOF SQL as
+    * the batch query — the stream ≡ batch contract for the
+    * feature-store consumption path.
+    */
+  def streamAsofReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    replayEventsStream(s, proj, "streamasof") { (src, chk, qname) =>
+      val in = s.readStream.schema(proj.schema).parquet(src)
+        .as[graft.streaming.StreamingFeatures.TransEvent]
+      graft.streaming.StreamingAsOf
+        .asOfEnrich(in, refType = "view", probeType = "purchase",
+          watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }.select(col("event_id"), col("user_id"),
+        col("ref_event_id").as("view_event_id"))
+      .orderBy("event_id")
+  }
+
+  /** Streaming replay of `j_asof_tolerance`: the same enrichment with
+    * the 30-minute staleness TTL (match-then-null), value-oracled
+    * against the batch tolerance SQL literally.
+    */
+  def streamAsofToleranceReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    replayEventsStream(s, proj, "streamasoftol") { (src, chk, qname) =>
+      val in = s.readStream.schema(proj.schema).parquet(src)
+        .as[graft.streaming.StreamingFeatures.TransEvent]
+      graft.streaming.StreamingAsOf
+        .asOfEnrich(in, refType = "view", probeType = "purchase",
+          watermarkDelay = "0 seconds",
+          toleranceMicros = Some(1800L * 1000000L))
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }.select(col("event_id"), col("user_id"),
+        col("ref_event_id").as("view_event_id"))
+      .orderBy("event_id")
   }
 
   /** Streaming replay of `events_transitions`: finalized pair stream
@@ -2011,6 +2097,26 @@ object ExtQueries {
       "stopword_ratio", bins = 10, lo = 0.0, hi = 0.25)
     graft.ext.ModelEval.applyIsotonic(st, fit, "stopword_ratio",
       bins = 10, lo = 0.0, hi = 0.25, outCol = "p_en")
+      .select("doc_id", "p_en")
+      .orderBy("doc_id")
+  }
+
+  /** Per-source isotonic calibrate→apply: every document's stopword
+    * ratio mapped through ITS source's PAV step function
+    * ([[graft.ext.ModelEval.isotonicCalibrationBy]] +
+    * [[graft.ext.ModelEval.applyIsotonicBy]]) — the slice answer to
+    * `eval_calibrated`'s pooled fit, value-oracled per document by
+    * the oracle's identical per-source minimax + dense-LOCF replay.
+    */
+  def evalCalibratedBy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val st = TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    val fit = graft.ext.ModelEval.isotonicCalibrationBy(st, "source",
+      "is_en", "stopword_ratio", bins = 10, lo = 0.0, hi = 0.25)
+    graft.ext.ModelEval.applyIsotonicBy(st, fit, "source",
+      "stopword_ratio", bins = 10, lo = 0.0, hi = 0.25, outCol = "p_en")
       .select("doc_id", "p_en")
       .orderBy("doc_id")
   }

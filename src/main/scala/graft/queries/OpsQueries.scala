@@ -763,6 +763,56 @@ object OpsQueries {
     graft.ext.ModelEval.eceFromCounts(n.join(sums, Seq("bin")))
   }
 
+  /** Incrementally-maintained PER-SLICE expected calibration error —
+    * the [[iIncrementalEce]] pattern with the group column added to
+    * both state keys: two (source, bin)-keyed states (label sums +
+    * DECIMAL(28,9) score sums) fold 3 source commits through the
+    * intent-bounded exactly-once protocol, and
+    * [[graft.ext.ModelEval.eceByFromCounts]] recomputes the slice
+    * report from the groups × bins-sized state. The oracle is the
+    * FULL-corpus `eval_ece_by` recompute, so the green row IS the
+    * incremental ≡ full proof — per-source calibration drift (the
+    * Simpson's-reversal case) now monitored at O(increment).
+    */
+  def iIncrementalEceBy(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-inceceby")
+    val src = KeyedTable("ieceby_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val stateN = graft.ops.IncrementalAgg.stateTable(
+      "ieceby_labels", s"$base/labels", Seq("source", "bin"))
+    val stateS = graft.ops.IncrementalAgg.stateTable(
+      "ieceby_scores", s"$base/scores", Seq("source", "bin"))
+    // one checkpoint store PER maintained state (source progress is
+    // keyed by source name within a store — the iIncrementalEce rule)
+    val storeN = CheckpointStore(s"$base/cpN", s)
+    val storeS = CheckpointStore(s"$base/cpS", s)
+    val docs = t(s, dir, "documents")
+    val scoredDocs = graft.ext.TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .filter(col("stopword_ratio").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.ext.ModelEval.binOf(col("stopword_ratio"),
+          bins = 10, lo = 0.0, hi = 0.25).as("bin"),
+        (col("lang") === "en").cast("int").as("is_en"),
+        col("stopword_ratio").cast("decimal(28,9)").as("score_dec"))
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
+      graft.ops.IncrementalAgg.refresh(s, src, stateN, storeN,
+        Seq("source", "bin"), "is_en")
+      graft.ops.IncrementalAgg.refresh(s, src, stateS, storeS,
+        Seq("source", "bin"), "score_dec")
+    }
+    val n = TableOps.snapshot(s, stateN)
+      .select(col("source"), col("bin"), col("cnt").as("n"),
+        col("sum_v").cast("long").as("n_pos"))
+    val sums = TableOps.snapshot(s, stateS)
+      .select(col("source"), col("bin"), col("sum_v").as("sum_s"))
+    graft.ext.ModelEval
+      .eceByFromCounts(n.join(sums, Seq("source", "bin")), "source")
+      .orderBy("source")
+  }
+
   /** Incrementally-maintained DISTINCT count
     * ([[graft.ops.IncrementalAgg.refreshDistinct]]): per-priority
     * distinct-customer counts maintained as mergeable HLL sketches

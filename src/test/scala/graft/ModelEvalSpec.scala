@@ -359,6 +359,81 @@ class ModelEvalSpec extends SparkSuite {
     assert(out("null_s") === None)     // null score -> null calibration
   }
 
+  test("isotonicCalibrationBy equals independent per-group fits") {
+    import spark.implicits._
+    val gA = Seq((0.05, 1), (0.3, 0), (0.35, 1), (0.9, 1), (0.95, 0))
+    val gB = Seq((0.1, 0), (0.6, 1), (0.65, 0), (0.7, 1))
+    val df = (gA.map { case (s, y) => ("a", s, y) } ++
+      gB.map { case (s, y) => ("b", s, y) }).toDF("grp", "s", "y")
+    val out = ModelEval.isotonicCalibrationBy(df, "grp", "y", "s",
+        bins = 4, lo = 0.0, hi = 1.0)
+      .select("grp", "bin", "n", "n_pos", "iso_rate")
+      .as[(String, Int, Long, Long, Double)].collect().toSet
+    val expected = Seq("a" -> gA, "b" -> gB).flatMap { case (g, rows) =>
+      ModelEval.isotonicCalibration(rows.toDF("s", "y"), "y", "s",
+          bins = 4, lo = 0.0, hi = 1.0)
+        .select("bin", "n", "n_pos", "iso_rate")
+        .as[(Int, Long, Long, Double)].collect()
+        .map { case (b, n, p, r) => (g, b, n, p, r) }
+    }.toSet
+    assert(out === expected)
+    // a fit is monotone within its group
+    val byGroup = out.groupBy(_._1).view.mapValues(
+      _.toSeq.sortBy(_._2).map(_._5)).toMap
+    byGroup.values.foreach { rates =>
+      assert(rates.zip(rates.tail).forall { case (x, y) => x <= y }) }
+  }
+
+  test("applyIsotonicBy routes each row through its own group's fit") {
+    import spark.implicits._
+    // group a observes bins 1,3; group b observes bin 2 only — the
+    // dense extensions differ per group, so cross-routing would show
+    val train = Seq(("a", 0.3, 0), ("a", 0.35, 1), ("a", 0.9, 1),
+      ("b", 0.6, 1)).toDF("grp", "s", "y")
+    val fit = ModelEval.isotonicCalibrationBy(train, "grp", "y", "s",
+      bins = 4, lo = 0.0, hi = 1.0)
+    val apply = Seq((Some("a"), Some(0.1), "a_b0"),
+      (Some("a"), Some(0.6), "a_b2"), (Some("a"), Some(0.9), "a_b3"),
+      (Some("b"), Some(0.1), "b_b0"), (Some("b"), Some(0.9), "b_b3"),
+      (Some("a"), None, "null_s"), (None, Some(0.5), "null_g"),
+      (Some("zzz"), Some(0.5), "unseen_g"))
+      .toDF("grp", "s", "tag")
+    val out = ModelEval.applyIsotonicBy(apply, fit, "grp", "s",
+        bins = 4, lo = 0.0, hi = 1.0)
+      .select("tag", "calibrated")
+      .as[(String, Option[Double])].collect().toMap
+    assert(out("a_b0") === Some(0.5))  // a: extended below bin 1 (1/2)
+    assert(out("a_b2") === Some(0.5))  // a: LOCF from bin 1
+    assert(out("a_b3") === Some(1.0))  // a: observed bin 3
+    assert(out("b_b0") === Some(1.0))  // b: extension from its ONLY bin
+    assert(out("b_b3") === Some(1.0))  // b: LOCF from bin 2
+    assert(out("null_s") === None)     // null score
+    assert(out("null_g") === None)     // null group joins nothing
+    assert(out("unseen_g") === None)   // group the fit never saw
+  }
+
+  test("eceByFromCounts reproduces eceBy from its own counts frame") {
+    import spark.implicits._
+    val df = Seq(("a", 0.1, 0), ("a", 0.2, 1), ("a", 0.8, 1),
+      ("b", 0.3, 0), ("b", 0.6, 1), ("b", 0.95, 1))
+      .toDF("grp", "s", "y")
+    val direct = ModelEval.eceBy(df, "grp", "y", "s",
+        bins = 4, lo = 0.0, hi = 1.0)
+      .as[(String, Long, Double)].collect().toSet
+    // rebuild the (group, bin) counts exactly as an IncrementalAgg
+    // state pair would hold them, then recompute from counts
+    val counts = df.select(col("grp"),
+        ModelEval.binOf(col("s"), 4, 0.0, 1.0).as("bin"),
+        col("y").cast("long").as("y"),
+        col("s").cast("decimal(28,9)").as("sd"))
+      .groupBy("grp", "bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("sd").as("sum_s"))
+    val fromCounts = ModelEval.eceByFromCounts(counts, "grp")
+      .as[(String, Long, Double)].collect().toSet
+    assert(fromCounts === direct)
+  }
+
   test("eceBy matches per-group runs of the pooled ece") {
     import spark.implicits._
     val gA = Seq((0.1, 0), (0.2, 1), (0.8, 1), (0.9, 1))

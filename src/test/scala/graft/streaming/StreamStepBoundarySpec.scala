@@ -96,6 +96,43 @@ class StreamStepBoundarySpec extends AnyFunSuite {
     assert(out4.isEmpty, "no double emission after finalization")
   }
 
+  test("asOfStep: boundary rows defer; ref-before-probe at equal ts; carry persists") {
+    def ev(id: Long, us: Long, tpe: String) =
+      StreamingFeatures.TransEvent(5L, id, mkTs(us), tpe)
+    val step = StreamingAsOf.asOfStep("view", None) _
+    // invocation 1: ref and probe both AT the watermark — neither
+    // finalizes (strict below), both stay pending
+    val st1 = new FakeState[StreamingAsOf.AsOfState](None, T0 / 1000L)
+    val out1 = step(5L, Iterator(ev(1L, T0, "view"),
+      ev(2L, T0, "purchase")), st1).toSeq
+    assert(out1.isEmpty)
+    assert(st1.opt.exists(_.pending.size == 2))
+    assert(st1.timeoutMs.nonEmpty)
+    // invocation 2: watermark strictly passes — the equal-ts ref
+    // processes BEFORE the probe (inclusive as-of), so the probe
+    // matches it; the carry persists with nothing pending
+    val st2 = new FakeState[StreamingAsOf.AsOfState](st1.opt,
+      T0 / 1000L + 1000L)
+    val out2 = step(5L, Iterator.empty, st2).toSeq
+    assert(out2.map(e => (e.event_id, e.ref_event_id)) ==
+      Seq((2L, Some(1L))))
+    assert(st2.opt.exists(s => s.pending.isEmpty && s.hasRef &&
+      s.lastRefId == 1L), "the O(1) ref carry outlives finalization")
+    assert(st2.timeoutMs.isEmpty,
+      "no timeout armed with nothing pending — the tail is permanent")
+    // invocation 3: a much-later probe still enriches from the carry
+    val st3 = new FakeState[StreamingAsOf.AsOfState](st2.opt,
+      T0 / 1000L + 10000L)
+    val out3 = step(5L, Iterator(ev(3L, T0 + 5000000L, "purchase")),
+      st3).toSeq
+    assert(out3.isEmpty, "still pending until the watermark passes it")
+    val st4 = new FakeState[StreamingAsOf.AsOfState](st3.opt,
+      T0 / 1000L + 20000L)
+    val out4 = step(5L, Iterator.empty, st4).toSeq
+    assert(out4.map(e => (e.event_id, e.ref_event_id)) ==
+      Seq((3L, Some(1L))))
+  }
+
   test("transStep: boundary row is deferred, then chains in (ts, id) order") {
     val st1 = new FakeState[TransState](None, T0 / 1000L)
     val out1 = StreamingFeatures.transStep(5L,
