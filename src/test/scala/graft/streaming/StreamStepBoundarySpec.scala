@@ -123,7 +123,7 @@ class StreamStepBoundarySpec extends AnyFunSuite {
     // invocation 3: a much-later probe still enriches from the carry
     val st3 = new FakeState[StreamingAsOf.AsOfState](st2.opt,
       T0 / 1000L + 10000L)
-    val out3 = step(5L, Iterator(ev(3L, T0 + 5000000L, "purchase")),
+    val out3 = step(5L, Iterator(ev(3L, T0 + 15000000L, "purchase")),
       st3).toSeq
     assert(out3.isEmpty, "still pending until the watermark passes it")
     val st4 = new FakeState[StreamingAsOf.AsOfState](st3.opt,
