@@ -147,6 +147,7 @@ object SparkEntry {
     "stream_asof_replay"      -> (ExtQueries.streamAsofReplay _),
     "stream_asof_tolerance_replay" -> (ExtQueries.streamAsofToleranceReplay _),
     "stream_feature_store_replay" -> (ExtQueries.streamFeatureStoreReplay _),
+    "stream_dedup_replay"     -> (ExtQueries.streamDedupReplay _),
     "events_gapfill"          -> (ExtQueries.eventsGapfill _),
     "text_bm25"               -> (ExtQueries.textBm25 _),
     "text_retrieval_eval"     -> (ExtQueries.textRetrievalEval _),
@@ -157,6 +158,7 @@ object SparkEntry {
     "eval_auc_by"             -> (ExtQueries.evalAucBy _),
     "eval_auc_bootstrap"      -> (ExtQueries.evalAucBootstrap _),
     "eval_avg_precision"      -> (ExtQueries.evalAvgPrecision _),
+    "eval_ap_by"              -> (ExtQueries.evalApBy _),
     "eval_confusion"          -> (ExtQueries.evalConfusion _),
     "eval_calibration"        -> (ExtQueries.evalCalibration _),
     "eval_ece"                -> (ExtQueries.evalEce _),
@@ -228,6 +230,8 @@ object SparkEntry {
     "i_incremental_auc_by"    -> (OpsQueries.iIncrementalAucBy _),
     "i_incremental_ece"       -> (OpsQueries.iIncrementalEce _),
     "i_incremental_ece_by"    -> (OpsQueries.iIncrementalEceBy _),
+    "i_incremental_calibration_by" -> (OpsQueries.iIncrementalCalibrationBy _),
+    "i_incremental_isotonic"  -> (OpsQueries.iIncrementalIsotonic _),
     "i_incremental_ap"        -> (OpsQueries.iIncrementalAp _),
   )
 
@@ -642,6 +646,38 @@ object SparkEntry {
         "error-bound gate a_approx_agg (|approx-exact| within 10%/5%) is " +
         "DuckDB value-oracled"))
 
+  private val evalIsotonicSql =
+    raw"""WITH tok AS (
+       |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
+       |  FROM documents),
+       | sr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+       |     'of','to','in','is','it','for','on','with','as','at','by')))
+       |     AS DOUBLE) / len(w) AS s
+       |  FROM tok),
+       | b AS (SELECT CAST(least(9, greatest(0,
+       |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
+       |    AS INT) AS bin, y
+       |  FROM sr WHERE s IS NOT NULL),
+       | counts AS (SELECT bin, count(*) AS n,
+       |   CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY bin),
+       | cum AS (SELECT bin, n, n_pos,
+       |   CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+       |   CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+       |  FROM counts),
+       | pairs AS (SELECT li.bin AS i, rj.bin AS j,
+       |   CAST(rj.cp - (li.cp - li.n_pos) AS DOUBLE) /
+       |     (rj.cn - (li.cn - li.n)) AS a
+       |  FROM cum li JOIN cum rj ON li.bin <= rj.bin),
+       | sm AS (SELECT i, j AS bin, min(a) OVER (PARTITION BY i
+       |   ORDER BY j DESC
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+       |  FROM pairs),
+       | fit AS (SELECT bin, max(sm) AS iso_rate FROM sm GROUP BY bin)
+       | SELECT c.bin, c.n, c.n_pos,
+       |  CAST(c.n_pos AS DOUBLE) / c.n AS pos_rate, iso_rate
+       | FROM counts c JOIN fit USING (bin) ORDER BY bin""".stripMargin
+
   // Per-slice ECE: shared by the batch query and its incremental
   // twin (the full-corpus recompute IS the incremental ≡ full proof).
   private val evalEceBySql =
@@ -672,6 +708,33 @@ object SparkEntry {
        | SELECT source, ntot AS n, round(CAST(sum(term) AS DOUBLE), 6)
        |   AS ece
        | FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin
+
+  private val evalCalibrationBySql =
+    raw"""WITH tok AS (
+       |  SELECT source, lang,
+       |   string_split_regex(trim(lower(text)), '\s+') AS w
+       |  FROM documents),
+       | sr AS (SELECT source,
+       |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+       |     'of','to','in','is','it','for','on','with','as','at','by')))
+       |     AS DOUBLE) / len(w) AS s
+       |  FROM tok),
+       | b AS (SELECT source, CAST(least(9, greatest(0,
+       |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
+       |    AS INT) AS bin, y
+       |  FROM sr WHERE s IS NOT NULL AND source IS NOT NULL),
+       | counts AS (SELECT source, bin, count(*) AS n,
+       |   CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1, 2),
+       | spine AS (SELECT DISTINCT source FROM counts)
+       | SELECT spine.source, CAST(r.range AS INT) AS bin,
+       |  coalesce(n, 0) AS n, coalesce(n_pos, 0) AS n_pos,
+       |  CASE WHEN coalesce(n, 0) > 0
+       |   THEN CAST(n_pos AS DOUBLE) / n END AS pos_rate
+       | FROM spine CROSS JOIN range(0, 10) r
+       | LEFT JOIN counts
+       |  ON counts.source = spine.source AND counts.bin = r.range
+       | ORDER BY 1, 2""".stripMargin
 
   // As-of enrichment: shared by the batch queries and their streaming
   // replays (the finalize-on-watermark contract makes the streamed
@@ -2334,6 +2397,12 @@ object SparkEntry {
     // …and the feature-store landing (foreachBatch exactly-once upsert
     // -> snapshot) preserves that row-equality end to end
     "stream_feature_store_replay" -> eventsRollingSql,
+    // ingestion dedup: the twice-delivered stream deduplicates back to
+    // the once-delivered projection (exact duplicates -> first-wins is
+    // deterministic); µs epoch is the cross-engine ts surface
+    "stream_dedup_replay" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        | FROM events ORDER BY event_id""".stripMargin,
     "stream_transitions_replay" -> eventsTransitionsSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_gapfill" -> eventsGapfillSql,
@@ -2581,6 +2650,36 @@ object SparkEntry {
          |  CAST(sum(tot_g - pos_g) AS BIGINT) AS n_neg,
          |  round(CAST(sum(contrib) AS DOUBLE), 6) AS ap
          | FROM tm""".stripMargin,
+    // Per-source AP: the pooled step-sum partitioned by source; the
+    // per-term guard (no-positive slice -> null terms) mirrors the
+    // engine's when(_np > 0) exactly, so both engines agree on null ap.
+    "eval_ap_by" ->
+      s"""WITH ${lmCte("documents")},
+         | lab AS (SELECT source, lm_score AS s,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM lm JOIN documents USING (doc_id)),
+         | g AS (SELECT source, s, CAST(sum(y) AS BIGINT) AS pos_g,
+         |   count(*) AS tot_g FROM lab GROUP BY 1, 2),
+         | np AS (SELECT source, CAST(sum(pos_g) AS BIGINT) AS gp
+         |  FROM g GROUP BY 1),
+         | c AS (SELECT source, pos_g, tot_g,
+         |   CAST(sum(pos_g) OVER (PARTITION BY source ORDER BY s DESC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     AS BIGINT) AS cpos,
+         |   CAST(sum(tot_g) OVER (PARTITION BY source ORDER BY s DESC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     AS BIGINT) AS ctot
+         |  FROM g),
+         | tm AS (SELECT c.source, pos_g, tot_g,
+         |   CASE WHEN gp > 0 THEN
+         |    CAST((CAST(pos_g AS DOUBLE) / CAST(gp AS DOUBLE))
+         |     * (CAST(cpos AS DOUBLE) / CAST(ctot AS DOUBLE))
+         |     AS DECIMAL(28,9)) END AS contrib
+         |  FROM c JOIN np USING (source))
+         | SELECT source, CAST(sum(pos_g) AS BIGINT) AS n_pos,
+         |  CAST(sum(tot_g - pos_g) AS BIGINT) AS n_neg,
+         |  round(CAST(sum(contrib) AS DOUBLE), 6) AS ap
+         | FROM tm GROUP BY source ORDER BY source""".stripMargin,
     "eval_ece" -> evalEceSql,
     // incremental ECE's oracle IS the full-corpus pooled ECE — the
     // driver compare is itself the incremental ≡ full proof
@@ -2701,68 +2800,19 @@ object SparkEntry {
     // source threaded through the group-bys. The per-source total is a
     // window sum — DuckDB widens windowed sum(BIGINT) to HUGEINT, so
     // it casts back (the pack_shards lesson).
-    "eval_calibration_by" ->
-      raw"""WITH tok AS (
-         |  SELECT source, lang,
-         |   string_split_regex(trim(lower(text)), '\s+') AS w
-         |  FROM documents),
-         | sr AS (SELECT source,
-         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
-         |     'of','to','in','is','it','for','on','with','as','at','by')))
-         |     AS DOUBLE) / len(w) AS s
-         |  FROM tok),
-         | b AS (SELECT source, CAST(least(9, greatest(0,
-         |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
-         |    AS INT) AS bin, y
-         |  FROM sr WHERE s IS NOT NULL AND source IS NOT NULL),
-         | counts AS (SELECT source, bin, count(*) AS n,
-         |   CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1, 2),
-         | spine AS (SELECT DISTINCT source FROM counts)
-         | SELECT spine.source, CAST(r.range AS INT) AS bin,
-         |  coalesce(n, 0) AS n, coalesce(n_pos, 0) AS n_pos,
-         |  CASE WHEN coalesce(n, 0) > 0
-         |   THEN CAST(n_pos AS DOUBLE) / n END AS pos_rate
-         | FROM spine CROSS JOIN range(0, 10) r
-         | LEFT JOIN counts
-         |  ON counts.source = spine.source AND counts.bin = r.range
-         | ORDER BY 1, 2""".stripMargin,
+    "eval_calibration_by" -> evalCalibrationBySql,
+    // incremental == full: the state-recomputed per-source reliability
+    // table must match the full-corpus calibrationBy recompute
+    "i_incremental_calibration_by" -> evalCalibrationBySql,
     // Isotonic fit via the exact minimax closed form over observed
     // bins: fit_k = max_{i<=k} min_{j>=k} (Σ n_pos)/(Σ n) — each
     // interval average ONE division of two exact BIGINTs (prefix sums
     // cast back from DuckDB's HUGEINT), max/min of bit-identical
     // doubles.
-    "eval_isotonic" ->
-      raw"""WITH tok AS (
-         |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
-         |  FROM documents),
-         | sr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
-         |     'of','to','in','is','it','for','on','with','as','at','by')))
-         |     AS DOUBLE) / len(w) AS s
-         |  FROM tok),
-         | b AS (SELECT CAST(least(9, greatest(0,
-         |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
-         |    AS INT) AS bin, y
-         |  FROM sr WHERE s IS NOT NULL),
-         | counts AS (SELECT bin, count(*) AS n,
-         |   CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY bin),
-         | cum AS (SELECT bin, n, n_pos,
-         |   CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
-         |   CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
-         |  FROM counts),
-         | pairs AS (SELECT li.bin AS i, rj.bin AS j,
-         |   CAST(rj.cp - (li.cp - li.n_pos) AS DOUBLE) /
-         |     (rj.cn - (li.cn - li.n)) AS a
-         |  FROM cum li JOIN cum rj ON li.bin <= rj.bin),
-         | sm AS (SELECT i, j AS bin, min(a) OVER (PARTITION BY i
-         |   ORDER BY j DESC
-         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
-         |  FROM pairs),
-         | fit AS (SELECT bin, max(sm) AS iso_rate FROM sm GROUP BY bin)
-         | SELECT c.bin, c.n, c.n_pos,
-         |  CAST(c.n_pos AS DOUBLE) / c.n AS pos_rate, iso_rate
-         | FROM counts c JOIN fit USING (bin) ORDER BY bin""".stripMargin,
+    "eval_isotonic" -> evalIsotonicSql,
+    // incremental == full: the state-refit calibrator must match the
+    // full-corpus isotonic recompute
+    "i_incremental_isotonic" -> evalIsotonicSql,
     // Calibrate→apply: the isotonic fit CTEs + dense grid fill (LOCF
     // across unobserved bins, first observed value extended below),
     // then a per-document bin join. p_en is the fit value verbatim —

@@ -235,6 +235,81 @@ object ModelEval {
             (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** Per-group [[averagePrecision]] — the slice audit of ranking
+    * quality on imbalanced classes (AP weights the head of the
+    * ranking, so a source whose positives sit under a pile of
+    * high-scoring negatives craters its slice AP long before the
+    * pooled number moves — the PR-space twin of the [[rocAucBy]]
+    * Simpson's argument). Output one row per group:
+    * `(groupCol, n_pos, n_neg, ap)` with ap null when the slice has
+    * no positives.
+    *
+    * Same two-phase shape as [[rocAucBy]]: cuts computed ONCE on the
+    * global distinct-score frame (placement is value-invariant, so
+    * sharing across groups is free); ONE driver collect of the
+    * (group × occupied-bucket) totals — capped at 4096 — comes back
+    * as a broadcast join carrying per-group running offsets AND the
+    * per-group grand totals; descending "thru" prefixes derive from
+    * total − strictly-below inside (group, bucket) windows. Term
+    * arithmetic is byte-identical to the pooled [[averagePrecision]]
+    * (two divisions + one multiply on exact integers, DECIMAL(28,9)
+    * fold, round 6). */
+  def averagePrecisionBy(df: DataFrame, groupCol: String,
+      labelCol: String, scoreCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1 && buckets <= 4096,
+      "buckets must be in [1, 4096] (per-bucket totals are collected)")
+    val g = scoredBy(df, groupCol, labelCol, scoreCol)
+      .groupBy("_g", "_s")
+      .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
+      .localCheckpoint() // see rocAuc: cuts + totals + final each re-read
+    val (cuts, bucketOf) = scoreBuckets(g, buckets)
+    val gb = g.withColumn("_b", bucketOf)
+    val totals = gb.groupBy("_g", "_b")
+      .agg(sum("pos_g").as("_p"), sum("tot_g").as("_t"))
+    val tRows = totals.collect()
+    require(tRows.length <= 4096,
+      s"averagePrecisionBy: groups × occupied buckets = ${tRows.length} " +
+        "exceeds the 4096 driver-collect cap — lower `buckets` or slice " +
+        "on a lower-cardinality group column")
+    val offRows = tRows.groupBy(_.get(0)).values.toSeq.flatMap { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      val nP = sorted.map(_.getLong(2)).sum
+      val nT = sorted.map(_.getLong(3)).sum
+      var accP = 0L; var accT = 0L
+      sorted.map { r =>
+        val o = org.apache.spark.sql.Row(r.get(0), r.getInt(1),
+          accP, accT, nP, nT)
+        accP += r.getLong(2); accT += r.getLong(3); o
+      }
+    }
+    val lt = org.apache.spark.sql.types.LongType
+    val offSchema = org.apache.spark.sql.types.StructType(
+      totals.schema.fields.take(2) ++ Seq("_offp", "_offt", "_np", "_nt")
+        .map(org.apache.spark.sql.types.StructField(_, lt, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val offDf = df.sparkSession.createDataFrame(offRows.asJava, offSchema)
+    val joined = gb.join(broadcast(offDf), Seq("_g", "_b"))
+    val w = Window.partitionBy("_g", "_b").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumPosThru = col("_np") -
+      (col("_offp") + coalesce(sum(col("pos_g")).over(w), lit(0L)))
+    val cumTotThru = col("_nt") -
+      (col("_offt") + coalesce(sum(col("tot_g")).over(w), lit(0L)))
+    // a no-positive slice contributes null terms (never a 0-division)
+    val term = when(col("_np") > 0L,
+      (col("pos_g").cast(DoubleType) / col("_np").cast(DoubleType)) *
+        (cumPosThru.cast(DoubleType) / cumTotThru.cast(DoubleType)))
+    joined
+      .select(col("_g"), col("pos_g"), col("tot_g"),
+        term.cast("decimal(28,9)").as("_c"))
+      .groupBy("_g")
+      .agg(sum(col("pos_g")).as("n_pos"),
+        sum(col("tot_g") - col("pos_g")).as("n_neg"),
+        round(sum(col("_c")).cast(DoubleType), 6).as("ap"))
+      .select(col("_g").as(groupCol), col("n_pos"), col("n_neg"),
+        col("ap"))
+  }
+
   /** Cumulative Poisson(1) thresholds in 60-bit hash space:
     * a uniform draw h ∈ [0, 2^60) maps to multiplicity k where
     * T(k−1) ≤ h < T(k), capped at 8 (P(X>8) ≈ 1e-6). Baked integer
@@ -624,16 +699,31 @@ object ModelEval {
     // aggregation (measured: 4 parquet scans instead of 2 — Spark's
     // ReuseExchange does not fire across the distinct branch)
     val counts = scoredBy(df, groupCol, labelCol, scoreCol)
-      .select(col("_g"), gridBin(bins, lo, hi), col("_y"))
-      .groupBy("_g", "bin")
+      .select(col("_g").as(groupCol), gridBin(bins, lo, hi), col("_y"))
+      .groupBy(groupCol, "bin")
       .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
       .localCheckpoint()
-    val spine = counts.select("_g").distinct()
-      .crossJoin(broadcast(df.sparkSession.range(0, bins)
+    calibrationByFromCounts(counts, groupCol, bins)
+  }
+
+  /** [[calibrationBy]] from a pre-aggregated per-(group, bin) frame
+    * `(groupCol, bin, n, n_pos)` — the incremental-monitoring entry
+    * point (the label-sum [[graft.ops.IncrementalAgg]] state keyed by
+    * (group, bin) IS this frame, and the SAME state that feeds
+    * [[eceByFromCounts]]), so the per-source reliability table —
+    * empty bins kept visible per group — refreshes at O(increment).
+    * The caller's counts frame must already be metadata-sized
+    * (groups × occupied bins); the spine distinct and probe join run
+    * on it directly. */
+  def calibrationByFromCounts(counts: DataFrame, groupCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, "at least two bins")
+    val spine = counts.select(groupCol).distinct()
+      .crossJoin(broadcast(counts.sparkSession.range(0, bins)
         .select(col("id").cast("int").as("bin"))))
-    spine.join(counts, Seq("_g", "bin"), "left")
+    spine.join(counts, Seq(groupCol, "bin"), "left")
       .na.fill(0L, Seq("n", "n_pos"))
-      .select(col("_g").as(groupCol), col("bin"), col("n"), col("n_pos"),
+      .select(col(groupCol), col("bin"), col("n"), col("n_pos"),
         when(col("n") > 0, col("n_pos").cast(DoubleType) / col("n"))
           .as("pos_rate"))
   }
@@ -672,6 +762,19 @@ object ModelEval {
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
       .localCheckpoint() // feeds the prefix frame AND the final join
+    isotonicCalibrationFromCounts(counts)
+  }
+
+  /** [[isotonicCalibration]] from a pre-aggregated per-bin frame
+    * `(bin, n, n_pos)` — the incremental-recalibration entry point:
+    * the SAME (bin)-keyed label-sum [[graft.ops.IncrementalAgg]]
+    * state that feeds [[eceFromCounts]] refits the monotone
+    * calibrator at O(increment), so the serving step function can be
+    * refreshed per commit without rescanning the corpus (the
+    * calibrate→apply loop at feed latency). The minimax closed form
+    * is computed on the counts frame exactly as the full fit would —
+    * the full recompute IS the incremental oracle. */
+  def isotonicCalibrationFromCounts(counts: DataFrame): DataFrame = {
     // inclusive prefix sums over the observed bins — a ≤ bins-row
     // frame, so the global-order window is bounded by contract
     val wOrd = Window.orderBy("bin")

@@ -1661,6 +1661,34 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Streaming ingestion dedup — the at-least-once-delivery guard:
+    * the events stream delivered TWICE (the union simulates duplicate
+    * redelivery), deduplicated on event_id by Spark's
+    * `dropDuplicatesWithinWatermark` (state evicted once the
+    * watermark passes a key — bounded by the delivery-disorder
+    * horizon, never corpus-sized). Every copy of an exact duplicate
+    * is identical, so first-wins is deterministic; the output is
+    * value-oracled against the ONCE-delivered events projection.
+    */
+  def streamDedupReplay(s: SparkSession, dir: String): DataFrame = {
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "value")
+    replayEventsStream(s, proj.unionAll(proj), "streamdedup") {
+      (src, chk, qname) =>
+        s.readStream.schema(proj.schema).parquet(src)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", chk)
+          .outputMode("append").start()
+    }.select(col("user_id"), col("event_id"),
+        // µs epoch, not raw ts: the parquet is TIMESTAMP(NANOS) and
+        // DuckDB reads it as TIMESTAMP_NS — the integer epoch is the
+        // cross-engine-stable surface (the eventsRollingSql posture)
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** The full feature-store composition, driver-visible: stream →
     * finalized rolling features → per-batch EXACTLY-ONCE upsert into
     * a keyed table (batch-id idempotency keys) → snapshot. The
@@ -1988,6 +2016,22 @@ object ExtQueries {
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .withColumn("is_en", (col("lang") === "en").cast("int"))
     graft.ext.ModelEval.averagePrecision(scoredDocs, "is_en", "lm_score")
+  }
+
+  /** Per-source average precision of the LM score — the PR-space
+    * slice audit next to `eval_auc_by` ([[graft.ext.ModelEval
+    * .averagePrecisionBy]]): a source whose positives rank under
+    * high-scoring negatives craters its slice AP before the pooled
+    * number moves.
+    */
+  def evalApBy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scoredDocs = TextStats.lmScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval
+      .averagePrecisionBy(scoredDocs, "source", "is_en", "lm_score")
+      .orderBy("source")
   }
 
   /** Poisson-bootstrap 95% CI for the LM-score AUC: 16 replicates,

@@ -813,6 +813,78 @@ object OpsQueries {
       .orderBy("source")
   }
 
+  /** Incrementally-maintained isotonic calibrator — the serving step
+    * function refit from the (bin)-keyed label-sum state
+    * ([[graft.ext.ModelEval.isotonicCalibrationFromCounts]]) after
+    * each of 3 source commits: recalibration at O(increment), no
+    * corpus rescan. Oracle = the full-corpus `eval_isotonic`
+    * recompute (incremental ≡ full).
+    */
+  def iIncrementalIsotonic(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-inciso")
+    val src = KeyedTable("iiso_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val stateN = graft.ops.IncrementalAgg.stateTable(
+      "iiso_labels", s"$base/labels", Seq("bin"))
+    val storeN = CheckpointStore(s"$base/cpN", s)
+    val docs = t(s, dir, "documents")
+    val scoredDocs = graft.ext.TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .filter(col("stopword_ratio").isNotNull)
+      .select(col("doc_id"),
+        graft.ext.ModelEval.binOf(col("stopword_ratio"),
+          bins = 10, lo = 0.0, hi = 0.25).as("bin"),
+        (col("lang") === "en").cast("int").as("is_en"))
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
+      graft.ops.IncrementalAgg.refresh(s, src, stateN, storeN,
+        Seq("bin"), "is_en")
+    }
+    val counts = TableOps.snapshot(s, stateN)
+      .select(col("bin"), col("cnt").as("n"),
+        col("sum_v").cast("long").as("n_pos"))
+    graft.ext.ModelEval.isotonicCalibrationFromCounts(counts)
+      .orderBy("bin")
+  }
+
+  /** Incrementally-maintained PER-SLICE reliability (calibration)
+    * table — the SAME (source, bin)-keyed label-sum state as
+    * [[iIncrementalEceBy]] (one state suffices: the table needs only
+    * n and n_pos), recomputed through
+    * [[graft.ext.ModelEval.calibrationByFromCounts]] so empty bins
+    * stay visible per group. Oracle = the full-corpus
+    * `eval_calibration_by` recompute (incremental ≡ full).
+    */
+  def iIncrementalCalibrationBy(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-inccalby")
+    val src = KeyedTable("icalby_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val stateN = graft.ops.IncrementalAgg.stateTable(
+      "icalby_labels", s"$base/labels", Seq("source", "bin"))
+    val storeN = CheckpointStore(s"$base/cpN", s)
+    val docs = t(s, dir, "documents")
+    val scoredDocs = graft.ext.TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .filter(col("stopword_ratio").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.ext.ModelEval.binOf(col("stopword_ratio"),
+          bins = 10, lo = 0.0, hi = 0.25).as("bin"),
+        (col("lang") === "en").cast("int").as("is_en"))
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
+      graft.ops.IncrementalAgg.refresh(s, src, stateN, storeN,
+        Seq("source", "bin"), "is_en")
+    }
+    val counts = TableOps.snapshot(s, stateN)
+      .select(col("source"), col("bin"), col("cnt").as("n"),
+        col("sum_v").cast("long").as("n_pos"))
+    graft.ext.ModelEval
+      .calibrationByFromCounts(counts, "source", bins = 10)
+      .orderBy("source", "bin")
+  }
+
   /** Incrementally-maintained DISTINCT count
     * ([[graft.ops.IncrementalAgg.refreshDistinct]]): per-priority
     * distinct-customer counts maintained as mergeable HLL sketches

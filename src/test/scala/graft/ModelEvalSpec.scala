@@ -359,6 +359,50 @@ class ModelEvalSpec extends SparkSuite {
     assert(out("null_s") === None)     // null score -> null calibration
   }
 
+  test("averagePrecisionBy matches per-group runs of the pooled ap") {
+    import spark.implicits._
+    val gA = Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0), (0.5, 1))
+    val gB = Seq((0.9, 0), (0.8, 0), (0.7, 1), (0.3, 1))
+    val gC = Seq((0.4, 0), (0.2, 0)) // no positives -> null ap
+    val df = (gA.map { case (s, y) => ("a", s, y) } ++
+      gB.map { case (s, y) => ("b", s, y) } ++
+      gC.map { case (s, y) => ("c", s, y) }).toDF("grp", "s", "y")
+    val out = ModelEval.averagePrecisionBy(df, "grp", "y", "s")
+      .orderBy("grp")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    val expected = Seq("a" -> gA, "b" -> gB, "c" -> gC).map {
+      case (g, rows) =>
+        val r = ModelEval.averagePrecision(rows.toDF("s", "y"), "y", "s")
+          .head()
+        (g, r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    assert(out === expected)
+    assert(out.find(_._1 == "c").get._4.isEmpty,
+      "a slice with no positives reports null ap")
+    // bucket-count invariance carries over from the pooled operator
+    val b1 = ModelEval.averagePrecisionBy(df, "grp", "y", "s", buckets = 1)
+      .orderBy("grp").as[(String, Long, Long, Option[Double])].collect()
+    assert(b1.toSeq === out)
+  }
+
+  test("isotonicCalibrationFromCounts reproduces the full fit from state counts") {
+    import spark.implicits._
+    val train = Seq((0.05, 1), (0.3, 0), (0.35, 1), (0.9, 1), (0.95, 0))
+      .toDF("s", "y")
+    val direct = ModelEval.isotonicCalibration(train, "y", "s",
+        bins = 4, lo = 0.0, hi = 1.0)
+      .as[(Int, Long, Long, Double, Double)].collect().toSet
+    val counts = train.select(
+        ModelEval.binOf(col("s"), 4, 0.0, 1.0).as("bin"),
+        col("y").cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val fromCounts = ModelEval.isotonicCalibrationFromCounts(counts)
+      .as[(Int, Long, Long, Double, Double)].collect().toSet
+    assert(fromCounts === direct)
+  }
+
   test("isotonicCalibrationBy equals independent per-group fits") {
     import spark.implicits._
     val gA = Seq((0.05, 1), (0.3, 0), (0.35, 1), (0.9, 1), (0.95, 0))
