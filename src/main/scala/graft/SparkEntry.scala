@@ -159,6 +159,7 @@ object SparkEntry {
     "eval_auc_bootstrap"      -> (ExtQueries.evalAucBootstrap _),
     "eval_avg_precision"      -> (ExtQueries.evalAvgPrecision _),
     "eval_ap_by"              -> (ExtQueries.evalApBy _),
+    "eval_roc_curve_by"       -> (ExtQueries.evalRocCurveBy _),
     "eval_confusion"          -> (ExtQueries.evalConfusion _),
     "eval_calibration"        -> (ExtQueries.evalCalibration _),
     "eval_ece"                -> (ExtQueries.evalEce _),
@@ -2552,6 +2553,37 @@ object SparkEntry {
          | FROM c CROSS JOIN tot
          | WHERE i % greatest(1, (gcnt + 63) // 64) = 0 OR i = gcnt
          | ORDER BY thr""".stripMargin,
+    // Per-source ROC curve: the pooled curve SQL with every window,
+    // total, rank, and downsample step partitioned by source (each
+    // slice keeps every step_g-th of ITS OWN distinct scores + its top)
+    "eval_roc_curve_by" ->
+      s"""WITH ${lmCte("documents")},
+         | lab AS (SELECT lm.doc_id, source, lm_score AS s,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM lm JOIN documents USING (doc_id)),
+         | g AS (SELECT source, s, CAST(sum(y) AS BIGINT) AS pos_g,
+         |   count(*) AS tot_g FROM lab GROUP BY 1, 2),
+         | tot AS (SELECT source, CAST(sum(pos_g) AS BIGINT) AS npos,
+         |   CAST(sum(tot_g) AS BIGINT) AS ntot,
+         |   count(*) AS gcnt FROM g GROUP BY 1),
+         | c AS (SELECT source, s,
+         |   row_number() OVER (PARTITION BY source ORDER BY s) AS i,
+         |   CAST(coalesce(sum(pos_g) OVER (PARTITION BY source ORDER BY s
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |     AS BIGINT) AS pos_below,
+         |   CAST(coalesce(sum(tot_g) OVER (PARTITION BY source ORDER BY s
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |     AS BIGINT) AS tot_below
+         |  FROM g)
+         | SELECT c.source, s AS thr, ntot - tot_below AS n_at_or_above,
+         |  CASE WHEN ntot - npos > 0
+         |   THEN CAST((ntot - tot_below) - (npos - pos_below) AS DOUBLE)
+         |     / (ntot - npos) END AS fpr,
+         |  CASE WHEN npos > 0
+         |   THEN CAST(npos - pos_below AS DOUBLE) / npos END AS tpr
+         | FROM c JOIN tot USING (source)
+         | WHERE i % greatest(1, (gcnt + 15) // 16) = 0 OR i = gcnt
+         | ORDER BY c.source, thr""".stripMargin,
     "eval_auc_by" ->
       s"""WITH ${lmCte("documents")},
          | lab AS (SELECT lm.doc_id, source, lm_score AS s,

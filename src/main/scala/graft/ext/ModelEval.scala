@@ -517,6 +517,84 @@ object ModelEval {
           .as("tpr"))
   }
 
+  /** Per-group [[rocCurve]] — one downsampled ROC polyline per slice
+    * (the drift dashboard's per-source panel: a pooled curve hides a
+    * source whose operating point collapsed). Same deterministic
+    * step-rank rule per group (step = ⌈G_g/maxPoints⌉ over the
+    * group's OWN distinct-score count, plus its top score), same
+    * two-phase machinery as [[averagePrecisionBy]]: shared global
+    * cuts, ONE capped (group × bucket) totals collect returning
+    * per-group offsets (pos/tot/row-rank) and grand totals as a
+    * broadcast join, windows inside (group, bucket). Output one row
+    * per kept (group, threshold):
+    * `(groupCol, thr, n_at_or_above, fpr, tpr)`. */
+  def rocCurveBy(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String, maxPoints: Int = 512,
+      buckets: Int = 256): DataFrame = {
+    require(maxPoints >= 2, "at least two curve points")
+    require(buckets >= 1 && buckets <= 4096,
+      "buckets must be in [1, 4096] (per-bucket totals are collected)")
+    val g = scoredBy(df, groupCol, labelCol, scoreCol)
+      .groupBy("_g", "_s")
+      .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
+      .localCheckpoint() // cuts + totals + final each re-read (rocAuc)
+    val (cuts, bucketOf) = scoreBuckets(g, buckets)
+    val gb = g.withColumn("_b", bucketOf)
+    val totals = gb.groupBy("_g", "_b")
+      .agg(sum("pos_g").as("_p"), sum("tot_g").as("_t"),
+        count(lit(1)).as("_r"))
+    val tRows = totals.collect()
+    require(tRows.length <= 4096,
+      s"rocCurveBy: groups × occupied buckets = ${tRows.length} exceeds " +
+        "the 4096 driver-collect cap — lower `buckets` or slice on a " +
+        "lower-cardinality group column")
+    val offRows = tRows.groupBy(_.get(0)).values.toSeq.flatMap { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      val nP = sorted.map(_.getLong(2)).sum
+      val nT = sorted.map(_.getLong(3)).sum
+      val nR = sorted.map(_.getLong(4)).sum
+      var accP = 0L; var accT = 0L; var accR = 0L
+      sorted.map { r =>
+        val o = org.apache.spark.sql.Row(r.get(0), r.getInt(1),
+          accP, accT, accR, nP, nT, nR)
+        accP += r.getLong(2); accT += r.getLong(3); accR += r.getLong(4)
+        o
+      }
+    }
+    val lt = org.apache.spark.sql.types.LongType
+    val offSchema = org.apache.spark.sql.types.StructType(
+      totals.schema.fields.take(2) ++
+        Seq("_offp", "_offt", "_offr", "_np", "_nt", "_nr")
+          .map(org.apache.spark.sql.types.StructField(_, lt,
+            nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val offDf = df.sparkSession.createDataFrame(offRows.asJava, offSchema)
+    val joined = gb.join(broadcast(offDf), Seq("_g", "_b"))
+    val w = Window.partitionBy("_g", "_b").orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val posBelow = col("_offp") + coalesce(sum(col("pos_g")).over(w), lit(0L))
+    val totBelow = col("_offt") + coalesce(sum(col("tot_g")).over(w), lit(0L))
+    val ascIdx = col("_offr") + count(lit(1)).over(w) + lit(1L)
+    // Spark's `/` on integers yields DOUBLE — `div` keeps the step an
+    // exact LONG so the `%` downsample test stays integer arithmetic
+    val step = greatest(lit(1L),
+      expr(s"(_nr + ${maxPoints - 1}L) div ${maxPoints}L"))
+    joined
+      .select(col("_g"), col("_s").as("thr"),
+        (col("_nt") - totBelow).as("n_at_or_above"),
+        (col("_np") - posBelow).as("_posAbove"),
+        ascIdx.as("_i"), step.as("_step"), col("_nr"), col("_np"),
+        (col("_nt") - col("_np")).as("_nn"))
+      .filter(col("_i") % col("_step") === 0L || col("_i") === col("_nr"))
+      .select(col("_g").as(groupCol), col("thr"), col("n_at_or_above"),
+        when(col("_nn") > 0,
+          (col("n_at_or_above") - col("_posAbove")).cast(DoubleType) /
+            col("_nn").cast(DoubleType)).as("fpr"),
+        when(col("_np") > 0,
+          col("_posAbove").cast(DoubleType) /
+            col("_np").cast(DoubleType)).as("tpr"))
+  }
+
   /** Per-group confusion report at `score >= threshold` — the slice
     * view of [[confusionAt]] (one map-side-combinable groupBy; a
     * pooled-acceptable threshold can have pathological per-source

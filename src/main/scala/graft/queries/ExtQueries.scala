@@ -2097,6 +2097,20 @@ object ExtQueries {
       .orderBy("thr")
   }
 
+  /** Per-source downsampled ROC curve of the LM score — the drift
+    * dashboard's per-source panel ([[graft.ext.ModelEval.rocCurveBy]],
+    * 16 points per source over the shared corpus ranking).
+    */
+  def evalRocCurveBy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scoredDocs = TextStats.lmScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.rocCurveBy(scoredDocs, "source", "is_en",
+      "lm_score", maxPoints = 16)
+      .orderBy("source", "thr")
+  }
+
   /** Per-source confusion at the pooled threshold — the slice view of
     * `eval_confusion` (a pooled-acceptable threshold can have
     * pathological per-source precision).

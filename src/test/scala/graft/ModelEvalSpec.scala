@@ -386,6 +386,26 @@ class ModelEvalSpec extends SparkSuite {
     assert(b1.toSeq === out)
   }
 
+  test("rocCurveBy matches per-group runs of the pooled curve") {
+    import spark.implicits._
+    val gA = (1 to 9).map(i => ("a", i / 10.0, i % 2))
+    val gB = (1 to 5).map(i => ("b", i / 6.0, if (i > 3) 1 else 0))
+    val df = (gA ++ gB).toDF("grp", "s", "y")
+    val out = ModelEval.rocCurveBy(df, "grp", "y", "s", maxPoints = 4)
+      .orderBy("grp", "thr")
+      .as[(String, Double, Long, Double, Double)].collect().toSeq
+    val expected = Seq("a" -> gA, "b" -> gB).flatMap { case (g, rows) =>
+      ModelEval.rocCurve(rows.map(r => (r._2, r._3)).toDF("s", "y"),
+          "y", "s", maxPoints = 4)
+        .orderBy("thr")
+        .as[(Double, Long, Double, Double)].collect()
+        .map { case (t, n, f, p) => (g, t, n, f, p) }
+    }
+    assert(out === expected)
+    // per-group downsample: each group keeps <= maxPoints + 1 points
+    assert(out.groupBy(_._1).values.forall(_.size <= 5))
+  }
+
   test("isotonicCalibrationFromCounts reproduces the full fit from state counts") {
     import spark.implicits._
     val train = Seq((0.05, 1), (0.3, 0), (0.35, 1), (0.9, 1), (0.95, 0))
