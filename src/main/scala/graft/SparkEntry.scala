@@ -291,7 +291,8 @@ object SparkEntry {
     // FMGWS state path must move a round-over-round number, not wait
     // for the next one-off SCALE.md re-measure
     "stream_rolling_replay", "stream_gapfill_replay",
-    "stream_asof_replay", "eval_calibrated_by", "i_incremental_ece_by")
+    "stream_asof_replay", "eval_calibrated_by", "i_incremental_ece_by",
+    "stream_feature_store_replay", "stream_dedup_replay")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
