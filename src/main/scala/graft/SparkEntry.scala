@@ -148,6 +148,7 @@ object SparkEntry {
     "stream_asof_tolerance_replay" -> (ExtQueries.streamAsofToleranceReplay _),
     "stream_feature_store_replay" -> (ExtQueries.streamFeatureStoreReplay _),
     "stream_dedup_replay"     -> (ExtQueries.streamDedupReplay _),
+    "stream_sessions_replay"  -> (ExtQueries.streamSessionsReplay _),
     "events_gapfill"          -> (ExtQueries.eventsGapfill _),
     "text_bm25"               -> (ExtQueries.textBm25 _),
     "text_retrieval_eval"     -> (ExtQueries.textRetrievalEval _),
@@ -233,6 +234,7 @@ object SparkEntry {
     "i_incremental_ece_by"    -> (OpsQueries.iIncrementalEceBy _),
     "i_incremental_calibration_by" -> (OpsQueries.iIncrementalCalibrationBy _),
     "i_incremental_isotonic"  -> (OpsQueries.iIncrementalIsotonic _),
+    "i_incremental_ap_by"     -> (OpsQueries.iIncrementalApBy _),
     "i_incremental_ap"        -> (OpsQueries.iIncrementalAp _),
   )
 
@@ -679,6 +681,20 @@ object SparkEntry {
        | SELECT c.bin, c.n, c.n_pos,
        |  CAST(c.n_pos AS DOUBLE) / c.n AS pos_rate, iso_rate
        | FROM counts c JOIN fit USING (bin) ORDER BY bin""".stripMargin
+
+  private val eventsSessionsSql =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |   CASE WHEN lag(ts) OVER w IS NULL
+      |     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      | s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |   ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+      | SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      | FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   // Per-slice ECE: shared by the batch query and its incremental
   // twin (the full-corpus recompute IS the incremental ≡ full proof).
@@ -2718,6 +2734,42 @@ object SparkEntry {
     // driver compare is itself the incremental ≡ full proof
     "i_incremental_ece" -> evalEceSql,
     // incremental AP: full-corpus step-sum over the stopword score
+    // incremental per-slice AP: the full-corpus per-source step-sum
+    // over the stopword score (the SAME state serves the slice AUC)
+    "i_incremental_ap_by" ->
+      raw"""WITH tok AS (
+         |  SELECT source, lang,
+         |   string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM documents),
+         | sr AS (SELECT source,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+         |     'of','to','in','is','it','for','on','with','as','at','by')))
+         |     AS DOUBLE) / len(w) AS s
+         |  FROM tok),
+         | g AS (SELECT source, s, CAST(sum(y) AS BIGINT) AS pos_g,
+         |   count(*) AS tot_g FROM sr
+         |  WHERE s IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         | np AS (SELECT source, CAST(sum(pos_g) AS BIGINT) AS gp
+         |  FROM g GROUP BY 1),
+         | c AS (SELECT source, pos_g, tot_g,
+         |   CAST(sum(pos_g) OVER (PARTITION BY source ORDER BY s DESC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     AS BIGINT) AS cpos,
+         |   CAST(sum(tot_g) OVER (PARTITION BY source ORDER BY s DESC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |     AS BIGINT) AS ctot
+         |  FROM g),
+         | tm AS (SELECT c.source, pos_g, tot_g,
+         |   CASE WHEN gp > 0 THEN
+         |    CAST((CAST(pos_g AS DOUBLE) / CAST(gp AS DOUBLE))
+         |     * (CAST(cpos AS DOUBLE) / CAST(ctot AS DOUBLE))
+         |     AS DECIMAL(28,9)) END AS contrib
+         |  FROM c JOIN np USING (source))
+         | SELECT source, CAST(sum(pos_g) AS BIGINT) AS n_pos,
+         |  CAST(sum(tot_g - pos_g) AS BIGINT) AS n_neg,
+         |  round(CAST(sum(contrib) AS DOUBLE), 6) AS ap
+         | FROM tm GROUP BY source ORDER BY source""".stripMargin,
     "i_incremental_ap" ->
       raw"""WITH tok AS (
          |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
@@ -3100,19 +3152,10 @@ object SparkEntry {
     "stream_funnel_replay" -> eventsFunnelSql,
     "events_retention" -> eventsRetentionSql,
     "stream_retention_replay" -> eventsRetentionSql,
-    "events_sessions" ->
-      """WITH o AS (
-        |  SELECT user_id, ts, value,
-        |   CASE WHEN lag(ts) OVER w IS NULL
-        |     OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
-        |    THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        | s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |   ROWS UNBOUNDED PRECEDING) AS sid FROM o)
-        | SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
-        | FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "events_sessions" -> eventsSessionsSql,
+    // streaming sessionization is row-equal to the batch operator once
+    // the watermark closes every session — same oracle, literally
+    "stream_sessions_replay" -> eventsSessionsSql,
     "s1_snapshot_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "o5_clustered_write" ->

@@ -255,12 +255,31 @@ object ModelEval {
     * (two divisions + one multiply on exact integers, DECIMAL(28,9)
     * fold, round 6). */
   def averagePrecisionBy(df: DataFrame, groupCol: String,
-      labelCol: String, scoreCol: String, buckets: Int = 64): DataFrame = {
+      labelCol: String, scoreCol: String, buckets: Int = 64): DataFrame =
+    averagePrecisionByFromCounts(
+      scoredBy(df, groupCol, labelCol, scoreCol)
+        .select(col("_g").as(groupCol), col("_s"), col("_y"))
+        .groupBy(groupCol, "_s")
+        .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g")),
+      groupCol, buckets)
+
+  /** [[averagePrecisionBy]] from a pre-aggregated per-(group, score)
+    * frame `(groupCol, _s, pos_g, tot_g)` — the incremental entry
+    * point: the SAME (group, score)-keyed [[graft.ops.IncrementalAgg]]
+    * state that feeds the per-slice AUC serves the per-slice AP, so
+    * one state maintenance cost covers the whole threshold-free slice
+    * family. Duplicate-score rows are merged defensively (the
+    * rocAucFromCounts posture). */
+  def averagePrecisionByFromCounts(counts: DataFrame, groupCol: String,
+      buckets: Int = 64): DataFrame = {
     require(buckets >= 1 && buckets <= 4096,
       "buckets must be in [1, 4096] (per-bucket totals are collected)")
-    val g = scoredBy(df, groupCol, labelCol, scoreCol)
+    val g = counts
+      .select(col(groupCol).as("_g"), col("_s"),
+        col("pos_g").cast("long").as("pos_g"),
+        col("tot_g").cast("long").as("tot_g"))
       .groupBy("_g", "_s")
-      .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
+      .agg(sum("pos_g").as("pos_g"), sum("tot_g").as("tot_g"))
       .localCheckpoint() // see rocAuc: cuts + totals + final each re-read
     val (cuts, bucketOf) = scoreBuckets(g, buckets)
     val gb = g.withColumn("_b", bucketOf)
@@ -287,7 +306,7 @@ object ModelEval {
       totals.schema.fields.take(2) ++ Seq("_offp", "_offt", "_np", "_nt")
         .map(org.apache.spark.sql.types.StructField(_, lt, nullable = false)))
     import scala.jdk.CollectionConverters._
-    val offDf = df.sparkSession.createDataFrame(offRows.asJava, offSchema)
+    val offDf = counts.sparkSession.createDataFrame(offRows.asJava, offSchema)
     val joined = gb.join(broadcast(offDf), Seq("_g", "_b"))
     val w = Window.partitionBy("_g", "_b").orderBy("_s")
       .rowsBetween(Window.unboundedPreceding, -1)

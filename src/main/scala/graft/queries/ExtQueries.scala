@@ -1661,6 +1661,33 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Streaming sessionization: the SAME `session_window` expression
+    * as the batch operator ([[graft.ext.EventWindows.sessions]]) run
+    * as a streaming aggregation — append mode emits a session once
+    * the watermark passes its close (last event + gap), Spark's
+    * native merging-session state. Value-oracled against the batch
+    * sessions SQL literally.
+    */
+  def streamSessionsReplay(s: SparkSession, dir: String): DataFrame = {
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "value")
+    replayEventsStream(s, proj, "streamsess") { (src, chk, qname) =>
+      s.readStream.schema(proj.schema).parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types
+            .DecimalType(25, 6))).cast("double").as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n"), col("sum_value"))
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }.select("user_id", "session_start", "n", "sum_value")
+      .orderBy("user_id", "session_start")
+  }
+
   /** Streaming ingestion dedup — the at-least-once-delivery guard:
     * the events stream delivered TWICE (the union simulates duplicate
     * redelivery), deduplicated on event_id by Spark's

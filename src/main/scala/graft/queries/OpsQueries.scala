@@ -686,6 +686,42 @@ object OpsQueries {
       .orderBy("source")
   }
 
+  /** Incrementally-maintained PER-SLICE average precision — the
+    * second report off the SAME (source, score)-keyed state as
+    * [[iIncrementalAucBy]] ([[graft.ext.ModelEval
+    * .averagePrecisionByFromCounts]]): one slice-state maintenance
+    * cost serves per-source AUC and AP together. Oracle = the
+    * full-corpus per-source step-sum (incremental ≡ full).
+    */
+  def iIncrementalApBy(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-incapby")
+    val src = KeyedTable("iapby_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val state = graft.ops.IncrementalAgg.stateTable(
+      "iapby_state", s"$base/state", Seq("source", "score"))
+    val store = CheckpointStore(s"$base/cp", s)
+    val docs = t(s, dir, "documents")
+    val scoredDocs = graft.ext.TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("stopword_ratio").as("score"),
+        (col("lang") === "en").cast("int").as("is_en"))
+      .filter(col("score").isNotNull && col("source").isNotNull)
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
+      graft.ops.IncrementalAgg.refresh(s, src, state, store,
+        Seq("source", "score"), "is_en")
+    }
+    val counts = TableOps.snapshot(s, state)
+      .select(col("source"), col("score").as("_s"),
+        col("sum_v").cast("long").as("pos_g"),
+        col("cnt").as("tot_g"))
+    graft.ext.ModelEval
+      .averagePrecisionByFromCounts(counts, "source")
+      .orderBy("source")
+  }
+
   /** Incrementally-maintained average precision — the THIRD report off
     * the same score-grouped state as [[iIncrementalAuc]]: one state
     * maintenance cost serves the whole threshold-free eval family
