@@ -149,6 +149,8 @@ object SparkEntry {
     "stream_feature_store_replay" -> (ExtQueries.streamFeatureStoreReplay _),
     "stream_dedup_replay"     -> (ExtQueries.streamDedupReplay _),
     "stream_sessions_replay"  -> (ExtQueries.streamSessionsReplay _),
+    "stream_tumbling_replay"  -> (ExtQueries.streamTumblingReplay _),
+    "stream_sliding_replay"   -> (ExtQueries.streamSlidingReplay _),
     "events_gapfill"          -> (ExtQueries.eventsGapfill _),
     "text_bm25"               -> (ExtQueries.textBm25 _),
     "text_retrieval_eval"     -> (ExtQueries.textRetrievalEval _),
@@ -695,6 +697,21 @@ object SparkEntry {
       |  count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
       | FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  private val eventsTumblingSql =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val eventsSlidingSql =
+    """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b,
+      |   event_type FROM events),
+      | x AS (SELECT b AS ws, event_type FROM e
+      |  UNION ALL SELECT b - INTERVAL '30 minutes', event_type FROM e)
+      | SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
+      |  count(*) AS n
+      | FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // Per-slice ECE: shared by the batch query and its incremental
   // twin (the full-corpus recompute IS the incremental ≡ full proof).
@@ -2399,11 +2416,8 @@ object SparkEntry {
         |  CAST(floor(height * least(1.0, 512.0 / greatest(width, height)))
         |    AS INT) AS out_height
         | FROM m ORDER BY doc_id""".stripMargin,
-    "events_tumbling" ->
-      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
-        |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
-        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_tumbling" -> eventsTumblingSql,
+    "stream_tumbling_replay" -> eventsTumblingSql,
     // Time-RANGE rolling window: both engines order on integer epoch
     // micros with an inclusive [ts − 1h, ts] range frame (tie-safe by
     // range semantics); the sum folds through DECIMAL(25,6) — the
@@ -2425,14 +2439,8 @@ object SparkEntry {
     "events_transitions" -> eventsTransitionsSql,
     "events_gapfill" -> eventsGapfillSql,
     "stream_gapfill_replay" -> eventsGapfillSql,
-    "events_sliding" ->
-      """WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b,
-        |   event_type FROM events),
-        | x AS (SELECT b AS ws, event_type FROM e
-        |  UNION ALL SELECT b - INTERVAL '30 minutes', event_type FROM e)
-        | SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
-        |  count(*) AS n
-        | FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sliding" -> eventsSlidingSql,
+    "stream_sliding_replay" -> eventsSlidingSql,
     // Group quantiles: the same rank-exact replay as dq_outliers —
     // quantile p is the value at ceil(n·p) in the group sort order.
     "dq_group_quantiles" ->

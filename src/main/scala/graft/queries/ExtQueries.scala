@@ -1661,6 +1661,65 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Streaming tumbling-window aggregation: the SAME `window`
+    * expression as the batch operator run as a streaming aggregation
+    * (append mode emits a window once the watermark passes its end).
+    * Value-oracled against the batch tumbling SQL literally.
+    */
+  def streamTumblingReplay(s: SparkSession, dir: String): DataFrame = {
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "value", "event_type")
+    replayEventsStream(s, proj, "streamtumb") { (src, chk, qname) =>
+      // NO pre-aggregation sentinel filter: Catalyst pushes a
+      // non-event-time filter BELOW the EventTimeWatermark node, so
+      // filtered sentinel rows would never reach the watermark
+      // tracker and the final windows would never close (measured:
+      // watermark frozen at the real max). Sentinel rows instead form
+      // their own 'sentinel'-typed windows, dropped from the OUTPUT.
+      s.readStream.schema(proj.schema).parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types
+            .DecimalType(25, 6))).cast("double").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"),
+          // the harness filters on user_id; windows span users, so a
+          // constant real key stands in
+          lit(0L).as("user_id"))
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }.filter(col("event_type") =!= "sentinel")
+      .select("window_start", "event_type", "n", "sum_value")
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Streaming sliding-window aggregation (1 h length, 30 min slide —
+    * every event lands in 2 windows), value-oracled against the batch
+    * sliding SQL literally.
+    */
+  def streamSlidingReplay(s: SparkSession, dir: String): DataFrame = {
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "value", "event_type")
+    replayEventsStream(s, proj, "streamslid") { (src, chk, qname) =>
+      // sentinels kept in-stream (see streamTumblingReplay), dropped
+      // from the output by type
+      s.readStream.schema(proj.schema).parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), lit(0L).as("user_id"))
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }.filter(col("event_type") =!= "sentinel")
+      .select("window_start", "event_type", "n")
+      .orderBy("window_start", "event_type")
+  }
+
   /** Streaming sessionization: the SAME `session_window` expression
     * as the batch operator ([[graft.ext.EventWindows.sessions]]) run
     * as a streaming aggregation — append mode emits a session once
