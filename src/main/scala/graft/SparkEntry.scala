@@ -237,6 +237,7 @@ object SparkEntry {
     "i_incremental_calibration_by" -> (OpsQueries.iIncrementalCalibrationBy _),
     "i_incremental_isotonic"  -> (OpsQueries.iIncrementalIsotonic _),
     "i_incremental_ap_by"     -> (OpsQueries.iIncrementalApBy _),
+    "i_incremental_roc_curve" -> (OpsQueries.iIncrementalRocCurve _),
     "i_incremental_ap"        -> (OpsQueries.iIncrementalAp _),
   )
 
@@ -2742,6 +2743,39 @@ object SparkEntry {
     // driver compare is itself the incremental ≡ full proof
     "i_incremental_ece" -> evalEceSql,
     // incremental AP: full-corpus step-sum over the stopword score
+    // incremental ROC curve: the full-corpus downsampled curve over
+    // the stopword score (the SAME score state serves AUC + AP + curve)
+    "i_incremental_roc_curve" ->
+      raw"""WITH tok AS (
+         |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
+         |  FROM documents),
+         | sr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+         |     'of','to','in','is','it','for','on','with','as','at','by')))
+         |     AS DOUBLE) / len(w) AS s
+         |  FROM tok),
+         | g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos_g,
+         |   count(*) AS tot_g FROM sr WHERE s IS NOT NULL GROUP BY s),
+         | tot AS (SELECT CAST(sum(pos_g) AS BIGINT) AS npos,
+         |   CAST(sum(tot_g) AS BIGINT) AS ntot,
+         |   count(*) AS gcnt FROM g),
+         | c AS (SELECT s, row_number() OVER (ORDER BY s) AS i,
+         |   CAST(coalesce(sum(pos_g) OVER (ORDER BY s
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |     AS BIGINT) AS pos_below,
+         |   CAST(coalesce(sum(tot_g) OVER (ORDER BY s
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |     AS BIGINT) AS tot_below
+         |  FROM g)
+         | SELECT s AS thr, ntot - tot_below AS n_at_or_above,
+         |  CASE WHEN ntot - npos > 0
+         |   THEN CAST((ntot - tot_below) - (npos - pos_below) AS DOUBLE)
+         |     / (ntot - npos) END AS fpr,
+         |  CASE WHEN npos > 0
+         |   THEN CAST(npos - pos_below AS DOUBLE) / npos END AS tpr
+         | FROM c CROSS JOIN tot
+         | WHERE i % greatest(1, (gcnt + 63) // 64) = 0 OR i = gcnt
+         | ORDER BY thr""".stripMargin,
     // incremental per-slice AP: the full-corpus per-source step-sum
     // over the stopword score (the SAME state serves the slice AUC)
     "i_incremental_ap_by" ->

@@ -483,13 +483,31 @@ object ModelEval {
     * top score, a rule the oracle replays verbatim — deterministic,
     * not a sample. */
   def rocCurve(df: DataFrame, labelCol: String, scoreCol: String,
-      maxPoints: Int = 512, buckets: Int = 256): DataFrame = {
+      maxPoints: Int = 512, buckets: Int = 256): DataFrame =
+    rocCurveFromCounts(
+      scored(df, labelCol, scoreCol)
+        .groupBy("_s")
+        .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g")),
+      maxPoints, buckets)
+
+  /** [[rocCurve]] from a pre-aggregated distinct-score frame
+    * `(_s, pos_g, tot_g)` — the incremental entry point: the SAME
+    * score-grouped [[graft.ops.IncrementalAgg]] state that feeds
+    * [[rocAucFromCounts]] and [[averagePrecisionFromCounts]] redraws
+    * the monitoring curve at O(increment), so ONE state maintenance
+    * cost serves the entire threshold-free eval family. Duplicate-
+    * score rows are merged defensively (the rocAucFromCounts
+    * posture). */
+  def rocCurveFromCounts(counts: DataFrame, maxPoints: Int = 512,
+      buckets: Int = 256): DataFrame = {
     require(maxPoints >= 2, "at least two curve points")
     require(buckets >= 1 && buckets <= 4096,
       "buckets must be in [1, 4096] (per-bucket totals are collected)")
-    val g = scored(df, labelCol, scoreCol)
+    val g = counts
+      .select(col("_s"), col("pos_g").cast("long").as("pos_g"),
+        col("tot_g").cast("long").as("tot_g"))
       .groupBy("_s")
-      .agg(sum("_y").as("pos_g"), count(lit(1)).as("tot_g"))
+      .agg(sum("pos_g").as("pos_g"), sum("tot_g").as("tot_g"))
       .localCheckpoint() // cuts + totals + final each re-read (rocAuc)
     val (cuts, bucketOf) = scoreBuckets(g, buckets)
     val gb = g.withColumn("_b", bucketOf)

@@ -686,6 +686,39 @@ object OpsQueries {
       .orderBy("source")
   }
 
+  /** Incrementally-maintained ROC curve — the FOURTH report off the
+    * same score-grouped state as [[iIncrementalAuc]]/[[iIncrementalAp]]
+    * ([[graft.ext.ModelEval.rocCurveFromCounts]]): the monitoring
+    * dashboard's curve redraws at O(increment) from the
+    * distinct-score-sized state. Oracle = the full-corpus downsampled
+    * curve (incremental ≡ full).
+    */
+  def iIncrementalRocCurve(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-incroc")
+    val src = KeyedTable("iroc_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val state = graft.ops.IncrementalAgg.stateTable(
+      "iroc_state", s"$base/state", Seq("score"))
+    val store = CheckpointStore(s"$base/cp", s)
+    val docs = t(s, dir, "documents")
+    val scoredDocs = graft.ext.TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("stopword_ratio").as("score"),
+        (col("lang") === "en").cast("int").as("is_en"))
+      .filter(col("score").isNotNull)
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
+      graft.ops.IncrementalAgg.refresh(s, src, state, store,
+        Seq("score"), "is_en")
+    }
+    val counts = TableOps.snapshot(s, state)
+      .select(col("score").as("_s"),
+        col("sum_v").cast("long").as("pos_g"), col("cnt").as("tot_g"))
+    graft.ext.ModelEval.rocCurveFromCounts(counts, maxPoints = 64)
+      .orderBy("thr")
+  }
+
   /** Incrementally-maintained PER-SLICE average precision — the
     * second report off the SAME (source, score)-keyed state as
     * [[iIncrementalAucBy]] ([[graft.ext.ModelEval
