@@ -238,6 +238,9 @@ object SparkEntry {
     "i_incremental_isotonic"  -> (OpsQueries.iIncrementalIsotonic _),
     "i_incremental_ap_by"     -> (OpsQueries.iIncrementalApBy _),
     "i_incremental_roc_curve" -> (OpsQueries.iIncrementalRocCurve _),
+    "i_incremental_drift"     -> (OpsQueries.iIncrementalDrift _),
+    "eval_isotonic_by"        -> (ExtQueries.evalIsotonicBy _),
+    "i_incremental_isotonic_by" -> (OpsQueries.iIncrementalIsotonicBy _),
     "i_incremental_ap"        -> (OpsQueries.iIncrementalAp _),
   )
 
@@ -713,6 +716,78 @@ object SparkEntry {
       | SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
       |  count(*) AS n
       | FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val dqDriftSql =
+    """WITH r AS (
+      |  SELECT least(15, greatest(0,
+      |    CAST(floor(CAST(length(text) AS DOUBLE) / 256.0) AS INT)))
+      |    AS bin
+      |  FROM documents WHERE doc_id % 2 = 0),
+      | c AS (
+      |  SELECT least(15, greatest(0,
+      |    CAST(floor(CAST(length(text) AS DOUBLE) / 256.0) AS INT)))
+      |    AS bin
+      |  FROM documents WHERE doc_id % 2 = 1),
+      | rb AS (SELECT bin, count(*) AS n_ref FROM r GROUP BY bin),
+      | cb AS (SELECT bin, count(*) AS n_cur FROM c GROUP BY bin),
+      | tots AS (SELECT (SELECT count(*) FROM r) AS tr,
+      |   (SELECT count(*) FROM c) AS tc),
+      | bn AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS bin),
+      | f AS (
+      |  SELECT bn.bin,
+      |   CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+      |   CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur, tr, tc
+      |  FROM bn LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
+      |  CROSS JOIN tots)
+      | SELECT bin, n_ref, n_cur,
+      |  round((greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6)
+      |      - greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6))
+      |    * ln(greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6)
+      |      / greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6)), 9)
+      |    AS psi_term_r
+      | FROM f ORDER BY bin""".stripMargin
+
+  // Per-source isotonic FIT: shared by the batch report and its
+  // incremental twin — the per-group minimax closed form replayed in
+  // SQL (each interval average ONE division of exact BIGINTs).
+  private val evalIsotonicBySql =
+    raw"""WITH tok AS (
+       |  SELECT source, lang,
+       |   string_split_regex(trim(lower(text)), '\s+') AS w
+       |  FROM documents),
+       | sr AS (SELECT source,
+       |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+       |     'of','to','in','is','it','for','on','with','as','at','by')))
+       |     AS DOUBLE) / len(w) AS s
+       |  FROM tok),
+       | b AS (SELECT source, CAST(least(9, greatest(0,
+       |    CAST(floor((s - 0.0) / ${(0.25 - 0.0) / 10}) AS BIGINT)))
+       |    AS INT) AS bin, y
+       |  FROM sr WHERE s IS NOT NULL AND source IS NOT NULL),
+       | counts AS MATERIALIZED (SELECT source, bin, count(*) AS n,
+       |   CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1, 2),
+       | cum AS MATERIALIZED (SELECT source, bin, n, n_pos,
+       |   CAST(sum(n) OVER (PARTITION BY source ORDER BY bin)
+       |     AS BIGINT) AS cn,
+       |   CAST(sum(n_pos) OVER (PARTITION BY source ORDER BY bin)
+       |     AS BIGINT) AS cp
+       |  FROM counts),
+       | pairs AS (SELECT li.source, li.bin AS i, rj.bin AS j,
+       |   CAST(rj.cp - (li.cp - li.n_pos) AS DOUBLE) /
+       |     (rj.cn - (li.cn - li.n)) AS a
+       |  FROM cum li JOIN cum rj
+       |   ON li.source = rj.source AND li.bin <= rj.bin),
+       | sm AS (SELECT source, i, j AS bin, min(a) OVER (
+       |   PARTITION BY source, i ORDER BY j DESC
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+       |  FROM pairs),
+       | fit AS (SELECT source, bin, max(sm) AS iso_rate
+       |  FROM sm GROUP BY 1, 2)
+       | SELECT c.source, c.bin, c.n, c.n_pos,
+       |  CAST(c.n_pos AS DOUBLE) / c.n AS pos_rate, iso_rate
+       | FROM counts c JOIN fit USING (source, bin)
+       | ORDER BY c.source, c.bin""".stripMargin
 
   // Per-slice ECE: shared by the batch query and its incremental
   // twin (the full-corpus recompute IS the incremental ≡ full proof).
@@ -2937,6 +3012,10 @@ object SparkEntry {
     // cast back from DuckDB's HUGEINT), max/min of bit-identical
     // doubles.
     "eval_isotonic" -> evalIsotonicSql,
+    "eval_isotonic_by" -> evalIsotonicBySql,
+    // incremental == full: the state-refit per-slice calibrators must
+    // match the full-corpus per-source minimax recompute
+    "i_incremental_isotonic_by" -> evalIsotonicBySql,
     // incremental == full: the state-refit calibrator must match the
     // full-corpus isotonic recompute
     "i_incremental_isotonic" -> evalIsotonicSql,
@@ -3158,35 +3237,10 @@ object SparkEntry {
     // double construction with round(…,9) absorbing the ≤1-ulp libm ln
     // divergence (the sim_rproj posture). Bin width 256 = 2^8 keeps
     // the floor-division IEEE-exact on both engines.
-    "dq_drift" ->
-      """WITH r AS (
-        |  SELECT least(15, greatest(0,
-        |    CAST(floor(CAST(length(text) AS DOUBLE) / 256.0) AS INT)))
-        |    AS bin
-        |  FROM documents WHERE doc_id % 2 = 0),
-        | c AS (
-        |  SELECT least(15, greatest(0,
-        |    CAST(floor(CAST(length(text) AS DOUBLE) / 256.0) AS INT)))
-        |    AS bin
-        |  FROM documents WHERE doc_id % 2 = 1),
-        | rb AS (SELECT bin, count(*) AS n_ref FROM r GROUP BY bin),
-        | cb AS (SELECT bin, count(*) AS n_cur FROM c GROUP BY bin),
-        | tots AS (SELECT (SELECT count(*) FROM r) AS tr,
-        |   (SELECT count(*) FROM c) AS tc),
-        | bn AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS bin),
-        | f AS (
-        |  SELECT bn.bin,
-        |   CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
-        |   CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur, tr, tc
-        |  FROM bn LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
-        |  CROSS JOIN tots)
-        | SELECT bin, n_ref, n_cur,
-        |  round((greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6)
-        |      - greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6))
-        |    * ln(greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6)
-        |      / greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6)), 9)
-        |    AS psi_term_r
-        | FROM f ORDER BY bin""".stripMargin,
+    "dq_drift" -> dqDriftSql,
+    // incremental == full: the state-recomputed PSI report must match
+    // the full-corpus drift recompute
+    "i_incremental_drift" -> dqDriftSql,
     // Funnel: the oracle replays the greedy-earliest stage chain —
     // first signup, first view strictly after it, first purchase
     // strictly after that.

@@ -209,11 +209,28 @@ object Expectations {
         floor((col("_v") - lit(lo)) / lit((hi - lo) / bins))))
         .cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(out))
-    val r = binned(ref, "n_ref")
-    val c = binned(cur, "n_cur")
+    psiDriftFromCounts(binned(ref, "n_ref"), binned(cur, "n_cur"),
+      bins, eps)
+  }
+
+  /** [[psiDrift]] from pre-aggregated per-bin histograms
+    * `(bin, n_ref)` / `(bin, n_cur)` — the incremental-monitoring
+    * entry point: the current side's histogram is exactly a
+    * (bin)-keyed [[graft.ops.IncrementalAgg]] count state, so
+    * distribution drift against a frozen reference refreshes at
+    * O(increment) from a bins-sized frame — the same posture as the
+    * incremental eval family. Term arithmetic is byte-identical to
+    * [[psiDrift]] (round(…,9) per term — the PSI float posture). */
+  def psiDriftFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+      bins: Int, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, "at least two bins")
+    val r = refCounts.select(col("bin"),
+      col("n_ref").cast("long").as("n_ref"))
+    val c = curCounts.select(col("bin"),
+      col("n_cur").cast("long").as("n_cur"))
     val rt = broadcast(r.agg(sum(col("n_ref")).as("_tr")))
     val ct = broadcast(c.agg(sum(col("n_cur")).as("_tc")))
-    val allBins = ref.sparkSession.range(0, bins)
+    val allBins = refCounts.sparkSession.range(0, bins)
       .select(col("id").cast("int").as("bin"))
     val p = greatest(col("n_ref").cast(DoubleType) / col("_tr"), lit(eps))
     val q = greatest(col("n_cur").cast(DoubleType) / col("_tc"), lit(eps))

@@ -971,10 +971,26 @@ object ModelEval {
     require(bins >= 2 && bins <= 1024,
       "bins must be in [2, 1024] (the interval frame is bins²-sized)")
     require(hi > lo, "hi must exceed lo")
-    val counts = scoredBy(df, groupCol, labelCol, scoreCol)
-      .select(col("_g"), gridBin(bins, lo, hi), col("_y"))
-      .groupBy("_g", "bin")
-      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
+    isotonicCalibrationByFromCounts(
+      scoredBy(df, groupCol, labelCol, scoreCol)
+        .select(col("_g").as(groupCol), gridBin(bins, lo, hi), col("_y"))
+        .groupBy(groupCol, "bin")
+        .agg(count(lit(1)).as("n"), sum("_y").as("n_pos")),
+      groupCol)
+  }
+
+  /** [[isotonicCalibrationBy]] from a pre-aggregated per-(group, bin)
+    * frame `(groupCol, bin, n, n_pos)` — the incremental entry point:
+    * the SAME (group, bin)-keyed label-sum state that feeds
+    * [[eceByFromCounts]] and [[calibrationByFromCounts]] refits every
+    * slice's monotone calibrator at O(increment), completing the
+    * incremental slice-calibration matrix off ONE state. */
+  def isotonicCalibrationByFromCounts(countsIn: DataFrame,
+      groupCol: String): DataFrame = {
+    val counts = countsIn
+      .select(col(groupCol).as("_g"), col("bin"),
+        col("n").cast("long").as("n"),
+        col("n_pos").cast("long").as("n_pos"))
       .localCheckpoint() // feeds the prefix frame AND the final join
     val wOrd = Window.partitionBy("_g").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, 0)

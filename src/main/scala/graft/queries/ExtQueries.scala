@@ -2265,6 +2265,20 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source isotonic FIT surface (the step functions
+    * `eval_calibrated_by` applies, exposed as a report): one row per
+    * observed (source, bin) with the slice's raw and isotonic rates.
+    */
+  def evalIsotonicBy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val st = TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .withColumn("is_en", (col("lang") === "en").cast("int"))
+    graft.ext.ModelEval.isotonicCalibrationBy(st, "source", "is_en",
+      "stopword_ratio", bins = 10, lo = 0.0, hi = 0.25)
+      .orderBy("source", "bin")
+  }
+
   /** Per-source reliability table on the same grid — the slice view
     * of `eval_calibration` (a source with zero mass in a score band
     * surfaces as an n = 0 row, not a missing one).

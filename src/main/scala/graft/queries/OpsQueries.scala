@@ -686,6 +686,80 @@ object OpsQueries {
       .orderBy("source")
   }
 
+  /** Incrementally-maintained PER-SLICE isotonic calibrators — the
+    * THIRD report off the same (source, bin) label-sum state as
+    * [[iIncrementalEceBy]]/[[iIncrementalCalibrationBy]]
+    * ([[graft.ext.ModelEval.isotonicCalibrationByFromCounts]]): every
+    * slice's serving step function refit at O(increment). Oracle =
+    * the full-corpus per-source minimax recompute.
+    */
+  def iIncrementalIsotonicBy(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-incisoby")
+    val src = KeyedTable("iisoby_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val stateN = graft.ops.IncrementalAgg.stateTable(
+      "iisoby_labels", s"$base/labels", Seq("source", "bin"))
+    val storeN = CheckpointStore(s"$base/cpN", s)
+    val docs = t(s, dir, "documents")
+    val scoredDocs = graft.ext.TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .filter(col("stopword_ratio").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.ext.ModelEval.binOf(col("stopword_ratio"),
+          bins = 10, lo = 0.0, hi = 0.25).as("bin"),
+        (col("lang") === "en").cast("int").as("is_en"))
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
+      graft.ops.IncrementalAgg.refresh(s, src, stateN, storeN,
+        Seq("source", "bin"), "is_en")
+    }
+    val counts = TableOps.snapshot(s, stateN)
+      .select(col("source"), col("bin"), col("cnt").as("n"),
+        col("sum_v").cast("long").as("n_pos"))
+    graft.ext.ModelEval
+      .isotonicCalibrationByFromCounts(counts, "source")
+      .orderBy("source", "bin")
+  }
+
+  /** Incrementally-maintained distribution drift (PSI): the current
+    * side's text-length histogram is a (bin)-keyed count state folded
+    * across 3 commits, replayed against the frozen even-doc reference
+    * histogram through
+    * [[graft.ext.Expectations.psiDriftFromCounts]] — feed-drift
+    * monitoring at O(increment). Oracle = the full-corpus `dq_drift`
+    * recompute (incremental ≡ full).
+    */
+  def iIncrementalDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-incdrift")
+    val src = KeyedTable("idrift_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val state = graft.ops.IncrementalAgg.stateTable(
+      "idrift_bins", s"$base/bins", Seq("bin"))
+    val store = CheckpointStore(s"$base/cp", s)
+    val docs = t(s, dir, "documents")
+    val binned = docs.select(col("doc_id"),
+      graft.ext.ModelEval.binOf(
+        length(col("text")).cast("double"), bins = 16,
+        lo = 0.0, hi = 4096.0).as("bin"),
+      lit(1L).as("one"))
+    // current side = odd doc ids, arriving in 3 commits
+    val cur = binned.filter(col("doc_id") % 2 === 1)
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        cur.filter(pmod(col("doc_id"), lit(6)) === (2 * b + 1)))
+      graft.ops.IncrementalAgg.refresh(s, src, state, store,
+        Seq("bin"), "one")
+    }
+    val curCounts = TableOps.snapshot(s, state)
+      .select(col("bin"), col("cnt").as("n_cur"))
+    val refCounts = binned.filter(col("doc_id") % 2 === 0)
+      .groupBy("bin").agg(count(lit(1)).as("n_ref"))
+    graft.ext.Expectations
+      .psiDriftFromCounts(refCounts, curCounts, bins = 16)
+      .orderBy("bin")
+  }
+
   /** Incrementally-maintained ROC curve — the FOURTH report off the
     * same score-grouped state as [[iIncrementalAuc]]/[[iIncrementalAp]]
     * ([[graft.ext.ModelEval.rocCurveFromCounts]]): the monitoring

@@ -1660,6 +1660,19 @@ class ExtSpec extends SparkSuite {
       lo = 0.0, hi = 100.0)
       .filter($"n_cur" > 0).select("bin").as[Int].collect().toSeq
     assert(farBins === Seq(9), s"far value mis-binned: $farBins")
+    // psiDriftFromCounts on the same histograms reproduces the direct
+    // report (the incremental state entry point)
+    def hist(df: org.apache.spark.sql.DataFrame, out: String) = df
+      .select(graft.ext.ModelEval.binOf($"v", 10, 0.0, 100.0).as("bin"))
+      .groupBy("bin").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as(out))
+    val direct = Expectations.psiDrift(ref, cur, $"v", bins = 10,
+        lo = 0.0, hi = 100.0)
+      .as[(Int, Long, Long, Double)].collect().toSet
+    val fromCounts = Expectations.psiDriftFromCounts(
+        hist(ref, "n_ref"), hist(cur, "n_cur"), bins = 10)
+      .as[(Int, Long, Long, Double)].collect().toSet
+    assert(fromCounts === direct)
   }
 
   test("Kmv: layout-independent sketch, exact path, calibrated overlap") {

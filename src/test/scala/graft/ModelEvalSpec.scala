@@ -476,6 +476,25 @@ class ModelEvalSpec extends SparkSuite {
     assert(out("unseen_g") === None)   // group the fit never saw
   }
 
+  test("isotonicCalibrationByFromCounts reproduces the per-group fits from state counts") {
+    import spark.implicits._
+    val df = Seq(("a", 0.05, 1), ("a", 0.3, 0), ("a", 0.35, 1),
+      ("a", 0.9, 1), ("b", 0.1, 0), ("b", 0.6, 1), ("b", 0.65, 0))
+      .toDF("grp", "s", "y")
+    val direct = ModelEval.isotonicCalibrationBy(df, "grp", "y", "s",
+        bins = 4, lo = 0.0, hi = 1.0)
+      .as[(String, Int, Long, Long, Double, Double)].collect().toSet
+    val counts = df.select(col("grp"),
+        ModelEval.binOf(col("s"), 4, 0.0, 1.0).as("bin"),
+        col("y").cast("long").as("y"))
+      .groupBy("grp", "bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val fromCounts = ModelEval
+      .isotonicCalibrationByFromCounts(counts, "grp")
+      .as[(String, Int, Long, Long, Double, Double)].collect().toSet
+    assert(fromCounts === direct)
+  }
+
   test("eceByFromCounts reproduces eceBy from its own counts frame") {
     import spark.implicits._
     val df = Seq(("a", 0.1, 0), ("a", 0.2, 1), ("a", 0.8, 1),
