@@ -240,6 +240,7 @@ object SparkEntry {
     "i_incremental_roc_curve" -> (OpsQueries.iIncrementalRocCurve _),
     "i_incremental_drift"     -> (OpsQueries.iIncrementalDrift _),
     "eval_isotonic_by"        -> (ExtQueries.evalIsotonicBy _),
+    "stream_monitoring_replay" -> (OpsQueries.streamMonitoringReplay _),
     "i_incremental_isotonic_by" -> (OpsQueries.iIncrementalIsotonicBy _),
     "i_incremental_ap"        -> (OpsQueries.iIncrementalAp _),
   )
@@ -788,6 +789,33 @@ object SparkEntry {
        |  CAST(c.n_pos AS DOUBLE) / c.n AS pos_rate, iso_rate
        | FROM counts c JOIN fit USING (source, bin)
        | ORDER BY c.source, c.bin""".stripMargin
+
+  private val incAucStopwordSql =
+    raw"""WITH tok AS (
+       |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
+       |  FROM documents),
+       | sr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
+       |     'of','to','in','is','it','for','on','with','as','at','by')))
+       |     AS DOUBLE) / len(w) AS s
+       |  FROM tok),
+       | g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos_g,
+       |   count(*) AS tot_g FROM sr WHERE s IS NOT NULL GROUP BY s),
+       | c AS (SELECT s, pos_g, tot_g - pos_g AS neg_g,
+       |   coalesce(sum(tot_g - pos_g) OVER (ORDER BY s
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |     AS cnb
+       |  FROM g),
+       | cells AS (SELECT CAST(sum(pos_g) AS BIGINT) AS n_pos,
+       |   CAST(sum(neg_g) AS BIGINT) AS n_neg,
+       |   CAST(sum(CAST(pos_g AS DECIMAL(18,0)) *
+       |     CAST(2 * cnb + neg_g AS DECIMAL(19,0)))
+       |     AS DECIMAL(38,0)) AS u2
+       |  FROM c)
+       | SELECT n_pos, n_neg, CAST(u2 AS BIGINT) AS u2,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0
+       |   THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
+       | FROM cells""".stripMargin
 
   // Per-slice ECE: shared by the batch query and its incremental
   // twin (the full-corpus recompute IS the incremental ≡ full proof).
@@ -3638,32 +3666,12 @@ object SparkEntry {
     // Incremental AUC: the oracle is the FULL-corpus tie-corrected
     // Mann–Whitney over the stopword score — the driver compare IS the
     // incremental ≡ full-recompute proof.
-    "i_incremental_auc" ->
-      raw"""WITH tok AS (
-         |  SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
-         |  FROM documents),
-         | sr AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-         |   CAST(len(list_filter(w, t -> t IN ('the','a','an','and','or',
-         |     'of','to','in','is','it','for','on','with','as','at','by')))
-         |     AS DOUBLE) / len(w) AS s
-         |  FROM tok),
-         | g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos_g,
-         |   count(*) AS tot_g FROM sr WHERE s IS NOT NULL GROUP BY s),
-         | c AS (SELECT s, pos_g, tot_g - pos_g AS neg_g,
-         |   coalesce(sum(tot_g - pos_g) OVER (ORDER BY s
-         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |     AS cnb
-         |  FROM g),
-         | cells AS (SELECT CAST(sum(pos_g) AS BIGINT) AS n_pos,
-         |   CAST(sum(neg_g) AS BIGINT) AS n_neg,
-         |   CAST(sum(CAST(pos_g AS DECIMAL(18,0)) *
-         |     CAST(2 * cnb + neg_g AS DECIMAL(19,0)))
-         |     AS DECIMAL(38,0)) AS u2
-         |  FROM c)
-         | SELECT n_pos, n_neg, CAST(u2 AS BIGINT) AS u2,
-         |  CASE WHEN n_pos > 0 AND n_neg > 0
-         |   THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
-         | FROM cells""".stripMargin,
+    "i_incremental_auc" -> incAucStopwordSql,
+    // the LIVE-STREAM face of the same monitoring state: stream ->
+    // foreachBatch exactly-once upsert+refresh -> AUC from state; the
+    // full-corpus recompute is the oracle, so the green row proves the
+    // whole feed-latency monitoring path end to end
+    "stream_monitoring_replay" -> incAucStopwordSql,
     "i_incremental_auc_by" ->
       raw"""WITH tok AS (
          |  SELECT source, lang,

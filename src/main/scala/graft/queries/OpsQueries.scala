@@ -646,6 +646,56 @@ object OpsQueries {
       .withColumn("u2", col("u2").cast("long"))
   }
 
+  /** Model monitoring at FEED LATENCY, end to end: the scored-document
+    * stream lands through `foreachBatch` — per micro-batch an
+    * exactly-once upsert (batch-id idempotency key) plus an
+    * [[graft.ops.IncrementalAgg.refresh]] of the score-grouped state —
+    * and the AUC is recomputed from the state after the stream drains
+    * ([[graft.ext.ModelEval.rocAucFromCounts]]). This is the
+    * composition a production monitor runs: no batch job ever rescans
+    * the corpus, yet the report equals the full recompute (the oracle),
+    * proving stream ingest ≡ incremental state ≡ full batch across the
+    * whole path. `maxFilesPerTrigger=1` forces one micro-batch per
+    * source file so the state genuinely folds multiple increments.
+    */
+  def streamMonitoringReplay(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-streammon")
+    val src = KeyedTable("smon_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val state = graft.ops.IncrementalAgg.stateTable(
+      "smon_state", s"$base/state", Seq("score"))
+    val store = CheckpointStore(s"$base/cp", s)
+    val docs = t(s, dir, "documents")
+    val scoredDocs = graft.ext.TextStats.stats(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("stopword_ratio").as("score"),
+        (col("lang") === "en").cast("int").as("is_en"))
+      .filter(col("score").isNotNull)
+    val srcDir = s"$base/streamsrc"
+    (0 until 3).foreach { b =>
+      scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val schema = s.read.parquet(srcDir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.option("checkpointLocation", s"$base/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          batchId: Long) =>
+        TableOps.upsert(s, src, batch,
+          idempotencyKey = Some(s"smon-$batchId"))
+        graft.ops.IncrementalAgg.refresh(s, src, state, store,
+          Seq("score"), "is_en"): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val counts = TableOps.snapshot(s, state)
+      .select(col("score").as("_s"), col("sum_v").cast("long").as("pos_g"),
+        col("cnt").as("tot_g"))
+    graft.ext.ModelEval.rocAucFromCounts(counts)
+      .withColumn("u2", col("u2").cast("long"))
+  }
+
   /** Incrementally-maintained PER-SLICE ROC-AUC: the same state-table
     * pattern grouped by (source, score); the snapshot unfolds into
     * weighted label rows (y = 1 with weight pos_g, y = 0 with weight
