@@ -2192,8 +2192,11 @@ object ExtQueries {
     val scoredDocs = TextStats.lmScore(docs, "doc_id", "text")
       .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
       .withColumn("is_en", (col("lang") === "en").cast("int"))
+    // buckets = 64: cut placement is value-invariant (spec-pinned),
+    // and 20 sources x 64 buckets stays under the 4096 collect cap at
+    // ANY corpus scale (the default 256 tripped it at sf1)
     graft.ext.ModelEval.rocCurveBy(scoredDocs, "source", "is_en",
-      "lm_score", maxPoints = 16)
+      "lm_score", maxPoints = 16, buckets = 64)
       .orderBy("source", "thr")
   }
 
