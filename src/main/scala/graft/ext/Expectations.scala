@@ -224,10 +224,15 @@ object Expectations {
   def psiDriftFromCounts(refCounts: DataFrame, curCounts: DataFrame,
       bins: Int, eps: Double = 1e-6): DataFrame = {
     require(bins >= 2, "at least two bins")
+    // defensive merge of duplicate bin rows (the rocAucFromCounts
+    // posture) — an unmerged split bin would duplicate the spine row
+    // and compute each term from partial counts
     val r = refCounts.select(col("bin"),
-      col("n_ref").cast("long").as("n_ref"))
+        col("n_ref").cast("long").as("n_ref"))
+      .groupBy("bin").agg(sum("n_ref").as("n_ref"))
     val c = curCounts.select(col("bin"),
-      col("n_cur").cast("long").as("n_cur"))
+        col("n_cur").cast("long").as("n_cur"))
+      .groupBy("bin").agg(sum("n_cur").as("n_cur"))
     val rt = broadcast(r.agg(sum(col("n_ref")).as("_tr")))
     val ct = broadcast(c.agg(sum(col("n_cur")).as("_tc")))
     val allBins = refCounts.sparkSession.range(0, bins)

@@ -80,6 +80,44 @@ object ModelEval {
     (cuts, bucketOf)
   }
 
+  /** Shared phase 2 of the per-group two-phase operators (rocAucBy,
+    * averagePrecisionByFromCounts, rocCurveBy): collect the
+    * `(group, bucket, total₁..totalₖ)` frame — capped at 4096 rows,
+    * the slice-report contract — and return a broadcastable offsets
+    * frame carrying, per (group, bucket), each total's EXCLUSIVE
+    * per-group ascending-bucket running prefix (`offNames`) plus its
+    * per-group grand total (`totNames`). The prefix arithmetic and
+    * the cap live HERE once, so a fix cannot silently miss a sibling
+    * operator. */
+  private def groupOffsets(totals: DataFrame, opName: String,
+      offNames: Seq[String], totNames: Seq[String]): DataFrame = {
+    require(offNames.size == totNames.size)
+    val k = offNames.size
+    val tRows = totals.collect()
+    require(tRows.length <= 4096,
+      s"$opName: groups × occupied buckets = ${tRows.length} exceeds " +
+        "the 4096 driver-collect cap — lower `buckets` or slice on a " +
+        "lower-cardinality group column")
+    val offRows = tRows.groupBy(_.get(0)).values.toSeq.flatMap { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      val tots = (0 until k).map(i => sorted.map(_.getLong(2 + i)).sum)
+      val acc = Array.fill(k)(0L)
+      sorted.map { r =>
+        val o = org.apache.spark.sql.Row.fromSeq(
+          Seq(r.get(0), r.getInt(1)) ++ acc.toSeq ++ tots)
+        (0 until k).foreach(i => acc(i) += r.getLong(2 + i))
+        o
+      }
+    }
+    val lt = org.apache.spark.sql.types.LongType
+    val offSchema = org.apache.spark.sql.types.StructType(
+      totals.schema.fields.take(2) ++ (offNames ++ totNames)
+        .map(org.apache.spark.sql.types.StructField(_, lt,
+          nullable = false)))
+    import scala.jdk.CollectionConverters._
+    totals.sparkSession.createDataFrame(offRows.asJava, offSchema)
+  }
+
   /** Tie-corrected ROC-AUC (Mann–Whitney). One row:
     * `(n_pos, n_neg, u2, auc)` with `u2` = 2·U as DECIMAL(38,0) —
     * the exact integer surface — and `auc` null when either class is
@@ -197,24 +235,8 @@ object ModelEval {
     val (cuts, bucketOf) = scoreBuckets(g, buckets)
     val gb = g.withColumn("_b", bucketOf)
     val totals = gb.groupBy("_g", "_b").agg(sum("neg_g").as("_t"))
-    val tRows = totals.collect()
-    require(tRows.length <= 4096,
-      s"rocAucBy: groups × occupied buckets = ${tRows.length} exceeds " +
-        "the 4096 driver-collect cap — lower `buckets` or slice on a " +
-        "lower-cardinality group column")
-    val offRows = tRows.groupBy(_.get(0)).values.toSeq.flatMap { rs =>
-      var acc = 0L
-      rs.sortBy(_.getInt(1)).map { r =>
-        val o = org.apache.spark.sql.Row(r.get(0), r.getInt(1), acc)
-        acc += r.getLong(2); o
-      }
-    }
-    val offSchema = org.apache.spark.sql.types.StructType(
-      totals.schema.fields.take(2) :+
-        org.apache.spark.sql.types.StructField("_off",
-          org.apache.spark.sql.types.LongType, nullable = false))
-    import scala.jdk.CollectionConverters._
-    val offDf = df.sparkSession.createDataFrame(offRows.asJava, offSchema)
+    val offDf = groupOffsets(totals, "rocAucBy",
+      offNames = Seq("_off"), totNames = Seq("_negTot"))
     val joined = gb.join(broadcast(offDf), Seq("_g", "_b"))
     val w = Window.partitionBy("_g", "_b").orderBy("_s")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -285,28 +307,8 @@ object ModelEval {
     val gb = g.withColumn("_b", bucketOf)
     val totals = gb.groupBy("_g", "_b")
       .agg(sum("pos_g").as("_p"), sum("tot_g").as("_t"))
-    val tRows = totals.collect()
-    require(tRows.length <= 4096,
-      s"averagePrecisionBy: groups × occupied buckets = ${tRows.length} " +
-        "exceeds the 4096 driver-collect cap — lower `buckets` or slice " +
-        "on a lower-cardinality group column")
-    val offRows = tRows.groupBy(_.get(0)).values.toSeq.flatMap { rs =>
-      val sorted = rs.sortBy(_.getInt(1))
-      val nP = sorted.map(_.getLong(2)).sum
-      val nT = sorted.map(_.getLong(3)).sum
-      var accP = 0L; var accT = 0L
-      sorted.map { r =>
-        val o = org.apache.spark.sql.Row(r.get(0), r.getInt(1),
-          accP, accT, nP, nT)
-        accP += r.getLong(2); accT += r.getLong(3); o
-      }
-    }
-    val lt = org.apache.spark.sql.types.LongType
-    val offSchema = org.apache.spark.sql.types.StructType(
-      totals.schema.fields.take(2) ++ Seq("_offp", "_offt", "_np", "_nt")
-        .map(org.apache.spark.sql.types.StructField(_, lt, nullable = false)))
-    import scala.jdk.CollectionConverters._
-    val offDf = counts.sparkSession.createDataFrame(offRows.asJava, offSchema)
+    val offDf = groupOffsets(totals, "averagePrecisionBy",
+      offNames = Seq("_offp", "_offt"), totNames = Seq("_np", "_nt"))
     val joined = gb.join(broadcast(offDf), Seq("_g", "_b"))
     val w = Window.partitionBy("_g", "_b").orderBy("_s")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -580,32 +582,9 @@ object ModelEval {
     val totals = gb.groupBy("_g", "_b")
       .agg(sum("pos_g").as("_p"), sum("tot_g").as("_t"),
         count(lit(1)).as("_r"))
-    val tRows = totals.collect()
-    require(tRows.length <= 4096,
-      s"rocCurveBy: groups × occupied buckets = ${tRows.length} exceeds " +
-        "the 4096 driver-collect cap — lower `buckets` or slice on a " +
-        "lower-cardinality group column")
-    val offRows = tRows.groupBy(_.get(0)).values.toSeq.flatMap { rs =>
-      val sorted = rs.sortBy(_.getInt(1))
-      val nP = sorted.map(_.getLong(2)).sum
-      val nT = sorted.map(_.getLong(3)).sum
-      val nR = sorted.map(_.getLong(4)).sum
-      var accP = 0L; var accT = 0L; var accR = 0L
-      sorted.map { r =>
-        val o = org.apache.spark.sql.Row(r.get(0), r.getInt(1),
-          accP, accT, accR, nP, nT, nR)
-        accP += r.getLong(2); accT += r.getLong(3); accR += r.getLong(4)
-        o
-      }
-    }
-    val lt = org.apache.spark.sql.types.LongType
-    val offSchema = org.apache.spark.sql.types.StructType(
-      totals.schema.fields.take(2) ++
-        Seq("_offp", "_offt", "_offr", "_np", "_nt", "_nr")
-          .map(org.apache.spark.sql.types.StructField(_, lt,
-            nullable = false)))
-    import scala.jdk.CollectionConverters._
-    val offDf = df.sparkSession.createDataFrame(offRows.asJava, offSchema)
+    val offDf = groupOffsets(totals, "rocCurveBy",
+      offNames = Seq("_offp", "_offt", "_offr"),
+      totNames = Seq("_np", "_nt", "_nr"))
     val joined = gb.join(broadcast(offDf), Seq("_g", "_b"))
     val w = Window.partitionBy("_g", "_b").orderBy("_s")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -787,7 +766,13 @@ object ModelEval {
     * Term arithmetic is byte-identical to [[eceBy]] (round(…,9) per
     * term, DECIMAL(28,9) fold, per-group totals via one window over
     * the small frame — no driver collect, no group cap). */
-  def eceByFromCounts(counts: DataFrame, groupCol: String): DataFrame = {
+  def eceByFromCounts(countsIn: DataFrame, groupCol: String): DataFrame = {
+    // defensive merge of duplicate (group, bin) rows — the
+    // rocAucFromCounts posture (the ECE term is nonlinear in n, so
+    // unmerged per-batch counts would silently skew the sum)
+    val counts = countsIn.groupBy(groupCol, "bin")
+      .agg(sum("n").as("n"), sum("n_pos").as("n_pos"),
+        sum("sum_s").as("sum_s"))
     val nTot = sum(col("n")).over(Window.partitionBy(groupCol))
     val term = ((col("n").cast(DoubleType) / col("_N")) *
       abs(col("n_pos").cast(DoubleType) / col("n") -
@@ -830,9 +815,13 @@ object ModelEval {
     * The caller's counts frame must already be metadata-sized
     * (groups × occupied bins); the spine distinct and probe join run
     * on it directly. */
-  def calibrationByFromCounts(counts: DataFrame, groupCol: String,
+  def calibrationByFromCounts(countsIn: DataFrame, groupCol: String,
       bins: Int): DataFrame = {
     require(bins >= 2, "at least two bins")
+    // defensive merge of duplicate (group, bin) rows (rocAucFromCounts
+    // posture) — unmerged rows would duplicate spine output rows
+    val counts = countsIn.groupBy(groupCol, "bin")
+      .agg(sum("n").as("n"), sum("n_pos").as("n_pos"))
     val spine = counts.select(groupCol).distinct()
       .crossJoin(broadcast(counts.sparkSession.range(0, bins)
         .select(col("id").cast("int").as("bin"))))
@@ -876,8 +865,7 @@ object ModelEval {
       .select(gridBin(bins, lo, hi), col("_y"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"))
-      .localCheckpoint() // feeds the prefix frame AND the final join
-    isotonicCalibrationFromCounts(counts)
+    isotonicCalibrationFromCounts(counts) // checkpoints internally
   }
 
   /** [[isotonicCalibration]] from a pre-aggregated per-bin frame
@@ -889,7 +877,12 @@ object ModelEval {
     * calibrate→apply loop at feed latency). The minimax closed form
     * is computed on the counts frame exactly as the full fit would —
     * the full recompute IS the incremental oracle. */
-  def isotonicCalibrationFromCounts(counts: DataFrame): DataFrame = {
+  def isotonicCalibrationFromCounts(countsIn: DataFrame): DataFrame = {
+    // defensive merge of duplicate bin rows (rocAucFromCounts posture)
+    // — a split bin would corrupt the prefix sums AND emit twice
+    val counts = countsIn.groupBy("bin")
+      .agg(sum("n").as("n"), sum("n_pos").as("n_pos"))
+      .localCheckpoint() // feeds the prefix frame AND the final join
     // inclusive prefix sums over the observed bins — a ≤ bins-row
     // frame, so the global-order window is bounded by contract
     val wOrd = Window.orderBy("bin")
@@ -991,6 +984,11 @@ object ModelEval {
       .select(col(groupCol).as("_g"), col("bin"),
         col("n").cast("long").as("n"),
         col("n_pos").cast("long").as("n_pos"))
+      // defensive merge of duplicate (group, bin) rows
+      // (rocAucFromCounts posture) — a split bin would corrupt the
+      // per-group prefix sums AND emit twice
+      .groupBy("_g", "bin")
+      .agg(sum("n").as("n"), sum("n_pos").as("n_pos"))
       .localCheckpoint() // feeds the prefix frame AND the final join
     val wOrd = Window.partitionBy("_g").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, 0)

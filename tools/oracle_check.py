@@ -27,7 +27,7 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table dir (sfN stress data)
-            p = f"{p}/*.parquet"
+            p = f"{p}/**/*.parquet"  # recursive: covers partitioned dirs too
         elif not os.path.exists(p):
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
