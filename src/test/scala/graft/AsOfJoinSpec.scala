@@ -66,6 +66,36 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out2 === Array(None))
   }
 
+  test("composite keys: the window partitions on ALL key columns") {
+    // (entity, region) composite key: a right row matching on entity
+    // alone must NOT enrich a left row from another region — the
+    // multi-column feature-store key (user × market, symbol × venue)
+    val left = Seq(
+      ("e1", "us", 100L, "p1"), ("e1", "eu", 100L, "p2"),
+      ("e2", "us", 100L, "p3")).toDF("ent", "reg", "lt", "pid")
+    val right = Seq(
+      ("e1", "us", 10L, "us_feat"), ("e1", "eu", 20L, "eu_feat"),
+      ("e2", "eu", 5L, "wrong_reg")).toDF("ent", "reg", "rt", "feat")
+    val out = AsOfJoin.asOf(left, right, Seq("ent", "reg"),
+        "lt", "rt", Seq("feat"))
+      .select("pid", "feat").as[(String, Option[String])]
+      .collect().toMap
+    assert(out("p1") === Some("us_feat"))
+    assert(out("p2") === Some("eu_feat"))
+    assert(out("p3") === None, "entity match alone must not enrich")
+    // tolerance composes with composite keys unchanged (tolerance
+    // requires TIMESTAMP time columns — µs-epoch conversion)
+    import org.apache.spark.sql.functions.timestamp_micros
+    val leftTs = left.withColumn("lt", timestamp_micros($"lt"))
+    val rightTs = right.withColumn("rt", timestamp_micros($"rt"))
+    val tol = AsOfJoin.asOf(leftTs, rightTs, Seq("ent", "reg"),
+        "lt", "rt", Seq("feat"), toleranceMicros = Some(85L))
+      .select("pid", "feat").as[(String, Option[String])]
+      .collect().toMap
+    assert(tol("p1") === None, "90-old us_feat exceeds the 85 TTL")
+    assert(tol("p2") === Some("eu_feat"), "80-old eu_feat is fresh")
+  }
+
   test("payload struct integrity: all payload columns from the same right row") {
     val left = Seq(("k", 100L, 1)).toDF("key", "lt", "id")
     val right = Seq(
