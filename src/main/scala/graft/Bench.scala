@@ -99,8 +99,23 @@ object Bench {
         s"SPARK_GRAFT_BENCH_QUERIES names unknown bench queries: " +
           s"${unknown.toSeq.sorted.mkString(", ")}")
     }
+    // optional FAMILY filter (comma-separated name prefixes, e.g.
+    // "stream,dedup,eval"): the full quiet board costs minutes — a
+    // cross-day re-measure of one family must not pay for the rest.
+    // A token selects every bench query it prefixes; each token must
+    // hit at least one query (typo protection, same posture as above).
+    val families = sys.env.get("SPARK_GRAFT_BENCH_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    families.foreach { fs =>
+      val unmatched = fs.filterNot(f =>
+        SparkEntry.benchQueries.exists(_.startsWith(f)))
+      require(unmatched.isEmpty,
+        s"SPARK_GRAFT_BENCH_FAMILIES prefixes match no bench query: " +
+          s"${unmatched.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
       .filter(n => subset.forall(_.contains(n)))
+      .filter(n => families.forall(_.exists(n.startsWith)))
     // warm-up pass at the small scale factor
     names.foreach { n =>
       try { execute(n, warmDir); resetCaches() }

@@ -146,6 +146,7 @@ object SparkEntry {
     "stream_retention_replay" -> (ExtQueries.streamRetentionReplay _),
     "stream_asof_replay"      -> (ExtQueries.streamAsofReplay _),
     "stream_asof_tolerance_replay" -> (ExtQueries.streamAsofToleranceReplay _),
+    "stream_asof_composite_replay" -> (ExtQueries.streamAsofCompositeReplay _),
     "stream_feature_store_replay" -> (ExtQueries.streamFeatureStoreReplay _),
     "stream_dedup_replay"     -> (ExtQueries.streamDedupReplay _),
     "stream_sessions_replay"  -> (ExtQueries.streamSessionsReplay _),
@@ -239,6 +240,7 @@ object SparkEntry {
     "i_incremental_ap_by"     -> (OpsQueries.iIncrementalApBy _),
     "i_incremental_roc_curve" -> (OpsQueries.iIncrementalRocCurve _),
     "i_incremental_drift"     -> (OpsQueries.iIncrementalDrift _),
+    "stream_drift_replay"     -> (OpsQueries.streamDriftReplay _),
     "eval_isotonic_by"        -> (ExtQueries.evalIsotonicBy _),
     "stream_monitoring_replay" -> (OpsQueries.streamMonitoringReplay _),
     "i_incremental_isotonic_by" -> (OpsQueries.iIncrementalIsotonicBy _),
@@ -301,7 +303,9 @@ object SparkEntry {
     // for the next one-off SCALE.md re-measure
     "stream_rolling_replay", "stream_gapfill_replay",
     "stream_asof_replay", "eval_calibrated_by", "i_incremental_ece_by",
-    "stream_feature_store_replay", "stream_dedup_replay")
+    "stream_feature_store_replay", "stream_dedup_replay",
+    // r12: composite-key as-of consumption + feed-latency drift
+    "stream_asof_composite_replay", "stream_drift_replay")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -3269,6 +3273,8 @@ object SparkEntry {
     // incremental == full: the state-recomputed PSI report must match
     // the full-corpus drift recompute
     "i_incremental_drift" -> dqDriftSql,
+    // stream → bin-count state → PSI ≡ the full-corpus drift report
+    "stream_drift_replay" -> dqDriftSql,
     // Funnel: the oracle replays the greedy-earliest stage chain —
     // first signup, first view strictly after it, first purchase
     // strictly after that.
@@ -3322,6 +3328,20 @@ object SparkEntry {
     // by the finalize-on-watermark contract — same oracles, literally
     "stream_asof_replay" -> asofJoinSql,
     "stream_asof_tolerance_replay" -> asofToleranceSql,
+    // composite key: the same ASOF join with the derived region column
+    // in the equality — neither key column alone determines the group
+    "stream_asof_composite_replay" ->
+      """SELECT p.event_id, p.user_id, p.region,
+        |  v.event_id AS view_event_id
+        | FROM (SELECT user_id, event_id, ts,
+        |    CAST(event_id % 3 AS BIGINT) AS region
+        |   FROM events WHERE event_type = 'purchase') p
+        | ASOF LEFT JOIN (SELECT user_id, event_id, ts,
+        |    CAST(event_id % 3 AS BIGINT) AS region
+        |   FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.region = v.region
+        |   AND v.ts <= p.ts
+        | ORDER BY p.event_id""".stripMargin,
     // Salted join is row-identical to the plain join — the oracle IS
     // the plain join.
     "j_salted_join" ->

@@ -1892,14 +1892,17 @@ object ExtQueries {
     * Bench's timed loop (fixed-cost scan the historical artifacts
     * never paid); Verify — the correctness gate — always runs it.
     */
-  private def requireNoRefTsTies(views: DataFrame, tag: String): Unit =
+  private def requireNoRefTsTies(views: DataFrame, tag: String,
+      keyCols: Seq[String] = Seq("user_id")): Unit =
     if (!sys.props.get("graft.bench.timing").contains("true")) {
-      val dup = views.groupBy("user_id", "ts")
+      val gcols = keyCols :+ "ts"
+      val dup = views.groupBy(gcols.map(col): _*)
         .agg(count(lit(1)).as("n")).filter(col("n") > 1L).count()
       require(dup == 0L,
-        s"$tag: $dup duplicate (user_id, ts) view pairs — the as-of " +
-          "tie rule is engine-arbitrary in the batch/DuckDB twins, so " +
-          "this corpus would make the oracle comparison nondeterministic")
+        s"$tag: $dup duplicate (${gcols.mkString(", ")}) view pairs — " +
+          "the as-of tie rule is engine-arbitrary in the batch/DuckDB " +
+          "twins, so this corpus would make the oracle comparison " +
+          "nondeterministic")
     }
 
   /** Streaming replay of `j_asof_join`: purchases enriched with the
@@ -1950,6 +1953,38 @@ object ExtQueries {
         .option("checkpointLocation", chk)
         .outputMode("append").start()
     }.select(col("event_id"), col("user_id"),
+        col("ref_event_id").as("view_event_id"))
+      .orderBy("event_id")
+  }
+
+  /** Streaming replay of the COMPOSITE-KEY as-of enrichment
+    * ([[graft.streaming.StreamingAsOf.asOfEnrichRows]]): purchases
+    * enriched with the most recent prior view under a TWO-column key
+    * (user_id, region) — region derived deterministically from
+    * event_id so neither key column alone determines the group (a
+    * user's events scatter across regions; a user-only grouping would
+    * wrongly enrich across them). Value-oracled against the DuckDB
+    * ASOF SQL with the composite equality, literally — the
+    * multi-tenant feature-consumption contract.
+    */
+  def streamAsofCompositeReplay(s: SparkSession, dir: String): DataFrame = {
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    requireNoRefTsTies(
+      proj.filter(col("event_type") === "view")
+        .withColumn("region", pmod(col("event_id"), lit(3L))),
+      "stream_asof_composite_replay", keyCols = Seq("user_id", "region"))
+    replayEventsStream(s, proj, "streamasofcomp") { (src, chk, qname) =>
+      val in = s.readStream.schema(proj.schema).parquet(src)
+        .withColumn("region", pmod(col("event_id"), lit(3L)))
+      graft.streaming.StreamingAsOf
+        .asOfEnrichRows(in, keys = Seq("user_id", "region"),
+          refType = "view", probeType = "purchase",
+          watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }.select(col("event_id"), col("user_id"), col("region"),
         col("ref_event_id").as("view_event_id"))
       .orderBy("event_id")
   }

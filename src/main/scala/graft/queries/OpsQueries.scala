@@ -810,6 +810,60 @@ object OpsQueries {
       .orderBy("bin")
   }
 
+  /** Distribution-drift monitoring at FEED LATENCY, end to end — the
+    * [[streamMonitoringReplay]] composition applied to the PSI path:
+    * the current-side document stream lands through `foreachBatch`
+    * (exactly-once upsert + (bin)-keyed
+    * [[graft.ops.IncrementalAgg.refresh]] per micro-batch), and the
+    * drift report replays the folded bin counts against the FROZEN
+    * even-doc reference histogram through
+    * [[graft.ext.Expectations.psiDriftFromCounts]]. The oracle is the
+    * full-corpus `dq_drift` recompute, so the green row proves stream
+    * ingest ≡ incremental bin state ≡ batch PSI across the whole
+    * path — no corpus rescan anywhere, state is 16 rows.
+    */
+  def streamDriftReplay(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-streamdrift")
+    val src = KeyedTable("sdrift_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val state = graft.ops.IncrementalAgg.stateTable(
+      "sdrift_bins", s"$base/bins", Seq("bin"))
+    val store = CheckpointStore(s"$base/cp", s)
+    val docs = t(s, dir, "documents")
+    val binned = docs.select(col("doc_id"),
+      graft.ext.ModelEval.binOf(
+        length(col("text")).cast("double"), bins = 16,
+        lo = 0.0, hi = 4096.0).as("bin"),
+      lit(1L).as("one"))
+    // current side = odd doc ids, streamed in 3 source files
+    val srcDir = s"$base/streamsrc"
+    (0 until 3).foreach { b =>
+      binned.filter(col("doc_id") % 2 === 1)
+        .filter(pmod(col("doc_id"), lit(6)) === (2 * b + 1))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val schema = s.read.parquet(srcDir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.option("checkpointLocation", s"$base/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          batchId: Long) =>
+        TableOps.upsert(s, src, batch,
+          idempotencyKey = Some(s"sdrift-$batchId"))
+        graft.ops.IncrementalAgg.refresh(s, src, state, store,
+          Seq("bin"), "one"): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val curCounts = TableOps.snapshot(s, state)
+      .select(col("bin"), col("cnt").as("n_cur"))
+    val refCounts = binned.filter(col("doc_id") % 2 === 0)
+      .groupBy("bin").agg(count(lit(1)).as("n_ref"))
+    graft.ext.Expectations
+      .psiDriftFromCounts(refCounts, curCounts, bins = 16)
+      .orderBy("bin")
+  }
+
   /** Incrementally-maintained ROC curve — the FOURTH report off the
     * same score-grouped state as [[iIncrementalAuc]]/[[iIncrementalAp]]
     * ([[graft.ext.ModelEval.rocCurveFromCounts]]): the monitoring

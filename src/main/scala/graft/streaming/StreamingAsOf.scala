@@ -2,7 +2,9 @@ package graft.streaming
 
 import graft.streaming.StreamingFeatures.TransEvent
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 
 import java.sql.Timestamp
 
@@ -65,6 +67,13 @@ object StreamingAsOf {
       ts: Timestamp, ref_event_id: Option[Long],
       ref_ts: Option[Timestamp])
 
+  /** Key-agnostic emission — what the state machine itself produces;
+    * each face re-attaches its key shape (the single `user_id` for
+    * [[asOfEnrich]], the caller's composite key columns for
+    * [[asOfEnrichRows]]). */
+  final case class AsOfCoreEmit(event_id: Long, ts: Timestamp,
+      ref_event_id: Option[Long], ref_ts: Option[Timestamp])
+
   private[streaming] final case class AsOfEv(tsUs: Long, id: Long,
       isRef: Boolean)
 
@@ -85,16 +94,16 @@ object StreamingAsOf {
     t
   }
 
-  private[streaming] def asOfStep(refType: String,
-      toleranceMicros: Option[Long])(
-      userId: Long, it: Iterator[TransEvent],
-      st: GroupState[AsOfState]): Iterator[AsOfEmit] = {
+  /** The key-agnostic state machine both faces share: fold the
+    * incoming (already side-resolved) events into the carry state and
+    * emit one [[AsOfCoreEmit]] per finalized probe. */
+  private[streaming] def coreStep(toleranceMicros: Option[Long],
+      incomingIt: Iterator[AsOfEv],
+      st: GroupState[AsOfState]): Iterator[AsOfCoreEmit] = {
     val prev = st.getOption.getOrElse(
       AsOfState(Long.MinValue, Nil, hasRef = false, 0L, 0L))
     val wmUs = st.getCurrentWatermarkMs() * 1000L
-    val incoming = it
-      .map(e => AsOfEv(tsUs(e.ts), e.event_id, e.event_type == refType))
-      .filter(_.tsUs >= prev.frontierUs).toSeq
+    val incoming = incomingIt.filter(_.tsUs >= prev.frontierUs).toSeq
     val all = prev.pending ++ incoming
     val (readyU, pending) = all.partition(_.tsUs < wmUs)
     // refs before probes at the same timestamp (inclusive as-of), ref
@@ -103,7 +112,7 @@ object StreamingAsOf {
     val ready = readyU.sortBy(e => (e.tsUs, if (e.isRef) 0 else 1, e.id))
     var hasRef = prev.hasRef
     var refTs = prev.lastRefTsUs; var refId = prev.lastRefId
-    val out = scala.collection.mutable.ArrayBuffer.empty[AsOfEmit]
+    val out = scala.collection.mutable.ArrayBuffer.empty[AsOfCoreEmit]
     ready.foreach { e =>
       if (e.isRef) { hasRef = true; refTs = e.tsUs; refId = e.id }
       else {
@@ -111,7 +120,7 @@ object StreamingAsOf {
         // tolerance only decides whether it survives
         val fresh = hasRef &&
           toleranceMicros.forall(t => e.tsUs - refTs <= t)
-        out += AsOfEmit(e.id, userId, mkTs(e.tsUs),
+        out += AsOfCoreEmit(e.id, mkTs(e.tsUs),
           if (fresh) Some(refId) else None,
           if (fresh) Some(mkTs(refTs)) else None)
       }
@@ -125,6 +134,15 @@ object StreamingAsOf {
     // must survive silence to enrich a much-later probe
     out.iterator
   }
+
+  private[streaming] def asOfStep(refType: String,
+      toleranceMicros: Option[Long])(
+      userId: Long, it: Iterator[TransEvent],
+      st: GroupState[AsOfState]): Iterator[AsOfEmit] =
+    coreStep(toleranceMicros,
+      it.map(e => AsOfEv(tsUs(e.ts), e.event_id, e.event_type == refType)),
+      st).map(c => AsOfEmit(c.event_id, userId, c.ts,
+        c.ref_event_id, c.ref_ts))
 
   /** Point-in-time enrichment of the `probeType` rows of a
     * type-tagged event stream against its `refType` rows, finalized
@@ -153,5 +171,74 @@ object StreamingAsOf {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
         asOfStep(refType, toleranceMicros))
+  }
+
+  /** Column names [[asOfEnrichRows]] appends to the key columns. */
+  private val CoreEmitCols = Seq("event_id", "ts", "ref_event_id", "ref_ts")
+
+  /** Composite-key face of [[asOfEnrich]] — the streaming twin of the
+    * batch `AsOfJoin.asOf(keys: Seq[String], …)` surface
+    * ([[graft.ops.AsOfJoin]]): a (user, region)- or (entity, shard)-
+    * keyed stream is hash-partitioned on ALL key columns, so an
+    * entity-only match can never enrich across regions (the
+    * composite-key batch contract pinned in AsOfJoinSpec). Same state
+    * machine, same single shuffle — the key is carried as one struct
+    * through `flatMapGroupsWithState` and re-expanded on emit, so key
+    * arity never touches the per-key state size.
+    *
+    * `events` must carry a TIMESTAMP `tsCol`, a LONG `idCol` (unique
+    * per event — the deterministic tie-breaker), a STRING `typeCol`
+    * (the side tag), and the key columns; output = key columns +
+    * (event_id, ts, ref_event_id, ref_ts), one row per finalized
+    * probe (left-outer). The side filter is a TYPED (lambda) filter
+    * deliberately: a Column filter would be pushed below
+    * `EventTimeWatermark` and shed foreign-type rows (e.g. a replay's
+    * watermark-push sentinels) BEFORE they advance the watermark.
+    */
+  def asOfEnrichRows(events: DataFrame, keys: Seq[String],
+      refType: String, probeType: String, watermarkDelay: String,
+      toleranceMicros: Option[Long] = None,
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(keys.nonEmpty, "asOfEnrichRows needs at least one key column")
+    require(refType != probeType,
+      "refType and probeType must differ (the tag IS the side)")
+    toleranceMicros.foreach(t =>
+      require(t > 0, "toleranceMicros must be positive"))
+    val clash = keys.filter(CoreEmitCols.contains)
+    require(clash.isEmpty, s"key columns ${clash.mkString(", ")} collide " +
+      s"with the emitted columns (${CoreEmitCols.mkString(", ")})")
+    val schema = events.schema
+    def typed(name: String, t: org.apache.spark.sql.types.DataType): Int = {
+      val i = schema.fieldIndex(name) // throws with the column name
+      require(schema(i).dataType == t,
+        s"column $name must be $t, got ${schema(i).dataType}")
+      i
+    }
+    val tsIdx = typed(tsCol, TimestampType)
+    val idIdx = typed(idCol, LongType)
+    val typeIdx = typed(typeCol, StringType)
+    val keyIdx = keys.map(schema.fieldIndex)
+    implicit val keyEnc: Encoder[Row] =
+      Encoders.row(StructType(keyIdx.map(schema(_))))
+    implicit val outEnc: Encoder[(Row, AsOfCoreEmit)] =
+      Encoders.tuple(keyEnc, Encoders.product[AsOfCoreEmit])
+    implicit val stateEnc: Encoder[AsOfState] = Encoders.product[AsOfState]
+    events.withWatermark(tsCol, watermarkDelay)
+      .filter((r: Row) => { // typed on purpose — see scaladoc
+        val t = r.getString(typeIdx)
+        t == refType || t == probeType
+      })
+      .groupByKey((r: Row) => Row.fromSeq(keyIdx.map(r.get)): Row)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (k: Row, it: Iterator[Row], st: GroupState[AsOfState]) =>
+          coreStep(toleranceMicros,
+            it.map(r => AsOfEv(tsUs(r.getAs[Timestamp](tsIdx)),
+              r.getLong(idIdx), r.getString(typeIdx) == refType)),
+            st).map(c => (k, c))
+      }
+      .select(keys.map(k => col(s"_1.`$k`").as(k)) ++
+        CoreEmitCols.map(c => col(s"_2.`$c`").as(c)): _*)
   }
 }

@@ -7,6 +7,11 @@ import org.apache.spark.sql.functions._
 
 import java.sql.Timestamp
 
+/** Composite-key event shape for the [[StreamingAsOf.asOfEnrichRows]]
+  * cases — top-level so the encoder has no outer pointer. */
+case class RegionEv(user_id: Long, region: Long, event_id: Long,
+    ts: Timestamp, event_type: String)
+
 /** Stream ≡ batch parity for the as-of enrichment operator: the
   * streamed `(probe, matched ref)` pairs must equal the batch
   * [[graft.ops.AsOfJoin]] output — including the left-outer nulls,
@@ -168,5 +173,95 @@ class StreamingAsOfSpec extends SparkSuite {
       .select("event_id", "ref_event_id")
       .as[(Long, Option[Long])].collect().toSet
     assert(rows === Set((20L, Some(11L))))
+  }
+
+  test("rows face with a single key equals the typed face") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val maxUs = fixture.map(e => e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000L) % 1000L).max
+    val input = MemoryStream[TransEvent]
+    val out = StreamingAsOf.asOfEnrichRows(input.toDS().toDF(),
+      keys = Seq("user_id"), refType = "view", probeType = "purchase",
+      watermarkDelay = "3 hours")
+    val q = out.writeStream.format("memory").queryName("asof_rows1")
+      .outputMode("append").start()
+    try {
+      val (a, b) = fixture.zipWithIndex.partition(_._2 % 2 == 0)
+      input.addData(a.map(_._1)); q.processAllAvailable()
+      input.addData(b.map(_._1)); q.processAllAvailable()
+      sentinels(maxUs, 3L * 3600L * 1000000L).foreach { case (us, id) =>
+        input.addData(TransEvent(-1L, id, mkTs(us), "sentinel"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("asof_rows1").filter($"user_id" =!= -1L)
+      .select("event_id", "user_id", "ref_event_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(rows === runBatch(fixture, None))
+  }
+
+  test("composite keys partition on ALL key columns (no cross-region enrichment)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 60L * 1000000L
+    val input = MemoryStream[RegionEv]
+    val out = StreamingAsOf.asOfEnrichRows(input.toDS().toDF(),
+      keys = Seq("user_id", "region"), refType = "view",
+      probeType = "purchase", watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("asof_comp")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // ONE user, two regions: the region-1 purchase precedes any
+        // region-1 view, so a user-only grouping would (wrongly)
+        // enrich it from the region-0 view
+        RegionEv(9L, 0L, 1L, mkTs(T0), "view"),
+        RegionEv(9L, 1L, 2L, mkTs(T0 + m), "purchase"),
+        RegionEv(9L, 1L, 3L, mkTs(T0 + 2 * m), "view"),
+        RegionEv(9L, 0L, 4L, mkTs(T0 + 3 * m), "purchase"),
+        RegionEv(9L, 1L, 5L, mkTs(T0 + 4 * m), "purchase"),
+        // a second user sharing region 0: must not see user 9's view
+        RegionEv(8L, 0L, 6L, mkTs(T0 + 3 * m), "purchase"))
+      q.processAllAvailable()
+      sentinels(T0 + 4 * m, 3600L * 1000000L).foreach { case (us, id) =>
+        input.addData(RegionEv(-1L, 0L, id, mkTs(us), "sentinel"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("asof_comp").filter($"user_id" =!= -1L)
+      .select("event_id", "user_id", "region", "ref_event_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(rows === Set(
+      (2L, 9L, 1L, None),       // cross-region view must NOT enrich
+      (4L, 9L, 0L, Some(1L)),   // same-region match
+      (5L, 9L, 1L, Some(3L)),   // later same-region view matches
+      (6L, 8L, 0L, None)))      // cross-user view must NOT enrich
+  }
+
+  test("composite tolerance composes unchanged (match-then-null per key)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 60L * 1000000L
+    val input = MemoryStream[RegionEv]
+    val out = StreamingAsOf.asOfEnrichRows(input.toDS().toDF(),
+      keys = Seq("user_id", "region"), refType = "view",
+      probeType = "purchase", watermarkDelay = "0 seconds",
+      toleranceMicros = Some(30L * m))
+    val q = out.writeStream.format("memory").queryName("asof_comp_tol")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        RegionEv(9L, 0L, 1L, mkTs(T0), "view"),
+        RegionEv(9L, 0L, 2L, mkTs(T0 + 90 * m), "purchase"), // stale
+        RegionEv(9L, 1L, 3L, mkTs(T0 + 80 * m), "view"),
+        RegionEv(9L, 1L, 4L, mkTs(T0 + 95 * m), "purchase")) // fresh
+      q.processAllAvailable()
+      sentinels(T0 + 95 * m, 0L).foreach { case (us, id) =>
+        input.addData(RegionEv(-1L, 0L, id, mkTs(us), "sentinel"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("asof_comp_tol").filter($"user_id" =!= -1L)
+      .select("event_id", "region", "ref_event_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(rows === Set((2L, 0L, None), (4L, 1L, Some(3L))))
   }
 }

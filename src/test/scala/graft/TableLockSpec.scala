@@ -62,6 +62,69 @@ class TableLockSpec extends SparkSuite {
     assert(TableLock.holder(spark, t).isEmpty) // everyone released
   }
 
+  test("two concurrent read-modify-write writers lose no update under the lock") {
+    // The OCC deployment contract the reference configures
+    // (create_hudi_tables.py:176-183): each writer READS the current
+    // counter, computes +1, and publishes — the classic lost-update
+    // shape. The lock serializes the whole read-compute-publish
+    // window, so 2 writers × 10 rounds MUST land exactly 20 increments
+    // (an unlocked interleaving would overwrite concurrent reads of
+    // the same base value and end below 20).
+    val t = table()
+    val rounds = 10
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def readCtr(): Int = {
+      if (CommitLog(t, spark).latestCommit().isEmpty) return 0
+      val rows = TableOps.snapshot(spark, t)
+        .filter($"id" === "ctr").select("ver").collect()
+      if (rows.isEmpty) 0 else rows.head.getInt(0)
+    }
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => {
+        try {
+          for (_ <- 0 until rounds) {
+            TableLock.withLock(spark, t, waitMs = 120000L) {
+              val next = readCtr() + 1
+              TableOps.upsert(spark, t,
+                Seq(("ctr", next, s"v$next")).toDF("id", "ver", "payload"))
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer failed: ${Option(errors.peek())}")
+    assert(readCtr() === 2 * rounds, "an update was lost")
+    assert(CommitLog(t, spark).listCommits().length === 2 * rounds)
+    assert(TableLock.holder(spark, t).isEmpty)
+  }
+
+  test("a stale-head loser fails cleanly and publishes no torn manifest") {
+    // The last-line detector behind the lock: a writer that computed
+    // its commit on a stale timeline head (raced past the lock, or a
+    // deployment without one) must get a clean RETRYABLE failure from
+    // the pre-publish tripwire — and the failed commit must not
+    // appear on the timeline at all (publish is the atomic rename, so
+    // there is nothing torn to clean up).
+    val t = table()
+    TableOps.upsert(spark, t, Seq(("a", 1, "p")).toDF("id", "ver", "payload"))
+    val log = CommitLog(t, spark)
+    val staleHead = log.latestCommit()
+    // another writer lands a commit; the timeline head moves
+    TableOps.upsert(spark, t, Seq(("b", 1, "p")).toDF("id", "ver", "payload"))
+    val headAfter = log.latestCommit()
+    val before = log.listCommits().toSeq
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      log.logCommit("99999999999999999", expectedPrev = Some(staleHead))
+    }
+    assert(ex.getMessage.contains("NOT published"))
+    // nothing torn: the timeline is unchanged and the table reads fine
+    assert(log.listCommits().toSeq === before)
+    assert(log.latestCommit() === headAfter)
+    assert(TableOps.snapshot(spark, t).count() === 2)
+  }
+
   test("crashed holder's empty lock file expires by mtime and is stolen") {
     val t = table()
     // simulate a crash between create and payload write: an empty
