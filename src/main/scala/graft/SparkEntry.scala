@@ -140,6 +140,7 @@ object SparkEntry {
     "events_rolling"          -> (ExtQueries.eventsRolling _),
     "events_transitions"      -> (ExtQueries.eventsTransitions _),
     "stream_rolling_replay"   -> (ExtQueries.streamRollingReplay _),
+    "stream_rolling_composite_replay" -> (ExtQueries.streamRollingCompositeReplay _),
     "stream_transitions_replay" -> (ExtQueries.streamTransitionsReplay _),
     "stream_gapfill_replay"   -> (ExtQueries.streamGapfillReplay _),
     "stream_funnel_replay"    -> (ExtQueries.streamFunnelReplay _),
@@ -304,8 +305,10 @@ object SparkEntry {
     "stream_rolling_replay", "stream_gapfill_replay",
     "stream_asof_replay", "eval_calibrated_by", "i_incremental_ece_by",
     "stream_feature_store_replay", "stream_dedup_replay",
-    // r12: composite-key as-of consumption + feed-latency drift
-    "stream_asof_composite_replay", "stream_drift_replay")
+    // r12: composite-key as-of consumption + feed-latency drift +
+    // composite-key rolling generation
+    "stream_asof_composite_replay", "stream_drift_replay",
+    "stream_rolling_composite_replay")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -2534,6 +2537,19 @@ object SparkEntry {
     // the streaming replays are row-equal to their batch twins by the
     // finalize-on-watermark contract — same oracle, literally
     "stream_rolling_replay" -> eventsRollingSql,
+    // composite key: the same trailing window with the derived region
+    // in the PARTITION BY — per-(user, region) windows never mix
+    "stream_rolling_composite_replay" ->
+      """SELECT event_id, user_id,
+        |  CAST(event_id % 3 AS BIGINT) AS region,
+        |  count(*) OVER w AS roll_cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+        |    AS roll_sum
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id, event_id % 3
+        |   ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id""".stripMargin,
     // …and the feature-store landing (foreachBatch exactly-once upsert
     // -> snapshot) preserves that row-equality end to end
     "stream_feature_store_replay" -> eventsRollingSql,

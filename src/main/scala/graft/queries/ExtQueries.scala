@@ -1957,6 +1957,32 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Streaming replay of the COMPOSITE-KEY trailing rolling window
+    * ([[graft.streaming.StreamingFeatures.rollingRangeRows]]): the
+    * 1-hour count+sum computed per (user_id, region) — region derived
+    * deterministically from event_id so neither key column alone
+    * determines the group — value-oracled against the batch SQL with
+    * the composite PARTITION BY. The multi-tenant feature-generation
+    * face: one entity's events in different shards never share a
+    * window.
+    */
+  def streamRollingCompositeReplay(s: SparkSession, dir: String): DataFrame = {
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "value")
+    replayEventsStream(s, proj, "streamrollcomp") { (src, chk, qname) =>
+      val in = s.readStream.schema(proj.schema).parquet(src)
+        .withColumn("region", pmod(col("event_id"), lit(3L)))
+      graft.streaming.StreamingFeatures
+        .rollingRangeRows(in, keys = Seq("user_id", "region"),
+          trailingMicros = 3600L * 1000000L,
+          watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }.select("event_id", "user_id", "region", "roll_cnt", "roll_sum")
+      .orderBy("event_id")
+  }
+
   /** Streaming replay of the COMPOSITE-KEY as-of enrichment
     * ([[graft.streaming.StreamingAsOf.asOfEnrichRows]]): purchases
     * enriched with the most recent prior view under a TWO-column key

@@ -84,9 +84,14 @@ object StreamingFeatures {
   private def round6(v: Double): JBigDecimal =
     JBigDecimal.valueOf(v).setScale(6, RoundingMode.HALF_UP)
 
-  private[streaming] def rollStep(trailingMicros: Long)(userId: Long,
-      it: Iterator[RollEvent], st: GroupState[RollState])
-      : Iterator[RollEmit] = {
+  /** Key-agnostic emission of the rolling state machine; each face
+    * re-attaches its key shape. */
+  final case class RollCoreEmit(event_id: Long, roll_cnt: Long,
+      roll_sum: Double)
+
+  private[streaming] def rollCoreStep(trailingMicros: Long,
+      incomingIt: Iterator[BufEv], st: GroupState[RollState])
+      : Iterator[RollCoreEmit] = {
     val prev = st.getOption.getOrElse(RollState(Long.MinValue, Nil))
     val wmUs = st.getCurrentWatermarkMs() * 1000L
     // rows strictly below the emitted frontier are conclusively late
@@ -94,8 +99,7 @@ object StreamingFeatures {
     // windows) — dropped per the watermark contract; a row AT the
     // frontier was never finalized (strict-below emission), so it is
     // kept regardless of which boundary convention the gate uses
-    val incoming = it.map(e => BufEv(e.event_id, tsUs(e.ts), e.value))
-      .filter(_.tsUs >= prev.frontierUs).toSeq
+    val incoming = incomingIt.filter(_.tsUs >= prev.frontierUs).toSeq
     val buf = prev.buf ++ incoming
     // one sort + exact-decimal prefix sums, frames found by binary
     // search — O(n log n) per invocation even when a whole key
@@ -119,7 +123,7 @@ object StreamingFeatures {
       .map { e =>
         val lo = bound(e.tsUs - trailingMicros, inclusive = false)
         val hi = bound(e.tsUs, inclusive = true)
-        RollEmit(e.id, userId, (hi - lo).toLong,
+        RollCoreEmit(e.id, (hi - lo).toLong,
           prefix(hi).subtract(prefix(lo)).doubleValue)
       }
     val frontier = math.max(prev.frontierUs, wmUs)
@@ -140,6 +144,13 @@ object StreamingFeatures {
     out.iterator
   }
 
+  private[streaming] def rollStep(trailingMicros: Long)(userId: Long,
+      it: Iterator[RollEvent], st: GroupState[RollState])
+      : Iterator[RollEmit] =
+    rollCoreStep(trailingMicros,
+      it.map(e => BufEv(e.event_id, tsUs(e.ts), e.value)), st)
+      .map(c => RollEmit(c.event_id, userId, c.roll_cnt, c.roll_sum))
+
   /** Streaming trailing time-range rolling count + sum per key over
     * `[ts − trailingMicros, ts]`, finalized at the watermark. The
     * caller's `watermarkDelay` is the disorder bound ("0 seconds" for
@@ -152,6 +163,62 @@ object StreamingFeatures {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(rollStep(trailingMicros))
+  }
+
+  /** Column names [[rollingRangeRows]] appends to the key columns. */
+  private val RollEmitCols = Seq("event_id", "roll_cnt", "roll_sum")
+
+  /** Composite-key face of [[rollingRange]] — the same generalization
+    * [[StreamingAsOf.asOfEnrichRows]] gives the as-of operator: a
+    * (user, region)-keyed feature stream computes its trailing window
+    * per COMPOSITE key (hash-partitioned on all key columns via one
+    * key struct through `flatMapGroupsWithState`), so events never
+    * leak across tenants/shards sharing one entity id. Same state
+    * machine, same single shuffle; key arity never touches per-key
+    * state size. `events` must carry a TIMESTAMP `tsCol`, a LONG
+    * `idCol` (unique per event), a numeric `valueCol` (cast to
+    * double), and the key columns; output = key columns +
+    * (event_id, roll_cnt, roll_sum). */
+  def rollingRangeRows(events: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], trailingMicros: Long, watermarkDelay: String,
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: String = "value"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.functions.col
+    require(trailingMicros > 0, "trailingMicros must be positive")
+    require(keys.nonEmpty, "rollingRangeRows needs at least one key column")
+    val clash = keys.filter(RollEmitCols.contains)
+    require(clash.isEmpty, s"key columns ${clash.mkString(", ")} collide " +
+      s"with the emitted columns (${RollEmitCols.mkString(", ")})")
+    // normalize the value to double up front so the step sees one type
+    val norm = events.withColumn(valueCol, col(valueCol).cast("double"))
+    val schema = norm.schema
+    val tsIdx = schema.fieldIndex(tsCol)
+    require(schema(tsIdx).dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"column $tsCol must be TIMESTAMP, got ${schema(tsIdx).dataType}")
+    val idIdx = schema.fieldIndex(idCol)
+    require(schema(idIdx).dataType == org.apache.spark.sql.types.LongType,
+      s"column $idCol must be LONG, got ${schema(idIdx).dataType}")
+    val vIdx = schema.fieldIndex(valueCol)
+    val keyIdx = keys.map(schema.fieldIndex)
+    implicit val keyEnc: Encoder[Row] = Encoders.row(
+      org.apache.spark.sql.types.StructType(keyIdx.map(schema(_))))
+    implicit val outEnc: Encoder[(Row, RollCoreEmit)] =
+      Encoders.tuple(keyEnc, Encoders.product[RollCoreEmit])
+    implicit val stateEnc: Encoder[RollState] = Encoders.product[RollState]
+    norm.withWatermark(tsCol, watermarkDelay)
+      .groupByKey((r: Row) => Row.fromSeq(keyIdx.map(r.get)): Row)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (k: Row, it: Iterator[Row], st: GroupState[RollState]) =>
+          rollCoreStep(trailingMicros,
+            it.map(r => BufEv(r.getLong(idIdx),
+              tsUs(r.getAs[Timestamp](tsIdx)), r.getDouble(vIdx))), st)
+            .map(c => (k, c))
+      }
+      .select(keys.map(k => col(s"_1.`$k`").as(k)) ++
+        RollEmitCols.map(c => col(s"_2.`$c`").as(c)): _*)
   }
 
   // ---- gap-fill LOCF ----------------------------------------------

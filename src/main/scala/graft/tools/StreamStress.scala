@@ -85,8 +85,11 @@ object StreamStress {
         (pmod(col("id"), lit(100L))).cast("double").as("value"),
         when(col("round") % 2 === 0, "view")
           .otherwise("purchase").as("event_type"))
+    // 8 parquet files per slice + maxFilesPerTrigger=8 ⇒ one
+    // micro-batch per slice (a 32-file slice would shatter into 32
+    // batches and measure micro-batch overhead, not state work)
     (0 until files).foreach(f =>
-      slice(f).write.mode("append").parquet(srcDir))
+      slice(f).coalesce(8).write.mode("append").parquet(srcDir))
     // sentinel slice: far-future row flushes every key's tail
     spark.range(1).select(lit(-1L).as("user_id"),
         lit(-1L).as("event_id"),
@@ -96,7 +99,7 @@ object StreamStress {
 
     val schema = spark.read.parquet(srcDir).schema
     val in = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .option("maxFilesPerTrigger", 8).parquet(srcDir)
 
     import spark.implicits._
     val q: StreamingQuery = (op match {
@@ -135,12 +138,14 @@ object StreamStress {
     try q.processAllAvailable() finally {
       val wall = (System.nanoTime() - t0) / 1e9
       val rows = keys * epk + 1L
-      val st = q.recentProgress.reverse
-        .find(p => p.stateOperators.nonEmpty && p.numInputRows > 0)
-        .orElse(q.recentProgress.reverse.find(_.stateOperators.nonEmpty))
-        .map(_.stateOperators.head)
-      val stateRows = st.map(_.numRowsTotal).getOrElse(-1L)
-      val stateMem = st.map(_.memoryUsedBytes).getOrElse(-1L)
+      // PEAK state across the run (the capacity number), plus the
+      // post-flush tail (what a long-lived deployment carries forever)
+      val sts = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty).map(_.stateOperators.head)
+      val stateRows = if (sts.isEmpty) -1L else sts.map(_.numRowsTotal).max
+      val stateMem = if (sts.isEmpty) -1L
+        else sts.map(_.memoryUsedBytes).max
+      val tailRows = sts.lastOption.map(_.numRowsTotal).getOrElse(-1L)
       q.stop()
       // on-disk truth both providers checkpoint (HDFS: delta/snapshot
       // files; RocksDB: SST + changelog)
@@ -155,8 +160,8 @@ object StreamStress {
       println(f"""STRESS {"op":"$op","keys":$keys,"events_per_key":$epk,""" +
         f""""files":$files,"provider":"$provider","rows":$rows,""" +
         f""""wall_sec":$wall%.2f,"rows_per_sec":${rows / wall}%.0f,""" +
-        f""""state_rows":$stateRows,"state_mem_bytes":$stateMem,""" +
-        f""""state_disk_bytes":$diskBytes}""")
+        f""""state_rows_peak":$stateRows,"state_mem_bytes_peak":$stateMem,""" +
+        f""""state_rows_tail":$tailRows,"state_disk_bytes":$diskBytes}""")
     }
     spark.stop()
     // scratch cleanup: stress dirs can be GBs

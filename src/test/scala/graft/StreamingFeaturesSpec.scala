@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
 
 import java.sql.Timestamp
 
+/** Composite-key event shape for the
+  * [[StreamingFeatures.rollingRangeRows]] cases — top-level so the
+  * encoder has no outer pointer. */
+case class RollRegionEv(user_id: Long, region: Long, event_id: Long,
+    ts: Timestamp, value: Double)
+
 /** Stream ≡ batch row-equality for the finalize-on-watermark feature
   * operators, pinned under adversarial arrival order (events split
   * into interleaved chunks, disorder inside the watermark delay) and
@@ -73,6 +79,70 @@ class StreamingFeaturesSpec extends SparkSuite {
       .select("event_id", "user_id", "roll_cnt", "roll_sum")
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("rolling rows face with a single key equals the typed face") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = syntheticRoll
+    val maxUs = events.map(e => e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000L) % 1000L).max
+    val input = MemoryStream[RollEvent]
+    val out = StreamingFeatures.rollingRangeRows(input.toDS().toDF(),
+      keys = Seq("user_id"), trailingMicros = 600L * 1000000L,
+      watermarkDelay = "3 hours")
+    val q = out.writeStream.format("memory").queryName("roll_rows1")
+      .outputMode("append").start()
+    try {
+      val (a, b) = events.zipWithIndex.partition(_._2 % 2 == 0)
+      input.addData(a.map(_._1)); q.processAllAvailable()
+      input.addData(b.map(_._1)); q.processAllAvailable()
+      sentinels(maxUs, 3L * 3600L * 1000000L).foreach { case (us, id) =>
+        input.addData(RollEvent(-1L, id, mkTs(us), 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("roll_rows1").filter($"user_id" =!= -1L)
+      .select("event_id", "user_id", "roll_cnt", "roll_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = TimeSeries.rollingRange(events.toDF(), "user_id", "ts",
+        "value", trailingMicros = 600L * 1000000L)
+      .select("event_id", "user_id", "roll_cnt", "roll_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
+  test("composite-key rolling windows never mix across regions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 60L * 1000000L
+    val input = MemoryStream[RollRegionEv]
+    val out = StreamingFeatures.rollingRangeRows(input.toDS().toDF(),
+      keys = Seq("user_id", "region"),
+      trailingMicros = 10L * m, watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("roll_comp")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // ONE user, two regions inside one 10-minute span: a
+        // user-only grouping would count all three in event 3's frame
+        RollRegionEv(5L, 0L, 1L, mkTs(T0), 1.0),
+        RollRegionEv(5L, 0L, 2L, mkTs(T0 + 5 * m), 2.0),
+        RollRegionEv(5L, 1L, 3L, mkTs(T0 + 6 * m), 4.0),
+        // second user in region 0, same span: must not join user 5's
+        RollRegionEv(6L, 0L, 4L, mkTs(T0 + 7 * m), 8.0))
+      q.processAllAvailable()
+      sentinels(T0 + 7 * m, 3600L * 1000000L).foreach { case (us, id) =>
+        input.addData(RollRegionEv(-1L, 0L, id, mkTs(us), 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("roll_comp").filter($"user_id" =!= -1L)
+      .select("event_id", "user_id", "region", "roll_cnt", "roll_sum")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(rows === Set(
+      (1L, 5L, 0L, 1L, 1.0),
+      (2L, 5L, 0L, 2L, 3.0),  // same (user, region): window accrues
+      (3L, 5L, 1L, 1L, 4.0),  // other region: fresh window
+      (4L, 6L, 0L, 1L, 8.0))) // other user, same region: fresh window
   }
 
   test("streaming rollingRange drops disorder beyond the watermark") {
