@@ -116,6 +116,12 @@ object Bench {
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
       .filter(n => subset.forall(_.contains(n)))
       .filter(n => families.forall(_.exists(n.startsWith)))
+    // an empty board is always a bug (empty env string, or a subset ∩
+    // families intersection that validated per-filter but selects
+    // nothing) — fail loudly instead of publishing a zero-query artifact
+    require(names.nonEmpty, "no bench queries selected: check " +
+      "SPARK_GRAFT_BENCH_QUERIES / SPARK_GRAFT_BENCH_FAMILIES " +
+      "(each filter validated individually but their combination is empty)")
     // warm-up pass at the small scale factor
     names.foreach { n =>
       try { execute(n, warmDir); resetCaches() }

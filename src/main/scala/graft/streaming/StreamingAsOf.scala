@@ -3,7 +3,7 @@ package graft.streaming
 import graft.streaming.StreamingFeatures.TransEvent
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 
 import java.sql.Timestamp
@@ -209,15 +209,9 @@ object StreamingAsOf {
     require(clash.isEmpty, s"key columns ${clash.mkString(", ")} collide " +
       s"with the emitted columns (${CoreEmitCols.mkString(", ")})")
     val schema = events.schema
-    def typed(name: String, t: org.apache.spark.sql.types.DataType): Int = {
-      val i = schema.fieldIndex(name) // throws with the column name
-      require(schema(i).dataType == t,
-        s"column $name must be $t, got ${schema(i).dataType}")
-      i
-    }
-    val tsIdx = typed(tsCol, TimestampType)
-    val idIdx = typed(idCol, LongType)
-    val typeIdx = typed(typeCol, StringType)
+    val tsIdx = RowFaces.timestampField(schema, tsCol)
+    val idIdx = RowFaces.fieldOfType(schema, idCol, LongType)
+    val typeIdx = RowFaces.fieldOfType(schema, typeCol, StringType)
     val keyIdx = keys.map(schema.fieldIndex)
     implicit val keyEnc: Encoder[Row] =
       Encoders.row(StructType(keyIdx.map(schema(_))))
@@ -234,7 +228,7 @@ object StreamingAsOf {
         GroupStateTimeout.EventTimeTimeout) {
         (k: Row, it: Iterator[Row], st: GroupState[AsOfState]) =>
           coreStep(toleranceMicros,
-            it.map(r => AsOfEv(tsUs(r.getAs[Timestamp](tsIdx)),
+            it.map(r => AsOfEv(RowFaces.tsMicros(r, tsIdx, tsCol),
               r.getLong(idIdx), r.getString(typeIdx) == refType)),
             st).map(c => (k, c))
       }

@@ -190,16 +190,15 @@ object StreamingFeatures {
     val clash = keys.filter(RollEmitCols.contains)
     require(clash.isEmpty, s"key columns ${clash.mkString(", ")} collide " +
       s"with the emitted columns (${RollEmitCols.mkString(", ")})")
-    // normalize the value to double up front so the step sees one type
+    // the value must be numeric at CALL time (a string column would
+    // cast to all-nulls silently); the cast below then gives the step
+    // one runtime type
+    RowFaces.numericField(events.schema, valueCol)
     val norm = events.withColumn(valueCol, col(valueCol).cast("double"))
     val schema = norm.schema
-    val tsIdx = schema.fieldIndex(tsCol)
-    require(schema(tsIdx).dataType ==
-      org.apache.spark.sql.types.TimestampType,
-      s"column $tsCol must be TIMESTAMP, got ${schema(tsIdx).dataType}")
-    val idIdx = schema.fieldIndex(idCol)
-    require(schema(idIdx).dataType == org.apache.spark.sql.types.LongType,
-      s"column $idCol must be LONG, got ${schema(idIdx).dataType}")
+    val tsIdx = RowFaces.timestampField(schema, tsCol)
+    val idIdx = RowFaces.fieldOfType(schema, idCol,
+      org.apache.spark.sql.types.LongType)
     val vIdx = schema.fieldIndex(valueCol)
     val keyIdx = keys.map(schema.fieldIndex)
     implicit val keyEnc: Encoder[Row] = Encoders.row(
@@ -214,7 +213,8 @@ object StreamingFeatures {
         (k: Row, it: Iterator[Row], st: GroupState[RollState]) =>
           rollCoreStep(trailingMicros,
             it.map(r => BufEv(r.getLong(idIdx),
-              tsUs(r.getAs[Timestamp](tsIdx)), r.getDouble(vIdx))), st)
+              RowFaces.tsMicros(r, tsIdx, tsCol),
+              RowFaces.doubleCell(r, vIdx, valueCol))), st)
             .map(c => (k, c))
       }
       .select(keys.map(k => col(s"_1.`$k`").as(k)) ++

@@ -13,11 +13,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Generates an in-order event stream fully distributed (spark.range +
   * hash-derived columns, no driver-side data): `keys` distinct keys ×
   * `eventsPerKey` events each, event time advancing one 30-minute step
-  * per round, written as `files` parquet slices so
-  * `maxFilesPerTrigger=1` makes each slice one micro-batch (watermark
+  * per round, written as `files` slices of 8 parquet files each so
+  * `maxFilesPerTrigger=8` makes each slice one micro-batch (watermark
   * 0s ⇒ every batch finalizes the previous slice across ALL keys —
   * the state path bears full weight every batch). A final far-future
-  * sentinel slice flushes the tail.
+  * sentinel slice flushes the tail. The run SELF-CHECKS that the
+  * source actually delivered every generated row (`input_rows` in the
+  * output vs the expected count) — mtime ties between adjacent slice
+  * writes could otherwise reorder files and let the admission gate
+  * drop rows silently, publishing an inflated rows/sec.
   *
   * Ops (the four stateful families on the driver board):
   *   - `rolling`  — [[graft.streaming.StreamingFeatures.rollingRange]]
@@ -135,17 +139,30 @@ object StreamStress {
     }).format("noop").option("checkpointLocation", chk).start()
 
     val t0 = System.nanoTime()
-    try q.processAllAvailable() finally {
+    // the STRESS line prints ONLY on success — a crashed run must not
+    // land in the sweep artifact looking like a measurement
+    try {
+      q.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
       val rows = keys * epk + 1L
       // PEAK state across the run (the capacity number), plus the
       // post-flush tail (what a long-lived deployment carries forever)
-      val sts = q.recentProgress.toSeq
+      val progress = q.recentProgress.toSeq
+      val sts = progress
         .filter(_.stateOperators.nonEmpty).map(_.stateOperators.head)
       val stateRows = if (sts.isEmpty) -1L else sts.map(_.numRowsTotal).max
       val stateMem = if (sts.isEmpty) -1L
         else sts.map(_.memoryUsedBytes).max
       val tailRows = sts.lastOption.map(_.numRowsTotal).getOrElse(-1L)
+      // delivery self-check: every generated row must have entered the
+      // stream (caveat: recentProgress keeps the last ~100 updates, so
+      // with >100 micro-batches this undercounts — files is ≤ ~25 in
+      // every sweep config)
+      val inputRows = progress.map(_.numInputRows).sum
+      require(inputRows == rows, s"source delivered $inputRows of $rows " +
+        "generated rows — mtime-tied slice files were reordered past the " +
+        "watermark (or progress history overflowed); this run's numbers " +
+        "are not publishable")
       q.stop()
       // on-disk truth both providers checkpoint (HDFS: delta/snapshot
       // files; RocksDB: SST + changelog)
@@ -159,10 +176,11 @@ object StreamStress {
         } else -1L
       println(f"""STRESS {"op":"$op","keys":$keys,"events_per_key":$epk,""" +
         f""""files":$files,"provider":"$provider","rows":$rows,""" +
+        f""""input_rows":$inputRows,""" +
         f""""wall_sec":$wall%.2f,"rows_per_sec":${rows / wall}%.0f,""" +
         f""""state_rows_peak":$stateRows,"state_mem_bytes_peak":$stateMem,""" +
         f""""state_rows_tail":$tailRows,"state_disk_bytes":$diskBytes}""")
-    }
+    } finally if (q.isActive) q.stop()
     spark.stop()
     // scratch cleanup: stress dirs can be GBs
     def rm(p: java.nio.file.Path): Unit = {
