@@ -148,6 +148,8 @@ object SparkEntry {
     "stream_asof_replay"      -> (ExtQueries.streamAsofReplay _),
     "stream_asof_tolerance_replay" -> (ExtQueries.streamAsofToleranceReplay _),
     "stream_asof_composite_replay" -> (ExtQueries.streamAsofCompositeReplay _),
+    "stream_transitions_composite_replay" -> (ExtQueries.streamTransitionsCompositeReplay _),
+    "stream_gapfill_composite_replay" -> (ExtQueries.streamGapfillCompositeReplay _),
     "stream_feature_store_replay" -> (ExtQueries.streamFeatureStoreReplay _),
     "stream_dedup_replay"     -> (ExtQueries.streamDedupReplay _),
     "stream_sessions_replay"  -> (ExtQueries.streamSessionsReplay _),
@@ -305,10 +307,11 @@ object SparkEntry {
     "stream_rolling_replay", "stream_gapfill_replay",
     "stream_asof_replay", "eval_calibrated_by", "i_incremental_ece_by",
     "stream_feature_store_replay", "stream_dedup_replay",
-    // r12: composite-key as-of consumption + feed-latency drift +
-    // composite-key rolling generation
+    // r12: composite-key streaming faces + feed-latency drift
     "stream_asof_composite_replay", "stream_drift_replay",
-    "stream_rolling_composite_replay")
+    "stream_rolling_composite_replay",
+    "stream_gapfill_composite_replay",
+    "stream_transitions_composite_replay")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -2537,6 +2540,48 @@ object SparkEntry {
     // the streaming replays are row-equal to their batch twins by the
     // finalize-on-watermark contract — same oracle, literally
     "stream_rolling_replay" -> eventsRollingSql,
+    // composite key: per-(user, region) Markov chains — the same lead
+    // with the derived region in the PARTITION BY, report per region
+    "stream_transitions_composite_replay" ->
+      """WITH seq AS (SELECT user_id,
+        |   CAST(event_id % 3 AS BIGINT) AS region,
+        |   event_type AS from_state,
+        |   lead(event_type) OVER (PARTITION BY user_id, event_id % 3
+        |     ORDER BY ts, event_id) AS to_state
+        |  FROM events),
+        | c AS (SELECT region, from_state, to_state, count(*) AS n
+        |  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2, 3)
+        | SELECT region, from_state, to_state, n,
+        |  CAST(n AS DOUBLE) /
+        |   CAST(sum(n) OVER (PARTITION BY region, from_state) AS BIGINT)
+        |   AS p
+        | FROM c ORDER BY region, from_state, to_state""".stripMargin,
+    // composite key: the same daily LOCF spine with the derived region
+    // in every partition/spine CTE — one region's value never fills
+    // another region's gap
+    "stream_gapfill_composite_replay" ->
+      """WITH base AS (SELECT user_id AS k,
+        |   CAST(event_id % 3 AS BIGINT) AS region,
+        |   epoch_us(ts) - epoch_us(ts) % 86400000000 AS slot, ts, value
+        |  FROM events),
+        | rep AS (SELECT k, region, slot, value FROM (
+        |   SELECT k, region, slot, value, row_number()
+        |     OVER (PARTITION BY k, region, slot
+        |       ORDER BY ts DESC, value DESC) AS rn FROM base)
+        |  WHERE rn = 1),
+        | spine AS (SELECT k, region,
+        |   unnest(generate_series(lo, hi, 86400000000)) AS slot
+        |  FROM (SELECT k, region, min(slot) AS lo, max(slot) AS hi
+        |   FROM base GROUP BY k, region)),
+        | j AS (SELECT s.k, s.region, s.slot, rep.value AS v
+        |  FROM spine s LEFT JOIN rep ON rep.k = s.k
+        |   AND rep.region = s.region AND rep.slot = s.slot)
+        | SELECT k AS user_id, region, make_timestamp(slot) AS slot_ts,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY k, region
+        |    ORDER BY slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  v IS NOT NULL AS is_observed
+        | FROM j ORDER BY user_id, region, slot_ts""".stripMargin,
     // composite key: the same trailing window with the derived region
     // in the PARTITION BY — per-(user, region) windows never mix
     "stream_rolling_composite_replay" ->

@@ -2039,6 +2039,59 @@ object ExtQueries {
       .orderBy("from_state", "to_state")
   }
 
+  /** Streaming replay of the COMPOSITE-KEY transitions
+    * ([[graft.streaming.StreamingFeatures.transitionsRows]]):
+    * per-(user_id, region) Markov chains — one user's events in
+    * different regions never chain together — aggregated to the
+    * per-region transition report and value-oracled against the batch
+    * SQL with the composite PARTITION BY.
+    */
+  def streamTransitionsCompositeReplay(s: SparkSession, dir: String)
+      : DataFrame = {
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    val pairs = replayEventsStream(s, proj, "streamtranscomp") {
+      (src, chk, qname) =>
+        val in = s.readStream.schema(proj.schema).parquet(src)
+          .withColumn("region", pmod(col("event_id"), lit(3L)))
+        graft.streaming.StreamingFeatures
+          .transitionsRows(in, keys = Seq("user_id", "region"),
+            watermarkDelay = "0 seconds")
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", chk)
+          .outputMode("append").start()
+    }
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("region", "from_state")
+    pairs.groupBy("region", "from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(wf))
+      .orderBy("region", "from_state", "to_state")
+  }
+
+  /** Streaming replay of the COMPOSITE-KEY gap-fill
+    * ([[graft.streaming.StreamingFeatures.gapFillLocfRows]]): the
+    * dense daily LOCF spine per (user_id, region) — one region's value
+    * never fills another region's gap — value-oracled against the
+    * batch SQL with the composite key in every partition/spine CTE.
+    */
+  def streamGapfillCompositeReplay(s: SparkSession, dir: String)
+      : DataFrame = {
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "value")
+    replayEventsStream(s, proj, "streamgapcomp") { (src, chk, qname) =>
+      val in = s.readStream.schema(proj.schema).parquet(src)
+        .withColumn("region", pmod(col("event_id"), lit(3L)))
+      graft.streaming.StreamingFeatures
+        .gapFillLocfRows(in, keys = Seq("user_id", "region"),
+          stepMicros = 86400L * 1000000L, watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", chk)
+        .outputMode("append").start()
+    }.select("user_id", "region", "slot_ts", "value", "is_observed")
+      .orderBy("user_id", "region", "slot_ts")
+  }
+
   /** Trailing 1-hour time-RANGE rolling count + sum per user — the
     * feature-generation window a ROWS frame cannot express on a
     * sparse stream.

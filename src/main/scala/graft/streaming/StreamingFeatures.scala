@@ -237,16 +237,17 @@ object StreamingFeatures {
   private[streaming] final case class GapState(emittedUpTo: Long,
       lastVal: Double, hasLast: Boolean, obs: Seq[ObsEv])
 
-  private def gapStep(stepMicros: Long)(userId: Long,
-      it: Iterator[RollEvent], st: GroupState[GapState])
-      : Iterator[GapEmit] = {
+  /** Key-agnostic emission of the gap-fill state machine. */
+  final case class GapCoreEmit(slot_ts: Timestamp, value: Double,
+      is_observed: Boolean)
+
+  private[streaming] def gapCoreStep(stepMicros: Long,
+      incomingIt: Iterator[ObsEv], st: GroupState[GapState])
+      : Iterator[GapCoreEmit] = {
     val prev = st.getOption.getOrElse(
       GapState(Long.MinValue, 0.0, hasLast = false, Nil))
     val wmUs = st.getCurrentWatermarkMs() * 1000L
-    val incoming = it.map { e =>
-      val us = tsUs(e.ts)
-      ObsEv(us - math.floorMod(us, stepMicros), us, e.value)
-    }.toSeq
+    val incoming = incomingIt.toSeq
     val obs = prev.obs ++ incoming
     // a slot is conclusively closed once the watermark reaches its
     // END: every admissible future event has ts >= wm >= slotEnd, so
@@ -266,7 +267,7 @@ object StreamingFeatures {
     val to = math.min(closedMax, spineMax)
     val bySlot = obs.groupBy(_.slot)
     var lastVal = prev.lastVal; var hasLast = prev.hasLast
-    val out = scala.collection.mutable.ArrayBuffer.empty[GapEmit]
+    val out = scala.collection.mutable.ArrayBuffer.empty[GapCoreEmit]
     def slotTs(us: Long): Timestamp = {
       val t = new Timestamp(us / 1000L)
       t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
@@ -278,11 +279,11 @@ object StreamingFeatures {
         case Some(es) =>
           val rep = es.maxBy(e => (e.tsUs, e.v))
           lastVal = rep.v; hasLast = true
-          out += GapEmit(userId, slotTs(s), lastVal, is_observed = true)
+          out += GapCoreEmit(slotTs(s), lastVal, is_observed = true)
         case None =>
           // from starts at the first OBSERVED slot, so a gap slot
           // always has a carried value
-          out += GapEmit(userId, slotTs(s), lastVal, is_observed = false)
+          out += GapCoreEmit(slotTs(s), lastVal, is_observed = false)
       }
       s += stepMicros
     }
@@ -304,6 +305,14 @@ object StreamingFeatures {
     out.iterator
   }
 
+  private def gapStep(stepMicros: Long)(userId: Long,
+      it: Iterator[RollEvent], st: GroupState[GapState])
+      : Iterator[GapEmit] =
+    gapCoreStep(stepMicros, it.map { e =>
+      val us = tsUs(e.ts)
+      ObsEv(us - math.floorMod(us, stepMicros), us, e.value)
+    }, st).map(c => GapEmit(userId, c.slot_ts, c.value, c.is_observed))
+
   /** Streaming fixed-step gap-fill with LOCF, finalized at the
     * watermark: per key, emits the dense slot spine from the first
     * observation onward as slots close, carrying the latest observed
@@ -318,6 +327,51 @@ object StreamingFeatures {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(gapStep(stepMicros))
+  }
+
+  /** Column names [[gapFillLocfRows]] appends to the key columns. */
+  private val GapEmitCols = Seq("slot_ts", "value", "is_observed")
+
+  /** Composite-key face of [[gapFillLocf]] (the [[rollingRangeRows]]
+    * pattern): the dense LOCF slot spine per COMPOSITE key — a
+    * (sensor, channel)- or (user, region)-keyed series gap-fills per
+    * channel, never carrying one channel's value into another's gap.
+    * Output = key columns + (slot_ts, value, is_observed). */
+  def gapFillLocfRows(events: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], stepMicros: Long, watermarkDelay: String,
+      tsCol: String = "ts", valueCol: String = "value")
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.functions.col
+    require(stepMicros > 0, "stepMicros must be positive")
+    require(keys.nonEmpty, "gapFillLocfRows needs at least one key column")
+    val clash = keys.filter(GapEmitCols.contains)
+    require(clash.isEmpty, s"key columns ${clash.mkString(", ")} collide " +
+      s"with the emitted columns (${GapEmitCols.mkString(", ")})")
+    RowFaces.numericField(events.schema, valueCol)
+    val norm = events.withColumn(valueCol, col(valueCol).cast("double"))
+    val schema = norm.schema
+    val tsIdx = RowFaces.timestampField(schema, tsCol)
+    val vIdx = schema.fieldIndex(valueCol)
+    val keyIdx = keys.map(schema.fieldIndex)
+    implicit val keyEnc: Encoder[Row] = Encoders.row(
+      org.apache.spark.sql.types.StructType(keyIdx.map(schema(_))))
+    implicit val outEnc: Encoder[(Row, GapCoreEmit)] =
+      Encoders.tuple(keyEnc, Encoders.product[GapCoreEmit])
+    implicit val stateEnc: Encoder[GapState] = Encoders.product[GapState]
+    norm.withWatermark(tsCol, watermarkDelay)
+      .groupByKey((r: Row) => Row.fromSeq(keyIdx.map(r.get)): Row)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (k: Row, it: Iterator[Row], st: GroupState[GapState]) =>
+          gapCoreStep(stepMicros, it.map { r =>
+            val us = RowFaces.tsMicros(r, tsIdx, tsCol)
+            ObsEv(us - math.floorMod(us, stepMicros), us,
+              RowFaces.doubleCell(r, vIdx, valueCol))
+          }, st).map(c => (k, c))
+      }
+      .select(keys.map(k => col(s"_1.`$k`").as(k)) ++
+        GapEmitCols.map(c => col(s"_2.`$c`").as(c)): _*)
   }
 
   // ---- transitions ------------------------------------------------
@@ -340,12 +394,14 @@ object StreamingFeatures {
   private[streaming] final case class TransState(frontierUs: Long,
       pending: Seq[PendEv], last: Option[PendEv])
 
-  private[streaming] def transStep(userId: Long, it: Iterator[TransEvent],
-      st: GroupState[TransState]): Iterator[TransEmit] = {
+  /** Key-agnostic emission of the transition state machine. */
+  final case class TransCoreEmit(from_state: String, to_state: String)
+
+  private[streaming] def transCoreStep(incomingIt: Iterator[PendEv],
+      st: GroupState[TransState]): Iterator[TransCoreEmit] = {
     val prev = st.getOption.getOrElse(TransState(Long.MinValue, Nil, None))
     val wmUs = st.getCurrentWatermarkMs() * 1000L
-    val incoming = it.map(e => PendEv(tsUs(e.ts), e.event_id, e.event_type))
-      .filter(_.tsUs >= prev.frontierUs).toSeq
+    val incoming = incomingIt.filter(_.tsUs >= prev.frontierUs).toSeq
     val all = prev.pending ++ incoming
     // strictly below the watermark: a row AT the watermark may still
     // arrive (Spark's gate drops only strictly-below), so it is not
@@ -354,7 +410,7 @@ object StreamingFeatures {
     val ready = readyU.sortBy(e => (e.tsUs, e.id))
     val chain = prev.last.toSeq ++ ready
     val out = chain.iterator.sliding(2).withPartial(false)
-      .map { case Seq(a, b) => TransEmit(userId, a.state, b.state) }
+      .map { case Seq(a, b) => TransCoreEmit(a.state, b.state) }
       .toSeq
     val frontier = math.max(prev.frontierUs, wmUs)
     val last = ready.lastOption.orElse(prev.last)
@@ -367,6 +423,12 @@ object StreamingFeatures {
     out.iterator
   }
 
+  private[streaming] def transStep(userId: Long, it: Iterator[TransEvent],
+      st: GroupState[TransState]): Iterator[TransEmit] =
+    transCoreStep(
+      it.map(e => PendEv(tsUs(e.ts), e.event_id, e.event_type)), st)
+      .map(c => TransEmit(userId, c.from_state, c.to_state))
+
   /** Streaming Markov-transition pair extraction per key, finalized at
     * the watermark: emits one `(key, from_state, to_state)` row per
     * adjacent pair in the (ts, event_id) order, exactly the pairs the
@@ -378,6 +440,51 @@ object StreamingFeatures {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(transStep)
+  }
+
+  /** Column names [[transitionsRows]] appends to the key columns. */
+  private val TransEmitCols = Seq("from_state", "to_state")
+
+  /** Composite-key face of [[transitions]]: adjacent-pair extraction
+    * per COMPOSITE key — per-(user, region) Markov chains, so one
+    * entity's sessions in different tenants never chain together.
+    * Output = key columns + (from_state, to_state), one row per
+    * finalized adjacent pair in (ts, id) order within the key. */
+  def transitionsRows(events: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], watermarkDelay: String,
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "transitionsRows needs at least one key column")
+    val clash = keys.filter(TransEmitCols.contains)
+    require(clash.isEmpty, s"key columns ${clash.mkString(", ")} collide " +
+      s"with the emitted columns (${TransEmitCols.mkString(", ")})")
+    val schema = events.schema
+    val tsIdx = RowFaces.timestampField(schema, tsCol)
+    val idIdx = RowFaces.fieldOfType(schema, idCol,
+      org.apache.spark.sql.types.LongType)
+    val typeIdx = RowFaces.fieldOfType(schema, typeCol,
+      org.apache.spark.sql.types.StringType)
+    val keyIdx = keys.map(schema.fieldIndex)
+    implicit val keyEnc: Encoder[Row] = Encoders.row(
+      org.apache.spark.sql.types.StructType(keyIdx.map(schema(_))))
+    implicit val outEnc: Encoder[(Row, TransCoreEmit)] =
+      Encoders.tuple(keyEnc, Encoders.product[TransCoreEmit])
+    implicit val stateEnc: Encoder[TransState] =
+      Encoders.product[TransState]
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupByKey((r: Row) => Row.fromSeq(keyIdx.map(r.get)): Row)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (k: Row, it: Iterator[Row], st: GroupState[TransState]) =>
+          transCoreStep(
+            it.map(r => PendEv(RowFaces.tsMicros(r, tsIdx, tsCol),
+              r.getLong(idIdx), r.getString(typeIdx))), st)
+            .map(c => (k, c))
+      }
+      .select(keys.map(k => col(s"_1.`$k`").as(k)) ++
+        TransEmitCols.map(c => col(s"_2.`$c`").as(c)): _*)
   }
 
   // ---- funnel -----------------------------------------------------

@@ -213,6 +213,133 @@ class StreamingFeaturesSpec extends SparkSuite {
     assert(streamed.exists(r => r._1 == 0L && !r._4))
   }
 
+  test("composite-key gap-fill never carries a value across regions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val step = 600L * 1000000L
+    val input = MemoryStream[RollRegionEv]
+    val out = StreamingFeatures.gapFillLocfRows(input.toDS().toDF(),
+      keys = Seq("user_id", "region"), stepMicros = step,
+      watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("gap_comp")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // ONE user: region 0 observes slots 0 and 2 (value 1 then 3);
+        // region 1 observes slots 1 and 3. A user-only grouping would
+        // fill region-0 slot 1 with region-1's value.
+        RollRegionEv(5L, 0L, 1L, mkTs(T0), 1.0),
+        RollRegionEv(5L, 1L, 2L, mkTs(T0 + step), 20.0),
+        RollRegionEv(5L, 0L, 3L, mkTs(T0 + 2 * step), 3.0),
+        RollRegionEv(5L, 1L, 4L, mkTs(T0 + 3 * step), 40.0))
+      q.processAllAvailable()
+      sentinels(T0 + 3 * step, 3600L * 1000000L + step).foreach {
+        case (us, id) =>
+          input.addData(RollRegionEv(-1L, 0L, id, mkTs(us), 0.0))
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("gap_comp").filter($"user_id" =!= -1L)
+      .select("region", "slot_ts", "value", "is_observed")
+      .as[(Long, Timestamp, Double, Boolean)].collect().toSet
+    val s0 = T0 - math.floorMod(T0, step) // slots are epoch-aligned
+    assert(rows === Set(
+      (0L, mkTs(s0), 1.0, true),
+      (0L, mkTs(s0 + step), 1.0, false), // LOCF from region 0, NOT 20.0
+      (0L, mkTs(s0 + 2 * step), 3.0, true),
+      (1L, mkTs(s0 + step), 20.0, true),
+      (1L, mkTs(s0 + 2 * step), 20.0, false), // LOCF from region 1
+      (1L, mkTs(s0 + 3 * step), 40.0, true)))
+  }
+
+  test("composite-key transitions never chain across regions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 60L * 1000000L
+    // reuse the as-of composite shape: event_type rides as the state
+    val input = MemoryStream[RegionEv]
+    val out = StreamingFeatures.transitionsRows(input.toDS().toDF(),
+      keys = Seq("user_id", "region"), watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("trans_comp")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // interleaved in TIME across regions: a user-only chain would
+        // produce a->x->b->y; per-region chains produce a->b and x->y
+        RegionEv(5L, 0L, 1L, mkTs(T0), "a"),
+        RegionEv(5L, 1L, 2L, mkTs(T0 + m), "x"),
+        RegionEv(5L, 0L, 3L, mkTs(T0 + 2 * m), "b"),
+        RegionEv(5L, 1L, 4L, mkTs(T0 + 3 * m), "y"))
+      q.processAllAvailable()
+      sentinels(T0 + 3 * m, 3600L * 1000000L).foreach { case (us, id) =>
+        input.addData(RegionEv(-1L, 0L, id, mkTs(us), "sentinel"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("trans_comp").filter($"user_id" =!= -1L)
+      .select("region", "from_state", "to_state")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows === Set((0L, "a", "b"), (1L, "x", "y")))
+  }
+
+  test("gap-fill and transitions rows faces with a single key equal the typed faces") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val step = 600L * 1000000L
+    val offs = Seq(0L, 1L, 5L, 6L, 11L)
+    val events = (for {
+      u <- 0L to 1L
+      (o, i) <- offs.zipWithIndex
+    } yield RollEvent(u, u * 100 + i,
+      mkTs(T0 + o * step + (i % 3) * 47L * 1000000L + u * 999L),
+      u * 10.0 + i * 1.5 - 2.0)) :+
+      RollEvent(0L, 50L, mkTs(T0 + 5L * step + 300L * 1000000L), 77.7)
+    val maxUs = events.map(e => e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000L) % 1000L).max
+    val input = MemoryStream[RollEvent]
+    val out = StreamingFeatures.gapFillLocfRows(input.toDS().toDF(),
+      keys = Seq("user_id"), stepMicros = step,
+      watermarkDelay = "3 hours")
+    val q = out.writeStream.format("memory").queryName("gap_rows1")
+      .outputMode("append").start()
+    try {
+      input.addData(events); q.processAllAvailable()
+      sentinels(maxUs, 3L * 3600L * 1000000L + step).foreach {
+        case (us, id) =>
+          input.addData(RollEvent(-1L, id, mkTs(us), 0.0))
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("gap_rows1").filter($"user_id" =!= -1L)
+      .select("user_id", "slot_ts", "value", "is_observed")
+      .as[(Long, Timestamp, Double, Boolean)].collect().toSet
+    val batch = TimeSeries.gapFillLocf(events.toDF(), "user_id", "ts",
+        "value", stepMicros = step)
+      .select("user_id", "slot_ts", "value", "is_observed")
+      .as[(Long, Timestamp, Double, Boolean)].collect().toSet
+    assert(streamed.nonEmpty && streamed === batch)
+    // transitions: the typed-face fixture states via event types
+    val tEvents = Seq(
+      TransEvent(3L, 1L, mkTs(T0), "a"),
+      TransEvent(3L, 2L, mkTs(T0 + step), "b"),
+      TransEvent(3L, 3L, mkTs(T0 + 2 * step), "a"),
+      TransEvent(4L, 4L, mkTs(T0), "c"))
+    val tIn = MemoryStream[TransEvent]
+    val tOut = StreamingFeatures.transitionsRows(tIn.toDS().toDF(),
+      keys = Seq("user_id"), watermarkDelay = "3 hours")
+    val tq = tOut.writeStream.format("memory").queryName("trans_rows1")
+      .outputMode("append").start()
+    try {
+      tIn.addData(tEvents); tq.processAllAvailable()
+      sentinels(T0 + 2 * step, 3L * 3600L * 1000000L).foreach {
+        case (us, id) =>
+          tIn.addData(TransEvent(-1L, id, mkTs(us), "sentinel"))
+          tq.processAllAvailable()
+      }
+    } finally tq.stop()
+    val tRows = spark.table("trans_rows1").filter($"user_id" =!= -1L)
+      .select("user_id", "from_state", "to_state")
+      .as[(Long, String, String)].collect().toSet
+    assert(tRows === Set((3L, "a", "b"), (3L, "b", "a")))
+  }
+
   test("streaming funnel advances equal the batch greedy-earliest chain") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val steps = Seq("signup", "view", "purchase")
