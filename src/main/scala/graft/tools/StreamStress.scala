@@ -125,6 +125,17 @@ object StreamStress {
           keys = Seq("user_id", "region"), refType = "view",
           probeType = "purchase", watermarkDelay = "0 seconds")
           .writeStream
+      case "gapfill" =>
+        graft.streaming.StreamingFeatures.gapFillLocf(
+          in.select("user_id", "event_id", "ts", "value")
+            .as[graft.streaming.StreamingFeatures.RollEvent],
+          stepMicros = StepUs, watermarkDelay = "0 seconds")
+          .writeStream
+      case "transitions" =>
+        graft.streaming.StreamingFeatures.transitions(
+          in.select("user_id", "event_id", "ts", "event_type")
+            .as[graft.streaming.StreamingFeatures.TransEvent],
+          watermarkDelay = "0 seconds").writeStream
       case "tumbling" =>
         in.withWatermark("ts", "0 seconds")
           .groupBy(window(col("ts"), "30 minutes"), col("user_id"))

@@ -20,6 +20,10 @@ run asof 100000 8 4 rocksdb
 run asof 1000000 8 4 default
 run asof 1000000 8 4 rocksdb
 run asof_composite 1000000 8 4 default
+run gapfill 1000000 8 4 default
+run gapfill 1000000 8 4 rocksdb
+run transitions 1000000 8 4 default
+run transitions 1000000 8 4 rocksdb
 # native window/session state paths at 1M keys
 run tumbling 1000000 8 4 default
 run tumbling 1000000 8 4 rocksdb
