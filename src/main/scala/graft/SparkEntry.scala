@@ -244,6 +244,8 @@ object SparkEntry {
     "i_incremental_roc_curve" -> (OpsQueries.iIncrementalRocCurve _),
     "i_incremental_drift"     -> (OpsQueries.iIncrementalDrift _),
     "stream_drift_replay"     -> (OpsQueries.streamDriftReplay _),
+    "dq_drift_by"             -> (ExtQueries.dqDriftBy _),
+    "i_incremental_drift_by"  -> (OpsQueries.iIncrementalDriftBy _),
     "eval_isotonic_by"        -> (ExtQueries.evalIsotonicBy _),
     "stream_monitoring_replay" -> (OpsQueries.streamMonitoringReplay _),
     "i_incremental_isotonic_by" -> (OpsQueries.iIncrementalIsotonicBy _),
@@ -311,7 +313,7 @@ object SparkEntry {
     "stream_asof_composite_replay", "stream_drift_replay",
     "stream_rolling_composite_replay",
     "stream_gapfill_composite_replay",
-    "stream_transitions_composite_replay")
+    "stream_transitions_composite_replay", "dq_drift_by")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -956,6 +958,46 @@ object SparkEntry {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
       |  v IS NOT NULL AS is_observed
       | FROM j ORDER BY user_id, slot_ts""".stripMargin
+
+  // Per-source slice drift: the dqDriftSql arithmetic per source, the
+  // group universe a union of both sides, each group its own dense
+  // spine and totals; a group missing an entire side reports counts
+  // with a NULL term (one-sided proportion is 0/0).
+  private val dqDriftBySql =
+    """WITH r AS (
+      |  SELECT source, least(15, greatest(0,
+      |    CAST(floor(CAST(length(text) AS DOUBLE) / 256.0) AS INT)))
+      |    AS bin
+      |  FROM documents WHERE doc_id % 2 = 0 AND source IS NOT NULL),
+      | c AS (
+      |  SELECT source, least(15, greatest(0,
+      |    CAST(floor(CAST(length(text) AS DOUBLE) / 256.0) AS INT)))
+      |    AS bin
+      |  FROM documents WHERE doc_id % 2 = 1 AND source IS NOT NULL),
+      | rb AS (SELECT source, bin, count(*) AS n_ref FROM r GROUP BY 1, 2),
+      | cb AS (SELECT source, bin, count(*) AS n_cur FROM c GROUP BY 1, 2),
+      | tr AS (SELECT source, count(*) AS tr FROM r GROUP BY 1),
+      | tc AS (SELECT source, count(*) AS tc FROM c GROUP BY 1),
+      | gs AS (SELECT DISTINCT source FROM
+      |   (SELECT source FROM r UNION ALL SELECT source FROM c)),
+      | spine AS (SELECT gs.source, CAST(b.range AS INT) AS bin
+      |  FROM gs CROSS JOIN range(0, 16) b),
+      | f AS (SELECT spine.source, spine.bin,
+      |   CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+      |   CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur, tr.tr, tc.tc
+      |  FROM spine
+      |  LEFT JOIN rb ON rb.source = spine.source AND rb.bin = spine.bin
+      |  LEFT JOIN cb ON cb.source = spine.source AND cb.bin = spine.bin
+      |  LEFT JOIN tr ON tr.source = spine.source
+      |  LEFT JOIN tc ON tc.source = spine.source)
+      | SELECT source, bin, n_ref, n_cur,
+      |  CASE WHEN tr IS NOT NULL AND tc IS NOT NULL THEN
+      |   round((greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6)
+      |       - greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6))
+      |     * ln(greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6)
+      |       / greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6)), 9)
+      |  END AS psi_term_r
+      | FROM f ORDER BY source, bin""".stripMargin
 
   private val eventsFunnelSql =
     """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
@@ -3336,6 +3378,10 @@ object SparkEntry {
     "i_incremental_drift" -> dqDriftSql,
     // stream → bin-count state → PSI ≡ the full-corpus drift report
     "stream_drift_replay" -> dqDriftSql,
+    // per-source slice drift: same bin/term arithmetic per source;
+    // the incremental twin's oracle is the SAME full recompute
+    "dq_drift_by" -> dqDriftBySql,
+    "i_incremental_drift_by" -> dqDriftBySql,
     // Funnel: the oracle replays the greedy-earliest stage chain —
     // first signup, first view strictly after it, first purchase
     // strictly after that.

@@ -247,6 +247,72 @@ object Expectations {
         round((p - q) * log(p / q), 9).as("psi_term_r"))
   }
 
+  /** Per-slice [[psiDrift]]: one PSI report PER GROUP (per feed
+    * source, per tenant, per language) between the reference and
+    * current corpora — the slice matrix a multi-source ingestion
+    * pipeline monitors (aggregate drift can hide one source drifting
+    * against another; the slice report cannot). One aggregation per
+    * side at (group, bin) grain; the group universe is the union of
+    * groups seen on either side, and each group gets the full dense
+    * bin spine with its own totals. */
+  def psiDriftBy(ref: DataFrame, cur: DataFrame, groupCol: String,
+      value: Column, bins: Int, lo: Double, hi: Double,
+      eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, "at least two bins")
+    require(hi > lo, "hi must exceed lo")
+    def binned(df: DataFrame, out: String): DataFrame = df
+      .select(col(groupCol), value.cast(DoubleType).as("_v"))
+      .filter(col("_v").isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol),
+        least(lit((bins - 1).toLong), greatest(lit(0L),
+          floor((col("_v") - lit(lo)) / lit((hi - lo) / bins))))
+          .cast("int").as("bin"))
+      .groupBy(groupCol, "bin").agg(count(lit(1)).as(out))
+    psiDriftByFromCounts(binned(ref, "n_ref"), binned(cur, "n_cur"),
+      groupCol, bins, eps)
+  }
+
+  /** [[psiDriftBy]] from pre-aggregated `(group, bin, n_ref)` /
+    * `(group, bin, n_cur)` histograms — the incremental entry point:
+    * the current side is exactly a (group, bin)-keyed
+    * [[graft.ops.IncrementalAgg]] count state, so the WHOLE slice
+    * matrix refreshes at O(increment) from a groups × bins-sized
+    * frame (the eval-family slice posture applied to drift). Term
+    * arithmetic is byte-identical to [[psiDriftFromCounts]]. */
+  def psiDriftByFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+      groupCol: String, bins: Int, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, "at least two bins")
+    // defensive merge of duplicate (group, bin) rows (the
+    // rocAucFromCounts posture)
+    val r = refCounts.select(col(groupCol), col("bin"),
+        col("n_ref").cast("long").as("n_ref"))
+      .groupBy(groupCol, "bin").agg(sum("n_ref").as("n_ref"))
+    val c = curCounts.select(col(groupCol), col("bin"),
+        col("n_cur").cast("long").as("n_cur"))
+      .groupBy(groupCol, "bin").agg(sum("n_cur").as("n_cur"))
+    val rt = r.groupBy(groupCol).agg(sum("n_ref").as("_tr"))
+    val ct = c.groupBy(groupCol).agg(sum("n_cur").as("_tc"))
+    // group universe = groups seen on EITHER side; a group absent from
+    // one entire side still reports its rows (the counts show which
+    // side is empty) with a NULL term — a one-sided proportion is 0/0,
+    // and a silent drop would hide exactly the scariest event (a feed
+    // appearing or vanishing)
+    val groups = r.select(groupCol).union(c.select(groupCol)).distinct()
+    val spine = groups.crossJoin(
+      refCounts.sparkSession.range(0, bins)
+        .select(col("id").cast("int").as("bin")))
+    val p = greatest(col("n_ref").cast(DoubleType) / col("_tr"), lit(eps))
+    val q = greatest(col("n_cur").cast(DoubleType) / col("_tc"), lit(eps))
+    spine
+      .join(r, Seq(groupCol, "bin"), "left")
+      .join(c, Seq(groupCol, "bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .join(rt, Seq(groupCol), "left").join(ct, Seq(groupCol), "left")
+      .select(col(groupCol), col("bin"), col("n_ref"), col("n_cur"),
+        when(col("_tr").isNotNull && col("_tc").isNotNull,
+          round((p - q) * log(p / q), 9)).as("psi_term_r"))
+  }
+
   /** Referential integrity: `(rule, n_rows, n_violations, pass)` for
     * child keys with no matching parent key (NULL child keys are
     * orphans — a null FK fails the expectation; relax with an

@@ -1014,6 +1014,23 @@ object ExtQueries {
       .orderBy("bin")
   }
 
+  /** Per-source PSI drift report ([[Expectations.psiDriftBy]]) between
+    * the even- and odd-id document halves over text length — the slice
+    * matrix a multi-source ingestion pipeline monitors (aggregate
+    * drift can hide one source drifting against another). Same
+    * integer-friendly bin params and round-9 term posture as
+    * [[dqDrift]], one report row per (source, bin).
+    */
+  def dqDriftBy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Expectations.psiDriftBy(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      groupCol = "source",
+      value = length(col("text")), bins = 16, lo = 0.0, hi = 4096.0)
+      .orderBy("source", "bin")
+  }
+
   /** Hybrid lexical+vector retrieval via reciprocal-rank fusion
     * ([[graft.ext.Hybrid.rrf]]): BM25 top-10 and exact-cosine ANN
     * top-10 for the same 5 query ids, fused with k₀=60 in fixed-point

@@ -810,6 +810,43 @@ object OpsQueries {
       .orderBy("bin")
   }
 
+  /** Incrementally-maintained PER-SOURCE drift — the slice matrix off
+    * ONE (source, bin)-keyed count state
+    * ([[graft.ext.Expectations.psiDriftByFromCounts]]): every feed's
+    * PSI report refreshes at O(increment), so one source drifting
+    * cannot hide inside the aggregate. Oracle = the full-corpus
+    * per-source recompute (incremental ≡ full).
+    */
+  def iIncrementalDriftBy(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-incdriftby")
+    val src = KeyedTable("idriftby_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val state = graft.ops.IncrementalAgg.stateTable(
+      "idriftby_bins", s"$base/bins", Seq("source", "bin"))
+    val store = CheckpointStore(s"$base/cp", s)
+    val docs = t(s, dir, "documents")
+    val binned = docs.filter(col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.ext.ModelEval.binOf(
+          length(col("text")).cast("double"), bins = 16,
+          lo = 0.0, hi = 4096.0).as("bin"),
+        lit(1L).as("one"))
+    val cur = binned.filter(col("doc_id") % 2 === 1)
+    (0 until 3).foreach { b =>
+      TableOps.upsert(s, src,
+        cur.filter(pmod(col("doc_id"), lit(6)) === (2 * b + 1)))
+      graft.ops.IncrementalAgg.refresh(s, src, state, store,
+        Seq("source", "bin"), "one")
+    }
+    val curCounts = TableOps.snapshot(s, state)
+      .select(col("source"), col("bin"), col("cnt").as("n_cur"))
+    val refCounts = binned.filter(col("doc_id") % 2 === 0)
+      .groupBy("source", "bin").agg(count(lit(1)).as("n_ref"))
+    graft.ext.Expectations
+      .psiDriftByFromCounts(refCounts, curCounts, "source", bins = 16)
+      .orderBy("source", "bin")
+  }
+
   /** Distribution-drift monitoring at FEED LATENCY, end to end — the
     * [[streamMonitoringReplay]] composition applied to the PSI path:
     * the current-side document stream lands through `foreachBatch`

@@ -112,4 +112,39 @@ class ExpectationsSpec extends SparkSuite {
     val b = out(1)
     assert(b === (("b", 2L, 5.0, 6.0, 3.5, 7.5, 0L)))
   }
+
+  test("psiDriftBy: per-group spines/totals; one-sided group reports NULL term") {
+    val ref = Seq(
+      ("s1", 0.0), ("s1", 0.0), ("s1", 300.0),
+      ("s2", 0.0), ("s2", 300.0),
+      ("gone", 0.0)) // present ONLY on the reference side
+      .toDF("source", "v")
+    val cur = Seq(
+      ("s1", 0.0), ("s1", 300.0), ("s1", 300.0),
+      ("s2", 0.0), ("s2", 300.0),
+      ("new", 300.0)) // present ONLY on the current side
+      .toDF("source", "v")
+    val rep = Expectations.psiDriftBy(ref, cur, "source",
+        value = col("v"), bins = 2, lo = 0.0, hi = 512.0)
+      .orderBy("source", "bin").collect()
+    // group universe = union of both sides, dense 2-bin spine each
+    assert(rep.map(_.getString(0)).toSeq ===
+      Seq("gone", "gone", "new", "new", "s1", "s1", "s2", "s2"))
+    val bySrc = rep.groupBy(_.getString(0))
+    // one-sided groups keep their counts but a NULL term (0/0 side)
+    assert(bySrc("gone").forall(_.isNullAt(4)))
+    assert(bySrc("gone").map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet === Set((0, 1L, 0L), (1, 0L, 0L)))
+    assert(bySrc("new").forall(_.isNullAt(4)))
+    // two-sided groups: per-GROUP totals (s1: 2/3 vs 1/3 in bin 0 --
+    // a global total would dilute it), symmetric PSI term, both bins
+    val s1b0 = bySrc("s1").find(_.getInt(1) == 0).get
+    assert((s1b0.getLong(2), s1b0.getLong(3)) === ((2L, 1L)))
+    val p = 2.0 / 3; val q = 1.0 / 3
+    val expected = BigDecimal((p - q) * math.log(p / q))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s1b0.getDouble(4) === expected)
+    // s2 is identical on both sides: zero drift in every bin
+    assert(bySrc("s2").forall(_.getDouble(4) == 0.0))
+  }
 }
