@@ -246,6 +246,7 @@ object SparkEntry {
     "stream_drift_replay"     -> (OpsQueries.streamDriftReplay _),
     "dq_drift_by"             -> (ExtQueries.dqDriftBy _),
     "i_incremental_drift_by"  -> (OpsQueries.iIncrementalDriftBy _),
+    "stream_drift_by_replay"  -> (OpsQueries.streamDriftByReplay _),
     "eval_isotonic_by"        -> (ExtQueries.evalIsotonicBy _),
     "stream_monitoring_replay" -> (OpsQueries.streamMonitoringReplay _),
     "i_incremental_isotonic_by" -> (OpsQueries.iIncrementalIsotonicBy _),
@@ -3382,6 +3383,7 @@ object SparkEntry {
     // the incremental twin's oracle is the SAME full recompute
     "dq_drift_by" -> dqDriftBySql,
     "i_incremental_drift_by" -> dqDriftBySql,
+    "stream_drift_by_replay" -> dqDriftBySql,
     // Funnel: the oracle replays the greedy-earliest stage chain —
     // first signup, first view strictly after it, first purchase
     // strictly after that.

@@ -901,6 +901,58 @@ object OpsQueries {
       .orderBy("bin")
   }
 
+  /** Per-source drift monitoring at FEED LATENCY — the
+    * [[streamDriftReplay]] composition with the (source, bin) slice
+    * state: the current-side stream lands through `foreachBatch`
+    * (exactly-once upsert + slice-keyed refresh per micro-batch) and
+    * the WHOLE per-source PSI matrix replays from the folded state
+    * against the frozen reference. Oracle = the full-corpus
+    * `dq_drift_by` recompute — stream ingest ≡ slice state ≡ batch
+    * slice PSI, so a single feed drifting is visible at feed latency
+    * without any corpus rescan.
+    */
+  def streamDriftByReplay(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-streamdriftby")
+    val src = KeyedTable("sdriftby_src", s"$base/src",
+      Seq("doc_id"), "doc_id")
+    val state = graft.ops.IncrementalAgg.stateTable(
+      "sdriftby_bins", s"$base/bins", Seq("source", "bin"))
+    val store = CheckpointStore(s"$base/cp", s)
+    val docs = t(s, dir, "documents")
+    val binned = docs.filter(col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.ext.ModelEval.binOf(
+          length(col("text")).cast("double"), bins = 16,
+          lo = 0.0, hi = 4096.0).as("bin"),
+        lit(1L).as("one"))
+    val srcDir = s"$base/streamsrc"
+    (0 until 3).foreach { b =>
+      binned.filter(col("doc_id") % 2 === 1)
+        .filter(pmod(col("doc_id"), lit(6)) === (2 * b + 1))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val schema = s.read.parquet(srcDir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.option("checkpointLocation", s"$base/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          batchId: Long) =>
+        TableOps.upsert(s, src, batch,
+          idempotencyKey = Some(s"sdriftby-$batchId"))
+        graft.ops.IncrementalAgg.refresh(s, src, state, store,
+          Seq("source", "bin"), "one"): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val curCounts = TableOps.snapshot(s, state)
+      .select(col("source"), col("bin"), col("cnt").as("n_cur"))
+    val refCounts = binned.filter(col("doc_id") % 2 === 0)
+      .groupBy("source", "bin").agg(count(lit(1)).as("n_ref"))
+    graft.ext.Expectations
+      .psiDriftByFromCounts(refCounts, curCounts, "source", bins = 16)
+      .orderBy("source", "bin")
+  }
+
   /** Incrementally-maintained ROC curve — the FOURTH report off the
     * same score-grouped state as [[iIncrementalAuc]]/[[iIncrementalAp]]
     * ([[graft.ext.ModelEval.rocCurveFromCounts]]): the monitoring
