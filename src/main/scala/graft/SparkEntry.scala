@@ -149,6 +149,8 @@ object SparkEntry {
     "stream_asof_tolerance_replay" -> (ExtQueries.streamAsofToleranceReplay _),
     "stream_asof_composite_replay" -> (ExtQueries.streamAsofCompositeReplay _),
     "stream_transitions_composite_replay" -> (ExtQueries.streamTransitionsCompositeReplay _),
+    "stream_funnel_composite_replay" -> (ExtQueries.streamFunnelCompositeReplay _),
+    "stream_retention_composite_replay" -> (ExtQueries.streamRetentionCompositeReplay _),
     "stream_gapfill_composite_replay" -> (ExtQueries.streamGapfillCompositeReplay _),
     "stream_feature_store_replay" -> (ExtQueries.streamFeatureStoreReplay _),
     "stream_dedup_replay"     -> (ExtQueries.streamDedupReplay _),
@@ -314,7 +316,8 @@ object SparkEntry {
     "stream_asof_composite_replay", "stream_drift_replay",
     "stream_rolling_composite_replay",
     "stream_gapfill_composite_replay",
-    "stream_transitions_composite_replay", "dq_drift_by")
+    "stream_transitions_composite_replay", "dq_drift_by",
+    "stream_funnel_composite_replay", "stream_retention_composite_replay")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -2599,6 +2602,46 @@ object SparkEntry {
         |   CAST(sum(n) OVER (PARTITION BY region, from_state) AS BIGINT)
         |   AS p
         | FROM c ORDER BY region, from_state, to_state""".stripMargin,
+    // composite key: the greedy-earliest chain per (user, region) —
+    // a region reports only if some key reached stage 1 there, which
+    // both sides share (stage1 ⊇ stage2 ⊇ stage3)
+    "stream_funnel_composite_replay" ->
+      """WITH e AS (SELECT user_id,
+        |   CAST(event_id % 3 AS BIGINT) AS region, ts, event_type
+        |  FROM events),
+        | t1 AS (SELECT user_id, region, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1, 2),
+        | t2 AS (SELECT e.user_id, e.region, min(e.ts) AS t2 FROM e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.region = t1.region
+        |  WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY 1, 2),
+        | t3 AS (SELECT e.user_id, e.region, min(e.ts) AS t3 FROM e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.region = t2.region
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |  GROUP BY 1, 2),
+        | c1 AS (SELECT region, count(*) AS n_stage1 FROM t1 GROUP BY 1),
+        | c2 AS (SELECT region, count(*) AS n_stage2 FROM t2 GROUP BY 1),
+        | c3 AS (SELECT region, count(*) AS n_stage3 FROM t3 GROUP BY 1)
+        | SELECT c1.region, n_stage1,
+        |  CAST(coalesce(n_stage2, 0) AS BIGINT) AS n_stage2,
+        |  CAST(coalesce(n_stage3, 0) AS BIGINT) AS n_stage3
+        | FROM c1 LEFT JOIN c2 USING (region) LEFT JOIN c3 USING (region)
+        | ORDER BY region""".stripMargin,
+    // composite key: per-(user, region) cohorts — the cohort is the
+    // KEY's first event, so one user contributes to up to 3 regions'
+    // triangles independently
+    "stream_retention_composite_replay" ->
+      """WITH ev AS (SELECT user_id,
+        |   CAST(event_id % 3 AS BIGINT) AS region, ts FROM events),
+        | f AS (SELECT user_id, region,
+        |   CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+        |  FROM ev GROUP BY user_id, region)
+        | SELECT e.region, f.cohort_week,
+        |  CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week
+        |    AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        | FROM ev e JOIN f ON e.user_id = f.user_id
+        |  AND e.region = f.region
+        | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // composite key: the same daily LOCF spine with the derived region
     // in every partition/spine CTE — one region's value never fills
     // another region's gap

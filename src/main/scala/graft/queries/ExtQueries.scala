@@ -2056,6 +2056,62 @@ object ExtQueries {
       .orderBy("from_state", "to_state")
   }
 
+  /** Streaming replay of the COMPOSITE-KEY funnel
+    * ([[graft.streaming.StreamingFeatures.funnelRows]]): the
+    * signup→view→purchase greedy-earliest chain advanced per
+    * (user_id, region) — the same user funnels independently per
+    * region — aggregated to per-region stage counts and value-oracled
+    * against the batch SQL with the composite key in every stage CTE.
+    */
+  def streamFunnelCompositeReplay(s: SparkSession, dir: String)
+      : DataFrame = {
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    val adv = replayEventsStream(s, proj, "streamfunnelcomp") {
+      (src, chk, qname) =>
+        val in = s.readStream.schema(proj.schema).parquet(src)
+          .withColumn("region", pmod(col("event_id"), lit(3L)))
+        graft.streaming.StreamingFeatures
+          .funnelRows(in, keys = Seq("user_id", "region"),
+            steps = Seq("signup", "view", "purchase"),
+            watermarkDelay = "0 seconds")
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", chk)
+          .outputMode("append").start()
+    }
+    adv.groupBy("region").agg(
+        sum(when(col("stage") === 1, 1L).otherwise(0L)).as("n_stage1"),
+        sum(when(col("stage") === 2, 1L).otherwise(0L)).as("n_stage2"),
+        sum(when(col("stage") === 3, 1L).otherwise(0L)).as("n_stage3"))
+      .orderBy("region")
+  }
+
+  /** Streaming replay of the COMPOSITE-KEY cohort retention
+    * ([[graft.streaming.StreamingFeatures.cohortRetentionRows]]):
+    * emit-once (key, active week) observations per (user_id, region),
+    * cohorted by the KEY's own first event, aggregated to per-region
+    * retention triangles and value-oracled against the batch SQL.
+    */
+  def streamRetentionCompositeReplay(s: SparkSession, dir: String)
+      : DataFrame = {
+    val proj = CoreQueries.events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+    val obs = replayEventsStream(s, proj, "streamretcomp") {
+      (src, chk, qname) =>
+        val in = s.readStream.schema(proj.schema).parquet(src)
+          .withColumn("region", pmod(col("event_id"), lit(3L)))
+        graft.streaming.StreamingFeatures
+          .cohortRetentionRows(in, keys = Seq("user_id", "region"),
+            watermarkDelay = "0 seconds")
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", chk)
+          .outputMode("append").start()
+    }
+    obs.groupBy("region", "cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("region", "cohort_week", "week_offset")
+  }
+
   /** Streaming replay of the COMPOSITE-KEY transitions
     * ([[graft.streaming.StreamingFeatures.transitionsRows]]):
     * per-(user_id, region) Markov chains — one user's events in

@@ -442,8 +442,48 @@ object StreamingFeatures {
         GroupStateTimeout.EventTimeTimeout)(transStep)
   }
 
-  /** Column names [[transitionsRows]] appends to the key columns. */
-  private val TransEmitCols = Seq("from_state", "to_state")
+  /** Shared scaffolding for the composite-key faces of the
+    * (ts, id, type)-shaped state machines (transitions, funnel,
+    * retention): one key struct through `flatMapGroupsWithState`,
+    * re-expanded on emit — the [[graft.streaming.RowFaces]] reads
+    * keep the face correct under either session datetime
+    * representation. */
+  private def eventRowsFace[S, E](events: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], watermarkDelay: String, tsCol: String,
+      idCol: String, typeCol: String, emitCols: Seq[String],
+      step: (Iterator[PendEv], GroupState[S]) => Iterator[E])(
+      implicit stateEnc: org.apache.spark.sql.Encoder[S],
+      emitEnc: org.apache.spark.sql.Encoder[E])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "a Rows face needs at least one key column")
+    val clash = keys.filter(emitCols.contains)
+    require(clash.isEmpty, s"key columns ${clash.mkString(", ")} collide " +
+      s"with the emitted columns (${emitCols.mkString(", ")})")
+    val schema = events.schema
+    val tsIdx = RowFaces.timestampField(schema, tsCol)
+    val idIdx = RowFaces.fieldOfType(schema, idCol,
+      org.apache.spark.sql.types.LongType)
+    val typeIdx = RowFaces.fieldOfType(schema, typeCol,
+      org.apache.spark.sql.types.StringType)
+    val keyIdx = keys.map(schema.fieldIndex)
+    implicit val keyEnc: Encoder[Row] = Encoders.row(
+      org.apache.spark.sql.types.StructType(keyIdx.map(schema(_))))
+    implicit val outEnc: Encoder[(Row, E)] =
+      Encoders.tuple(keyEnc, emitEnc)
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupByKey((r: Row) => Row.fromSeq(keyIdx.map(r.get)): Row)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (k: Row, it: Iterator[Row], st: GroupState[S]) =>
+          step(it.map(r => PendEv(RowFaces.tsMicros(r, tsIdx, tsCol),
+            r.getLong(idIdx), r.getString(typeIdx))), st)
+            .map(c => (k, c))
+      }
+      .select(keys.map(k => col(s"_1.`$k`").as(k)) ++
+        emitCols.map(c => col(s"_2.`$c`").as(c)): _*)
+  }
 
   /** Composite-key face of [[transitions]]: adjacent-pair extraction
     * per COMPOSITE key — per-(user, region) Markov chains, so one
@@ -454,37 +494,44 @@ object StreamingFeatures {
       keys: Seq[String], watermarkDelay: String,
       tsCol: String = "ts", idCol: String = "event_id",
       typeCol: String = "event_type"): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.{Encoder, Encoders, Row}
-    import org.apache.spark.sql.functions.col
-    require(keys.nonEmpty, "transitionsRows needs at least one key column")
-    val clash = keys.filter(TransEmitCols.contains)
-    require(clash.isEmpty, s"key columns ${clash.mkString(", ")} collide " +
-      s"with the emitted columns (${TransEmitCols.mkString(", ")})")
-    val schema = events.schema
-    val tsIdx = RowFaces.timestampField(schema, tsCol)
-    val idIdx = RowFaces.fieldOfType(schema, idCol,
-      org.apache.spark.sql.types.LongType)
-    val typeIdx = RowFaces.fieldOfType(schema, typeCol,
-      org.apache.spark.sql.types.StringType)
-    val keyIdx = keys.map(schema.fieldIndex)
-    implicit val keyEnc: Encoder[Row] = Encoders.row(
-      org.apache.spark.sql.types.StructType(keyIdx.map(schema(_))))
-    implicit val outEnc: Encoder[(Row, TransCoreEmit)] =
-      Encoders.tuple(keyEnc, Encoders.product[TransCoreEmit])
-    implicit val stateEnc: Encoder[TransState] =
-      Encoders.product[TransState]
-    events.withWatermark(tsCol, watermarkDelay)
-      .groupByKey((r: Row) => Row.fromSeq(keyIdx.map(r.get)): Row)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout) {
-        (k: Row, it: Iterator[Row], st: GroupState[TransState]) =>
-          transCoreStep(
-            it.map(r => PendEv(RowFaces.tsMicros(r, tsIdx, tsCol),
-              r.getLong(idIdx), r.getString(typeIdx))), st)
-            .map(c => (k, c))
-      }
-      .select(keys.map(k => col(s"_1.`$k`").as(k)) ++
-        TransEmitCols.map(c => col(s"_2.`$c`").as(c)): _*)
+    import org.apache.spark.sql.Encoders
+    eventRowsFace[TransState, TransCoreEmit](events, keys,
+      watermarkDelay, tsCol, idCol, typeCol,
+      Seq("from_state", "to_state"), transCoreStep)(
+      Encoders.product[TransState], Encoders.product[TransCoreEmit])
+  }
+
+  /** Composite-key face of [[funnel]]: greedy-earliest stage advances
+    * per COMPOSITE key — the same user funnels independently per
+    * tenant/region. Output = key columns + (stage, stage_ts), one
+    * emit-once row per advance. */
+  def funnelRows(events: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], steps: Seq[String], watermarkDelay: String,
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Encoders
+    require(steps.nonEmpty, "funnel needs at least one step")
+    eventRowsFace[FunnelState, FunnelCoreEmit](events, keys,
+      watermarkDelay, tsCol, idCol, typeCol,
+      Seq("stage", "stage_ts"),
+      (it, st) => funnelCoreStep(steps, it, st))(
+      Encoders.product[FunnelState], Encoders.product[FunnelCoreEmit])
+  }
+
+  /** Composite-key face of [[cohortRetention]]: the (key, active week)
+    * emit-once observations per COMPOSITE key — per-tenant retention
+    * triangles whose cohorts are the key's own first event. Output =
+    * key columns + (cohort_week, week_offset). */
+  def cohortRetentionRows(events: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], watermarkDelay: String,
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Encoders
+    eventRowsFace[RetentionState, RetentionCoreEmit](events, keys,
+      watermarkDelay, tsCol, idCol, typeCol,
+      Seq("cohort_week", "week_offset"), retentionCoreStep)(
+      Encoders.product[RetentionState],
+      Encoders.product[RetentionCoreEmit])
   }
 
   // ---- funnel -----------------------------------------------------
@@ -502,28 +549,30 @@ object StreamingFeatures {
   private[streaming] final case class FunnelState(frontierUs: Long,
       pending: Seq[PendEv], stage: Int, stageTs: Long)
 
-  private def funnelStep(steps: Seq[String])(userId: Long,
-      it: Iterator[TransEvent], st: GroupState[FunnelState])
-      : Iterator[FunnelAdvance] = {
+  /** Key-agnostic emission of the funnel state machine. */
+  final case class FunnelCoreEmit(stage: Int, stage_ts: Timestamp)
+
+  private[streaming] def funnelCoreStep(steps: Seq[String],
+      incomingIt: Iterator[PendEv], st: GroupState[FunnelState])
+      : Iterator[FunnelCoreEmit] = {
     val prev = st.getOption.getOrElse(
       FunnelState(Long.MinValue, Nil, 0, Long.MinValue))
     val wmUs = st.getCurrentWatermarkMs() * 1000L
-    val incoming = it.map(e => PendEv(tsUs(e.ts), e.event_id, e.event_type))
-      .filter(_.tsUs >= prev.frontierUs).toSeq
+    val incoming = incomingIt.filter(_.tsUs >= prev.frontierUs).toSeq
     val all = prev.pending ++ incoming
     val (readyU, pending) = all.partition(_.tsUs < wmUs)
     // one ascending pass IS the greedy-earliest chain: the first
     // next-step event strictly after the current stage time advances
     // (batch semantics: t_{i+1} = min step ts > t_i, strict)
     var stage = prev.stage; var stageTs = prev.stageTs
-    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelCoreEmit]
     readyU.sortBy(e => (e.tsUs, e.id)).foreach { e =>
       if (stage < steps.length && e.state == steps(stage) &&
           (stage == 0 || e.tsUs > stageTs)) {
         stage += 1; stageTs = e.tsUs
         val t = new Timestamp(e.tsUs / 1000L)
         t.setNanos((math.floorMod(e.tsUs, 1000000L) * 1000L).toInt)
-        out += FunnelAdvance(userId, stage, t)
+        out += FunnelCoreEmit(stage, t)
       }
     }
     val frontier = math.max(prev.frontierUs, wmUs)
@@ -533,6 +582,13 @@ object StreamingFeatures {
         st.getCurrentWatermarkMs() + 1L))
     out.iterator
   }
+
+  private def funnelStep(steps: Seq[String])(userId: Long,
+      it: Iterator[TransEvent], st: GroupState[FunnelState])
+      : Iterator[FunnelAdvance] =
+    funnelCoreStep(steps,
+      it.map(e => PendEv(tsUs(e.ts), e.event_id, e.event_type)), st)
+      .map(c => FunnelAdvance(userId, c.stage, c.stage_ts))
 
   /** One retention observation: the key (user) whose FIRST event fell
     * in `cohort_week` was active in `cohort_week + week_offset`.
@@ -549,13 +605,15 @@ object StreamingFeatures {
   private[streaming] final case class RetentionState(frontierUs: Long,
       pending: Seq[PendEv], cohortWeek: Long, weeksSeen: Seq[Long])
 
-  private def retentionStep(userId: Long, it: Iterator[TransEvent],
-      st: GroupState[RetentionState]): Iterator[RetentionEmit] = {
+  /** Key-agnostic emission of the retention state machine. */
+  final case class RetentionCoreEmit(cohort_week: Long, week_offset: Long)
+
+  private[streaming] def retentionCoreStep(incomingIt: Iterator[PendEv],
+      st: GroupState[RetentionState]): Iterator[RetentionCoreEmit] = {
     val prev = st.getOption.getOrElse(
       RetentionState(Long.MinValue, Nil, Long.MinValue, Nil))
     val wmUs = st.getCurrentWatermarkMs() * 1000L
-    val incoming = it.map(e => PendEv(tsUs(e.ts), e.event_id, e.event_type))
-      .filter(_.tsUs >= prev.frontierUs).toSeq
+    val incoming = incomingIt.filter(_.tsUs >= prev.frontierUs).toSeq
     val all = prev.pending ++ incoming
     val (readyU, pending) = all.partition(_.tsUs < wmUs)
     // ascending finalization order makes the first finalized event the
@@ -563,13 +621,13 @@ object StreamingFeatures {
     // watermark contract) — integer epoch-week arithmetic, timezone-free
     var cohort = prev.cohortWeek
     var seen = prev.weeksSeen
-    val out = scala.collection.mutable.ArrayBuffer.empty[RetentionEmit]
+    val out = scala.collection.mutable.ArrayBuffer.empty[RetentionCoreEmit]
     readyU.sortBy(e => (e.tsUs, e.id)).foreach { e =>
       val week = Math.floorDiv(Math.floorDiv(e.tsUs, 1000000L), 604800L)
       if (cohort == Long.MinValue) cohort = week
       if (!seen.contains(week)) {
         seen = seen :+ week
-        out += RetentionEmit(userId, cohort, week - cohort)
+        out += RetentionCoreEmit(cohort, week - cohort)
       }
     }
     val frontier = math.max(prev.frontierUs, wmUs)
@@ -579,6 +637,12 @@ object StreamingFeatures {
         st.getCurrentWatermarkMs() + 1L))
     out.iterator
   }
+
+  private def retentionStep(userId: Long, it: Iterator[TransEvent],
+      st: GroupState[RetentionState]): Iterator[RetentionEmit] =
+    retentionCoreStep(
+      it.map(e => PendEv(tsUs(e.ts), e.event_id, e.event_type)), st)
+      .map(c => RetentionEmit(userId, c.cohort_week, c.week_offset))
 
   /** Streaming weekly cohort retention, finalized at the watermark:
     * per key, emits one row per newly observed active week, tagged

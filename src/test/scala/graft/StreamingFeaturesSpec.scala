@@ -340,6 +340,76 @@ class StreamingFeaturesSpec extends SparkSuite {
     assert(tRows === Set((3L, "a", "b"), (3L, "b", "a")))
   }
 
+  test("composite-key funnel advances independently per region") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = 60L * 1000000L
+    val input = MemoryStream[RegionEv]
+    val out = StreamingFeatures.funnelRows(input.toDS().toDF(),
+      keys = Seq("user_id", "region"),
+      steps = Seq("signup", "view", "purchase"),
+      watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("funnel_comp")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // region 0 runs the full chain; the region-1 view at T0+m
+        // must NOT advance region 0's funnel (a user-only grouping
+        // would take it as stage 2)
+        RegionEv(9L, 0L, 1L, mkTs(T0), "signup"),
+        RegionEv(9L, 1L, 2L, mkTs(T0 + m), "view"),
+        RegionEv(9L, 0L, 3L, mkTs(T0 + 2 * m), "view"),
+        RegionEv(9L, 0L, 4L, mkTs(T0 + 3 * m), "purchase"),
+        // region 1 signs up AFTER its view: stage 1 only (the view
+        // came before the signup, greedy chain can't use it)
+        RegionEv(9L, 1L, 5L, mkTs(T0 + 4 * m), "signup"))
+      q.processAllAvailable()
+      sentinels(T0 + 4 * m, 3600L * 1000000L).foreach { case (us, id) =>
+        input.addData(RegionEv(-1L, 0L, id, mkTs(us), "sentinel"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("funnel_comp").filter($"user_id" =!= -1L)
+      .select("region", "stage")
+      .as[(Long, Int)].collect().toSet
+    assert(rows === Set((0L, 1), (0L, 2), (0L, 3), (1L, 1)))
+  }
+
+  test("composite-key retention cohorts by the key's own first event") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wk = 604800L * 1000000L
+    // T0 aligned to a week boundary so offsets are unambiguous
+    val t0 = (T0 / wk) * wk
+    val c0 = t0 / wk
+    val input = MemoryStream[RegionEv]
+    val out = StreamingFeatures.cohortRetentionRows(input.toDS().toDF(),
+      keys = Seq("user_id", "region"), watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("ret_comp")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // region 0: first event week 0, active again week 2
+        RegionEv(9L, 0L, 1L, mkTs(t0), "e"),
+        RegionEv(9L, 0L, 2L, mkTs(t0 + 2 * wk), "e"),
+        // region 1: FIRST event week 1 — its own cohort, not the
+        // user's region-0 cohort (a user-only grouping would report
+        // offset 1 of cohort c0)
+        RegionEv(9L, 1L, 3L, mkTs(t0 + wk), "e"),
+        RegionEv(9L, 1L, 4L, mkTs(t0 + 2 * wk + 1000000L), "e"))
+      q.processAllAvailable()
+      sentinels(t0 + 2 * wk + 1000000L, 3600L * 1000000L).foreach {
+        case (us, id) =>
+          input.addData(RegionEv(-1L, 0L, id, mkTs(us), "sentinel"))
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("ret_comp").filter($"user_id" =!= -1L)
+      .select("region", "cohort_week", "week_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows === Set(
+      (0L, c0, 0L), (0L, c0, 2L),
+      (1L, c0 + 1, 0L), (1L, c0 + 1, 1L)))
+  }
+
   test("streaming funnel advances equal the batch greedy-earliest chain") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val steps = Seq("signup", "view", "purchase")
