@@ -209,6 +209,8 @@ object SparkEntry {
     "s9_mor_pruned_read"      -> (OpsQueries.s9MorPrunedRead _),
     "s10_savepoint_restore"   -> (OpsQueries.s10SavepointRestore _),
     "s_timeline"              -> (OpsQueries.sTimeline _),
+    "s_archived_timeline"     -> (OpsQueries.sArchivedTimeline _),
+    "s_inline_compact"        -> (OpsQueries.sInlineCompact _),
     "s_storage_audit"         -> (OpsQueries.sStorageAudit _),
     "s_table_diff"            -> (OpsQueries.sTableDiff _),
     "s_stats_view"            -> (OpsQueries.sStatsView _),
@@ -251,6 +253,8 @@ object SparkEntry {
     "stream_drift_by_replay"  -> (OpsQueries.streamDriftByReplay _),
     "eval_isotonic_by"        -> (ExtQueries.evalIsotonicBy _),
     "stream_monitoring_replay" -> (OpsQueries.streamMonitoringReplay _),
+    "stream_topk_replay"      -> (OpsQueries.streamTopkReplay _),
+    "stream_sink_retention_replay" -> (OpsQueries.streamSinkRetentionReplay _),
     "i_incremental_isotonic_by" -> (OpsQueries.iIncrementalIsotonicBy _),
     "i_incremental_ap"        -> (OpsQueries.iIncrementalAp _),
   )
@@ -3652,6 +3656,37 @@ object SparkEntry {
         |   (SELECT count(*) FROM orders), 0
         |  UNION ALL SELECT 4, 'restore', CAST(NULL AS BIGINT), 0
         | ) ORDER BY ordinal""".stripMargin,
+    // Archived timeline: the 2 cleaned instants (full upsert, %3
+    // delta) survive as archived = TRUE rows with their recorded row
+    // counts intact; the retained compaction + %5 delta stay active.
+    "s_archived_timeline" ->
+      """SELECT * FROM (
+        |  SELECT 1 AS ordinal, 'upsert' AS action,
+        |   (SELECT count(*) FROM orders) AS rows_written,
+        |   0 AS live_deltas, TRUE AS archived
+        |  UNION ALL SELECT 2, 'deltacommit',
+        |   (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0), 1, TRUE
+        |  UNION ALL SELECT 3, 'compact',
+        |   (SELECT count(*) FROM orders), 0, FALSE
+        |  UNION ALL SELECT 4, 'deltacommit',
+        |   (SELECT count(*) FROM orders WHERE o_orderkey % 5 = 0), 1, FALSE
+        | ) ORDER BY ordinal""".stripMargin,
+    // Inline compaction policy (fire at 2 live deltas): the second
+    // delta commit is followed by an automatic compact instant; the
+    // third starts a fresh below-threshold delta run.
+    "s_inline_compact" ->
+      """SELECT * FROM (
+        |  SELECT 1 AS ordinal, 'upsert' AS action,
+        |   (SELECT count(*) FROM orders) AS rows_written, 0 AS live_deltas
+        |  UNION ALL SELECT 2, 'deltacommit',
+        |   (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0), 1
+        |  UNION ALL SELECT 3, 'deltacommit',
+        |   (SELECT count(*) FROM orders WHERE o_orderkey % 5 = 0), 2
+        |  UNION ALL SELECT 4, 'compact',
+        |   (SELECT count(*) FROM orders), 0
+        |  UNION ALL SELECT 5, 'deltacommit',
+        |   (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0), 1
+        | ) ORDER BY ordinal""".stripMargin,
     // Stats view: base = the full first upsert, delta = the %3 MOR
     // batch — row sums and key ranges folded from the sidecars alone.
     "s_stats_view" ->
@@ -3844,6 +3879,25 @@ object SparkEntry {
     // full-corpus recompute is the oracle, so the green row proves the
     // whole feed-latency monitoring path end to end
     "stream_monitoring_replay" -> incAucStopwordSql,
+    // Streaming top-k: per-item counts folded from the stream state
+    // must equal the full-corpus top-10 (exact counts are additive —
+    // the mergeable summary IS the count state); tie-break (cnt desc,
+    // item asc) makes the cut deterministic on both sides.
+    "stream_topk_replay" ->
+      """SELECT item, cnt FROM (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'hot_' || event_type
+        |              ELSE 'u' || user_id || '_' || event_type
+        |         END AS item,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1
+        | ) ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
+    // Live-writer retention: per-micro-batch archival cleaning holds
+    // the sink's active timeline at 1 manifest; the visible rows must
+    // still be every event exactly once (gates pin the metadata split
+    // and the exactly-once registry; the oracle pins the data).
+    "stream_sink_retention_replay" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        | FROM events ORDER BY event_id""".stripMargin,
     "i_incremental_auc_by" ->
       raw"""WITH tok AS (
          |  SELECT source, lang,

@@ -686,12 +686,24 @@ object TableOps {
     * [[KeyIndex]], which stays synced to the BASE state (delta commits
     * never touch it).
     */
+  /** `inlineCompactAfter = Some(n)` arms the inline-compaction policy
+    * (Hudi `hoodie.compact.inline` + `max.delta.commits` analog): when
+    * THIS delta commit brings the live-delta count to ≥ n, a
+    * [[compactDeltas]] runs as a follow-on table-service commit before
+    * returning — write amplification stays bounded (every base rewrite
+    * folds ≥ n deltas) without an out-of-band scheduler, the trade the
+    * reference's @daily batch cannot make. Returns the DELTA commit's
+    * ts either way (the compaction is its own timeline instant).
+    */
   def deltaCommit(
       spark: SparkSession,
       t: KeyedTable,
       incoming: DataFrame,
       maxRecordsPerFile: Long = 4000000L,
-      idempotencyKey: Option[String] = None): String = {
+      idempotencyKey: Option[String] = None,
+      inlineCompactAfter: Option[Int] = None): String = {
+    inlineCompactAfter.foreach(n => require(n >= 1,
+      s"inlineCompactAfter must be >= 1, got $n"))
     if (!exists(spark, t))
       return upsert(spark, t, incoming,
         maxRecordsPerFile = maxRecordsPerFile,
@@ -738,6 +750,12 @@ object TableOps {
       rowsWrittenMeta(spark, t, ts),
       expectedPrev = Some(baseCommit))
     idempotencyKey.foreach(log.recordIdempotencyKey)
+    // inline-compaction policy: fires AFTER the delta publishes (the
+    // delta commit itself is never at risk from a compaction failure)
+    inlineCompactAfter.foreach { n =>
+      if (oldDeltas.size + 1 >= n)
+        compactDeltas(spark, t, maxRecordsPerFile): Unit
+    }
     ts
   }
 
@@ -1400,20 +1418,39 @@ object TableOps {
   /** The commit timeline as a DataFrame — the Hudi CLI `commits show`
     * timeline-inspection analog: one row per RETAINED manifest with its
     * action, recorded `rows_written` (stats-carrying tables), live
-    * MOR delta count, and idempotency key. Driver-side kilobyte
-    * manifest reads — an ops/SQL surface, never a data path (register
-    * with `.createOrReplaceTempView` to query the timeline in SQL).
+    * MOR delta count, idempotency key, and an `archived = false` flag.
+    * Driver-side kilobyte manifest reads — an ops/SQL surface, never a
+    * data path (register with `.createOrReplaceTempView` to query the
+    * timeline in SQL).
+    *
+    * `includeArchived = true` unions the ARCHIVED timeline (instants a
+    * `clean(archive = true)` compacted out of the active timeline —
+    * the Hudi `commits show archived` analog) as `archived = true`
+    * rows, giving the full commit history in one ascending frame. An
+    * instant caught mid-archival (crash between archive publish and
+    * manifest delete) reports once, as active.
     */
-  def timeline(spark: SparkSession, t: KeyedTable): DataFrame = {
+  def timeline(spark: SparkSession, t: KeyedTable,
+      includeArchived: Boolean = false): DataFrame = {
     import spark.implicits._
     val log = CommitLog(t, spark)
-    log.listCommits().map { ts =>
-      val m = log.commitMeta(ts).getOrElse(Map.empty[String, String])
+    def row(ts: String, m: Map[String, String], archived: Boolean) =
       (ts, m.getOrElse("action", "upsert"),
         m.get("rows_written").map(_.toLong),
-        deltasOf(m).size, m.get("idempotency_key"))
-    }.toDF("commit_ts", "action", "rows_written", "live_deltas",
-      "idempotency_key")
+        deltasOf(m).size, m.get("idempotency_key"), archived)
+    val active = log.listCommits().map { ts =>
+      row(ts, log.commitMeta(ts).getOrElse(Map.empty[String, String]),
+        archived = false)
+    }
+    val activeTs = active.iterator.map(_._1).toSet
+    val archived =
+      if (!includeArchived) Nil
+      else log.archivedMetas()
+        .flatMap(m => m.get("commit_ts")
+          .filterNot(activeTs).map(ts => row(ts, m, archived = true)))
+    (archived ++ active).sortBy(_._1)
+      .toDF("commit_ts", "action", "rows_written", "live_deltas",
+        "idempotency_key", "archived")
   }
 
   /** Column-stats view — the Hudi metadata `col_stats` index / CLI
@@ -2156,12 +2193,23 @@ object TableOps {
     }
   }
 
-  def clean(spark: SparkSession, t: KeyedTable, retainCommits: Int): Seq[String] = {
+  /** Cleaner — drop aged commit manifests and GC every data dir no
+    * retained manifest references (Hudi cleaner analog; reference
+    * config create_hudi_tables.py:141-148). `archive = true` folds the
+    * dropped manifests into the archived timeline first
+    * ([[graft.tables.CommitLog.retain]]) — history survives as audit
+    * metadata (`timeline(includeArchived = true)`) while the active
+    * timeline and the data reclaim behave exactly as an unarchived
+    * clean: archived instants are history-only and never extend
+    * data-file lifetime.
+    */
+  def clean(spark: SparkSession, t: KeyedTable, retainCommits: Int,
+      archive: Boolean = false): Seq[String] = {
     require(retainCommits >= 1, "retainCommits must be >= 1")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
     val log = CommitLog(t, spark)
-    val dropped = log.retain(retainCommits)
+    val dropped = log.retain(retainCommits, archive)
     val metas = log.listCommits().flatMap(ts => log.commitMeta(ts))
     val partsMaps = metas.flatMap(partsOf)
     // a commit dir is live if any retained manifest references it as a

@@ -696,6 +696,112 @@ object OpsQueries {
       .withColumn("u2", col("u2").cast("long"))
   }
 
+  /** Streaming top-k / heavy-hitters monitoring at FEED LATENCY — the
+    * [[streamMonitoringReplay]] composition applied to the frequency
+    * path: the skew-constructed item stream of [[aHeavyHitters]] lands
+    * through `foreachBatch` (exactly-once upsert + an (item)-keyed
+    * [[graft.ops.IncrementalAgg.refresh]]), and the top-10 report
+    * reads the STATE — counts fold per micro-batch, the corpus is
+    * never rescanned, and the report is EXACT (per-item counts are
+    * additive, so the mergeable summary is the count state itself —
+    * where Misra–Gries trades exactness for a size bound, the state
+    * table trades size O(#distinct items) for exactness; both
+    * one-pass). Deterministic tie-break (cnt desc, item asc); oracle =
+    * the full-corpus top-10 recompute, so the green row proves stream
+    * ingest ≡ incremental state ≡ batch for the frequency family.
+    */
+  def streamTopkReplay(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-streamtopk")
+    val src = KeyedTable("stk_src", s"$base/src",
+      Seq("event_id"), "event_id")
+    val state = graft.ops.IncrementalAgg.stateTable(
+      "stk_state", s"$base/state", Seq("item"))
+    val store = CheckpointStore(s"$base/cp", s)
+    val items = CoreQueries.events(s, dir).select(
+      col("event_id"),
+      when(col("user_id") % 2 === 0,
+        concat(lit("hot_"), col("event_type")))
+        .otherwise(concat(lit("u"), col("user_id"), lit("_"),
+          col("event_type"))).as("item"))
+    val srcDir = s"$base/streamsrc"
+    (0 until 3).foreach { b =>
+      items.filter(pmod(col("event_id"), lit(3)) === b)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val schema = s.read.parquet(srcDir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.option("checkpointLocation", s"$base/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          batchId: Long) =>
+        TableOps.upsert(s, src, batch,
+          idempotencyKey = Some(s"stk-$batchId"))
+        graft.ops.IncrementalAgg.refresh(s, src, state, store,
+          Seq("item"), "event_id"): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    TableOps.snapshot(s, state)
+      .select(col("item"), col("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+      .limit(10)
+  }
+
+  /** Streaming sink with BOUNDED METADATA — the table services running
+    * under a live writer: every micro-batch exactly-once upserts into
+    * the sink and then runs an archival clean (retain 1), so the
+    * ACTIVE timeline a reader lists stays O(1) forever while commit
+    * history survives in the archived timeline and the idempotency
+    * registry survives by construction. This is the missing lifecycle
+    * piece of the feed-latency story: without retention a continuous
+    * sink accrues one manifest per micro-batch without bound (a
+    * week-long 10 s-trigger stream = 60k+ manifests, and every
+    * snapshot/upsert lists them all); with it, metadata cost is flat
+    * at any stream length. In-query gates pin the active/archived
+    * split and replay every batch key against the registry; the
+    * oracle pins the visible rows cell-exactly — cleaning under a
+    * live writer must lose nothing.
+    */
+  def streamSinkRetentionReplay(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-streamsret")
+    val sink = KeyedTable("sret_sink", s"$base/sink",
+      Seq("event_id"), "event_id")
+    val proj = CoreQueries.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val srcDir = s"$base/streamsrc"
+    (0 until 3).foreach { b =>
+      proj.filter(pmod(col("event_id"), lit(3)) === b)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val schema = s.read.parquet(srcDir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.option("checkpointLocation", s"$base/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          batchId: Long) =>
+        TableOps.upsert(s, sink, batch,
+          idempotencyKey = Some(s"sret-$batchId"))
+        TableOps.clean(s, sink, retainCommits = 1, archive = true): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val log = graft.tables.CommitLog(sink, s)
+    require(log.listCommits().size == 1,
+      s"live-writer retention must hold the active timeline at 1, " +
+        s"got ${log.listCommits().size}")
+    require(log.archivedMetas().size == 2,
+      s"the 2 cleaned micro-batch commits must be archived, " +
+        s"got ${log.archivedMetas().size}")
+    require((0 until 3).forall(b => log.hasIdempotencyKey(s"sret-$b")),
+      "exactly-once keys must survive archival cleaning")
+    require(TableOps.timeline(s, sink, includeArchived = true)
+      .count() == 3, "full commit history must survive retention")
+    TableOps.snapshot(s, sink)
+      .select("event_id", "user_id", "ts_us", "value")
+      .orderBy("event_id")
+  }
+
   /** Incrementally-maintained PER-SLICE ROC-AUC: the same state-table
     * pattern grouped by (source, score); the snapshot unfolds into
     * weighted label rows (y = 1 with weight pos_g, y = 0 with weight
@@ -1595,6 +1701,100 @@ object OpsQueries {
     TableOps.compactDeltas(s, table)
     TableOps.restoreTo(s, table, c1)
     // 4-row metadata frame — the unpartitioned Window is fine here
+    TableOps.timeline(s, table)
+      .withColumn("ordinal",
+        row_number().over(Window.orderBy("commit_ts")))
+      .select("ordinal", "action", "rows_written", "live_deltas")
+      .orderBy("ordinal")
+  }
+
+  /** Archived timeline ([[TableOps.clean]] `archive = true` +
+    * [[TableOps.timeline]] `includeArchived` — the Hudi
+    * timeline-archival / `commits show archived` analog): four commits
+    * (upsert, MOR delta, compaction, second delta), then a clean that
+    * retains 2 and ARCHIVES the 2 it drops. The full history must
+    * still read back — the first two instants as `archived = true`
+    * with their recorded actions/row counts intact, the retained two
+    * as active — while the active timeline (what every reader lists)
+    * shrank to 2 and the snapshot stays fully readable. In-query
+    * gates pin the active/archived split; the oracle pins every cell
+    * of the 4-row history.
+    */
+  def sArchivedTimeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val table = KeyedTable("orders_atl",
+      s"${scratch("graft-atl")}/orders_atl",
+      Seq("o_orderkey"), "ver", statsColumns = Seq("o_orderkey"))
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    TableOps.deltaCommit(s, table,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("ver", lit(2)))
+    TableOps.compactDeltas(s, table)
+    TableOps.deltaCommit(s, table,
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+        .withColumn("ver", lit(3)))
+    TableOps.clean(s, table, retainCommits = 2, archive = true)
+    val log = graft.tables.CommitLog(table, s)
+    require(log.listCommits().size == 2,
+      s"active timeline must be the 2 retained commits, " +
+        s"got ${log.listCommits().size}")
+    require(log.archivedMetas().size == 2,
+      s"archived timeline must carry the 2 dropped commits, " +
+        s"got ${log.archivedMetas().size}")
+    // history-only: the archive must not have kept reclaimed data alive
+    require(TableOps.snapshot(s, table).count() == orders.count(),
+      "snapshot must stay fully readable after archival clean")
+    TableOps.timeline(s, table, includeArchived = true)
+      .withColumn("ordinal",
+        row_number().over(Window.orderBy("commit_ts")))
+      .select("ordinal", "action", "rows_written", "live_deltas",
+        "archived")
+      .orderBy("ordinal")
+  }
+
+  /** Inline compaction policy ([[TableOps.deltaCommit]]
+    * `inlineCompactAfter` — Hudi `hoodie.compact.inline` +
+    * `max.delta.commits` analog): a base upsert then three MOR delta
+    * commits under a fire-at-2 policy. The second delta must trigger
+    * an automatic compaction (no explicit [[TableOps.compactDeltas]]
+    * call anywhere); the third starts a fresh delta run below the
+    * threshold. The timeline pins the exact instant sequence —
+    * upsert, delta, delta, compact, delta — and the oracle pins each
+    * instant's recorded row count; an in-query gate checks the final
+    * state still merges every batch (policy must not change
+    * visibility).
+    */
+  def sInlineCompact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val table = KeyedTable("orders_ic",
+      s"${scratch("graft-ic")}/orders_ic",
+      Seq("o_orderkey"), "ver", statsColumns = Seq("o_orderkey"))
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    def delta(modulus: Int, ver: Int): Unit =
+      TableOps.deltaCommit(s, table,
+        orders.filter(col("o_orderkey") % modulus === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * ver)
+          .withColumn("ver", lit(ver)),
+        inlineCompactAfter = Some(2)): Unit
+    delta(3, 2) // 1 live delta — below threshold
+    delta(5, 3) // 2 live deltas — policy fires, compaction follows
+    delta(7, 4) // fresh run: 1 live delta again
+    // visibility gate: the policy is a layout service, not a data op —
+    // the %3-only keys must still carry ver 2 and the %35 keys ver 4
+    val snap = TableOps.snapshot(s, table)
+    require(snap.filter(col("o_orderkey") % 3 === 0 &&
+        col("o_orderkey") % 5 =!= 0 && col("o_orderkey") % 7 =!= 0 &&
+        col("ver") =!= 2).isEmpty,
+      "inline compaction changed merge visibility for the %3 batch")
+    require(snap.filter(col("o_orderkey") % 7 === 0 &&
+        col("ver") =!= 4).isEmpty,
+      "the post-compaction delta must win on its keys")
     TableOps.timeline(s, table)
       .withColumn("ordinal",
         row_number().over(Window.orderBy("commit_ts")))

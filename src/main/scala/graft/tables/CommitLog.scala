@@ -276,13 +276,94 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     * dropped — the retained timeline may therefore carry holes, which
     * every reader already tolerates (state resolution walks
     * newest→oldest over whatever manifests exist).
+    *
+    * `archive = true` compacts the dropped manifests into the archived
+    * timeline ([[archiveManifests]]) before deleting them — the Hudi
+    * timeline-archival analog: commit HISTORY survives retention as
+    * audit metadata while the ACTIVE timeline (what every reader lists
+    * per operation) stays O(keep). Archived instants are history-only:
+    * state resolution, time travel, and the cleaner's reachability rule
+    * all consult only the active timeline, so archiving never extends
+    * data-file lifetime.
     */
-  def retain(keep: Int): Seq[String] = {
+  def retain(keep: Int, archive: Boolean = false): Seq[String] = {
     val all = listCommits()
     val pinned = savepoints().toSet
     val drop = all.dropRight(keep).filterNot(pinned)
+    if (archive) archiveManifests(drop)
     drop.foreach(ts => fs.delete(new Path(dir, s"$ts.commit"), false))
     drop
+  }
+
+  // ————————————————————————————————————————————— archived timeline
+
+  private def archiveDir = new Path(dir, "archived")
+
+  /** Compact the given manifests into ONE archive batch file
+    * (`archived/{first}_{last}.archive`, JSON-lines of the full
+    * manifest payloads) — the Hudi archived-timeline analog (Hudi
+    * folds aged instants into compacted log batches under
+    * `.hoodie/archived/` so the active timeline stays small without
+    * destroying history). One batch per archival run keeps the archive
+    * itself O(#runs) files, not O(#commits): listing cost never
+    * regrows what retention just reclaimed.
+    *
+    * Crash-safety: the batch publishes atomically BEFORE any manifest
+    * is deleted (the caller deletes after), so a crash in between
+    * leaves a commit both active and archived — readers dedup by
+    * `commit_ts` with the active side winning, and the retry archival
+    * re-writes the same content, so nothing is lost or doubled.
+    */
+  def archiveManifests(drop: Seq[String]): Unit = {
+    val lines = drop.flatMap { ts =>
+      val p = new Path(dir, s"$ts.commit")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val raw =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            StandardCharsets.UTF_8)
+          finally in.close()
+        // manifests are single-line JSON by construction (logCommit
+        // escapes control chars); normalize defensively anyway so one
+        // legacy multi-line payload cannot corrupt the whole batch
+        Some(raw.replace('\n', ' ').replace('\r', ' '))
+      }
+    }
+    if (lines.isEmpty) return
+    val batch = new Path(archiveDir, s"${drop.head}_${drop.last}.archive")
+    AtomicFile.write(fs, batch,
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Parsed metadata of every ARCHIVED commit, ascending commit order.
+    * Crash-retry duplicates (the same instant in two batches, or in a
+    * batch and still active) collapse to one row — first batch wins;
+    * rows without a `commit_ts` (unparseable legacy debris) are
+    * skipped. Driver-side kilobyte reads, O(#archival runs) files.
+    */
+  def archivedMetas(): Seq[Map[String, String]] = {
+    if (!fs.exists(archiveDir)) return Nil
+    val batches = fs.listStatus(archiveDir).iterator
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".archive"))
+      .toSeq.sortBy(_.getName)
+    val metas = batches.flatMap { p =>
+      val in = fs.open(p)
+      val raw =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
+      raw.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+        .flatMap(line => parseMeta(line, p)).toSeq
+    }
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    metas.flatMap { m =>
+      m.get("commit_ts") match {
+        case Some(ts) if seen.add(ts) => Some(ts -> m)
+        case _ => None
+      }
+    }.sortBy(_._1).map(_._2)
   }
 }
 

@@ -1,0 +1,193 @@
+package graft
+
+import graft.ops.TableOps
+import graft.tables.{CommitLog, KeyedTable}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Timeline archival ([[CommitLog.retain]] `archive = true`,
+  * [[TableOps.timeline]] `includeArchived`) and the inline-compaction
+  * policy ([[TableOps.deltaCommit]] `inlineCompactAfter`) — the two
+  * Hudi table-service behaviors layered on the cleaner: history must
+  * survive retention as metadata without extending data lifetime, and
+  * the compaction policy must bound write amplification without
+  * changing visibility.
+  */
+class ArchiveSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def table(prefix: String) = {
+    val base = tmpDir(prefix)
+    KeyedTable("t", s"$base/t", Seq("id"), "ver",
+      statsColumns = Seq("ver"))
+  }
+
+  private def rows(rs: (String, Int)*) = rs.toDF("id", "ver")
+
+  private def fullTimeline(t: KeyedTable) =
+    TableOps.timeline(spark, t, includeArchived = true)
+      .select("commit_ts", "action", "rows_written", "live_deltas",
+        "archived")
+      .as[(String, String, Option[Long], Int, Boolean)]
+      .collect().toSeq
+
+  test("archival clean: history survives retention, data GC unchanged") {
+    val t = table("graft-arch")
+    TableOps.upsert(spark, t, rows(("a", 1), ("b", 1), ("c", 1)))
+    TableOps.deltaCommit(spark, t, rows(("b", 2)))
+    TableOps.compactDeltas(spark, t)
+    val before = fullTimeline(t)
+    assert(before.map(r => (r._2, r._3, r._4, r._5)) === Seq(
+      ("upsert", Some(3L), 0, false),
+      ("deltacommit", Some(1L), 1, false),
+      ("compact", Some(3L), 0, false)))
+
+    val dropped = TableOps.clean(spark, t, retainCommits = 1,
+      archive = true)
+    assert(dropped.size === 2)
+    val log = CommitLog(t, spark)
+    // active timeline shrank; archived carries the dropped metas
+    assert(log.listCommits().size === 1)
+    assert(log.archivedMetas().map(_("commit_ts")) === dropped)
+    // the FULL history is byte-identical modulo the archived flag
+    val after = fullTimeline(t)
+    assert(after.map(r => (r._1, r._2, r._3, r._4)) ===
+      before.map(r => (r._1, r._2, r._3, r._4)))
+    assert(after.map(_._5) === Seq(true, true, false))
+    // history-only: the dropped commits' data dirs were reclaimed
+    // exactly as an unarchived clean would (archive extends nothing)
+    val fs = new Path(t.dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveDirs = fs.listStatus(new Path(t.dataPath))
+      .map(_.getPath.getName).toSet
+    assert(liveDirs === Set(after.last._1))
+    // ... and the snapshot still reads
+    assert(TableOps.snapshot(spark, t).count() === 3)
+  }
+
+  test("savepointed commit is neither dropped nor archived") {
+    val t = table("graft-arch-sp")
+    val c1 = TableOps.upsert(spark, t, rows(("a", 1)))
+    val c2 = TableOps.upsert(spark, t, rows(("a", 2)))
+    TableOps.upsert(spark, t, rows(("a", 3)))
+    TableOps.savepoint(spark, t, c1)
+    TableOps.clean(spark, t, retainCommits = 1, archive = true)
+    val log = CommitLog(t, spark)
+    assert(log.listCommits().head === c1) // pinned, still active
+    assert(log.archivedMetas().map(_("commit_ts")) === Seq(c2))
+  }
+
+  test("repeated archival runs append batches; no duplicate instants") {
+    val t = table("graft-arch-rep")
+    (1 to 5).foreach(v => TableOps.upsert(spark, t, rows(("a", v))))
+    TableOps.clean(spark, t, retainCommits = 3, archive = true)
+    TableOps.clean(spark, t, retainCommits = 1, archive = true)
+    val log = CommitLog(t, spark)
+    assert(log.archivedMetas().size === 4)
+    assert(log.archivedMetas().map(_("commit_ts")).distinct.size === 4)
+    val tl = fullTimeline(t)
+    assert(tl.size === 5)
+    assert(tl.map(_._5) === Seq(true, true, true, true, false))
+    // two runs → two compacted batch files, not four manifests
+    val fs = new Path(t.commitsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(new Path(s"${t.commitsPath}/archived"))
+      .map(_.getPath.getName).filter(_.endsWith(".archive"))
+    assert(batches.length === 2)
+  }
+
+  test("crash window: instant both archived and active reports once, as active") {
+    val t = table("graft-arch-crash")
+    val c1 = TableOps.upsert(spark, t, rows(("a", 1)))
+    TableOps.upsert(spark, t, rows(("a", 2)))
+    val log = CommitLog(t, spark)
+    // simulate the crash between archive publish and manifest delete
+    log.archiveManifests(Seq(c1))
+    assert(log.listCommits().size === 2) // manifest still active
+    val tl = fullTimeline(t)
+    assert(tl.size === 2)
+    assert(tl.map(_._5) === Seq(false, false)) // active side wins
+    // the retry archival converges: same content, still one instant
+    TableOps.clean(spark, t, retainCommits = 1, archive = true)
+    assert(fullTimeline(t).map(_._5) === Seq(true, false))
+  }
+
+  test("default clean leaves no archive; includeArchived=false unchanged") {
+    val t = table("graft-arch-off")
+    TableOps.upsert(spark, t, rows(("a", 1)))
+    TableOps.upsert(spark, t, rows(("a", 2)))
+    TableOps.clean(spark, t, retainCommits = 1)
+    val log = CommitLog(t, spark)
+    assert(log.archivedMetas() === Nil)
+    assert(TableOps.timeline(spark, t).count() === 1)
+  }
+
+  test("inline compaction fires at the threshold, not below") {
+    val t = table("graft-ic")
+    TableOps.upsert(spark, t, rows(("a", 1), ("b", 1)))
+    TableOps.deltaCommit(spark, t, rows(("a", 2)),
+      inlineCompactAfter = Some(3))
+    TableOps.deltaCommit(spark, t, rows(("b", 2)),
+      inlineCompactAfter = Some(3))
+    // 2 live deltas < 3 — no compaction yet
+    assert(TableOps.timeline(spark, t)
+      .filter(col("action") === "compact").count() === 0)
+    TableOps.deltaCommit(spark, t, rows(("a", 3)),
+      inlineCompactAfter = Some(3))
+    val tl = TableOps.timeline(spark, t)
+      .select("action", "live_deltas")
+      .as[(String, Int)].collect().toSeq
+    assert(tl === Seq(("upsert", 0), ("deltacommit", 1),
+      ("deltacommit", 2), ("deltacommit", 3), ("compact", 0)))
+    // visibility identical to the unmanaged-merge result
+    assert(TableOps.snapshot(spark, t)
+      .select("id", "ver").as[(String, Int)].collect().toSet ===
+      Set(("a", 3), ("b", 2)))
+  }
+
+  test("live streaming sink: per-batch archival clean bounds the active timeline") {
+    // the driver query's own gates (active=1, archived=2, all three
+    // batch keys replay, full history=3) run in-query; here pin the
+    // DATA contract at sf0.001 — cleaning under a live writer must
+    // lose nothing
+    val out = graft.queries.OpsQueries
+      .streamSinkRetentionReplay(spark, sfDir)
+    val expected = graft.queries.CoreQueries.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    assert(out.count() === expected.count())
+    assert(out.exceptAll(expected).isEmpty &&
+      expected.exceptAll(out).isEmpty)
+  }
+
+  test("streaming top-k equals the batch top-10 with deterministic tie-break") {
+    val out = graft.queries.OpsQueries.streamTopkReplay(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    val batch = graft.queries.CoreQueries.events(spark, sfDir)
+      .select(when(col("user_id") % 2 === 0,
+        concat(lit("hot_"), col("event_type")))
+        .otherwise(concat(lit("u"), col("user_id"), lit("_"),
+          col("event_type"))).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item")).limit(10)
+      .as[(String, Long)].collect().toSeq
+    assert(out === batch)
+    assert(out.size === 10)
+  }
+
+  test("inline policy is per-run: compaction resets the counter") {
+    val t = table("graft-ic-run")
+    TableOps.upsert(spark, t, rows(("a", 1)))
+    (2 to 5).foreach { v =>
+      TableOps.deltaCommit(spark, t, rows(("a", v)),
+        inlineCompactAfter = Some(2))
+    }
+    val actions = TableOps.timeline(spark, t)
+      .select("action").as[String].collect().toSeq
+    // every second delta folds: d,d,compact,d,d,compact
+    assert(actions === Seq("upsert", "deltacommit", "deltacommit",
+      "compact", "deltacommit", "deltacommit", "compact"))
+    assert(TableOps.snapshot(spark, t)
+      .select("id", "ver").as[(String, Int)].head() === ("a", 5))
+  }
+}
