@@ -321,7 +321,13 @@ object SparkEntry {
     "stream_rolling_composite_replay",
     "stream_gapfill_composite_replay",
     "stream_transitions_composite_replay", "dq_drift_by",
-    "stream_funnel_composite_replay", "stream_retention_composite_replay")
+    "stream_funnel_composite_replay", "stream_retention_composite_replay",
+    // r12 lifecycle additions: the live-writer retention sink and the
+    // streaming frequency face (both stream-shaped board rows); the
+    // archival/inline-compact timeline queries stay off the board —
+    // scratch-dir metadata lifecycles, correctness-gated like their
+    // s_timeline sibling
+    "stream_topk_replay", "stream_sink_retention_replay")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard

@@ -137,6 +137,20 @@ object TableOps {
     */
   private[ops] val DeltasKey = "deltas"
 
+  /** Actions that never contribute change records to a CDC feed —
+    * restore republishes metadata only, delete_partition removals emit
+    * nothing by contract, and a compaction's dir carries rows stamped
+    * with their ORIGINAL commit ts (a pure fold contributes nothing
+    * under the `_commit_ts === ts` filter). Every other action
+    * (upsert/deltacommit/insert/delete/replacecommit/bootstrap, or an
+    * unknown future action) is treated as change-bearing — the
+    * completeness guards fail conservatively loud. Shared by the batch
+    * [[changeLog]] and the streaming
+    * [[graft.streaming.CommitStreamSource]].
+    */
+  val CdcNonContributing: Set[String] =
+    Set("restore", "delete_partition", "compact")
+
   private[ops] def deltasJson(deltas: Seq[String]): String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
@@ -1893,13 +1907,46 @@ object TableOps {
     * cleaned beyond retention no longer exist individually and the
     * commit is skipped; `delete_partition` removals emit nothing
     * (re-seed downstream, as with any compacted CDC log).
+    *
+    * COMPLETENESS GUARD: when the cleaner ran with `archive = true`,
+    * a lagging consumer is detectable — if the ARCHIVED timeline holds
+    * a change-bearing instant inside the requested range, this feed
+    * has a hole (those records were merged into newer dirs and no
+    * longer exist individually), and the read fails LOUD instead of
+    * returning silently-partial changes: re-seed from a snapshot or
+    * pass `allowIncomplete = true` for the surviving records only.
+    * Unarchived cleans leave no evidence and keep the silent-skip
+    * contract above — archival cleaning is what upgrades CDC laggards
+    * from silent holes to a refusal (the Hudi analog: an incremental
+    * query whose begin instant has aged into the archived timeline
+    * errors rather than fabricating a partial feed).
     */
   def changeLog(
       spark: SparkSession,
       t: KeyedTable,
       beginExclusive: String,
-      endInclusive: Option[String] = None): DataFrame = {
+      endInclusive: Option[String] = None,
+      allowIncomplete: Boolean = false): DataFrame = {
     val log = CommitLog(t, spark)
+    if (!allowIncomplete) {
+      // still-active instants (archival crash window) have lost
+      // nothing — only an archived instant whose manifest is GONE is
+      // evidence of a cleaned-away change set
+      val active = log.listCommits().toSet
+      val lost = log.archivedMetas().filter { m =>
+        m.get("commit_ts").exists(ts => ts > beginExclusive &&
+          endInclusive.forall(ts <= _) && !active(ts)) &&
+          !m.get("action").exists(CdcNonContributing)
+      }
+      if (lost.nonEmpty) throw new IllegalStateException(
+        s"change feed for table ${t.name} over ($beginExclusive, " +
+          s"${endInclusive.getOrElse("<latest>")}] is incomplete: " +
+          s"${lost.size} change-bearing commit(s) in range were cleaned " +
+          s"beyond retention (earliest lost: " +
+          s"${lost.head.getOrElse("commit_ts", "?")}). Re-seed the " +
+          "consumer from a snapshot, or pass allowIncomplete = true to " +
+          "read only the surviving records")
+    }
     val sch = latestSchema(spark, t).getOrElse(
       throw new IllegalStateException(
         s"table ${t.name} has no commit manifest — no change log"))

@@ -49,7 +49,13 @@ private[streaming] case class CommitOffset(ts: String) extends Offset {
   * cleaner's retention window ([[TableOps.clean]]) — a commit cleaned
   * while the stream was down has been merged into newer dirs and its
   * individual change records no longer exist (same contract as any
-  * compacted CDC log); such commits are skipped with a warning.
+  * compacted CDC log); such commits are skipped with a warning. When
+  * the cleaner ran with `archive = true` the lagging restart is
+  * DETECTABLE (the archived timeline evidences the lost instants), and
+  * the batch fails LOUD instead of silently emitting a feed with a
+  * hole — re-seed from a snapshot, or pass the
+  * `allowIncompleteFeed = true` source option to accept the surviving
+  * records (the batch [[TableOps.changeLog]] guard, same rule).
   *
   * Rate limiting: `maxCommitsPerTrigger` caps how many commits one
   * micro-batch covers, exactly, including across restarts — the source
@@ -60,7 +66,8 @@ private[streaming] case class CommitOffset(ts: String) extends Offset {
   */
 class CommitStreamSource(spark: SparkSession, t: KeyedTable,
     maxCommitsPerTrigger: Option[Int],
-    userSchema: Option[StructType] = None)
+    userSchema: Option[StructType] = None,
+    allowIncompleteFeed: Boolean = false)
     extends Source with SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming
@@ -120,6 +127,25 @@ class CommitStreamSource(spark: SparkSession, t: KeyedTable,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startTs = start.map(_.json).getOrElse("")
     val endTs = end.json
+    if (!allowIncompleteFeed) {
+      // still-active instants (archival crash window) have lost
+      // nothing — only archived instants with no active manifest are
+      // evidence of a cleaned-away change set
+      val active = log.listCommits().toSet
+      val lost = log.archivedMetas().filter { m =>
+        m.get("commit_ts").exists(ts => ts > startTs && ts <= endTs &&
+          !active(ts)) &&
+          !m.get("action").exists(TableOps.CdcNonContributing)
+      }
+      if (lost.nonEmpty) throw new IllegalStateException(
+        s"stream over ${t.name}: batch ($startTs, $endTs] is " +
+          s"incomplete — ${lost.size} change-bearing commit(s) were " +
+          "cleaned beyond retention while the stream was down " +
+          s"(earliest lost: ${lost.head.getOrElse("commit_ts", "?")}). " +
+          "Re-seed the consumer from a snapshot, or set the " +
+          "allowIncompleteFeed=true source option to read only the " +
+          "surviving records")
+    }
     val fs = new Path(t.dataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val frames = log.listCommits()
@@ -180,5 +206,7 @@ class CommitStreamProvider extends StreamSourceProvider {
       parameters: Map[String, String]): Source =
     new CommitStreamSource(sqlContext.sparkSession, tableOf(parameters),
       parameters.get("maxCommitsPerTrigger").map(_.toInt),
-      userSchema = schema)
+      userSchema = schema,
+      allowIncompleteFeed = parameters.get("allowIncompleteFeed")
+        .exists(_.toBoolean))
 }

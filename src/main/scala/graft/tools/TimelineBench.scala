@@ -86,6 +86,44 @@ object TimelineBench {
     val cleanS = timed(TableOps.clean(spark, t, retainCommits = 10))
     println(f"""{"tag":"cleaned","clean_sec":$cleanS%.3f}""")
     report("post_clean")
+
+    // Phase 2: LIVE RETENTION — an archival clean after every commit
+    // (the stream_sink_retention_replay discipline). The claim under
+    // measurement: the active timeline a reader lists stays O(keep) at
+    // any stream length, so write/snapshot cost is FLAT in total
+    // commits (phase 1 shows the unretained slope), while the archived
+    // history stays complete and queryable. The full-history read cost
+    // is allowed to grow (one archive batch per clean) — it is an
+    // audit surface, not a data-path one.
+    val t2 = KeyedTable("tlr", s"$root/tlr", Seq("o_orderkey"), "ver",
+      statsColumns = Seq("o_orderkey"))
+    TableOps.upsert(spark, t2, orders.withColumn("ver", lit(0)))
+    val log2 = graft.tables.CommitLog(t2, spark)
+    var done2 = 1
+    var writes2 = Vector.empty[Double]
+    var cleans2 = Vector.empty[Double]
+    for (n <- checkpoints) {
+      while (done2 < n) {
+        val batch = orders
+          .filter(col("o_orderkey") % lit(100L) === lit((done2 % 100).toLong))
+          .limit(200)
+          .withColumn("ver", lit(done2))
+        writes2 :+= timed(TableOps.upsert(spark, t2, batch))
+        cleans2 :+= timed(
+          TableOps.clean(spark, t2, retainCommits = 10, archive = true))
+        done2 += 1
+      }
+      val active = log2.listCommits().size
+      val archived = log2.archivedMetas().size
+      val snapS = timed(TableOps.snapshot(spark, t2).count())
+      val tlActiveS = timed(TableOps.timeline(spark, t2).count())
+      val tlFullS = timed(
+        TableOps.timeline(spark, t2, includeArchived = true).count())
+      def med(v: Vector[Double]) =
+        if (v.isEmpty) 0.0 else v.sorted.apply(v.size / 2)
+      println(f"""{"tag":"retained_$n","commits":$done2,"active":$active,"archived":$archived,"write_median_sec":${med(writes2)}%.3f,"clean_median_sec":${med(cleans2)}%.3f,"snapshot_sec":$snapS%.3f,"timeline_active_sec":$tlActiveS%.3f,"timeline_full_sec":$tlFullS%.3f}""")
+      writes2 = Vector.empty; cleans2 = Vector.empty
+    }
     spark.stop()
   }
 }

@@ -145,6 +145,81 @@ class ArchiveSpec extends SparkSuite {
       Set(("a", 3), ("b", 2)))
   }
 
+  test("CDC completeness guard: archived change-bearing commits fail loud") {
+    val t = table("graft-cdc-guard")
+    TableOps.upsert(spark, t, rows(("a", 1)))
+    val c2 = TableOps.upsert(spark, t, rows(("a", 2)))
+    TableOps.upsert(spark, t, rows(("a", 3)))
+    TableOps.clean(spark, t, retainCommits = 1, archive = true)
+    // a bootstrap-range read would fabricate a partial feed — refuse
+    val ex = intercept[IllegalStateException] {
+      TableOps.changeLog(spark, t, beginExclusive = "")
+    }
+    assert(ex.getMessage.contains("incomplete"))
+    // surviving records only, on explicit request
+    assert(TableOps.changeLog(spark, t, "", allowIncomplete = true)
+      .select("ver").as[Int].collect().toSeq === Seq(3))
+    // a range past the retention horizon is complete — no guard trip
+    assert(TableOps.changeLog(spark, t, beginExclusive = c2)
+      .select("ver").as[Int].collect().toSeq === Seq(3))
+  }
+
+  test("archived non-contributing commits (compact) do not trip the CDC guard") {
+    val t = table("graft-cdc-nc")
+    TableOps.upsert(spark, t, rows(("a", 1)))
+    TableOps.deltaCommit(spark, t, rows(("a", 2)))
+    TableOps.compactDeltas(spark, t)
+    TableOps.upsert(spark, t, rows(("a", 3)))
+    val log = CommitLog(t, spark)
+    val fs = new Path(t.commitsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def archiveAndDrop(action: String): Unit = {
+      val ts = TableOps.timeline(spark, t)
+        .filter(col("action") === action)
+        .select("commit_ts").as[String].head()
+      log.archiveManifests(Seq(ts))
+      fs.delete(new Path(s"${t.commitsPath}/$ts.commit"), false): Unit
+    }
+    // crash window first: archived but still ACTIVE instants have lost
+    // nothing — the guard must not trip
+    log.archiveManifests(log.listCommits())
+    assert(TableOps.changeLog(spark, t, "").count() === 3)
+    // a LOST compaction is a pure fold — the feed is still complete
+    archiveAndDrop("compact")
+    assert(TableOps.changeLog(spark, t, "")
+      .select("ver").as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+    // a LOST delta commit is a hole — refuse
+    archiveAndDrop("deltacommit")
+    intercept[IllegalStateException] {
+      TableOps.changeLog(spark, t, "")
+    }
+  }
+
+  test("streaming CDC restart over an archived gap fails loud; option opts out") {
+    val t = table("graft-cdc-stream")
+    TableOps.upsert(spark, t, rows(("a", 1)))
+    TableOps.upsert(spark, t, rows(("a", 2)))
+    TableOps.upsert(spark, t, rows(("a", 3)))
+    TableOps.clean(spark, t, retainCommits = 1, archive = true)
+    val q1 = graft.streaming.IncrementalSource.changes(spark, t)
+      .writeStream.format("memory").queryName("cdcguard1")
+      .option("checkpointLocation", tmpDir("graft-cdc-chk1"))
+      .start()
+    val ex = intercept[Exception] {
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    assert(ex.toString.contains("incomplete") ||
+      Option(ex.getCause).exists(_.toString.contains("incomplete")))
+    val q2 = graft.streaming.IncrementalSource.changes(spark, t,
+        Map("allowIncompleteFeed" -> "true"))
+      .writeStream.format("memory").queryName("cdcguard2")
+      .option("checkpointLocation", tmpDir("graft-cdc-chk2"))
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("cdcguard2")
+      .select("ver").as[Int].collect().toSeq === Seq(3))
+  }
+
   test("live streaming sink: per-batch archival clean bounds the active timeline") {
     // the driver query's own gates (active=1, archived=2, all three
     // batch keys replay, full history=3) run in-query; here pin the
