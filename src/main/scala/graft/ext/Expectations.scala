@@ -201,10 +201,15 @@ object Expectations {
     require(hi > lo, "hi must exceed lo")
     def binned(df: DataFrame, out: String): DataFrame = df
       .select(value.cast(DoubleType).as("_v"))
-      .filter(col("_v").isNotNull)
-      // clamp on the LONG floor BEFORE narrowing: a non-ANSI long→int
+      // NULL values ride through as a NULL bin: they count toward the
+      // side's TOTAL (a missing value is still a row of the corpus —
+      // the FromCounts twins and the DuckDB oracle both count it) but
+      // never land on the 0..bins-1 spine. Filtering them here would
+      // silently shrink totals relative to the incremental twin fed by
+      // the same rows (code-review r12 finding).
+      // Clamp on the LONG floor BEFORE narrowing: a non-ANSI long→int
       // cast wraps (keeps the low 32 bits), so a far-out-of-range value
-      // could land in an interior bin instead of the edge
+      // could land in an interior bin instead of the edge.
       .select(least(lit((bins - 1).toLong), greatest(lit(0L),
         floor((col("_v") - lit(lo)) / lit((hi - lo) / bins))))
         .cast("int").as("bin"))
@@ -262,7 +267,12 @@ object Expectations {
     require(hi > lo, "hi must exceed lo")
     def binned(df: DataFrame, out: String): DataFrame = df
       .select(col(groupCol), value.cast(DoubleType).as("_v"))
-      .filter(col("_v").isNotNull && col(groupCol).isNotNull)
+      // NULL GROUPS are dropped (no slice to report them under); NULL
+      // VALUES ride through as a NULL bin so they count toward the
+      // group's total exactly like the FromCounts twin and the oracle
+      // (code-review r12 finding — filtering them shrank totals
+      // relative to the incremental twin fed by the same rows)
+      .filter(col(groupCol).isNotNull)
       .select(col(groupCol),
         least(lit((bins - 1).toLong), greatest(lit(0L),
           floor((col("_v") - lit(lo)) / lit((hi - lo) / bins))))

@@ -49,7 +49,13 @@ object Scd2 {
       collapseUnchanged: Boolean = true): DataFrame = {
     require(trackCols.nonEmpty, "trackCols must be nonempty")
     import spark.implicits._
-    val changes = TableOps.changeLog(spark, t, "", None)
+    // surviving-records-only BY CONTRACT (scaladoc above: "History
+    // growth is bounded by retention: versions in cleaned commits are
+    // gone") — so the changeLog completeness guard must not refuse an
+    // archival-cleaned table here; the dimension's documented horizon
+    // IS the retention horizon
+    val changes = TableOps.changeLog(spark, t, "", None,
+      allowIncomplete = true)
     // commit → 1-based ordinal: driver-side kilobyte manifest listing
     // (the timeline surface), broadcast — never a data-path window
     val ordinals = broadcast(

@@ -1931,11 +1931,12 @@ object TableOps {
     if (!allowIncomplete) {
       // still-active instants (archival crash window) have lost
       // nothing — only an archived instant whose manifest is GONE is
-      // evidence of a cleaned-away change set
+      // evidence of a cleaned-away change set. The ranged call prunes
+      // non-overlapping archive batches by filename before opening any.
       val active = log.listCommits().toSet
-      val lost = log.archivedMetas().filter { m =>
-        m.get("commit_ts").exists(ts => ts > beginExclusive &&
-          endInclusive.forall(ts <= _) && !active(ts)) &&
+      val lost = log.archivedMetas(
+          range = Some((beginExclusive, endInclusive))).filter { m =>
+        m.get("commit_ts").exists(ts => !active(ts)) &&
           !m.get("action").exists(CdcNonContributing)
       }
       if (lost.nonEmpty) throw new IllegalStateException(

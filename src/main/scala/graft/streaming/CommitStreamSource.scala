@@ -130,11 +130,15 @@ class CommitStreamSource(spark: SparkSession, t: KeyedTable,
     if (!allowIncompleteFeed) {
       // still-active instants (archival crash window) have lost
       // nothing — only archived instants with no active manifest are
-      // evidence of a cleaned-away change set
+      // evidence of a cleaned-away change set. The ranged call prunes
+      // non-overlapping archive batches by filename before opening
+      // any, so a steady-state trigger (fresh range past the archive)
+      // pays one dir listing, not an O(#batches) parse — the guard
+      // runs per micro-batch.
       val active = log.listCommits().toSet
-      val lost = log.archivedMetas().filter { m =>
-        m.get("commit_ts").exists(ts => ts > startTs && ts <= endTs &&
-          !active(ts)) &&
+      val lost = log.archivedMetas(
+          range = Some((startTs, Some(endTs)))).filter { m =>
+        m.get("commit_ts").exists(ts => !active(ts)) &&
           !m.get("action").exists(TableOps.CdcNonContributing)
       }
       if (lost.nonEmpty) throw new IllegalStateException(

@@ -334,20 +334,93 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     val batch = new Path(archiveDir, s"${drop.head}_${drop.last}.archive")
     AtomicFile.write(fs, batch,
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    foldArchiveBatches()
   }
 
-  /** Parsed metadata of every ARCHIVED commit, ascending commit order.
+  /** Size-tiered fold of archive batch files (binary-counter merge):
+    * whenever the two SMALLEST batches sit in the same size tier
+    * (smaller·2 > larger), they merge into one spanning batch. Under
+    * per-commit cleaning — the live-writer retention discipline, where
+    * every archival run drops exactly one manifest — this keeps the
+    * archive at O(log n) files with amortized O(log n) rewrites per
+    * instant (total bytes rewritten ≈ archive size · log n, kilobytes
+    * here), instead of the O(#commits) file count that would quietly
+    * regrow the listing cost retention just reclaimed. Crash between
+    * the merged write and the input deletes leaves duplicate instants
+    * across batches — the read side dedups by commit_ts, and the next
+    * fold retries.
+    */
+  private def foldArchiveBatches(): Unit = {
+    def nameRange(p: Path): (String, String) = {
+      val n = p.getName.stripSuffix(".archive")
+      val i = n.indexOf('_')
+      if (i < 0) (n, n) else (n.substring(0, i), n.substring(i + 1))
+    }
+    var merged = true
+    while (merged) {
+      merged = false
+      val batches = fs.listStatus(archiveDir)
+        .filter(_.getPath.getName.endsWith(".archive"))
+        .sortBy(_.getLen)
+      if (batches.length >= 2 &&
+          batches(0).getLen * 2 > batches(1).getLen) {
+        val (a, b) = (batches(0).getPath, batches(1).getPath)
+        def readAll(p: Path): String = {
+          val in = fs.open(p)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            StandardCharsets.UTF_8)
+          finally in.close()
+        }
+        val (aF, aL) = nameRange(a); val (bF, bL) = nameRange(b)
+        val first = if (aF <= bF) aF else bF
+        val last = if (aL >= bL) aL else bL
+        val target = new Path(archiveDir, s"${first}_$last.archive")
+        AtomicFile.write(fs, target,
+          (readAll(a).trim + "\n" + readAll(b).trim)
+            .getBytes(StandardCharsets.UTF_8))
+        // compare by NAME: listStatus paths are scheme-qualified
+        // (file:/…) while target is not, so Path equality would pass
+        // a name-colliding input through and delete the just-merged
+        // target
+        Seq(a, b).filter(_.getName != target.getName)
+          .foreach(p => fs.delete(p, false))
+        merged = true
+      }
+    }
+  }
+
+  /** Parsed metadata of ARCHIVED commits, ascending commit order.
     * Crash-retry duplicates (the same instant in two batches, or in a
     * batch and still active) collapse to one row — first batch wins;
     * rows without a `commit_ts` (unparseable legacy debris) are
-    * skipped. Driver-side kilobyte reads, O(#archival runs) files.
+    * skipped. Driver-side kilobyte reads, O(log #archival runs) files
+    * after [[foldArchiveBatches]].
+    *
+    * `range = Some((beginExclusive, endInclusiveOpt))` returns only
+    * instants in that window AND prunes non-overlapping batch files by
+    * their `{first}_{last}` filename before opening any — the CDC
+    * completeness guards run this per micro-batch, so a guard probe
+    * over a fresh range must not pay the whole archive.
     */
-  def archivedMetas(): Seq[Map[String, String]] = {
+  def archivedMetas(range: Option[(String, Option[String])] = None)
+      : Seq[Map[String, String]] = {
     if (!fs.exists(archiveDir)) return Nil
-    val batches = fs.listStatus(archiveDir).iterator
+    val all = fs.listStatus(archiveDir).iterator
       .map(_.getPath)
       .filter(_.getName.endsWith(".archive"))
       .toSeq.sortBy(_.getName)
+    val batches = range.fold(all) { case (begin, endOpt) =>
+      all.filter { p =>
+        val n = p.getName.stripSuffix(".archive")
+        val i = n.indexOf('_')
+        val (first, last) =
+          if (i < 0) (n, n) else (n.substring(0, i), n.substring(i + 1))
+        last > begin && endOpt.forall(first <= _)
+      }
+    }
+    val inRange: String => Boolean = ts => range.forall {
+      case (begin, endOpt) => ts > begin && endOpt.forall(ts <= _)
+    }
     val metas = batches.flatMap { p =>
       val in = fs.open(p)
       val raw =
@@ -360,7 +433,7 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     val seen = scala.collection.mutable.HashSet.empty[String]
     metas.flatMap { m =>
       m.get("commit_ts") match {
-        case Some(ts) if seen.add(ts) => Some(ts -> m)
+        case Some(ts) if inRange(ts) && seen.add(ts) => Some(ts -> m)
         case _ => None
       }
     }.sortBy(_._1).map(_._2)

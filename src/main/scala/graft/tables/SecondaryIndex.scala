@@ -180,7 +180,17 @@ object SecondaryIndex {
         (RecordBearingActions.contains(action) &&
           !fs.exists(new Path(s"${t.dataPath}/$ts")))
     }
-    if (unsafe) { refresh(spark, t, valueCol); return }
+    // a record-bearing commit ARCHIVED out of the active timeline is
+    // equally lost to the increment (its appends no longer exist
+    // individually) — without this, the changeLog completeness guard
+    // below would throw where the sound recovery (rebuild) is sitting
+    // right here
+    val archivedLost = log.archivedMetas(
+        range = Some((synced.get, Some(latest)))).exists { m =>
+      m.get("commit_ts").exists(ts => !inRange.contains(ts)) &&
+        RecordBearingActions.contains(m.getOrElse("action", "upsert"))
+    }
+    if (unsafe || archivedLost) { refresh(spark, t, valueCol); return }
     val changes = graft.ops.TableOps.changeLog(spark, t, synced.get,
       Some(latest))
     val keyCols = t.recordKey

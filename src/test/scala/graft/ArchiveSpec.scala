@@ -77,7 +77,7 @@ class ArchiveSpec extends SparkSuite {
     assert(log.archivedMetas().map(_("commit_ts")) === Seq(c2))
   }
 
-  test("repeated archival runs append batches; no duplicate instants") {
+  test("repeated archival runs: no duplicate instants, folded batch files") {
     val t = table("graft-arch-rep")
     (1 to 5).foreach(v => TableOps.upsert(spark, t, rows(("a", v))))
     TableOps.clean(spark, t, retainCommits = 3, archive = true)
@@ -88,12 +88,72 @@ class ArchiveSpec extends SparkSuite {
     val tl = fullTimeline(t)
     assert(tl.size === 5)
     assert(tl.map(_._5) === Seq(true, true, true, true, false))
-    // two runs → two compacted batch files, not four manifests
+    // the size-tiered fold keeps the file count at or below the run
+    // count (similar-sized batches merge)
     val fs = new Path(t.commitsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batches = fs.listStatus(new Path(s"${t.commitsPath}/archived"))
       .map(_.getPath.getName).filter(_.endsWith(".archive"))
-    assert(batches.length === 2)
+    assert(batches.length <= 2)
+  }
+
+  test("per-commit archival cleaning keeps the archive at O(log n) files") {
+    val t = table("graft-arch-fold")
+    TableOps.upsert(spark, t, rows(("a", 0)))
+    // the live-writer discipline: one archival clean per commit, each
+    // run dropping exactly one manifest — the worst case for file-count
+    // growth (one batch per run unfolded)
+    (1 to 24).foreach { v =>
+      TableOps.upsert(spark, t, rows(("a", v)))
+      TableOps.clean(spark, t, retainCommits = 1, archive = true)
+    }
+    val log = CommitLog(t, spark)
+    assert(log.archivedMetas().size === 24) // nothing lost to folding
+    assert(log.archivedMetas().map(_("commit_ts")).distinct.size === 24)
+    val fs = new Path(t.commitsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(new Path(s"${t.commitsPath}/archived"))
+      .map(_.getPath.getName).filter(_.endsWith(".archive"))
+    assert(batches.length <= 7, // ~log2(24) + slack, NOT 24
+      s"archive must fold: ${batches.length} files for 24 runs")
+    // ranged read: filename pruning + instant filter agree with the
+    // full read restricted to the window
+    val all = log.archivedMetas().map(_("commit_ts"))
+    val lo = all(5); val hi = all(10)
+    assert(log.archivedMetas(range = Some((lo, Some(hi))))
+      .map(_("commit_ts")) === all.filter(ts => ts > lo && ts <= hi))
+    assert(log.archivedMetas(range = Some((all.last, None))) === Nil)
+  }
+
+  test("lagging secondary index rebuilds instead of throwing after archival clean") {
+    import graft.tables.SecondaryIndex
+    val t = table("graft-arch-idx")
+    val payload = Seq(("a", 1, "x"), ("b", 1, "y"))
+      .toDF("id", "ver", "v")
+    TableOps.upsert(spark, t, payload)
+    SecondaryIndex.refresh(spark, t, "v") // synced at commit 1
+    TableOps.upsert(spark, t, Seq(("a", 2, "z")).toDF("id", "ver", "v"))
+    TableOps.upsert(spark, t, Seq(("b", 2, "w")).toDF("id", "ver", "v"))
+    TableOps.clean(spark, t, retainCommits = 1, archive = true)
+    // the index is synced BELOW the archived horizon: the increment is
+    // unrecoverable, so maintenance must fall back to a rebuild — not
+    // propagate the changeLog completeness guard
+    SecondaryIndex.applyIncrement(spark, t, "v")
+    val hits = SecondaryIndex.lookup(spark, t, "v",
+        Seq("z", "w").toDF("v"))
+      .select("id").as[String].collect().toSet
+    assert(hits === Set("a", "b"))
+  }
+
+  test("SCD2 build reads surviving records on an archival-cleaned table") {
+    val t = table("graft-arch-scd2")
+    (1 to 3).foreach(v =>
+      TableOps.upsert(spark, t, rows(("a", v))))
+    TableOps.clean(spark, t, retainCommits = 1, archive = true)
+    // contract: the dimension's horizon IS the retention horizon — the
+    // guard must not refuse the documented surviving-records read
+    val dim = graft.ops.Scd2.build(spark, t, trackCols = Seq("ver"))
+    assert(dim.count() > 0)
   }
 
   test("crash window: instant both archived and active reports once, as active") {
