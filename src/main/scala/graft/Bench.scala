@@ -38,6 +38,38 @@ object Bench {
     * self-flags when the sentinel drifts >1.25× above the quiet-machine
     * nominal. */
   private val SentinelRowsPerCore = 64000000L
+
+  /** Second sentinel, MEMORY-BANDWIDTH-bound (r12 lesson: the winnow
+    * pair drifted 2× on a board whose CPU sentinel was FASTER than the
+    * comparison round's — a CPU-bound yardstick cannot normalize
+    * bandwidth-bound queries, and explode+window shapes are exactly
+    * that). Fixed-size explode → shuffle → running-sum Window →
+    * hash-fold: row materialization, sort buffers and shuffle traffic
+    * dominate, ALU is negligible. Reported pre+post next to the CPU
+    * sentinel so cross-day comparisons of bandwidth-bound queries are
+    * normalizable instead of argued.
+    */
+  private val BwSentinelRowsPerCore = 120000L
+  private val BwSentinelFanout = 16
+  /** Quiet-machine bandwidth-sentinel seconds (calibrated r13 at the
+    * driver's local[32]; same conservative-at-lower-core-counts
+    * argument as [[SentinelNominal]]). */
+  private val BwSentinelNominal = 1.10
+  private def sentinelBwSec(spark: SparkSession): Double = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cpus = spark.sparkContext.defaultParallelism
+    val t0 = System.nanoTime()
+    val w = Window.partitionBy(pmod(col("id"), lit(1024)))
+      .orderBy(col("id"), col("k"))
+    spark.range(0L, BwSentinelRowsPerCore * cpus, 1L, cpus)
+      .select(col("id"),
+        explode(sequence(lit(0), lit(BwSentinelFanout - 1))).as("k"))
+      .withColumn("rs", sum(col("k")).over(w))
+      .agg(expr("bit_xor(xxhash64(rs))"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
   /** Quiet-machine sentinel seconds, calibrated round 8 at the
     * driver's local[32] config (measured 0.49–0.59 s quiet). Work is
     * per-core-constant, and LOWER core counts run faster per core
@@ -113,9 +145,23 @@ object Bench {
         s"SPARK_GRAFT_BENCH_FAMILIES prefixes match no bench query: " +
           s"${unmatched.sorted.mkString(", ")}")
     }
+    // optional EXCLUDE family filter — the complement board: the
+    // standing round artifacts are a core board (exclude=stream) and a
+    // stream board (families=stream), so cross-day pairs stay cheap as
+    // the board grows (the streaming replays are ~90 s of harness).
+    val exclude = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    exclude.foreach { fs =>
+      val unmatched = fs.filterNot(f =>
+        SparkEntry.benchQueries.exists(_.startsWith(f)))
+      require(unmatched.isEmpty,
+        s"SPARK_GRAFT_BENCH_EXCLUDE_FAMILIES prefixes match no bench " +
+          s"query: ${unmatched.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
       .filter(n => subset.forall(_.contains(n)))
       .filter(n => families.forall(_.exists(n.startsWith)))
+      .filter(n => exclude.forall(!_.exists(n.startsWith)))
     // an empty board is always a bug (empty env string, or a subset ∩
     // families intersection that validated per-filter but selects
     // nothing) — fail loudly instead of publishing a zero-query artifact
@@ -127,10 +173,12 @@ object Bench {
       try { execute(n, warmDir); resetCaches() }
       catch { case _: Throwable => resetCaches() }
     }
-    // ambient-load sentinel, pre-queries (first run warms the range/
+    // ambient-load sentinels, pre-queries (first run warms the range/
     // noop path; second is the measurement)
     sentinelSec(spark)
     val sentinelPre = sentinelSec(spark)
+    sentinelBwSec(spark)
+    val sentinelBwPre = sentinelBwSec(spark)
     resetCaches()
     // A query with ANY failed run must NOT report a number (a partial
     // median has no spread protection, and a time-to-crash would read
@@ -156,6 +204,7 @@ object Bench {
       }
     }
     val sentinelPost = sentinelSec(spark)
+    val sentinelBwPost = sentinelBwSec(spark)
     // per-query output row counts (one extra untimed execution each):
     // the pair/candidate-emitting queries' scaling claim ("output-
     // bound, not candidate-quadratic") needs emitted counts next to
@@ -188,7 +237,9 @@ object Bench {
     val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loaded = math.max(sentinelPre, sentinelPost) > SentinelNominal * 1.25
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"suspect":$sus,"runs_per_query":$TimedRuns,"sentinel_pre_sec":${ms(sentinelPre)},"sentinel_post_sec":${ms(sentinelPost)},"sentinel_nominal_sec":$SentinelNominal,"ambient_load_suspected":$loaded$rowsJson,"sf":"$sfDir"}""")
+    val bwLoaded =
+      math.max(sentinelBwPre, sentinelBwPost) > BwSentinelNominal * 1.25
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"suspect":$sus,"runs_per_query":$TimedRuns,"sentinel_pre_sec":${ms(sentinelPre)},"sentinel_post_sec":${ms(sentinelPost)},"sentinel_nominal_sec":$SentinelNominal,"ambient_load_suspected":$loaded,"sentinel_bw_pre_sec":${ms(sentinelBwPre)},"sentinel_bw_post_sec":${ms(sentinelBwPost)},"sentinel_bw_nominal_sec":$BwSentinelNominal,"ambient_bw_suspected":$bwLoaded$rowsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -133,6 +133,8 @@ object SparkEntry {
     "multimodal_features_raw" -> (ExtQueries.multimodalFeaturesRaw _),
     "multimodal_frames"       -> (ExtQueries.multimodalFrames _),
     "multimodal_resize"       -> (ExtQueries.multimodalResize _),
+    "multimodal_bmp_stats"    -> (ExtQueries.multimodalBmpStats _),
+    "multimodal_bmp_resize"   -> (ExtQueries.multimodalBmpResize _),
     "events_tumbling"         -> (ExtQueries.eventsTumbling _),
     "events_sliding"          -> (ExtQueries.eventsSliding _),
     "events_sessions"         -> (ExtQueries.eventsSessions _),
@@ -221,6 +223,8 @@ object SparkEntry {
     "s_delete_partition"      -> (OpsQueries.sDeletePartition _),
     "s_cdc_batch"             -> (OpsQueries.sCdcBatch _),
     "s_schema_evolution"      -> (OpsQueries.sSchemaEvolution _),
+    "s_schema_rename"         -> (OpsQueries.sSchemaRename _),
+    "s_schema_drop"           -> (OpsQueries.sSchemaDrop _),
     "s_time_travel"           -> (OpsQueries.sTimeTravel _),
     "s_soft_delete"           -> (OpsQueries.sSoftDelete _),
     "s_partial_update"        -> (OpsQueries.sPartialUpdate _),
@@ -2586,6 +2590,43 @@ object SparkEntry {
         |  CAST(floor(height * least(1.0, 512.0 / greatest(width, height)))
         |    AS INT) AS out_height
         | FROM m ORDER BY doc_id""".stripMargin,
+    // Real-BMP decode parity: the engine synthesizes physical BMP
+    // bytes per document and decodes them back; the oracle recomputes
+    // the same pixel aggregates from the closed-form generator —
+    // padding, BGR order and bottom-up rows all sit in between, and
+    // the position-weighted green sum pins row/column order.
+    "multimodal_bmp_stats" ->
+      """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 4 AS INT) AS w,
+        |   CAST(3 + doc_id % 3 AS INT) AS h FROM documents),
+        | px AS (SELECT d.doc_id, d.w, d.h, gx.x, gy.y
+        |  FROM d
+        |  CROSS JOIN generate_series(0, 7) gx(x)
+        |  CROSS JOIN generate_series(0, 5) gy(y)
+        |  WHERE gx.x < d.w AND gy.y < d.h)
+        | SELECT doc_id,
+        |  CAST(54 + (w*3 + (4 - (w*3) % 4) % 4) * h AS BIGINT)
+        |    AS bmp_bytes,
+        |  w AS bmp_w, h AS bmp_h,
+        |  CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((x + y*w) * ((doc_id*31 + x*7 + y*13 + 85) % 256))
+        |    AS BIGINT) AS wsum_g,
+        |  CAST((doc_id*31 + 170) % 256 AS BIGINT) AS corner_b
+        | FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "multimodal_bmp_resize" ->
+      """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 4 AS INT) AS w,
+        |   CAST(3 + doc_id % 3 AS INT) AS h FROM documents),
+        | dims AS (SELECT doc_id, w, h,
+        |   GREATEST(1, (w*3) // GREATEST(w, h)) AS ow,
+        |   GREATEST(1, (h*3) // GREATEST(w, h)) AS oh FROM d),
+        | px AS (SELECT m.doc_id, m.w, m.h, m.ow, m.oh, gx.x, gy.y
+        |  FROM dims m
+        |  CROSS JOIN generate_series(0, 2) gx(x)
+        |  CROSS JOIN generate_series(0, 2) gy(y)
+        |  WHERE gx.x < m.ow AND gy.y < m.oh)
+        | SELECT doc_id, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |  CAST(SUM((doc_id*31 + ((x*w) // ow)*7 + ((y*h) // oh)*13) % 256)
+        |    AS BIGINT) AS sum_r
+        | FROM px GROUP BY doc_id, ow, oh ORDER BY doc_id""".stripMargin,
     "events_tumbling" -> eventsTumblingSql,
     "stream_tumbling_replay" -> eventsTumblingSql,
     // Time-RANGE rolling window: both engines order on integer epoch
@@ -3845,6 +3886,18 @@ object SparkEntry {
         | o_totalprice,
         | CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 100
         |      ELSE NULL END AS bonus
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+    "s_schema_rename" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS ver,
+        | CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS total_price
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+    "s_schema_drop" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS ver,
+        | CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10
+        |      ELSE o_totalprice END AS o_totalprice
         | FROM orders ORDER BY o_orderkey""".stripMargin,
     "a_approx_agg" ->
       """SELECT 'approx_agg' AS family,

@@ -38,11 +38,13 @@ object Mor {
   def readDeltas(spark: SparkSession, t: KeyedTable, deltas: Seq[String],
       sch: Option[StructType]): DataFrame = {
     require(deltas.nonEmpty, s"table ${t.name}: no live delta commits")
+    // pre-rename delta files store renamed columns under their OLD
+    // physical names, exactly like base files — same mapping as
+    // TableOps.readParts
+    val rens = graft.tables.CommitLog(t, spark).renames()
     deltas.map { ts =>
       val dir = s"${t.dataPath}/$ts"
-      sch.foldLeft(spark.read)((r, s) => r.schema(s))
-        .option("basePath", dir)
-        .parquet(dir)
+      TableOps.readCommitDir(spark, sch, rens, ts, dir)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 

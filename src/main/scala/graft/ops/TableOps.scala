@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.tables.{ColumnStats, CommitLog, KeyIndex, KeyedTable}
+import graft.tables.{ColumnStats, CommitLog, KeyIndex, KeyedTable, SecondaryIndex}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -139,7 +139,8 @@ object TableOps {
 
   /** Actions that never contribute change records to a CDC feed —
     * restore republishes metadata only, delete_partition removals emit
-    * nothing by contract, and a compaction's dir carries rows stamped
+    * nothing by contract, schema_rename/schema_drop are metadata-only
+    * column surgery, and a compaction's dir carries rows stamped
     * with their ORIGINAL commit ts (a pure fold contributes nothing
     * under the `_commit_ts === ts` filter). Every other action
     * (upsert/deltacommit/insert/delete/replacecommit/bootstrap, or an
@@ -149,7 +150,8 @@ object TableOps {
     * [[graft.streaming.CommitStreamSource]].
     */
   val CdcNonContributing: Set[String] =
-    Set("restore", "delete_partition", "compact")
+    Set("restore", "delete_partition", "compact",
+      "schema_rename", "schema_drop")
 
   private[ops] def deltasJson(deltas: Seq[String]): String = {
     import org.json4s.JsonDSL._
@@ -238,10 +240,85 @@ object TableOps {
           if partsOf(meta).isDefined && deltasOf(meta).isEmpty => ts }
   }
 
+  /** ver → adopted absolute root for this table (empty for every
+    * non-bootstrapped table; see [[graft.tables.CommitLog.externalRoots]]).
+    * Every code path that turns a parts-map ver into a physical dir
+    * resolves through [[verDir]] with these — a metadata-only
+    * bootstrap's files live at the adopted source root IN PLACE, never
+    * under `data/{ver}`.
+    */
+  private[graft] def externalRoots(spark: SparkSession,
+      t: KeyedTable): Map[String, String] =
+    CommitLog(t, spark).externalRoots()
+
+  /** Physical data dir of commit `ver` given preloaded adopted roots:
+    * normally `data/{ver}`, the in-place source dir for a
+    * bootstrap-adopted ver.
+    */
+  private[graft] def verDir(t: KeyedTable, roots: Map[String, String],
+      ver: String): String =
+    roots.getOrElse(ver, s"${t.dataPath}/$ver")
+
+  /** Physical-name view of read schema `sch` for files of commit
+    * `ver` under the table's column-rename lineage (the Delta
+    * column-mapping analog; see [[graft.tables.CommitLog.renames]]):
+    * walk the renames NEWER than `ver` newest-first, substituting each
+    * NEW name back to its OLD — a file written before a rename stores
+    * the column under the old physical name. Entries that postdate the
+    * read schema itself (a time-travel read from before a later
+    * rename) carry names the schema lacks and no-op, which makes the
+    * same walk correct for any as-of schema without knowing the as-of
+    * instant. Returns None when no substitution applies (every
+    * non-renamed table — the common case pays nothing beyond the
+    * lineage probe); otherwise the physical read schema plus the
+    * (physical → logical) restore projection.
+    */
+  private def physicalFor(renames: Seq[(String, String, String)],
+      ver: String, sch: StructType)
+      : Option[(StructType, Seq[(String, String)])] = {
+    val applicable = renames.filter(_._1 > ver).reverse
+    if (applicable.isEmpty) return None
+    var names = sch.fields.map(_.name)
+    applicable.foreach { case (_, o, n) =>
+      names = names.map(x => if (x == n) o else x)
+    }
+    val logical = sch.fields.map(_.name)
+    if (logical.sameElements(names)) None
+    else Some((
+      StructType(sch.fields.zip(names).map { case (f, pn) => f.copy(name = pn) }),
+      names.zip(logical).toSeq))
+  }
+
+  /** One commit-dir read under rename mapping: scan with the PHYSICAL
+    * schema of that ver, then project back to logical names.
+    */
+  private def readVer(spark: SparkSession, sch: Option[StructType],
+      renames: Seq[(String, String, String)], ver: String,
+      basePath: String, paths: Seq[String]): DataFrame =
+    sch.flatMap(s => physicalFor(renames, ver, s)) match {
+      case Some((phys, restore)) =>
+        spark.read.schema(phys).option("basePath", basePath)
+          .parquet(paths: _*)
+          .select(restore.map { case (p, l) => col(p).as(l) }: _*)
+      case None =>
+        sch.foldLeft(spark.read)((r, s) => r.schema(s))
+          .option("basePath", basePath)
+          .parquet(paths: _*)
+    }
+
+  /** Single commit-dir read under the rename lineage — the shared
+    * primitive for MOR delta reads and per-commit CDC reads.
+    */
+  private[graft] def readCommitDir(spark: SparkSession,
+      sch: Option[StructType], renames: Seq[(String, String, String)],
+      ver: String, dir: String): DataFrame =
+    readVer(spark, sch, renames, ver, dir, Seq(dir))
+
   /** Read the table state a parts map describes. Reads are grouped per
     * owning commit dir so partition-column parsing gets a consistent
     * basePath; with a manifest schema the partition columns keep their
-    * declared types (no dir-name inference).
+    * declared types (no dir-name inference), and the rename lineage
+    * maps each group to its physical column names.
     */
   private[graft] def readParts(spark: SparkSession, t: KeyedTable,
       parts: Map[String, String], sch: Option[StructType]): DataFrame =
@@ -251,25 +328,30 @@ object TableOps {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
     } else if (t.partitionBy.isEmpty) {
       val ver = parts("")
-      sch.foldLeft(spark.read)((r, s) => r.schema(s))
-        .parquet(s"${t.dataPath}/$ver")
+      val base = verDir(t, externalRoots(spark, t), ver)
+      readVer(spark, sch, CommitLog(t, spark).renames(), ver,
+        base, Seq(base))
     } else {
+      val roots = externalRoots(spark, t)
+      val rens = CommitLog(t, spark).renames()
       parts.groupBy(_._2).map { case (ver, m) =>
-        sch.foldLeft(spark.read)((r, s) => r.schema(s))
-          .option("basePath", s"${t.dataPath}/$ver")
-          .parquet(m.keys.toSeq.sorted.map(rel => s"${t.dataPath}/$ver/$rel"): _*)
+        val base = verDir(t, roots, ver)
+        readVer(spark, sch, rens, ver, base,
+          m.keys.toSeq.sorted.map(rel => s"$base/$rel"))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
   /** Current absolute dir per partition rel (rel "" when unpartitioned)
     * — ops/test introspection, metadata-sized.
     */
-  def partitionDirs(spark: SparkSession, t: KeyedTable): Map[String, String] =
+  def partitionDirs(spark: SparkSession, t: KeyedTable): Map[String, String] = {
+    val roots = externalRoots(spark, t)
     currentParts(spark, t, None).getOrElse(Map.empty)
       .map { case (rel, ver) =>
-        rel -> (if (rel.isEmpty) s"${t.dataPath}/$ver"
-                else s"${t.dataPath}/$ver/$rel")
+        val base = verDir(t, roots, ver)
+        rel -> (if (rel.isEmpty) base else s"$base/$rel")
       }
+  }
 
   /** Partition rels present under a freshly-written commit dir (Seq("")
     * for unpartitioned). listStatus returns scheme-qualified paths;
@@ -308,16 +390,27 @@ object TableOps {
       fs: FileSystem, rows: DataFrame,
       fileCol: Option[String] = None): Map[String, String] = {
     val dataQ = fs.makeQualified(new Path(t.dataPath))
+    // bootstrap-adopted vers live OUTSIDE dataPath — relativize those
+    // against their recorded root instead (qualified the same way)
+    val extRoots = externalRoots(spark, t).map { case (ver, root) =>
+      fs.makeQualified(new Path(root)).toString -> ver
+    }
     fileCol.map(c => rows.select(col(c).as("f")))
       .getOrElse(rows.select(input_file_name().as("f"))).distinct().collect()
       .map(r => new Path(new java.net.URI(r.getString(0))).getParent)
       .map { p =>
-        val verRel = fs.makeQualified(p).toString
-          .stripPrefix(dataQ.toString).stripPrefix("/")
-        require(verRel.nonEmpty && !verRel.contains(":"),
-          s"failed to relativize affected partition dir $p against $dataQ")
-        val (ver, rel) = verRel.span(_ != '/')
-        rel.stripPrefix("/") -> ver
+        val q = fs.makeQualified(p).toString
+        extRoots.collectFirst {
+          case (rootStr, ver) if q == rootStr ||
+              q.startsWith(rootStr + "/") =>
+            q.stripPrefix(rootStr).stripPrefix("/") -> ver
+        }.getOrElse {
+          val verRel = q.stripPrefix(dataQ.toString).stripPrefix("/")
+          require(verRel.nonEmpty && !verRel.contains(":"),
+            s"failed to relativize affected partition dir $p against $dataQ")
+          val (ver, rel) = verRel.span(_ != '/')
+          rel.stripPrefix("/") -> ver
+        }
       }.toMap
   }
 
@@ -471,6 +564,7 @@ object TableOps {
         old -- affectedRels ++ written.map(_ -> ts)
     }
 
+    guardRetiredNames(log, t, schemaAt(spark, t, None), mergedSchema)
     // Column-stats sidecar before the publish: a crash here leaves an
     // orphan dir, never a published commit with a missing sidecar.
     if (t.statsColumns.nonEmpty)
@@ -511,12 +605,20 @@ object TableOps {
 
   /** METADATA-ONLY bootstrap — Hudi's `bootstrap` operation
     * (`METADATA_ONLY` mode): adopt an existing plain-parquet dataset
-    * as the table's first commit WITHOUT rewriting a byte. The source
-    * dir is RENAMED into the commit layout — an O(1) namespace move on
-    * any rename-capable store, independent of data size — and the
-    * manifest schema is the source footer schema widened with
-    * `_commit_ts`, so bootstrapped rows read back with a NULL commit
-    * stamp. Null is exactly right: every merge path orders the
+    * as the table's first commit WITHOUT rewriting, copying, or moving
+    * a byte. Adoption is BY REFERENCE (what Hudi's METADATA_ONLY mode
+    * actually does — skeleton metadata points at the source files in
+    * place): the commit's parts map claims the partition rels, and a
+    * durable external-root record ([[graft.tables.CommitLog
+    * .externalRoots]]) resolves the adopted ver to the source dir, so
+    * every reader scans the source files where they already live. No
+    * rename happens — the engine's object-store invariant (no data
+    * file or dir is ever renamed; S3A dir rename is a non-atomic
+    * per-object copy+delete) holds on this path too, and the operation
+    * is O(#partition-dirs) LISTs regardless of data size, on ANY
+    * store. The manifest schema is the source footer schema widened
+    * with `_commit_ts`, so bootstrapped rows read back with a NULL
+    * commit stamp. Null is exactly right: every merge path orders the
     * precombine struct with null-first, so a bootstrapped row loses
     * precombine TIES to any stamped write (the same outcome a
     * FULL_RECORD import would produce) while still winning on a
@@ -525,13 +627,21 @@ object TableOps {
     * stamp — matching Hudi's documented behavior that downstream
     * consumers begin FROM the bootstrap instant.
     *
+    * Lifecycle of adopted files: later COW writes migrate touched
+    * partitions into ordinary commit dirs (ownership moves in the
+    * parts map); the adopted source files themselves are NEVER deleted
+    * by [[clean]] — the engine does not destroy data it didn't write.
+    * Once no retained manifest references the adopted ver, the source
+    * dir is simply no longer read.
+    *
     * Refused when the table already exists, when the source already
-    * carries a `_commit_ts` column, and for stats-carrying tables
-    * (column-stats sidecars would need the full scan this operation
-    * exists to avoid — use an upsert import, the FULL_RECORD analog,
-    * or declare the table without statsColumns and compact later).
-    * Partitioned tables expect the source laid out hive-style under
-    * matching partition dirs.
+    * carries a `_commit_ts` column, when the source lies inside the
+    * table root, and for stats-carrying tables (column-stats sidecars
+    * would need the full scan this operation exists to avoid — use an
+    * upsert import, the FULL_RECORD analog, or declare the table
+    * without statsColumns and compact later). Partitioned tables
+    * expect the source laid out hive-style under matching partition
+    * dirs.
     */
   def bootstrap(spark: SparkSession, t: KeyedTable,
       srcDir: String): String = {
@@ -545,6 +655,11 @@ object TableOps {
     val fs = new Path(t.path).getFileSystem(conf)
     val src = new Path(srcDir)
     require(fs.exists(src), s"bootstrap source $srcDir does not exist")
+    val srcQ = fs.makeQualified(src)
+    val rootQ = fs.makeQualified(new Path(t.path))
+    require(srcQ != rootQ && !srcQ.toString.startsWith(rootQ.toString + "/"),
+      s"bootstrap source $srcDir lies inside table root ${t.path} — " +
+        "adopt-in-place would alias the table's own layout")
     val srcSchema = spark.read.parquet(srcDir).schema
     require(!srcSchema.fieldNames.contains(KeyedTable.CommitCol),
       s"bootstrap source already carries ${KeyedTable.CommitCol} — " +
@@ -557,23 +672,197 @@ object TableOps {
     require(baseCommit.isEmpty,
       s"table ${t.name} has commits — bootstrap must be first")
     val ts = CommitLog.newCommitTs()
-    val dest = new Path(s"${t.dataPath}/$ts")
-    fs.mkdirs(dest.getParent)
-    require(fs.rename(src, dest),
-      s"bootstrap rename $src -> $dest failed")
-    val rels = relsOf(fs, dest, t.partitionBy.length)
+    val rels = relsOf(fs, srcQ, t.partitionBy.length)
     require(rels.nonEmpty,
       s"bootstrap source holds no partition dirs at depth " +
         s"${t.partitionBy.length}")
     val schema = StructType(srcSchema.fields :+
       StructField(KeyedTable.CommitCol, StringType, nullable = true))
+    // root record BEFORE the manifest: a crash in between leaves an
+    // unreferenced entry (harmless), never a published commit whose
+    // files cannot be resolved
+    log.recordExternalRoot(ts, srcQ.toString)
     log.logCommit(ts, Map(
       "table" -> t.name,
       "action" -> "bootstrap",
+      "external_root" -> srcQ.toString,
       "schema" -> schema.json,
       PartsKey -> partsJson(rels.map(_ -> ts).toMap)),
       expectedPrev = Some(baseCommit))
     ts
+  }
+
+  /** Structural columns no schema surgery may touch: the merge/
+    * partition machinery is name-keyed on all of them.
+    */
+  private def structuralCols(t: KeyedTable): Set[String] =
+    (t.recordKey ++ t.partitionBy :+ t.precombineKey).toSet +
+      KeyedTable.CommitCol + DeletedCol
+
+  private def schemaSurgeryGuards(spark: SparkSession, t: KeyedTable,
+      colName: String, op: String): Unit = {
+    require(!structuralCols(t).contains(colName),
+      s"table ${t.name}: cannot $op structural column '$colName' " +
+        "(key/partition/precombine/system columns are name-keyed " +
+        "throughout the engine)")
+    require(!t.statsColumns.contains(colName),
+      s"table ${t.name}: cannot $op stats-tracked column '$colName' — " +
+        "the column-stats sidecars and their pruned reads are " +
+        "name-keyed; drop it from statsColumns (new descriptor) first")
+    require(!SecondaryIndex.exists(spark, t, colName),
+      s"table ${t.name}: cannot $op column '$colName' while it has a " +
+        "live secondary index — drop the index first")
+  }
+
+  /** Non-additive schema evolution: COLUMN RENAME via column mapping
+    * (the Hudi 1.0 / Delta `columnMapping` analog — Delta renames a
+    * column by re-mapping names to immutable physical ids so old
+    * files stay readable; here the manifest schema carries the
+    * logical names and a durable rename lineage maps each commit dir
+    * back to its physical names, see
+    * [[graft.tables.CommitLog.renames]]). Metadata-only: republishes
+    * the manifest schema with the field renamed — no data file is
+    * read, touched, or rewritten; O(1) regardless of table size.
+    * Works on live-MOR state (delta dirs ride the same lineage).
+    *
+    * Time travel across the rename is EXACT: an as-of read before the
+    * rename sees the old name (that manifest's schema), a read after
+    * it the new, with identical cell values — the rename-walk no-ops
+    * on entries the read schema postdates or predates. Renaming a
+    * column BACK to a prior name later is also sound (the walk
+    * resolves each ver's era correctly); only re-ADDING a retired
+    * name as a brand-new column is refused (see [[dropColumn]]).
+    *
+    * Refused for structural columns (record key / partition /
+    * precombine / system), stats-tracked columns and columns under a
+    * live secondary index (both pipelines are name-keyed), when the
+    * target name exists or was retired by a DROP, and for pre-schema
+    * legacy tables.
+    */
+  def renameColumn(spark: SparkSession, t: KeyedTable,
+      oldName: String, newName: String): String = {
+    val log = CommitLog(t, spark)
+    val baseCommit = log.latestCommit()
+    require(baseCommit.nonEmpty,
+      s"table ${t.name} has no commits — nothing to rename")
+    val sch = latestSchema(spark, t).getOrElse(
+      throw new IllegalArgumentException(
+        s"table ${t.name} is a pre-schema legacy table — column " +
+          "mapping needs a manifest schema"))
+    require(sch.fieldNames.contains(oldName),
+      s"table ${t.name}: no column '$oldName' to rename")
+    require(!sch.fieldNames.contains(newName),
+      s"table ${t.name}: target column '$newName' already exists")
+    require(oldName != newName, "rename to the same name is a no-op")
+    schemaSurgeryGuards(spark, t, oldName, "rename")
+    require(!log.droppedColumns().contains(newName),
+      s"table ${t.name}: '$newName' was retired by a column drop — " +
+        "pre-drop files still store data under that physical name; " +
+        "pick a fresh name")
+    val (parts, deltas) = currentState(spark, t, None).getOrElse(
+      throw new IllegalStateException(
+        s"table ${t.name}: no parseable manifest state"))
+    val ts = CommitLog.newCommitTs()
+    val newSch = StructType(sch.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    // lineage record BEFORE the manifest — an orphan entry is inert
+    // (substitution only fires when a read schema carries the new
+    // name, which only the published manifest introduces)
+    log.recordRename(ts, oldName, newName)
+    log.logCommit(ts, Map(
+      "table" -> t.name,
+      "action" -> "schema_rename",
+      "renamed_from" -> oldName,
+      "renamed_to" -> newName,
+      "schema" -> newSch.json,
+      PartsKey -> partsJson(parts)) ++
+      (if (deltas.nonEmpty) Map(DeltasKey -> deltasJson(deltas))
+       else Map.empty),
+      expectedPrev = Some(baseCommit))
+    ts
+  }
+
+  /** Non-additive schema evolution: COLUMN DROP. Metadata-only — the
+    * manifest schema narrows and every reader's explicit-schema scan
+    * simply stops projecting the physical column; no file is
+    * rewritten (the bytes age out as commits rewrite partitions —
+    * Delta's drop-column behaves identically; use a full-partition
+    * rewrite for right-to-be-forgotten semantics). The dropped name
+    * (and, for a previously-renamed column, its whole physical
+    * lineage) is RETIRED: additive evolution refuses to re-add it,
+    * because pre-drop files still store values under that name and a
+    * re-added column would silently resurrect them on old-file reads.
+    * Time travel before the drop still sees the column. Same refusal
+    * set as [[renameColumn]].
+    */
+  def dropColumn(spark: SparkSession, t: KeyedTable,
+      colName: String): String = {
+    val log = CommitLog(t, spark)
+    val baseCommit = log.latestCommit()
+    require(baseCommit.nonEmpty,
+      s"table ${t.name} has no commits — nothing to drop")
+    val sch = latestSchema(spark, t).getOrElse(
+      throw new IllegalArgumentException(
+        s"table ${t.name} is a pre-schema legacy table — column " +
+          "mapping needs a manifest schema"))
+    require(sch.fieldNames.contains(colName),
+      s"table ${t.name}: no column '$colName' to drop")
+    schemaSurgeryGuards(spark, t, colName, "drop")
+    val (parts, deltas) = currentState(spark, t, None).getOrElse(
+      throw new IllegalStateException(
+        s"table ${t.name}: no parseable manifest state"))
+    val ts = CommitLog.newCommitTs()
+    val newSch = StructType(sch.fields.filterNot(_.name == colName))
+    // retire the dropped name AND its physical ancestors (a column
+    // renamed o→n then dropped leaves files storing o and files
+    // storing n — re-adding either would resurrect)
+    val lineage = {
+      val rens = log.renames()
+      var acc = Set(colName)
+      var grew = true
+      while (grew) {
+        val next = acc ++ rens.collect {
+          case (_, o, n) if acc(n) => o
+        }
+        grew = next.size > acc.size
+        acc = next
+      }
+      acc
+    }
+    lineage.foreach(log.recordDropped)
+    log.logCommit(ts, Map(
+      "table" -> t.name,
+      "action" -> "schema_drop",
+      "dropped" -> colName,
+      "schema" -> newSch.json,
+      PartsKey -> partsJson(parts)) ++
+      (if (deltas.nonEmpty) Map(DeltasKey -> deltasJson(deltas))
+       else Map.empty),
+      expectedPrev = Some(baseCommit))
+    ts
+  }
+
+  /** Additive-evolution tripwire against resurrecting retired names:
+    * a column in `merged` that is NEW relative to `current` must not
+    * collide with a name retired by [[dropColumn]] or left behind as
+    * a pre-rename physical name — old files still store data under
+    * it, and the rename-walk would alias the new column onto those
+    * bytes. Probes the retired records only when the commit actually
+    * adds columns (the steady-state write pays nothing).
+    */
+  private def guardRetiredNames(log: CommitLog, t: KeyedTable,
+      current: Option[StructType], merged: StructType): Unit = {
+    val cur = current.map(_.fieldNames.toSet).getOrElse(Set.empty[String])
+    val added = merged.fieldNames.filterNot(cur)
+    if (added.isEmpty) return
+    val retired = log.droppedColumns() ++ log.renames().map(_._2)
+    val clash = added.filter(retired)
+    require(clash.isEmpty,
+      s"table ${t.name}: cannot re-add retired column(s) " +
+        s"${clash.mkString(", ")} — files from before the original " +
+        "drop/rename still store data under that physical name, and a " +
+        "re-added column would silently resurrect those values. Use a " +
+        "new name.")
   }
 
   /** INSERT (no-dedup) — Hudi's `insert` write operation (the third
@@ -662,6 +951,7 @@ object TableOps {
         val written = relsOf(fs, dest, t.partitionBy.length)
         old -- affectedRels ++ written.map(_ -> ts)
     }
+    guardRetiredNames(log, t, schemaAt(spark, t, None), mergedSchema)
     if (t.statsColumns.nonEmpty)
       ColumnStats.write(spark, t, ts, Some(mergedSchema))
     log.logCommit(ts, Map(
@@ -725,7 +1015,21 @@ object TableOps {
     val log = CommitLog(t, spark)
     val baseCommit = log.latestCommit()
     idempotencyKey.foreach { key =>
-      if (log.hasIdempotencyKey(key)) return ""
+      if (log.hasIdempotencyKey(key)) {
+        // replay: the delta already published on a previous attempt.
+        // If that attempt crashed between publishing and its follow-on
+        // inline compaction, the live-delta count still sits >= n —
+        // re-evaluate the policy here so the replay retries the
+        // compaction and the write-amplification bound is honored
+        // under foreachBatch retries, not just on the next threshold
+        // crossing.
+        inlineCompactAfter.foreach { n =>
+          val live = currentState(spark, t, None)
+            .map(_._2.size).getOrElse(0)
+          if (live >= n) compactDeltas(spark, t, maxRecordsPerFile): Unit
+        }
+        return ""
+      }
     }
     if (incoming.isEmpty) return ""
     val ts = CommitLog.newCommitTs()
@@ -750,6 +1054,7 @@ object TableOps {
       case None => readParts(spark, t, parts, None)
         .unionByName(stamped, allowMissingColumns = true).schema
     }
+    guardRetiredNames(log, t, sch, mergedSchema)
     val dest = new Path(s"${t.dataPath}/$ts")
     writer(stamped, t, Nil, maxRecordsPerFile).parquet(dest.toString)
     if (t.statsColumns.nonEmpty)
@@ -1390,7 +1695,8 @@ object TableOps {
     val fs = new Path(t.path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val needed = (parts.values ++ deltas).toSeq.distinct.sorted
-    val gone = needed.filterNot(v => fs.exists(new Path(s"${t.dataPath}/$v")))
+    val roots = externalRoots(spark, t)
+    val gone = needed.filterNot(v => fs.exists(new Path(verDir(t, roots, v))))
     require(gone.isEmpty,
       s"table ${t.name}: cannot restore to $asOf — commit dirs " +
         s"${gone.mkString(", ")} were cleaned beyond retention")
@@ -1643,9 +1949,10 @@ object TableOps {
       }
     val (parts, deltas) = currentState(spark, t, None)
       .getOrElse((Map.empty[String, String], Seq.empty[String]))
+    val roots = externalRoots(spark, t)
     val baseRows = parts.toSeq.sortBy(_._1).map { case (rel, ver) =>
-      val dir = if (rel.isEmpty) new Path(s"${t.dataPath}/$ver")
-        else new Path(s"${t.dataPath}/$ver/$rel")
+      val base = verDir(t, roots, ver)
+      val dir = if (rel.isEmpty) new Path(base) else new Path(s"$base/$rel")
       val (n, b) = stat(dir)
       (rel, ver, "base", n, b)
     }
@@ -1953,15 +2260,19 @@ object TableOps {
         s"table ${t.name} has no commit manifest — no change log"))
     val fs = new Path(t.dataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val roots = externalRoots(spark, t)
+    val rens = log.renames()
     val frames = log.listCommits()
       .filter(ts => ts > beginExclusive &&
         endInclusive.forall(ts <= _))
       .flatMap { ts =>
-        val dir = new Path(s"${t.dataPath}/$ts")
+        // adopted (bootstrap) vers resolve to their in-place root; the
+        // read then yields zero change rows (no adopted row carries a
+        // commit stamp) instead of a path error
+        val dir = new Path(verDir(t, roots, ts))
         if (!fs.exists(dir)) None // metadata-only or cleaned commit
         else Some(
-          spark.read.schema(sch).option("basePath", dir.toString)
-            .parquet(dir.toString)
+          readCommitDir(spark, Some(sch), rens, ts, dir.toString)
             .filter(col(KeyedTable.CommitCol) === lit(ts)))
       }
     val unioned = frames.reduceOption(_.unionByName(_)).getOrElse(

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Bpe, Classifier, Decontaminate, Dedup, Domains, EventWindows, Expectations, Graph, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
+import graft.ext.{Bmp, Bpe, Classifier, Decontaminate, Dedup, Domains, EventWindows, Expectations, Graph, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -1293,6 +1293,90 @@ object ExtQueries {
     Multimodal.resizeMeta(
       Multimodal.fromDocuments(t(s, dir, "documents")), maxSide = 512)
       .orderBy("doc_id")
+
+  /** Deterministic per-document test image for the REAL-decode queries:
+    * tiny (4–7 × 3–5) with every channel a closed-form function of
+    * (doc_id, x, y) — so the DuckDB oracle can recompute exact pixel
+    * aggregates without ever seeing the bytes.
+    */
+  private[queries] def synthBmp(id: Long): Bmp.Image = {
+    val w = (4 + id % 4).toInt
+    val h = (3 + id % 3).toInt
+    val rgb = Array.tabulate(w * h) { i =>
+      val x = i % w
+      val y = i / w
+      val base = id * 31 + x * 7 + y * 13
+      val r = (base % 256).toInt
+      val g = ((base + 85) % 256).toInt
+      val b = ((base + 170) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+    Bmp.Image(w, h, rgb)
+  }
+
+  /** REAL media decode ([[Bmp]], pure JVM, no deps): synthesize a
+    * physical 24-bit BMP per document, push the BYTES through the
+    * parser, and emit integer pixel aggregates the oracle recomputes
+    * from the generating formula. Row padding, BGR byte order and
+    * bottom-up row storage all sit between encode and the emitted
+    * numbers — the position-WEIGHTED green sum pins row/column order,
+    * so a decoder that mis-parses any of them cannot match. `bmp_bytes`
+    * additionally oracles the container arithmetic (header + padded
+    * rows).
+    */
+  def multimodalBmpStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = Bmp.encode(synthBmp(id))
+        val dec = Bmp.decode(bytes)
+        var sumR = 0L
+        var wsumG = 0L
+        var y = 0
+        while (y < dec.height) {
+          var x = 0
+          while (x < dec.width) {
+            val p = dec(x, y)
+            sumR += (p >> 16) & 0xff
+            wsumG += (x + y.toLong * dec.width) * ((p >> 8) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (id, bytes.length.toLong, dec.width, dec.height, sumR, wsumG,
+          (dec(0, 0) & 0xff).toLong)
+      })
+      .toDF("doc_id", "bmp_bytes", "bmp_w", "bmp_h", "sum_r", "wsum_g",
+        "corner_b")
+      .orderBy("doc_id")
+  }
+
+  /** REAL pixel resize: nearest-neighbor downscale to maxSide 3
+    * ([[Bmp.resizeNearest]] — integer source-index arithmetic the
+    * oracle recomputes), re-encoded and re-decoded so the emitted sums
+    * come off a second physical roundtrip of the RESIZED bytes.
+    */
+  def multimodalBmpResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val dec = Bmp.decode(Bmp.encode(synthBmp(id)))
+        val out = Bmp.decode(Bmp.encode(Bmp.resizeNearest(dec, 3)))
+        var sumR = 0L
+        var y = 0
+        while (y < out.height) {
+          var x = 0
+          while (x < out.width) {
+            sumR += (out(x, y) >> 16) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (id, out.width, out.height, sumR)
+      })
+      .toDF("doc_id", "out_w", "out_h", "sum_r")
+      .orderBy("doc_id")
+  }
 
   // ———————————————————————————————————————— domain curation
 

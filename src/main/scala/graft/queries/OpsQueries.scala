@@ -2063,6 +2063,75 @@ object OpsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Non-additive schema evolution: column RENAME via column mapping
+    * ([[TableOps.renameColumn]], the Hudi 1.0 / Delta columnMapping
+    * analog) as a driver query: full load under `o_totalprice`,
+    * metadata-only rename to `total_price`, then a post-rename upsert
+    * of the %3 keys at doubled totals — the snapshot must read BOTH
+    * eras' files under the new name with exact values. In-query gates
+    * pin the mechanism: the rename is metadata-only (partition
+    * ownership unchanged), and time travel to before it sees the OLD
+    * name with the original values. Oracle: the same merge spelled in
+    * SQL over the raw table.
+    */
+  def sSchemaRename(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val table = KeyedTable("orders_cr",
+      s"${scratch("graft-cr")}/orders_cr", Seq("o_orderkey"), "ver")
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    val preDirs = TableOps.partitionDirs(s, table)
+    val preTs = graft.tables.CommitLog(table, s).latestCommit().get
+    TableOps.renameColumn(s, table, "o_totalprice", "total_price")
+    require(TableOps.partitionDirs(s, table) == preDirs,
+      "s_cr: rename must be metadata-only (partition ownership moved)")
+    val asOf = TableOps.snapshotAsOf(s, table, preTs)
+    require(asOf.columns.contains("o_totalprice") &&
+        !asOf.columns.contains("total_price"),
+      "s_cr: time travel before the rename must see the old name")
+    TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("total_price", col("o_totalprice") * 2)
+        .drop("o_totalprice")
+        .withColumn("ver", lit(2)))
+    TableOps.snapshot(s, table)
+      .select("o_orderkey", "ver", "total_price")
+      .orderBy("o_orderkey")
+  }
+
+  /** Non-additive schema evolution: column DROP
+    * ([[TableOps.dropColumn]]) as a driver query: load with an extra
+    * `bonus` column, metadata-only drop, post-drop upsert of the %5
+    * keys — the snapshot must hide the column from every era's files.
+    * In-query gates: time travel before the drop still sees it, and
+    * re-adding the retired name is refused (the resurrection guard).
+    */
+  def sSchemaDrop(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val table = KeyedTable("orders_cd",
+      s"${scratch("graft-cd")}/orders_cd", Seq("o_orderkey"), "ver")
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1))
+      .withColumn("bonus", col("o_orderkey") % 100))
+    val preTs = graft.tables.CommitLog(table, s).latestCommit().get
+    TableOps.dropColumn(s, table, "bonus")
+    require(!TableOps.snapshot(s, table).columns.contains("bonus"),
+      "s_cd: drop left the column visible")
+    require(TableOps.snapshotAsOf(s, table, preTs).columns.contains("bonus"),
+      "s_cd: time travel before the drop lost the column")
+    val refused =
+      try { TableOps.upsert(s, table,
+        orders.limit(1).withColumn("ver", lit(9))
+          .withColumn("bonus", lit(1L))); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "s_cd: re-adding a dropped column must be refused")
+    TableOps.upsert(s, table,
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10)
+        .withColumn("ver", lit(2)))
+    TableOps.snapshot(s, table)
+      .select("o_orderkey", "ver", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** Time-travel read ([[TableOps.snapshotAsOf]], Hudi's
     * `as.of.instant` query type) as a driver query: three upsert
     * commits, then the table AS OF the second — the commit-3 writes
@@ -2213,12 +2282,23 @@ object OpsQueries {
       Seq("o_orderkey"), "ver")
     val ts = TableOps.bootstrap(s, table, srcDir)
     require(ts.nonEmpty, "s_bs: bootstrap published nothing")
-    val destFiles = fs.listStatus(
-        new org.apache.hadoop.fs.Path(s"${table.dataPath}/$ts"))
+    // adoption is BY REFERENCE (object-store-safe: no rename, no
+    // copy): no commit dir materializes, the source files stay in
+    // place untouched, and the table resolves its partition to the
+    // source dir itself
+    require(!fs.exists(
+        new org.apache.hadoop.fs.Path(s"${table.dataPath}/$ts")),
+      "s_bs: bootstrap materialized a commit dir instead of adopting " +
+        "the source in place")
+    val afterFiles = fs.listStatus(new org.apache.hadoop.fs.Path(srcDir))
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.getName).toSet
-    require(destFiles == srcFiles,
-      "s_bs: bootstrap rewrote or copied files instead of renaming")
+    require(afterFiles == srcFiles,
+      "s_bs: bootstrap moved, renamed, or rewrote the source files")
+    val srcQ = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(srcDir)).toString
+    require(TableOps.partitionDirs(s, table).get("").contains(srcQ),
+      "s_bs: adopted partition does not resolve to the in-place source dir")
     TableOps.upsert(s, table,
       orders.filter(col("o_orderkey") % 3 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2)

@@ -152,18 +152,24 @@ class CommitStreamSource(spark: SparkSession, t: KeyedTable,
     }
     val fs = new Path(t.dataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bootstrap-adopted vers resolve to their in-place root (the read
+    // then yields zero change rows — no adopted row carries a stamp —
+    // instead of a spurious "cleaned beyond retention" skip); the
+    // rename lineage maps pre-rename commits to their physical names
+    val roots = log.externalRoots()
+    val rens = log.renames()
     val frames = log.listCommits()
       .filter(ts => ts > startTs && ts <= endTs)
       .flatMap { ts =>
-        val dir = new Path(s"${t.dataPath}/$ts")
+        val dir = new Path(roots.getOrElse(ts, s"${t.dataPath}/$ts"))
         if (!fs.exists(dir)) {
           // cleaned while the stream was down — see retention contract
           System.err.println(s"graft: stream over ${t.name} skipping " +
             s"commit $ts (cleaned beyond retention)")
           None
         } else Some(
-          spark.read.schema(schema).option("basePath", dir.toString)
-            .parquet(dir.toString)
+          TableOps.readCommitDir(spark, Some(schema), rens, ts,
+              dir.toString)
             .filter(col(KeyedTable.CommitCol) === lit(ts)))
       }
     org.apache.spark.sql.graft.ColumnBridge.asStreaming(

@@ -112,6 +112,119 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     }
   }
 
+  // ———————————————————————— external (bootstrap-adopted) data roots
+
+  private def externalRootsFile = new Path(dir, "external_roots.json")
+
+  /** ver → absolute source dir adopted IN PLACE by metadata-only
+    * bootstrap ([[graft.ops.TableOps.bootstrap]]): the files of that
+    * commit live at the recorded root, not under `data/{ver}`. Stored
+    * OUTSIDE the manifests because it must survive timeline retention
+    * — the adopted ver stays referenced by every later parts map long
+    * after the bootstrap manifest itself ages out or archives. At most
+    * one entry today (bootstrap must be the first commit); a map for
+    * forward compatibility. Kilobyte read, absent for every
+    * non-bootstrapped table (one `exists` probe).
+    */
+  def externalRoots(): Map[String, String] = {
+    val p = externalRootsFile
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val raw =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    parseMeta(raw, p).getOrElse(Map.empty)
+  }
+
+  /** Record an adopted root (atomic single-file publish; written
+    * BEFORE the bootstrap manifest so a crash in between leaves an
+    * unreferenced entry, never a published commit whose files cannot
+    * be resolved).
+    */
+  def recordExternalRoot(ver: String, root: String): Unit = {
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    val payload = (externalRoots() + (ver -> root))
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    AtomicFile.write(fs, externalRootsFile,
+      payload.getBytes(StandardCharsets.UTF_8))
+  }
+
+  // ———————————————— column-mapping records (rename / drop lineage)
+
+  private def renamesFile = new Path(dir, "column_renames.json")
+
+  /** Column-rename lineage, ascending by rename commit ts — the
+    * engine's Delta/Hudi-1.0 column-mapping analog
+    * ([[graft.ops.TableOps.renameColumn]]): each entry `(ts, old, new)`
+    * says files of vers < ts store the column under its OLD physical
+    * name. Readers walk this to map a manifest (logical) schema back
+    * to each commit dir's physical names, so old files stay readable
+    * across renames without a byte rewritten. Durable outside the
+    * manifests for the same reason as [[externalRoots]]: pre-rename
+    * vers stay referenced long after the rename manifest ages out.
+    */
+  def renames(): Seq[(String, String, String)] = {
+    val p = renamesFile
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val raw =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    raw.linesIterator.flatMap { line =>
+      line.split(CommitLog.RenameSep) match {
+        case Array(ts, o, n) => Some((ts, o, n))
+        case _ => None
+      }
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Append a rename record (atomic rewrite of the kilobyte lineage
+    * file; written BEFORE the rename manifest publishes — an orphan
+    * record is inert, because physical-name substitution only fires
+    * when the read schema actually carries the NEW name).
+    */
+  def recordRename(ts: String, oldName: String, newName: String): Unit = {
+    require(!oldName.contains(CommitLog.RenameSep) &&
+        !newName.contains(CommitLog.RenameSep),
+      "column names must not contain \\u0001")
+    val payload = (renames() :+ ((ts, oldName, newName)))
+      .map { case (t0, o, n) => s"$t0${CommitLog.RenameSep}$o${CommitLog.RenameSep}$n" }
+      .mkString("\n")
+    AtomicFile.write(fs, renamesFile,
+      payload.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def droppedFile = new Path(dir, "dropped_columns.json")
+
+  /** Names ever DROPPED from this table
+    * ([[graft.ops.TableOps.dropColumn]]). Additive evolution must
+    * refuse to re-add these: pre-drop files still hold the old
+    * physical column under the same name, so a re-added column would
+    * silently resurrect dropped values from them.
+    */
+  def droppedColumns(): Set[String] = {
+    val p = droppedFile
+    if (!fs.exists(p)) return Set.empty
+    val in = fs.open(p)
+    val raw =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    raw.linesIterator.filter(_.nonEmpty).toSet
+  }
+
+  def recordDropped(name: String): Unit =
+    AtomicFile.write(fs, droppedFile,
+      (droppedColumns() + name).toSeq.sorted.mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+
   /** O(1) idempotency-key registry: one empty marker file per key under
     * `.commits/keys/`. Survives [[retain]] (the cleaner never touches
     * it), so exactly-once holds beyond the manifest retention window —
@@ -315,7 +428,7 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     * re-writes the same content, so nothing is lost or doubled.
     */
   def archiveManifests(drop: Seq[String]): Unit = {
-    val lines = drop.flatMap { ts =>
+    val archived = drop.flatMap { ts =>
       val p = new Path(dir, s"$ts.commit")
       if (!fs.exists(p)) None
       else {
@@ -327,11 +440,17 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
         // manifests are single-line JSON by construction (logCommit
         // escapes control chars); normalize defensively anyway so one
         // legacy multi-line payload cannot corrupt the whole batch
-        Some(raw.replace('\n', ' ').replace('\r', ' '))
+        Some(ts -> raw.replace('\n', ' ').replace('\r', ' '))
       }
     }
-    if (lines.isEmpty) return
-    val batch = new Path(archiveDir, s"${drop.head}_${drop.last}.archive")
+    if (archived.isEmpty) return
+    val lines = archived.map(_._2)
+    // name the batch by the range it actually HOLDS (skipped
+    // already-gone manifests excluded) — a filename advertising a
+    // wider range than its content makes ranged guard probes open
+    // batches with nothing in-window
+    val batch = new Path(archiveDir,
+      s"${archived.head._1}_${archived.last._1}.archive")
     AtomicFile.write(fs, batch,
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     foldArchiveBatches()
@@ -441,6 +560,12 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
 }
 
 object CommitLog {
+  /** Field separator of the column-rename lineage file — a control
+    * char no sane column name contains (and [[CommitLog.recordRename]]
+    * rejects ones that do).
+    */
+  private[tables] val RenameSep = "\u0001"
+
   private val fmt =
     DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS").withZone(ZoneOffset.UTC)
   private val last = new AtomicLong(0L)

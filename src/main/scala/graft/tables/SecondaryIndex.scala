@@ -149,7 +149,8 @@ object SecondaryIndex {
     * compacted away could go missing; it forces a rebuild.
     */
   private val IncrementSafeActions = Set("upsert", "insert", "delete",
-    "delete_partition", "compact", "deltacommit", "replacecommit")
+    "delete_partition", "compact", "deltacommit", "replacecommit",
+    "schema_rename", "schema_drop")
 
   /** Actions whose change RECORDS the increment actually needs — if
     * such a commit's data dir was cleaned, the appends are lost and
@@ -180,15 +181,20 @@ object SecondaryIndex {
         (RecordBearingActions.contains(action) &&
           !fs.exists(new Path(s"${t.dataPath}/$ts")))
     }
-    // a record-bearing commit ARCHIVED out of the active timeline is
+    // a change-bearing commit ARCHIVED out of the active timeline is
     // equally lost to the increment (its appends no longer exist
     // individually) — without this, the changeLog completeness guard
     // below would throw where the sound recovery (rebuild) is sitting
-    // right here
+    // right here. Gate on exactly the set that trips that guard
+    // (everything outside CdcNonContributing, e.g. delete/bootstrap
+    // too — not just RecordBearingActions), or an archived delete in
+    // the sync range would leave archivedLost=false and the changeLog
+    // call below would throw instead of falling back to rebuild.
     val archivedLost = log.archivedMetas(
         range = Some((synced.get, Some(latest)))).exists { m =>
       m.get("commit_ts").exists(ts => !inRange.contains(ts)) &&
-        RecordBearingActions.contains(m.getOrElse("action", "upsert"))
+        !graft.ops.TableOps.CdcNonContributing.contains(
+          m.getOrElse("action", "upsert"))
     }
     if (unsafe || archivedLost) { refresh(spark, t, valueCol); return }
     val changes = graft.ops.TableOps.changeLog(spark, t, synced.get,

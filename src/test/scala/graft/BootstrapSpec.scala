@@ -5,9 +5,10 @@ import graft.tables.{CommitLog, KeyedTable}
 import org.apache.spark.sql.functions._
 
 /** Metadata-only bootstrap ([[TableOps.bootstrap]], the Hudi
-  * `bootstrap` METADATA_ONLY surface): adoption by rename, the
-  * null-commit-stamp merge semantics, incremental/CDC visibility, and
-  * the refusal guards.
+  * `bootstrap` METADATA_ONLY surface): adoption BY REFERENCE (the
+  * source files stay in place — no rename, no copy; object-store
+  * safe), the null-commit-stamp merge semantics, incremental/CDC
+  * visibility, and the refusal guards.
   */
 class BootstrapSpec extends SparkSuite {
   import spark.implicits._
@@ -33,13 +34,16 @@ class BootstrapSpec extends SparkSuite {
       .map(_.getPath.getName).toSet
     val t = KeyedTable("bs", s"$base/bs", Seq("id"), "ver")
     val ts = TableOps.bootstrap(spark, t, src)
-    // the commit dir holds EXACTLY the original files — rename, not copy
-    val destFiles = fs.listStatus(
-        new org.apache.hadoop.fs.Path(s"${t.dataPath}/$ts"))
+    // adoption by reference: the source keeps EXACTLY its files in
+    // place (no rename/copy) and no commit dir materializes
+    val afterFiles = fs.listStatus(new org.apache.hadoop.fs.Path(src))
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.getName).toSet
-    assert(destFiles === srcFiles)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(src)))
+    assert(afterFiles === srcFiles)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${t.dataPath}/$ts")))
+    assert(TableOps.partitionDirs(spark, t)("") ===
+      fs.makeQualified(new org.apache.hadoop.fs.Path(src)).toString)
+    assert(CommitLog(t, spark).externalRoots().keySet === Set(ts))
     val snap = TableOps.snapshot(spark, t)
     assert(snap.select("id", "ver", "payload")
       .as[(String, Int, String)].collect().toSet ===
@@ -87,9 +91,17 @@ class BootstrapSpec extends SparkSuite {
       Set("part=p1", "part=p2"))
     TableOps.upsert(spark, t,
       Seq(("a", 3, "x3", "p1")).toDF("id", "ver", "payload", "part"))
-    // p2 still owned by the bootstrap commit — untouched
-    assert(TableOps.partitionDirs(spark, t)("part=p2")
-      .contains(s"/$ts"))
+    // p2 still owned by the bootstrap commit — resolved to the
+    // in-place source dir; p1 migrated into a real commit dir
+    val dirs = TableOps.partitionDirs(spark, t)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcQ = fs.makeQualified(new org.apache.hadoop.fs.Path(src)).toString
+    assert(dirs("part=p2") === s"$srcQ/part=p2")
+    assert(fs.makeQualified(new org.apache.hadoop.fs.Path(dirs("part=p1")))
+      .toString.startsWith(
+        fs.makeQualified(new org.apache.hadoop.fs.Path(t.dataPath)).toString))
+    assert(!dirs("part=p1").contains(s"/$ts/"))
     assert(TableOps.snapshot(spark, t).select("id", "payload")
       .as[(String, String)].collect().toSet ===
       Set(("a", "x3"), ("b", "y"), ("c", "z")))

@@ -47,6 +47,36 @@ class ObjectStoreSpec extends SparkSuite {
       s"engine must not dir-rename: ${TrackingLocalFs.engineDirRenames}")
   }
 
+  test("bootstrap adopts in place under object-store rename semantics") {
+    spark.sparkContext.hadoopConfiguration.set("fs.graftfs.impl",
+      classOf[TrackingLocalFs].getName)
+    TrackingLocalFs.reset()
+    val base = tmpDir("graft-objstore-bs")
+    val src = s"graftfs:$base/src"
+    rows(("a", 1, "x", "p1"), ("b", 2, "y", "p2"))
+      .write.partitionBy("part").parquet(src)
+    TrackingLocalFs.reset() // drop the committer noise from the seed write
+    val t = KeyedTable("osbs", s"graftfs:$base/osbs", Seq("id"), "ver",
+      Seq("part"))
+    val ts = TableOps.bootstrap(spark, t, src)
+    assert(ts.nonEmpty)
+    assert(TableOps.snapshot(spark, t)
+      .select("id", "ver").as[(String, Int)].collect().toSet ===
+      Set(("a", 1), ("b", 2)))
+    // lifecycle on top of the adopted state: COW migrate one adopted
+    // partition, then retention-clean — all still rename-free
+    TableOps.upsert(spark, t, rows(("a", 2, "x2", "p1")))
+    TableOps.clean(spark, t, retainCommits = 1)
+    assert(TableOps.snapshot(spark, t)
+      .select("id", "ver").as[(String, Int)].collect().toSet ===
+      Set(("a", 2), ("b", 2)))
+    // the adopted source files are never moved OR deleted — the engine
+    // does not destroy data it didn't write
+    assert(spark.read.parquet(src).count() === 2)
+    assert(TrackingLocalFs.engineDirRenames.isEmpty,
+      s"bootstrap must not dir-rename: ${TrackingLocalFs.engineDirRenames}")
+  }
+
   test("S3Conf reproduces the reference's MinIO session configuration") {
     S3Conf(spark, "http://minio:9000", "ak", "sk")
     val c = spark.sparkContext.hadoopConfiguration

@@ -54,6 +54,38 @@ class PipelineSpec extends SparkSuite {
       "replayed increment must not duplicate gold rows")
   }
 
+  test("flagship pipeline end-to-end under object-store rename semantics") {
+    // the reference's main() composition (incremental_etl_orders.py:
+    // 454-496) — seed → incremental ETL → gold with checkpoints — plus
+    // archival clean, all on the no-atomic-dir-rename shim FS: proves
+    // checkpoint store, upsert, incremental read and timeline archival
+    // are rename-safe TOGETHER, not just per-primitive
+    spark.sparkContext.hadoopConfiguration.set("fs.graftfs.impl",
+      classOf[TrackingLocalFs].getName)
+    TrackingLocalFs.reset()
+    val base = s"graftfs:${tmpDir("graft-pipe-os")}"
+    SeedTables.seed(spark, base, nCustomers = 12, nOrders = 25)
+    val gold1 = IncrementalEtl.run(spark, base)
+    assert(gold1.count() === 25)
+    val goldTable = IncrementalEtl.goldTable(base)
+    assert(TableOps.snapshot(spark, goldTable).count() === 25)
+    // second increment through the same checkpointed flow
+    val custIds = TableOps.snapshot(spark, SeedTables.customersTable(base))
+      .select("customer_id").collect().map(_.getString(0)).toSeq
+    TableOps.upsert(spark, SeedTables.ordersTable(base),
+      SeedTables.orders(spark, 8, seed = 7L, custIds, epochDay = 19800))
+    assert(IncrementalEtl.run(spark, base).count() === 8)
+    assert(TableOps.snapshot(spark, goldTable).count() === 33)
+    // archival clean on the gold table, then read back through the
+    // archived timeline
+    TableOps.clean(spark, goldTable, retainCommits = 1, archive = true)
+    assert(TableOps.snapshot(spark, goldTable).count() === 33)
+    assert(TableOps.timeline(spark, goldTable, includeArchived = true)
+      .count() >= 2)
+    assert(TrackingLocalFs.engineDirRenames.isEmpty,
+      s"pipeline must not dir-rename: ${TrackingLocalFs.engineDirRenames}")
+  }
+
   test("checkpoint store KV surface (S7: put/get/exists/delete/list/regex)") {
     val store = CheckpointStore(tmpDir("graft-cp"), spark)
     assert(!store.exists("t1"))

@@ -1,0 +1,182 @@
+package graft
+
+import graft.ops.TableOps
+import graft.tables.{CommitLog, KeyedTable}
+import org.apache.spark.sql.functions._
+
+/** Non-additive schema evolution via column mapping
+  * ([[TableOps.renameColumn]] / [[TableOps.dropColumn]], the Hudi 1.0 /
+  * Delta columnMapping analog): metadata-only rename/drop, pre-rename
+  * files readable under the new name, exact time travel across the
+  * surgery, MOR-state coverage, and the retired-name resurrection
+  * guards.
+  */
+class SchemaMappingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshBase = tmpDir("graft-colmap")
+
+  private def seed(path: String, partitioned: Boolean = false) = {
+    val t =
+      if (partitioned)
+        KeyedTable("cm", path, Seq("id"), "ver", partitionBy = Seq("part"))
+      else KeyedTable("cm", path, Seq("id"), "ver")
+    TableOps.upsert(spark, t,
+      Seq(("a", 1, 10.0, "p1"), ("b", 1, 20.0, "p2"))
+        .toDF("id", "ver", "amount", "part"))
+    t
+  }
+
+  test("rename: old files readable under the new name, values exact") {
+    val t = seed(s"$freshBase/cm")
+    val preTs = CommitLog(t, spark).latestCommit().get
+    val rts = TableOps.renameColumn(spark, t, "amount", "total")
+    assert(rts.nonEmpty)
+    val snap = TableOps.snapshot(spark, t)
+    assert(snap.columns.contains("total") && !snap.columns.contains("amount"))
+    assert(snap.select("id", "total").as[(String, Double)].collect().toSet
+      === Set(("a", 10.0), ("b", 20.0)))
+    // post-rename write under the new name merges across eras
+    TableOps.upsert(spark, t,
+      Seq(("a", 2, 11.0, "p1"), ("c", 1, 30.0, "p3"))
+        .toDF("id", "ver", "total", "part"))
+    assert(TableOps.snapshot(spark, t).select("id", "total")
+      .as[(String, Double)].collect().toSet
+      === Set(("a", 11.0), ("b", 20.0), ("c", 30.0)))
+    // time travel to before the rename: OLD name, same values — exact
+    val asOf = TableOps.snapshotAsOf(spark, t, preTs)
+    assert(asOf.columns.contains("amount") && !asOf.columns.contains("total"))
+    assert(asOf.select("id", "amount").as[(String, Double)].collect().toSet
+      === Set(("a", 10.0), ("b", 20.0)))
+  }
+
+  test("rename on MOR live-delta state; compaction folds across eras") {
+    val t = seed(s"$freshBase/cm")
+    TableOps.deltaCommit(spark, t,
+      Seq(("b", 2, 21.0, "p2")).toDF("id", "ver", "amount", "part"))
+    TableOps.renameColumn(spark, t, "amount", "total")
+    TableOps.deltaCommit(spark, t,
+      Seq(("a", 2, 12.0, "p1")).toDF("id", "ver", "total", "part"))
+    val expect = Set(("a", 12.0), ("b", 21.0))
+    assert(TableOps.snapshot(spark, t).select("id", "total")
+      .as[(String, Double)].collect().toSet === expect)
+    TableOps.compactDeltas(spark, t)
+    assert(TableOps.liveDeltaCommits(spark, t).isEmpty)
+    assert(TableOps.snapshot(spark, t).select("id", "total")
+      .as[(String, Double)].collect().toSet === expect)
+  }
+
+  test("rename is CDC/incremental-invisible; feeds span it unharmed") {
+    val t = seed(s"$freshBase/cm")
+    val preTs = CommitLog(t, spark).latestCommit().get
+    TableOps.renameColumn(spark, t, "amount", "total")
+    TableOps.upsert(spark, t,
+      Seq(("c", 1, 30.0, "p3")).toDF("id", "ver", "total", "part"))
+    val changes = TableOps.changeLog(spark, t, beginExclusive = preTs)
+    assert(changes.select("id").as[String].collect().toSeq === Seq("c"))
+    assert(TableOps.incremental(spark, t, beginExclusive = preTs)
+      .select("id").as[String].collect().toSeq === Seq("c"))
+  }
+
+  test("partitioned rename: partition-scoped post-rename rewrite, mixed eras") {
+    val t = seed(s"$freshBase/cm", partitioned = true)
+    TableOps.renameColumn(spark, t, "amount", "total")
+    val before = TableOps.partitionDirs(spark, t)
+    TableOps.upsert(spark, t,
+      Seq(("a", 2, 12.0, "p1")).toDF("id", "ver", "total", "part"))
+    val after = TableOps.partitionDirs(spark, t)
+    // p2 untouched: still owned by the PRE-rename commit dir, read
+    // through the mapping
+    assert(after("part=p2") === before("part=p2"))
+    assert(TableOps.snapshot(spark, t).select("id", "total", "part")
+      .as[(String, Double, String)].collect().toSet
+      === Set(("a", 12.0, "p1"), ("b", 20.0, "p2")))
+  }
+
+  test("rename back to a prior name resolves every era correctly") {
+    val t = seed(s"$freshBase/cm")
+    TableOps.renameColumn(spark, t, "amount", "total")
+    TableOps.upsert(spark, t,
+      Seq(("c", 1, 30.0, "p3")).toDF("id", "ver", "total", "part"))
+    TableOps.renameColumn(spark, t, "total", "amount")
+    val snap = TableOps.snapshot(spark, t)
+    assert(snap.columns.contains("amount"))
+    assert(snap.select("id", "amount").as[(String, Double)].collect().toSet
+      === Set(("a", 10.0), ("b", 20.0), ("c", 30.0)))
+  }
+
+  test("drop: hidden now, visible in time travel; retired names refuse re-add") {
+    val t = seed(s"$freshBase/cm")
+    val preTs = CommitLog(t, spark).latestCommit().get
+    TableOps.renameColumn(spark, t, "amount", "total")
+    TableOps.dropColumn(spark, t, "total")
+    val snap = TableOps.snapshot(spark, t)
+    assert(!snap.columns.contains("total") && !snap.columns.contains("amount"))
+    assert(snap.select("id").as[String].collect().toSet === Set("a", "b"))
+    // time travel before the drop still sees the column
+    assert(TableOps.snapshotAsOf(spark, t, preTs).columns.contains("amount"))
+    // re-adding the dropped name OR its pre-rename physical ancestor
+    // would resurrect old bytes — refused loudly
+    intercept[IllegalArgumentException] {
+      TableOps.upsert(spark, t,
+        Seq(("d", 1, 99.0, "p4")).toDF("id", "ver", "total", "part"))
+    }
+    intercept[IllegalArgumentException] {
+      TableOps.upsert(spark, t,
+        Seq(("d", 1, 99.0, "p4")).toDF("id", "ver", "amount", "part"))
+    }
+    // a fresh name is fine
+    TableOps.upsert(spark, t,
+      Seq(("d", 1, 99.0, "p4")).toDF("id", "ver", "amount2", "part"))
+    assert(TableOps.snapshot(spark, t).columns.contains("amount2"))
+  }
+
+  test("post-rename write under the OLD name fails loud, not split-brain") {
+    val t = seed(s"$freshBase/cm")
+    TableOps.renameColumn(spark, t, "amount", "total")
+    intercept[IllegalArgumentException] {
+      TableOps.upsert(spark, t,
+        Seq(("c", 1, 30.0, "p3")).toDF("id", "ver", "amount", "part"))
+    }
+  }
+
+  test("restore across a rename republishes the old-name state readable") {
+    val t = seed(s"$freshBase/cm")
+    val preTs = CommitLog(t, spark).latestCommit().get
+    TableOps.renameColumn(spark, t, "amount", "total")
+    TableOps.upsert(spark, t,
+      Seq(("c", 1, 30.0, "p3")).toDF("id", "ver", "total", "part"))
+    TableOps.restoreTo(spark, t, preTs)
+    val snap = TableOps.snapshot(spark, t)
+    assert(snap.columns.contains("amount"))
+    assert(snap.select("id", "amount").as[(String, Double)].collect().toSet
+      === Set(("a", 10.0), ("b", 20.0)))
+  }
+
+  test("surgery refusals: structural, stats-tracked, existing target") {
+    val base = freshBase
+    val t = seed(s"$base/cm")
+    intercept[IllegalArgumentException] {
+      TableOps.renameColumn(spark, t, "id", "id2") // record key
+    }
+    intercept[IllegalArgumentException] {
+      TableOps.renameColumn(spark, t, "ver", "rev") // precombine
+    }
+    intercept[IllegalArgumentException] {
+      TableOps.dropColumn(spark, t, "id")
+    }
+    intercept[IllegalArgumentException] {
+      TableOps.renameColumn(spark, t, "amount", "part") // target exists
+    }
+    intercept[IllegalArgumentException] {
+      TableOps.renameColumn(spark, t, "nope", "x") // no such column
+    }
+    val ts = KeyedTable("cms", s"$base/cms", Seq("id"), "ver",
+      statsColumns = Seq("amount"))
+    TableOps.upsert(spark, ts,
+      Seq(("a", 1, 10.0, "p1")).toDF("id", "ver", "amount", "part"))
+    intercept[IllegalArgumentException] {
+      TableOps.renameColumn(spark, ts, "amount", "total") // stats-tracked
+    }
+  }
+}
