@@ -49,12 +49,12 @@ object Bench {
     * sentinel so cross-day comparisons of bandwidth-bound queries are
     * normalizable instead of argued.
     */
-  private val BwSentinelRowsPerCore = 120000L
+  private val BwSentinelRowsPerCore = 30000L
   private val BwSentinelFanout = 16
   /** Quiet-machine bandwidth-sentinel seconds (calibrated r13 at the
     * driver's local[32]; same conservative-at-lower-core-counts
     * argument as [[SentinelNominal]]). */
-  private val BwSentinelNominal = 1.10
+  private val BwSentinelNominal = 1.40
   private def sentinelBwSec(spark: SparkSession): Double = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

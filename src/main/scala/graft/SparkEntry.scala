@@ -331,7 +331,12 @@ object SparkEntry {
     // archival/inline-compact timeline queries stay off the board —
     // scratch-dir metadata lifecycles, correctness-gated like their
     // s_timeline sibling
-    "stream_topk_replay", "stream_sink_retention_replay")
+    "stream_topk_replay", "stream_sink_retention_replay",
+    // r13: real-BMP decode surface (codegen-free mapPartitions shape —
+    // a decoder/row-materialization regression should move a board
+    // number); the schema-surgery lifecycle queries stay off the
+    // board, correctness-gated like their s_timeline sibling
+    "multimodal_bmp_stats")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
