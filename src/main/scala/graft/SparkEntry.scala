@@ -135,6 +135,7 @@ object SparkEntry {
     "multimodal_resize"       -> (ExtQueries.multimodalResize _),
     "multimodal_bmp_stats"    -> (ExtQueries.multimodalBmpStats _),
     "multimodal_bmp_resize"   -> (ExtQueries.multimodalBmpResize _),
+    "multimodal_wav_stats"    -> (ExtQueries.multimodalWavStats _),
     "events_tumbling"         -> (ExtQueries.eventsTumbling _),
     "events_sliding"          -> (ExtQueries.eventsSliding _),
     "events_sessions"         -> (ExtQueries.eventsSessions _),
@@ -2632,6 +2633,25 @@ object SparkEntry {
         |  CAST(SUM((doc_id*31 + ((x*w) // ow)*7 + ((y*h) // oh)*13) % 256)
         |    AS BIGINT) AS sum_r
         | FROM px GROUP BY doc_id, ow, oh ORDER BY doc_id""".stripMargin,
+    // Real-WAV decode parity: same posture as multimodal_bmp_stats —
+    // the closed-form int16 waveform is recomputed in SQL; the
+    // position-weighted sum pins sample order, sumsq the energy, and
+    // wav_bytes the canonical 44-byte-header container arithmetic.
+    "multimodal_wav_stats" ->
+      """WITH d AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS n
+        |  FROM documents),
+        | sm AS (SELECT d.doc_id, d.n, g.i,
+        |   (doc_id*37 + g.i*101) % 4001 - 2000 AS v
+        |  FROM d CROSS JOIN generate_series(0, 31) g(i)
+        |  WHERE g.i < d.n)
+        | SELECT doc_id,
+        |  CAST(44 + n*2 AS BIGINT) AS wav_bytes,
+        |  CAST(8000 + doc_id % 3 * 4000 AS INT) AS sample_rate,
+        |  n AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sum_s,
+        |  CAST(SUM(i*v) AS BIGINT) AS wsum_s,
+        |  CAST(SUM(v*v) AS BIGINT) AS sumsq_s
+        | FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "events_tumbling" -> eventsTumblingSql,
     "stream_tumbling_replay" -> eventsTumblingSql,
     // Time-RANGE rolling window: both engines order on integer epoch

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Bmp, Bpe, Classifier, Decontaminate, Dedup, Domains, EventWindows, Expectations, Graph, Multimodal, Packing, Pii, Sampling, Similarity, TextStats}
+import graft.ext.{Bmp, Bpe, Classifier, Decontaminate, Dedup, Domains, EventWindows, Expectations, Graph, Multimodal, Packing, Pii, Sampling, Similarity, TextStats, Wav}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -1375,6 +1375,43 @@ object ExtQueries {
         (id, out.width, out.height, sumR)
       })
       .toDF("doc_id", "out_w", "out_h", "sum_r")
+      .orderBy("doc_id")
+  }
+
+  /** REAL audio decode ([[Wav]], RIFF/PCM16): synthesize a physical
+    * WAV per document from a closed-form integer waveform, decode the
+    * BYTES back through the chunk-walking parser, and emit integer
+    * sample aggregates the oracle recomputes — little-endian int16
+    * packing and chunk traversal sit inside the checked path; the
+    * position-weighted sum pins sample order, the sum of squares the
+    * signal energy.
+    */
+  def multimodalWavStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (16 + id % 16).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 37 + i.toLong * 101) % 4001) - 2000).toShort)
+        val bytes = Wav.encode(Wav.Audio(8000 + (id % 3).toInt * 4000,
+          samples))
+        val dec = Wav.decode(bytes)
+        var sum = 0L
+        var wsum = 0L
+        var sumsq = 0L
+        var i = 0
+        while (i < dec.samples.length) {
+          val v = dec.samples(i).toLong
+          sum += v
+          wsum += i * v
+          sumsq += v * v
+          i += 1
+        }
+        (id, bytes.length.toLong, dec.sampleRate, dec.samples.length,
+          sum, wsum, sumsq)
+      })
+      .toDF("doc_id", "wav_bytes", "sample_rate", "n_samples",
+        "sum_s", "wsum_s", "sumsq_s")
       .orderBy("doc_id")
   }
 

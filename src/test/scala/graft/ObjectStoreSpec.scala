@@ -73,6 +73,13 @@ class ObjectStoreSpec extends SparkSuite {
     // the adopted source files are never moved OR deleted — the engine
     // does not destroy data it didn't write
     assert(spark.read.parquet(src).count() === 2)
+    // column surgery on top of the adopted state: rename must stay
+    // metadata-only and the mapped read must still resolve both the
+    // adopted files (physical old name) and the rewritten partition
+    TableOps.renameColumn(spark, t, "payload", "body")
+    assert(TableOps.snapshot(spark, t)
+      .select("id", "body").as[(String, String)].collect().toSet ===
+      Set(("a", "x2"), ("b", "y")))
     assert(TrackingLocalFs.engineDirRenames.isEmpty,
       s"bootstrap must not dir-rename: ${TrackingLocalFs.engineDirRenames}")
   }

@@ -153,6 +153,20 @@ class SchemaMappingSpec extends SparkSuite {
       === Set(("a", 10.0), ("b", 20.0)))
   }
 
+  test("pushdown: a predicate on the renamed column reaches pre-rename files") {
+    val t = seed(s"$freshBase/cm")
+    TableOps.renameColumn(spark, t, "amount", "total")
+    val df = TableOps.snapshot(spark, t).filter(col("total") > 15.0)
+    // the logical-name filter must cross the restore projection and
+    // reach the parquet scan under the PHYSICAL name — at 100 TB a
+    // renamed column that stops pushing down is a silent full-scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThan(amount,15.0)"),
+      s"predicate did not reach the scan under the physical name:\n$plan")
+    assert(df.select("id").as[String].collect().toSeq === Seq("b"))
+  }
+
   test("surgery refusals: structural, stats-tracked, existing target") {
     val base = freshBase
     val t = seed(s"$base/cm")
