@@ -290,9 +290,12 @@ object TableOps {
   }
 
   /** One commit-dir read under rename mapping: scan with the PHYSICAL
-    * schema of that ver, then project back to logical names.
+    * schema of that ver, then project back to logical names. Shared
+    * with [[graft.tables.ColumnStats]]'s pruned readers — every path
+    * that scans a ver's files with an explicit schema must map, or a
+    * renamed column silently reads NULL from pre-rename files.
     */
-  private def readVer(spark: SparkSession, sch: Option[StructType],
+  private[graft] def readVer(spark: SparkSession, sch: Option[StructType],
       renames: Seq[(String, String, String)], ver: String,
       basePath: String, paths: Seq[String]): DataFrame =
     sch.flatMap(s => physicalFor(renames, ver, s)) match {

@@ -137,12 +137,14 @@ object ColumnStats {
     // connect-style node tree, not catalyst expressions) — without a
     // manifest schema there is nothing to resolve against: no pruning
     val resolved = sch.map(s => analyzedPredicate(spark, s, pred))
+    // rename lineage: the surviving-file scan must read each ver's
+    // files under their PHYSICAL column names (TableOps.readVer), or a
+    // renamed non-stats column reads NULL from pre-rename files
+    val rens = CommitLog(t, spark).renames()
     val frames = parts.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
       case (ver, m) =>
         val rels = m.keys.toSeq.sorted
         val verDir = s"${t.dataPath}/$ver"
-        val reader = sch.foldLeft(spark.read)((r, s) => r.schema(s))
-          .option("basePath", verDir)
         if (resolved.isEmpty || !fs.exists(new Path(statsPath(t, ver)))) {
           // no sidecar — delegate to the canonical per-version read so
           // legacy-commit reads can never drift from snapshot() reads
@@ -162,7 +164,8 @@ object ColumnStats {
           val surviving = liveFiles(fs, t, ver, rels)
             .filter(p => verdicts.getOrElse(p.toString, true))
           if (surviving.isEmpty) None
-          else Some(reader.parquet(surviving.map(_.toString): _*))
+          else Some(graft.ops.TableOps.readVer(spark, sch, rens, ver,
+            verDir, surviving.map(_.toString)))
         }
     }
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
@@ -246,9 +249,14 @@ object ColumnStats {
     val resolved = analyzedPredicate(spark, sch, pred)
     var safes = List.empty[DataFrame]
     var riskys = List.empty[DataFrame]
+    // same rename-lineage mapping as prunedRead: both file-list scans
+    // below must read pre-rename files under their physical names
+    val rens = CommitLog(t, spark).renames()
     parts.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (ver, m) =>
       val verDir = s"${t.dataPath}/$ver"
-      val reader = spark.read.schema(sch).option("basePath", verDir)
+      def readFiles(files: Seq[Path]): DataFrame =
+        graft.ops.TableOps.readVer(spark, Some(sch), rens, ver, verDir,
+          files.map(_.toString))
       val haveSidecar = fs.exists(new Path(statsPath(t, ver)))
       lazy val statsDf = spark.read.parquet(statsPath(t, ver))
       // a sidecar written before the key columns were stats-tracked
@@ -278,10 +286,8 @@ object ColumnStats {
         val (riskyF, restF) = liveFiles(fs, t, ver, m.keys.toSeq.sorted)
           .partition(p => verdicts.get(p.toString).forall(_._1))
         val safeF = restF.filter(p => verdicts(p.toString)._2)
-        if (riskyF.nonEmpty)
-          riskys ::= reader.parquet(riskyF.map(_.toString): _*)
-        if (safeF.nonEmpty)
-          safes ::= reader.parquet(safeF.map(_.toString): _*)
+        if (riskyF.nonEmpty) riskys ::= readFiles(riskyF)
+        if (safeF.nonEmpty) safes ::= readFiles(safeF)
       }
     }
     (safes.reduceOption(_.unionByName(_, allowMissingColumns = true)),

@@ -167,6 +167,27 @@ class SchemaMappingSpec extends SparkSuite {
     assert(df.select("id").as[String].collect().toSeq === Seq("b"))
   }
 
+  test("stats table: renaming a NON-stats column keeps pruned reads exact") {
+    val base = freshBase
+    val t = KeyedTable("cmp", s"$base/cmp", Seq("id"), "ver",
+      statsColumns = Seq("id"))
+    TableOps.upsert(spark, t,
+      Seq(("a", 1, 10.0, "p1"), ("b", 1, 20.0, "p2"))
+        .toDF("id", "ver", "amount", "part"))
+    TableOps.renameColumn(spark, t, "amount", "total")
+    // snapshotWhere takes the ColumnStats.prunedRead path (stats
+    // table) — pre-rename files must yield real values, never NULLs
+    val got = TableOps.snapshotWhere(spark, t, col("id") === "b")
+      .select("id", "total").as[(String, Double)].collect().toSet
+    assert(got === Set(("b", 20.0)))
+    // MOR split read face: a live delta forces morSplitRead
+    TableOps.deltaCommit(spark, t,
+      Seq(("a", 2, 11.0, "p1")).toDF("id", "ver", "total", "part"))
+    val got2 = TableOps.snapshotWhere(spark, t, col("total") > 5.0)
+      .select("id", "total").as[(String, Double)].collect().toSet
+    assert(got2 === Set(("a", 11.0), ("b", 20.0)))
+  }
+
   test("surgery refusals: structural, stats-tracked, existing target") {
     val base = freshBase
     val t = seed(s"$base/cm")
