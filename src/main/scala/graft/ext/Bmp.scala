@@ -64,7 +64,12 @@ object Bmp {
     require(b.get(0) == 'B'.toByte && b.get(1) == 'M'.toByte,
       "not a BMP (bad magic)")
     val dataOff = b.getInt(10)
-    require(b.getInt(14) >= 40, "unsupported BMP header (pre-v3)")
+    val hdrSize = b.getInt(14)
+    require(hdrSize >= 40, "unsupported BMP header (pre-v3)")
+    // pixel data must start past the headers — a corrupt offset into
+    // (or before) the header would decode header bytes as pixels
+    require(dataOff >= 14 + hdrSize,
+      s"BMP pixel offset $dataOff lies inside the header")
     val w = b.getInt(18)
     val rawH = b.getInt(22)
     val topDown = rawH < 0

@@ -50,7 +50,9 @@ object Wav {
     while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
       val id = tag(off)
       val size = b.getInt(off + 4)
-      require(size >= 0 && off + 8 + size <= bytes.length,
+      // long arithmetic: a crafted size near Int.MaxValue must hit
+      // this require, not wrap negative past it into a giant alloc
+      require(size >= 0 && off.toLong + 8L + size <= bytes.length,
         s"WAV chunk '$id' overruns the file")
       if (id == "fmt ") {
         require(size >= 16, "fmt chunk too small")

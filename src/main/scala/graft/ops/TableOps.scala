@@ -273,13 +273,28 @@ object TableOps {
     * lineage probe); otherwise the physical read schema plus the
     * (physical → logical) restore projection.
     */
+  /** (continued) The walk is SYMMETRIC: renames NEWER than the ver map
+    * backward (new→old — the read schema postdates the file), renames
+    * AT OR BEFORE the ver map forward (old→new — the read schema
+    * PREDATES the file, e.g. a running stream whose schema was
+    * captured before a mid-stream rename reading commits written
+    * after it). Each pass's substitutions are presence-conditional,
+    * so entries on the wrong side of the schema's own era no-op and
+    * the two passes touch disjoint lineage entries per field.
+    */
   private def physicalFor(renames: Seq[(String, String, String)],
       ver: String, sch: StructType)
       : Option[(StructType, Seq[(String, String)])] = {
-    val applicable = renames.filter(_._1 > ver).reverse
-    if (applicable.isEmpty) return None
+    if (renames.isEmpty) return None
     var names = sch.fields.map(_.name)
-    applicable.foreach { case (_, o, n) =>
+    // forward: schema-era older than the file — roll old names up to
+    // the ver's era (ascending)
+    renames.filter(_._1 <= ver).foreach { case (_, o, n) =>
+      names = names.map(x => if (x == o) n else x)
+    }
+    // backward: schema-era newer than the file — roll new names back
+    // (newest-first)
+    renames.filter(_._1 > ver).reverse.foreach { case (_, o, n) =>
       names = names.map(x => if (x == n) o else x)
     }
     val logical = sch.fields.map(_.name)
@@ -511,6 +526,7 @@ object TableOps {
               s"(e.g. ${foreign.head.getPath.getName}); import it with an " +
               "explicit upsert from a read of that dir into a fresh table")
         }
+        guardRetiredNames(log, t, None, mergedSchema)
         writer(stamped, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
         relsOf(fs, dest, t.partitionBy.length).map(_ -> ts).toMap
       case Some(_) if t.partitionBy.isEmpty =>
@@ -518,6 +534,9 @@ object TableOps {
         val merged = mergeFn(existing, stamped, t.recordKey,
           Seq(t.precombineKey, KeyedTable.CommitCol))
         mergedSchema = merged.schema
+        // retired-name tripwire BEFORE the COW rewrite — a refused
+        // re-add must not pay a table rewrite and strand an orphan dir
+        guardRetiredNames(log, t, schemaAt(spark, t, None), mergedSchema)
         writer(merged, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
         Map("" -> ts)
       case Some(old) =>
@@ -558,6 +577,7 @@ object TableOps {
         val merged = mergeFn(affectedExisting, stamped, t.rowIdentity,
           Seq(t.precombineKey, KeyedTable.CommitCol))
         mergedSchema = merged.schema
+        guardRetiredNames(log, t, schemaAt(spark, t, None), mergedSchema)
         writer(merged, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
         // Ownership update: affected rels move to the new commit dir
         // (or drop entirely when a moved-away key emptied them); the
@@ -567,7 +587,6 @@ object TableOps {
         old -- affectedRels ++ written.map(_ -> ts)
     }
 
-    guardRetiredNames(log, t, schemaAt(spark, t, None), mergedSchema)
     // Column-stats sidecar before the publish: a crash here leaves an
     // orphan dir, never a published commit with a missing sidecar.
     if (t.statsColumns.nonEmpty)
@@ -758,6 +777,12 @@ object TableOps {
       s"table ${t.name}: target column '$newName' already exists")
     require(oldName != newName, "rename to the same name is a no-op")
     schemaSurgeryGuards(spark, t, oldName, "rename")
+    // the TARGET must not collide with structural/system names either:
+    // renaming onto `_deleted` would turn a payload column into the
+    // soft-delete flag (silently hiding rows or breaking every read)
+    require(!structuralCols(t).contains(newName),
+      s"table ${t.name}: cannot rename to structural/system name " +
+        s"'$newName'")
     require(!log.droppedColumns().contains(newName),
       s"table ${t.name}: '$newName' was retired by a column drop — " +
         "pre-drop files still store data under that physical name; " +
@@ -772,6 +797,13 @@ object TableOps {
     // (substitution only fires when a read schema carries the new
     // name, which only the published manifest introduces)
     log.recordRename(ts, oldName, newName)
+    // lost-update tripwire for the lineage itself: a contract-
+    // violating concurrent rename could overwrite the record in the
+    // read-modify-write window — re-read before the manifest makes a
+    // schema_rename without its lineage entry durable
+    require(log.renames().contains((ts, oldName, newName)),
+      s"table ${t.name}: rename lineage record lost — concurrent " +
+        "writer violated the single-writer contract; rename NOT published")
     log.logCommit(ts, Map(
       "table" -> t.name,
       "action" -> "schema_rename",
@@ -927,12 +959,14 @@ object TableOps {
               s"(e.g. ${foreign.head.getPath.getName}); import it with an " +
               "explicit upsert from a read of that dir into a fresh table")
         }
+        guardRetiredNames(log, t, None, mergedSchema)
         writer(stamped, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
         relsOf(fs, dest, t.partitionBy.length).map(_ -> ts).toMap
       case Some(_) if t.partitionBy.isEmpty =>
         val appended = snapshot(spark, t)
           .unionByName(stamped, allowMissingColumns = true)
         mergedSchema = appended.schema
+        guardRetiredNames(log, t, schemaAt(spark, t, None), mergedSchema)
         writer(appended, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
         Map("" -> ts)
       case Some(old) =>
@@ -949,12 +983,12 @@ object TableOps {
         val appended = affectedExisting
           .unionByName(stamped, allowMissingColumns = true)
         mergedSchema = appended.schema
+        guardRetiredNames(log, t, schemaAt(spark, t, None), mergedSchema)
         writer(appended, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
         val affectedRels = backingRels(spark, t, fs, affectedExisting).keySet
         val written = relsOf(fs, dest, t.partitionBy.length)
         old -- affectedRels ++ written.map(_ -> ts)
     }
-    guardRetiredNames(log, t, schemaAt(spark, t, None), mergedSchema)
     if (t.statsColumns.nonEmpty)
       ColumnStats.write(spark, t, ts, Some(mergedSchema))
     log.logCommit(ts, Map(
@@ -1716,6 +1750,18 @@ object TableOps {
     if (t.globalIndex && KeyIndex.exists(spark, t))
       KeyIndex.invalidate(spark, t)
     val ts = CommitLog.newCommitTs()
+    // Renames NEWER than the restore point are semantically UNDONE:
+    // append their INVERSES to the lineage (newest-first, all at this
+    // restore instant) so the restored old-name schema maps correctly
+    // over files written during the undone era — without this, a
+    // post-restore reader walking the stale forward entries would
+    // resolve those files' renamed columns to the wrong physical name
+    // (or a re-added name would collide). An orphan inverse entry from
+    // a crash before the manifest publish is inert: its substitutions
+    // are presence-conditional on names the un-restored schema does
+    // not carry.
+    log.renames().filter(_._1 > asOf).sortBy(_._1).reverse
+      .foreach { case (_, o, n) => log.recordRename(ts, n, o) }
     log.logCommit(ts, Map(
       "table" -> t.name,
       "action" -> "restore",
@@ -2083,6 +2129,11 @@ object TableOps {
           .unionByName(stamped, allowMissingColumns = true).schema
         case None => stamped.schema
       }
+    // retired-name tripwire BEFORE the write (partition-scoped
+    // overwrites keep pre-rename commit dirs live under the merged
+    // schema — a re-added retired name would collide in their mapped
+    // reads; guarded on the whole-table path too for consistency)
+    guardRetiredNames(log, t, schemaAt(spark, t, None), mergedSchema)
     writer(stamped, t, sortBy, maxRecordsPerFile).parquet(dest.toString)
     val written = relsOf(fs, dest, t.partitionBy.length)
     val newParts: Map[String, String] =

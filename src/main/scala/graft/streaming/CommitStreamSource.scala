@@ -161,7 +161,7 @@ class CommitStreamSource(spark: SparkSession, t: KeyedTable,
     val frames = log.listCommits()
       .filter(ts => ts > startTs && ts <= endTs)
       .flatMap { ts =>
-        val dir = new Path(roots.getOrElse(ts, s"${t.dataPath}/$ts"))
+        val dir = new Path(TableOps.verDir(t, roots, ts))
         if (!fs.exists(dir)) {
           // cleaned while the stream was down — see retention contract
           System.err.println(s"graft: stream over ${t.name} skipping " +

@@ -189,11 +189,24 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     * file; written BEFORE the rename manifest publishes — an orphan
     * record is inert, because physical-name substitution only fires
     * when the read schema actually carries the NEW name).
+    *
+    * Concurrency: the read-modify-write here rides the engine's
+    * single-writer-per-table contract, like every commit's state
+    * computation. A contract-violating concurrent writer could lose a
+    * record in the read/write window; [[graft.ops.TableOps
+    * .renameColumn]] re-reads and asserts its entry immediately
+    * before the manifest publishes (same best-effort-tripwire posture
+    * as the manifest CAS — real multi-writer needs an external lock
+    * service, out of scope here as in the reference).
     */
   def recordRename(ts: String, oldName: String, newName: String): Unit = {
-    require(!oldName.contains(CommitLog.RenameSep) &&
-        !newName.contains(CommitLog.RenameSep),
-      "column names must not contain \\u0001")
+    // control chars (esp. \n/\r) would split or corrupt the line-based
+    // record — a silently-lost lineage entry is exactly the corruption
+    // this file exists to prevent, so refuse loudly
+    Seq(oldName, newName).foreach(n =>
+      require(n.forall(_ >= ' '),
+        s"column name contains control characters: ${n.map(c =>
+          if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString}"))
     val payload = (renames() :+ ((ts, oldName, newName)))
       .map { case (t0, o, n) => s"$t0${CommitLog.RenameSep}$o${CommitLog.RenameSep}$n" }
       .mkString("\n")
@@ -220,10 +233,13 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     raw.linesIterator.filter(_.nonEmpty).toSet
   }
 
-  def recordDropped(name: String): Unit =
+  def recordDropped(name: String): Unit = {
+    require(name.forall(_ >= ' '),
+      "column name contains control characters") // line-based record
     AtomicFile.write(fs, droppedFile,
       (droppedColumns() + name).toSeq.sorted.mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
+  }
 
   /** O(1) idempotency-key registry: one empty marker file per key under
     * `.commits/keys/`. Survives [[retain]] (the cleaner never touches

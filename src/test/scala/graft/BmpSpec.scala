@@ -61,6 +61,14 @@ class BmpSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bmp.decode(compressed))
     intercept[IllegalArgumentException](Bmp.decode(good.take(40)))
     intercept[IllegalArgumentException](Bmp.decode(good.take(60)))
+    // pixel offset pointing INTO the header must refuse, not decode
+    // header bytes as pixels (and a negative offset likewise)
+    for (off <- Seq(2, -4)) {
+      val inHdr = good.clone()
+      java.nio.ByteBuffer.wrap(inHdr)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(10, off)
+      intercept[IllegalArgumentException](Bmp.decode(inHdr))
+    }
   }
 
   test("resizeNearest: integer NN formulas; no-op when already fits") {

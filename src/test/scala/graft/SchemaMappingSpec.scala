@@ -188,6 +188,78 @@ class SchemaMappingSpec extends SparkSuite {
     assert(got2 === Set(("a", 11.0), ("b", 20.0)))
   }
 
+  test("forward mapping: a stale (pre-rename) schema reads post-rename files") {
+    // the running-stream shape: schema captured before a mid-stream
+    // rename, commits written after it — physicalFor's forward pass
+    // must roll the old name up to the file's era, not read NULLs
+    val t = seed(s"$freshBase/cm")
+    val oldSch = TableOps.latestSchema(spark, t).get
+    assert(oldSch.fieldNames.contains("amount"))
+    TableOps.renameColumn(spark, t, "amount", "total")
+    val newTs = TableOps.upsert(spark, t,
+      Seq(("c", 1, 30.0, "p3")).toDF("id", "ver", "total", "part"))
+    val rens = graft.tables.CommitLog(t, spark).renames()
+    val got = TableOps.readCommitDir(spark, Some(oldSch), rens, newTs,
+        s"${t.dataPath}/$newTs")
+      .select("id", "amount").as[(String, Double)].collect().toSet
+    assert(got === Set(("a", 10.0), ("b", 20.0), ("c", 30.0)))
+  }
+
+  test("restore across a rename: undone-era files stay exact, re-add refused") {
+    val t = seed(s"$freshBase/cm")
+    val preTs = CommitLog(t, spark).latestCommit().get
+    TableOps.renameColumn(spark, t, "amount", "total")
+    val undoneTs = TableOps.upsert(spark, t,
+      Seq(("c", 1, 30.0, "p3")).toDF("id", "ver", "total", "part"))
+    TableOps.restoreTo(spark, t, preTs)
+    // current state: old name, pre-rename rows only
+    assert(TableOps.snapshot(spark, t).select("id", "amount")
+      .as[(String, Double)].collect().toSet
+      === Set(("a", 10.0), ("b", 20.0)))
+    // time travel INTO the undone era: new name, undone-era files
+    // resolve through the inverse lineage entries
+    val undone = TableOps.snapshotAsOf(spark, t, undoneTs)
+    assert(undone.columns.contains("total"))
+    assert(undone.select("id", "total").as[(String, Double)].collect().toSet
+      === Set(("a", 10.0), ("b", 20.0), ("c", 30.0)))
+    // re-adding the undone NEW name post-restore is refused (the
+    // stale forward entry would remap it onto pre-rename files)
+    intercept[IllegalArgumentException] {
+      TableOps.upsert(spark, t,
+        Seq(("d", 1, 99.0, "p4")).toDF("id", "ver", "total", "part"))
+    }
+    // post-restore writes under the restored old name work and read
+    val postTs = TableOps.upsert(spark, t,
+      Seq(("d", 1, 99.0, "p4")).toDF("id", "ver", "amount", "part"))
+    assert(postTs.nonEmpty)
+    assert(TableOps.snapshot(spark, t).select("id", "amount")
+      .as[(String, Double)].collect().toSet
+      === Set(("a", 10.0), ("b", 20.0), ("d", 99.0)))
+  }
+
+  test("insert_overwrite honors the retired-name guard pre-write") {
+    val t = seed(s"$freshBase/cm", partitioned = true)
+    TableOps.renameColumn(spark, t, "amount", "total")
+    intercept[IllegalArgumentException] {
+      TableOps.insertOverwrite(spark, t,
+        Seq(("a", 2, 12.0, 1.0, "p1"))
+          .toDF("id", "ver", "total", "amount", "part"))
+    }
+  }
+
+  test("rename target must not collide with structural/system names") {
+    val t = seed(s"$freshBase/cm")
+    intercept[IllegalArgumentException] {
+      TableOps.renameColumn(spark, t, "amount", "_deleted")
+    }
+    intercept[IllegalArgumentException] {
+      TableOps.renameColumn(spark, t, "amount", KeyedTable.CommitCol)
+    }
+    intercept[IllegalArgumentException] {
+      TableOps.renameColumn(spark, t, "amount", "id") // record key
+    }
+  }
+
   test("surgery refusals: structural, stats-tracked, existing target") {
     val base = freshBase
     val t = seed(s"$base/cm")

@@ -59,5 +59,12 @@ class WavSpec extends AnyFunSuite {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(40, 100000)
     intercept[IllegalArgumentException](Wav.decode(overrun))
+    // a declared size near Int.MaxValue must hit the overrun guard,
+    // not wrap negative past it into a multi-GB allocation
+    val wrap = good.clone()
+    java.nio.ByteBuffer.wrap(wrap)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 0x7FFFFFF0)
+    intercept[IllegalArgumentException](Wav.decode(wrap))
   }
 }
