@@ -174,10 +174,16 @@ object Bench {
       catch { case _: Throwable => resetCaches() }
     }
     // ambient-load sentinels, pre-queries (first run warms the range/
-    // noop path; second is the measurement)
+    // noop path; second is the measurement). The BANDWIDTH sentinel is
+    // GC-collected immediately before each measurement: it allocates
+    // tens of millions of row objects, so inherited heap debt from 100+
+    // query warmups inflated it ~6× (r13 board observation) — a
+    // yardstick must measure the machine, not the board's GC state.
     sentinelSec(spark)
     val sentinelPre = sentinelSec(spark)
+    resetCaches()
     sentinelBwSec(spark)
+    resetCaches()
     val sentinelBwPre = sentinelBwSec(spark)
     resetCaches()
     // A query with ANY failed run must NOT report a number (a partial
@@ -204,6 +210,7 @@ object Bench {
       }
     }
     val sentinelPost = sentinelSec(spark)
+    resetCaches()
     val sentinelBwPost = sentinelBwSec(spark)
     // per-query output row counts (one extra untimed execution each):
     // the pair/candidate-emitting queries' scaling claim ("output-
