@@ -140,18 +140,25 @@ object TableOps {
   /** Actions that never contribute change records to a CDC feed —
     * restore republishes metadata only, delete_partition removals emit
     * nothing by contract, schema_rename/schema_drop are metadata-only
-    * column surgery, and a compaction's dir carries rows stamped
-    * with their ORIGINAL commit ts (a pure fold contributes nothing
-    * under the `_commit_ts === ts` filter). Every other action
-    * (upsert/deltacommit/insert/delete/replacecommit/bootstrap, or an
-    * unknown future action) is treated as change-bearing — the
-    * completeness guards fail conservatively loud. Shared by the batch
-    * [[changeLog]] and the streaming
-    * [[graft.streaming.CommitStreamSource]].
+    * column surgery, a compaction's dir carries rows stamped with
+    * their ORIGINAL commit ts (a pure fold contributes nothing under
+    * the `_commit_ts === ts` filter), a hard `delete` rewrites the
+    * SURVIVORS with their old stamps (its removals are CDC-invisible
+    * even while live — the documented contract; tombstone visibility
+    * is the soft-delete path, which commits as an upsert), and a
+    * `bootstrap`'s adopted rows carry NULL stamps (consumers begin
+    * FROM the bootstrap instant). Every other action (upsert/
+    * deltacommit/insert/replacecommit, or an unknown future action) is
+    * treated as change-bearing — the completeness guards fail
+    * conservatively loud. Shared by the batch [[changeLog]] and the
+    * streaming [[graft.streaming.CommitStreamSource]]: an archived
+    * commit of THESE actions loses nothing a live one would have
+    * delivered, so tripping the guard on it would be a spurious
+    * failure, not protection.
     */
   val CdcNonContributing: Set[String] =
     Set("restore", "delete_partition", "compact",
-      "schema_rename", "schema_drop")
+      "schema_rename", "schema_drop", "delete", "bootstrap")
 
   private[ops] def deltasJson(deltas: Seq[String]): String = {
     import org.json4s.JsonDSL._

@@ -255,6 +255,29 @@ class ArchiveSpec extends SparkSuite {
     }
   }
 
+  test("archived hard delete does not trip the CDC guard (CDC-invisible live too)") {
+    val t = table("graft-cdc-del")
+    TableOps.upsert(spark, t, rows(("a", 1), ("b", 1)))
+    TableOps.upsert(spark, t, rows(("a", 2)))
+    TableOps.delete(spark, t, Seq("b").toDF("id"))
+    // the hard delete contributes nothing to the feed even while live
+    // (survivors keep their old stamps; removals are invisible — the
+    // tombstone-visible path is softDelete)
+    assert(TableOps.changeLog(spark, t, "")
+      .select("ver").as[Int].collect().sorted.toSeq === Seq(1, 1, 2))
+    val log = CommitLog(t, spark)
+    val fs = new Path(t.commitsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delTs = TableOps.timeline(spark, t)
+      .filter(col("action") === "delete")
+      .select("commit_ts").as[String].head()
+    log.archiveManifests(Seq(delTs))
+    fs.delete(new Path(s"${t.commitsPath}/$delTs.commit"), false): Unit
+    // losing it to the archive therefore loses nothing — no guard trip
+    assert(TableOps.changeLog(spark, t, "")
+      .select("ver").as[Int].collect().sorted.toSeq === Seq(1, 1, 2))
+  }
+
   test("streaming CDC restart over an archived gap fails loud; option opts out") {
     val t = table("graft-cdc-stream")
     TableOps.upsert(spark, t, rows(("a", 1)))
