@@ -210,6 +210,10 @@ object Bench {
       }
     }
     val sentinelPost = sentinelSec(spark)
+    // identical warm+GC+measure protocol as the PRE measurement — the
+    // two feed the same max() flag, so they must be like-for-like
+    resetCaches()
+    sentinelBwSec(spark)
     resetCaches()
     val sentinelBwPost = sentinelBwSec(spark)
     // per-query output row counts (one extra untimed execution each):

@@ -186,10 +186,12 @@ object SecondaryIndex {
     // individually) — without this, the changeLog completeness guard
     // below would throw where the sound recovery (rebuild) is sitting
     // right here. Gate on exactly the set that trips that guard
-    // (everything outside CdcNonContributing, e.g. delete/bootstrap
-    // too — not just RecordBearingActions), or an archived delete in
-    // the sync range would leave archivedLost=false and the changeLog
-    // call below would throw instead of falling back to rebuild.
+    // (everything outside CdcNonContributing) so the two can never
+    // disagree: an archived action the guard tolerates (delete,
+    // bootstrap — both contribute zero change rows even live, r13)
+    // takes the incremental path here too, sound under the
+    // tolerated-stale lookup model; an archived action the guard
+    // refuses falls back to rebuild instead of propagating the throw.
     val archivedLost = log.archivedMetas(
         range = Some((synced.get, Some(latest)))).exists { m =>
       m.get("commit_ts").exists(ts => !inRange.contains(ts)) &&

@@ -278,6 +278,47 @@ class ArchiveSpec extends SparkSuite {
       .select("ver").as[Int].collect().sorted.toSeq === Seq(1, 1, 2))
   }
 
+  test("archived bootstrap does not trip the CDC guard (NULL stamps live too)") {
+    val base = tmpDir("graft-cdc-bs")
+    rows(("a", 1), ("b", 1)).write.parquet(s"$base/src")
+    val t = KeyedTable("cdcbs", s"$base/t", Seq("id"), "ver")
+    val bsTs = TableOps.bootstrap(spark, t, s"$base/src")
+    TableOps.upsert(spark, t, rows(("a", 2)))
+    // the bootstrap contributes nothing to the feed even while live
+    assert(TableOps.changeLog(spark, t, "")
+      .select("ver").as[Int].collect().toSeq === Seq(2))
+    val log = CommitLog(t, spark)
+    val fs = new Path(t.commitsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    log.archiveManifests(Seq(bsTs))
+    fs.delete(new Path(s"${t.commitsPath}/$bsTs.commit"), false): Unit
+    // losing it to the archive therefore loses nothing — no guard trip
+    assert(TableOps.changeLog(spark, t, "")
+      .select("ver").as[Int].collect().toSeq === Seq(2))
+  }
+
+  test("streaming guard tolerates an archived hard delete like the batch guard") {
+    val t = table("graft-cdc-sdel")
+    TableOps.upsert(spark, t, rows(("a", 1), ("b", 1)))
+    TableOps.upsert(spark, t, rows(("a", 2)))
+    TableOps.delete(spark, t, Seq("b").toDF("id"))
+    val log = CommitLog(t, spark)
+    val fs = new Path(t.commitsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delTs = TableOps.timeline(spark, t)
+      .filter(col("action") === "delete")
+      .select("commit_ts").as[String].head()
+    log.archiveManifests(Seq(delTs))
+    fs.delete(new Path(s"${t.commitsPath}/$delTs.commit"), false): Unit
+    val q = graft.streaming.IncrementalSource.changes(spark, t)
+      .writeStream.format("memory").queryName("cdcsdel")
+      .option("checkpointLocation", tmpDir("graft-cdc-sdel-chk"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("cdcsdel")
+      .select("ver").as[Int].collect().sorted.toSeq === Seq(1, 1, 2))
+  }
+
   test("streaming CDC restart over an archived gap fails loud; option opts out") {
     val t = table("graft-cdc-stream")
     TableOps.upsert(spark, t, rows(("a", 1)))
