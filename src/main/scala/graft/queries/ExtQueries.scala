@@ -1753,7 +1753,7 @@ object ExtQueries {
     // sentinel rows themselves may or may not finalize (we never push
     // a watermark past THEM); the reserved key keeps them out of the
     // result either way
-    val maxRow = proj.agg(max(unix_micros(col("ts")))).head
+    val maxRow = proj.agg(max(unix_micros(col("ts")))).head()
     require(!maxRow.isNullAt(0),
       s"replayEventsStream($tag): events projection is empty or all-null" +
         " ts — cannot derive sentinel watermark timestamps")
@@ -1762,7 +1762,7 @@ object ExtQueries {
     try {
       q.processAllAvailable()
       (1 to 2).foreach { i =>
-        s.range(1).select(proj.schema.fields.map(f => (f.name match {
+        s.range(1).select(proj.schema.fields.toIndexedSeq.map(f => (f.name match {
           case "user_id" => lit(-1L)
           case "event_id" => lit(-i.toLong)
           case "ts" => timestamp_micros(lit((maxSec + i * marginSec) * 1000000L))
