@@ -689,6 +689,13 @@ object TableOps {
     require(srcQ != rootQ && !srcQ.toString.startsWith(rootQ.toString + "/"),
       s"bootstrap source $srcDir lies inside table root ${t.path} — " +
         "adopt-in-place would alias the table's own layout")
+    // symmetric guard: adopting an ANCESTOR of the table root would
+    // make backingRels' external-root prefix match claim every later
+    // commit dir under data/ for the bootstrap ver, corrupting
+    // affected-partition discovery for every subsequent upsert/delete
+    require(!rootQ.toString.startsWith(srcQ.toString + "/"),
+      s"table root ${t.path} lies inside bootstrap source $srcDir — " +
+        "the table's own commit dirs would alias the adopted root")
     val srcSchema = spark.read.parquet(srcDir).schema
     require(!srcSchema.fieldNames.contains(KeyedTable.CommitCol),
       s"bootstrap source already carries ${KeyedTable.CommitCol} — " +
@@ -794,6 +801,24 @@ object TableOps {
       s"table ${t.name}: '$newName' was retired by a column drop — " +
         "pre-drop files still store data under that physical name; " +
         "pick a fresh name")
+    // the target must not be a RETIRED pre-rename physical name of a
+    // DIFFERENT column either: after rename a→b, files written in
+    // the a→b era store 'b', but the stale (ts,a,b) lineage entry
+    // would forward-map a REUSED 'a' (renamed from some c) onto 'b'
+    // too — a duplicate physical schema that poisons every read of
+    // that era. The one sound reuse is renaming the SAME column back:
+    // the lineage chain from newName must resolve to oldName.
+    val priorOldNames = log.renames().map(_._2).toSet
+    if (priorOldNames.contains(newName)) {
+      val resolved = log.renames().foldLeft(newName) {
+        case (cur, (_, o, n)) => if (cur == o) n else cur
+      }
+      require(resolved == oldName,
+        s"table ${t.name}: '$newName' is a retired physical name of a " +
+          s"different column (its lineage resolves to '$resolved', not " +
+          s"'$oldName') — reusing it would alias old files' bytes; " +
+          "pick a fresh name")
+    }
     val (parts, deltas) = currentState(spark, t, None).getOrElse(
       throw new IllegalStateException(
         s"table ${t.name}: no parseable manifest state"))
@@ -2327,14 +2352,18 @@ object TableOps {
       .filter(ts => ts > beginExclusive &&
         endInclusive.forall(ts <= _))
       .flatMap { ts =>
-        // adopted (bootstrap) vers resolve to their in-place root; the
-        // read then yields zero change rows (no adopted row carries a
-        // commit stamp) instead of a path error
-        val dir = new Path(verDir(t, roots, ts))
-        if (!fs.exists(dir)) None // metadata-only or cleaned commit
-        else Some(
-          readCommitDir(spark, Some(sch), rens, ts, dir.toString)
-            .filter(col(KeyedTable.CommitCol) === lit(ts)))
+        // adopted (bootstrap) vers contribute ZERO change rows by
+        // contract (no adopted row carries a commit stamp; bootstrap
+        // is in CdcNonContributing) — skip outright rather than scan
+        // the entire adopted corpus just to filter every row out
+        if (roots.contains(ts)) None
+        else {
+          val dir = new Path(verDir(t, roots, ts))
+          if (!fs.exists(dir)) None // metadata-only or cleaned commit
+          else Some(
+            readCommitDir(spark, Some(sch), rens, ts, dir.toString)
+              .filter(col(KeyedTable.CommitCol) === lit(ts)))
+        }
       }
     val unioned = frames.reduceOption(_.unionByName(_)).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch))

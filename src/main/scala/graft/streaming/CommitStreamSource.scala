@@ -152,17 +152,21 @@ class CommitStreamSource(spark: SparkSession, t: KeyedTable,
     }
     val fs = new Path(t.dataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // bootstrap-adopted vers resolve to their in-place root (the read
-    // then yields zero change rows — no adopted row carries a stamp —
-    // instead of a spurious "cleaned beyond retention" skip); the
-    // rename lineage maps pre-rename commits to their physical names
+    // bootstrap-adopted vers are skipped outright (they emit zero
+    // change rows by contract — scanning the adopted corpus per batch
+    // just to filter it out would be a full-corpus tax on every feed
+    // that starts at the beginning); the rename lineage maps
+    // pre-rename commits to their physical names
     val roots = log.externalRoots()
     val rens = log.renames()
     val frames = log.listCommits()
       .filter(ts => ts > startTs && ts <= endTs)
       .flatMap { ts =>
+        // adopted (bootstrap) vers contribute zero change rows by
+        // contract — skip, don't scan the adopted corpus per batch
         val dir = new Path(TableOps.verDir(t, roots, ts))
-        if (!fs.exists(dir)) {
+        if (roots.contains(ts)) None
+        else if (!fs.exists(dir)) {
           // cleaned while the stream was down — see retention contract
           System.err.println(s"graft: stream over ${t.name} skipping " +
             s"commit $ts (cleaned beyond retention)")

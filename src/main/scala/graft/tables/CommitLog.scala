@@ -134,7 +134,13 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         StandardCharsets.UTF_8)
       finally in.close()
-    parseMeta(raw, p).getOrElse(Map.empty)
+    // fail LOUD on corruption: this file is load-bearing for resolving
+    // the bootstrap ver — the tolerant manifest fallback would silently
+    // degrade the adopted commit to "cleaned" in CDC/stream paths and
+    // to a misleading path-not-found in snapshot reads
+    parseMeta(raw, p).getOrElse(throw new IllegalStateException(
+      s"external-roots record $p exists but is unparseable — refusing " +
+        "to read the table with its bootstrap resolution missing"))
   }
 
   /** Record an adopted root (atomic single-file publish; written

@@ -128,4 +128,57 @@ class BootstrapSpec extends SparkSuite {
     // source still untouched after every refusal (rename never ran)
     assert(spark.read.parquet(src).count() === 3)
   }
+
+  test("bootstrap refuses an ANCESTOR of the table root (aliasing both ways)") {
+    val base = freshBase
+    writeSrc(s"$base/anc", partitioned = false)
+    // table root nested INSIDE the would-be adopted source: later
+    // commit dirs under data/ would prefix-match the external root and
+    // be misattributed to the bootstrap ver in backingRels
+    val t = KeyedTable("bs", s"$base/anc/src/bs", Seq("id"), "ver")
+    val ex = intercept[IllegalArgumentException] {
+      TableOps.bootstrap(spark, t, s"$base/anc/src")
+    }
+    assert(ex.getMessage.contains("lies inside bootstrap source"))
+  }
+
+  test("corrupt external_roots.json fails LOUD, not silent-empty") {
+    val base = freshBase
+    val src = writeSrc(base, partitioned = false)
+    val t = KeyedTable("bs", s"$base/bs", Seq("id"), "ver")
+    TableOps.bootstrap(spark, t, src)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootsFile = new org.apache.hadoop.fs.Path(
+      s"${t.commitsPath}/external_roots.json")
+    assert(fs.exists(rootsFile))
+    val out = fs.create(rootsFile, true)
+    out.write("{not json".getBytes("UTF-8")); out.close()
+    // a silently-empty roots map would degrade the adopted commit to
+    // "cleaned"/path-not-found; the contract is to refuse the read
+    val ex = intercept[IllegalStateException] {
+      TableOps.snapshot(spark, t).count()
+    }
+    assert(ex.getMessage.contains("unparseable"))
+  }
+
+  test("CDC/stream feeds SKIP the adopted corpus, not scan-and-discard it") {
+    val base = freshBase
+    val src = writeSrc(base, partitioned = false)
+    val t = KeyedTable("bs", s"$base/bs", Seq("id"), "ver")
+    TableOps.bootstrap(spark, t, src)
+    TableOps.upsert(spark, t,
+      Seq(("d", 1, "w", "p1")).toDF("id", "ver", "payload", "part"))
+    // plant a non-parquet file in the adopted root: a feed that still
+    // SCANS the adopted ver (to filter every row out) crashes on it; a
+    // feed that skips the ver by contract never opens the dir
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val junk = new org.apache.hadoop.fs.Path(s"$src/junk.parquet")
+    val out = fs.create(junk); out.write("not parquet".getBytes); out.close()
+    try {
+      val changes = TableOps.changeLog(spark, t, beginExclusive = "")
+      assert(changes.select("id").as[String].collect().toSeq === Seq("d"))
+    } finally fs.delete(junk, false)
+  }
 }

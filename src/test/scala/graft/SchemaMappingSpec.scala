@@ -286,4 +286,33 @@ class SchemaMappingSpec extends SparkSuite {
       TableOps.renameColumn(spark, ts, "amount", "total") // stats-tracked
     }
   }
+
+  test("rename onto a DIFFERENT column's retired physical name is refused") {
+    val t = seed(s"$freshBase/cm")
+    // era 1: amount→total retires physical name 'amount'
+    TableOps.renameColumn(spark, t, "amount", "total")
+    // a file written IN the total-era stores physical 'total'
+    TableOps.upsert(spark, t,
+      Seq(("c", 1, 30.0, "p3")).toDF("id", "ver", "total", "part"))
+    // add an unrelated column, then try to rename IT onto the retired
+    // 'amount': the stale (t1, amount, total) lineage entry would
+    // forward-map the reused name onto 'total' for total-era files —
+    // a duplicate physical schema. Must refuse.
+    TableOps.upsert(spark, t,
+      Seq(("d", 1, 40.0, "p4", 7.0)).toDF("id", "ver", "total", "part", "extra"))
+    val ex = intercept[IllegalArgumentException] {
+      TableOps.renameColumn(spark, t, "extra", "amount")
+    }
+    assert(ex.getMessage.contains("retired physical name"))
+    // every era still reads exactly (no lineage corruption happened)
+    assert(TableOps.snapshot(spark, t).select("id", "total")
+      .as[(String, Double)].collect().toSet
+      === Set(("a", 10.0), ("b", 20.0), ("c", 30.0), ("d", 40.0)))
+    // rename-BACK of the same column stays allowed (lineage chain from
+    // the reused name resolves to the column being renamed)
+    TableOps.renameColumn(spark, t, "total", "amount")
+    assert(TableOps.snapshot(spark, t).select("id", "amount")
+      .as[(String, Double)].collect().toSet
+      === Set(("a", 10.0), ("b", 20.0), ("c", 30.0), ("d", 40.0)))
+  }
 }
