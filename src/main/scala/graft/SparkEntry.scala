@@ -232,6 +232,7 @@ object SparkEntry {
     "s_insert_nodedup"        -> (OpsQueries.sInsertNoDedup _),
     "s_files_view"            -> (OpsQueries.sFilesView _),
     "s_bootstrap"             -> (OpsQueries.sBootstrap _),
+    "sql_catalog_read"        -> (OpsQueries.sqlCatalogRead _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
     "a_heavy_hitters"         -> (OpsQueries.aHeavyHitters _),
@@ -3924,6 +3925,15 @@ object SparkEntry {
         | CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10
         |      ELSE o_totalprice END AS o_totalprice
         | FROM orders ORDER BY o_orderkey""".stripMargin,
+    // SQL-catalog read: the query body is pure spark.sql over
+    // catalog.db.table; the oracle is the same aggregate on the raw
+    // input (the upserted table holds exactly the source rows).
+    "sql_catalog_read" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS total_price
+        | FROM orders WHERE o_totalprice > 1000.0
+        | GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "a_approx_agg" ->
       """SELECT 'approx_agg' AS family,
         | count(DISTINCT l_orderkey) AS n_orders,

@@ -2308,6 +2308,49 @@ object OpsQueries {
       .orderBy("o_orderkey")
   }
 
+  /** SQL-catalog read ([[graft.sql.GraftCatalog]] — the reference's
+    * declared-but-disabled hive-sync surface, create_hudi_tables.py:
+    * 130-138, as a Spark CatalogPlugin): upsert orders into a graft
+    * table, register it in a file catalog, mount the catalog under a
+    * per-run name, then the RESULT is pure `spark.sql` over
+    * `catalog.db.table` — no Scala TableOps call in the query body.
+    * In-query gates: the WHERE predicate must reach the parquet scan
+    * as a PushedFilter THROUGH the substituted snapshot plan, and the
+    * ReadSchema must not carry the unreferenced `ver` column (at
+    * 100 TB an un-pushed catalog read is a silent full scan).
+    */
+  def sqlCatalogRead(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-sqlcat")
+    val table = KeyedTable("orders_sql", s"$base/orders_sql",
+      Seq("o_orderkey"), "ver")
+    TableOps.upsert(s, table, t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .withColumn("ver", lit(1)))
+    graft.tables.Catalog(s"$base/cat/db", s).register(table)
+    // catalog name keyed on the scratch root: CatalogManager caches
+    // instances per name, and repeated runs (bench warm + timed) each
+    // get a fresh scratch dir
+    val cname = s"graft_${java.lang.Integer.toHexString(base.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.sql.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.root", s"$base/cat")
+    val res = s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |   AS total_price
+         | FROM $cname.db.orders_sql
+         | WHERE o_totalprice > 1000.0
+         | GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    val plan = res.queryExecution.executedPlan.toString
+    require(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThan(o_totalprice,1000.0)"),
+      s"sql_catalog: WHERE did not reach the parquet scan:\n$plan")
+    require(plan.linesIterator.filter(_.contains("ReadSchema"))
+        .forall(l => !l.contains("ver:") && !l.contains("o_custkey:")),
+      s"sql_catalog: ReadSchema not pruned of unreferenced columns:\n$plan")
+    res
+  }
+
   /** INSERT, no-dedup ([[TableOps.insertInto]], Hudi's `insert` write
     * operation) as a driver query: orders partitioned by priority take
     * a full load, then an insert of the even urgent keys with doubled
