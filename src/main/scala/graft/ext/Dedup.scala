@@ -739,9 +739,31 @@ object Dedup {
       maxDf: Option[Int] = Some(DefaultMaxDf),
       seed: Long = 42L): DataFrame = {
     require(minShared >= 1, "minShared must be at least 1")
+    // PERSIST the fingerprint index: three downstream branches consume
+    // it (the hot-fp df aggregate, and both self-join sides), and
+    // without a materialization each re-runs the full corpus
+    // fingerprint pipeline (gram build + hash + window) — a 3× corpus
+    // scan that IS the scale bug at 100 TB. The index is the small
+    // artifact here: winnowing thins to ~2/(w+1) of gram positions and
+    // the distinct collapses repeats, so it is orders of magnitude
+    // under the exploded gram set (the thing one must NOT persist).
+    // MEMORY_AND_DISK: spills, never recomputes. Blocks are released
+    // by clearCache()/unpersist like any cached index; an ingest
+    // pipeline would keep this index as a table instead (see
+    // [[shingleDocFreq]]'s incremental-maintenance note).
+    // One explicit exchange on the JOIN key before the distinct: a
+    // hash partitioning on g satisfies the (id, g) distinct (subset
+    // rule), the hot-fp df aggregate (on g), AND both self-join sides
+    // (on g) — so the cached index is shuffled ONCE and every
+    // downstream consumer reads it co-partitioned, where the naive
+    // plan pays four index-sized exchanges. Explicit count for the
+    // same AQE-coalesce reason as in [[TextStats.winnowing]].
     val fp = TextStats.winnowing(docs, idCol, textCol, k, w, seed)
       .select(col(idCol).as("id"), col("fp").as("g"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("g"))
       .distinct() // a fp selected at several positions counts once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = dropStopShingles(fp, maxDf)
     val a = kept.select(col("g"), col("id").as("id_a"))
     val b = kept.select(col("g"), col("id").as("id_b"))
