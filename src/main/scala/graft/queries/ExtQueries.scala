@@ -1324,11 +1324,24 @@ object ExtQueries {
     * additionally oracles the container arithmetic (header + padded
     * rows).
     */
+  /** (continued) r14: the encoded bytes go THROUGH a stored
+    * `BinaryType` parquet column — encode once into a bytes table,
+    * read it back, decode from the COLUMN — so parquet binary
+    * round-tripping (page encoding, byte-array materialization) sits
+    * inside the checked loop instead of synthesizing bytes in the same
+    * task that decodes them. The in-query gate pins the returned
+    * frame's plan to a parquet scan whose ReadSchema carries the
+    * binary column.
+    */
   def multimodalBmpStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val store = s"${ccScratchDir()}/bmp_store"
     t(s, dir, "documents").select("doc_id").as[Long]
-      .mapPartitions(_.map { id =>
-        val bytes = Bmp.encode(synthBmp(id))
+      .mapPartitions(_.map(id => (id, Bmp.encode(synthBmp(id)))))
+      .toDF("doc_id", "img")
+      .write.parquet(store)
+    val res = s.read.parquet(store).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
         val dec = Bmp.decode(bytes)
         var sumR = 0L
         var wsumG = 0L
@@ -1349,6 +1362,10 @@ object ExtQueries {
       .toDF("doc_id", "bmp_bytes", "bmp_w", "bmp_h", "sum_r", "wsum_g",
         "corner_b")
       .orderBy("doc_id")
+    require(res.queryExecution.executedPlan.toString.linesIterator
+        .exists(l => l.contains("ReadSchema") && l.contains("img:binary")),
+      "multimodal_bmp_stats: decode is not reading a stored binary column")
+    res
   }
 
   /** REAL pixel resize: nearest-neighbor downscale to maxSide 3
@@ -1356,11 +1373,22 @@ object ExtQueries {
     * oracle recomputes), re-encoded and re-decoded so the emitted sums
     * come off a second physical roundtrip of the RESIZED bytes.
     */
+  /** (continued) r14: source bytes come off a stored `BinaryType`
+    * parquet column (same store-and-decode shape as
+    * [[multimodalBmpStats]]); the resize output is re-encoded and
+    * re-decoded in-task, so BOTH a physical parquet roundtrip and a
+    * second in-memory container roundtrip guard the emitted sums.
+    */
   def multimodalBmpResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val store = s"${ccScratchDir()}/bmp_resize_store"
     t(s, dir, "documents").select("doc_id").as[Long]
-      .mapPartitions(_.map { id =>
-        val dec = Bmp.decode(Bmp.encode(synthBmp(id)))
+      .mapPartitions(_.map(id => (id, Bmp.encode(synthBmp(id)))))
+      .toDF("doc_id", "img")
+      .write.parquet(store)
+    val res = s.read.parquet(store).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val dec = Bmp.decode(bytes)
         val out = Bmp.decode(Bmp.encode(Bmp.resizeNearest(dec, 3)))
         var sumR = 0L
         var y = 0
@@ -1376,6 +1404,10 @@ object ExtQueries {
       })
       .toDF("doc_id", "out_w", "out_h", "sum_r")
       .orderBy("doc_id")
+    require(res.queryExecution.executedPlan.toString.linesIterator
+        .exists(l => l.contains("ReadSchema") && l.contains("img:binary")),
+      "multimodal_bmp_resize: decode is not reading a stored binary column")
+    res
   }
 
   /** REAL audio decode ([[Wav]], RIFF/PCM16): synthesize a physical
@@ -1386,15 +1418,25 @@ object ExtQueries {
     * position-weighted sum pins sample order, the sum of squares the
     * signal energy.
     */
+  /** (continued) r14: the RIFF bytes go through a stored `BinaryType`
+    * parquet column (same store-and-decode shape as
+    * [[multimodalBmpStats]]) — the chunk walker parses what parquet
+    * hands back, not what the same task just built.
+    */
   def multimodalWavStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val store = s"${ccScratchDir()}/wav_store"
     t(s, dir, "documents").select("doc_id").as[Long]
       .mapPartitions(_.map { id =>
         val n = (16 + id % 16).toInt
         val samples = Array.tabulate(n)(i =>
           (((id * 37 + i.toLong * 101) % 4001) - 2000).toShort)
-        val bytes = Wav.encode(Wav.Audio(8000 + (id % 3).toInt * 4000,
-          samples))
+        (id, Wav.encode(Wav.Audio(8000 + (id % 3).toInt * 4000, samples)))
+      })
+      .toDF("doc_id", "wav")
+      .write.parquet(store)
+    val res = s.read.parquet(store).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
         val dec = Wav.decode(bytes)
         var sum = 0L
         var wsum = 0L
@@ -1413,6 +1455,10 @@ object ExtQueries {
       .toDF("doc_id", "wav_bytes", "sample_rate", "n_samples",
         "sum_s", "wsum_s", "sumsq_s")
       .orderBy("doc_id")
+    require(res.queryExecution.executedPlan.toString.linesIterator
+        .exists(l => l.contains("ReadSchema") && l.contains("wav:binary")),
+      "multimodal_wav_stats: decode is not reading a stored binary column")
+    res
   }
 
   // ———————————————————————————————————————— domain curation
