@@ -261,6 +261,8 @@ object SparkEntry {
     "stream_monitoring_replay" -> (OpsQueries.streamMonitoringReplay _),
     "stream_topk_replay"      -> (OpsQueries.streamTopkReplay _),
     "stream_sink_retention_replay" -> (OpsQueries.streamSinkRetentionReplay _),
+    "stream_async_services_replay" -> (OpsQueries.streamAsyncServicesReplay _),
+    "stream_schema_rename_replay" -> (OpsQueries.streamSchemaRenameReplay _),
     "i_incremental_isotonic_by" -> (OpsQueries.iIncrementalIsotonicBy _),
     "i_incremental_ap"        -> (OpsQueries.iIncrementalAp _),
   )
@@ -338,7 +340,10 @@ object SparkEntry {
     // a decoder/row-materialization regression should move a board
     // number); the schema-surgery lifecycle queries stay off the
     // board, correctness-gated like their s_timeline sibling
-    "multimodal_bmp_stats")
+    "multimodal_bmp_stats",
+    // r14: async services racing the live MOR writer (stream-shaped
+    // board row — a lock-contention or compaction regression moves it)
+    "stream_async_services_replay")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
@@ -3992,6 +3997,22 @@ object SparkEntry {
     "stream_sink_retention_replay" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         | FROM events ORDER BY event_id""".stripMargin,
+    // Async services racing a live MOR writer: same visible-rows
+    // contract — housekeeping must lose nothing and double nothing.
+    "stream_async_services_replay" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        | FROM events ORDER BY event_id""".stripMargin,
+    // Rename mid-stream: the stale-schema consumer's accumulated feed
+    // is the three batches' change rows under the OLD column name.
+    "stream_schema_rename_replay" ->
+      """SELECT o_orderkey, 1 AS ver, o_totalprice FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, 2 AS ver, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL
+        | SELECT o_orderkey, 3 AS ver, o_totalprice * 3 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        | ORDER BY o_orderkey, ver""".stripMargin,
     "i_incremental_auc_by" ->
       raw"""WITH tok AS (
          |  SELECT source, lang,

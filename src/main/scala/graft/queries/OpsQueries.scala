@@ -802,6 +802,131 @@ object OpsQueries {
       .orderBy("event_id")
   }
 
+  /** ASYNC table services under a live writer
+    * ([[graft.ops.TableService]] — the reference's
+    * `hoodie.clean.async=true`, create_hudi_tables.py:144): the
+    * housekeeping (MOR delta compaction + archival clean) runs on a
+    * CONCURRENT background thread under the lease lock while the
+    * stream commits MOR deltas, each side serialized by
+    * [[graft.tables.TableLock]] with the service strictly
+    * writer-priority (it skips, never blocks). Unlike
+    * [[streamSinkRetentionReplay]] the writer's batch loop carries NO
+    * housekeeping at all. In-query gates: the service genuinely ran
+    * concurrently (servicedPasses ≥ 1 before the drain), no pass
+    * failed, and after the deterministic shutdown drain the active
+    * timeline is exactly 1 manifest with zero live deltas while every
+    * batch's exactly-once key and the full commit history survive.
+    * Oracle pins the visible rows cell-exactly — racing the services
+    * against the writer must lose nothing and double nothing.
+    */
+  def streamAsyncServicesReplay(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-asyncsvc")
+    val sink = KeyedTable("asvc_sink", s"$base/sink",
+      Seq("event_id"), "event_id")
+    val proj = CoreQueries.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+    val srcDir = s"$base/streamsrc"
+    (0 until 3).foreach { b =>
+      proj.filter(pmod(col("event_id"), lit(3)) === b)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val svc = new graft.ops.TableService(s, sink, retainCommits = 1,
+      intervalMs = 25L).start()
+    val schema = s.read.parquet(srcDir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.option("checkpointLocation", s"$base/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          batchId: Long) =>
+        // the writer serializes with the concurrent service via the
+        // table lock — a mid-commit staged dir must never be visible
+        // to the cleaner (see TableService's concurrency protocol)
+        graft.tables.TableLock.withLock(s, sink) {
+          TableOps.deltaCommit(s, sink, batch,
+            idempotencyKey = Some(s"asvc-$batchId")): Unit
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val concurrentPasses = svc.servicedPasses
+    svc.stop() // rethrows if any concurrent pass failed
+    require(concurrentPasses >= 1,
+      s"service must run concurrently with the stream, " +
+        s"got $concurrentPasses serviced passes " +
+        s"(${svc.attemptedPasses} attempted)")
+    // deterministic drain: the shutdown pass every service owner runs,
+    // so the end-state gates don't depend on tick phase
+    require(svc.runOnce(), "drain pass could not acquire the free lock")
+    svc.failure.foreach(e => throw new IllegalStateException(
+      "drain pass failed", e))
+    val log = graft.tables.CommitLog(sink, s)
+    require(log.listCommits().size == 1,
+      s"async retention must hold the active timeline at 1, " +
+        s"got ${log.listCommits().size}")
+    require(TableOps.liveDeltaCommits(s, sink).isEmpty,
+      "async compaction must fold every live delta")
+    require((0 until 3).forall(b => log.hasIdempotencyKey(s"asvc-$b")),
+      "exactly-once keys must survive the racing services")
+    require(TableOps.timeline(s, sink, includeArchived = true)
+      .count() >= 3, "full commit history must survive retention")
+    TableOps.snapshot(s, sink)
+      .select("event_id", "user_id", "ts_us", "value")
+      .orderBy("event_id")
+  }
+
+  /** Schema surgery under a LIVE streaming consumer: a
+    * [[graft.streaming.CommitStreamSource]] stream starts BEFORE a
+    * column rename, so its captured schema carries the OLD name; the
+    * rename lands mid-stream and a post-rename commit (written under
+    * the NEW physical name) must still stream correct values through
+    * the forward pass of the rename walk ([[TableOps.readVer]]'s
+    * schema-era-older-than-file mapping) — the silent-NULL gap a
+    * stale-schema consumer would otherwise hit. The consumer appends
+    * each micro-batch to a parquet accumulator (no driver collect);
+    * the oracle replays all three batches' change rows cell-exactly.
+    */
+  def streamSchemaRenameReplay(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-strename")
+    val table = KeyedTable("srn", s"$base/srn", Seq("o_orderkey"), "ver")
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    val accDir = s"$base/acc"
+    val q = graft.streaming.IncrementalSource.changes(s, table)
+      .writeStream.option("checkpointLocation", s"$base/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the consumer's schema was captured pre-rename: the payload
+        // column is o_totalprice for the stream's entire lifetime
+        batch.select("o_orderkey", "ver", "o_totalprice")
+          .write.mode("append").parquet(accDir)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: the full load
+      TableOps.upsert(s, table,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("ver", lit(2)))
+      q.processAllAvailable() // batch 2: still pre-rename
+      TableOps.renameColumn(s, table, "o_totalprice", "total_price")
+      TableOps.upsert(s, table,
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") * 3).as("total_price"))
+          .withColumn("ver", lit(3)))
+      q.processAllAvailable() // batch 3: files store the NEW name
+    } finally q.stop()
+    require(TableOps.latestSchema(s, table)
+        .exists(_.fieldNames.contains("total_price")),
+      "st_rename: the rename must have published mid-stream")
+    val acc = s.read.parquet(accDir)
+    // the forward-mapped batch must carry real values, never NULLs
+    require(acc.filter(col("ver") === 3 &&
+        col("o_totalprice").isNull).isEmpty,
+      "st_rename: stale-schema consumer read NULLs from post-rename files")
+    acc.orderBy("o_orderkey", "ver")
+  }
+
   /** Incrementally-maintained PER-SLICE ROC-AUC: the same state-table
     * pattern grouped by (source, score); the snapshot unfolds into
     * weighted label rows (y = 1 with weight pos_g, y = 0 with weight

@@ -198,6 +198,56 @@ class TableLockSpec extends SparkSuite {
     assert(!TableLock.release(spark, t, stale))
     assert(TableLock.release(spark, t, thief.get))
   }
+
+  test("service pass skips while a writer holds the lock, runs after release") {
+    val t = table()
+    TableOps.upsert(spark, t, Seq(("a", 1)).toDF("id", "ver"))
+    TableOps.deltaCommit(spark, t, Seq(("b", 1)).toDF("id", "ver"))
+    val svc = new graft.ops.TableService(spark, t, retainCommits = 1)
+    // writer-priority contract: with the writer's lock held the pass
+    // returns immediately (skip), does not block, does not throw
+    val writerLock = TableLock.tryAcquire(spark, t).get
+    assert(!svc.runOnce())
+    assert(svc.skippedPasses === 1 && svc.servicedPasses === 0)
+    assert(svc.failure.isEmpty)
+    // the live delta is untouched — the skipped pass really did nothing
+    assert(TableOps.liveDeltaCommits(spark, t).nonEmpty)
+    assert(TableLock.release(spark, t, writerLock))
+    assert(svc.runOnce())
+    assert(svc.servicedPasses === 1 && svc.failure.isEmpty)
+    assert(TableOps.liveDeltaCommits(spark, t).isEmpty)
+    assert(CommitLog(t, spark).listCommits().size === 1)
+    assert(TableOps.snapshot(spark, t).select("id").as[String]
+      .collect().toSet === Set("a", "b"))
+  }
+
+  test("background service racing a locked writer loses no commit") {
+    val t = table()
+    val svc = new graft.ops.TableService(spark, t, retainCommits = 1,
+      intervalMs = 5L).start()
+    try {
+      (1 to 6).foreach { i =>
+        TableLock.withLock(spark, t) {
+          TableOps.deltaCommit(spark, t,
+            Seq((s"k$i", 1)).toDF("id", "ver"),
+            idempotencyKey = Some(s"race-$i")): Unit
+        }
+        Thread.sleep(15) // give the service real windows to win the lock
+      }
+    } finally svc.stop() // rethrows if any pass failed
+    assert(svc.servicedPasses >= 1,
+      s"service never won the lock (${svc.attemptedPasses} attempts)")
+    // drain to the deterministic end state, then: nothing lost, nothing
+    // doubled, timeline bounded, every exactly-once key intact
+    assert(svc.runOnce())
+    assert(svc.failure.isEmpty)
+    val log = CommitLog(t, spark)
+    assert(log.listCommits().size === 1)
+    assert(TableOps.liveDeltaCommits(spark, t).isEmpty)
+    assert((1 to 6).forall(i => log.hasIdempotencyKey(s"race-$i")))
+    assert(TableOps.snapshot(spark, t).select("id").as[String]
+      .collect().toSet === (1 to 6).map(i => s"k$i").toSet)
+  }
 }
 
 /** Local FS shim with OBJECT-STORE create semantics: `create(p,
