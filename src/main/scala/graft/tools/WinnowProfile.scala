@@ -50,6 +50,13 @@ object WinnowProfile {
       full.orderBy("doc_id", "pos")))
     time("winnow pairs (dedup_winnow_pairs)")(noop(
       Dedup.winnowPairs(docs, "doc_id", "text", 3, 4, 2)))
+    // A/B context row: the r14 aliased-self-join rewrite of
+    // shingleIntersections measured a no-op against this baseline
+    // (3.28-3.71 s either way at sf0.1) — AQE's canonicalized stage
+    // reuse already dedupes the two rename-only-different join-side
+    // exchanges, so the simpler two-projection shape stays.
+    time("ngram jaccard pairs")(noop(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)))
     spark.stop()
   }
 }

@@ -122,6 +122,38 @@ class SqlCatalogSpec extends SparkSuite {
     assert(ex.getMessage.contains("read surface"))
   }
 
+  test("self-join through the catalog: substituted relations deduplicate") {
+    val base = tmpDir("graft-sqlcat")
+    seed(base)
+    val c = mountCatalog(s"$base/cat")
+    // both references resolve through the same catalog identifier; the
+    // analyzer must end with distinct attribute ids per branch even
+    // though each branch substitutes the same snapshot plan
+    val got = spark.sql(
+      s"""SELECT a.id, a.amount, b.amount AS amount_b
+         | FROM $c.db.ords a JOIN $c.db.ords b ON a.id = b.id
+         | WHERE a.amount > 15.0 ORDER BY a.id""".stripMargin)
+    assert(got.as[(String, Double, Double)].collect().toSeq
+      === Seq(("b", 20.0, 20.0), ("c", 30.0, 30.0)))
+  }
+
+  test("incremental read via SQL: _commit_ts predicate pushes to parquet") {
+    val base = tmpDir("graft-sqlcat")
+    val (_, t) = seed(base)
+    val v1 = CommitLog(t, spark).latestCommit().get
+    TableOps.upsert(spark, t, Seq(("d", 1, 40.0)).toDF("id", "ver", "amount"))
+    val c = mountCatalog(s"$base/cat")
+    // the reference's SQL incremental shape (filter on the commit
+    // stamp, incremental_etl_orders.py:209-215) — through the catalog,
+    // with the range predicate reaching the scan
+    val df = spark.sql(
+      s"SELECT id FROM $c.db.ords WHERE ${"_commit_ts"} > '$v1'")
+    assert(df.as[String].collect().toSeq === Seq("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(_commit_ts"),
+      s"commit-stamp predicate did not reach parquet:\n$plan")
+  }
+
   test("unknown table and missing root fail with clear errors") {
     val base = tmpDir("graft-sqlcat")
     seed(base)
