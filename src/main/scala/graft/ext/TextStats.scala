@@ -413,15 +413,13 @@ object TextStats {
     *
     * Scale shape (100 TB):
     *   - Per-(doc, term) counts are ONE exploded-token hash aggregate
-    *     (map-side combined — the exact-dedup shuffle profile).
-    *     Document frequency re-aggregates the same (doc, term) set; in
-    *     a one-shot plan Catalyst prunes the tf count out of the df
-    *     branch, so the two stages differ and the corpus is tokenized
-    *     TWICE (no exchange reuse) — at 100 TB persist the (doc, term)
-    *     aggregate before the fan-out (it is per-doc-vocab-sized,
-    *     orders of magnitude smaller than the corpus), which collapses
-    *     the operator to one corpus scan. Same honesty note as
-    *     [[lmScore]]'s shared uni shuffle.
+    *     (map-side combined — the exact-dedup shuffle profile). The
+    *     (doc, term) aggregate is PERSISTED before the fan-out (it is
+    *     per-doc-vocab-sized, orders of magnitude smaller than the
+    *     corpus): document frequency and the scoring join both read
+    *     the materialized index, collapsing the operator to one corpus
+    *     scan (r14; the one-shot two-scan shape measured 7.4× for 10×
+    *     data on the sf1 board).
     *   - N is a lazy 1-row broadcast scalar over a COLUMNLESS count
     *     scan (parquet metadata counting, ReadSchema struct<>); the
     *     idf join keys on term, where the vocab side is
@@ -437,9 +435,19 @@ object TextStats {
     */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
       topN: Int = 3): DataFrame = {
+    // PERSIST the (doc, term) aggregate — the scaladoc's 100 TB note,
+    // now done by the operator itself: tf feeds BOTH the df branch and
+    // the scoring join, and without a materialization each re-tokenizes
+    // the corpus (the r14 sf1 board measured the two-scan shape at
+    // 7.4× for 10× data). The persisted artifact is per-doc-VOCAB
+    // sized (post map-side combine), orders of magnitude under the
+    // exploded token stream; deliberately NOT pre-partitioned by term —
+    // an explicit term exchange below the aggregate would ship raw
+    // hot-term occurrences without map-side combine (stopword skew).
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tf is already distinct per (doc, term): its per-term row count IS
     // the document frequency — reuses the shuffle, no count_distinct
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
