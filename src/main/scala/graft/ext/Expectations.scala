@@ -112,8 +112,9 @@ object Expectations {
     val gcols = groupCols.map(col)
     val w = Window.partitionBy(gcols: _*).orderBy(col("_v"))
     val cw = Window.partitionBy(gcols: _*)
-    val ranked = df.select(gcols :+ col(valueCol).as("_v"): _*)
+    val vals = df.select(gcols :+ col(valueCol).as("_v"): _*)
       .filter(col("_v").isNotNull)
+    val ranked = vals
       .withColumn("_rn", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(cw))
     val fences = ranked.groupBy(gcols: _*)
@@ -122,7 +123,16 @@ object Expectations {
         max(when(col("_rn") === ceil(col("_n") * 0.75), col("_v"))).as("q3"))
       .withColumn("lo_fence", col("q1") - lit(k) * (col("q3") - col("q1")))
       .withColumn("hi_fence", col("q3") + lit(k) * (col("q3") - col("q1")))
-    ranked.join(broadcast(fences), groupCols)
+    // outlier counting joins the RAW values against the broadcast
+    // fences — the rank columns are not needed on this branch. Joining
+    // `ranked` here happened to cost nothing (ColumnPruning drops the
+    // unreferenced window expressions, A/B-verified at sf1), but the
+    // explicit form states the intent instead of leaning on the
+    // optimizer to discover it. The one REAL window (fences) remains
+    // the operator's serial section: its parallelism is #groups, not
+    // #cores — the rank-exact contract's price; percentile_approx is
+    // the documented swap at extreme group sizes.
+    vals.join(broadcast(fences), groupCols)
       .groupBy(gcols: _*)
       .agg(count(lit(1)).as("n_rows"),
         first("q1").as("q1"), first("q3").as("q3"),
