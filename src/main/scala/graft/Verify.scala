@@ -33,6 +33,16 @@ object Verify {
             .flatMap(_.toIntOption).getOrElse(6))
             .map("[verify]   at " + _).mkString("\n"))
       }
+      finally {
+        // operators that persist an internal index (winnow pairs,
+        // tfidf) cannot unpersist it themselves — their returned frame
+        // stays lazily dependent on it. One session runs all 240+
+        // queries here, so clear between queries (the Bench discipline)
+        // or the pinned blocks accumulate unboundedly.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

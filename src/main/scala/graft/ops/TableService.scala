@@ -56,23 +56,34 @@ final class TableService(
   private val attempted = new AtomicInteger(0)
   private val serviced = new AtomicInteger(0)
   private val skipped = new AtomicInteger(0)
+  private val idle = new AtomicInteger(0)
   private val lastError = new AtomicReference[Throwable](null)
   @volatile private var exec: ScheduledExecutorService = _
 
   /** Passes that tried to run (every tick). */
   def attemptedPasses: Int = attempted.get()
-  /** Passes that acquired the lock and ran the services. */
+  /** Passes that acquired the lock and actually RAN the housekeeping
+    * (a table with at least one commit existed) — the counter a
+    * harness gates its "genuinely concurrent" claim on; empty
+    * pre-first-commit passes do NOT count.
+    */
   def servicedPasses: Int = serviced.get()
   /** Passes skipped because the writer held the lock — the
     * writer-priority contract working as designed.
     */
   def skippedPasses: Int = skipped.get()
+  /** Lock-won passes that found no commit yet (scheduler started
+    * before the writer's first publish).
+    */
+  def idlePasses: Int = idle.get()
   def failure: Option[Throwable] = Option(lastError.get())
 
-  /** One service pass, non-blocking: returns true when the lock was
-    * won and the services ran, false when the writer held it (pass
-    * skipped). Public for deterministic spec-level contention faces;
-    * the scheduler calls exactly this.
+  /** One service pass, non-blocking: returns true ONLY when the lock
+    * was won and the housekeeping ran; false when the writer held the
+    * lock, when the table had no commit yet, or when the pass failed
+    * (recorded in [[failure]] — check it before diagnosing a false
+    * return as contention). Public for deterministic spec-level
+    * contention faces; the scheduler calls exactly this.
     */
   def runOnce(): Boolean = {
     attempted.incrementAndGet()
@@ -84,14 +95,19 @@ final class TableService(
         try {
           // nothing to do before the first commit — an empty pass is
           // cheaper than special-casing scheduler start order
-          if (graft.tables.CommitLog(t, spark).latestCommit().nonEmpty) {
-            if (compactDeltas &&
-                TableOps.liveDeltaCommits(spark, t).nonEmpty)
-              TableOps.compactDeltas(spark, t): Unit
+          if (graft.tables.CommitLog(t, spark).latestCommit().isEmpty) {
+            idle.incrementAndGet()
+            false
+          } else {
+            // no liveDeltaCommits pre-probe: compactDeltas derives the
+            // same manifest state itself and no-ops on an empty delta
+            // set — a duplicate parse per tick under the lock is pure
+            // overhead on the hot housekeeping path
+            if (compactDeltas) TableOps.compactDeltas(spark, t): Unit
             TableOps.clean(spark, t, retainCommits, archive = true): Unit
+            serviced.incrementAndGet()
+            true
           }
-          serviced.incrementAndGet()
-          true
         } catch {
           case e: Throwable => lastError.set(e); false
         } finally TableLock.release(spark, t, lock): Unit

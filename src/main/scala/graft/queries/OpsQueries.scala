@@ -833,33 +833,49 @@ object OpsQueries {
     }
     val svc = new graft.ops.TableService(s, sink, retainCommits = 1,
       intervalMs = 25L).start()
-    val schema = s.read.parquet(srcDir).schema
-    val q = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      .writeStream.option("checkpointLocation", s"$base/chk")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
-          batchId: Long) =>
-        // the writer serializes with the concurrent service via the
-        // table lock — a mid-commit staged dir must never be visible
-        // to the cleaner (see TableService's concurrency protocol)
-        graft.tables.TableLock.withLock(s, sink) {
-          TableOps.deltaCommit(s, sink, batch,
-            idempotencyKey = Some(s"asvc-$batchId")): Unit
-        }
+    // the service MUST die with the query: without the outer finally a
+    // failed stream would leak a 25 ms-tick daemon that keeps mutating
+    // the scratch table for the rest of the JVM — silently inflating
+    // every later timed query on a bench board
+    val concurrentPasses =
+      try {
+        val schema = s.read.parquet(srcDir).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.option("checkpointLocation", s"$base/chk")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              batchId: Long) =>
+            // the writer serializes with the concurrent service via the
+            // table lock — a mid-commit staged dir must never be visible
+            // to the cleaner (see TableService's concurrency protocol)
+            graft.tables.TableLock.withLock(s, sink) {
+              TableOps.deltaCommit(s, sink, batch,
+                idempotencyKey = Some(s"asvc-$batchId")): Unit
+            }
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        svc.servicedPasses
+      } catch { case e: Throwable =>
+        // a failing stream must not mask its own error with a stop()
+        // rethrow — suppress the service's failure onto the original
+        try svc.stop() catch { case s2: Throwable => e.addSuppressed(s2) }
+        throw e
       }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val concurrentPasses = svc.servicedPasses
-    svc.stop() // rethrows if any concurrent pass failed
+    svc.stop() // happy path: rethrows if any concurrent pass failed
     require(concurrentPasses >= 1,
       s"service must run concurrently with the stream, " +
         s"got $concurrentPasses serviced passes " +
-        s"(${svc.attemptedPasses} attempted)")
+        s"(${svc.attemptedPasses} attempted, ${svc.idlePasses} idle)")
     // deterministic drain: the shutdown pass every service owner runs,
-    // so the end-state gates don't depend on tick phase
-    require(svc.runOnce(), "drain pass could not acquire the free lock")
+    // so the end-state gates don't depend on tick phase. Check failure
+    // BEFORE the contention require — runOnce also returns false when
+    // the pass THREW, and that must surface as the real exception, not
+    // as a bogus could-not-acquire message.
+    val drained = svc.runOnce()
     svc.failure.foreach(e => throw new IllegalStateException(
       "drain pass failed", e))
+    require(drained, "drain pass could not acquire the free lock")
     val log = graft.tables.CommitLog(sink, s)
     require(log.listCommits().size == 1,
       s"async retention must hold the active timeline at 1, " +

@@ -98,7 +98,8 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     parseMeta(raw, p)
   }
 
-  private def parseMeta(raw: String, p: Path): Option[Map[String, String]] = {
+  private def parseMeta(raw: String, p: Path,
+      warnSkipped: Boolean = true): Option[Map[String, String]] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     try JsonMethods.parse(raw) match {
@@ -107,7 +108,12 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
       case _ => Some(Map.empty)
     } catch {
       case _: Exception =>
-        System.err.println(s"graft: skipping unparseable commit manifest $p")
+        // callers that FAIL LOUD on None (externalRoots) suppress this
+        // tolerant-path message — a "skipping" line immediately before
+        // a refusing-to-read throw tells the operator the opposite of
+        // what happened
+        if (warnSkipped)
+          System.err.println(s"graft: skipping unparseable commit manifest $p")
         None
     }
   }
@@ -138,9 +144,10 @@ final class CommitLog(table: KeyedTable, conf: Configuration) {
     // the bootstrap ver — the tolerant manifest fallback would silently
     // degrade the adopted commit to "cleaned" in CDC/stream paths and
     // to a misleading path-not-found in snapshot reads
-    parseMeta(raw, p).getOrElse(throw new IllegalStateException(
-      s"external-roots record $p exists but is unparseable — refusing " +
-        "to read the table with its bootstrap resolution missing"))
+    parseMeta(raw, p, warnSkipped = false).getOrElse(
+      throw new IllegalStateException(
+        s"external-roots record $p exists but is unparseable — refusing " +
+          "to read the table with its bootstrap resolution missing"))
   }
 
   /** Record an adopted root (atomic single-file publish; written
