@@ -183,6 +183,8 @@ object SparkEntry {
     "eval_roc_curve"          -> (ExtQueries.evalRocCurve _),
     "eval_confusion_by"       -> (ExtQueries.evalConfusionBy _),
     "dq_group_quantiles"      -> (ExtQueries.dqGroupQuantiles _),
+    "dq_outliers_approx"      -> (ExtQueries.dqOutliersApprox _),
+    "dq_group_quantiles_approx" -> (ExtQueries.dqGroupQuantilesApprox _),
     "sample_kfold"            -> (ExtQueries.sampleKfold _),
     "events_retention"        -> (ExtQueries.eventsRetention _),
     "s1_snapshot_roundtrip"   -> (OpsQueries.s1SnapshotRoundtrip _),
@@ -233,6 +235,9 @@ object SparkEntry {
     "s_files_view"            -> (OpsQueries.sFilesView _),
     "s_bootstrap"             -> (OpsQueries.sBootstrap _),
     "sql_catalog_read"        -> (OpsQueries.sqlCatalogRead _),
+    "sql_insert_write"        -> (OpsQueries.sqlInsertWrite _),
+    "sql_merge_write"         -> (OpsQueries.sqlMergeWrite _),
+    "sql_update_delete_write" -> (OpsQueries.sqlUpdateDeleteWrite _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
     "a_heavy_hitters"         -> (OpsQueries.aHeavyHitters _),
@@ -2792,6 +2797,20 @@ object SparkEntry {
         |  max(CASE WHEN rn = ceil(n * 0.9) THEN v END) AS p90,
         |  max(CASE WHEN rn = ceil(n * 0.99) THEN v END) AS p99
         | FROM r GROUP BY g ORDER BY g""".stripMargin,
+    // Approx quartiles (percentile_approx sketch — the scale path of
+    // dq_outliers): sketch outputs are implementation-defined, so the
+    // gate booleans compare against the in-query rank-exact recompute
+    // (the a_approx_agg posture); the oracle pins group sizes.
+    "dq_outliers_approx" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | true AS q1_pass, true AS q3_pass, true AS outliers_pass
+        | FROM lineitem WHERE l_extendedprice IS NOT NULL
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "dq_group_quantiles_approx" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | true AS p50_pass, true AS p90_pass, true AS p99_pass
+        | FROM lineitem WHERE l_extendedprice IS NOT NULL
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // k-fold: the identical portable draw mod k.
     "sample_kfold" ->
       s"""SELECT doc_id, ${h60Sql("kfold", 42, "doc_id")} % 5 AS fold
@@ -3939,6 +3958,30 @@ object SparkEntry {
         |   AS total_price
         | FROM orders WHERE o_totalprice > 1000.0
         | GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Pure-SQL INSERT (= keyed upsert): the %3 keys move to ver 2
+    // with doubled totals; ×2 is exponent arithmetic, bit-exact on
+    // both engines.
+    "sql_insert_write" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS ver,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Pure-SQL MERGE: same upsert-window expectation as
+    // s3_upsert_merge (greatest precombine per key wins).
+    "sql_merge_write" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |   row_number() OVER (PARTITION BY l_orderkey
+        |     ORDER BY l_linenumber DESC, l_partkey DESC, l_quantity DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    // Pure-SQL UPDATE then DELETE: doubled %3 totals, %5 keys gone.
+    "sql_update_delete_write" ->
+      """SELECT o_orderkey, 1 AS ver,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        | FROM orders WHERE o_orderkey % 5 <> 0
+        | ORDER BY o_orderkey""".stripMargin,
     "a_approx_agg" ->
       """SELECT 'approx_agg' AS family,
         | count(DISTINCT l_orderkey) AS n_orders,

@@ -100,27 +100,51 @@ object Expectations {
     * REAL data value, so fences and flags are bit-identical on any
     * engine running the same IEEE ops (ties in the value column are
     * rank-ambiguous but value-unambiguous). One window shuffle+sort
-    * per group plus a broadcast fence join; at extreme scale swap the
-    * ranked window for `percentile_approx` the same way [[profile]]
-    * trades exact distinct counts for HLL — the fences lose
-    * exactness, the single-scan shape stays.
+    * per group plus a broadcast fence join; at extreme scale pass
+    * `approx = true` to swap the ranked window for
+    * `percentile_approx` the same way [[profile]] trades exact
+    * distinct counts for HLL — the fences lose exactness (rank error
+    * ≤ n/accuracy), the single-scan shape stays and the per-group
+    * serial sort disappears.
     */
   def iqrOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      k: Double = 1.5): DataFrame = {
+      k: Double = 1.5, approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     import org.apache.spark.sql.expressions.Window
     val gcols = groupCols.map(col)
-    val w = Window.partitionBy(gcols: _*).orderBy(col("_v"))
-    val cw = Window.partitionBy(gcols: _*)
     val vals = df.select(gcols :+ col(valueCol).as("_v"): _*)
       .filter(col("_v").isNotNull)
-    val ranked = vals
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(cw))
-    val fences = ranked.groupBy(gcols: _*)
-      .agg(
-        max(when(col("_rn") === ceil(col("_n") * 0.25), col("_v"))).as("q1"),
-        max(when(col("_rn") === ceil(col("_n") * 0.75), col("_v"))).as("q3"))
+    // Two quartile engines, one fence/count shape. Rank-exact
+    // (default): the value at row rank ⌈p·n⌉ of the group's sort — a
+    // REAL data value, bit-identical across engines, which is what
+    // the driver oracle checks. Its price: the row_number window
+    // routes every row of a group through ONE task's sort, so
+    // parallelism is #groups, not #cores — the sf1 board showed it as
+    // the worst non-output-bound ratio (5.07× for 10× data).
+    // `approx = true` swaps in `percentile_approx` (a MERGEABLE
+    // KLL-style sketch: map-side partial aggregation, parallelism =
+    // #cores, no per-group sort) with rank error ≤ n/accuracy — the
+    // quartile is still a real data value, just up to that many ranks
+    // off; fences inherit the small shift. At extreme group sizes
+    // this is the path to RUN; the rank-exact path is the oracle.
+    val fences = (if (approx) {
+      vals.groupBy(gcols: _*)
+        .agg(percentile_approx(col("_v"),
+          array(lit(0.25), lit(0.75)), lit(accuracy)).as("_q"))
+        .select(gcols :+ col("_q").getItem(0).as("q1") :+
+          col("_q").getItem(1).as("q3"): _*)
+    } else {
+      val w = Window.partitionBy(gcols: _*).orderBy(col("_v"))
+      val cw = Window.partitionBy(gcols: _*)
+      val ranked = vals
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(cw))
+      ranked.groupBy(gcols: _*)
+        .agg(
+          max(when(col("_rn") === ceil(col("_n") * 0.25), col("_v"))).as("q1"),
+          max(when(col("_rn") === ceil(col("_n") * 0.75), col("_v"))).as("q3"))
+    })
       .withColumn("lo_fence", col("q1") - lit(k) * (col("q3") - col("q1")))
       .withColumn("hi_fence", col("q3") + lit(k) * (col("q3") - col("q1")))
     // outlier counting joins the RAW values against the broadcast
@@ -128,10 +152,7 @@ object Expectations {
     // `ranked` here happened to cost nothing (ColumnPruning drops the
     // unreferenced window expressions, A/B-verified at sf1), but the
     // explicit form states the intent instead of leaning on the
-    // optimizer to discover it. The one REAL window (fences) remains
-    // the operator's serial section: its parallelism is #groups, not
-    // #cores — the rank-exact contract's price; percentile_approx is
-    // the documented swap at extreme group sizes.
+    // optimizer to discover it.
     vals.join(broadcast(fences), groupCols)
       .groupBy(gcols: _*)
       .agg(count(lit(1)).as("n_rows"),
@@ -153,18 +174,15 @@ object Expectations {
     * `ps`.
     */
   def quantileReport(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, ps: Seq[Double]): DataFrame = {
+      valueCol: String, ps: Seq[Double], approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       "probabilities must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     val gcols = groupCols.map(col)
-    val w = Window.partitionBy(gcols: _*).orderBy(col("_v"))
-    val cw = Window.partitionBy(gcols: _*)
-    val ranked = df.select(gcols :+ col(valueCol).as("_v"): _*)
+    val vals = df.select(gcols :+ col(valueCol).as("_v"): _*)
       .filter(col("_v").isNotNull)
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(cw))
     // label from the FULL decimal digits of 100·p (0.995 → p99_5,
     // 0.005 → p0_5) — round-to-percent labels collide for distinct
     // probabilities (0.005 and 0.01 would both emit "p1"), yielding
@@ -179,11 +197,30 @@ object Expectations {
     val labels = ps.map(label)
     require(labels.distinct.size == labels.size,
       s"quantile probabilities map to duplicate labels: ${labels.mkString(", ")}")
-    val qCols = ps.zip(labels).map { case (p, l) =>
-      max(when(col("_rn") === ceil(col("_n") * p), col("_v"))).as(l)
+    if (approx) {
+      // same swap (and same contract note) as [[iqrOutliers]]: one
+      // mergeable percentile_approx sketch per group — map-side
+      // partials, no per-group sort, rank error ≤ n/accuracy
+      val qa = percentile_approx(col("_v"),
+        array(ps.map(lit): _*), lit(accuracy)).as("_q")
+      vals.groupBy(gcols: _*)
+        .agg(count(lit(1)).as("n_rows"), qa)
+        .select(gcols ++ (col("n_rows") +:
+          labels.zipWithIndex.map { case (l, i) =>
+            col("_q").getItem(i).as(l)
+          }): _*)
+    } else {
+      val w = Window.partitionBy(gcols: _*).orderBy(col("_v"))
+      val cw = Window.partitionBy(gcols: _*)
+      val ranked = vals
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(cw))
+      val qCols = ps.zip(labels).map { case (p, l) =>
+        max(when(col("_rn") === ceil(col("_n") * p), col("_v"))).as(l)
+      }
+      ranked.groupBy(gcols: _*)
+        .agg(count(lit(1)).as("n_rows"), qCols: _*)
     }
-    ranked.groupBy(gcols: _*)
-      .agg(count(lit(1)).as("n_rows"), qCols: _*)
   }
 
   /** Population-stability-index drift report between a REFERENCE and a

@@ -998,6 +998,56 @@ object ExtQueries {
       Seq("l_returnflag"), "l_extendedprice", Seq(0.5, 0.9, 0.99))
       .orderBy("l_returnflag")
 
+  /** The SCALE path of [[dqOutliers]]: `approx = true` swaps the
+    * rank-exact per-group window (a serial sort per group — the sf1
+    * board's worst non-output-bound ratio) for a mergeable
+    * `percentile_approx` sketch with map-side partials. Sketch outputs
+    * are implementation-defined, so — the `a_approx_agg` posture — the
+    * query runs BOTH paths and gates the approx fences against the
+    * rank-exact ones in-query (|Δq| ≤ 2% of the exact IQR; outlier
+    * count within max(10, 1% of n)), while the oracle recomputes the
+    * exact group sizes and states the bounds hold.
+    */
+  def dqOutliersApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val exact = Expectations.iqrOutliers(li,
+      Seq("l_returnflag"), "l_extendedprice")
+    val approx = Expectations.iqrOutliers(li,
+      Seq("l_returnflag"), "l_extendedprice", approx = true)
+      .select(col("l_returnflag"), col("q1").as("a_q1"),
+        col("q3").as("a_q3"), col("n_outliers").as("a_out"))
+    val tol = (col("q3") - col("q1")) * 0.02
+    exact.join(approx, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (abs(col("a_q1") - col("q1")) <= tol).as("q1_pass"),
+        (abs(col("a_q3") - col("q3")) <= tol).as("q3_pass"),
+        (abs(col("a_out") - col("n_outliers")).cast("double") <=
+          greatest(lit(10.0), col("n_rows") * 0.01)).as("outliers_pass"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The scale path of [[dqGroupQuantiles]], gated the same way: the
+    * approx p50/p90/p99 must sit within 2% of the rank-exact values
+    * (lineitem prices are bounded away from zero, so relative error is
+    * meaningful).
+    */
+  def dqGroupQuantilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ps = Seq(0.5, 0.9, 0.99)
+    val exact = Expectations.quantileReport(li,
+      Seq("l_returnflag"), "l_extendedprice", ps)
+    val approx = Expectations.quantileReport(li,
+      Seq("l_returnflag"), "l_extendedprice", ps, approx = true)
+      .select(col("l_returnflag"), col("p50").as("a_p50"),
+        col("p90").as("a_p90"), col("p99").as("a_p99"))
+    exact.join(approx, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (abs(col("a_p50") - col("p50")) <= col("p50") * 0.02).as("p50_pass"),
+        (abs(col("a_p90") - col("p90")) <= col("p90") * 0.02).as("p90_pass"),
+        (abs(col("a_p99") - col("p99")) <= col("p99") * 0.02).as("p99_pass"))
+      .orderBy("l_returnflag")
+  }
+
   /** PSI distribution-drift report ([[Expectations.psiDrift]]) between
     * the even- and odd-id document halves over text length, 16 bins of
     * width 256: exact per-bin counts value-oracled; the PSI term

@@ -2460,6 +2460,28 @@ object OpsQueries {
     * ReadSchema must not carry the unreferenced `ver` column (at
     * 100 TB an un-pushed catalog read is a silent full scan).
     */
+  /** Per-run catalog mount: CatalogManager caches instances per name,
+    * and repeated runs (bench warm + timed) each get a fresh scratch
+    * dir — so each run mounts under a PROCESS-UNIQUE name (an
+    * AtomicInteger, not a root hash: a hash collision would silently
+    * reuse the cached instance over the previous run's root) and
+    * unsets its conf pair on the way out (the result plan is fully
+    * analyzed by then; execution no longer consults the catalog).
+    */
+  private val catalogSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def withCatalog[A](s: SparkSession, root: String)(
+      body: String => A): A = {
+    val cname = s"graft_q${catalogSeq.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.sql.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cname.root", root)
+    try body(cname)
+    finally {
+      s.conf.unset(s"spark.sql.catalog.$cname")
+      s.conf.unset(s"spark.sql.catalog.$cname.root")
+    }
+  }
+
   def sqlCatalogRead(s: SparkSession, dir: String): DataFrame = {
     val base = scratch("graft-sqlcat")
     val table = KeyedTable("orders_sql", s"$base/orders_sql",
@@ -2468,13 +2490,7 @@ object OpsQueries {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       .withColumn("ver", lit(1)))
     graft.tables.Catalog(s"$base/cat/db", s).register(table)
-    // catalog name keyed on the scratch root: CatalogManager caches
-    // instances per name, and repeated runs (bench warm + timed) each
-    // get a fresh scratch dir
-    val cname = s"graft_${java.lang.Integer.toHexString(base.hashCode)}"
-    s.conf.set(s"spark.sql.catalog.$cname",
-      classOf[graft.sql.GraftCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cname.root", s"$base/cat")
+    withCatalog(s, s"$base/cat") { cname =>
     val res = s.sql(
       s"""SELECT o_orderstatus, count(*) AS n_orders,
          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -2490,6 +2506,113 @@ object OpsQueries {
         .forall(l => !l.contains("ver:") && !l.contains("o_custkey:")),
       s"sql_catalog: ReadSchema not pruned of unreferenced columns:\n$plan")
     res
+    }
+  }
+
+  /** SQL-catalog INSERT ([[graft.sql.GraftDml]] — the DSv2 V1-write
+    * fallback onto [[TableOps.upsert]]): the reference's single
+    * most-used operation (the Hudi upsert write,
+    * create_hudi_tables.py:218-221) with a PURE-SQL write path — the
+    * statement in the body is `INSERT INTO catalog.db.table SELECT …`,
+    * no Scala write call. INSERT on a keyed table IS the upsert: the
+    * %3 keys move to ver 2 with doubled totals, everything else stays.
+    * Oracle: the merged expectation recomputed relationally.
+    */
+  def sqlInsertWrite(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-sqlins")
+    val table = KeyedTable("orders_isql", s"$base/orders_isql",
+      Seq("o_orderkey"), "ver")
+    TableOps.upsert(s, table, t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice").withColumn("ver", lit(1)))
+    graft.tables.Catalog(s"$base/cat/db", s).register(table)
+    t(s, dir, "orders").createOrReplaceTempView("graft_sqlins_src")
+    withCatalog(s, s"$base/cat") { cname =>
+      s.sql(
+        s"""INSERT INTO $cname.db.orders_isql
+           | SELECT o_orderkey, 2 AS ver, o_totalprice * 2 AS o_totalprice
+           | FROM graft_sqlins_src WHERE o_orderkey % 3 = 0""".stripMargin)
+      s.sql(
+        s"""SELECT o_orderkey, ver, o_totalprice FROM $cname.db.orders_isql
+           | ORDER BY o_orderkey""".stripMargin)
+    }
+  }
+
+  /** SQL-catalog MERGE ([[graft.sql.GraftMergeCommand]] —
+    * `MERGE INTO` converted at post-hoc resolution into ONE
+    * change-capture join + [[TableOps.applyChanges]], the Delta
+    * `PreprocessTableMerge` shape): the upsert-window semantics of
+    * `s3_upsert_merge`, but the write path is pure
+    * `spark.sql("MERGE INTO …")`. Existing = line numbers ≤ 2;
+    * the MERGE source = line numbers ≥ 3; matched keys update to the
+    * source's greatest-precombine row (several source rows per key
+    * resolve by precombine, the documented Hudi multi-match
+    * semantics), so the final table is the same max-per-key join the
+    * s3 oracle states.
+    */
+  def sqlMergeWrite(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    // the synthetic lineitem carries duplicate (orderkey, linenumber)
+    // pairs, so the single-column precombine is rank-AMBIGUOUS on
+    // ties — pre-rank each slice under the oracle's full ordering so
+    // every write is deterministic on both engines (genuine
+    // multi-match precombine resolution is spec-pinned in
+    // SqlCatalogSpec with unique precombines)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey")
+      .orderBy(col("l_linenumber").desc, col("l_partkey").desc,
+        col("l_quantity").desc)
+    def top(df: DataFrame): DataFrame = df
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+    val base = scratch("graft-sqlmerge")
+    val table = KeyedTable("li_msql", s"$base/li_msql",
+      Seq("l_orderkey"), "l_linenumber")
+    TableOps.upsert(s, table, top(li.filter(col("l_linenumber") <= 2)))
+    graft.tables.Catalog(s"$base/cat/db", s).register(table)
+    top(li.filter(col("l_linenumber") >= 3))
+      .createOrReplaceTempView("graft_sqlmerge_src")
+    withCatalog(s, s"$base/cat") { cname =>
+      s.sql(
+        s"""MERGE INTO $cname.db.li_msql t USING graft_sqlmerge_src s
+           | ON t.l_orderkey = s.l_orderkey
+           | WHEN MATCHED THEN UPDATE SET
+           |   l_linenumber = s.l_linenumber, l_partkey = s.l_partkey,
+           |   l_quantity = s.l_quantity
+           | WHEN NOT MATCHED THEN INSERT
+           |   (l_orderkey, l_linenumber, l_partkey, l_quantity)
+           |   VALUES (s.l_orderkey, s.l_linenumber, s.l_partkey,
+           |     s.l_quantity)""".stripMargin)
+      s.sql(
+        s"""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+           | FROM $cname.db.li_msql ORDER BY l_orderkey""".stripMargin)
+    }
+  }
+
+  /** SQL-catalog UPDATE + DELETE ([[graft.sql.GraftUpdateCommand]] /
+    * [[graft.sql.GraftDeleteCommand]] onto [[TableOps.updateWhere]] /
+    * [[TableOps.deleteWhere]]): predicate DML with a pure-SQL write
+    * path — doubled totals for the %3 keys, then the %5 keys deleted.
+    * Both are stats-pruned partition-scoped rewrites underneath, not
+    * table rewrites. Oracle: the same CASE/filter recomputed.
+    */
+  def sqlUpdateDeleteWrite(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-sqludel")
+    val table = KeyedTable("orders_usql", s"$base/orders_usql",
+      Seq("o_orderkey"), "ver")
+    TableOps.upsert(s, table, t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice").withColumn("ver", lit(1)))
+    graft.tables.Catalog(s"$base/cat/db", s).register(table)
+    withCatalog(s, s"$base/cat") { cname =>
+      s.sql(
+        s"""UPDATE $cname.db.orders_usql
+           | SET o_totalprice = o_totalprice * 2
+           | WHERE o_orderkey % 3 = 0""".stripMargin)
+      s.sql(s"DELETE FROM $cname.db.orders_usql WHERE o_orderkey % 5 = 0")
+      s.sql(
+        s"""SELECT o_orderkey, ver, o_totalprice FROM $cname.db.orders_usql
+           | ORDER BY o_orderkey""".stripMargin)
+    }
   }
 
   /** INSERT, no-dedup ([[TableOps.insertInto]], Hudi's `insert` write

@@ -89,25 +89,86 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table =
     loadGraft(ident, asOf = Some(version))
 
+  /** Spark SQL identifiers are case-insensitive by default, while the
+    * descriptor store is exact-case files — resolve exact first, then
+    * by case-insensitive scan of the (kilobyte, driver-side) listing.
+    */
+  private def resolveName(cat: Catalog, name: String): Option[String] =
+    if (cat.load(name).isDefined) Some(name)
+    else cat.list().find(_.equalsIgnoreCase(name))
+
   private def loadGraft(ident: Identifier, asOf: Option[String]): Table = {
-    val t = fileCatalog(ident.namespace).load(ident.name)
+    val cat = fileCatalog(ident.namespace)
+    val t = resolveName(cat, ident.name).flatMap(cat.load)
       .getOrElse(throw new NoSuchTableException(
         (catalogName +: ident.namespace.toSeq) :+ ident.name))
     GraftTable(t, asOf,
-      (catalogName +: ident.namespace.toSeq :+ ident.name).mkString("."))
+      (catalogName +: ident.namespace.toSeq :+ ident.name).mkString("."),
+      cat.loadSchema(t.name))
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    fileCatalog(ident.namespace).load(ident.name).isDefined
+  override def tableExists(ident: Identifier): Boolean = {
+    val cat = fileCatalog(ident.namespace)
+    resolveName(cat, ident.name).isDefined
+  }
 
   override def invalidateTable(ident: Identifier): Unit = ()
 
+  /** `CREATE TABLE cat.db.t (...) USING graft LOCATION '...'
+    * TBLPROPERTIES ('recordKey'='k'[, 'precombine'='v',
+    * 'globalIndex'='true'])` — registers a fresh keyed-table
+    * descriptor (metadata-only; the first INSERT/MERGE publishes the
+    * first commit). `PARTITIONED BY (col)` maps to the engine's
+    * partition columns. The declared schema is stored beside the
+    * descriptor so the empty table is readable and the first write
+    * aligns against it.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is a read surface — create tables with the Scala " +
-        "API (TableOps.upsert) and register them via Catalog.register")
+      properties: util.Map[String, String]): Table = {
+    val props = properties.asScala
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (catalogName +: ident.namespace.toSeq) :+ ident.name)
+    def split(s: String) =
+      s.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val recordKey = props.get("recordKey").map(split).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft CREATE TABLE ${ident.name}: TBLPROPERTIES must carry " +
+          "'recordKey' (comma-separated record-key columns)"))
+    val precombine = props.get("precombine")
+      .orElse(props.get("precombineKey")).getOrElse(recordKey.head)
+    val partitionBy = partitions.toSeq.map { tr =>
+      require(tr.name == "identity" && tr.references.length == 1 &&
+          tr.references.head.fieldNames.length == 1,
+        s"graft CREATE TABLE ${ident.name}: only identity " +
+          s"PARTITIONED BY (col) is supported, got $tr")
+      tr.references.head.fieldNames.head
+    }
+    val location = props.get(TableCatalog.PROP_LOCATION)
+      .orElse(props.get("path")).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft CREATE TABLE ${ident.name}: a LOCATION '/path' " +
+            "clause is required (the catalog stores descriptors, not " +
+            "data)"))
+    val names = schema.fieldNames.toSet
+    (recordKey ++ partitionBy :+ precombine).foreach(c => require(
+      names.contains(c),
+      s"graft CREATE TABLE ${ident.name}: column '$c' (key/partition/" +
+        "precombine) is not in the declared schema"))
+    require(!names.contains(graft.tables.KeyedTable.CommitCol),
+      s"graft CREATE TABLE ${ident.name}: " +
+        s"${graft.tables.KeyedTable.CommitCol} is engine-generated — " +
+        "do not declare it")
+    val kt = KeyedTable(ident.name, location, recordKey, precombine,
+      partitionBy,
+      globalIndex = props.get("globalIndex").exists(_.toBoolean))
+    fileCatalog(ident.namespace).register(kt, Some(schema))
+    GraftTable(kt, None,
+      (catalogName +: ident.namespace.toSeq :+ ident.name).mkString("."),
+      Some(schema))
+  }
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table =
@@ -174,26 +235,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** A cataloged graft table as a DSv2 `Table`. Resolution-only: the
-  * analyzer rule [[GraftTableSubstitution]] replaces its relation with
-  * the engine's snapshot plan before planning, so Catalyst optimizes
-  * real parquet scans (pushdown intact). `newScanBuilder` is never
-  * reached when the extension is installed; reaching the capability
-  * check without it produces the actionable error below rather than a
-  * silently slower path.
+/** A cataloged graft table as a DSv2 `Table`. READS are
+  * resolution-only: the analyzer rule [[GraftTableSubstitution]]
+  * replaces the relation (batch or streaming) with the engine's real
+  * plan before planning, so Catalyst optimizes real parquet scans
+  * (pushdown intact) — no ScanBuilder exists, and a session missing
+  * `spark.sql.extensions=graft.sql.GraftSparkExtensions` fails the
+  * capability check loudly instead of scanning slowly. WRITES go
+  * through the DSv2 V1-write fallback ([[GraftDml.insert]]): the
+  * engine's writer plans whole-DataFrame COW commits, which is
+  * exactly what `InsertableRelation` hands it.
   */
 case class GraftTable(keyed: KeyedTable, asOf: Option[String],
-    qualifiedName: String) extends Table {
+    qualifiedName: String, declaredSchema: Option[StructType] = None,
+    strictSchema: Boolean = false)
+    extends Table with SupportsWrite {
 
   /** The engine's full read plan — manifest state, MOR merge, rename
     * mapping, bootstrap roots. Built lazily on the driver at
     * resolution time; both `schema()` and the substitution rule read
     * THIS, so the relation's resolved schema and the substituted plan
-    * can never drift.
+    * can never drift. A freshly-created table (no commit yet) reads
+    * as its declared empty schema — `CREATE TABLE` then `SELECT` is
+    * legal SQL.
     */
   @transient lazy val snapshotDf: DataFrame = {
     val spark = SparkSession.active
-    asOf match {
+    if (!TableOps.exists(spark, keyed) && declaredSchema.isDefined)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        declaredSchema.get)
+    else asOf match {
       case Some(v) => TableOps.snapshotAsOf(spark, keyed, v)
       case None => TableOps.snapshot(spark, keyed)
     }
@@ -212,8 +284,62 @@ case class GraftTable(keyed: KeyedTable, asOf: Option[String],
       "precombineKey" -> keyed.precombineKey) ++
       asOf.map("asOf" -> _)).asJava
 
+  /** `V1_BATCH_WRITE` + `TRUNCATE`: INSERT INTO / INSERT OVERWRITE via
+    * the V1 fallback. `ACCEPT_ANY_SCHEMA`: alignment happens in
+    * [[GraftDml.align]] (by name, or by position for VALUES), because
+    * the table's read schema carries the engine-stamped `_commit_ts`
+    * that writes must NOT supply. `MICRO_BATCH_READ`: declared so the
+    * streaming relation resolves; the substitution rule replaces it
+    * with the commit-offset source before any scan is built. No
+    * `BATCH_READ`: batch reads exist only through substitution, and a
+    * session without the extension must fail loudly.
+    *
+    * `strictSchema` drops `ACCEPT_ANY_SCHEMA`: the analyzer SKIPS all
+    * reference resolution inside a `MERGE INTO` whose target accepts
+    * any schema (`skipSchemaResolution`), so the substitution rule
+    * flips the MERGE target to this variant — clauses then resolve
+    * normally and [[GraftMergeCommand]] receives bound expressions.
+    */
   override def capabilities(): util.Set[TableCapability] =
-    throw new UnsupportedOperationException(
-      s"graft table $qualifiedName resolved without the substitution " +
-        "rule — set spark.sql.extensions=graft.sql.GraftSparkExtensions")
+    if (strictSchema)
+      util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+    else
+      util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA,
+        TableCapability.MICRO_BATCH_READ)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(this)
+}
+
+/** V1-fallback write builder: `build()` yields an
+  * `InsertableRelation` whose whole-DataFrame `insert` maps append →
+  * [[graft.ops.TableOps.upsert]] (the table is keyed; Hudi's default
+  * write operation) and truncate/overwrite →
+  * [[graft.ops.TableOps.insertOverwriteTable]] (Hudi
+  * `insert_overwrite_table` — one replace commit, time-travel keeps
+  * the old state).
+  */
+private[sql] class GraftWriteBuilder(gt: GraftTable)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        (data: DataFrame, ovr: Boolean) =>
+          GraftDml.insert(gt, data, overwrite || ovr)
+    }
 }

@@ -34,7 +34,15 @@ final class Catalog(root: String, spark: SparkSession) {
   }
 
   /** Register (or update) a table descriptor. */
-  def register(t: KeyedTable): Unit = {
+  def register(t: KeyedTable): Unit = register(t, None)
+
+  /** Register with a DECLARED schema — the `CREATE TABLE` path: the
+    * schema makes a commitless table readable (and gives the first
+    * write something to align against). After the first commit the
+    * manifest schema is authoritative, as everywhere else.
+    */
+  def register(t: KeyedTable,
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val json = ("name" -> t.name) ~ ("path" -> t.path) ~
@@ -42,10 +50,32 @@ final class Catalog(root: String, spark: SparkSession) {
       ("precombineKey" -> t.precombineKey) ~
       ("partitionBy" -> t.partitionBy) ~
       ("globalIndex" -> t.globalIndex) ~
-      ("statsColumns" -> t.statsColumns)
+      ("statsColumns" -> t.statsColumns) ~
+      ("schemaJson" -> schema.map(_.json))
     AtomicFile.write(fs, descPath(t.name),
       JsonMethods.compact(JsonMethods.render(json))
         .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The declared schema registered with `name`, if any. */
+  def loadSchema(name: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = descPath(name)
+    if (!fs.exists(p)) return None
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      val in = fs.open(p)
+      val j =
+        try JsonMethods.parse(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8))
+        finally in.close()
+      (j \ "schemaJson").extractOpt[String].map(s =>
+        org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } catch { case _: Exception => None }
   }
 
   /** The descriptor registered under `name`, if present and parseable. */

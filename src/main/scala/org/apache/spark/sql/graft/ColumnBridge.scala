@@ -17,6 +17,39 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A DataFrame over an already-analyzed LogicalPlan (Spark's
+    * `Dataset.ofRows`, `private[sql]`) — the DML command path builds
+    * plans from analyzer-resolved fragments whose attribute ids must
+    * survive verbatim.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A V1 [[org.apache.spark.sql.execution.streaming.runtime.StreamingRelation]]
+    * over [[graft.streaming.CommitStreamProvider]] carrying the GIVEN
+    * output attributes — what the catalog's streaming substitution rule
+    * grafts in place of a `StreamingRelationV2` so
+    * `spark.readStream.table("cat.db.t")` reaches the engine's
+    * commit-offset source with references above the relation unmoved.
+    */
+  def commitStreamRelation(spark: org.apache.spark.sql.SparkSession,
+      options: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType,
+      output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      sourceName: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val ds = org.apache.spark.sql.execution.datasources.DataSource(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      className = classOf[graft.streaming.CommitStreamProvider].getName,
+      userSpecifiedSchema = Some(schema),
+      options = options)
+    org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+      ds, sourceName, output)
+  }
+
   /** Re-plan a batch DataFrame with its leaf relations flagged
     * `isStreaming = true` — what a V1 streaming `Source.getBatch` must
     * return (the micro-batch engine asserts it; Delta's source does the

@@ -113,6 +113,35 @@ class ExpectationsSpec extends SparkSuite {
     assert(b === (("b", 2L, 5.0, 6.0, 3.5, 7.5, 0L)))
   }
 
+  test("iqrOutliers/quantileReport approx=true: same shape, no window") {
+    val rows = (1 to 1000).map(v => ("a", v.toDouble)) ++
+      (1 to 500).map(v => ("b", v * 2.0))
+    val df = rows.toDF("g", "v")
+    // at accuracy 10000 over 1000 rows the sketch is rank-exact, so
+    // the approx report must EQUAL the rank-exact one cell for cell
+    val exact = Expectations.iqrOutliers(df, Seq("g"), "v")
+      .orderBy("g").collect().toSeq
+    val approx = Expectations.iqrOutliers(df, Seq("g"), "v",
+      approx = true).orderBy("g").collect().toSeq
+    assert(approx === exact)
+    val qe = Expectations.quantileReport(df, Seq("g"), "v",
+      Seq(0.5, 0.9)).orderBy("g").collect().toSeq
+    val qa = Expectations.quantileReport(df, Seq("g"), "v",
+      Seq(0.5, 0.9), approx = true).orderBy("g").collect().toSeq
+    assert(qa === qe)
+    // the scale contract: the approx plan carries NO per-group sort
+    // window (objectHashAggregate over the sketch instead) and keeps
+    // map-side partial aggregation
+    val plan = Expectations.iqrOutliers(df, Seq("g"), "v",
+      approx = true).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"approx path must not plan a window:\n$plan")
+    val planQ = Expectations.quantileReport(df, Seq("g"), "v",
+      Seq(0.5), approx = true).queryExecution.executedPlan.toString
+    assert(!planQ.contains("Window"),
+      s"approx quantile path must not plan a window:\n$planQ")
+  }
+
   test("psiDriftBy: per-group spines/totals; one-sided group reports NULL term") {
     val ref = Seq(
       ("s1", 0.0), ("s1", 0.0), ("s1", 300.0),

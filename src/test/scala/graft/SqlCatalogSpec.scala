@@ -115,11 +115,198 @@ class SqlCatalogSpec extends SparkSuite {
       spark.sql(s"SELECT * FROM $c.flat").collect()
     }.getMessage.toLowerCase.contains("table or view"))
     assert(spark.read.parquet(t.dataPath + "/*").count() === 1)
-    // writes are refused with an actionable message, not silent
+    // CREATE TABLE without the required key property fails actionably
     val ex = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $c.db.newt (id STRING) USING parquet")
+      spark.sql(s"CREATE TABLE $c.db.newt (id STRING) USING graft")
     }
-    assert(ex.getMessage.contains("read surface"))
+    assert(ex.getMessage.contains("recordKey"))
+  }
+
+  // ——————————————————————————————————————————— SQL write surface
+
+  test("INSERT INTO is a keyed upsert; read-your-writes via SQL") {
+    val base = tmpDir("graft-sqlw")
+    val (_, t) = seed(base)
+    val c = mountCatalog(s"$base/cat")
+    // by-name insert from a SELECT: new key d, updated key a (ver 2)
+    spark.sql(
+      s"""INSERT INTO $c.db.ords
+         | SELECT id, ver, amount FROM VALUES
+         |  ('d', 1, 40.0), ('a', 2, 99.0) AS v(id, ver, amount)"""
+        .stripMargin)
+    val got = spark.sql(
+      s"SELECT id, ver, amount FROM $c.db.ords ORDER BY id")
+    assert(got.as[(String, Int, Double)].collect().toSeq ===
+      Seq(("a", 2, 99.0), ("b", 1, 20.0), ("c", 1, 30.0), ("d", 1, 40.0)))
+    // positional VALUES insert (no column names)
+    spark.sql(s"INSERT INTO $c.db.ords VALUES ('e', 1, 50.0)")
+    assert(spark.table(s"$c.db.ords").count() === 5)
+    // Scala API sees the same state: one engine underneath
+    assert(TableOps.snapshot(spark, t).count() === 5)
+  }
+
+  test("INSERT refuses frames that align neither by name nor position") {
+    val base = tmpDir("graft-sqlw")
+    seed(base)
+    val c = mountCatalog(s"$base/cat")
+    val ex = intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.db.ords VALUES ('x', 1)")
+    }
+    assert(ex.getMessage.contains("neither by name nor by position"))
+  }
+
+  test("INSERT OVERWRITE replaces the whole table in one commit") {
+    val base = tmpDir("graft-sqlw")
+    val (_, t) = seed(base)
+    val before = CommitLog(t, spark).listCommits().size
+    val c = mountCatalog(s"$base/cat")
+    spark.sql(s"INSERT OVERWRITE $c.db.ords VALUES ('z', 1, 9.0)")
+    assert(spark.sql(s"SELECT id, amount FROM $c.db.ords")
+      .as[(String, Double)].collect().toSeq === Seq(("z", 9.0)))
+    assert(CommitLog(t, spark).listCommits().size === before + 1)
+  }
+
+  test("MERGE INTO: update, conditional delete, insert — one statement") {
+    val base = tmpDir("graft-sqlw")
+    val (_, t) = seed(base)
+    val c = mountCatalog(s"$base/cat")
+    Seq(("a", 2, 11.0), ("b", 2, -1.0), ("d", 1, 40.0))
+      .toDF("id", "ver", "amount").createOrReplaceTempView("src")
+    spark.sql(
+      s"""MERGE INTO $c.db.ords t USING src s ON t.id = s.id
+         | WHEN MATCHED AND s.amount < 0 THEN DELETE
+         | WHEN MATCHED THEN UPDATE SET amount = s.amount, ver = s.ver
+         | WHEN NOT MATCHED THEN INSERT (id, ver, amount)
+         |   VALUES (s.id, s.ver, s.amount)""".stripMargin)
+    val got = spark.sql(
+      s"SELECT id, ver, amount FROM $c.db.ords ORDER BY id")
+    assert(got.as[(String, Int, Double)].collect().toSeq ===
+      Seq(("a", 2, 11.0), ("c", 1, 30.0), ("d", 1, 40.0)))
+    // unchanged row c kept its original commit stamp (merge touched
+    // only what the clauses claimed)
+    assert(TableOps.snapshot(spark, t)
+      .filter($"id" === "c").select("_commit_ts").distinct().count() === 1)
+  }
+
+  test("MERGE UPDATE can reference target columns (t.col + s.col)") {
+    val base = tmpDir("graft-sqlw")
+    seed(base)
+    val c = mountCatalog(s"$base/cat")
+    Seq(("a", 2, 5.0), ("c", 2, 7.0)).toDF("id", "ver", "delta")
+      .createOrReplaceTempView("src")
+    spark.sql(
+      s"""MERGE INTO $c.db.ords t USING src s ON t.id = s.id
+         | WHEN MATCHED THEN UPDATE
+         |   SET amount = t.amount + s.delta, ver = s.ver"""
+        .stripMargin)
+    assert(spark.sql(s"SELECT id, amount FROM $c.db.ords ORDER BY id")
+      .as[(String, Double)].collect().toSeq ===
+      Seq(("a", 15.0), ("b", 20.0), ("c", 37.0)))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE deletes the unmentioned rows") {
+    val base = tmpDir("graft-sqlw")
+    seed(base)
+    val c = mountCatalog(s"$base/cat")
+    Seq(("a", 2, 99.0)).toDF("id", "ver", "amount")
+      .createOrReplaceTempView("src")
+    spark.sql(
+      s"""MERGE INTO $c.db.ords t USING src s ON t.id = s.id
+         | WHEN MATCHED THEN UPDATE SET amount = s.amount, ver = s.ver
+         | WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql(s"SELECT id, amount FROM $c.db.ords")
+      .as[(String, Double)].collect().toSeq === Seq(("a", 99.0)))
+  }
+
+  test("UPDATE and DELETE via SQL map onto updateWhere/deleteWhere") {
+    val base = tmpDir("graft-sqlw")
+    seed(base)
+    val c = mountCatalog(s"$base/cat")
+    spark.sql(
+      s"UPDATE $c.db.ords SET amount = amount * 2 WHERE amount > 15.0")
+    assert(spark.sql(s"SELECT id, amount FROM $c.db.ords ORDER BY id")
+      .as[(String, Double)].collect().toSeq ===
+      Seq(("a", 10.0), ("b", 40.0), ("c", 60.0)))
+    spark.sql(s"DELETE FROM $c.db.ords WHERE id = 'b'")
+    assert(spark.sql(s"SELECT id FROM $c.db.ords ORDER BY id")
+      .as[String].collect().toSeq === Seq("a", "c"))
+  }
+
+  test("pure-SQL lifecycle: CREATE TABLE, INSERT, MERGE, SELECT") {
+    val base = tmpDir("graft-sqlw")
+    val c = mountCatalog(s"$base/cat")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $c.db")
+    spark.sql(
+      s"""CREATE TABLE $c.db.fresh (id STRING, ver INT, amount DOUBLE)
+         | USING graft LOCATION '$base/fresh'
+         | TBLPROPERTIES ('recordKey'='id', 'precombine'='ver')"""
+        .stripMargin)
+    // empty table reads as its declared schema
+    assert(spark.table(s"$c.db.fresh").count() === 0)
+    assert(spark.table(s"$c.db.fresh").columns.toSeq ===
+      Seq("id", "ver", "amount"))
+    spark.sql(s"INSERT INTO $c.db.fresh VALUES ('a', 1, 1.5), ('b', 1, 2.5)")
+    spark.sql(
+      s"""MERGE INTO $c.db.fresh t
+         | USING (SELECT 'b' AS id, 2 AS ver, 9.0 AS amount) s
+         | ON t.id = s.id
+         | WHEN MATCHED THEN UPDATE SET amount = s.amount, ver = s.ver
+         | WHEN NOT MATCHED THEN INSERT (id, ver, amount)
+         |   VALUES (s.id, s.ver, s.amount)""".stripMargin)
+    assert(spark.sql(s"SELECT id, amount FROM $c.db.fresh ORDER BY id")
+      .as[(String, Double)].collect().toSeq ===
+      Seq(("a", 1.5), ("b", 9.0)))
+    // time travel still works on the SQL-created table
+    val kt = KeyedTable("fresh", s"$base/fresh", Seq("id"), "ver")
+    val v1 = CommitLog(kt, spark).listCommits().head
+    assert(spark.sql(
+      s"SELECT amount FROM $c.db.fresh VERSION AS OF '$v1' WHERE id='b'")
+      .head.getDouble(0) === 2.5)
+  }
+
+  test("writes to VERSION AS OF are refused") {
+    val base = tmpDir("graft-sqlw")
+    val (_, t) = seed(base)
+    val v1 = CommitLog(t, spark).latestCommit().get
+    val c = mountCatalog(s"$base/cat")
+    val ex = intercept[Exception] {
+      spark.sql(
+        s"INSERT INTO $c.db.ords VERSION AS OF '$v1' VALUES ('x',1,1.0)")
+    }
+    assert(ex.getMessage.toLowerCase.contains("time travel") ||
+      ex.getMessage.toLowerCase.contains("immutable") ||
+      ex.getMessage.toLowerCase.contains("syntax"))
+  }
+
+  test("multi-match MERGE resolves by greatest precombine (Hudi shape)") {
+    val base = tmpDir("graft-mm")
+    val cat = Catalog(s"$base/cat/db", spark)
+    val t = KeyedTable("mm", s"$base/mm", Seq("k"), "ln")
+    TableOps.upsert(spark, t,
+      Seq(("k1", 1, "old", 0.5), ("k2", 2, "keep", 0.6))
+        .toDF("k", "ln", "pk", "q"))
+    cat.register(t)
+    val c = mountCatalog(s"$base/cat")
+    // three source rows match k1 — the ln=5 row must win WHOLE-ROW
+    // (no per-column mixing), k2 stays untouched
+    Seq(("k1", 3, "A", 1.0), ("k1", 5, "C", 3.0), ("k1", 4, "B", 2.0))
+      .toDF("k", "ln", "pk", "q").createOrReplaceTempView("mm_src")
+    spark.sql(
+      s"""MERGE INTO $c.db.mm t USING mm_src s ON t.k = s.k
+         | WHEN MATCHED THEN UPDATE SET ln = s.ln, pk = s.pk, q = s.q
+         | WHEN NOT MATCHED THEN INSERT (k, ln, pk, q)
+         |   VALUES (s.k, s.ln, s.pk, s.q)""".stripMargin)
+    assert(spark.sql(s"SELECT k, ln, pk, q FROM $c.db.mm ORDER BY k")
+      .as[(String, Int, String, Double)].collect().toSeq ===
+      Seq(("k1", 5, "C", 3.0), ("k2", 2, "keep", 0.6)))
+  }
+
+  test("case-insensitive table resolution (SQL default)") {
+    val base = tmpDir("graft-sqlcat")
+    seed(base)
+    val c = mountCatalog(s"$base/cat")
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.ORDS").head.getLong(0)
+      === 3)
   }
 
   test("self-join through the catalog: substituted relations deduplicate") {
