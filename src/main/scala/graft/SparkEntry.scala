@@ -268,6 +268,7 @@ object SparkEntry {
     "stream_sink_retention_replay" -> (OpsQueries.streamSinkRetentionReplay _),
     "stream_async_services_replay" -> (OpsQueries.streamAsyncServicesReplay _),
     "stream_schema_rename_replay" -> (OpsQueries.streamSchemaRenameReplay _),
+    "stream_sql_read_replay"  -> (OpsQueries.streamSqlReadReplay _),
     "i_incremental_isotonic_by" -> (OpsQueries.iIncrementalIsotonicBy _),
     "i_incremental_ap"        -> (OpsQueries.iIncrementalAp _),
   )
@@ -4045,6 +4046,18 @@ object SparkEntry {
     "stream_async_services_replay" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         | FROM events ORDER BY event_id""".stripMargin,
+    // CDC feed via readStream.table through the SQL catalog, with a
+    // mid-run checkpoint restart: the accumulated feed is the three
+    // commits' change rows, each exactly once.
+    "stream_sql_read_replay" ->
+      """SELECT o_orderkey, 1 AS ver, o_totalprice FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, 2 AS ver, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL
+        | SELECT o_orderkey, 3 AS ver, o_totalprice * 3 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        | ORDER BY o_orderkey, ver""".stripMargin,
     // Rename mid-stream: the stale-schema consumer's accumulated feed
     // is the three batches' change rows under the OLD column name.
     "stream_schema_rename_replay" ->

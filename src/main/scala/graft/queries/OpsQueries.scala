@@ -943,6 +943,57 @@ object OpsQueries {
     acc.orderBy("o_orderkey", "ver")
   }
 
+  /** CDC feed through the SQL catalog: `spark.readStream.table(
+    * "cat.db.t")` — no Scala source construction — reaches the
+    * engine's commit-offset source ([[graft.streaming
+    * .CommitStreamSource]]) via the streaming substitution rule in
+    * [[graft.sql.GraftSparkExtensions]]: the reference's flagship
+    * incremental consumer (incremental_etl_orders.py:217-227) as pure
+    * Spark SQL surface. Three commits land across the stream's life
+    * (the third after a STOP + checkpoint RESTART — the exactly-once
+    * face: the restarted stream must emit only the unseen commit,
+    * never replay batches 1–2); the consumer appends each micro-batch
+    * to a parquet accumulator. Oracle: all three batches' change rows.
+    */
+  def streamSqlReadReplay(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-stsql")
+    val table = KeyedTable("ssr", s"$base/ssr", Seq("o_orderkey"), "ver")
+    val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    TableOps.upsert(s, table, orders.withColumn("ver", lit(1)))
+    graft.tables.Catalog(s"$base/cat/db", s).register(table)
+    val accDir = s"$base/acc"
+    withCatalog(s, s"$base/cat") { cname =>
+      def run(body: org.apache.spark.sql.streaming.StreamingQuery => Unit)
+          : Unit = {
+        val q = s.readStream.table(s"$cname.db.ssr")
+          .writeStream.option("checkpointLocation", s"$base/chk")
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.select("o_orderkey", "ver", "o_totalprice")
+                .write.mode("append").parquet(accDir)
+          }
+          .start()
+        try body(q) finally q.stop()
+      }
+      run { q =>
+        q.processAllAvailable() // batch 1: the full load
+        TableOps.upsert(s, table,
+          orders.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2)
+            .withColumn("ver", lit(2)))
+        q.processAllAvailable() // batch 2
+      }
+      // commit 3 lands while NO stream runs; the checkpoint restart
+      // must pick up exactly this commit and nothing else
+      TableOps.upsert(s, table,
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 3)
+          .withColumn("ver", lit(3)))
+      run(_.processAllAvailable())
+    }
+    s.read.parquet(accDir).orderBy("o_orderkey", "ver")
+  }
+
   /** Incrementally-maintained PER-SLICE ROC-AUC: the same state-table
     * pattern grouped by (source, score); the snapshot unfolds into
     * weighted label rows (y = 1 with weight pos_g, y = 0 with weight

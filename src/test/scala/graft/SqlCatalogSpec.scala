@@ -341,6 +341,45 @@ class SqlCatalogSpec extends SparkSuite {
       s"commit-stamp predicate did not reach parquet:\n$plan")
   }
 
+  test("readStream.table reaches the commit-offset source; restart is exactly-once") {
+    val base = tmpDir("graft-sqlstream")
+    val (_, t) = seed(base)
+    val c = mountCatalog(s"$base/cat")
+    val accDir = s"$base/acc"
+    def run(): Unit = {
+      val q = spark.readStream.table(s"$c.db.ords")
+        .writeStream.option("checkpointLocation", s"$base/chk")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("id", "ver", "amount").write.mode("append").parquet(accDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // batch 1: the seed commit's change rows
+    assert(spark.read.parquet(accDir).count() === 3)
+    TableOps.upsert(spark, t,
+      Seq(("d", 1, 40.0)).toDF("id", "ver", "amount"))
+    run() // restart from the checkpoint: ONLY the new commit streams
+    val acc = spark.read.parquet(accDir)
+    assert(acc.count() === 4)
+    assert(acc.filter($"id" === "d").count() === 1)
+    // a third restart with nothing new emits nothing (no replays)
+    run()
+    assert(spark.read.parquet(accDir).count() === 4)
+  }
+
+  test("streaming a VERSION AS OF read is refused") {
+    val base = tmpDir("graft-sqlstream")
+    val (_, t) = seed(base)
+    val v1 = CommitLog(t, spark).latestCommit().get
+    val c = mountCatalog(s"$base/cat")
+    val ex = intercept[Exception] {
+      spark.readStream.table(s"$c.db.ords VERSION AS OF '$v1'")
+        .writeStream.format("noop").start()
+    }
+    assert(ex != null)
+  }
+
   test("unknown table and missing root fail with clear errors") {
     val base = tmpDir("graft-sqlcat")
     seed(base)
