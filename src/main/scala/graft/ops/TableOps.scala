@@ -85,6 +85,33 @@ object TableOps {
   def exists(spark: SparkSession, t: KeyedTable): Boolean =
     currentParts(spark, t, None).isDefined
 
+  /** Lock-by-default beside a live [[TableService]] (VERDICT r14 #2):
+    * when the table carries an unexpired service presence marker,
+    * every write entry point wraps its whole compute-and-publish
+    * window in the table lock AUTOMATICALLY — the async cleaner
+    * deletes commit-shaped dirs no retained manifest references, and
+    * a mid-commit writer's staged dir is exactly that until its
+    * manifest publishes, so an unserialized write beside the service
+    * risks losing an in-flight commit. The safe shape is now the
+    * default, not a documented convention.
+    *
+    * Re-entrancy is thread-scoped ([[TableLock.heldByCurrentThread]]):
+    * the service's own housekeeping (already under the lock) and a
+    * writer inside an explicit `withLock` run the body directly; a
+    * DIFFERENT thread waits, which is precisely the serialization the
+    * lock exists for. Cost when no service runs: one metadata-sized
+    * `exists` probe per write — noise against a commit. A crashed
+    * service's stale marker ages out with its lease, and until then
+    * writers merely acquire a FREE lock (no wait), so the failure
+    * mode is benign.
+    */
+  private def serviceGuard[A](spark: SparkSession, t: KeyedTable)(
+      body: => A): A =
+    if (TableService.activeMarker(spark, t).isDefined &&
+        !graft.tables.TableLock.heldByCurrentThread(t))
+      graft.tables.TableLock.withLock(spark, t)(body)
+    else body
+
   /** Partition-pruning predicate selecting exactly the given partition
     * tuples. O(1) expression depth regardless of tuple count: a single
     * `IN` node (single-column) or one struct-`IN` (multi-column) — a
@@ -462,7 +489,18 @@ object TableOps {
       sortBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 4000000L,
       idempotencyKey: Option[String] = None,
-      partial: Boolean = false): String = {
+      partial: Boolean = false): String =
+    serviceGuard(spark, t)(upsertUnlocked(spark, t, incoming, sortBy,
+      maxRecordsPerFile, idempotencyKey, partial))
+
+  private def upsertUnlocked(
+      spark: SparkSession,
+      t: KeyedTable,
+      incoming: DataFrame,
+      sortBy: Seq[String],
+      maxRecordsPerFile: Long,
+      idempotencyKey: Option[String],
+      partial: Boolean): String = {
     // Payload selection (Hudi hoodie.datasource.write.payload.class
     // analog): default = whole-row overwrite-with-latest (the payload
     // the reference config implies); partial = per-column latest-non-
@@ -962,7 +1000,17 @@ object TableOps {
       incoming: DataFrame,
       sortBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 4000000L,
-      idempotencyKey: Option[String] = None): String = {
+      idempotencyKey: Option[String] = None): String =
+    serviceGuard(spark, t)(insertIntoUnlocked(spark, t, incoming, sortBy,
+      maxRecordsPerFile, idempotencyKey))
+
+  private def insertIntoUnlocked(
+      spark: SparkSession,
+      t: KeyedTable,
+      incoming: DataFrame,
+      sortBy: Seq[String],
+      maxRecordsPerFile: Long,
+      idempotencyKey: Option[String]): String = {
     require(!t.globalIndex,
       s"table ${t.name}: insert (no-dedup) is undefined under a GLOBAL " +
         "key index — use upsert, or a non-global table")
@@ -1074,7 +1122,17 @@ object TableOps {
       incoming: DataFrame,
       maxRecordsPerFile: Long = 4000000L,
       idempotencyKey: Option[String] = None,
-      inlineCompactAfter: Option[Int] = None): String = {
+      inlineCompactAfter: Option[Int] = None): String =
+    serviceGuard(spark, t)(deltaCommitUnlocked(spark, t, incoming,
+      maxRecordsPerFile, idempotencyKey, inlineCompactAfter))
+
+  private def deltaCommitUnlocked(
+      spark: SparkSession,
+      t: KeyedTable,
+      incoming: DataFrame,
+      maxRecordsPerFile: Long,
+      idempotencyKey: Option[String],
+      inlineCompactAfter: Option[Int]): String = {
     inlineCompactAfter.foreach(n => require(n >= 1,
       s"inlineCompactAfter must be >= 1, got $n"))
     if (!exists(spark, t))
@@ -1165,7 +1223,13 @@ object TableOps {
     */
   def compactDeltas(spark: SparkSession, t: KeyedTable,
       maxRecordsPerFile: Long = 4000000L,
-      sortBy: Seq[String] = Nil): String = {
+      sortBy: Seq[String] = Nil): String =
+    serviceGuard(spark, t)(compactDeltasUnlocked(spark, t,
+      maxRecordsPerFile, sortBy))
+
+  private def compactDeltasUnlocked(spark: SparkSession, t: KeyedTable,
+      maxRecordsPerFile: Long,
+      sortBy: Seq[String]): String = {
     val log = CommitLog(t, spark)
     val baseCommit = log.latestCommit()
     val (oldParts, deltas) = currentState(spark, t, None).getOrElse(return "")
@@ -1446,7 +1510,11 @@ object TableOps {
     * in between.
     */
   def delete(spark: SparkSession, t: KeyedTable, keys: DataFrame,
-      idempotencyKey: Option[String] = None): String = {
+      idempotencyKey: Option[String] = None): String =
+    serviceGuard(spark, t)(deleteUnlocked(spark, t, keys, idempotencyKey))
+
+  private def deleteUnlocked(spark: SparkSession, t: KeyedTable,
+      keys: DataFrame, idempotencyKey: Option[String]): String = {
     if (!exists(spark, t)) return ""
     val log = CommitLog(t, spark)
     // replay skip BEFORE any work — same ordering rationale as upsert
@@ -2127,6 +2195,12 @@ object TableOps {
 
   private def replaceCommit(spark: SparkSession, t: KeyedTable,
       rows: DataFrame, sortBy: Seq[String], maxRecordsPerFile: Long,
+      idempotencyKey: Option[String], wholeTable: Boolean): String =
+    serviceGuard(spark, t)(replaceCommitUnlocked(spark, t, rows, sortBy,
+      maxRecordsPerFile, idempotencyKey, wholeTable))
+
+  private def replaceCommitUnlocked(spark: SparkSession, t: KeyedTable,
+      rows: DataFrame, sortBy: Seq[String], maxRecordsPerFile: Long,
       idempotencyKey: Option[String], wholeTable: Boolean): String = {
     if (!exists(spark, t))
       return upsert(spark, t, rows, sortBy, maxRecordsPerFile,
@@ -2653,7 +2727,11 @@ object TableOps {
     * data-file lifetime.
     */
   def clean(spark: SparkSession, t: KeyedTable, retainCommits: Int,
-      archive: Boolean = false): Seq[String] = {
+      archive: Boolean = false): Seq[String] =
+    serviceGuard(spark, t)(cleanUnlocked(spark, t, retainCommits, archive))
+
+  private def cleanUnlocked(spark: SparkSession, t: KeyedTable,
+      retainCommits: Int, archive: Boolean): Seq[String] = {
     require(retainCommits >= 1, "retainCommits must be >= 1")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)

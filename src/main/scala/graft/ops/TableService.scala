@@ -1,10 +1,13 @@
 package graft.ops
 
-import graft.tables.{KeyedTable, TableLock}
+import graft.tables.{AtomicFile, KeyedTable, TableLock}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
-import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong, AtomicReference}
 import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+import scala.util.control.NonFatal
 
 /** ASYNC table services — the engine's `hoodie.clean.async=true` /
   * async-compaction analog (reference: create_hudi_tables.py:144
@@ -60,6 +63,16 @@ final class TableService(
   private val lastError = new AtomicReference[Throwable](null)
   @volatile private var exec: ScheduledExecutorService = _
 
+  // presence marker (published by start(), refreshed by passes,
+  // cleared by stop()): while it is live, every TableOps write entry
+  // point auto-wraps its commit in the table lock — the safe
+  // writer-beside-service shape becomes the DEFAULT instead of a
+  // documented convention (VERDICT r14 #2)
+  private val markerOwner = java.util.UUID.randomUUID().toString
+  private val markerLeaseMs = math.max(60000L, 20 * intervalMs)
+  private val markerStamped = new AtomicLong(0L)
+  @volatile private var markerPublished = false
+
   /** Passes that tried to run (every tick). */
   def attemptedPasses: Int = attempted.get()
   /** Passes that acquired the lock and actually RAN the housekeeping
@@ -87,6 +100,14 @@ final class TableService(
     */
   def runOnce(): Boolean = {
     attempted.incrementAndGet()
+    // keep the presence marker fresh (half-lease cadence — one small
+    // metadata write per ~10 minutes at the default tick, not per
+    // pass); only when THIS service published it (a bare runOnce in a
+    // spec must not mint a marker nothing will ever clear)
+    if (markerPublished && System.currentTimeMillis() - markerStamped.get()
+        > markerLeaseMs / 2)
+      TableService.publishMarker(spark, t, markerOwner, markerLeaseMs,
+        markerStamped)
     TableLock.tryAcquire(spark, t, leaseMs) match {
       case None =>
         skipped.incrementAndGet()
@@ -109,7 +130,10 @@ final class TableService(
             true
           }
         } catch {
-          case e: Throwable => lastError.set(e); false
+          // NonFatal only: an OutOfMemoryError or an interrupt during
+          // shutdown must propagate — a scheduler ticking on past a
+          // fatally-broken JVM hides exactly the failures that matter
+          case NonFatal(e) => lastError.set(e); false
         } finally TableLock.release(spark, t, lock): Unit
     }
   }
@@ -119,6 +143,9 @@ final class TableService(
     */
   def start(): this.type = synchronized {
     require(exec == null, s"table service for ${t.name} already started")
+    TableService.publishMarker(spark, t, markerOwner, markerLeaseMs,
+      markerStamped)
+    markerPublished = true
     exec = Executors.newSingleThreadScheduledExecutor(r => {
       val th = new Thread(r, s"graft-table-service-${t.name}")
       th.setDaemon(true)
@@ -129,8 +156,9 @@ final class TableService(
     this
   }
 
-  /** Stop the scheduler, wait for an in-flight pass to finish, and
-    * rethrow the last pass error if any pass failed.
+  /** Stop the scheduler, wait for an in-flight pass to finish, clear
+    * the presence marker, and rethrow the last pass error if any pass
+    * failed.
     */
   def stop(awaitMs: Long = 30000L): Unit = synchronized {
     if (exec != null) {
@@ -139,7 +167,70 @@ final class TableService(
         exec.shutdownNow(): Unit
       exec = null
     }
+    if (markerPublished) {
+      markerPublished = false
+      TableService.clearMarker(spark, t)
+    }
     failure.foreach(e => throw new IllegalStateException(
       s"table service for ${t.name} failed during a pass", e))
+  }
+}
+
+object TableService {
+
+  private def markerPath(t: KeyedTable): Path =
+    new Path(s"${t.commitsPath}/.service")
+
+  /** A live service's presence: `Some(owner)` while a marker exists
+    * and its lease has not expired. Expiry makes a crashed service
+    * self-healing — writers pay the auto-lock only until the stale
+    * marker ages out (and the lock they take in the window is free,
+    * so the cost is one acquire/release, not a wait). An unreadable
+    * marker counts as live at the FILE's mtime (same posture as
+    * [[graft.tables.TableLock.holder]]): the safe side of a torn
+    * marker is taking the lock.
+    */
+  def activeMarker(spark: SparkSession, t: KeyedTable): Option[String] = {
+    val fs = new Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = markerPath(t)
+    try {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val raw =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
+      val parsed = raw.split('|') match {
+        case Array(o, a, l) =>
+          scala.util.Try(
+            if (System.currentTimeMillis() - a.toLong <= l.toLong) Some(o)
+            else None).toOption
+        case _ => None
+      }
+      parsed.getOrElse {
+        val mtime = fs.getFileStatus(p).getModificationTime
+        if (System.currentTimeMillis() - mtime <= 60000L)
+          Some("<unreadable>")
+        else None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private[ops] def publishMarker(spark: SparkSession, t: KeyedTable,
+      owner: String, leaseMs: Long,
+      stamped: AtomicLong): Unit = {
+    val fs = new Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val now = System.currentTimeMillis()
+    AtomicFile.write(fs, markerPath(t),
+      s"$owner|$now|$leaseMs".getBytes(StandardCharsets.UTF_8))
+    stamped.set(now)
+  }
+
+  private[ops] def clearMarker(spark: SparkSession, t: KeyedTable): Unit = {
+    val fs = new Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(markerPath(t), false): Unit
   }
 }

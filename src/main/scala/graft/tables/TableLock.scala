@@ -126,6 +126,25 @@ object TableLock {
   private def lockPath(t: KeyedTable): Path =
     new Path(s"${t.commitsPath}/.lock")
 
+  /** JVM-local registry of locks held THROUGH this object, keyed by
+    * lock path and stamped with the acquiring THREAD id — what lets
+    * the service-guard ([[graft.ops.TableOps]]) auto-lock a writer
+    * beside a running [[graft.ops.TableService]] without deadlocking
+    * the code that already holds the lock on the current thread (the
+    * service's own housekeeping pass, or a writer inside an explicit
+    * `withLock`). Thread-scoped on purpose: a DIFFERENT thread of the
+    * same process observing "locked by us" must still wait — that
+    * other thread's critical section is exactly the race the lock
+    * exists to serialize. Contract: hold the lock on the thread that
+    * writes.
+    */
+  private val heldLocal =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def heldByCurrentThread(t: KeyedTable): Boolean =
+    Option(heldLocal.get(lockPath(t).toString))
+      .exists(_.longValue == Thread.currentThread().getId)
+
   private def fsOf(spark: SparkSession, t: KeyedTable): FileSystem =
     new Path(t.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -197,7 +216,10 @@ object TableLock {
     // (a second stealer whose delete raced in between clobbered our
     // file — exactly one of us sees its own uuid) and covers providers
     // whose publish is two-phase.
-    if (holder(spark, t).exists(_.owner == me.owner)) Some(me) else None
+    if (holder(spark, t).exists(_.owner == me.owner)) {
+      heldLocal.put(p.toString, Thread.currentThread().getId)
+      Some(me)
+    } else None
   }
 
   /** Release a lock WE hold. Refuses (false) when the file now carries
@@ -206,6 +228,9 @@ object TableLock {
     */
   def release(spark: SparkSession, t: KeyedTable, lock: LockInfo): Boolean = {
     val fs = fsOf(spark, t)
+    // local registry clears regardless of outcome: stolen-after-expiry
+    // means we no longer hold it either way
+    heldLocal.remove(lockPath(t).toString)
     holder(spark, t) match {
       case Some(h) if h.owner == lock.owner =>
         fs.delete(lockPath(t), false)

@@ -248,6 +248,76 @@ class TableLockSpec extends SparkSuite {
     assert(TableOps.snapshot(spark, t).select("id").as[String]
       .collect().toSet === (1 to 6).map(i => s"k$i").toSet)
   }
+
+  test("LOCKLESS writer beside a running service serializes automatically") {
+    val t = table()
+    TableOps.upsert(spark, t, Seq(("a", 1)).toDF("id", "ver"))
+    val svc = new graft.ops.TableService(spark, t, retainCommits = 1,
+      intervalMs = 60000L).start() // marker live; no pass interference
+    try {
+      assert(graft.ops.TableService.activeMarker(spark, t).isDefined)
+      // simulate a service pass in flight: the lock is held by ANOTHER
+      // thread. A lockless TableOps.upsert must WAIT, not race.
+      @volatile var held: Option[TableLock.LockInfo] = None
+      val holder = new Thread(() => { held = TableLock.tryAcquire(spark, t) })
+      holder.start(); holder.join()
+      assert(held.isDefined)
+      val done = new java.util.concurrent.CountDownLatch(1)
+      @volatile var writeErr: Option[Throwable] = None
+      val writer = new Thread(() => {
+        try TableOps.upsert(spark, t, Seq(("b", 1)).toDF("id", "ver")): Unit
+        catch { case e: Throwable => writeErr = Some(e) }
+        finally done.countDown()
+      })
+      writer.start()
+      // the guard must hold the writer back while the lock is taken
+      assert(!done.await(1500, java.util.concurrent.TimeUnit.MILLISECONDS),
+        "lockless writer proceeded beside the held service lock")
+      val rel = new Thread(() => {
+        TableLock.release(spark, t, held.get): Unit
+      })
+      rel.start(); rel.join()
+      assert(done.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "writer did not complete after the lock freed")
+      assert(writeErr.isEmpty, s"guarded write failed: $writeErr")
+      assert(TableOps.snapshot(spark, t).select("id").as[String]
+        .collect().toSet === Set("a", "b"))
+    } finally svc.stop()
+    // stop() clears the marker: writes stop paying the auto-lock
+    assert(graft.ops.TableService.activeMarker(spark, t).isEmpty)
+  }
+
+  test("explicit withLock writer beside a service does not deadlock (reentrant guard)") {
+    val t = table()
+    val svc = new graft.ops.TableService(spark, t, retainCommits = 1,
+      intervalMs = 60000L).start()
+    try {
+      // the r14 replay shape: writer already holds the lock — the
+      // guard must detect same-thread ownership and run directly
+      TableLock.withLock(spark, t) {
+        TableOps.upsert(spark, t, Seq(("a", 1)).toDF("id", "ver")): Unit
+      }
+      assert(TableOps.snapshot(spark, t).count() === 1)
+    } finally svc.stop()
+  }
+
+  test("a crashed service's stale marker expires; fresh marker survives restarts") {
+    val t = table()
+    TableOps.upsert(spark, t, Seq(("a", 1)).toDF("id", "ver"))
+    // a service with a tiny tick publishes a marker lease of
+    // max(60s, 20*interval) = 60s: live now
+    val svc = new graft.ops.TableService(spark, t, retainCommits = 1,
+      intervalMs = 5L).start()
+    try {
+      assert(graft.ops.TableService.activeMarker(spark, t).isDefined)
+      // a lockless write UNDER the running service serializes against
+      // real passes and still lands (end-to-end auto-lock face)
+      TableOps.deltaCommit(spark, t, Seq(("b", 1)).toDF("id", "ver"))
+      Thread.sleep(25)
+    } finally svc.stop()
+    assert(TableOps.snapshot(spark, t).select("id").as[String]
+      .collect().toSet === Set("a", "b"))
+  }
 }
 
 /** Local FS shim with OBJECT-STORE create semantics: `create(p,
