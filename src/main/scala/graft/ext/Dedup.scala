@@ -737,7 +737,23 @@ object Dedup {
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
       maxDf: Option[Int] = Some(DefaultMaxDf),
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    winnowPairsReleasable(docs, idCol, textCol, k, w, minShared, maxDf,
+      seed)._1
+
+  /** [[winnowPairs]] plus a RELEASE HANDLE for the persisted
+    * fingerprint index — for library callers outside the
+    * harness's `clearCache()` discipline (the Verify/Bench mains clear
+    * between queries; a long-lived session calling the bare operator
+    * would otherwise pin the MEMORY_AND_DISK blocks for its lifetime).
+    * Consume the result, then `release()`: the frame stays valid and
+    * recomputes from source if re-executed afterwards.
+    */
+  def winnowPairsReleasable(docs: DataFrame, idCol: String,
+      textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDf: Option[Int] = Some(DefaultMaxDf),
+      seed: Long = 42L): (DataFrame, () => Unit) = {
     require(minShared >= 1, "minShared must be at least 1")
     // PERSIST the fingerprint index: three downstream branches consume
     // it (the hot-fp df aggregate, and both self-join sides), and
@@ -767,10 +783,11 @@ object Dedup {
     val kept = dropStopShingles(fp, maxDf)
     val a = kept.select(col("g"), col("id").as("id_a"))
     val b = kept.select(col("g"), col("id").as("id_b"))
-    a.join(b, Seq("g"))
+    val pairs = a.join(b, Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
+    (pairs, () => fp.unpersist(blocking = false): Unit)
   }
 
   /** Connected components over a duplicate-pair set — the alternating

@@ -434,7 +434,18 @@ object TextStats {
     * `ln`'s 1-ulp libm drift (same discipline as [[lmScore]]).
     */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
-      topN: Int = 3): DataFrame = {
+      topN: Int = 3): DataFrame =
+    tfidfKeywordsReleasable(docs, idCol, textCol, topN)._1
+
+  /** [[tfidfKeywords]] plus a RELEASE HANDLE for the persisted
+    * (doc, term) aggregate — same contract as
+    * [[Dedup.winnowPairsReleasable]]: library callers outside the
+    * harness's clearCache() discipline consume the result, then
+    * `release()` to free the pinned blocks (the frame stays valid and
+    * recomputes from source afterwards).
+    */
+  def tfidfKeywordsReleasable(docs: DataFrame, idCol: String,
+      textCol: String, topN: Int = 3): (DataFrame, () => Unit) = {
     // PERSIST the (doc, term) aggregate — the scaladoc's 100 TB note,
     // now done by the operator itself: tf feeds BOTH the df branch and
     // the scoring join, and without a materialization each re-tokenizes
@@ -454,7 +465,7 @@ object TextStats {
     val nDocs = docs.agg(count(lit(1)).as("_n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(dfq, Seq("term"))
+    val ranked = tf.join(dfq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") *
         log(col("_n_docs").cast(DoubleType) / col("df_docs").cast(DoubleType)),
@@ -462,6 +473,7 @@ object TextStats {
       .withColumn("kw_rank", row_number().over(w))
       .filter(col("kw_rank") <= topN)
       .select("doc_id", "kw_rank", "term", "tf", "df_docs", "tfidf")
+    (ranked, () => tf.unpersist(blocking = false): Unit)
   }
 
   /** Corpus vocabulary head: the `topK` terms by total token count with

@@ -66,4 +66,27 @@ class TfidfVocabSpec extends SparkSuite {
     // scores non-negative (df <= N ⇒ idf >= 0)
     assert(kw.filter(col("tfidf") < 0).isEmpty)
   }
+
+  test("releasable variants free their pinned index blocks") {
+    // start from a clean cache: an identical (doc, term) plan pinned
+    // by an earlier test would otherwise share the cache entry and
+    // make the size deltas vacuous
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (kw, release) = TextStats.tfidfKeywordsReleasable(
+      docs, "doc_id", "text", topN = 2)
+    assert(kw.count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "the (doc, term) aggregate must be pinned while in use")
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "release() must drop the pinned blocks")
+    val (pairs, release2) = graft.ext.Dedup.winnowPairsReleasable(
+      docs, "doc_id", "text")
+    pairs.count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    release2()
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+  }
 }
