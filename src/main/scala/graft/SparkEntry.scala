@@ -349,7 +349,14 @@ object SparkEntry {
     "multimodal_bmp_stats",
     // r14: async services racing the live MOR writer (stream-shaped
     // board row — a lock-contention or compaction regression moves it)
-    "stream_async_services_replay")
+    "stream_async_services_replay",
+    // r15: the SQL write surface (INSERT upsert, MERGE change-capture,
+    // UPDATE+DELETE predicate DML — each a physical commit pipeline a
+    // regression should move), the catalog CDC stream face, and the
+    // percentile_approx scale paths of the dq quantile family
+    "sql_insert_write", "sql_merge_write", "sql_update_delete_write",
+    "stream_sql_read_replay", "dq_outliers_approx",
+    "dq_group_quantiles_approx")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
     * shapes several oracles verify against (exact 3-gram Jaccard
