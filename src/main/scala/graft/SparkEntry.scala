@@ -238,6 +238,7 @@ object SparkEntry {
     "sql_insert_write"        -> (OpsQueries.sqlInsertWrite _),
     "sql_merge_write"         -> (OpsQueries.sqlMergeWrite _),
     "sql_update_delete_write" -> (OpsQueries.sqlUpdateDeleteWrite _),
+    "sql_alter_write"         -> (OpsQueries.sqlAlterWrite _),
     "a_approx_agg"            -> (OpsQueries.aApproxAgg _),
     "a_approx_agg_raw"        -> (OpsQueries.aApproxAggRaw _),
     "a_heavy_hitters"         -> (OpsQueries.aHeavyHitters _),
@@ -355,7 +356,7 @@ object SparkEntry {
     // regression should move), the catalog CDC stream face, and the
     // percentile_approx scale paths of the dq quantile family
     "sql_insert_write", "sql_merge_write", "sql_update_delete_write",
-    "stream_sql_read_replay", "dq_outliers_approx",
+    "sql_alter_write", "stream_sql_read_replay", "dq_outliers_approx",
     "dq_group_quantiles_approx")
 
   /** Shared DuckDB oracle fragments — one source of truth for the
@@ -3983,6 +3984,14 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY l_orderkey
         |     ORDER BY l_linenumber DESC, l_partkey DESC, l_quantity DESC) AS rn
         |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    // Pure-SQL ALTER RENAME then INSERT under the new name: the %3
+    // keys carry ver 2 and doubled values in column `total`.
+    "sql_alter_write" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS ver,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS total
+        | FROM orders ORDER BY o_orderkey""".stripMargin,
     // Pure-SQL UPDATE then DELETE: doubled %3 totals, %5 keys gone.
     "sql_update_delete_write" ->
       """SELECT o_orderkey, 1 AS ver,

@@ -943,6 +943,43 @@ object OpsQueries {
     acc.orderBy("o_orderkey", "ver")
   }
 
+  /** SQL-catalog ALTER ([[graft.sql.GraftCatalog.alterTable]] onto
+    * the engine's column-mapping surgery): RENAME COLUMN mid-life as
+    * pure DDL — a metadata-only commit, pre-rename files resolve
+    * through the rename lineage, no rewrite — then an INSERT under
+    * the NEW name merges with pre-rename state, all via SQL. The
+    * in-query gate pins "metadata-only": the rename publishes no data
+    * dir. Oracle: the merged expectation under the new name.
+    */
+  def sqlAlterWrite(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("graft-sqlalter")
+    val table = KeyedTable("orders_asql", s"$base/orders_asql",
+      Seq("o_orderkey"), "ver")
+    TableOps.upsert(s, table, t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice").withColumn("ver", lit(1)))
+    graft.tables.Catalog(s"$base/cat/db", s).register(table)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dataDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(table.dataPath)).length
+    val before = dataDirs
+    t(s, dir, "orders").createOrReplaceTempView("graft_sqlalter_src")
+    withCatalog(s, s"$base/cat") { cname =>
+      s.sql(s"ALTER TABLE $cname.db.orders_asql " +
+        "RENAME COLUMN o_totalprice TO total")
+      require(dataDirs == before,
+        "sql_alter: RENAME COLUMN must be metadata-only (no data dir)")
+      s.sql(
+        s"""INSERT INTO $cname.db.orders_asql
+           | SELECT o_orderkey, 2 AS ver, o_totalprice * 2 AS total
+           | FROM graft_sqlalter_src WHERE o_orderkey % 3 = 0"""
+          .stripMargin)
+      s.sql(
+        s"""SELECT o_orderkey, ver, total FROM $cname.db.orders_asql
+           | ORDER BY o_orderkey""".stripMargin)
+    }
+  }
+
   /** CDC feed through the SQL catalog: `spark.readStream.table(
     * "cat.db.t")` — no Scala source construction — reaches the
     * engine's commit-offset source ([[graft.streaming

@@ -89,6 +89,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table =
     loadGraft(ident, asOf = Some(version))
 
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds; commit
+    * instants are wall-clock `yyyyMMddHHmmssSSS` UTC and ordered
+    * lexicographically, so the formatted timestamp itself is the
+    * at-or-before bound [[TableOps.snapshotAsOf]] resolves.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val asOf = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMddHHmmssSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(
+        Math.floorDiv(timestamp, 1000L)))
+    loadGraft(ident, asOf = Some(asOf))
+  }
+
   /** Spark SQL identifiers are case-insensitive by default, while the
     * descriptor store is exact-case files — resolve exact first, then
     * by case-insensitive scan of the (kilobyte, driver-side) listing.
@@ -170,11 +184,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Some(schema))
   }
 
+  /** `ALTER TABLE cat.db.t RENAME COLUMN a TO b` / `DROP COLUMN a` —
+    * the engine's column-mapping schema surgery ([[TableOps
+    * .renameColumn]]/[[TableOps.dropColumn]]: metadata-only commits,
+    * old files resolve through the rename lineage, no rewrite) as SQL
+    * DDL. `ADD COLUMNS` is deliberately refused with a pointer: the
+    * engine evolves additively ON WRITE (Hudi semantics) — INSERT or
+    * MERGE the new column and it appears, back-filled NULL for old
+    * rows; a standalone schema-only ADD would publish a commit that
+    * changes nothing a reader can see.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER goes through TableOps (schema evolution / " +
-        "renameColumn / dropColumn), not SQL DDL")
+      changes: TableChange*): Table = {
+    val cat = fileCatalog(ident.namespace)
+    val t = resolveName(cat, ident.name).flatMap(cat.load)
+      .getOrElse(throw new NoSuchTableException(
+        (catalogName +: ident.namespace.toSeq) :+ ident.name))
+    val spk = spark
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"graft ALTER ${ident.name}: only top-level column renames " +
+            s"are supported, got ${r.fieldNames.mkString(".")}")
+        TableOps.renameColumn(spk, t, r.fieldNames.head, r.newName): Unit
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"graft ALTER ${ident.name}: only top-level column drops " +
+            s"are supported, got ${d.fieldNames.mkString(".")}")
+        TableOps.dropColumn(spk, t, d.fieldNames.head): Unit
+      case _: TableChange.AddColumn =>
+        throw new UnsupportedOperationException(
+          s"graft table ${ident.name} evolves additively ON WRITE " +
+            "(Hudi semantics): INSERT or MERGE rows carrying the new " +
+            "column and it appears, NULL-backfilled for old rows — a " +
+            "standalone schema-only ADD is a no-op commit")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: unsupported ALTER change $other")
+    }
+    loadGraft(ident, asOf = None)
+  }
 
   /** Unregisters the descriptor only — the table's data and commit log
     * are untouched (same contract as [[graft.tables.Catalog.drop]]).

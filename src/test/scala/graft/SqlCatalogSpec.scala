@@ -278,6 +278,67 @@ class SqlCatalogSpec extends SparkSuite {
       ex.getMessage.toLowerCase.contains("syntax"))
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN map onto the engine's schema surgery") {
+    val base = tmpDir("graft-sqlalter")
+    val (_, t) = seed(base)
+    val c = mountCatalog(s"$base/cat")
+    spark.sql(s"ALTER TABLE $c.db.ords RENAME COLUMN amount TO total")
+    // the pre-rename files resolve through the rename lineage
+    assert(spark.sql(s"SELECT id, total FROM $c.db.ords ORDER BY id")
+      .as[(String, Double)].collect().toSeq ===
+      Seq(("a", 10.0), ("b", 20.0), ("c", 30.0)))
+    // writes under the NEW name merge with pre-rename state
+    spark.sql(s"INSERT INTO $c.db.ords VALUES ('a', 2, 99.0)")
+    assert(spark.sql(s"SELECT total FROM $c.db.ords WHERE id='a'")
+      .head.getDouble(0) === 99.0)
+    spark.sql(s"ALTER TABLE $c.db.ords DROP COLUMN total")
+    assert(!spark.table(s"$c.db.ords").columns.contains("total"))
+    assert(spark.table(s"$c.db.ords").count() === 3)
+    // ADD COLUMNS points at the on-write evolution contract
+    val ex = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.db.ords ADD COLUMNS (note STRING)")
+    }
+    assert(ex.getMessage.contains("ON WRITE"))
+    assert(TableOps.snapshot(spark, t).columns.toSeq
+      .contains("ver")) // surgery never touched unrelated columns
+  }
+
+  test("TIMESTAMP AS OF resolves the latest commit at or before the wall time") {
+    val base = tmpDir("graft-sqlts")
+    val (_, t) = seed(base)
+    Thread.sleep(5)
+    val betweenMicros = System.currentTimeMillis() * 1000L
+    Thread.sleep(5)
+    TableOps.upsert(spark, t, Seq(("a", 2, 99.0)).toDF("id", "ver", "amount"))
+    val c = mountCatalog(s"$base/cat")
+    val tsLit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(betweenMicros / 1000L))
+    assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
+    assert(spark.sql(
+      s"SELECT amount FROM $c.db.ords TIMESTAMP AS OF '$tsLit' WHERE id='a'")
+      .head.getDouble(0) === 10.0)
+    assert(spark.sql(s"SELECT amount FROM $c.db.ords WHERE id='a'")
+      .head.getDouble(0) === 99.0)
+  }
+
+  test("CREATE TABLE AS SELECT lands the query as the first commit") {
+    val base = tmpDir("graft-sqlctas")
+    val c = mountCatalog(s"$base/cat")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $c.db")
+    spark.sql(
+      s"""CREATE TABLE $c.db.ctas
+         | USING graft LOCATION '$base/ctas'
+         | TBLPROPERTIES ('recordKey'='id', 'precombine'='ver')
+         | AS SELECT id, ver, CAST(amount AS DOUBLE) AS amount
+         |  FROM VALUES ('a', 1, 1.5), ('b', 1, 2.5)
+         |   AS v(id, ver, amount)""".stripMargin)
+    assert(spark.sql(s"SELECT id, amount FROM $c.db.ctas ORDER BY id")
+      .as[(String, Double)].collect().toSeq ===
+      Seq(("a", 1.5), ("b", 2.5)))
+  }
+
   test("multi-match MERGE resolves by greatest precombine (Hudi shape)") {
     val base = tmpDir("graft-mm")
     val cat = Catalog(s"$base/cat/db", spark)
@@ -299,6 +360,36 @@ class SqlCatalogSpec extends SparkSuite {
     assert(spark.sql(s"SELECT k, ln, pk, q FROM $c.db.mm ORDER BY k")
       .as[(String, Int, String, Double)].collect().toSeq ===
       Seq(("k1", 5, "C", 3.0), ("k2", 2, "keep", 0.6)))
+  }
+
+  test("MERGE into a partitioned table rewrites only the touched partitions") {
+    val base = tmpDir("graft-mpart")
+    val cat = Catalog(s"$base/cat/db", spark)
+    val t = KeyedTable("mp", s"$base/mp", Seq("k"), "ver",
+      partitionBy = Seq("region"))
+    TableOps.upsert(spark, t,
+      Seq(("k1", 1, "eu", 1.0), ("k2", 1, "us", 2.0), ("k3", 1, "ap", 3.0))
+        .toDF("k", "ver", "region", "amount"))
+    cat.register(t)
+    val before = TableOps.partitionDirs(spark, t)
+    val c = mountCatalog(s"$base/cat")
+    // the merge touches ONLY the eu partition (k1 update, k9 insert)
+    Seq(("k1", 2, "eu", 9.0), ("k9", 1, "eu", 5.0))
+      .toDF("k", "ver", "region", "amount")
+      .createOrReplaceTempView("mp_src")
+    spark.sql(
+      s"""MERGE INTO $c.db.mp t USING mp_src s
+         | ON t.k = s.k AND t.region = s.region
+         | WHEN MATCHED THEN UPDATE SET ver = s.ver, amount = s.amount
+         | WHEN NOT MATCHED THEN INSERT (k, ver, region, amount)
+         |   VALUES (s.k, s.ver, s.region, s.amount)""".stripMargin)
+    val after = TableOps.partitionDirs(spark, t)
+    val untouched = before.filterNot(_._1.contains("eu"))
+    assert(untouched.forall { case (p, d) => after.get(p).contains(d) },
+      "MERGE rewrote a partition its clauses never touched")
+    assert(spark.sql(s"SELECT k, amount FROM $c.db.mp ORDER BY k")
+      .as[(String, Double)].collect().toSeq ===
+      Seq(("k1", 9.0), ("k2", 2.0), ("k3", 3.0), ("k9", 5.0)))
   }
 
   test("case-insensitive table resolution (SQL default)") {
