@@ -107,8 +107,11 @@ object TableOps {
     */
   private def serviceGuard[A](spark: SparkSession, t: KeyedTable)(
       body: => A): A =
-    if (TableService.activeMarker(spark, t).isDefined &&
-        !graft.tables.TableLock.heldByCurrentThread(t))
+    // cheap map lookup FIRST: every nested guarded call under a held
+    // lock (compactDeltas inside upsert, the service pass's own
+    // housekeeping) short-circuits without touching the filesystem
+    if (!graft.tables.TableLock.heldByCurrentThread(t) &&
+        TableService.activeMarker(spark, t).isDefined)
       graft.tables.TableLock.withLock(spark, t)(body)
     else body
 
@@ -2726,12 +2729,25 @@ object TableOps {
     * clean: archived instants are history-only and never extend
     * data-file lifetime.
     */
+  /** `orphanGraceMs`: unreferenced commit-shaped dirs YOUNGER than
+    * this are left alone. 0 (the default) keeps the manual-clean
+    * contract — the caller owns serialization (the service guard locks
+    * a manual clean beside a live service; otherwise single-writer
+    * applies) and crash orphans collect immediately. The ASYNC service
+    * passes a nonzero grace (the Delta-VACUUM-retention shape): a
+    * writer that began BEFORE the service's marker published runs its
+    * whole commit unguarded, and its staged dir is indistinguishable
+    * from a crashed orphan until its manifest lands — age is the only
+    * safe discriminator in that handoff window (review r15 finding).
+    */
   def clean(spark: SparkSession, t: KeyedTable, retainCommits: Int,
-      archive: Boolean = false): Seq[String] =
-    serviceGuard(spark, t)(cleanUnlocked(spark, t, retainCommits, archive))
+      archive: Boolean = false, orphanGraceMs: Long = 0L): Seq[String] =
+    serviceGuard(spark, t)(cleanUnlocked(spark, t, retainCommits, archive,
+      orphanGraceMs))
 
   private def cleanUnlocked(spark: SparkSession, t: KeyedTable,
-      retainCommits: Int, archive: Boolean): Seq[String] = {
+      retainCommits: Int, archive: Boolean,
+      orphanGraceMs: Long): Seq[String] = {
     require(retainCommits >= 1, "retainCommits must be >= 1")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(t.path).getFileSystem(conf)
@@ -2752,11 +2768,14 @@ object TableOps {
     // One GC policy for both roots (commit data dirs and their
     // column-stats sidecars — the sidecar of an unreferenced commit is
     // as dead as its dir, including orphans from crashed writes).
+    val graceFloor = System.currentTimeMillis() - orphanGraceMs
     def deleteUnreferenced(root: Path): Unit =
       if (partsMaps.nonEmpty && fs.exists(root))
         fs.listStatus(root)
           .filter(st => CommitDirPattern.matches(st.getPath.getName))
           .filter(st => !referenced.contains(st.getPath.getName))
+          .filter(st => orphanGraceMs <= 0L ||
+            st.getModificationTime < graceFloor)
           .foreach(st => fs.delete(st.getPath, true))
     deleteUnreferenced(dataRoot)
     deleteUnreferenced(new Path(s"${t.commitsPath}/stats"))

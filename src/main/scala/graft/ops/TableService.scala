@@ -125,15 +125,26 @@ final class TableService(
             // set — a duplicate parse per tick under the lock is pure
             // overhead on the hot housekeeping path
             if (compactDeltas) TableOps.compactDeltas(spark, t): Unit
-            TableOps.clean(spark, t, retainCommits, archive = true): Unit
+            // nonzero orphan grace: a writer that began before this
+            // service's marker published is mid-commit UNGUARDED, and
+            // its staged dir must not be collected as an orphan — age
+            // is the only safe discriminator in that handoff window
+            TableOps.clean(spark, t, retainCommits, archive = true,
+              orphanGraceMs = math.max(10 * 60 * 1000L, markerLeaseMs)): Unit
             serviced.incrementAndGet()
             true
           }
         } catch {
-          // NonFatal only: an OutOfMemoryError or an interrupt during
-          // shutdown must propagate — a scheduler ticking on past a
-          // fatally-broken JVM hides exactly the failures that matter
-          case NonFatal(e) => lastError.set(e); false
+          // Record EVERY failure (stop() rethrows it), then let fatal
+          // errors propagate: a scheduler ticking on past a broken JVM
+          // hides exactly the failures that matter — but swallowing
+          // them entirely (NonFatal-only catch) would let the executor
+          // cancel all future passes with lastError still null and
+          // stop() reporting success (review r15 finding)
+          case e: Throwable =>
+            lastError.set(e)
+            if (!NonFatal(e)) throw e
+            false
         } finally TableLock.release(spark, t, lock): Unit
     }
   }
@@ -169,7 +180,7 @@ final class TableService(
     }
     if (markerPublished) {
       markerPublished = false
-      TableService.clearMarker(spark, t)
+      TableService.clearMarker(spark, t, markerOwner)
     }
     failure.foreach(e => throw new IllegalStateException(
       s"table service for ${t.name} failed during a pass", e))
@@ -214,7 +225,16 @@ object TableService {
           Some("<unreadable>")
         else None
       }
-    } catch { case _: Exception => None }
+    } catch {
+      // marker deleted between the probes (a normal stop() race): no
+      // service. Any OTHER I/O failure reads as LIVE — the marker may
+      // be perfectly valid behind a transient store error, and the
+      // safe side of not knowing is taking the (free, uncontended)
+      // lock, never writing unserialized beside a possible cleaner
+      // (review r15 finding)
+      case _: java.io.FileNotFoundException => None
+      case _: Exception => Some("<unknown>")
+    }
   }
 
   private[ops] def publishMarker(spark: SparkSession, t: KeyedTable,
@@ -228,9 +248,20 @@ object TableService {
     stamped.set(now)
   }
 
-  private[ops] def clearMarker(spark: SparkSession, t: KeyedTable): Unit = {
+  /** Clear the marker ONLY when it still carries `owner` (or is
+    * unreadable): with two services accidentally running on one table,
+    * stopping the first must not delete the second's marker and
+    * unguard writers beside its still-live cleaner for up to half a
+    * lease (review r15 finding). Last-writer-wins on REFRESH is fine —
+    * any live marker engages the guard — but deletion must be owned.
+    */
+  private[ops] def clearMarker(spark: SparkSession, t: KeyedTable,
+      owner: String): Unit = {
     val fs = new Path(t.path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(markerPath(t), false): Unit
+    val current = activeMarker(spark, t)
+    if (current.isEmpty || current.contains(owner) ||
+        current.exists(_.startsWith("<")))
+      fs.delete(markerPath(t), false): Unit
   }
 }

@@ -104,26 +104,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** Spark SQL identifiers are case-insensitive by default, while the
-    * descriptor store is exact-case files — resolve exact first, then
-    * by case-insensitive scan of the (kilobyte, driver-side) listing.
+    * descriptor store is exact-case files — resolve exact first
+    * (ONE descriptor read+parse, schema included), then by
+    * case-insensitive scan of the (kilobyte, driver-side) listing.
     */
-  private def resolveName(cat: Catalog, name: String): Option[String] =
-    if (cat.load(name).isDefined) Some(name)
-    else cat.list().find(_.equalsIgnoreCase(name))
+  private def resolveEntry(cat: Catalog, name: String)
+      : Option[(KeyedTable, Option[StructType])] =
+    cat.loadEntry(name).orElse(
+      cat.list().find(n => n != name && n.equalsIgnoreCase(name))
+        .flatMap(cat.loadEntry))
 
   private def loadGraft(ident: Identifier, asOf: Option[String]): Table = {
     val cat = fileCatalog(ident.namespace)
-    val t = resolveName(cat, ident.name).flatMap(cat.load)
+    val (t, schema) = resolveEntry(cat, ident.name)
       .getOrElse(throw new NoSuchTableException(
         (catalogName +: ident.namespace.toSeq) :+ ident.name))
     GraftTable(t, asOf,
       (catalogName +: ident.namespace.toSeq :+ ident.name).mkString("."),
-      cat.loadSchema(t.name))
+      schema)
   }
 
   override def tableExists(ident: Identifier): Boolean = {
     val cat = fileCatalog(ident.namespace)
-    resolveName(cat, ident.name).isDefined
+    resolveEntry(cat, ident.name).isDefined
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
@@ -197,7 +200,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val cat = fileCatalog(ident.namespace)
-    val t = resolveName(cat, ident.name).flatMap(cat.load)
+    val t = resolveEntry(cat, ident.name).map(_._1)
       .getOrElse(throw new NoSuchTableException(
         (catalogName +: ident.namespace.toSeq) :+ ident.name))
     val spk = spark

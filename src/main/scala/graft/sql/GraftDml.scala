@@ -47,29 +47,45 @@ object GraftDml {
 
   /** Align an incoming frame to the table's data columns — by NAME
     * when every data column is present (case-insensitive, the SQL
-    * default), by POSITION when the arity matches (the
-    * `INSERT ... VALUES` shape, whose synthesized col1/col2 names are
-    * meaningless), refused loudly otherwise. Types cast per column —
-    * under ANSI mode an overflowing insert fails instead of wrapping.
+    * default), by POSITION only for the `INSERT ... VALUES` shape
+    * (matching arity AND no name overlap with the table — a frame
+    * whose names PARTIALLY overlap is a typo'd or reordered SELECT,
+    * and positionally mapping it would silently cross-assign columns;
+    * review r15 finding), refused loudly otherwise. Types cast per
+    * column — under ANSI mode an overflowing insert fails instead of
+    * wrapping.
+    *
+    * EXTRA by-name columns ride along (appended after the table
+    * columns): the engine evolves schemas additively ON WRITE (Hudi
+    * semantics — the contract [[GraftCatalog.alterTable]]'s
+    * ADD-COLUMNS refusal points at), so `INSERT ... SELECT *` from a
+    * wider source grows the table, NULL-backfilled for old rows.
     */
   private[sql] def align(gt: GraftTable, data: DataFrame): DataFrame = {
     val cols = dataColumns(gt)
     val incoming = data.drop(graft.tables.KeyedTable.CommitCol)
     val byName = incoming.columns.map(c => c.toLowerCase -> c).toMap
+    val tableNames = cols.map(_.name.toLowerCase).toSet
     if (cols.forall(f => byName.contains(f.name.toLowerCase))) {
+      val extras = incoming.columns.toIndexedSeq
+        .filterNot(c => tableNames.contains(c.toLowerCase))
       incoming.select(cols.map(f =>
-        col(byName(f.name.toLowerCase)).cast(f.dataType).as(f.name)): _*)
-    } else if (incoming.columns.length == cols.length) {
+        col(byName(f.name.toLowerCase)).cast(f.dataType).as(f.name)) ++
+        extras.map(col): _*)
+    } else if (incoming.columns.length == cols.length &&
+        !incoming.columns.exists(c => tableNames.contains(c.toLowerCase))) {
       incoming.select(incoming.columns.toIndexedSeq.zip(cols).map {
         case (in, f) => col(in).cast(f.dataType).as(f.name)
       }: _*)
     } else {
       throw new IllegalArgumentException(
         s"cannot write to graft table ${gt.name()}: incoming columns " +
-          s"[${incoming.columns.mkString(", ")}] match the table's data " +
-          s"columns [${cols.map(_.name).mkString(", ")}] neither by name " +
-          "nor by position (partial-column INSERT is not supported — " +
-          "provide every data column)")
+          s"[${incoming.columns.mkString(", ")}] do not cover the " +
+          s"table's data columns [${cols.map(_.name).mkString(", ")}] " +
+          "by name, and positional mapping is only applied when NO " +
+          "incoming name matches a table column (the VALUES shape) — " +
+          "a partial overlap is treated as a mistyped or reordered " +
+          "SELECT, not mapped silently")
     }
   }
 

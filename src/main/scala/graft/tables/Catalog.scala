@@ -59,27 +59,18 @@ final class Catalog(root: String, spark: SparkSession) {
 
   /** The declared schema registered with `name`, if any. */
   def loadSchema(name: String)
-      : Option[org.apache.spark.sql.types.StructType] = {
-    val p = descPath(name)
-    if (!fs.exists(p)) return None
-    try {
-      import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      implicit val fmts: Formats = DefaultFormats
-      val in = fs.open(p)
-      val j =
-        try JsonMethods.parse(new String(
-          org.apache.commons.io.IOUtils.toByteArray(in),
-          StandardCharsets.UTF_8))
-        finally in.close()
-      (j \ "schemaJson").extractOpt[String].map(s =>
-        org.apache.spark.sql.types.DataType.fromJson(s)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-    } catch { case _: Exception => None }
-  }
+      : Option[org.apache.spark.sql.types.StructType] =
+    loadEntry(name).flatMap(_._2)
 
   /** The descriptor registered under `name`, if present and parseable. */
-  def load(name: String): Option[KeyedTable] = {
+  def load(name: String): Option[KeyedTable] = loadEntry(name).map(_._1)
+
+  /** Descriptor + declared schema in ONE read+parse — the SQL catalog
+    * resolves tables per statement, and separate load/loadSchema calls
+    * would pay repeated metadata round trips on an object store.
+    */
+  def loadEntry(name: String)
+      : Option[(KeyedTable, Option[org.apache.spark.sql.types.StructType])] = {
     val p = descPath(name)
     if (!fs.exists(p)) return None
     try {
@@ -93,14 +84,18 @@ final class Catalog(root: String, spark: SparkSession) {
           StandardCharsets.UTF_8))
         finally in.close()
       }
-      Some(KeyedTable(
+      val kt = KeyedTable(
         name = (j \ "name").extract[String],
         path = (j \ "path").extract[String],
         recordKey = (j \ "recordKey").extract[Seq[String]],
         precombineKey = (j \ "precombineKey").extract[String],
         partitionBy = (j \ "partitionBy").extract[Seq[String]],
         globalIndex = (j \ "globalIndex").extract[Boolean],
-        statsColumns = (j \ "statsColumns").extract[Seq[String]]))
+        statsColumns = (j \ "statsColumns").extract[Seq[String]])
+      val schema = (j \ "schemaJson").extractOpt[String].flatMap(s =>
+        scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+      Some((kt, schema))
     } catch {
       case _: Exception =>
         System.err.println(s"graft: skipping unparseable catalog entry $p")

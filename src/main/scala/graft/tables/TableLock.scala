@@ -139,11 +139,11 @@ object TableLock {
     * writes.
     */
   private val heldLocal =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   def heldByCurrentThread(t: KeyedTable): Boolean =
     Option(heldLocal.get(lockPath(t).toString))
-      .exists(_.longValue == Thread.currentThread().getId)
+      .exists(_._2 == Thread.currentThread().getId)
 
   private def fsOf(spark: SparkSession, t: KeyedTable): FileSystem =
     new Path(t.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -217,7 +217,7 @@ object TableLock {
     // file — exactly one of us sees its own uuid) and covers providers
     // whose publish is two-phase.
     if (holder(spark, t).exists(_.owner == me.owner)) {
-      heldLocal.put(p.toString, Thread.currentThread().getId)
+      heldLocal.put(p.toString, (me.owner, Thread.currentThread().getId))
       Some(me)
     } else None
   }
@@ -228,9 +228,13 @@ object TableLock {
     */
   def release(spark: SparkSession, t: KeyedTable, lock: LockInfo): Boolean = {
     val fs = fsOf(spark, t)
-    // local registry clears regardless of outcome: stolen-after-expiry
-    // means we no longer hold it either way
-    heldLocal.remove(lockPath(t).toString)
+    // clear OUR registration only (matched by owner uuid): after a
+    // lease-expiry steal the registry holds the THIEF's entry, and a
+    // stale holder's late release must not erase it — the thief's
+    // in-flight guarded write still depends on heldByCurrentThread
+    // (review r15 finding)
+    heldLocal.computeIfPresent(lockPath(t).toString,
+      (_, v) => if (v._1 == lock.owner) null else v)
     holder(spark, t) match {
       case Some(h) if h.owner == lock.owner =>
         fs.delete(lockPath(t), false)

@@ -152,7 +152,31 @@ class SqlCatalogSpec extends SparkSuite {
     val ex = intercept[Exception] {
       spark.sql(s"INSERT INTO $c.db.ords VALUES ('x', 1)")
     }
-    assert(ex.getMessage.contains("neither by name nor by position"))
+    assert(ex.getMessage.contains("positional mapping"))
+    // arity match with PARTIAL name overlap = a reordered/typo'd
+    // SELECT — refused, never silently cross-assigned (review face)
+    val ex2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.db.ords " +
+        s"SELECT id, ver, 9.9 AS total FROM $c.db.ords LIMIT 1")
+    }
+    assert(ex2.getMessage.contains("partial overlap") ||
+      ex2.getMessage.contains("positional mapping"))
+  }
+
+  test("INSERT with an extra column evolves the schema additively on write") {
+    val base = tmpDir("graft-sqlw")
+    seed(base)
+    val c = mountCatalog(s"$base/cat")
+    spark.sql(
+      s"""INSERT INTO $c.db.ords
+         | SELECT 'd' AS id, 1 AS ver, 40.0 AS amount,
+         |   'fresh' AS note""".stripMargin)
+    val got = spark.sql(
+      s"SELECT id, amount, note FROM $c.db.ords ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        Option(r.getString(2))))
+    assert(got.toSeq === Seq(("a", 10.0, None), ("b", 20.0, None),
+      ("c", 30.0, None), ("d", 40.0, Some("fresh"))))
   }
 
   test("INSERT OVERWRITE replaces the whole table in one commit") {
