@@ -69,17 +69,29 @@ object Graph {
     val nodes = pin(adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node"))).distinct())
     val nDf = broadcast(nodes.agg(count(lit(1)).as("_n")))
-    val sinks = nodes.join(adj.select(col("src").as("node")),
-      Seq("node"), "left_anti")
+    // pinned once: unpinned, every iteration's dangling-mass job would
+    // re-run this adjacency-sized anti-join (an O(E) scan + shuffle per
+    // round for a frame that is at most node-sized and never changes);
+    // pinning also lets the no-sinks case short-circuit below
+    val sinks = pin(nodes.join(adj.select(col("src").as("node")),
+      Seq("node"), "left_anti"))
+    // a graph with no sinks (e.g. any symmetric graph) has dangling
+    // mass EXACTLY zero every round — skip the per-iteration dangling
+    // job outright (the standard pagerank short-circuit; the pinned
+    // frame makes the emptiness check free)
+    val noSinks = sinks.isEmpty
     val dec = DecimalType(28, 12)
 
     var ranks = pin(nodes.crossJoin(nDf)
       .select(col("node"), (lit(1.0) / col("_n")).as("rank")))
     for (_ <- 1 to iters) {
-      val dangling = broadcast(ranks
-        .join(sinks, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank").cast(dec)), lit(0).cast(dec))
-          .cast(DoubleType).as("_dm")))
+      val dangling = broadcast(
+        if (noSinks)
+          edges.sparkSession.range(1).select(lit(0.0).as("_dm"))
+        else ranks
+          .join(sinks, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank").cast(dec)), lit(0).cast(dec))
+            .cast(DoubleType).as("_dm")))
       val contribs = adj
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
@@ -97,7 +109,7 @@ object Graph {
       ranks = next
     }
     val out = ranks.select(col("node"), col("rank").cast(dec).as("rank"))
-    release(adj); release(nodes)
+    release(adj); release(nodes); release(sinks)
     out
   }
 
@@ -160,17 +172,25 @@ object Graph {
     val nodes = pin(adj.select(col("src").as("node"))
       .union(adj.select(col("dst").as("node"))).distinct())
     val nDf = broadcast(nodes.agg(count(lit(1)).as("_n")))
-    val sinks = nodes.join(adj.select(col("src").as("node")),
-      Seq("node"), "left_anti")
+    // pinned once (same rationale as [[pageRank]]): the dangling-mass
+    // job must not re-run an adjacency-sized anti-join every round
+    val sinks = pin(nodes.join(adj.select(col("src").as("node")),
+      Seq("node"), "left_anti"))
+    // no sinks ⇒ dangling mass is exactly 0 every round (see
+    // [[pageRank]]) — skip the per-iteration dangling job outright
+    val noSinks = sinks.isEmpty
     val teleport = lit((100L - dampingPct) * FixedScale / 100L)
 
     var ranks = pin(nodes.crossJoin(nDf)
       .select(col("node"),
         idiv(lit(FixedScale), col("_n")).as("rank")))
     for (_ <- 1 to iters) {
-      val dangling = broadcast(ranks
-        .join(sinks, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("_dm")))
+      val dangling = broadcast(
+        if (noSinks)
+          edges.sparkSession.range(1).select(lit(0L).as("_dm"))
+        else ranks
+          .join(sinks, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0L)).as("_dm")))
       val contribs = adj
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
@@ -190,7 +210,7 @@ object Graph {
     }
     val out = ranks.select(col("node"), col("rank").as("rank_u"),
       (col("rank").cast(DoubleType) / lit(FixedScale.toDouble)).as("rank"))
-    release(adj); release(nodes)
+    release(adj); release(nodes); release(sinks)
     out
   }
 }

@@ -1854,6 +1854,20 @@ object ExtQueries {
       s"replayEventsStream($tag): events projection is empty or all-null" +
         " ts — cannot derive sentinel watermark timestamps")
     val maxSec = maxRow.getLong(0) / 1000000L + 1L
+    // No-data micro-batches add one empty batch after every data batch
+    // (planning + 32-partition state commit, zero rows) purely to move
+    // the watermark forward — but this harness moves the watermark
+    // EXPLICITLY with the two sentinel pushes below (the finalize
+    // design never relied on empty batches: "first push advances the
+    // watermark past the real data, second fires the armed timeouts").
+    // Disabling them halves the micro-batch count per replay (6 → 3)
+    // at identical output — measured ~1.5-2 s/replay at sf0.1 (r15
+    // board pair in OPTIMIZATION_r15.md); every replay stays
+    // value-oracled against its batch twin, which is the proof the
+    // empty batches contributed nothing.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = s.conf.getOption(noDataKey)
+    s.conf.set(noDataKey, "false")
     val q = start(src, chk, qname)
     try {
       q.processAllAvailable()
@@ -1867,7 +1881,13 @@ object ExtQueries {
         }).as(f.name)): _*).write.mode("append").parquet(src)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      prevNoData match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None    => s.conf.unset(noDataKey)
+      }
+    }
     // default result = the memory sink; a caller whose sink is a side
     // effect (foreachBatch into a keyed table) supplies its own fetch
     fetch.map(_.apply()).getOrElse(s.table(qname))
