@@ -1683,21 +1683,31 @@ object ExtQueries {
     val feats = TextStats.stats(t(s, dir, "documents"), "doc_id", "text")
     val labeled = feats.withColumn("label",
       (col("n_tokens") >= 64).cast("double"))
+    // persisted: FOUR separate actions consume this lineage (the
+    // train-fold moment aggregate, the training projection
+    // materialization inside Classifier.train, the holdout scoring
+    // pass, and the corpus count below) — cross-action repeats are
+    // invisible to ReuseExchange, so each would re-run the stats
+    // tokenization without a materialization
     val split = Sampling.hashSplit(labeled, "doc_id",
-      Seq("train" -> 0.8, "eval" -> 0.2))
-    val trainFold = split.filter(col("split") === "train")
-    val evalFold = split.filter(col("split") === "eval")
-    val featureCols = Seq("n_tokens", "n_uniq_tokens", "uniq_ratio",
-      "stopword_ratio", "mean_token_len")
-    val m = Classifier.train(trainFold, featureCols, "label")
-    val lossMono = m.losses.sliding(2)
-      .forall(p => p.length < 2 || p(1) <= p(0) + 1e-12)
-    val acc = Classifier.score(evalFold, m)
-      .agg(avg(when((col("score") >= 0.5) === (col("label") === 1.0),
-        1.0).otherwise(0.0)))
-      .head().getDouble(0)
-    Seq(("text_classifier", feats.count(), lossMono, acc >= 0.85))
-      .toDF("family", "n_docs", "loss_monotone", "holdout_acc_pass")
+      Seq("train" -> 0.8, "eval" -> 0.2)).persist()
+    try {
+      val trainFold = split.filter(col("split") === "train")
+      val evalFold = split.filter(col("split") === "eval")
+      val featureCols = Seq("n_tokens", "n_uniq_tokens", "uniq_ratio",
+        "stopword_ratio", "mean_token_len")
+      val m = Classifier.train(trainFold, featureCols, "label")
+      val lossMono = m.losses.sliding(2)
+        .forall(p => p.length < 2 || p(1) <= p(0) + 1e-12)
+      val acc = Classifier.score(evalFold, m)
+        .agg(avg(when((col("score") >= 0.5) === (col("label") === 1.0),
+          1.0).otherwise(0.0)))
+        .head().getDouble(0)
+      // hashSplit is a pure projection (adds the split column, drops
+      // nothing), so the corpus count reads the persisted frame
+      Seq(("text_classifier", split.count(), lossMono, acc >= 0.85))
+        .toDF("family", "n_docs", "loss_monotone", "holdout_acc_pass")
+    } finally split.unpersist(blocking = false)
   }
 
   /** The documents corpus re-wrapped into 10-token physical lines —

@@ -633,12 +633,14 @@ object OpsQueries {
       .select(col("doc_id"), col("stopword_ratio").as("score"),
         (col("lang") === "en").cast("int").as("is_en"))
       .filter(col("score").isNotNull)
-    (0 until 3).foreach { b =>
+      .persist() // 3 cross-action scans share one tokenization (see
+                 // iIncrementalEceBy)
+    try (0 until 3).foreach { b =>
       TableOps.upsert(s, src,
         scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
       graft.ops.IncrementalAgg.refresh(s, src, state, store,
         Seq("score"), "is_en")
-    }
+    } finally scoredDocs.unpersist(blocking = false)
     val counts = TableOps.snapshot(s, state)
       .select(col("score").as("_s"), col("sum_v").cast("long").as("pos_g"),
         col("cnt").as("tot_g"))
@@ -671,11 +673,13 @@ object OpsQueries {
       .select(col("doc_id"), col("stopword_ratio").as("score"),
         (col("lang") === "en").cast("int").as("is_en"))
       .filter(col("score").isNotNull)
+      .persist() // 3 cross-action scans share one tokenization (see
+                 // iIncrementalEceBy)
     val srcDir = s"$base/streamsrc"
-    (0 until 3).foreach { b =>
+    try (0 until 3).foreach { b =>
       scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b)
         .coalesce(1).write.mode("append").parquet(srcDir)
-    }
+    } finally scoredDocs.unpersist(blocking = false)
     val schema = s.read.parquet(srcDir).schema
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
@@ -1052,12 +1056,14 @@ object OpsQueries {
         col("stopword_ratio").as("score"),
         (col("lang") === "en").cast("int").as("is_en"))
       .filter(col("score").isNotNull && col("source").isNotNull)
-    (0 until 3).foreach { b =>
+      .persist() // 3 cross-action scans share one tokenization (see
+                 // iIncrementalEceBy)
+    try (0 until 3).foreach { b =>
       TableOps.upsert(s, src,
         scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
       graft.ops.IncrementalAgg.refresh(s, src, state, store,
         Seq("source", "score"), "is_en")
-    }
+    } finally scoredDocs.unpersist(blocking = false)
     val st = TableOps.snapshot(s, state)
       .select(col("source"), col("score"),
         col("cnt"), col("sum_v").cast("long").as("posg"))
@@ -1093,12 +1099,14 @@ object OpsQueries {
         graft.ext.ModelEval.binOf(col("stopword_ratio"),
           bins = 10, lo = 0.0, hi = 0.25).as("bin"),
         (col("lang") === "en").cast("int").as("is_en"))
-    (0 until 3).foreach { b =>
+      .persist() // 3 cross-action scans share one tokenization (see
+                 // iIncrementalEceBy)
+    try (0 until 3).foreach { b =>
       TableOps.upsert(s, src,
         scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
       graft.ops.IncrementalAgg.refresh(s, src, stateN, storeN,
         Seq("source", "bin"), "is_en")
-    }
+    } finally scoredDocs.unpersist(blocking = false)
     val counts = TableOps.snapshot(s, stateN)
       .select(col("source"), col("bin"), col("cnt").as("n"),
         col("sum_v").cast("long").as("n_pos"))
@@ -1308,12 +1316,14 @@ object OpsQueries {
       .select(col("doc_id"), col("stopword_ratio").as("score"),
         (col("lang") === "en").cast("int").as("is_en"))
       .filter(col("score").isNotNull)
-    (0 until 3).foreach { b =>
+      .persist() // 3 cross-action scans share one tokenization (see
+                 // iIncrementalEceBy)
+    try (0 until 3).foreach { b =>
       TableOps.upsert(s, src,
         scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
       graft.ops.IncrementalAgg.refresh(s, src, state, store,
         Seq("score"), "is_en")
-    }
+    } finally scoredDocs.unpersist(blocking = false)
     val counts = TableOps.snapshot(s, state)
       .select(col("score").as("_s"),
         col("sum_v").cast("long").as("pos_g"), col("cnt").as("tot_g"))
@@ -1342,12 +1352,14 @@ object OpsQueries {
         col("stopword_ratio").as("score"),
         (col("lang") === "en").cast("int").as("is_en"))
       .filter(col("score").isNotNull && col("source").isNotNull)
-    (0 until 3).foreach { b =>
+      .persist() // 3 cross-action scans share one tokenization (see
+                 // iIncrementalEceBy)
+    try (0 until 3).foreach { b =>
       TableOps.upsert(s, src,
         scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
       graft.ops.IncrementalAgg.refresh(s, src, state, store,
         Seq("source", "score"), "is_en")
-    }
+    } finally scoredDocs.unpersist(blocking = false)
     val counts = TableOps.snapshot(s, state)
       .select(col("source"), col("score").as("_s"),
         col("sum_v").cast("long").as("pos_g"),
@@ -1375,12 +1387,14 @@ object OpsQueries {
       .select(col("doc_id"), col("stopword_ratio").as("score"),
         (col("lang") === "en").cast("int").as("is_en"))
       .filter(col("score").isNotNull)
-    (0 until 3).foreach { b =>
+      .persist() // 3 cross-action scans share one tokenization (see
+                 // iIncrementalEceBy)
+    try (0 until 3).foreach { b =>
       TableOps.upsert(s, src,
         scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
       graft.ops.IncrementalAgg.refresh(s, src, state, store,
         Seq("score"), "is_en")
-    }
+    } finally scoredDocs.unpersist(blocking = false)
     val counts = TableOps.snapshot(s, state)
       .select(col("score").as("_s"), col("sum_v").cast("long").as("pos_g"),
         col("cnt").as("tot_g"))
@@ -1418,14 +1432,16 @@ object OpsQueries {
           bins = 10, lo = 0.0, hi = 0.25).as("bin"),
         (col("lang") === "en").cast("int").as("is_en"),
         col("stopword_ratio").cast("decimal(28,9)").as("score_dec"))
-    (0 until 3).foreach { b =>
+      .persist() // 3 cross-action scans share one tokenization (see
+                 // iIncrementalEceBy)
+    try (0 until 3).foreach { b =>
       TableOps.upsert(s, src,
         scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
       graft.ops.IncrementalAgg.refresh(s, src, stateN, storeN,
         Seq("bin"), "is_en")
       graft.ops.IncrementalAgg.refresh(s, src, stateS, storeS,
         Seq("bin"), "score_dec")
-    }
+    } finally scoredDocs.unpersist(blocking = false)
     val n = TableOps.snapshot(s, stateN)
       .select(col("bin"), col("cnt").as("n"),
         col("sum_v").cast("long").as("n_pos"))
@@ -1458,6 +1474,11 @@ object OpsQueries {
     val storeN = CheckpointStore(s"$base/cpN", s)
     val storeS = CheckpointStore(s"$base/cpS", s)
     val docs = t(s, dir, "documents")
+    // persisted: the 3 commit-slice upserts below are SEPARATE actions,
+    // each of which would otherwise re-run the full stats tokenization
+    // + join lineage (3 corpus scans for one projection) — unlike
+    // within-one-plan repeats, cross-action repeats are invisible to
+    // ReuseExchange and only a materialization shares them
     val scoredDocs = graft.ext.TextStats.stats(docs, "doc_id", "text")
       .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
       .filter(col("stopword_ratio").isNotNull && col("source").isNotNull)
@@ -1466,14 +1487,15 @@ object OpsQueries {
           bins = 10, lo = 0.0, hi = 0.25).as("bin"),
         (col("lang") === "en").cast("int").as("is_en"),
         col("stopword_ratio").cast("decimal(28,9)").as("score_dec"))
-    (0 until 3).foreach { b =>
+      .persist()
+    try (0 until 3).foreach { b =>
       TableOps.upsert(s, src,
         scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
       graft.ops.IncrementalAgg.refresh(s, src, stateN, storeN,
         Seq("source", "bin"), "is_en")
       graft.ops.IncrementalAgg.refresh(s, src, stateS, storeS,
         Seq("source", "bin"), "score_dec")
-    }
+    } finally scoredDocs.unpersist(blocking = false)
     val n = TableOps.snapshot(s, stateN)
       .select(col("source"), col("bin"), col("cnt").as("n"),
         col("sum_v").cast("long").as("n_pos"))
@@ -1506,12 +1528,14 @@ object OpsQueries {
         graft.ext.ModelEval.binOf(col("stopword_ratio"),
           bins = 10, lo = 0.0, hi = 0.25).as("bin"),
         (col("lang") === "en").cast("int").as("is_en"))
-    (0 until 3).foreach { b =>
+      .persist() // 3 cross-action scans share one tokenization (see
+                 // iIncrementalEceBy)
+    try (0 until 3).foreach { b =>
       TableOps.upsert(s, src,
         scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
       graft.ops.IncrementalAgg.refresh(s, src, stateN, storeN,
         Seq("bin"), "is_en")
-    }
+    } finally scoredDocs.unpersist(blocking = false)
     val counts = TableOps.snapshot(s, stateN)
       .select(col("bin"), col("cnt").as("n"),
         col("sum_v").cast("long").as("n_pos"))
@@ -1542,12 +1566,14 @@ object OpsQueries {
         graft.ext.ModelEval.binOf(col("stopword_ratio"),
           bins = 10, lo = 0.0, hi = 0.25).as("bin"),
         (col("lang") === "en").cast("int").as("is_en"))
-    (0 until 3).foreach { b =>
+      .persist() // 3 cross-action scans share one tokenization (see
+                 // iIncrementalEceBy)
+    try (0 until 3).foreach { b =>
       TableOps.upsert(s, src,
         scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
       graft.ops.IncrementalAgg.refresh(s, src, stateN, storeN,
         Seq("source", "bin"), "is_en")
-    }
+    } finally scoredDocs.unpersist(blocking = false)
     val counts = TableOps.snapshot(s, stateN)
       .select(col("source"), col("bin"), col("cnt").as("n"),
         col("sum_v").cast("long").as("n_pos"))

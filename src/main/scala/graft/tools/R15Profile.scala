@@ -36,6 +36,45 @@ object R15Profile {
 
     val which = if (args.nonEmpty) args.toSet else Set("pagerank", "stream")
 
+    if (which("jobs")) {
+      // per-job wall-time attribution for a list of queries: run each
+      // query once warm, then once with a listener printing every job's
+      // duration + task totals, so optimization targets the measured
+      // job, not the guessed one
+      val names = args.toSeq.filterNot(_ == "jobs")
+      import org.apache.spark.scheduler._
+      names.foreach { n =>
+        noop(graft.SparkEntry.queries(n)(spark, dir)); reset() // warm
+        val jobs = new java.util.concurrent.ConcurrentHashMap[
+          Int, (Long, String)]()
+        val done = scala.collection.mutable.ListBuffer.empty[
+          (Int, Double, String)]
+        val listener = new SparkListener {
+          override def onJobStart(j: SparkListenerJobStart): Unit =
+            jobs.put(j.jobId, (System.nanoTime(),
+              Option(j.properties.getProperty("spark.job.description"))
+                .getOrElse("")))
+          override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+            val st = jobs.remove(j.jobId)
+            if (st != null) done.synchronized {
+              done += ((j.jobId, (System.nanoTime() - st._1) / 1e9, st._2))
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        noop(graft.SparkEntry.queries(n)(spark, dir))
+        val total = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let listener events drain
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"[r15prof] ===== $n total=$total%.2f jobs=${done.size}")
+        done.sortBy(-_._2).take(25).foreach { case (id, sec, desc) =>
+          println(f"[r15prof]   job#$id%-4d $sec%6.2f  ${desc.take(90)}")
+        }
+        reset()
+      }
+    }
+
     if (which("prab")) {
       // same-moment A/B: the r14 pageRankFixed shape (sinks UNPINNED —
       // recomputed per round) inlined here vs the r15 library (sinks
@@ -129,6 +168,67 @@ object R15Profile {
       time("pr: full graph_pagerank again")(
         noop(graft.SparkEntry.queries("graph_pagerank")(spark, dir)))
       reset()
+    }
+
+    if (which("eceab")) {
+      // same-moment A/B for the scoredDocs persist: the r14 shape
+      // (no persist — each commit-slice upsert re-runs the stats
+      // lineage) inlined vs the r15 library query, alternating.
+      import graft.tables.{KeyedTable, CheckpointStore}
+      import graft.ops.TableOps
+      def oldEceBy(): org.apache.spark.sql.DataFrame = {
+        val base = java.nio.file.Files
+          .createTempDirectory("r15prof-eceab").toString
+        val src = KeyedTable("ieceby_src_ab", s"$base/src",
+          Seq("doc_id"), "doc_id")
+        val stateN = graft.ops.IncrementalAgg.stateTable(
+          "ieceby_labels_ab", s"$base/labels", Seq("source", "bin"))
+        val stateS = graft.ops.IncrementalAgg.stateTable(
+          "ieceby_scores_ab", s"$base/scores", Seq("source", "bin"))
+        val storeN = CheckpointStore(s"$base/cpN", spark)
+        val storeS = CheckpointStore(s"$base/cpS", spark)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val scoredDocs = graft.ext.TextStats
+          .stats(docs, "doc_id", "text")
+          .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+          .filter(col("stopword_ratio").isNotNull &&
+            col("source").isNotNull)
+          .select(col("doc_id"), col("source"),
+            graft.ext.ModelEval.binOf(col("stopword_ratio"),
+              bins = 10, lo = 0.0, hi = 0.25).as("bin"),
+            (col("lang") === "en").cast("int").as("is_en"),
+            col("stopword_ratio").cast("decimal(28,9)").as("score_dec"))
+        (0 until 3).foreach { b =>
+          TableOps.upsert(spark, src,
+            scoredDocs.filter(pmod(col("doc_id"), lit(3)) === b))
+          graft.ops.IncrementalAgg.refresh(spark, src, stateN, storeN,
+            Seq("source", "bin"), "is_en")
+          graft.ops.IncrementalAgg.refresh(spark, src, stateS, storeS,
+            Seq("source", "bin"), "score_dec")
+        }
+        val n = TableOps.snapshot(spark, stateN)
+          .select(col("source"), col("bin"), col("cnt").as("n"),
+            col("sum_v").cast("long").as("n_pos"))
+        val sums = TableOps.snapshot(spark, stateS)
+          .select(col("source"), col("bin"), col("sum_v").as("sum_s"))
+        graft.ext.ModelEval
+          .eceByFromCounts(n.join(sums, Seq("source", "bin")), "source")
+          .orderBy("source")
+      }
+      noop(oldEceBy()); reset()
+      noop(graft.SparkEntry.queries("i_incremental_ece_by")(spark, dir))
+      reset()
+      val olds = scala.collection.mutable.ListBuffer.empty[Double]
+      val news = scala.collection.mutable.ListBuffer.empty[Double]
+      (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime(); noop(oldEceBy())
+        olds += (System.nanoTime() - t0) / 1e9; reset()
+        val t1 = System.nanoTime()
+        noop(graft.SparkEntry.queries("i_incremental_ece_by")(spark, dir))
+        news += (System.nanoTime() - t1) / 1e9; reset()
+      }
+      println(f"[r15prof] eceab OLD (no persist) runs=${olds.map(v => f"$v%.2f").mkString(",")} median=${olds.sorted.apply(1)}%.2f")
+      println(f"[r15prof] eceab NEW (persisted)  runs=${news.map(v => f"$v%.2f").mkString(",")} median=${news.sorted.apply(1)}%.2f")
     }
 
     if (which("batchcount")) {
