@@ -1843,7 +1843,20 @@ object OpsQueries {
     require(TableOps.compactDeltas(s, table).nonEmpty,
       "s9: expected live deltas to fold")
     val folded = TableOps.snapshot(s, table).select(cols.map(col): _*)
-    require(folded.exceptAll(rt).isEmpty && rt.exceptAll(folded).isEmpty,
+    // fold-is-a-no-op gate as a MULTISET SIGNATURE compare (count +
+    // order-independent sum of per-row hashes): one narrow aggregate
+    // per side instead of the former two exceptAll passes, each of
+    // which re-ran BOTH snapshot reads (the MOR merge view included)
+    // through a wide anti-join shuffle. Same invariant, 4 reads + 2
+    // shuffles fewer; a hash collision masking a real divergence is a
+    // 2^-64-class event against an in-query tripwire (the oracle still
+    // pins the visible rows cell-exactly).
+    def msig(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row =
+      df.agg(count(lit(1)).as("n"),
+        sum(xxhash64(cols.map(col): _*)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h"))
+        .head()
+    require(msig(folded) == msig(rt),
       "s9: compaction changed the visible rows")
     require(TableOps.compactDeltas(s, table).isEmpty,
       "s9: table not in pure-COW state after compaction")
