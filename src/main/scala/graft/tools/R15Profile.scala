@@ -231,6 +231,59 @@ object R15Profile {
       println(f"[r15prof] eceab NEW (persisted)  runs=${news.map(v => f"$v%.2f").mkString(",")} median=${news.sorted.apply(1)}%.2f")
     }
 
+    if (which("noDataAb")) {
+      // same-moment alternating timing of one full replay harness under
+      // noDataMicroBatches=true (old) vs =false (new), 3 reps each
+      def runOnce(noData: String, rep: Int): Double = {
+        spark.conf.set(
+          "spark.sql.streaming.noDataMicroBatches.enabled", noData)
+        val t0 = System.nanoTime()
+        val proj = graft.queries.CoreQueries.events(spark, dir)
+          .select("user_id", "event_id", "ts", "value")
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"r15ab-$noData-$rep").toString
+        proj.write.mode("overwrite").parquet(s"$tmp/src")
+        val maxSec = proj.agg(max(unix_micros(col("ts")))).head()
+          .getLong(0) / 1000000L + 1L
+        import spark.implicits._
+        val q = spark.readStream.schema(proj.schema).parquet(s"$tmp/src")
+          .as[graft.streaming.StreamingFeatures.RollEvent]
+          .transform(in => graft.streaming.StreamingFeatures
+            .rollingRange(in, 3600L * 1000000L, "0 seconds"))
+          .writeStream.format("memory").queryName(s"r15ab_${noData}_$rep")
+          .option("checkpointLocation", s"$tmp/chk")
+          .outputMode("append").start()
+        q.processAllAvailable()
+        (1 to 2).foreach { i =>
+          spark.range(1).select(lit(-1L).as("user_id"),
+            lit(-i.toLong).as("event_id"),
+            timestamp_micros(lit((maxSec + i * 3600L) * 1000000L)).as("ts"),
+            lit(0.0).as("value"))
+            .write.mode("append").parquet(s"$tmp/src")
+          q.processAllAvailable()
+        }
+        q.stop()
+        spark.table(s"r15ab_${noData}_$rep")
+          .filter(col("user_id") =!= -1L)
+          .select("event_id", "user_id", "roll_cnt", "roll_sum")
+          .orderBy("event_id")
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        reset()
+        sec
+      }
+      runOnce("true", 0); runOnce("false", 0) // warm both arms
+      val olds = scala.collection.mutable.ListBuffer.empty[Double]
+      val news = scala.collection.mutable.ListBuffer.empty[Double]
+      (1 to 3).foreach { r =>
+        olds += runOnce("true", r)
+        news += runOnce("false", r + 10)
+      }
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      println(f"[r15prof] noDataAb OLD (noData=true)  runs=${olds.map(v => f"$v%.2f").mkString(",")} median=${olds.sorted.apply(1)}%.2f")
+      println(f"[r15prof] noDataAb NEW (noData=false) runs=${news.map(v => f"$v%.2f").mkString(",")} median=${news.sorted.apply(1)}%.2f")
+    }
+
     if (which("batchcount")) {
       // deterministic evidence for the noDataMicroBatches change: the
       // number of micro-batches one replay executes under each setting
