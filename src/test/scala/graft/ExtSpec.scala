@@ -1783,6 +1783,34 @@ class ExtSpec extends SparkSuite {
         s"node $k: fixed $d vs float ${float(k)}") }
   }
 
+  test("pageRankFixed: no-sinks short-circuit matches the scalar reference") {
+    import graft.ext.Graph
+    import spark.implicits._
+    val S = Graph.FixedScale
+    // symmetric triangle: every node has out-edges, so the r15
+    // short-circuit (dangling ≡ 0, per-iteration dangling job skipped)
+    // takes effect — the ranks must still replay the scalar recurrence
+    // with a zero dangling term, bit-identically
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L))
+    val got = Graph.pageRankFixed(edges.toDF("src", "dst"), "src", "dst",
+      iters = 3, dampingPct = 85)
+      .select("node", "rank_u").as[(Long, Long)].collect().toMap
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L), 3L -> Seq(1L, 2L))
+    val nodes = Seq(1L, 2L, 3L)
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to 3) {
+      r = nodes.map { v =>
+        val in = adj.toSeq.flatMap { case (u, outs) =>
+          if (outs.contains(v)) Some(r(u) / outs.size) else None }.sum
+        v -> ((15L * S / 100L) / n + 85L * (in + 0L / n) / 100L)
+      }.toMap
+    }
+    assert(got === r,
+      "no-sink ranks must be bit-identical to the zero-dangling replay")
+  }
+
   test("Bm25: rare terms outrank common, self-retrieval wins, maxDf cut") {
     import graft.ext.Bm25
     import spark.implicits._
